@@ -1,0 +1,3 @@
+from .registry import REGISTRY, QuerySpec, oracle_sql, queries
+
+__all__ = ["REGISTRY", "QuerySpec", "queries", "oracle_sql"]

@@ -1,0 +1,119 @@
+"""Sources & sinks.
+
+Covers the reference's I/O surface (SURVEY.md §2 A1-A4) plus the parquet
+path the fixture harness needs:
+
+- A1/A2 CSV scan (reference spark.py:29, app.py:30-32): pinned schema by
+  default (no inference pass), ``infer_schema=True`` opt-in for parity.
+- A3 CSV sink (reference app.py:43-45).
+- parquet read/write — the engine's internal format (columnar, predicate
+  pushdown, partition pruning; what 100 TB actually lives in).
+- binary / multimodal ingestion (``spark.read.format('binaryFile')``).
+
+Sinks write parquet partitioned-by caller-chosen keys so downstream scans
+get partition pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schema import FIXTURE_TABLES, LOAN_SCHEMA
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    infer_schema: bool = False,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan (A1/A2). Pin ``schema`` in production — ``infer_schema``
+    replays the reference's extra full pass (reference spark.py:29)."""
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_loan_csv(
+    spark: SparkSession, path: str, infer_schema: bool = False
+) -> DataFrame:
+    """The loan table with its pinned 34-column schema (SURVEY.md §1.3)."""
+    return read_csv(
+        spark, path, schema=None if infer_schema else LOAN_SCHEMA, infer_schema=infer_schema
+    )
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink (A3, reference app.py:43-45)."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One fixture table from a scale-factor directory.
+
+    The ``events`` fixture stores nanosecond timestamps, which Spark's
+    parquet reader only accepts as INT64 via the ``nanosAsLong`` escape
+    hatch; we convert back to a (microsecond) TimestampType column so
+    every downstream operator sees a real timestamp. The conversion is
+    truncation (ns → µs), matching whole-second ``unix_timestamp``
+    semantics used by the oracle comparisons.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Fixture timestamps are naive-UTC; pin the session so epoch math
+    # (unix_timestamp/unix_micros) is timezone-stable even when the
+    # caller's session was built without an explicit timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Load fixture tables as a dict of DataFrames."""
+    return {n: read_parquet_table(spark, sf_dir, n) for n in (names or FIXTURE_TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL API."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink. ``partition_by`` on a low-cardinality key gives every
+    later scan partition pruning; at 100 TB prefer date/tenant keys."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Multimodal ingestion: opaque payload bytes + file metadata.
+
+    Produces columns (path, modificationTime, length, content) — the
+    BinaryType ``content`` column is the engine's multimodal payload
+    representation (SURVEY.md §2.C).
+    """
+    return (
+        spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    )
