@@ -1,0 +1,198 @@
+"""Golden tests for the Tier-A ML parity pipeline on the loan table.
+
+Strategy per SURVEY.md §5: deterministic assertions on impute means and
+scaler postconditions, seeded-split reproducibility, the A18 override
+truth table, and SQL-twin cross-checks of the MLlib evaluator metrics
+(rank-sum ROC-AUC, mean-of-indicator accuracy). Model coefficients are
+NOT asserted (L-BFGS vs Adam converge to the same family, not the same
+weights) — metrics and formulas are.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from loan_default_prediction_app_big_data_spark.ml import (
+    apply_override,
+    fit_loan_model,
+    predict_single_row,
+    seeded_split,
+)
+from loan_default_prediction_app_big_data_spark.ml.loan_pipeline import (
+    build_preprocessing_pipeline,
+    cast_features_double,
+)
+from loan_default_prediction_app_big_data_spark.schema import (
+    LOAN_FEATURES,
+    LOAN_IMPUTED,
+)
+from loan_default_prediction_app_big_data_spark.sources.readers import read_loan_csv
+
+LOAN_CSV = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data", "Loan_Default.csv")
+
+
+@pytest.fixture(scope="module")
+def loan(spark):
+    return read_loan_csv(spark, LOAN_CSV).cache()
+
+
+@pytest.fixture(scope="module")
+def model(loan):
+    return fit_loan_model(loan, with_mean=False, max_iter=50)
+
+
+def test_schema_pinned(loan):
+    assert len(loan.schema.fields) == 34
+    assert loan.count() == 999
+    assert dict(loan.dtypes)["rate_of_interest"] == "double"
+    assert dict(loan.dtypes)["Status"] == "int"
+
+
+def test_impute_means_match_pandas(spark, loan):
+    """Imputer(strategy=mean) fills each null with the column mean —
+    cross-checked against pandas (the reference app.py:34-36 path)."""
+    loan_d = cast_features_double(loan)
+    pre = build_preprocessing_pipeline().fit(loan_d)
+    imputed = pre.transform(loan_d)
+    pdf = pd.read_csv(LOAN_CSV)
+    means = pdf[LOAN_IMPUTED].mean()
+    sp_means = imputed.select(
+        *[F.avg(c).alias(c) for c in LOAN_IMPUTED]
+    ).first()
+    for c in LOAN_IMPUTED:
+        filled = pdf[c].fillna(means[c])
+        assert sp_means[c] == pytest.approx(filled.mean(), rel=1e-9)
+    assert imputed.filter(
+        " OR ".join(f"`{c}` IS NULL" for c in LOAN_IMPUTED)
+    ).count() == 0
+
+
+def test_scaler_semantics_both_modes(loan):
+    """A10 (withStd only, Spark reference default) vs A11 (center+scale,
+    sklearn reference): check unit-variance, and zero-mean only for A11."""
+    from pyspark.ml.functions import vector_to_array
+
+    for with_mean in (False, True):
+        loan_d = cast_features_double(loan)
+        pre = build_preprocessing_pipeline(with_mean=with_mean).fit(loan_d)
+        out = pre.transform(loan_d).select(
+            vector_to_array("scaled_features").alias("v")
+        )
+        stats = out.select(
+            F.avg(F.col("v")[0]).alias("mu0"),
+            F.stddev_samp(F.col("v")[0]).alias("sd0"),
+        ).first()
+        assert stats["sd0"] == pytest.approx(1.0, rel=1e-6)
+        if with_mean:
+            assert stats["mu0"] == pytest.approx(0.0, abs=1e-9)
+        else:
+            assert abs(stats["mu0"]) > 0.1  # not centered
+
+
+def test_seeded_split_reproducible(loan):
+    a_train, a_test = seeded_split(loan, seed=42)
+    b_train, b_test = seeded_split(loan, seed=42)
+    assert a_train.count() == b_train.count()
+    assert a_test.count() == b_test.count()
+    assert a_train.count() + a_test.count() == 999
+    # 80/20 within tolerance
+    assert 0.7 < a_train.count() / 999 < 0.9
+
+
+def test_model_metrics_sane(model):
+    """Metric-range assertions (SURVEY.md §5.3): AUC above chance,
+    accuracy at least majority-class, objective history decreasing."""
+    assert 0.5 < model.roc_auc <= 1.0
+    assert 0.5 <= model.accuracy <= 1.0
+    hist = model.objective_history
+    assert hist[0] >= hist[-1]
+
+
+def test_auc_matches_rank_sum_twin(spark, loan, model):
+    """A19 SQL twin: areaUnderROC == Mann-Whitney U / (n1*n0) computed
+    from the score column with average ranks (exact formula check)."""
+    _, test = seeded_split(model.pipeline_model.transform(cast_features_double(loan)), seed=42)
+    preds = model.lr_model.transform(test)
+    from pyspark.ml.functions import vector_to_array
+
+    scored = preds.select(
+        F.col("Status").cast("double").alias("y"),
+        vector_to_array("probability")[1].alias("p"),
+    )
+    scored.createOrReplaceTempView("scored_auc")
+    row = spark.sql(
+        """
+        WITH ranked AS (
+            SELECT y, avg(rnk) OVER (PARTITION BY p) AS r
+            FROM (SELECT y, p, row_number() OVER (ORDER BY p) AS rnk FROM scored_auc)
+        )
+        SELECT (sum(CASE WHEN y = 1 THEN r ELSE 0 END)
+                - (sum(y) * (sum(y) + 1)) / 2)
+               / (sum(y) * (count(*) - sum(y))) AS auc
+        FROM ranked
+        """
+    ).first()
+    assert model.roc_auc == pytest.approx(row["auc"], abs=1e-9)
+
+
+def test_accuracy_matches_indicator_twin(spark, loan, model):
+    """A20 SQL twin: accuracy == avg(prediction = label)."""
+    _, test = seeded_split(model.pipeline_model.transform(cast_features_double(loan)), seed=42)
+    preds = model.lr_model.transform(test)
+    acc = preds.agg(
+        F.avg((F.col("prediction") == F.col("Status").cast("double")).cast("double"))
+    ).first()[0]
+    assert model.accuracy == pytest.approx(acc, abs=1e-12)
+
+
+def test_override_truth_table(spark):
+    """A18: forced rejection iff ALL THREE conjuncts hold (reference
+    app.py:191-194); violating exactly one conjunct each must pass through."""
+    rows = [
+        # income, loan_amount, property_value, model prediction, expected final
+        (20_000.0, 300_000.0, 50_000.0, 1.0, 0.0),  # all conjuncts -> forced 0
+        (40_000.0, 300_000.0, 50_000.0, 1.0, 1.0),  # income too high
+        (20_000.0, 100_000.0, 50_000.0, 1.0, 1.0),  # loan too small
+        (20_000.0, 300_000.0, 150_000.0, 1.0, 1.0),  # property too valuable
+        (20_000.0, 300_000.0, 50_000.0, 0.0, 0.0),  # already rejected
+        (30_000.0, 200_000.0, 100_000.0, 1.0, 1.0),  # boundary: strict <,>,<
+    ]
+    df = spark.createDataFrame(
+        rows, "income double, loan_amount double, property_value double, prediction double, expected double"
+    )
+    out = apply_override(df).select("expected", "final_prediction").collect()
+    for r in out:
+        assert r["final_prediction"] == r["expected"]
+
+
+def test_single_row_serving_and_persistence(spark, loan, model, tmp_path):
+    """A17 + A4: serve one row through the fitted pipeline; round-trip
+    the model through disk and verify identical serving output."""
+    good = {
+        "loan_amount": 100_000.0,
+        "rate_of_interest": 4.0,
+        "property_value": 500_000.0,
+        "income": 120_000.0,
+        "Credit_Score": 800.0,
+        "LTV": 20.0,
+    }
+    res = predict_single_row(spark, model.pipeline_model, model.lr_model, good)
+    assert res["final_prediction"] in (0.0, 1.0)
+    assert "loan is likely" in res["verdict"]
+
+    forced = dict(good, income=10_000.0, loan_amount=250_000.0, property_value=50_000.0)
+    res2 = predict_single_row(spark, model.pipeline_model, model.lr_model, forced)
+    assert res2["final_prediction"] == 0.0  # A18 override regardless of model
+
+    path = str(tmp_path / "loan_model")
+    model.save(path)
+    from loan_default_prediction_app_big_data_spark.ml import LoanModel
+
+    pre2, lr2 = LoanModel.load_transformers(path)
+    res3 = predict_single_row(spark, pre2, lr2, good)
+    assert res3["prediction"] == res["prediction"]
+    assert res3["probability"] == res["probability"]
