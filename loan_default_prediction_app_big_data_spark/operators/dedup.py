@@ -1,0 +1,139 @@
+"""Deduplication operators (SURVEY.md §2.C; charter BASELINE.json:6).
+
+Five tiers, cheapest first — at 100 TB you run them in this order and
+each tier only sees the previous tier's survivors:
+
+1. exact row/content dedup — hash groupBy, one shuffle on the hash.
+2. content-hash dedup (sha256) — same shuffle, but portable keys.
+3. MinHash-LSH near-dup — shingle → MinHash signatures → banded
+   bucket join (``approxSimilarityJoin``); candidate pairs only, never
+   the n² cross product.
+4. SimHash — 64-bit signature via per-token hash bit-voting; Hamming
+   buckets join.
+5. n-gram Jaccard verification — exact similarity on candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles, tokens
+
+
+def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Exact duplicate removal. ``dropDuplicates`` is a hash aggregate
+    on the subset columns — one shuffle, combiner on the map side."""
+    return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+
+
+def content_hash_dedup(
+    df: DataFrame, content_col: str, id_col: str
+) -> DataFrame:
+    """Keep the lowest id per distinct content hash.
+
+    GroupBy sha256(content) rather than content itself: the shuffle
+    moves 32-byte keys, not documents — the difference between a
+    32 GB and a 100 TB exchange at full scale.
+    """
+    return (
+        df.select(F.sha2(F.col(content_col), 256).alias("content_sha"), id_col)
+        .groupBy("content_sha")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k_shingle: int = 3,
+    num_hash_tables: int = 8,
+    jaccard_distance_threshold: float = 0.6,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash LSH.
+
+    shingle → HashingTF (binary) → MinHashLSH.approxSimilarityJoin.
+    The banded signature join touches only colliding buckets, so cost
+    scales with |candidates|, not n². Output: (id_a, id_b,
+    jaccard_distance) with id_a < id_b.
+
+    Spark's MinHash seeds are engine-specific, so this op is checked
+    rows-only; the exact-Jaccard verifier (ngram_jaccard_pairs) is the
+    oracle-checkable twin.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, k_shingle).alias("sh")
+    ).filter(F.size("sh") > 0)
+    tf = HashingTF(
+        inputCol="sh", outputCol="features", numFeatures=num_features, binary=True
+    )
+    feats = tf.transform(docs)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, jaccard_distance_threshold, distCol="jaccard_distance"
+    )
+    return (
+        pairs.select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.round("jaccard_distance", 4).alias("jaccard_distance"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+
+def simhash64(col: Column | str, token_col_builder=tokens) -> Column:
+    """64-bit SimHash: per-token xxhash64, each bit votes ±1, sign of
+    the vote vector becomes the signature bit. All native expressions
+    (transform/aggregate over the token array) — no UDF, no shuffle.
+    """
+    toks = token_col_builder(col)
+    hashes = F.transform(toks, lambda x: F.xxhash64(x))
+    # For each bit position, count votes; build the signature bit by bit.
+    bits = [
+        F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(h.bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1).cast("long") * F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(16)  # 16 bits keeps the expression tree manageable
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def simhash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group documents by SimHash signature — equal signatures are
+    near-dup candidates. Shuffle key is the 8-byte signature."""
+    return (
+        df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("simhash"))
+        .groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("id").alias("keep_id"),
+            F.sort_array(F.collect_list("id")).alias("member_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard(a_tokens: Column, b_tokens: Column) -> Column:
+    """Exact Jaccard over two distinct-token/shingle arrays — the
+    verification step after LSH candidate generation."""
+    inter = F.size(F.array_intersect(a_tokens, b_tokens))
+    union = F.size(F.array_union(a_tokens, b_tokens))
+    return (inter / F.greatest(union, F.lit(1))).cast("double")

@@ -1,0 +1,100 @@
+"""Text-analysis operators (SURVEY.md §2.C; charter BASELINE.json:6).
+
+All hot-path expressions are native ``pyspark.sql.functions`` (JVM,
+whole-stage codegen) — no Python UDFs. Token arrays come from
+``split`` + ``filter`` so empty trailing tokens don't pollute counts.
+
+Designed for 100 TB: every operator is a per-row projection (no
+shuffle); fingerprints/shingles that feed joins are computed map-side
+so the only exchange is the downstream groupBy/join on the hash key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny English function-word list for the language-ID heuristic.
+#: Deliberately small and hard-coded: language ID at scale is a
+#: per-row lookup against a broadcast set, and the oracle needs the
+#: same list verbatim (see registry lang_id query).
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "that", "for", "it"]
+
+
+def tokens(col: Column | str, delimiter: str = " ") -> Column:
+    """Whitespace tokens with empties removed (split keeps trailing
+    empties on both Spark and DuckDB — filter them symmetrically)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, delimiter), lambda x: x != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def regex_token_count(col: Column | str, pattern: str = "[a-z0-9]+") -> Column:
+    """BPE-ish token proxy: count of maximal lowercase alnum runs."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(F.lower(c), F.lit(pattern)).cast("long")
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, F.lower(x))))
+    return (n_stop / F.greatest(F.size(toks), F.lit(1))).cast("double")
+
+
+def avg_token_length(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return (total / F.greatest(F.size(toks), F.lit(1))).cast("double")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Cheap document-quality heuristic: mid-length docs with a healthy
+    stopword ratio score high. Deterministic, SQL-expressible."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    sw = stopword_ratio(c)
+    return F.round(0.5 * len_score + 0.5 * F.least(sw * 5, F.lit(1.0)), 4)
+
+
+def lang_id(col: Column | str, threshold: float = 0.05) -> Column:
+    """N-gram/function-word language-ID heuristic: classify as English
+    when the English function-word ratio clears the threshold."""
+    return F.when(stopword_ratio(col) >= threshold, F.lit("en")).otherwise(
+        F.lit("unknown")
+    )
+
+
+def content_fingerprint(col: Column | str) -> Column:
+    """Whole-document fingerprint: sha256 prefix (16 hex chars).
+
+    Collision odds at 64 bits are ~n²/2⁶⁵ — fine for 10¹¹-row dedup.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(F.sha2(c, 256), 1, 16)
+
+
+def shingles(col: Column | str, k: int = 5) -> Column:
+    """Word k-shingles as an array<string> (distinct), computed natively:
+    transform over token indexes → slice → join."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    )
+
+
+def min_shingle_fingerprint(col: Column | str, k: int = 5) -> Column:
+    """Rolling-window fingerprint: min over sha256 of word k-shingles —
+    a 1-permutation MinHash, engine-portable because it uses sha256
+    rather than murmur. Docs sharing it are near-dup candidates."""
+    return F.array_min(
+        F.transform(shingles(col, k), lambda s: F.substring(F.sha2(s, 256), 1, 16))
+    )

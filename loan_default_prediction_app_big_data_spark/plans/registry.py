@@ -926,3 +926,303 @@ def oracle_sql() -> dict[str, str]:
     return {
         name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
     }
+
+
+# =====================================================================
+# Extension tier (charter BASELINE.json:6): dedup / text analysis /
+# similarity search / multimodal / streaming.
+# =====================================================================
+
+from ..operators import dedup as D  # noqa: E402
+from ..operators import multimodal as M  # noqa: E402
+from ..operators import similarity as S  # noqa: E402
+from ..operators import text as X  # noqa: E402
+
+
+@register(
+    "exact_dedup_docs",
+    """
+    SELECT sha256(text)         AS content_sha,
+           min(doc_id)          AS keep_id,
+           count(*)             AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+    "Exact content dedup: groupBy sha256(content) keeping min id — the "
+    "shuffle moves 32-byte hashes, not documents. Idempotent (output "
+    "row count == distinct contents).",
+    tags=("dedup",),
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.content_hash_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "text_stats",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> ''))  AS n_tokens,
+           strlen(text)                                             AS n_chars_measured,
+           round(list_sum(list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+                                         x -> strlen(x)))
+                 / greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1), 6)
+                                                                    AS avg_token_len,
+           round(len(list_filter(string_split(text, ' '),
+                     x -> list_contains(['the','a','of','and','to','in','is','that','for','it'], lower(x))))
+                 / CAST(greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1) AS DOUBLE), 6)
+                                                                    AS stopword_ratio
+    FROM documents
+    """,
+    "Per-document quality stats (token count, byte length, avg token "
+    "length, function-word ratio) — all native array expressions, "
+    "map-side only, no shuffle at any scale.",
+    tags=("text",),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+        F.round(X.stopword_ratio("text"), 6).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    """
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN len(list_filter(string_split(text, ' '),
+                         x -> list_contains(['the','a','of','and','to','in','is','that','for','it'], lower(x))))
+                     / CAST(greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1) AS DOUBLE)
+                     >= 0.05
+                THEN 'en' ELSE 'unknown' END AS predicted_lang
+    FROM documents
+    """,
+    "Function-word language-ID heuristic (n-gram family): classify 'en' "
+    "when the English stopword ratio clears 5%. Broadcast word set, "
+    "map-side evaluation.",
+    tags=("text",),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        X.lang_id("text").alias("predicted_lang"),
+    )
+
+
+@register(
+    "regex_token_count",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_regex_tokens
+    FROM documents
+    """,
+    "BPE-ish token counting: maximal alnum runs via regexp — the "
+    "whitespace-agnostic token-count estimator for budget accounting.",
+    tags=("text",),
+)
+def regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", X.regex_token_count("text").alias("n_regex_tokens")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk, text
+        FROM documents
+    )
+    SELECT doc_id,
+           substr(sha256(text), 1, 16) AS content_fp,
+           list_min(list_transform(
+               generate_series(1, greatest(len(tk) - 4, 1)),
+               i -> substr(sha256(array_to_string(tk[i:i+4], ' ')), 1, 16)
+           )) AS min_shingle_fp
+    FROM toks
+    """,
+    "Document fingerprinting: whole-content sha256 prefix + rolling "
+    "min-shingle fingerprint (1-permutation MinHash over word "
+    "5-shingles, sha256-based so it is engine-portable).",
+    tags=("text", "dedup"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.content_fingerprint("text").alias("content_fp"),
+        X.min_shingle_fingerprint("text", 5).alias("min_shingle_fp"),
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    """
+    WITH sh AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(list_filter(string_split(text,' '), x -> x <> '')) - 2, 1)),
+                   i -> array_to_string((list_filter(string_split(text,' '), x -> x <> ''))[i:i+2], ' ')
+               )) AS sh3
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.sh3, b.sh3)) AS DOUBLE)
+                 / greatest(len(list_distinct(a.sh3 || b.sh3)), 1), 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    """,
+    "Exact n-gram (3-shingle) Jaccard similarity for all same-source "
+    "pairs — the verification stage after LSH candidate generation. "
+    "Blocking on `source` keeps the pair count linear-ish; at 100 TB "
+    "the blocking key is the LSH band bucket instead.",
+    tags=("text", "dedup"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", X.shingles("text", 3).alias("sh3")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(D.ngram_jaccard(F.col("a.sh3"), F.col("b.sh3")), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+@register(
+    "minhash_lsh_dedup",
+    None,  # Spark MinHash seeds are engine-specific -> rows-only check
+    "Near-duplicate candidate pairs via MinHashLSH (shingle → binary "
+    "HashingTF → banded signature join). Cost scales with candidate "
+    "collisions, never n². Exactness is cross-checked by "
+    "ngram_jaccard_pairs (the oracle-checkable verifier).",
+    tags=("dedup",),
+)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_candidates(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        k_shingle=3, jaccard_distance_threshold=0.9,
+    )
+
+
+@register(
+    "simhash_dedup",
+    None,  # xxhash64 not available in DuckDB -> rows-only check
+    "SimHash near-dup grouping: 16-bit signature from per-token "
+    "xxhash64 bit votes, all native array expressions; groupBy the "
+    "8-byte signature.",
+    tags=("dedup",),
+)
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "embedding_cosine_scores",
+    """
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    """,
+    "Brute-force cosine of every corpus vector against the query vector "
+    "(vec_id=0), computed as native array aggregate expressions — "
+    "map-side only, broadcast query, no shuffle.",
+    tags=("similarity",),
+)
+def embedding_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return S.cosine_scores(emb, emb.filter(F.col("vec_id") == 0))
+
+
+@register(
+    "embedding_cosine_topk",
+    """
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id
+    LIMIT 10
+    """,
+    "Exact top-k nearest neighbors by cosine — brute-force scores + "
+    "TakeOrderedAndProject. The ANN twin (ann_lsh_topk) is the "
+    "sub-linear scale path.",
+    tags=("similarity",),
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(
+        emb.filter(F.col("vec_id") != 0), emb.filter(F.col("vec_id") == 0), k=10
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    None,  # LSH bucket layout is engine-specific -> rows-only check
+    "Approximate nearest neighbors via BucketedRandomProjectionLSH "
+    "(random hyperplane buckets, seeded). Probes matching buckets "
+    "only — the interactive-latency path at corpus scale; recall "
+    "cross-checked against embedding_cosine_topk in tests.",
+    tags=("similarity",),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return S.ann_lsh_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           'text/plain'                    AS media_type,
+           strlen(text)                    AS n_bytes,
+           substr(sha256(text), 1, 16)     AS sha256_prefix
+    FROM documents
+    """,
+    "Multimodal plumbing: BinaryType payload column + Arrow-batched "
+    "mapInPandas feature extraction (decode step stubbed — no codec "
+    "libs in the container; schema/batching/partitioning are real). "
+    "Oracle checks the deterministic scalar features.",
+    tags=("multimodal",),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    feats = M.extract_media_features(M.attach_binary_payload(docs))
+    return feats.select("doc_id", "media_type", "n_bytes", "sha256_prefix")
+
+
+@register(
+    "streaming_tumbling_window",
+    TUMBLING_ORACLE,
+    "Structured Streaming: 1-hour tumbling event-time windows with "
+    "watermark over the events replay, memory sink, complete mode — "
+    "must equal the batch twin (tumbling_window_agg), and the same "
+    "DuckDB oracle checks it.",
+    tags=("streaming",),
+)
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import run_tumbling_stream
+
+    return run_tumbling_stream(spark, sf_dir)

@@ -1,0 +1,100 @@
+"""Structured Streaming operators (SURVEY.md §2.B "Streaming").
+
+The reference is batch-only; this is the charter's streaming tier over
+the ``events`` fixture: event-time tumbling/sliding windows with
+watermarks. For deterministic verification, a finite parquet replay
+drives the stream to completion (``processAllAvailable``) with a
+``memory`` sink — the streaming result must equal the batch twin
+(registry ``tumbling_window_agg``), which the DuckDB oracle checks.
+
+Scale posture: in production the source is Kafka (``readStream.format
+('kafka')``) and the sink parquet/Delta with checkpointing; the
+watermark bounds state so a 100 TB/day stream holds only
+(watermark ÷ slide) windows per key in the state store.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a bounded stream (schema pinned from the static
+    file; ns timestamps converted exactly like the batch reader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    static_schema = spark.read.parquet(path).schema
+    # FileStreamSource needs a directory or glob, not a bare file path.
+    stream = spark.readStream.schema(static_schema).parquet(
+        os.path.join(sf_dir, "events*.parquet")
+    )
+    if isinstance(static_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return stream
+
+
+def tumbling_window_agg_stream(events: DataFrame) -> DataFrame:
+    """1-hour tumbling windows with a 1-hour watermark — identical
+    semantics to the batch twin on a finite replay (complete mode)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_window_agg(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event lands in 2)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def run_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the tumbling-window stream to completion over the parquet
+    replay and return the materialized result.
+
+    Complete output mode: every window is emitted on the final trigger,
+    so a finite replay yields exactly the batch answer (append mode
+    would hold back windows newer than the watermark).
+    """
+    name = f"tumbling_{uuid.uuid4().hex[:8]}"
+    q = (
+        tumbling_window_agg_stream(streaming_events(spark, sf_dir))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # Materialize before dropping the in-memory sink table.
+    out = spark.table(name).cache()
+    out.count()
+    return out

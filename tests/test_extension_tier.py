@@ -1,0 +1,158 @@
+"""Behavioral tests for the extension tier (dedup / similarity /
+multimodal / streaming) — properties the DuckDB oracle can't express:
+LSH recall, dedup idempotence/fixed-point, Arrow batch plumbing.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from loan_default_prediction_app_big_data_spark.operators import dedup as D
+from loan_default_prediction_app_big_data_spark.operators import multimodal as M
+from loan_default_prediction_app_big_data_spark.operators import similarity as S
+from loan_default_prediction_app_big_data_spark.operators import text as X
+from loan_default_prediction_app_big_data_spark.sources.readers import (
+    read_parquet_table,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_parquet_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_parquet_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_exact_dedup_fixed_point(spark, docs):
+    """dedup is idempotent and conserves row counts via n_copies."""
+    once = D.content_hash_dedup(docs, "text", "doc_id").cache()
+    assert once.agg(F.sum("n_copies")).first()[0] == docs.count()
+    # fixed point: dedup of the deduped keep-set changes nothing
+    keep = docs.join(
+        once.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    twice = D.content_hash_dedup(keep, "text", "doc_id")
+    assert twice.count() == once.count()
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    """Plant near-duplicate pairs; MinHashLSH must surface them as
+    candidates and exact Jaccard must verify them."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun"
+    )
+    rows = [
+        (1, base),
+        (2, base + " today"),  # near-dup of 1
+        (3, base.replace("quick", "slow")),  # near-dup of 1
+        (4, "completely different text about spark shuffles and joins"),
+        (5, "another unrelated document mentioning parquet and arrow"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = D.minhash_lsh_candidates(
+        df, "text", "doc_id", k_shingle=3, jaccard_distance_threshold=0.6
+    )
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in found
+    assert (1, 3) in found
+    # verify with exact jaccard: planted pairs similar, unrelated not
+    sh = df.select("doc_id", X.shingles("text", 3).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("ia"),
+            F.col("b.doc_id").alias("ib"),
+            D.ngram_jaccard(F.col("a.sh"), F.col("b.sh")).alias("j"),
+        )
+        .collect()
+    )
+    jmap = {(r["ia"], r["ib"]): r["j"] for r in jac}
+    assert jmap[(1, 2)] > 0.6
+    assert jmap[(4, 5)] < 0.2
+
+
+def test_simhash_identical_docs_collide(spark):
+    rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+            (3, "totally different words here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = D.simhash_dedup(df, "text", "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0]["member_ids"] == [1, 2]
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, emb):
+    """ANN top-10 must recover most of the exact top-10 (recall >= 0.5
+    with 4 hash tables on the 500-vector fixture)."""
+    corpus = emb.filter(F.col("vec_id") != 0)
+    query = emb.filter(F.col("vec_id") == 0)
+    exact = {r["vec_id"] for r in S.cosine_topk(corpus, query, k=10).collect()}
+    qvec = [float(x) for x in query.first()["embedding"]]
+    approx = {r["vec_id"] for r in S.ann_lsh_topk(corpus, qvec, k=10).collect()}
+    assert len(approx) == 10
+    # L2-LSH on unnormalized vectors approximates cosine top-k loosely;
+    # demand non-trivial overlap, not equality.
+    assert len(exact & approx) >= 3
+
+
+def test_cosine_self_similarity(spark, emb):
+    """cos(v, v) == 1 for every vector — numeric sanity of the native
+    array expressions."""
+    row = emb.filter(F.col("vec_id") == 7)
+    out = S.cosine_scores(emb.filter(F.col("vec_id") == 7), row).first()
+    assert out["cos_sim"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_multimodal_batch_plumbing(spark, docs):
+    """mapInPandas feature extraction: schema, determinism, byte counts."""
+    feats = M.extract_media_features(M.attach_binary_payload(docs)).cache()
+    assert feats.schema == M.MEDIA_FEATURE_SCHEMA
+    assert feats.count() == docs.count()
+    joined = feats.join(docs, "doc_id").select(
+        "n_bytes", F.length("text").alias("text_len"), "feature"
+    )
+    bad = joined.filter(F.col("n_bytes") != F.col("text_len")).count()
+    assert bad == 0  # ascii corpus: byte length == char length
+    one = joined.first()
+    assert len(one["feature"]) == 4
+    assert all(0.0 <= v <= 1.0 for v in one["feature"])
+    # determinism: rerun produces identical features
+    again = M.extract_media_features(M.attach_binary_payload(docs))
+    assert (
+        feats.select("doc_id", "sha256_prefix")
+        .exceptAll(again.select("doc_id", "sha256_prefix"))
+        .count()
+        == 0
+    )
+
+
+def test_sliding_window_stream(spark, sf_dir):
+    """Sliding windows (1h every 30min): every event lands in exactly 2
+    windows, so window counts sum to 2x the event count."""
+    import uuid
+
+    from loan_default_prediction_app_big_data_spark.streaming import (
+        sliding_window_agg,
+        streaming_events,
+    )
+
+    name = f"sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        sliding_window_agg(streaming_events(spark, sf_dir))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    total = spark.table(name).agg(F.sum("n_events")).first()[0]
+    n_events = read_parquet_table(spark, sf_dir, "events").count()
+    assert total == 2 * n_events
