@@ -41,6 +41,33 @@ def run() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
 
+    # ML parity pipeline + single-row serving latency (BASELINE.md
+    # self-defined targets), on the loan golden fixture.
+    loan_csv = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "Loan_Default.csv")
+    if os.path.exists(loan_csv):
+        from loan_default_prediction_app_big_data_spark.ml import (
+            fit_loan_model,
+            predict_single_row,
+        )
+        from loan_default_prediction_app_big_data_spark.sources.readers import (
+            read_loan_csv,
+        )
+
+        start = time.perf_counter()
+        model = fit_loan_model(read_loan_csv(spark, loan_csv))
+        timings["ml_loan_pipeline_fit_eval"] = round(time.perf_counter() - start, 3)
+
+        row = dict(
+            loan_amount=100000.0, rate_of_interest=4.0, property_value=500000.0,
+            income=120000.0, Credit_Score=800.0, LTV=20.0,
+        )
+        lat = []
+        for _ in range(5):
+            start = time.perf_counter()
+            predict_single_row(spark, model.pipeline_model, model.lr_model, row)
+            lat.append(time.perf_counter() - start)
+        timings["ml_single_row_serve_p50"] = round(sorted(lat)[len(lat) // 2], 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

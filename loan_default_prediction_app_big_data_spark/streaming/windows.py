@@ -98,3 +98,54 @@ def run_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.table(name).cache()
     out.count()
     return out
+
+
+def run_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user running event counts
+    via ``applyInPandasWithState`` (the arbitrary-state API — what you
+    reach for when windows/aggregations can't express the semantics).
+
+    State = one long per user_id, bounded and partitioned by the
+    grouping key across executors. On the finite replay the final
+    emitted count per user equals the batch ``groupBy(user).count()``,
+    which is the oracle check.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    def update_counts(key, pdf_iter, state: GroupState):
+        n = sum(len(pdf) for pdf in pdf_iter)
+        total = (state.get[0] if state.exists else 0) + n
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    events = streaming_events(spark, sf_dir)
+    q = (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update_counts,
+            outputStructType="user_id long, n_events long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # The memory sink accumulates one row per (user, micro-batch);
+    # the max per user is the final running count.
+    out = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .cache()
+    )
+    out.count()
+    return out

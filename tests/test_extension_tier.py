@@ -156,3 +156,29 @@ def test_sliding_window_stream(spark, sf_dir):
     total = spark.table(name).agg(F.sum("n_events")).first()[0]
     n_events = read_parquet_table(spark, sf_dir, "events").count()
     assert total == 2 * n_events
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    """IVF with 4-of-16 probes must recover most of the exact top-10."""
+    corpus = emb.filter(F.col("vec_id") != 0)
+    query = emb.filter(F.col("vec_id") == 0)
+    exact = {r["vec_id"] for r in S.cosine_topk(corpus, query, k=10).collect()}
+    qvec = [float(x) for x in query.first()["embedding"]]
+    tagged, model = S.ivf_index(corpus, n_clusters=16)
+    approx = {r["vec_id"] for r in S.ivf_topk(tagged, model, qvec, k=10, n_probe=4).collect()}
+    assert len(approx) == 10
+    assert len(exact & approx) >= 5  # cosine top-k clusters tightly in practice
+
+
+def test_approx_aggregates_error_bounds(spark, sf_dir):
+    """HLL++ distinct and GK percentile sketches stay within their
+    documented error bounds vs the exact aggregates."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey").alias("apx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("apx_med"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_med"),
+    ).first()
+    assert abs(row["apx_parts"] - row["exact_parts"]) / row["exact_parts"] < 0.05
+    assert abs(row["apx_med"] - row["exact_med"]) / row["exact_med"] < 0.05
