@@ -57,6 +57,22 @@ def run() -> None:
         model = fit_loan_model(read_loan_csv(spark, loan_csv))
         timings["ml_loan_pipeline_fit_eval"] = round(time.perf_counter() - start, 3)
 
+        # 100x synthetic replica (BASELINE.md ML-scale target):
+        # deterministic jitter derived from (ID, replica index).
+        from pyspark.sql import functions as F
+
+        loan = read_loan_csv(spark, loan_csv)
+        jitter = (F.xxhash64("ID", "rep") % 1000) / 10000.0  # [-0.05, 0.1)
+        loan_100x = (
+            loan.crossJoin(spark.range(100).select(F.col("id").alias("rep")))
+            .withColumn("loan_amount", (F.col("loan_amount") * (1 + jitter)).cast("int"))
+            .withColumn("income", (F.col("income") * (1 + jitter)).cast("int"))
+            .drop("rep")
+        )
+        start = time.perf_counter()
+        fit_loan_model(loan_100x)
+        timings["ml_loan_pipeline_fit_eval_100x"] = round(time.perf_counter() - start, 3)
+
         row = dict(
             loan_amount=100000.0, rate_of_interest=4.0, property_value=500000.0,
             income=120000.0, Credit_Score=800.0, LTV=20.0,

