@@ -1770,3 +1770,59 @@ def salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("total").cast("double"), 4).alias("total"),
         "n_rows",
     )
+
+
+@register(
+    "map_functions",
+    """
+    SELECT event_id,
+           array_to_string(json_keys(props), ',')                  AS prop_keys,
+           CAST(len(json_keys(props)) AS BIGINT)                   AS n_keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)       AS k_value
+    FROM events
+    """,
+    "MapType surface: parse the JSON props column into map<string,string> "
+    "(from_json), then map_keys/size/element access — Spark's map "
+    "functions against DuckDB's JSON introspection.",
+    tags=("scalar",),
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+        m["k"].cast("long").alias("k_value"),
+    )
+
+
+@register(
+    "window_first_last_value",
+    """
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)  OVER w AS latest_order,
+           nth_value(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "first/last/nth value over an unbounded frame — per-customer "
+    "first/latest order ids; one shuffle on the partition key.",
+    tags=("window",),
+)
+def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("latest_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )

@@ -1,0 +1,144 @@
+"""Property-based spot checks (SURVEY.md §5.4): cheap invariants on
+randomized inputs — imputation idempotence, scaler postconditions,
+dedup fixed-point, jaccard bounds/symmetry, override monotonicity.
+
+Hypothesis drives the data generation; Spark jobs stay tiny (one
+partition) so each example runs in milliseconds.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from loan_default_prediction_app_big_data_spark.ml.override import (
+    OverrideThresholds,
+    apply_override,
+)
+from loan_default_prediction_app_big_data_spark.operators import dedup as D
+from loan_default_prediction_app_big_data_spark.operators import text as X
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+finite_doubles = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@given(
+    vals=st.lists(st.one_of(finite_doubles, st.none()), min_size=2, max_size=30).filter(
+        lambda xs: sum(x is not None for x in xs) >= 1
+    )
+)
+@SETTINGS
+def test_mean_impute_idempotent_and_mean_preserving(spark, vals):
+    """Imputing with the column mean never changes the column mean, and
+    a second imputation is a no-op."""
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id int, x double")
+    mean_before = df.agg(F.avg("x")).first()[0]
+    stats = df.agg(F.avg("x").alias("m"))
+    once = df.crossJoin(stats).select(
+        "id", F.coalesce("x", "m").alias("x")
+    )
+    mean_after = once.agg(F.avg("x")).first()[0]
+    assert mean_after == pytest.approx(mean_before, rel=1e-9, abs=1e-9)
+    assert once.filter(F.col("x").isNull()).count() == 0
+    twice = once.crossJoin(stats).select("id", F.coalesce("x", "m").alias("x"))
+    assert twice.exceptAll(once).count() == 0
+
+
+@given(
+    vals=st.lists(finite_doubles, min_size=3, max_size=30).filter(
+        lambda xs: len(set(xs)) > 1
+    )
+)
+@SETTINGS
+def test_standardize_postconditions(spark, vals):
+    """Center+scale yields mean≈0 and stddev_samp≈1 for any non-constant
+    column (A11 semantics)."""
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    stats = df.agg(
+        F.avg("x").alias("m"), F.stddev_samp("x").alias("s")
+    )
+    out = df.crossJoin(stats).select(((F.col("x") - F.col("m")) / F.col("s")).alias("z"))
+    res = out.agg(F.avg("z").alias("m"), F.stddev_samp("z").alias("s")).first()
+    assert res["m"] == pytest.approx(0.0, abs=1e-7)
+    assert res["s"] == pytest.approx(1.0, rel=1e-7)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=40), min_size=1, max_size=12
+    )
+)
+@SETTINGS
+def test_content_dedup_fixed_point(spark, texts):
+    """Content-hash dedup: one group per distinct text; copies conserved;
+    idempotent on the keep-set."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    once = D.content_hash_dedup(df, "text", "doc_id")
+    rows = once.collect()
+    assert len(rows) == len(set(texts))
+    assert sum(r["n_copies"] for r in rows) == len(texts)
+
+
+@given(
+    a=st.lists(st.sampled_from("abcdef"), min_size=0, max_size=8),
+    b=st.lists(st.sampled_from("abcdef"), min_size=0, max_size=8),
+)
+@SETTINGS
+def test_jaccard_bounds_and_symmetry(spark, a, b):
+    """0 <= J <= 1; J(a,a)=1 for nonempty a; J symmetric."""
+    df = spark.createDataFrame(
+        [(list(set(a)), list(set(b)))], "a array<string>, b array<string>"
+    )
+    row = df.select(
+        D.ngram_jaccard(F.col("a"), F.col("b")).alias("jab"),
+        D.ngram_jaccard(F.col("b"), F.col("a")).alias("jba"),
+        D.ngram_jaccard(F.col("a"), F.col("a")).alias("jaa"),
+    ).first()
+    assert 0.0 <= row["jab"] <= 1.0
+    assert row["jab"] == pytest.approx(row["jba"], abs=1e-12)
+    if set(a):
+        assert row["jaa"] == pytest.approx(1.0, abs=1e-12)
+
+
+@given(
+    income=finite_doubles,
+    loan=finite_doubles,
+    prop=finite_doubles,
+    pred=st.sampled_from([0.0, 1.0]),
+)
+@SETTINGS
+def test_override_never_approves(spark, income, loan, prop, pred):
+    """The A18 override can only flip approvals to rejections, never the
+    reverse: final <= model prediction, and final==prediction unless all
+    three conjuncts hold."""
+    df = spark.createDataFrame(
+        [(income, loan, prop, pred)],
+        "income double, loan_amount double, property_value double, prediction double",
+    )
+    row = apply_override(df).first()
+    th = OverrideThresholds()
+    fires = income < th.low_income and loan > th.high_loan and prop < th.low_property_value
+    assert row["final_prediction"] <= row["prediction"]
+    assert row["final_prediction"] == (0.0 if fires else pred)
+
+
+@given(text=st.text(alphabet="abc xyz", min_size=0, max_size=60))
+@SETTINGS
+def test_token_count_matches_python_split(spark, text):
+    """Native token count == Python's whitespace-filtered split."""
+    df = spark.createDataFrame([(text,)], "text string")
+    n = df.select(X.token_count("text").alias("n")).first()["n"]
+    assert n == len([t for t in text.split(" ") if t])
