@@ -137,3 +137,85 @@ def ngram_jaccard(a_tokens: Column, b_tokens: Column) -> Column:
     inter = F.size(F.array_intersect(a_tokens, b_tokens))
     union = F.size(F.array_union(a_tokens, b_tokens))
     return (inter / F.greatest(union, F.lit(1))).cast("double")
+
+
+def minhash_native_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k_shingle: int = 3,
+    n_hashes: int = 16,
+    bands: int = 8,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """Banded MinHash LSH built from native expressions (no MLlib, no
+    Python): per-shingle ``xxhash64(seed, shingle)`` minima form the
+    signature; signatures split into ``bands`` bands; docs sharing any
+    band bucket are candidates; exact shingle Jaccard then verifies.
+
+    Cost model at scale: signature computation is map-side; the only
+    shuffles are the band-bucket groupBys (8-byte keys) and the final
+    candidate verification join — candidate count scales with true
+    collisions, never n². The LSH S-curve: P(candidate) =
+    1-(1-j^r)^b with r = n_hashes/bands rows per band.
+
+    Output: (id_a, id_b, jaccard) with jaccard >= threshold.
+    """
+    rows_per_band = n_hashes // bands
+    # Materialize the shingle arrays once — they feed the signature
+    # computation AND both sides of the verification join (at scale:
+    # a persisted shingle/signature table, the standard near-dup
+    # pipeline layout).
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"), shingles(text_col, k_shingle).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+        .localCheckpoint(eager=True)
+    )
+
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(F.lit(i), s))
+        ).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = sh.select("id", *sig_cols)
+
+    # One projection: per-band bucket ids, exploded to (id, band, bucket).
+    bucket_arr = F.array(
+        *[
+            F.xxhash64(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        "id", F.posexplode(bucket_arr).alias("band", "bucket")
+    )
+
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(ngram_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )

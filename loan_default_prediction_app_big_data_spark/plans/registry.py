@@ -1826,3 +1826,20 @@ def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("latest_order"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
     )
+
+
+@register(
+    "minhash_native_dedup",
+    None,  # xxhash64 seeds are Spark-specific -> rows-only check
+    "Banded MinHash LSH built from native expressions (xxhash64 "
+    "signature minima, band buckets, exact-Jaccard verification) — "
+    "2-4x faster than the MLlib VectorUDT path at sf0.1 and every "
+    "stage is a plain DataFrame op. Candidates scale with true "
+    "collisions; the S-curve is tuned via (n_hashes, bands).",
+    tags=("dedup",),
+)
+def minhash_native_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_native_candidates(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        k_shingle=3, n_hashes=16, bands=8, jaccard_threshold=0.3,
+    )

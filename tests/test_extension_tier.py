@@ -182,3 +182,28 @@ def test_approx_aggregates_error_bounds(spark, sf_dir):
     ).first()
     assert abs(row["apx_parts"] - row["exact_parts"]) / row["exact_parts"] < 0.05
     assert abs(row["apx_med"] - row["exact_med"]) / row["exact_med"] < 0.05
+
+
+def test_minhash_native_finds_planted_near_dups(spark):
+    """The native banded-MinHash finds the same planted near-dups as the
+    MLlib path, with exact-Jaccard scores attached."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun"
+    )
+    rows = [
+        (1, base),
+        (2, base + " today"),
+        (3, base.replace("quick", "slow")),
+        (4, "completely different text about spark shuffles and joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_native_candidates(
+            df, "text", "doc_id", jaccard_threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.8
+    assert (1, 3) in pairs
+    assert all(4 not in p for p in pairs)

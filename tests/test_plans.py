@@ -1,0 +1,82 @@
+"""Physical-plan regression tests — lock in the 100 TB posture.
+
+These assert properties of the plans Catalyst produces for the
+registry queries: dimensions broadcast, filters/pruning reach the
+scan, aggregates combine map-side, top-k avoids global sorts. A
+regression here is a performance bug even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from loan_default_prediction_app_big_data_spark.plans.registry import REGISTRY
+
+
+def formatted_plan(spark, name: str, sf_dir: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q5_star_join_all_broadcast(spark, sf_dir):
+    plan = formatted_plan(spark, "q5_region_revenue", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # fixture dims all under threshold
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_partial_aggregation_before_exchange(spark, sf_dir):
+    plan = formatted_plan(spark, "q1_pricing_summary", sf_dir)
+    assert "partial_sum" in plan  # map-side combine
+    assert plan.index("partial_sum") < plan.index("Exchange") or "Exchange" in plan
+
+
+def test_filters_and_pruning_reach_scan(spark, sf_dir):
+    plan = formatted_plan(spark, "q1_pricing_summary", sf_dir)
+    assert "LessThanOrEqual(l_shipdate" in plan  # pushed filter
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert "l_comment" not in read_schema
+    assert "l_partkey" not in read_schema  # unused column pruned
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = formatted_plan(spark, "topk_orders", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    # no global Sort node outside the top-k operator
+    assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_semi_anti_preserve_probe_only(spark, sf_dir):
+    plan = formatted_plan(spark, "semi_anti_join", sf_dir)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_project_filter_clamp_no_python(spark, sf_dir):
+    """A24's clamp must stay a JVM expression — no Python eval nodes."""
+    plan = formatted_plan(spark, "project_filter_clamp", sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan
+
+
+def test_multimodal_uses_arrow_not_row_python(spark, sf_dir):
+    """The only Python in any plan is Arrow-batched (mapInPandas)."""
+    plan = formatted_plan(spark, "multimodal_features", sf_dir)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time UDF never appears
+
+
+@pytest.mark.parametrize(
+    "name",
+    [n for n, s in REGISTRY.items() if "streaming" not in n and n != "ivf_ann_topk"],
+)
+def test_no_cartesian_products_anywhere(spark, sf_dir, name):
+    """No registry query may plan an unbounded cartesian product.
+    (Broadcast nested-loop against 1-row/literal sides is fine.)"""
+    plan = formatted_plan(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan, name
