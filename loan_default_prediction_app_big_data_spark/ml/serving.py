@@ -63,3 +63,79 @@ def predict_single_row(
         "verdict": out["verdict"],
         "probability": out["probability"],
     }
+
+
+def extract_serving_params(pipeline_model, lr_model) -> dict:
+    """Pull the fitted parameters (impute surrogates, scaler stats, LR
+    coefficients) out of the models for driver-local scoring.
+
+    Everything is tiny — 4 surrogates, 6 stds/means, 6+1 coefficients —
+    the whole model is < 1 KB, which is why single-row serving should
+    never pay a Spark job (PERF.md: the ~1 s p50 of the distributed
+    path is job-scheduling floor, not math).
+    """
+    from pyspark.ml.feature import ImputerModel, StandardScalerModel
+
+    surrogates: dict[str, float] = {}
+    scaler_mean = scaler_std = None
+    for stage in pipeline_model.stages:
+        if isinstance(stage, ImputerModel):
+            srow = stage.surrogateDF.first()
+            surrogates = {c: float(srow[c]) for c in srow.asDict()}
+        elif isinstance(stage, StandardScalerModel):
+            scaler_mean = stage.mean.toArray() if stage.getWithMean() else None
+            scaler_std = stage.std.toArray()
+    return {
+        "surrogates": surrogates,
+        "scaler_mean": scaler_mean,
+        "scaler_std": scaler_std,
+        "coefficients": lr_model.coefficients.toArray(),
+        "intercept": float(lr_model.intercept),
+    }
+
+
+def predict_local(
+    params: dict,
+    features: dict[str, float],
+    th: OverrideThresholds = OverrideThresholds(),
+) -> dict:
+    """Driver-local single-row scoring — microseconds, no Spark job.
+
+    Numerically identical to the distributed path: impute → scale →
+    sigmoid(w·x + b) → argmax at 0.5 → A18 override. Use for
+    latency-critical serving; `predict_single_row` is the same
+    computation through the cluster (for when the 'row' is a batch).
+    """
+    import math
+
+    x = []
+    for i, c in enumerate(LOAN_FEATURES):
+        v = features.get(c)
+        if v is None:
+            v = params["surrogates"].get(c)
+        x.append(float(v))
+    std = params["scaler_std"]
+    mean = params["scaler_mean"]
+    z = [
+        ((xi - (mean[i] if mean is not None else 0.0)) / std[i]) if std[i] else 0.0
+        for i, xi in enumerate(x)
+    ]
+    margin = sum(w * zi for w, zi in zip(params["coefficients"], z)) + params["intercept"]
+    p1 = 1.0 / (1.0 + math.exp(-margin))
+    pred = 1.0 if p1 > 0.5 else 0.0
+    fires = (
+        features["income"] < th.low_income
+        and features["loan_amount"] > th.high_loan
+        and features["property_value"] < th.low_property_value
+    )
+    final = 0.0 if fires else pred
+    return {
+        "prediction": pred,
+        "final_prediction": final,
+        "probability_1": p1,
+        "verdict": (
+            "The loan is likely to be sanctioned."
+            if final == 1.0
+            else "The loan is likely to be rejected."
+        ),
+    }

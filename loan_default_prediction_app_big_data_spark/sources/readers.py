@@ -117,3 +117,44 @@ def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFr
     return (
         spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
     )
+
+
+def viz_feed(df: DataFrame, cols: list[str], n: int = 100, seed: int = 42):
+    """A25 visualization feed (reference app.py:214-245): seeded
+    exact-n sample of a column subset, delivered to the client as a
+    pandas DataFrame over Arrow.
+
+    This is the ONLY sanctioned driver-side materialization besides
+    `limit` previews — bounded to n rows by construction. Rendering
+    (plotly in the reference) happens outside the engine.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(*cols)
+        .na.drop(subset=cols)
+        .orderBy(F.rand(seed))
+        .limit(n)
+        .toPandas()
+    )
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
+    """JDBC source — requires the vendor driver jar on the classpath
+    (not bundled in this image). Partition with (partitionColumn,
+    lowerBound, upperBound, numPartitions) options for parallel reads."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_delta(spark: SparkSession, path: str) -> DataFrame:
+    """Delta Lake source — needs delta-spark jars; clear error if absent."""
+    try:
+        return spark.read.format("delta").load(path)
+    except Exception as exc:  # pragma: no cover - jar-dependent
+        raise ImportError(
+            "Delta Lake requires the delta-spark package and jars on the "
+            "classpath; they are not bundled in this image."
+        ) from exc

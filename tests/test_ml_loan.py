@@ -196,3 +196,42 @@ def test_single_row_serving_and_persistence(spark, loan, model, tmp_path):
     res3 = predict_single_row(spark, pre2, lr2, good)
     assert res3["prediction"] == res["prediction"]
     assert res3["probability"] == res["probability"]
+
+
+def test_local_serving_matches_distributed(spark, loan, model):
+    """Driver-local scoring (broadcast-parameter fast path) must agree
+    with the distributed transform on prediction AND probability."""
+    from loan_default_prediction_app_big_data_spark.ml.serving import (
+        extract_serving_params,
+        predict_local,
+    )
+
+    params = extract_serving_params(model.pipeline_model, model.lr_model)
+    cases = [
+        dict(loan_amount=100_000.0, rate_of_interest=4.0, property_value=500_000.0,
+             income=120_000.0, Credit_Score=800.0, LTV=20.0),
+        dict(loan_amount=250_000.0, rate_of_interest=7.5, property_value=50_000.0,
+             income=10_000.0, Credit_Score=520.0, LTV=95.0),  # override fires
+        dict(loan_amount=350_000.0, rate_of_interest=3.0, property_value=900_000.0,
+             income=80_000.0, Credit_Score=700.0, LTV=40.0),
+    ]
+    for feats in cases:
+        dist = predict_single_row(spark, model.pipeline_model, model.lr_model, feats)
+        loc = predict_local(params, feats)
+        assert loc["prediction"] == dist["prediction"]
+        assert loc["final_prediction"] == dist["final_prediction"]
+        p1_dist = float(dist["probability"].strip("[]").split(",")[1])
+        assert loc["probability_1"] == pytest.approx(p1_dist, abs=1e-9)
+
+
+def test_viz_feed_bounded_and_deterministic(spark, loan):
+    """A25: the viz feed returns exactly n rows of the requested
+    columns as pandas, deterministically under a fixed seed."""
+    from loan_default_prediction_app_big_data_spark.sources.readers import viz_feed
+
+    a = viz_feed(loan, ["loan_amount", "rate_of_interest", "age"], n=100)
+    b = viz_feed(loan, ["loan_amount", "rate_of_interest", "age"], n=100)
+    assert len(a) == 100
+    assert list(a.columns) == ["loan_amount", "rate_of_interest", "age"]
+    assert a["age"].notna().all()
+    assert a.equals(b)
