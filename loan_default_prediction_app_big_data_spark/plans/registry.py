@@ -2084,3 +2084,172 @@ def set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("double").alias("qty")
     )
     return a.intersectAll(r)
+
+
+# =====================================================================
+# Batch 6: distribution windows, bitwise/edit-distance scalars, array
+# lambdas, grouped-map pandas (applyInPandas) with oracle parity.
+# =====================================================================
+
+
+@register(
+    "window_distribution",
+    """
+    SELECT c_custkey,
+           round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS bal_pct_rank,
+           round(cume_dist()    OVER (ORDER BY c_acctbal, c_custkey), 6) AS bal_cume_dist
+    FROM customer
+    """,
+    "Distribution window functions (percent_rank / cume_dist) over a "
+    "unique total order.",
+    tags=("window",),
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )
+
+
+@register(
+    "bitwise_functions",
+    """
+    SELECT o_orderkey,
+           o_orderkey & 255                   AS low_byte,
+           o_orderkey | 15                    AS with_low_bits,
+           xor(o_orderkey, 255)               AS xored,
+           CAST(o_orderkey << 2 AS BIGINT)    AS shifted_left,
+           CAST(o_orderkey >> 3 AS BIGINT)    AS shifted_right
+    FROM orders
+    WHERE o_orderkey % 101 = 0
+    """,
+    "Bitwise scalar surface (& | xor << >>) — hash-bucketing building "
+    "blocks, all codegen'd.",
+    tags=("scalar",),
+)
+def bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 101 == 0)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(255).alias("low_byte"),
+        k.bitwiseOR(15).alias("with_low_bits"),
+        k.bitwiseXOR(255).alias("xored"),
+        F.shiftleft(k, 2).cast("long").alias("shifted_left"),
+        F.shiftright(k, 3).cast("long").alias("shifted_right"),
+    )
+
+
+@register(
+    "edit_distance_pairs",
+    """
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE a.p_partkey % 7 = 0 AND b.p_partkey % 7 = 0
+    """,
+    "Levenshtein edit distance between same-brand part names (blocked "
+    "+ sampled self-join) — the string-similarity primitive for "
+    "fuzzy dedup of short fields.",
+    tags=("text", "scalar"),
+)
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0)
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("long")
+            .alias("edit_dist"),
+        )
+    )
+
+
+@register(
+    "array_lambda_functions",
+    """
+    WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> strlen(x) > 5)) AS BIGINT)        AS n_long_tokens,
+           array_to_string(list_transform(toks[1:3], x -> upper(x)), ' ')    AS head_upper,
+           CAST(list_sum(list_transform(toks, x -> strlen(x))) AS BIGINT)    AS total_chars,
+           len(toks) > 0 AND list_bool_and(list_transform(toks, x -> strlen(x) > 0)) AS all_nonempty
+    FROM t
+    """,
+    "Higher-order array functions (filter / transform / slice / "
+    "aggregate / forall) — the lambda surface over array columns, all "
+    "JVM-side.",
+    tags=("scalar", "text"),
+)
+def array_lambda_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) > 5)).cast("long").alias(
+            "n_long_tokens"
+        ),
+        F.array_join(
+            F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)), " "
+        ).alias("head_upper"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        .alias("total_chars"),
+        (
+            (F.size(toks) > 0)
+            & F.forall(toks, lambda x: F.length(x) > 0)
+        ).alias("all_nonempty"),
+    )
+
+
+@register(
+    "grouped_pandas_zscore",
+    """
+    WITH stats AS (
+        SELECT event_type,
+               avg(value) AS mu,
+               stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    """,
+    "Grouped-map pandas UDF (applyInPandas): per-event-type z-scores "
+    "computed in vectorized pandas per group — the custom-operator "
+    "escape hatch, oracle-checked against the pure-SQL window form. "
+    "One shuffle on the grouping key; Arrow both directions.",
+    tags=("udf",),
+)
+def grouped_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sigma = pdf["value"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "zscore": ((pdf["value"] - mu) / sigma).round(4),
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        zscore, schema="event_id long, event_type string, zscore double"
+    )
