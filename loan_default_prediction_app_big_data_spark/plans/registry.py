@@ -2253,3 +2253,124 @@ def grouped_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(
         zscore, schema="event_id long, event_type string, zscore double"
     )
+
+
+# =====================================================================
+# Batch 7: statistical aggregates, frequent items, union-by-name,
+# regexp functions.
+# =====================================================================
+
+
+@register(
+    "correlation_stats",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)        AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4)  AS qty_price_covar,
+           round(covar_pop(l_quantity, l_extendedprice), 4)   AS qty_price_covar_pop,
+           round(var_samp(l_quantity), 6)                     AS qty_variance
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "Statistical co-aggregates (Pearson corr, sample/population "
+    "covariance, variance) per group — single-pass streaming moments, "
+    "partial-aggregated like any other agg.",
+    tags=("agg",),
+)
+def correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar_pop"
+        ),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_variance"),
+    )
+
+
+@register(
+    "frequent_items",
+    None,  # FP-growth-style sketch output is engine-specific -> rows-only
+    "Frequent-item sketch (df.stat.freqItems, misra-gries style) over "
+    "order priorities and statuses — the one-pass heavy-hitters "
+    "primitive for 100 TB cardinality profiling. Accuracy vs exact "
+    "counts asserted in tests.",
+    tags=("agg",),
+)
+def frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    out = orders.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.2)
+    return out.select(
+        F.array_join(
+            F.sort_array(F.col("o_orderpriority_freqItems")), ","
+        ).alias("frequent_priorities"),
+        F.array_join(F.sort_array(F.col("o_orderstatus_freqItems")), ",").alias(
+            "frequent_statuses"
+        ),
+    )
+
+
+@register(
+    "union_by_name",
+    """
+    SELECT o_orderkey AS key, 'order' AS kind,
+           round(o_totalprice, 2) AS amount, o_orderpriority AS detail
+    FROM orders WHERE o_orderkey % 211 = 0
+    UNION ALL BY NAME
+    SELECT l_orderkey AS key, 'line' AS kind,
+           round(l_extendedprice, 2) AS amount, NULL AS detail
+    FROM lineitem WHERE l_orderkey % 211 = 0 AND l_linenumber = 1
+    """,
+    "unionByName with allowMissingColumns — schema-aligned union of "
+    "heterogeneous frames (missing columns null-padded), the safe "
+    "union for evolving schemas.",
+    tags=("setop",),
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 211 == 0)
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_orderkey") % 211 == 0) & (F.col("l_linenumber") == 1)
+    )
+    a = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.lit("order").alias("kind"),
+        F.round("o_totalprice", 2).alias("amount"),
+        F.col("o_orderpriority").alias("detail"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("key"),
+        F.lit("line").alias("kind"),
+        F.round("l_extendedprice", 2).alias("amount"),
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@register(
+    "regexp_functions",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_brand, '([0-9]+)', 1)            AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')       AS name_devoweled,
+           regexp_matches(p_type, '^[A-Z]+ ')                AS type_starts_upper_word,
+           CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_word_runs
+    FROM part
+    """,
+    "Regexp surface: extract (group), replace, match-test, "
+    "extract-all count — identical RE2-compatible patterns on both "
+    "engines.",
+    tags=("scalar", "text"),
+)
+def regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("name_devoweled"),
+        F.col("p_type").rlike(r"^[A-Z]+ ").alias("type_starts_upper_word"),
+        F.regexp_count(F.col("p_name"), F.lit(r"[a-z]+")).cast("long").alias(
+            "n_word_runs"
+        ),
+    )

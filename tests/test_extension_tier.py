@@ -207,3 +207,18 @@ def test_minhash_native_finds_planted_near_dups(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.8
     assert (1, 3) in pairs
     assert all(4 not in p for p in pairs)
+
+
+def test_frequent_items_contains_true_heavy_hitters(spark, sf_dir):
+    """freqItems (support=0.2) must include every value whose true
+    frequency exceeds the support threshold."""
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    n = orders.count()
+    true_heavy = {
+        r["o_orderstatus"]
+        for r in orders.groupBy("o_orderstatus").count().collect()
+        if r["count"] / n > 0.2
+    }
+    out = orders.stat.freqItems(["o_orderstatus"], support=0.2).first()
+    found = set(out["o_orderstatus_freqItems"])
+    assert true_heavy <= found
