@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Drop-in migration of the reference app onto this engine.
+
+Step-for-step mirror of what the reference's two entry points do —
+``python spark.py`` (batch ML, reference spark.py:15-81) and the
+Streamlit app's compute path (reference app.py:30-205) — expressed
+through this engine's public API. A reference user runs THIS instead
+and gets the same computations with modern Spark semantics (pinned
+schema option, seeded split, both scaler modes, µs serving).
+
+Run: ``python examples/reference_migration.py [path/to/Loan_Default.csv]``
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from loan_default_prediction_app_big_data_spark.ml import (
+    LoanModel,
+    fit_loan_model,
+    predict_single_row,
+)
+from loan_default_prediction_app_big_data_spark.ml.serving import (
+    extract_serving_params,
+    predict_local,
+)
+from loan_default_prediction_app_big_data_spark.session import get_spark
+from loan_default_prediction_app_big_data_spark.sources.readers import (
+    read_loan_csv,
+    viz_feed,
+)
+
+
+def main() -> None:
+    csv_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data",
+        "Loan_Default.csv",
+    )
+
+    # --- reference spark.py:15-26: session setup (modern SparkSession) --
+    spark = get_spark(app_name="Loan_Default_Prediction")
+
+    # --- spark.py:29-35: load, schema, preview ---------------------------
+    # inferSchema=True replays the reference exactly; the engine default
+    # is the pinned schema (skips the inference scan).
+    df = read_loan_csv(spark, csv_path, infer_schema=True)
+    df.printSchema()
+    df.show(5)
+
+    # --- spark.py:38-78: impute -> assemble -> scale -> split -> LR ------
+    # (seeded split fixes the reference's irreproducible spark.py:59)
+    model = fit_loan_model(df)
+    print(f"ROC-AUC: {model.roc_auc}")  # spark.py:73
+    print(f"Accuracy: {model.accuracy}")  # spark.py:78
+
+    # --- app.py:76-78 semantics (sklearn center+scale, train-only fit) ---
+    model_sklearn_semantics = fit_loan_model(
+        df, with_mean=True, fit_scope_train_only=True
+    )
+    print(f"ROC-AUC (center+scale, train-fit): {model_sklearn_semantics.roc_auc}")
+
+    # --- app.py:126-127: per-epoch loss log -> objectiveHistory ----------
+    print("objectiveHistory:", [round(x, 5) for x in model.objective_history[:5]], "...")
+
+    # --- app.py:130/137-143: save + load round trip ----------------------
+    out_dir = os.path.join("/tmp", "loan_model_example")
+    model.save(out_dir)
+    pre, lr = LoanModel.load_transformers(out_dir)
+    print("model reloaded from", out_dir)
+
+    # --- app.py:152-205: single-row prediction + rule override -----------
+    user_input = {
+        "loan_amount": 10_000.0,  # the app's widget defaults, app.py:153-158
+        "rate_of_interest": 5.0,
+        "property_value": 200_000.0,
+        "income": 50_000.0,
+        "Credit_Score": 700.0,
+        "LTV": 80.0,
+    }
+    res = predict_single_row(spark, pre, lr, user_input)
+    print("prediction:", res["final_prediction"], "-", res["verdict"])
+
+    # latency-critical twin: same math, no Spark job (~5 us/row)
+    params = extract_serving_params(pre, lr)
+    print("local twin agrees:", predict_local(params, user_input)["final_prediction"]
+          == res["final_prediction"])
+
+    # --- app.py:214-245: sampled viz feed (rendering out of scope) -------
+    pdf = viz_feed(df, ["loan_amount", "rate_of_interest", "age"], n=100)
+    print(f"viz feed: {len(pdf)} rows x {list(pdf.columns)}")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
