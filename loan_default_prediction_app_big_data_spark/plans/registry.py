@@ -2374,3 +2374,84 @@ def regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_word_runs"
         ),
     )
+
+
+# =====================================================================
+# Batch 8: as-of join + funnel analysis (custom composed operators).
+# =====================================================================
+
+from ..operators import joins as J  # noqa: E402
+
+
+@register(
+    "asof_join_events",
+    """
+    WITH tagged AS (
+        SELECT user_id, epoch_us(ts) AS t_us, 1 AS side,
+               event_id, NULL::DOUBLE AS r_value
+        FROM events WHERE event_type = 'click'
+        UNION ALL BY NAME
+        SELECT user_id, epoch_us(ts) AS t_us, 0 AS side,
+               NULL::BIGINT AS event_id, value AS r_value
+        FROM events WHERE event_type = 'view'
+    ),
+    carried AS (
+        SELECT user_id, t_us, side, event_id,
+               last_value(r_value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t_us, side
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+        FROM tagged
+    )
+    SELECT user_id, event_id,
+           round(asof_value, 4) AS asof_value
+    FROM carried WHERE side = 1
+    """,
+    "As-of join (Spark has no native one): for every click, the value "
+    "of that user's most recent prior-or-simultaneous view. Composed "
+    "as union + tagged window + last(ignorenulls) — ONE shuffle on the "
+    "key, no range explosion; the canonical scalable as-of shape.",
+    tags=("join", "events"),
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").withColumn("t_us", F.unix_micros("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "t_us", "event_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "t_us", "value"
+    )
+    out = J.asof_join(
+        clicks, views, key="user_id", time_col="t_us",
+        right_value_cols=["value"], left_cols=["event_id"],
+    )
+    return out.select(
+        "user_id", "event_id", F.round("asof_value", 4).alias("asof_value")
+    )
+
+
+@register(
+    "funnel_analysis",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view'     THEN epoch_us(ts) END) AS t0,
+               min(CASE WHEN event_type = 'click'    THEN epoch_us(ts) END) AS t1,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t2
+        FROM events GROUP BY user_id
+    )
+    SELECT sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
+           sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+                    THEN 1 ELSE 0 END) AS n_click,
+           sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+                         AND t2 IS NOT NULL AND t2 >= t1
+                    THEN 1 ELSE 0 END) AS n_purchase
+    FROM per_user
+    """,
+    "Ordered funnel (view -> click -> purchase) on first occurrences — "
+    "one groupBy per user, no self-joins; the standard product-"
+    "analytics primitive at any scale.",
+    tags=("agg", "events"),
+)
+def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return J.funnel_counts(ev, "user_id", "event_type", "ts", ["view", "click", "purchase"])
