@@ -147,3 +147,68 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         assert "Exchange hashpartitioning(o_orderkey" not in plan2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_date_partitioned_layout_prunes(spark, sf_dir, tmp_path):
+    """Date-partitioned events: a date filter reads only matching
+    directories (PartitionFilters, not data filters)."""
+    from loan_default_prediction_app_big_data_spark.sources.layout import (
+        write_date_partitioned,
+    )
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_by_date")
+    write_date_partitioned(ev, out)
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    one_day = back.filter(F.col("event_date") == "2024-01-05")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan
+    expected = ev.filter(F.to_date("ts") == "2024-01-05").count()
+    assert one_day.count() == expected
+
+
+def test_range_sorted_write_clusters(spark, sf_dir, tmp_path):
+    """Range-sorted output: each file covers a disjoint key range, so
+    row-group stats prune point lookups."""
+    import pyarrow.parquet as pq
+    import glob
+
+    from loan_default_prediction_app_big_data_spark.sources.layout import (
+        write_range_sorted,
+    )
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_sorted")
+    write_range_sorted(orders, out, ["o_orderkey"], n_partitions=4)
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    ranges = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        t = pq.read_table(f, columns=["o_orderkey"])
+        keys = t.column("o_orderkey").to_pylist()
+        ranges.append((min(keys), max(keys)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint key ranges across files
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    """Compaction merges a many-file directory into the computed count
+    without changing the data."""
+    from loan_default_prediction_app_big_data_spark.sources.layout import (
+        compact_small_files,
+    )
+    import glob
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    fragmented = str(tmp_path / "fragmented")
+    li.repartition(50).write.mode("overwrite").parquet(fragmented)
+    assert len(glob.glob(f"{fragmented}/*.parquet")) == 50
+    compacted = str(tmp_path / "compacted")
+    n = compact_small_files(spark, fragmented, compacted, target_file_bytes=64 * 1024 * 1024)
+    files = glob.glob(f"{compacted}/*.parquet")
+    assert len(files) == n <= 5
+    back = spark.read.parquet(compacted)
+    assert back.exceptAll(li).count() == 0
+    assert li.exceptAll(back).count() == 0
