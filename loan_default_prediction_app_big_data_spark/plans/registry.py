@@ -2455,3 +2455,52 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     return J.funnel_counts(ev, "user_id", "event_type", "ts", ["view", "click", "purchase"])
+
+
+@register(
+    "grouping_sets_explicit",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "Explicit GROUPING SETS (neither rollup nor cube): per-flag, "
+    "per-status, and grand-total rows from one Expand + one hash agg.",
+    tags=("agg",),
+)
+def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "lateral_explode_tokens",
+    """
+    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+    FROM documents
+    WHERE doc_id % 50 = 0
+    """,
+    "LATERAL VIEW explode (generator in SQL): one row per token — the "
+    "normalize-to-long-form primitive behind every text aggregate.",
+    tags=("text", "sql"),
+)
+def lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        SELECT doc_id, token
+        FROM documents
+        LATERAL VIEW explode(filter(split(text, ' '), x -> x != '')) t AS token
+        WHERE doc_id % 50 = 0
+        """
+    )

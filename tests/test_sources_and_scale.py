@@ -187,7 +187,8 @@ def test_range_sorted_write_clusters(spark, sf_dir, tmp_path):
     for f in glob.glob(f"{out}/*.parquet"):
         t = pq.read_table(f, columns=["o_orderkey"])
         keys = t.column("o_orderkey").to_pylist()
-        ranges.append((min(keys), max(keys)))
+        if keys:  # range sampling may leave a partition empty
+            ranges.append((min(keys), max(keys)))
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint key ranges across files
@@ -212,3 +213,24 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     back = spark.read.parquet(compacted)
     assert back.exceptAll(li).count() == 0
     assert li.exceptAll(back).count() == 0
+
+
+def test_date_partitioned_incremental_overwrite(spark, sf_dir, tmp_path):
+    """Dynamic partition overwrite: writing one day's data replaces
+    ONLY that day's directory — other dates survive (the incremental
+    event-feed contract; static overwrite would truncate everything)."""
+    from loan_default_prediction_app_big_data_spark.sources.layout import (
+        write_date_partitioned,
+    )
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_incr")
+    write_date_partitioned(ev, out)
+    before = spark.read.parquet(out).count()
+    one_day = ev.filter(F.to_date("ts") == "2024-01-05")
+    n_day = one_day.count()
+    # rewrite just that day (e.g. a backfill correction)
+    write_date_partitioned(one_day, out)
+    after = spark.read.parquet(out)
+    assert after.count() == before  # other dates untouched
+    assert after.filter(F.col("event_date") == "2024-01-05").count() == n_day
