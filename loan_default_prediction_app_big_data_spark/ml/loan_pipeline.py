@@ -143,21 +143,13 @@ def fit_loan_model(
     )
     lr_model = lr.fit(train)
     predictions = lr_model.transform(test)
-
-    roc_auc = BinaryClassificationEvaluator(
-        labelCol=label_col,
-        rawPredictionCol="rawPrediction",
-        metricName="areaUnderROC",
-    ).evaluate(predictions)
-    accuracy = MulticlassClassificationEvaluator(
-        labelCol=label_col, predictionCol="prediction", metricName="accuracy"
-    ).evaluate(predictions)
+    metrics = evaluate(predictions, label_col)
 
     return LoanModel(
         pipeline_model=pre_model,
         lr_model=lr_model,
-        roc_auc=roc_auc,
-        accuracy=accuracy,
+        roc_auc=metrics["roc_auc"],
+        accuracy=metrics["accuracy"],
         objective_history=list(lr_model.summary.objectiveHistory),
     )
 

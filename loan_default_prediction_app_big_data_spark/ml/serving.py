@@ -108,12 +108,13 @@ def predict_local(
     """
     import math
 
-    x = []
-    for i, c in enumerate(LOAN_FEATURES):
+    imputed: dict[str, float] = {}
+    for c in LOAN_FEATURES:
         v = features.get(c)
         if v is None:
             v = params["surrogates"].get(c)
-        x.append(float(v))
+        imputed[c] = float(v)
+    x = [imputed[c] for c in LOAN_FEATURES]
     std = params["scaler_std"]
     mean = params["scaler_mean"]
     z = [
@@ -123,10 +124,12 @@ def predict_local(
     margin = sum(w * zi for w, zi in zip(params["coefficients"], z)) + params["intercept"]
     p1 = 1.0 / (1.0 + math.exp(-margin))
     pred = 1.0 if p1 > 0.5 else 0.0
+    # Override evaluates on IMPUTED values — matching the distributed
+    # path, where apply_override reads the pipeline's imputed columns.
     fires = (
-        features["income"] < th.low_income
-        and features["loan_amount"] > th.high_loan
-        and features["property_value"] < th.low_property_value
+        imputed["income"] < th.low_income
+        and imputed["loan_amount"] > th.high_loan
+        and imputed["property_value"] < th.low_property_value
     )
     final = 0.0 if fires else pred
     return {

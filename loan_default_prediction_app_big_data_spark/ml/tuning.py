@@ -35,11 +35,17 @@ def tune_loan_model(
     Returns (best_lr_model, fitted_preprocessing, avg_metrics) where
     avg_metrics aligns with the grid order.
     """
-    df = cast_features_double(df)
-    pre = build_preprocessing_pipeline().fit(df)
-    prepared = pre.transform(df)
+    from pyspark.ml import Pipeline, PipelineModel
 
+    df = cast_features_double(df)
+
+    # The WHOLE pipeline (preprocessing + LR) is the CV estimator, so
+    # each fold fits impute surrogates and scaler stats on its own
+    # training split — fitting preprocessing once on the full table
+    # would leak every fold's held-out rows into its transform and bias
+    # avgMetrics optimistically.
     lr = LogisticRegression(featuresCol="scaled_features", labelCol=LOAN_LABEL)
+    full = Pipeline(stages=build_preprocessing_pipeline().getStages() + [lr])
     grid = (
         ParamGridBuilder()
         .addGrid(lr.regParam, list(reg_params))
@@ -52,12 +58,15 @@ def tune_loan_model(
         metricName="areaUnderROC",
     )
     cv = CrossValidator(
-        estimator=lr,
+        estimator=full,
         estimatorParamMaps=grid,
         evaluator=evaluator,
         numFolds=num_folds,
         seed=seed,
         parallelism=parallelism,
     )
-    cv_model = cv.fit(prepared)
-    return cv_model.bestModel, pre, list(cv_model.avgMetrics)
+    cv_model = cv.fit(df)
+    best = cv_model.bestModel  # PipelineModel: [imputer, assembler, scaler, lr]
+    best_lr = best.stages[-1]
+    pre_model = PipelineModel(best.stages[:-1])
+    return best_lr, pre_model, list(cv_model.avgMetrics)

@@ -89,31 +89,42 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash64(col: Column | str, token_col_builder=tokens) -> Column:
-    """64-bit SimHash: per-token xxhash64, each bit votes ±1, sign of
-    the vote vector becomes the signature bit. All native expressions
-    (transform/aggregate over the token array) — no UDF, no shuffle.
+def simhash64(col: Column | str, token_col_builder=tokens, n_bits: int = 64) -> Column:
+    """True 64-bit SimHash: per-token xxhash64, each bit position votes
+    ±1, the sign of each position's vote total becomes that signature
+    bit. One pass over the token array with an array-of-votes
+    accumulator — all native expressions, no UDF, no shuffle.
+
+    (A naive per-bit formulation would re-aggregate the token array 64
+    times; the array accumulator keeps it a single traversal.)
     """
     toks = token_col_builder(col)
     hashes = F.transform(toks, lambda x: F.xxhash64(x))
-    # For each bit position, count votes; build the signature bit by bit.
-    bits = [
-        F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc
-                + F.when(h.bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(-1),
-            )
-            > 0,
-            F.lit(1).cast("long") * F.lit(1 << i).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for i in range(16)  # 16 bits keeps the expression tree manageable
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    # Precomputed bit masks (bit 63 is the sign-bit mask in two's
+    # complement — shifting by a Column isn't expressible in PySpark).
+    mask_values = [1 << i for i in range(min(n_bits, 63))]
+    if n_bits >= 64:
+        mask_values.append(-(1 << 63))
+    masks = F.array(*[F.lit(m).cast("long") for m in mask_values])
+    votes = F.aggregate(
+        hashes,
+        F.transform(masks, lambda _: F.lit(0).cast("long")),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc.bitwiseOR(b),
+    )
 
 
 def simhash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

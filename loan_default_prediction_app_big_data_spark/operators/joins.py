@@ -40,22 +40,27 @@ def asof_join(
     right_types = dict(right.dtypes)
     # Tag sides; each side carries nulls for the other side's columns so
     # the union lines up by name and type.
+    # Right values ride in a STRUCT wrapper: the struct is non-null for
+    # every right row even when the value columns themselves are NULL,
+    # so last(ignorenulls) skips only the left rows' side-padding and a
+    # genuine NULL in the latest right row is carried as NULL (not
+    # skipped in favor of a stale older value).
+    struct_type = "struct<" + ",".join(
+        f"{c}:{right_types[c]}" for c in right_value_cols
+    ) + ">"
     l_full = left.select(
         key,
         time_col,
         F.lit(1).alias("__side"),
         *[F.col(c) for c in lcols],
-        *[
-            F.lit(None).cast(right_types[c]).alias(f"__r_{c}")
-            for c in right_value_cols
-        ],
+        F.lit(None).cast(struct_type).alias("__rv"),
     )
     r_tagged = right.select(
         key,
         time_col,
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left_types[c]).alias(c) for c in lcols],
-        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+        F.struct(*[F.col(c) for c in right_value_cols]).alias("__rv"),
     )
     unioned = l_full.unionByName(r_tagged)
     # Order: time asc, right (0) before left (1) at equal timestamps.
@@ -69,12 +74,17 @@ def asof_join(
         time_col,
         "__side",
         *lcols,
+        F.last("__rv", ignorenulls=True).over(w).alias("__last_rv"),
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        key,
+        time_col,
+        *lcols,
         *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            F.col("__last_rv")[c].alias(f"asof_{c}")
             for c in right_value_cols
         ],
     )
-    return carried.filter(F.col("__side") == 1).drop("__side")
 
 
 def funnel_counts(

@@ -43,9 +43,11 @@ def deterministic_sample(df: DataFrame, key: Column, modulus: int, keep: int) ->
     ``sample(fraction, seed)`` is per-partition Bernoulli and not
     engine-portable, so the oracle-checkable engine form buckets a key
     column by modulus — stable under re-partitioning and re-ordering,
-    which seeded sampling at 100 TB is not.
+    which seeded sampling at 100 TB is not. ``pmod`` keeps the bucket
+    non-negative for signed keys (Spark's ``%`` preserves sign, which
+    would admit every negative hash).
     """
-    return df.filter((key % modulus) < keep)
+    return df.filter(F.pmod(key, F.lit(modulus)) < keep)
 
 
 def exact_n_sample(df: DataFrame, n: int, seed: int = 42) -> DataFrame:

@@ -249,14 +249,17 @@ def embedding_neardup_pairs_blas(
             bmat = np.stack(pdf_block[vec_col].to_numpy()).astype("float64")
             bmat /= np.linalg.norm(bmat, axis=1, keepdims=True)
             sims = bmat @ all_mat.T  # |block| x |corpus|
+            rounded = np.round(sims, 6)
+            # threshold the ROUNDED similarity — identical row set to
+            # the expression twin, which also rounds before filtering
             rows_i, cols_j = np.nonzero(
-                (sims >= threshold) & (bids[:, None] < all_ids[None, :])
+                (rounded >= threshold) & (bids[:, None] < all_ids[None, :])
             )
             yield pd.DataFrame(
                 {
                     "id_a": bids[rows_i].astype("int64"),
                     "id_b": all_ids[cols_j].astype("int64"),
-                    "cos_sim": np.round(sims[rows_i, cols_j], 6),
+                    "cos_sim": rounded[rows_i, cols_j],
                 }
             )
 

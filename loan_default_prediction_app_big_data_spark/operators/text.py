@@ -82,13 +82,15 @@ def content_fingerprint(col: Column | str) -> Column:
 
 def shingles(col: Column | str, k: int = 5) -> Column:
     """Word k-shingles as an array<string> (distinct), computed natively:
-    transform over token indexes → slice → join."""
+    transform over token indexes → slice → join. A document with no
+    tokens yields an EMPTY array (not ``[""]``), so downstream
+    ``size(...) > 0`` guards genuinely exclude empty documents."""
     toks = tokens(col)
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.array_distinct(
+    return F.when(n > 0, F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
-    )
+    )).otherwise(F.array().cast("array<string>"))
 
 
 def min_shingle_fingerprint(col: Column | str, k: int = 5) -> Column:

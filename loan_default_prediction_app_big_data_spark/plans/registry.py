@@ -1044,10 +1044,10 @@ def regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            substr(sha256(text), 1, 16) AS content_fp,
-           list_min(list_transform(
+           CASE WHEN len(tk) > 0 THEN list_min(list_transform(
                generate_series(1, greatest(len(tk) - 4, 1)),
                i -> substr(sha256(array_to_string(tk[i:i+4], ' ')), 1, 16)
-           )) AS min_shingle_fp
+           )) END AS min_shingle_fp
     FROM toks
     """,
     "Document fingerprinting: whole-content sha256 prefix + rolling "
@@ -1069,11 +1069,13 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH sh AS (
         SELECT doc_id, source,
-               list_distinct(list_transform(
+               CASE WHEN len(list_filter(string_split(text,' '), x -> x <> '')) > 0
+                    THEN list_distinct(list_transform(
                    generate_series(1, greatest(len(list_filter(string_split(text,' '), x -> x <> '')) - 2, 1)),
                    i -> array_to_string((list_filter(string_split(text,' '), x -> x <> ''))[i:i+2], ' ')
-               )) AS sh3
+               )) ELSE [] END AS sh3
         FROM documents
+        WHERE len(list_filter(string_split(text,' '), x -> x <> '')) > 0
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(CAST(len(list_intersect(a.sh3, b.sh3)) AS DOUBLE)

@@ -56,6 +56,14 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", True).csv(path)
 
 
+def ns_long_to_timestamp(col_name: str) -> F.Column:
+    """Nanosecond epoch (long) → microsecond TimestampType by INTEGER
+    division — double division would round ns within ~128 ns of a µs
+    boundary for epochs above 2^53, mis-bucketing events at exact
+    window edges."""
+    return F.timestamp_micros(F.expr(f"`{col_name}` div 1000"))
+
+
 def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One fixture table from a scale-factor directory.
 
@@ -74,9 +82,7 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            df = df.withColumn("ts", ns_long_to_timestamp("ts"))
     return df
 
 

@@ -35,9 +35,9 @@ def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "events*.parquet")
     )
     if isinstance(static_schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        from ..sources.readers import ns_long_to_timestamp
+
+        stream = stream.withColumn("ts", ns_long_to_timestamp("ts"))
     return stream
 
 
@@ -188,9 +188,13 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     name = f"dedup_{uuid.uuid4().hex[:8]}"
     events = streaming_events(spark, sf_dir)
+    # dropDuplicatesWithinWatermark: dedup state is evicted once the
+    # watermark passes a key's event time — plain dropDuplicates
+    # without the event-time column in the subset NEVER evicts, which
+    # would grow state unboundedly on a live stream.
     deduped = (
         events.withWatermark("ts", "30 days")
-        .dropDuplicates(["user_id", "event_type"])
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
     q = (
