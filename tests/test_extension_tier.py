@@ -222,3 +222,20 @@ def test_frequent_items_contains_true_heavy_hitters(spark, sf_dir):
     out = orders.stat.freqItems(["o_orderstatus"], support=0.2).first()
     found = set(out["o_orderstatus_freqItems"])
     assert true_heavy <= found
+
+
+def test_simhash_distinct_docs_do_not_collide(spark):
+    """Negative control for the signature width: a corpus of clearly
+    distinct random-ish documents must produce (almost) no shared
+    signatures — a too-narrow signature space collides everything by
+    pigeonhole (the exact bug a 16-bit simhash had)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = [
+        (i, " ".join(rng.sample(vocab, 30))) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = D.simhash_dedup(df, "text", "doc_id")
+    assert groups.count() == 0  # no near-dups planted -> no groups
