@@ -2506,3 +2506,28 @@ def lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE doc_id % 50 = 0
         """
     )
+
+
+@register(
+    "serialize_functions",
+    """
+    SELECT o_orderkey,
+           to_json(struct_pack(k := o_orderkey, status := o_orderstatus)) AS as_json,
+           hex(o_orderkey)                                                AS key_hex,
+           base64(encode(o_orderstatus))                                  AS status_b64
+    FROM orders WHERE o_orderkey % 307 = 0
+    """,
+    "Serialization surface: struct -> JSON string, hex encoding, "
+    "base64 — the interchange primitives for export pipelines.",
+    tags=("scalar",),
+)
+def serialize_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 307 == 0)
+    return o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("status"))
+        ).alias("as_json"),
+        F.hex(F.col("o_orderkey")).alias("key_hex"),
+        F.base64(F.col("o_orderstatus").cast("binary")).alias("status_b64"),
+    )
