@@ -2531,3 +2531,50 @@ def serialize_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex(F.col("o_orderkey")).alias("key_hex"),
         F.base64(F.col("o_orderstatus").cast("binary")).alias("status_b64"),
     )
+
+
+@register(
+    "session_window_native",
+    """
+    WITH flagged AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY epoch_us(ts))
+                        > 1800000000
+                         OR lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts_us,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts_us) // 1000000 AS session_start_s,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, seq
+    """,
+    "Native session_window (gap-merged event-time sessions, built-in "
+    "since Spark 3.2) — one groupBy, the state-store-backed form that "
+    "also works in Structured Streaming. Oracle: the equivalent "
+    "lag+cumsum window SQL (same sessions, different machinery).",
+    tags=("window", "events"),
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.floor(F.unix_micros(F.col("w.start")) / 1_000_000).alias(
+                "session_start_s"
+            ),
+            "n_events",
+        )
+    )

@@ -282,3 +282,34 @@ def test_extended_model_beats_reference_features(spark, loan):
     base = fit_loan_model(loan, max_iter=50)
     assert metrics["roc_auc"] > base.roc_auc + 0.02  # material lift
     assert 0.5 < metrics["roc_auc"] <= 1.0
+
+
+def test_tree_ensembles_train_and_rank(spark, loan):
+    """Model-family breadth beyond the reference's LR: RandomForest and
+    GBT train on the same features, produce valid probabilities, and
+    feature importances rank the informative columns non-trivially."""
+    from pyspark.ml.classification import GBTClassifier, RandomForestClassifier
+
+    from loan_default_prediction_app_big_data_spark.ml.loan_pipeline import (
+        build_preprocessing_pipeline,
+        cast_features_double,
+        evaluate,
+    )
+
+    df = cast_features_double(loan)
+    pre = build_preprocessing_pipeline().fit(df)
+    train, test = seeded_split(pre.transform(df), seed=42)
+    for est in (
+        RandomForestClassifier(
+            featuresCol="scaled_features", labelCol="Status", numTrees=20, seed=42
+        ),
+        GBTClassifier(
+            featuresCol="scaled_features", labelCol="Status", maxIter=10, seed=42
+        ),
+    ):
+        model = est.fit(train)
+        metrics = evaluate(model.transform(test))
+        assert 0.5 < metrics["roc_auc"] <= 1.0
+        imp = model.featureImportances.toArray()
+        assert len(imp) == 6 and abs(sum(imp) - 1.0) < 1e-6
+        assert max(imp) < 1.0  # no degenerate single-feature tree
