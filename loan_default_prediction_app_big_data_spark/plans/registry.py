@@ -2578,3 +2578,33 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "explode_outer_generator",
+    """
+    WITH arrs AS (
+        SELECT l_orderkey,
+               list_filter(list(CASE WHEN l_quantity >= 50 THEN l_linenumber END),
+                           x -> x IS NOT NULL) AS big_lines
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(unnest(CASE WHEN len(big_lines) = 0 THEN [NULL] ELSE big_lines END) AS BIGINT) AS big_linenumber
+    FROM arrs
+    """,
+    "explode_outer: generator that PRESERVES rows whose array is empty "
+    "(a NULL row instead of dropping the parent) — here, every order "
+    "keeps a row even when it has no max-quantity lineitems.",
+    tags=("relational", "scalar"),
+)
+def explode_outer_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    arrs = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.when(F.col("l_quantity") >= 50, F.col("l_linenumber"))
+        ).alias("big_lines")
+    )
+    return arrs.select(
+        "l_orderkey", F.explode_outer("big_lines").alias("__ln")
+    ).select("l_orderkey", F.col("__ln").cast("long").alias("big_linenumber"))

@@ -239,3 +239,35 @@ def test_simhash_distinct_docs_do_not_collide(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     groups = D.simhash_dedup(df, "text", "doc_id")
     assert groups.count() == 0  # no near-dups planted -> no groups
+
+
+def test_crosstab_matches_manual_pivot(spark, sf_dir):
+    """df.stat.crosstab == groupBy+pivot counts (contingency table)."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    ct = li.stat.crosstab("l_returnflag", "l_linestatus").collect()
+    manual = {
+        (r["l_returnflag"], r["l_linestatus"]): r["count"]
+        for r in li.groupBy("l_returnflag", "l_linestatus").count().collect()
+    }
+    for row in ct:
+        flag = row["l_returnflag_l_linestatus"]
+        for status in ("O", "F"):
+            assert row[status] == manual.get((flag, status), 0)
+
+
+def test_stratified_sample_by(spark, sf_dir):
+    """sampleBy: per-stratum Bernoulli fractions with a seed —
+    deterministic, and each stratum's realized fraction tracks its
+    requested fraction. (PySpark 4 exposes no DataFrame bloomFilter —
+    the Scala-only sketch; sampleBy is the stratified-sampling surface.)"""
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    fractions = {"O": 0.5, "F": 0.1, "P": 1.0}
+    a = orders.stat.sampleBy("o_orderstatus", fractions, seed=42)
+    b = orders.stat.sampleBy("o_orderstatus", fractions, seed=42)
+    assert a.exceptAll(b).count() == 0  # seeded determinism
+    totals = {r["o_orderstatus"]: r["count"] for r in orders.groupBy("o_orderstatus").count().collect()}
+    sampled = {r["o_orderstatus"]: r["count"] for r in a.groupBy("o_orderstatus").count().collect()}
+    assert sampled.get("P", 0) == totals["P"]  # fraction 1.0 keeps all
+    for k, frac in (("O", 0.5), ("F", 0.1)):
+        realized = sampled.get(k, 0) / totals[k]
+        assert abs(realized - frac) < 0.1
