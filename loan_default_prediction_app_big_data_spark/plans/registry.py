@@ -2727,3 +2727,39 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
         """
     )
+
+
+@register(
+    "null_semantics_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           (nullif(l_discount, 0.0) IS NOT DISTINCT FROM nullif(l_tax, 0.0)) AS discount_eq_tax_nullsafe,
+           round(least(l_discount, l_tax), 2)    AS lesser_rate,
+           round(greatest(l_discount, l_tax), 2) AS greater_rate,
+           coalesce(nullif(l_returnflag, 'N'), 'NONE') AS flag_or_none,
+           split_part(l_returnflag || '|' || l_linestatus, '|', 2) AS status_part
+    FROM lineitem WHERE l_orderkey % 157 = 0
+    """,
+    "NULL-semantics surface: nullif, null-safe equality (<=> / IS NOT "
+    "DISTINCT FROM), least/greatest, coalesce chains, split_part.",
+    tags=("scalar",),
+)
+def null_semantics_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 157 == 0)
+    d0 = F.nullif(F.col("l_discount"), F.lit(0.0))
+    t0 = F.nullif(F.col("l_tax"), F.lit(0.0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        d0.eqNullSafe(t0).alias("discount_eq_tax_nullsafe"),
+        F.round(F.least("l_discount", "l_tax"), 2).alias("lesser_rate"),
+        F.round(F.greatest("l_discount", "l_tax"), 2).alias("greater_rate"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("NONE")).alias(
+            "flag_or_none"
+        ),
+        F.split_part(
+            F.concat(F.col("l_returnflag"), F.lit("|"), F.col("l_linestatus")),
+            F.lit("|"),
+            F.lit(2),
+        ).alias("status_part"),
+    )
