@@ -230,3 +230,73 @@ def minhash_native_candidates(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS by transitive closure —
+    iterative minimum-label propagation over the similarity graph.
+
+    Each node starts labeled with itself; every iteration each node
+    adopts the minimum label among itself and its neighbors; converged
+    when no label changes. Iterations = graph diameter (small for dedup
+    clusters), each one a join + groupBy on the node id — the classic
+    iterative-DataFrame algorithm (not SQL-expressible; the driver
+    records a rows-only check and tests plant known clusters).
+
+    Returns (node_id, cluster_id) with cluster_id = min node id of the
+    component — pick ``node_id == cluster_id`` as the canonical keeper.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_labels = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)  # truncate the iterative lineage
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("node_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def dedup_keep_canonical(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Full near-dup dedup: pairs → clusters → keep the minimum-id
+    document of every cluster (plus all unpaired documents)."""
+    clusters = connected_components(pairs)
+    drop_ids = clusters.filter(F.col("node_id") != F.col("cluster_id")).select(
+        F.col("node_id").alias(id_col)
+    )
+    return df.join(drop_ids, id_col, "left_anti")

@@ -1,0 +1,82 @@
+"""Data-quality checks for training-data pipelines.
+
+Declarative expectations evaluated in ONE aggregation pass over the
+table (every check compiles to a conditional aggregate — no per-check
+scans), returning a violation report the pipeline can gate on. The
+100 TB posture: quality gates run as part of the ingest job's existing
+scan, not as separate passes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    name: str
+    predicate: Column  # per-row: True = row violates
+    max_violation_rate: float = 0.0
+
+
+def not_null(col: str, max_rate: float = 0.0) -> Check:
+    return Check(f"not_null({col},tol={max_rate})", F.col(col).isNull(), max_rate)
+
+
+def in_range(col: str, lo: float, hi: float, max_rate: float = 0.0) -> Check:
+    return Check(
+        f"in_range({col},[{lo},{hi}])",
+        F.col(col).isNotNull() & ~F.col(col).between(lo, hi),
+        max_rate,
+    )
+
+
+def in_set(col: str, allowed: list[str], max_rate: float = 0.0) -> Check:
+    return Check(
+        f"in_set({col})",
+        F.col(col).isNotNull() & ~F.col(col).isin(allowed),
+        max_rate,
+    )
+
+
+def matches(col: str, pattern: str, max_rate: float = 0.0) -> Check:
+    return Check(
+        f"matches({col},{pattern})",
+        F.col(col).isNotNull() & ~F.col(col).rlike(pattern),
+        max_rate,
+    )
+
+
+def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Evaluate all checks in one aggregation. Returns one row per
+    check: (check, n_violations, violation_rate, passed)."""
+    total = F.count(F.lit(1))
+    aggs = [total.alias("__n")]
+    for i, c in enumerate(checks):
+        aggs.append(F.sum(F.when(c.predicate, 1).otherwise(0)).alias(f"__v{i}"))
+    row = df.agg(*aggs).first()
+    n = row["__n"]
+    spark = df.sparkSession
+    out = [
+        (
+            c.name,
+            int(row[f"__v{i}"]),
+            (row[f"__v{i}"] / n) if n else 0.0,
+            ((row[f"__v{i}"] / n) if n else 0.0) <= c.max_violation_rate,
+        )
+        for i, c in enumerate(checks)
+    ]
+    return spark.createDataFrame(
+        out, "check string, n_violations long, violation_rate double, passed boolean"
+    )
+
+
+def assert_unique_key(df: DataFrame, key_cols: list[str]) -> int:
+    """Uniqueness check (needs its own shuffle — can't be a conditional
+    aggregate). Returns the number of duplicated key groups."""
+    return (
+        df.groupBy(*key_cols).count().filter(F.col("count") > 1).count()
+    )

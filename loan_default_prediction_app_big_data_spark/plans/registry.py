@@ -2763,3 +2763,21 @@ def null_semantics_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2),
         ).alias("status_part"),
     )
+
+
+@register(
+    "neardup_clusters",
+    None,  # iterative label propagation -> rows-only (prompt-sanctioned)
+    "Near-dup CLUSTER resolution: native-MinHash pairs -> transitive "
+    "closure via iterative min-label propagation (join+groupBy per "
+    "iteration, converges in graph-diameter steps) -> (node, cluster) "
+    "labels. The step that turns pairwise similarity into an actual "
+    "keep/drop decision; planted-cluster tests verify the closure.",
+    tags=("dedup", "iterative"),
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.minhash_native_candidates(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        k_shingle=3, jaccard_threshold=0.3,
+    )
+    return D.connected_components(pairs)

@@ -271,3 +271,40 @@ def test_stratified_sample_by(spark, sf_dir):
     for k, frac in (("O", 0.5), ("F", 0.1)):
         realized = sampled.get(k, 0) / totals[k]
         assert abs(realized - frac) < 0.1
+
+
+def test_connected_components_planted_clusters(spark):
+    """Transitive closure: chained pairs merge into one cluster even
+    when the endpoints were never directly compared."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain -> one cluster {1,2,3,4}
+         (10, 11),                    # pair cluster {10,11}
+         (20, 21), (21, 22)],         # chain -> {20,21,22}
+        "id_a long, id_b long",
+    )
+    out = {r["node_id"]: r["cluster_id"] for r in D.connected_components(pairs).collect()}
+    assert {out[i] for i in (1, 2, 3, 4)} == {1}
+    assert {out[i] for i in (10, 11)} == {10}
+    assert {out[i] for i in (20, 21, 22)} == {20}
+
+
+def test_dedup_keep_canonical_end_to_end(spark, docs):
+    """Full near-dup pipeline on the fixture corpus: native MinHash
+    pairs -> clusters -> canonical keepers; every cluster loses all but
+    one member, unpaired docs survive untouched."""
+    pairs = D.minhash_native_candidates(
+        docs, "text", "doc_id", jaccard_threshold=0.5
+    ).cache()
+    kept = D.dedup_keep_canonical(docs, pairs, "doc_id")
+    n_docs, n_kept = docs.count(), kept.count()
+    clusters = D.connected_components(pairs)
+    n_dropped = clusters.filter(F.col("node_id") != F.col("cluster_id")).count()
+    assert n_kept == n_docs - n_dropped
+    assert n_dropped > 0  # corpus has planted near-dups
+    # keepers are exactly the cluster minima plus unpaired docs
+    keeper_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    for r in clusters.collect():
+        if r["node_id"] != r["cluster_id"]:
+            assert r["node_id"] not in keeper_ids
+        else:
+            assert r["node_id"] in keeper_ids
