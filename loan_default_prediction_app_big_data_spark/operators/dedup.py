@@ -6,11 +6,14 @@ each tier only sees the previous tier's survivors:
 1. exact row/content dedup — hash groupBy, one shuffle on the hash.
 2. content-hash dedup (sha256) — same shuffle, but portable keys.
 3. MinHash-LSH near-dup — shingle → MinHash signatures → banded
-   bucket join (``approxSimilarityJoin``); candidate pairs only, never
-   the n² cross product.
+   bucket join (MLlib ``approxSimilarityJoin`` or the faster native
+   ``minhash_native_candidates``); candidate pairs only, never n².
 4. SimHash — 64-bit signature via per-token hash bit-voting; Hamming
    buckets join.
 5. n-gram Jaccard verification — exact similarity on candidate pairs.
+6. cluster resolution — ``connected_components`` merges verified pairs
+   into components (transitive closure); ``dedup_keep_canonical``
+   keeps one document per cluster.
 """
 
 from __future__ import annotations
