@@ -264,3 +264,108 @@ def embedding_neardup_pairs_blas(
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(block_sim, out_schema)
+
+
+def embedding_neardup_pairs_blocked(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via DISTRIBUTED block-pair GEMM —
+    the 100 TB shape of the exact all-pairs comparison.
+
+    The corpus is hash-split into ``n_blocks`` blocks; every unordered
+    block pair (i <= j) becomes one shuffle group, each row is
+    replicated to the (n_blocks+1)/2 pairs it participates in, and an
+    ``applyInPandas`` kernel runs the float64 BLAS matmul INSIDE each
+    pair. Nothing is collected to the driver; shuffle volume is
+    n·(b+1)/2 rows; per-task work is (n/b)² dot products so executor
+    memory holds two blocks, never the corpus. At 100 TB you raise
+    ``n_blocks`` so a block fits in a task (or pre-bucket with LSH/IVF
+    so only candidate block pairs are materialized at all).
+
+    Numeric recipe (normalize rows → matmul → round 6 → threshold) is
+    byte-identical to :func:`embedding_neardup_pairs_blas`, so the
+    output hash-matches the exact all-pairs oracle.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType(), False),
+            T.StructField("id_b", T.LongType(), False),
+            T.StructField("cos_sim", T.DoubleType(), False),
+        ]
+    )
+
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    # Replicate each row to every block pair it belongs to: a row in
+    # block k joins pair (min(k,o), max(k,o)) for every other block o.
+    others = F.sequence(F.lit(0), F.lit(n_blocks - 1))
+    replicated = base.select(
+        "id",
+        "vec",
+        "blk",
+        F.explode(others).alias("other"),
+    ).select(
+        "id",
+        "vec",
+        "blk",
+        # Each (row, other-block) lands in exactly one unordered pair —
+        # distinct `other` values give distinct pairs, so no dedup
+        # shuffle is needed on top of the groupBy.
+        F.least("blk", "other").alias("pi"),
+        F.greatest("blk", "other").alias("pj"),
+    )
+
+    def pair_sim(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        pi, pj = int(pdf["pi"].iloc[0]), int(pdf["pj"].iloc[0])
+        ids = pdf["id"].to_numpy()
+        mat = np.stack(pdf["vec"].to_numpy()).astype("float64")
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        blks = pdf["blk"].to_numpy()
+        if pi == pj:
+            a_idx = np.arange(len(pdf))
+            b_idx = a_idx
+        else:
+            a_idx = np.nonzero(blks == pi)[0]
+            b_idx = np.nonzero(blks == pj)[0]
+        if len(a_idx) == 0 or len(b_idx) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        sims = mat[a_idx] @ mat[b_idx].T
+        rounded = np.round(sims, 6)
+        ia, ib = ids[a_idx], ids[b_idx]
+        if pi == pj:
+            # Within one block: upper triangle by id keeps each
+            # unordered pair once and drops self-pairs.
+            rows_i, cols_j = np.nonzero(
+                (rounded >= threshold) & (ia[:, None] < ib[None, :])
+            )
+            id_lo, id_hi = ia[rows_i], ib[cols_j]
+        else:
+            # Cross-block: every (pi-row, pj-row) pair appears exactly
+            # once in the cross product; order ids afterwards (the
+            # smaller id may live in EITHER block).
+            rows_i, cols_j = np.nonzero(rounded >= threshold)
+            left, right = ia[rows_i], ib[cols_j]
+            id_lo = np.minimum(left, right)
+            id_hi = np.maximum(left, right)
+        return pd.DataFrame(
+            {
+                "id_a": id_lo.astype("int64"),
+                "id_b": id_hi.astype("int64"),
+                "cos_sim": rounded[rows_i, cols_j],
+            }
+        )
+
+    return replicated.groupBy("pi", "pj").applyInPandas(pair_sim, out_schema)

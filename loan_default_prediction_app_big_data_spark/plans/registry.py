@@ -705,14 +705,18 @@ def impute_mean_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
     )
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice / sigma, 4)        AS scaled,
-           round((l_extendedprice - mu) / sigma, 4) AS standardized
+           floor(l_extendedprice / sigma * 10000.0 + 0.5) / 10000.0        AS scaled,
+           floor((l_extendedprice - mu) / sigma * 10000.0 + 0.5) / 10000.0 AS standardized
     FROM lineitem, stats
     """,
     "A10/A11 standardization twins: `scaled` = Spark StandardScaler "
     "default (withStd only, reference spark.py:49); `standardized` = "
     "sklearn semantics (center AND scale, reference app.py:76-78). "
-    "Scalar stats broadcast; the per-row transform is map-side only.",
+    "Scalar stats broadcast; the per-row transform is map-side only. "
+    "Rounding is the grid-stable floor(x*1e4+0.5)/1e4 on BOTH engines: "
+    "Spark round() is decimal-string HALF_UP while DuckDB rounds binary "
+    "doubles, so the same expression in identical IEEE ops is the only "
+    "form that hashes equal (VERDICT r1 item 2).",
     tags=("ml-twin",),
 )
 def standardize_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -721,12 +725,18 @@ def standardize_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("l_extendedprice").alias("mu"),
         F.stddev_samp("l_extendedprice").alias("sigma"),
     )
+    def grid_round4(c):
+        # floor(x*1e4 + 0.5)/1e4 — same IEEE ops as the oracle SQL, so
+        # both engines land on the same binary double (round() would
+        # diverge: Spark HALF_UP on decimal strings, DuckDB on binary).
+        return (F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).cast("double")
+
     return li.crossJoin(F.broadcast(stats)).select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.col("l_extendedprice") / F.col("sigma"), 4).alias("scaled"),
-        F.round(
-            (F.col("l_extendedprice") - F.col("mu")) / F.col("sigma"), 4
+        grid_round4(F.col("l_extendedprice") / F.col("sigma")).alias("scaled"),
+        grid_round4(
+            (F.col("l_extendedprice") - F.col("mu")) / F.col("sigma")
         ).alias("standardized"),
     )
 
@@ -916,15 +926,32 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 
+def _ordered_names() -> list[str]:
+    """Registry names with the driver-priority slots first.
+
+    The driver verifies the FIRST 50 entries of ``queries()`` per
+    round; registration order alone left 38 of round 1's queries with
+    no driver correctness row (VERDICT r1 item 1). ``_DRIVER_PRIORITY``
+    (defined at the end of this module, after all registrations) pins
+    the 50 slots to maximize per-round category coverage; everything
+    else follows in registration order and rotates into future rounds.
+    """
+    priority = [n for n in _DRIVER_PRIORITY if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in set(priority)]
+    return priority + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """``name -> (spark, sf_dir) -> DataFrame`` for every registered op."""
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL for every SQL-expressible registered op."""
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
     }
 
 
@@ -1165,13 +1192,17 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "simhash_dedup",
     None,  # xxhash64 not available in DuckDB -> rows-only check
-    "SimHash near-dup grouping: 16-bit signature from per-token "
+    "SimHash near-dup grouping: 64-bit signature from per-token "
     "xxhash64 bit votes, all native array expressions; groupBy the "
-    "8-byte signature.",
+    "8-byte signature. member_ids is serialized to a comma-joined "
+    "string so every output column is scalar (driver-hashable).",
     tags=("dedup",),
 )
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
+    out = D.simhash_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
+    return out.withColumn(
+        "member_ids", F.array_join(F.col("member_ids").cast("array<string>"), ",")
+    )
 
 
 @register(
@@ -1372,20 +1403,57 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_aggregates",
-    None,  # sketches are engine-specific -> rows-only; accuracy asserted in tests
+    """
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT)  AS exact_parts,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS parts_within_bound,
+           TRUE AS orders_within_bound,
+           TRUE AS median_within_bound,
+           TRUE AS p90_within_bound
+    FROM lineitem
+    """,
     "Approximate aggregates for interactive 100 TB queries: HLL++ "
     "approx_count_distinct and GK-sketch percentile_approx — one pass, "
-    "bounded memory, no sort. Relative error vs the exact forms is "
-    "asserted in tests/test_extension_tier.py.",
+    "bounded memory, no sort. Sketch values are engine-specific, so "
+    "the DRIVER-CHECKABLE output is the exact values plus "
+    "within-error-bound booleans (|HLL - exact| <= 3·rsd·exact; the "
+    "approx percentile must land between the exact 0.48/0.52 and "
+    "0.88/0.92 quantiles). The oracle computes the same exact values "
+    "and literal TRUEs — a hash match PROVES the sketches hit their "
+    "bounds (VERDICT r1 item 7).",
     tags=("agg",),
 )
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.percentile_approx("l_quantity", 0.9).alias("approx_p90_qty"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", rsd=0.05)
+                - F.countDistinct("l_partkey")
+            )
+            <= 0.15 * F.countDistinct("l_partkey")
+        ).alias("parts_within_bound"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_orderkey", rsd=0.05)
+                - F.countDistinct("l_orderkey")
+            )
+            <= 0.15 * F.countDistinct("l_orderkey")
+        ).alias("orders_within_bound"),
+        F.percentile_approx("l_extendedprice", 0.5)
+        .between(
+            F.expr("percentile(l_extendedprice, 0.48)"),
+            F.expr("percentile(l_extendedprice, 0.52)"),
+        )
+        .alias("median_within_bound"),
+        F.percentile_approx("l_quantity", 0.9)
+        .between(
+            F.expr("percentile(l_quantity, 0.88)"),
+            F.expr("percentile(l_quantity, 0.92)"),
+        )
+        .alias("p90_within_bound"),
     )
 
 
@@ -1602,13 +1670,19 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
     """,
-    "Embedding-cosine near-duplicate pairs — the exact all-pairs "
-    "verifier (at 100 TB, LSH/IVF blocking generates candidates and "
-    "this predicate verifies inside buckets only).",
+    "Embedding-cosine near-duplicate pairs via DISTRIBUTED block-pair "
+    "GEMM: corpus hash-split into blocks, rows replicated to their "
+    "unordered block pairs, float64 BLAS matmul inside each pair via "
+    "applyInPandas — exact all-pairs results with NO driver-side "
+    "collect and per-task memory of two blocks (VERDICT r1 item 3). "
+    "At 100 TB, LSH/IVF blocking prunes to candidate block pairs and "
+    "the same kernel verifies inside them.",
     tags=("similarity", "dedup"),
 )
 def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.embedding_neardup_pairs_blas(t(spark, sf_dir, "embeddings"), threshold=0.4)
+    return S.embedding_neardup_pairs_blocked(
+        t(spark, sf_dir, "embeddings"), threshold=0.4, n_blocks=8
+    )
 
 
 @register(
@@ -2295,23 +2369,57 @@ def correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "frequent_items",
-    None,  # FP-growth-style sketch output is engine-specific -> rows-only
-    "Frequent-item sketch (df.stat.freqItems, misra-gries style) over "
-    "order priorities and statuses — the one-pass heavy-hitters "
-    "primitive for 100 TB cardinality profiling. Accuracy vs exact "
-    "counts asserted in tests.",
+    """
+    WITH n AS (SELECT count(*) AS n FROM lineitem),
+    rf AS (SELECT l_returnflag AS v, count(*) AS c FROM lineitem GROUP BY 1),
+    ls AS (SELECT l_linestatus AS v, count(*) AS c FROM lineitem GROUP BY 1)
+    SELECT coalesce((SELECT string_agg(v, ',' ORDER BY v) FROM rf, n WHERE c > 0.3 * n), '') AS heavy_returnflags,
+           coalesce((SELECT string_agg(v, ',' ORDER BY v) FROM ls, n WHERE c > 0.3 * n), '') AS heavy_linestatuses,
+           TRUE AS returnflags_covered,
+           TRUE AS linestatuses_covered
+    FROM n
+    """,
+    "Frequent-item sketch (df.stat.freqItems, Karp/misra-gries style) "
+    "over lineitem flags — the one-pass heavy-hitters primitive for "
+    "100 TB cardinality profiling. The sketch may contain false "
+    "positives, so the DRIVER-CHECKABLE output is the EXACT heavy "
+    "hitters (freq > 0.3) plus booleans asserting the sketch "
+    "(support=0.2) contains every one of them — freqItems' documented "
+    "guarantee. Oracle emits the same exact lists + literal TRUEs "
+    "(VERDICT r1 item 7).",
     tags=("agg",),
 )
 def frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = t(spark, sf_dir, "orders")
-    out = orders.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.2)
-    return out.select(
-        F.array_join(
-            F.sort_array(F.col("o_orderpriority_freqItems")), ","
-        ).alias("frequent_priorities"),
-        F.array_join(F.sort_array(F.col("o_orderstatus_freqItems")), ",").alias(
-            "frequent_statuses"
-        ),
+    li = t(spark, sf_dir, "lineitem")
+    sketch = li.stat.freqItems(["l_returnflag", "l_linestatus"], support=0.2)
+    exact = li.agg(F.count(F.lit(1)).alias("n"))
+    heavy_rf = (
+        li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(exact))
+        .filter(F.col("c") > 0.3 * F.col("n"))
+        .agg(F.sort_array(F.collect_list("l_returnflag")).alias("heavy_rf"))
+    )
+    heavy_ls = (
+        li.groupBy("l_linestatus")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(exact))
+        .filter(F.col("c") > 0.3 * F.col("n"))
+        .agg(F.sort_array(F.collect_list("l_linestatus")).alias("heavy_ls"))
+    )
+    return (
+        sketch.crossJoin(F.broadcast(heavy_rf))
+        .crossJoin(F.broadcast(heavy_ls))
+        .select(
+            F.array_join("heavy_rf", ",").alias("heavy_returnflags"),
+            F.array_join("heavy_ls", ",").alias("heavy_linestatuses"),
+            (
+                F.size(F.array_except("heavy_rf", "l_returnflag_freqItems")) == 0
+            ).alias("returnflags_covered"),
+            (
+                F.size(F.array_except("heavy_ls", "l_linestatus_freqItems")) == 0
+            ).alias("linestatuses_covered"),
+        )
     )
 
 
@@ -2441,12 +2549,12 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t2
         FROM events GROUP BY user_id
     )
-    SELECT sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
-           sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
-                    THEN 1 ELSE 0 END) AS n_click,
-           sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+    SELECT CAST(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
                          AND t2 IS NOT NULL AND t2 >= t1
-                    THEN 1 ELSE 0 END) AS n_purchase
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
     FROM per_user
     """,
     "Ordered funnel (view -> click -> purchase) on first occurrences — "
@@ -2781,3 +2889,340 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_shingle=3, jaccard_threshold=0.3,
     )
     return D.connected_components(pairs)
+
+
+# =====================================================================
+# Round 2 additions: driver-checkable evaluator twins (A19/A20) and the
+# remaining TPC-H shapes expressible without a partsupp table.
+# =====================================================================
+
+from ..functions import metrics as MET  # noqa: E402
+
+
+@register(
+    "classification_metrics",
+    """
+    WITH scored AS (
+        SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+               CAST(o_orderkey % 97 AS DOUBLE) / 97.0 AS p
+        FROM orders
+    ),
+    ranked AS (
+        SELECT y, p,
+               rank() OVER (ORDER BY p)
+                   + (count(*) OVER (PARTITION BY p) - 1) / 2.0 AS r
+        FROM scored
+    )
+    SELECT (sum(CASE WHEN y = 1.0 THEN r ELSE 0 END) - sum(y) * (sum(y) + 1) / 2)
+               / (sum(y) * (count(*) - sum(y))) AS auc,
+           (SELECT avg(CASE WHEN (CASE WHEN p >= 0.5 THEN 1.0 ELSE 0.0 END) = y
+                            THEN 1.0 ELSE 0.0 END)
+            FROM scored) AS accuracy
+    FROM ranked
+    """,
+    "A19/A20 evaluator twins, driver-checked end to end: exact ROC-AUC "
+    "via the TWO-PHASE distributed rank-sum (range partition on the "
+    "score -> per-partition row_number + broadcast offsets -> tie "
+    "averaging by groupBy; NO single-partition window, VERDICT r1 item "
+    "6) and accuracy as mean-of-indicator. The scored set is a "
+    "deterministic function of orders (y = status F, p = orderkey mod "
+    "97 scaled — 97 distinct scores force heavy tie groups), and every "
+    "term is integer/half-integer so the doubles are exact across "
+    "engines.",
+    tags=("ml-twin", "metrics"),
+)
+def classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    scored = orders.select(
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
+        ((F.col("o_orderkey") % 97).cast("double") / 97.0).alias("p"),
+    )
+    auc = MET.auc_rank_sum_df(scored, "y", "p")
+    acc = scored.agg(
+        F.avg(
+            ((F.col("p") >= 0.5).cast("double") == F.col("y")).cast("double")
+        ).alias("accuracy")
+    )
+    return auc.crossJoin(F.broadcast(acc))
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN nation = 'BRAZIL' THEN volume ELSE 0 END)
+                      / sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part, supplier, lineitem, orders, customer,
+             nation n1, nation n2, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+          AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+          AND p_type = (SELECT min(p_type) FROM part)
+    ) AS all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    "TPC-H Q8 market share: 8-table star join — lineitem⋈orders "
+    "shuffles on orderkey, EVERY dimension (part, supplier, customer, "
+    "both nation roles, region) broadcasts, then a tiny per-year "
+    "conditional aggregate. The p_type probe is a broadcast scalar "
+    "subquery (min type keeps the filter deterministic on synthetic "
+    "data). The canonical 100 TB fact-to-many-dims plan.",
+    tags=("tpch", "join"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    part = t(spark, sf_dir, "part")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+
+    sel_type = part.agg(F.min("p_type").alias("sel_type"))
+    parts = (
+        part.join(F.broadcast(sel_type), part.p_type == sel_type.sel_type)
+        .select("p_partkey")
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("nation")
+    )
+    amer = region.filter(F.col("r_name") == "AMERICA").select(
+        F.col("r_regionkey").alias("c_rkey")
+    )
+    joined = (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(amer), "c_rkey")
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "nation",
+        )
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "BRAZIL", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1-%'
+        GROUP BY c_custkey
+    ) AS c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    "TPC-H Q13 customer order distribution: left outer join with a "
+    "non-equi residual (spec filters o_comment NOT LIKE "
+    "'%special%requests%'; the fixture carries no comment column, so "
+    "the same shape filters priority NOT LIKE '1-%'), double "
+    "aggregation — "
+    "the inner groupBy rides the join's custkey partitioning (no "
+    "second shuffle of the big side), the outer histogram groupBy "
+    "moves only (c_count) pairs.",
+    tags=("tpch", "join", "agg"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.select("c_custkey")
+        .join(
+            orders.filter(~F.col("o_orderpriority").like("1-%")).select(
+                "o_custkey", "o_orderkey"
+            ),
+            cust.c_custkey == F.col("o_custkey"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders o1, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o1.o_orderkey = l1.l_orderkey AND o1.o_orderstatus = 'F'
+      AND l1.l_shipdate > o1.o_orderdate + INTERVAL 100 DAY
+      AND EXISTS (SELECT * FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT * FROM lineitem l3, orders o3
+                      WHERE o3.o_orderkey = l3.l_orderkey
+                        AND l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 100 DAY)
+      AND s_nationkey = n_nationkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    "TPC-H Q21 suppliers who kept orders waiting: the hardest "
+    "correlated shape — one EXISTS (another supplier on the order) and "
+    "one NOT EXISTS (no OTHER supplier was late), both decorrelated "
+    "into left-semi / left-anti joins on orderkey so all lineitem "
+    "passes share one shuffle key; supplier and nation broadcast. "
+    "(Spec defines late as receipt > commit; the fixture carries "
+    "neither column, so late = shipped >100 days after the order "
+    "date — the identical plan shape.)",
+    tags=("tpch", "join", "subquery"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+
+    # Late flag computed ONCE (one lineitem⋈orders shuffle on orderkey);
+    # the semi/anti self-joins below reuse the same key.
+    flagged = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderstatus"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .withColumn(
+            "late",
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 100 DAYS"),
+        )
+    )
+    l1 = (
+        flagged.filter(F.col("late") & (F.col("o_orderstatus") == "F"))
+        .select("l_orderkey", "l_suppkey")
+        .alias("l1")
+    )
+    # EXISTS: some other supplier contributed to the same order.
+    others = li.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    ).alias("l2")
+    with_other = l1.join(
+        others,
+        (F.col("l1.l_orderkey") == F.col("l2.o_key"))
+        & (F.col("l1.l_suppkey") != F.col("l2.o_supp")),
+        "left_semi",
+    )
+    # NOT EXISTS: no OTHER supplier was late on that order.
+    other_late = (
+        flagged.filter(F.col("late"))
+        .select(F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp"))
+        .alias("l3")
+    )
+    only_late = with_other.join(
+        other_late,
+        (F.col("l1.l_orderkey") == F.col("l3.o_key"))
+        & (F.col("l1.l_suppkey") != F.col("l3.o_supp")),
+        "left_anti",
+    )
+    return (
+        only_late.join(F.broadcast(supp.select("s_suppkey", "s_name", "s_nationkey")),
+                       F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+# =====================================================================
+# Driver correctness slots (see _ordered_names): round 2 promotes the
+# 38 queries registration order left unchecked in round 1, the four
+# fixed/re-implemented ones (standardize_twin rounding, simhash_dedup
+# serialization, approx_aggregates/frequent_items bound oracles,
+# embedding_neardup_pairs blocked-GEMM path), this round's additions,
+# and four round-1-green anchors re-verified for regression cover.
+# =====================================================================
+
+_DRIVER_PRIORITY: list[str] = [
+    # round-1 unchecked (registration slots 51-88), original order
+    "ivf_ann_topk",
+    "streaming_stateful_counts",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "salted_aggregation",
+    "map_functions",
+    "window_first_last_value",
+    "minhash_native_dedup",
+    "q4_order_priority",
+    "q7_nation_trade_flows",
+    "q12_priority_shipping",
+    "q17_small_quantity_revenue",
+    "q22_inactive_rich_customers",
+    "streaming_sliding_window",
+    "streaming_dedup",
+    "set_ops_bag",
+    "window_distribution",
+    "bitwise_functions",
+    "edit_distance_pairs",
+    "array_lambda_functions",
+    "grouped_pandas_zscore",
+    "correlation_stats",
+    "frequent_items",
+    "union_by_name",
+    "regexp_functions",
+    "asof_join_events",
+    "funnel_analysis",
+    "grouping_sets_explicit",
+    "lateral_explode_tokens",
+    "serialize_functions",
+    "session_window_native",
+    "explode_outer_generator",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "null_semantics_functions",
+    "neardup_clusters",
+    # fixed / re-implemented this round
+    "standardize_twin",
+    "simhash_dedup",
+    "approx_aggregates",
+    "embedding_neardup_pairs",
+    # new this round
+    "classification_metrics",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
+    # round-1-green anchors (regression cover for the core plan shapes)
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "multimodal_features",
+    "streaming_tumbling_window",
+]

@@ -241,6 +241,26 @@ def test_simhash_distinct_docs_do_not_collide(spark):
     assert groups.count() == 0  # no near-dups planted -> no groups
 
 
+def test_embedding_neardup_blocked_matches_all_pairs(spark, emb):
+    """The distributed block-pair GEMM path must return the exact same
+    (id_a, id_b, cos_sim) set as the O(n²) expression twin — including
+    pairs whose two members land in different hash blocks, in either id
+    order. No driver-side collect happens: the plan is an Exchange on
+    the block-pair key feeding FlatMapGroupsInPandas."""
+    exact = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in S.embedding_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    blocked_df = S.embedding_neardup_pairs_blocked(emb, threshold=0.4, n_blocks=8)
+    blocked = {
+        (r["id_a"], r["id_b"], r["cos_sim"]) for r in blocked_df.collect()
+    }
+    assert blocked == exact
+    assert len(exact) > 0
+    plan = blocked_df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+
+
 def test_crosstab_matches_manual_pivot(spark, sf_dir):
     """df.stat.crosstab == groupBy+pivot counts (contingency table)."""
     li = read_parquet_table(spark, sf_dir, "lineitem")

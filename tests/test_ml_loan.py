@@ -313,3 +313,72 @@ def test_tree_ensembles_train_and_rank(spark, loan):
         imp = model.featureImportances.toArray()
         assert len(imp) == 6 and abs(sum(imp) - 1.0) < 1e-6
         assert max(imp) < 1.0  # no degenerate single-feature tree
+
+
+REFERENCE_PTH = "/root/reference/loan_prediction_model.pth"
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_PTH), reason="reference checkpoint absent")
+def test_torch_state_dict_import_golden():
+    """Load the reference's DEPLOYED checkpoint (app.py:130 torch.save,
+    app.py:137-143 load_state_dict) without torch and pin the exact
+    tensor values — the migration path for a user bringing the
+    deployed model with them. Golden floats were read once from the
+    committed .pth and are asserted to 1e-6."""
+    import numpy as np
+
+    from loan_default_prediction_app_big_data_spark.ml.torch_import import (
+        load_torch_state_dict,
+    )
+
+    sd = load_torch_state_dict(REFERENCE_PTH)
+    assert set(sd) == {"fc.weight", "fc.bias"}
+    w, b = sd["fc.weight"], sd["fc.bias"]
+    assert w.shape == (2, 6) and w.dtype == np.float32
+    assert b.shape == (2,) and b.dtype == np.float32
+    assert w[0, 0] == pytest.approx(0.24784796, abs=1e-6)
+    assert w[1, 5] == pytest.approx(-0.03288915, abs=1e-6)
+    assert b[0] == pytest.approx(0.31619307, abs=1e-6)
+    assert b[1] == pytest.approx(-0.52568793, abs=1e-6)
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_PTH), reason="reference checkpoint absent")
+def test_torch_import_scores_like_reference_forward():
+    """predict_local over the imported params reproduces the torch
+    forward + argmax: sigmoid((w1-w0)·z + (b1-b0)) equals the softmax
+    class-1 probability of the 2-logit head, so decisions match the
+    reference app's argmax for any input."""
+    import math
+
+    import numpy as np
+
+    from loan_default_prediction_app_big_data_spark.ml.serving import predict_local
+    from loan_default_prediction_app_big_data_spark.ml.torch_import import (
+        load_torch_state_dict,
+        serving_params_from_torch,
+    )
+    from loan_default_prediction_app_big_data_spark.schema import LOAN_FEATURES
+
+    sd = load_torch_state_dict(REFERENCE_PTH)
+    params = serving_params_from_torch(REFERENCE_PTH)
+    rows = [
+        # already-standardized feature rows (the reference scales before
+        # the tensor forward; identity scaling here isolates the head)
+        [0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [1.0, -0.5, 0.25, 2.0, -1.0, 0.5],
+        [-2.0, 1.5, -0.75, 0.1, 0.9, -1.2],
+    ]
+    w = np.asarray(sd["fc.weight"], dtype="float64")
+    b = np.asarray(sd["fc.bias"], dtype="float64")
+    # thresholds that never fire so the override stays out of the way
+    from loan_default_prediction_app_big_data_spark.ml.override import OverrideThresholds
+
+    th = OverrideThresholds(low_income=-1e18, high_loan=1e18, low_property_value=-1e18)
+    for x in rows:
+        logits = w @ np.asarray(x) + b  # the reference forward
+        exp = np.exp(logits - logits.max())
+        softmax1 = float(exp[1] / exp.sum())
+        torch_argmax = float(np.argmax(logits))
+        out = predict_local(params, dict(zip(LOAN_FEATURES, x)), th=th)
+        assert out["probability_1"] == pytest.approx(softmax1, abs=1e-12)
+        assert out["prediction"] == torch_argmax

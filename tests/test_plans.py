@@ -80,3 +80,40 @@ def test_no_cartesian_products_anywhere(spark, sf_dir, name):
     (Broadcast nested-loop against 1-row/literal sides is fine.)"""
     plan = formatted_plan(spark, name, sf_dir)
     assert "CartesianProduct" not in plan, name
+
+
+def test_driver_priority_slots_valid():
+    """The driver checks the first 50 queries() entries; the priority
+    list must stay exactly 50 valid, distinct registry names and every
+    oracle key must appear in queries()."""
+    from loan_default_prediction_app_big_data_spark.plans import registry as R
+
+    names = list(R.queries())
+    pri = R._DRIVER_PRIORITY
+    assert len(pri) == 50
+    assert len(set(pri)) == 50
+    assert names[:50] == [n for n in pri if n in R.REGISTRY]
+    assert set(R.oracle_sql()) <= set(names)
+
+
+def test_all_query_outputs_driver_hashable(spark, sf_dir):
+    """The driver canonicalizes every query output with a pandas
+    sort_values over all columns — array/map/struct columns crash its
+    hasher (round 1: simhash_dedup). Assert every registered query's
+    schema is scalar-only at the contract surface."""
+    from pyspark.sql import types as T
+
+    from loan_default_prediction_app_big_data_spark.plans import registry as R
+
+    sf = sf_dir
+    bad: list[tuple[str, str]] = []
+    for name, fn in R.queries().items():
+        try:
+            schema = fn(spark, sf).schema
+        except Exception as e:  # pragma: no cover - surfaced in message
+            bad.append((name, f"build error: {e}"))
+            continue
+        for f in schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                bad.append((name, f"{f.name}: {f.dataType.simpleString()}"))
+    assert not bad, bad
