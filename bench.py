@@ -96,17 +96,39 @@ def run() -> None:
         timings["ml_single_row_serve_p50"] = round(sorted(lat)[len(lat) // 2], 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_clock_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_wall_clock_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full per-query timings always land in bench_full.json (committed
+    # per round); stdout gets a line guaranteed to fit the harness's
+    # 2000-char stdout-tail capture — round 1's 96-entry line exceeded
+    # it and recorded as parsed:null.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
+        "w",
+    ) as fh:
+        json.dump(payload, fh, indent=1)
+    print(_compact_line(payload))
+
+
+def _compact_line(payload: dict, budget: int = 1900) -> str:
+    """Serialize under `budget` bytes: compact separators, 2-dp values,
+    then drop cheapest queries (tracked in omitted/omitted_sum_s so the
+    total still reconciles) until the line fits."""
+    q = {k: round(v, 2) for k, v in payload["queries"].items()}
+    payload = {**payload, "queries": q}
+    s = json.dumps(payload, separators=(",", ":"))
+    for name in sorted(q, key=q.get):
+        if len(s) <= budget:
+            break
+        payload["omitted"] = payload.get("omitted", 0) + 1
+        payload["omitted_sum_s"] = round(payload.get("omitted_sum_s", 0.0) + q.pop(name), 2)
+        s = json.dumps(payload, separators=(",", ":"))
+    return s
 
 
 if __name__ == "__main__":

@@ -89,6 +89,26 @@ def main() -> None:
     print("local twin agrees:", predict_local(params, user_input)["final_prediction"]
           == res["final_prediction"])
 
+    # --- app.py:130/137-143: import the DEPLOYED torch checkpoint --------
+    # A migrating user brings loan_prediction_model.pth with them; the
+    # engine reads the state_dict without torch and serves it through
+    # the same predict_local path (softmax class-1 == sigmoid of the
+    # weight-row difference).
+    pth = "/root/reference/loan_prediction_model.pth"
+    if os.path.exists(pth):
+        from loan_default_prediction_app_big_data_spark.ml.torch_import import (
+            serving_params_from_torch,
+        )
+
+        torch_params = serving_params_from_torch(
+            pth,
+            surrogates=params["surrogates"],
+            scaler_mean=params["scaler_mean"],
+            scaler_std=params["scaler_std"],
+        )
+        t_res = predict_local(torch_params, user_input)
+        print("deployed torch model:", t_res["final_prediction"], "-", t_res["verdict"])
+
     # --- app.py:214-245: sampled viz feed (rendering out of scope) -------
     pdf = viz_feed(df, ["loan_amount", "rate_of_interest", "age"], n=100)
     print(f"viz feed: {len(pdf)} rows x {list(pdf.columns)}")

@@ -1,5 +1,6 @@
 from .windows import (
     run_stateful_user_counts,
+    run_stream_stream_join,
     run_tumbling_stream,
     sliding_window_agg,
     streaming_events,
@@ -7,6 +8,7 @@ from .windows import (
 
 __all__ = [
     "run_stateful_user_counts",
+    "run_stream_stream_join",
     "run_tumbling_stream",
     "sliding_window_agg",
     "streaming_events",

@@ -210,3 +210,58 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.table(name).cache()
     out.count()
     return out
+
+
+def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream INTERVAL join: purchases joined to the
+    same user's views from the preceding 24 hours.
+
+    The canonical attribution join. Both sides carry watermarks and the
+    join condition bounds event-time distance, so the state store only
+    buffers rows inside (watermark + interval) — without BOTH, Spark
+    rejects the join as unbounded-state. Inner joins emit matches
+    eagerly, so a finite replay (processAllAvailable) yields exactly
+    the batch interval-join answer — the DuckDB oracle check.
+
+    At 100 TB/day the state is (join-horizon × per-key rate) per side,
+    partitioned by user_id across executors; the watermark is what
+    evicts it.
+    """
+    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    ev = streaming_events(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("user_id"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            """
+            user_id = v_user AND
+            view_ts BETWEEN purchase_ts - INTERVAL 24 HOURS AND purchase_ts
+            """
+        ),
+    ).select(
+        "user_id",
+        F.unix_micros("view_ts").alias("view_ts_us"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name).cache()
+    out.count()
+    return out

@@ -328,3 +328,33 @@ def test_dedup_keep_canonical_end_to_end(spark, docs):
             assert r["node_id"] not in keeper_ids
         else:
             assert r["node_id"] in keeper_ids
+
+
+def test_stream_stream_join_matches_batch_interval_join(spark, sf_dir):
+    """Watermarked purchase⋈views interval join on the finite replay
+    equals the batch interval join row-for-row."""
+    from loan_default_prediction_app_big_data_spark.streaming import (
+        run_stream_stream_join,
+    )
+
+    streamed = run_stream_stream_join(spark, sf_dir)
+    ev = read_parquet_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    batch = purchases.join(
+        views,
+        F.expr(
+            "user_id = v_user AND view_ts BETWEEN purchase_ts - INTERVAL 24 HOURS AND purchase_ts"
+        ),
+    ).select(
+        "user_id",
+        F.unix_micros("view_ts").alias("view_ts_us"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+    )
+    assert streamed.count() > 0
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0

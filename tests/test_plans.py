@@ -117,3 +117,73 @@ def test_all_query_outputs_driver_hashable(spark, sf_dir):
             if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
                 bad.append((name, f"{f.name}: {f.dataType.simpleString()}"))
     assert not bad, bad
+
+
+def test_skew_join_salted_not_broadcast(spark, sf_dir):
+    """Salting is only exercised on a shuffle join — the hint must
+    survive planning (broadcast would hide the hot key entirely)."""
+    plan = formatted_plan(spark, "skew_join_salted", sf_dir)
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_gapfill_dense_and_filled(spark, sf_dir):
+    """Gap-fill invariants: dense per-type spine (types x buckets),
+    zero-filled counts sum to the raw event count, forward-fill leaves
+    no nulls after each type's first observed bucket."""
+    from pyspark.sql import functions as F
+
+    out = REGISTRY["time_bucket_gapfill"].fn(spark, sf_dir).cache()
+    types = out.select("event_type").distinct().count()
+    buckets = out.select("bucket_us").distinct().count()
+    assert out.count() == types * buckets
+    raw = out.agg(F.sum("n_events")).first()[0]
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    assert raw == read_parquet_table(spark, sf_dir, "events").count()
+    # after the first non-null per type, ffill never yields null
+    nulls = out.filter(F.col("avg_value_ffill").isNull()).count()
+    first_gaps = (
+        out.filter(F.col("n_events") > 0)
+        .groupBy("event_type")
+        .agg(F.min("bucket_us").alias("first_b"))
+        .join(out, "event_type")
+        .filter(
+            (F.col("bucket_us") < F.col("first_b"))
+            & F.col("avg_value_ffill").isNull()
+        )
+        .count()
+    )
+    assert nulls == first_gaps
+    out.unpersist()
+
+
+def test_stratified_sample_exact_per_stratum(spark, sf_dir):
+    """Systematic sampling takes ceil(n/20) rows per stratum, exactly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    out = (
+        REGISTRY["stratified_sample_systematic"]
+        .fn(spark, sf_dir)
+        .groupBy("l_returnflag")
+        .count()
+        .collect()
+    )
+    truth = {
+        r["l_returnflag"]: r["count"]
+        for r in read_parquet_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .count()
+        .collect()
+    }
+    assert len(out) == len(truth)
+    for r in out:
+        assert r["count"] == math.ceil(truth[r["l_returnflag"]] / 20)
