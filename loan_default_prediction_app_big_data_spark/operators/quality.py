@@ -80,3 +80,35 @@ def assert_unique_key(df: DataFrame, key_cols: list[str]) -> int:
     return (
         df.groupBy(*key_cols).count().filter(F.col("count") > 1).count()
     )
+
+
+def run_checks_df(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """``run_checks`` without the driver round-trip: the single
+    aggregation row is unpivoted to one row per check with ``stack``,
+    so the report stays a DataFrame end-to-end (registry-checkable,
+    and at 100 TB the gate composes into downstream plans without a
+    driver sync point)."""
+    total = F.count(F.lit(1))
+    aggs = [total.alias("__n")]
+    for i, c in enumerate(checks):
+        aggs.append(
+            F.sum(F.when(c.predicate, 1).otherwise(0)).cast("long").alias(f"__v{i}")
+        )
+    one = df.agg(*aggs)
+    pairs = ", ".join(f"'{c.name}', __v{i}" for i, c in enumerate(checks))
+    stacked = one.select(
+        F.col("__n"),
+        F.expr(f"stack({len(checks)}, {pairs}) AS (check, n_violations)"),
+    )
+    rate = F.col("n_violations") / F.col("__n")
+    tol = F.array(*[F.lit(c.max_violation_rate) for c in checks])
+    names = F.array(*[F.lit(c.name) for c in checks])
+    tol_for = F.element_at(
+        tol, F.array_position(names, F.col("check")).cast("int")
+    )
+    return stacked.select(
+        "check",
+        "n_violations",
+        rate.alias("violation_rate"),
+        (rate <= tol_for).alias("passed"),
+    )

@@ -164,3 +164,29 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
             "Delta Lake requires the delta-spark package and jars on the "
             "classpath; they are not bundled in this image."
         ) from exc
+
+
+def file_roundtrip(
+    spark: SparkSession, df: DataFrame, fmt: str, path: str
+) -> DataFrame:
+    """Write ``df`` in ``fmt`` (csv/json/orc/parquet) and read it back
+    with the SAME pinned schema — the lossless-roundtrip contract every
+    interchange format must honor (values, not just shapes; the
+    registry's roundtrip queries hash-verify the read-back against the
+    parquet original via DuckDB).
+
+    CSV gets a header so files are self-describing; all formats read
+    with an explicit schema — inference is a second full pass and can
+    widen types (A1's lesson, reference spark.py:29). The read-back
+    DataFrame is a fresh scan: formats with footers/stripes (orc,
+    parquet) keep predicate pushdown; text formats (csv, json) are
+    parsed in one vectorized pass. At 100 TB you'd also
+    ``partitionBy`` a date key here — sources/layout.py covers that.
+    """
+    writer = df.write.mode("overwrite")
+    reader = spark.read
+    if fmt == "csv":
+        writer = writer.option("header", True)
+        reader = reader.option("header", True)
+    writer.format(fmt).save(path)
+    return reader.schema(df.schema).format(fmt).load(path)

@@ -229,6 +229,14 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     name = f"ssjoin_{uuid.uuid4().hex[:8]}"
     ev = streaming_events(spark, sf_dir)
+    # A stream-stream join keeps TWO keyed state stores per shuffle
+    # partition; with a bare session's 200 partitions that is 400
+    # store open/commit cycles per micro-batch — the dominant cost on
+    # a bounded replay (the join itself is 0.6 s in batch form). Size
+    # the exchange narrow here, like run_stateful_user_counts; at real
+    # scale size it to cores × executors as for any shuffle.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     views = (
         ev.filter(F.col("event_type") == "view")
         .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
@@ -262,6 +270,7 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = spark.table(name).cache()
     out.count()
     return out

@@ -1,0 +1,46 @@
+"""bench.py stdout contract: the harness records only the LAST 2000
+chars of stdout and parses the JSON line from it — round 1's 96-entry
+line overran the window and recorded as ``parsed: null``. These tests
+pin the compact-line invariants without starting Spark."""
+
+from __future__ import annotations
+
+import json
+
+from bench import _compact_line
+
+
+def _payload(n: int) -> dict:
+    qs = {f"some_quite_long_query_name_{i:03d}": 0.1 + i * 0.37 for i in range(n)}
+    return {
+        "metric": "total_wall_clock_all_queries",
+        "value": round(sum(qs.values()), 3),
+        "unit": "sec",
+        "queries": qs,
+        "sf": 0.1,
+    }
+
+
+def test_small_payload_passes_through():
+    line = _compact_line(_payload(10))
+    p = json.loads(line)
+    assert len(p["queries"]) == 10
+    assert "omitted" not in p
+
+
+def test_large_payload_fits_budget_and_reconciles():
+    line = _compact_line(_payload(150))
+    assert len(line) <= 1900
+    p = json.loads(line)
+    assert p["omitted"] == 150 - len(p["queries"])
+    # kept + omitted must reconcile with the total (2-dp rounding slack)
+    kept = sum(p["queries"].values())
+    assert abs(kept + p["omitted_sum_s"] - p["value"]) < 0.01 * 150
+    # the EXPENSIVE queries are the ones kept
+    assert min(p["queries"].values()) >= p["omitted_sum_s"] / max(p["omitted"], 1)
+
+
+def test_line_is_single_line_json():
+    line = _compact_line(_payload(150))
+    assert "\n" not in line
+    json.loads(line)  # parseable

@@ -187,3 +187,11 @@ def test_stratified_sample_exact_per_stratum(spark, sf_dir):
     assert len(out) == len(truth)
     for r in out:
         assert r["count"] == math.ceil(truth[r["l_returnflag"]] / 20)
+
+
+def test_pandas_scalar_udf_is_arrow(spark, sf_dir):
+    """The scalar UDF must plan as ArrowEvalPython — vectorized Arrow
+    batches, never row-at-a-time pickling."""
+    plan = formatted_plan(spark, "pandas_scalar_udf_score", sf_dir)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
