@@ -1,0 +1,196 @@
+"""Training-data text-prep operators: chunking, packing, PII redaction,
+repetition scoring, weighted sampling (SURVEY.md §2.C extension tier).
+
+These are the preprocessing stages an LLM training-data pipeline runs
+between dedup and tokenization. All hot-path expressions are native
+``pyspark.sql.functions`` (JVM, whole-stage codegen) — no Python UDFs:
+
+- chunking / packing are per-row projections + one explode (no
+  shuffle beyond the downstream agg);
+- packing is per-``source`` (the natural shard key), so the running
+  token offset is a PARTITIONED window — never a global single-task
+  sort, which is the scale mistake sequential packing usually makes;
+- PII redaction is two global ``regexp_replace`` passes;
+- weighted sampling is integer-only arithmetic (hash-threshold
+  Bernoulli, inclusion probability proportional to size), so the same
+  rows are selected on any engine — no RNG, no resample on retry.
+
+Cross-engine parity notes (DuckDB oracle):
+- ratios avoid ``round()`` (decimal-string HALF_UP vs binary) and use
+  the grid-stable ``floor(x*1e4 + 0.5)/1e4`` — IEEE double ops are
+  deterministic across engines, unlike decimal-string rounding;
+- the sampling predicate is pure 64-bit integer math (Knuth
+  multiplicative hash mod 2^32), identical everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .text import tokens
+
+#: Knuth multiplicative-hash constant (2654435761 = 2^32 * phi^-1).
+KNUTH = 2654435761
+MOD32 = 4294967296
+
+
+def grid_round4(c: Column) -> Column:
+    """Grid-stable 4-dp rounding: floor(x*1e4 + 0.5)/1e4 computed in
+    IEEE doubles — bit-identical on Spark and DuckDB, unlike
+    ``round()`` (Spark rounds the shortest decimal string HALF_UP,
+    DuckDB rounds the binary double)."""
+    return (F.floor(c * 10000.0 + 0.5) / 10000.0).cast("double")
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Fixed-size token-window chunking with overlap (window - stride).
+
+    Chunk starts are ``1, 1+stride, 1+2*stride, ...`` while the start
+    index is within the document; the final chunk may be short. This is
+    the standard sliding-window chunker feeding embedding / pretraining
+    pipelines. Entirely map-side: tokens → start-index sequence →
+    posexplode → slice. No shuffle; at 100 TB the explode multiplies
+    rows ~n_tokens/stride-fold inside each task and the downstream
+    consumer repartitions as it needs.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    chunked = (
+        docs.select("doc_id", toks.alias("toks"), n.alias("n"))
+        .filter(F.col("n") > 0)
+        .select(
+            "doc_id",
+            "toks",
+            F.posexplode(
+                F.sequence(F.lit(1), F.greatest(F.col("n"), F.lit(1)), F.lit(stride))
+            ).alias("chunk_idx", "start"),
+        )
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), window)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def pack_documents(
+    docs: DataFrame,
+    budget: int = 256,
+    shard_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-then-chunk context packing: within each shard, documents
+    are laid out in doc_id order and each document is assigned to the
+    context bin where its first token lands (``floor(tokens_before /
+    budget)``) — the boundary-agnostic packing GPT-style pretraining
+    uses after concatenating documents with an EOS separator.
+
+    The running offset is a window ``sum`` PARTITIONED by the shard
+    key: each shard's prefix sum is an independent task, so packing
+    parallelizes across shards (at 100 TB: shard = file group /
+    date bucket). A global pack order would be a single-partition
+    window — deliberately avoided.
+    """
+    n_tok = F.size(tokens(text_col)).cast("long")
+    w = (
+        W.partitionBy(shard_col)
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    with_off = docs.select(
+        shard_col, "doc_id", n_tok.alias("n_tok")
+    ).withColumn("tokens_before", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return (
+        with_off.withColumn("bin", F.floor(F.col("tokens_before") / budget))
+        .groupBy(shard_col, "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+#: PII patterns kept RE2-simple so Spark (java.util.regex) and any
+#: RE2-family engine (DuckDB, Go, Rust) agree: no backrefs, no
+#: lookaround. Email then phone, applied in that order.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+
+
+def redact_pii(df: DataFrame, text_col: str) -> DataFrame:
+    """Mask emails/phones with typed placeholder tokens and count the
+    redactions. Global replace on both engines (Spark regexp_replace
+    is global by default; a DuckDB oracle must pass the 'g' flag).
+    Pure per-row projection — the 100 TB shape is a map-only stage."""
+    c = F.col(text_col)
+    n_email = F.regexp_count(c, F.lit(EMAIL_RE)).cast("long")
+    masked_mail = F.regexp_replace(c, EMAIL_RE, "[EMAIL]")
+    n_phone = F.regexp_count(masked_mail, F.lit(PHONE_RE)).cast("long")
+    redacted = F.regexp_replace(masked_mail, PHONE_RE, "[PHONE]")
+    return df.withColumn("n_emails", n_email).withColumn(
+        "n_phones", n_phone
+    ).withColumn(text_col, redacted)
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition profile: distinct-token ratio and the
+    frequency share of the single most repeated token — the two
+    Gopher-style signals that catch boilerplate / keyword-stuffed docs.
+
+    Computed with higher-order array functions per row (O(distinct x
+    n) on a few-hundred-token doc), NOT explode+groupBy: repetition is
+    a per-row property, so shuffling token rows across the cluster to
+    re-group them by doc would be a self-inflicted exchange.
+    """
+    toks = tokens(text_col)
+    d = docs.select(
+        "doc_id", toks.alias("toks"), F.size(toks).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    distinct_n = F.size(F.array_distinct(F.col("toks")))
+    top_n = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("toks")),
+            lambda w: F.size(F.filter(F.col("toks"), lambda x: x == w)),
+        )
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        grid_round4(distinct_n / F.col("n_tokens")).alias("distinct_ratio"),
+        grid_round4(top_n / F.col("n_tokens")).alias("top_token_frac"),
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    scale_per_unit_weight: int,
+) -> DataFrame:
+    """Deterministic probability-proportional-to-size Bernoulli sample:
+    keep a row iff ``(key * KNUTH) mod 2^32 < weight * scale`` — the
+    64-bit integer hash plays the uniform draw, so inclusion
+    probability is ``weight * scale / 2^32`` with NO RNG: the same
+    rows are chosen on every engine, every retry, every executor
+    placement. PURE integer compare → exact oracle parity (no float
+    cast whose truncation direction differs between engines).
+
+    Map-only (predicate pushes to the scan); at 100 TB this is how you
+    cut a weighted training subset without a shuffle or a seed file.
+    Keys are assumed < 2^31 so ``key * KNUTH`` stays inside int64;
+    pre-hash wider keys with ``xxhash64`` first.
+    """
+    threshold = F.col(weight_col) * F.lit(int(scale_per_unit_weight))
+    draw = (F.col(key_col) * F.lit(KNUTH)) % F.lit(MOD32)
+    return df.filter(draw < threshold)
