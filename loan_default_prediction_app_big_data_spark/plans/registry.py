@@ -3693,6 +3693,324 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Synthetic partsupp: the fixtures omit TPC-H's partsupp table, which
+# blocks q2/q9/q11/q16/q20. Both engines DERIVE an identical partsupp
+# from part x {0..3} with the official generator's supplier-spreading
+# formula (TPC-H spec 4.2.3: suppkey = (p + i*(S/4 + p/S)) mod S) and
+# integer-derived cost/qty — pure int64 arithmetic plus one division
+# by 100, so every value is bit-identical across engines. This
+# completes the 22-query TPC-H shape coverage on the fixture surface.
+# ---------------------------------------------------------------------
+
+_PARTSUPP_CTE = """
+    sc AS (SELECT count(*) AS s_total FROM supplier),
+    g AS (SELECT unnest(generate_series(0, 3)) AS i),
+    partsupp AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey + i * ((s_total // 4) + (p_partkey // s_total)))
+               % s_total AS ps_suppkey,
+             CAST((p_partkey * 7 + i * 13) % 9999 + 1 AS BIGINT) AS ps_availqty,
+             CAST((p_partkey * 29 + i * 37) % 20000 AS DOUBLE) / 100.0 + 1.0
+               AS ps_supplycost
+      FROM part CROSS JOIN g CROSS JOIN sc
+    )
+"""
+
+
+def _synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark leg of the shared partsupp derivation (see _PARTSUPP_CTE).
+
+    part x 4 via a broadcast range — map-side row expansion, no
+    shuffle. The supplier count rides along as a broadcast 1-row agg
+    (never a driver-side ``.count()`` scalar)."""
+    part = t(spark, sf_dir, "part").select("p_partkey")
+    s_cnt = (
+        t(spark, sf_dir, "supplier")
+        .agg(F.count(F.lit(1)).cast("long").alias("s_total"))
+    )
+    i4 = spark.range(4).select(F.col("id").alias("i"))
+    return (
+        part.crossJoin(F.broadcast(i4))
+        .crossJoin(F.broadcast(s_cnt))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.expr(
+                "(p_partkey + i * ((s_total div 4) + (p_partkey div s_total)))"
+                " % s_total"
+            ).alias("ps_suppkey"),
+            ((F.col("p_partkey") * 7 + F.col("i") * 13) % 9999 + 1)
+            .cast("long")
+            .alias("ps_availqty"),
+            (
+                ((F.col("p_partkey") * 29 + F.col("i") * 37) % 20000).cast("double")
+                / 100.0
+                + 1.0
+            ).alias("ps_supplycost"),
+        )
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    f"""
+    WITH {_PARTSUPP_CTE},
+    eur AS (
+      SELECT ps_partkey, ps_suppkey, ps_supplycost, s_acctbal, s_name, n_name
+      FROM partsupp, supplier, nation, region
+      WHERE s_suppkey = ps_suppkey AND s_nationkey = n_nationkey
+        AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost AS supplycost
+    FROM eur, part
+    WHERE p_partkey = ps_partkey AND p_size = 15
+      AND ps_supplycost = (
+        SELECT min(e2.ps_supplycost) FROM eur e2 WHERE e2.ps_partkey = p_partkey
+      )
+    """,
+    "TPC-H Q2 shape (min-cost supplier): region-filtered partsupp, "
+    "then keep rows matching the per-part MIN supplycost. Spark plans "
+    "the correlated min as a window MIN over ps_partkey after "
+    "broadcast-joining the dims — one shuffle on partkey, no "
+    "re-aggregation join. supplycost is emitted RAW (both engines "
+    "derive bit-identical doubles from the shared integer formula).",
+    tags=("tpch", "join", "subquery"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _synth_partsupp(spark, sf_dir)
+    sup = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    eur = (
+        ps.join(F.broadcast(sup), ps["ps_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    w = W.partitionBy("ps_partkey")
+    best = eur.withColumn("min_cost", F.min("ps_supplycost").over(w)).filter(
+        F.col("ps_supplycost") == F.col("min_cost")
+    )
+    return best.join(
+        F.broadcast(part), best["ps_partkey"] == part["p_partkey"]
+    ).select(
+        "s_acctbal",
+        "s_name",
+        "n_name",
+        "p_partkey",
+        "p_brand",
+        F.col("ps_supplycost").alias("supplycost"),
+    )
+
+
+@register(
+    "q9_product_profit",
+    f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - ps_supplycost * l_quantity), 4) AS sum_profit
+    FROM lineitem, partsupp, part, supplier, orders, nation
+    WHERE ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      AND p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      AND p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+    "TPC-H Q9 shape (product-type profit): lineitem x partsupp on the "
+    "composite (partkey, suppkey) key plus part/supplier/orders/nation "
+    "— the widest join tree in the suite. part is filtered BEFORE the "
+    "join (name predicate pushes to its scan) and broadcast; partsupp "
+    "is derived map-side so the composite join shuffles only lineitem. "
+    "Profit rounds at 4dp: extendedprice*(1-discount) is the 4dp grid, "
+    "supplycost*quantity the 2dp grid.",
+    tags=("tpch", "join", "agg"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    ps = _synth_partsupp(spark, sf_dir)
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    sup = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nat = t(spark, sf_dir, "nation")
+    profit = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(
+            F.broadcast(ps),
+            (F.col("l_partkey") == ps["ps_partkey"])
+            & (F.col("l_suppkey") == ps["ps_suppkey"]),
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup["s_suppkey"])
+        .join(orders, F.col("l_orderkey") == orders["o_orderkey"])
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return profit.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year(F.col("o_orderdate")).alias("o_year"),
+    ).agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - F.col("ps_supplycost") * F.col("l_quantity")
+            ),
+            4,
+        ).alias("sum_profit")
+    )
+
+
+@register(
+    "q11_important_stock",
+    f"""
+    WITH {_PARTSUPP_CTE},
+    nat_ps AS (
+      SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+      FROM partsupp, supplier, nation
+      WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_3'
+    )
+    SELECT ps_partkey, round(sum(v), 2) AS value
+    FROM nat_ps
+    GROUP BY ps_partkey
+    HAVING sum(v) > (SELECT sum(v) * 0.01 FROM nat_ps)
+    """,
+    "TPC-H Q11 shape (important stock): per-part inventory value "
+    "within one nation, kept when above a fraction of the nation "
+    "total. The total is a scalar subquery — Spark computes it as a "
+    "1-row broadcast cross join, so the filter is map-side against "
+    "the already-aggregated per-part rows (no second shuffle).",
+    tags=("tpch", "agg", "subquery"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _synth_partsupp(spark, sf_dir)
+    sup = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    nat_ps = (
+        ps.join(F.broadcast(sup), ps["ps_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
+        )
+    )
+    per_part = nat_ps.groupBy("ps_partkey").agg(F.sum("v").alias("sv"))
+    total = nat_ps.agg((F.sum("v") * 0.01).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("sv") > F.col("threshold"))
+        .select("ps_partkey", F.round(F.col("sv"), 2).alias("value"))
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp, part
+    WHERE p_partkey = ps_partkey
+      AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 15, 23, 38, 45)
+      AND ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+    "TPC-H Q16 shape (supplier-part relationship counts): distinct "
+    "suppliers per (brand, type, size) bucket, excluding a NOT-IN "
+    "supplier set (the fixture lacks s_comment, so 'complaint' "
+    "suppliers are the negative-balance ones — same anti-join shape). "
+    "Spark plans NOT IN as a null-aware broadcast anti join off the "
+    "tiny supplier side; the distinct-count shuffles once on the "
+    "grouping key.",
+    tags=("tpch", "agg", "subquery"),
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _synth_partsupp(spark, sf_dir)
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 15, 23, 38, 45)
+    )
+    bad_sup = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    joined = (
+        ps.join(
+            F.broadcast(bad_sup.select("s_suppkey")),
+            ps["ps_suppkey"] == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("ps_partkey") == part["p_partkey"])
+    )
+    return joined.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count_distinct(F.col("ps_suppkey")).alias("supplier_cnt")
+    )
+
+
+@register(
+    "q20_excess_inventory_suppliers",
+    f"""
+    WITH {_PARTSUPP_CTE},
+    shipped AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    excess AS (
+      SELECT DISTINCT ps_suppkey
+      FROM partsupp
+      JOIN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%') p
+        ON ps_partkey = p.p_partkey
+      JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      WHERE ps_availqty > 0.5 * qty
+    )
+    SELECT s_name, round(s_acctbal, 2) AS acctbal
+    FROM supplier JOIN excess ON s_suppkey = ps_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+    """,
+    "TPC-H Q20 shape (excess inventory): suppliers in one nation "
+    "holding more than half the 1997 shipped quantity of any 'small' "
+    "part they stock. lineitem pre-aggregates to (part, supp) BEFORE "
+    "the threshold join — the fact table collapses to key cardinality "
+    "first, then a semi-join lifts qualifying suppliers. Matches the "
+    "spec's correlated-subquery semantics (no shipments -> excluded).",
+    tags=("tpch", "join", "subquery"),
+)
+def q20_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    ps = _synth_partsupp(spark, sf_dir)
+    small = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    excess = (
+        ps.join(F.broadcast(small.select("p_partkey")), ps["ps_partkey"] == F.col("p_partkey"))
+        .join(
+            shipped,
+            (F.col("ps_partkey") == shipped["l_partkey"])
+            & (F.col("ps_suppkey") == shipped["l_suppkey"]),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    sup = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        sup.join(excess, sup["s_suppkey"] == excess["ps_suppkey"], "left_semi")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", F.round(F.col("s_acctbal"), 2).alias("acctbal"))
+    )
+
+
+# ---------------------------------------------------------------------
 # Training-data text-prep tier (operators/textprep.py): the stages an
 # LLM data pipeline runs between dedup and tokenization — chunking,
 # context packing, PII redaction, repetition scoring, weighted
