@@ -303,3 +303,95 @@ def dedup_keep_canonical(
         F.col("node_id").alias(id_col)
     )
     return df.join(drop_ids, id_col, "left_anti")
+
+
+def prefix_filtered_jaccard_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Threshold Jaccard self-join with PPJoin-style prefix filtering —
+    the LOSSLESS candidate pruning that makes an all-corpus similarity
+    self-join feasible at 100 TB (no blocking key needed).
+
+    Filters applied, each exact (no recall loss at the threshold):
+    - **prefix filter**: order each doc's k-shingles by ascending
+      global document frequency (rarest first, ties broken by shingle
+      text for a total order); a pair with J >= t MUST share at least
+      one of each doc's first ``n - ceil(t*n) + 1`` shingles, so only
+      prefixes are exploded into the candidate join — frequent
+      shingles never generate candidates.
+    - **length filter** in the join condition: J >= t implies
+      ``t * |A| <= |B| <= |A| / t``.
+    - **verify**: exact Jaccard via array_intersect on the candidate
+      pairs only (candidates are ~linear in the true result size, not
+      quadratic in the corpus).
+
+    Output: (id_a, id_b, jaccard) with jaccard >= threshold, 6dp.
+    """
+    from pyspark.sql import Window as W
+
+    from .text import shingles
+
+    sh = (
+        docs.select(F.col(id_col).alias("id"), shingles(text_col, k).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .localCheckpoint(eager=True)  # signature table: defeat re-inlining
+    )
+    tok = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    freq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = W.partitionBy("id").orderBy("df", "s")
+    prefix = (
+        tok.join(freq, "s")
+        .withColumn("pos", F.row_number().over(w_doc))
+        .filter(
+            F.col("pos")
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        )
+        .select("id", "n", "s")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.n") >= F.lit(threshold) * F.col("a.n"))
+            & (F.col("b.n") <= F.col("a.n") / F.lit(threshold)),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    # Threshold compare in INTEGER space (0.6 = 3/5) and grid-stable
+    # output rounding — both engine-exact, immune to float-boundary
+    # disagreements between Spark and an oracle engine.
+    den = 10
+    if abs(threshold * den - round(threshold * den)) > 1e-12:
+        raise ValueError("threshold must be a 1-decimal rational, e.g. 0.6")
+    num = int(round(threshold * den))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("__i", inter)
+        .withColumn("__u", union)
+        .filter(F.col("__i") * den >= num * F.col("__u"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.floor(
+                    F.col("__i") / F.greatest(F.col("__u"), F.lit(1)) * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
+            )
+            .cast("double")
+            .alias("jaccard"),
+        )
+    )

@@ -63,3 +63,39 @@ def exact_n_sample(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
 def top_k(df: DataFrame, order_cols: list[Column], k: int) -> DataFrame:
     """Sorted top-k → ``TakeOrderedAndProject`` (no full global sort)."""
     return df.orderBy(*order_cols).limit(k)
+
+
+def global_row_number(
+    df: DataFrame, order_col: str, n_partitions: int = 32
+) -> DataFrame:
+    """Global 1-based row numbering WITHOUT a single-partition window
+    (the classic scale mistake: ``row_number().over(orderBy(...))``
+    with no partitionBy funnels every row through one task).
+
+    Two-phase, fully distributed:
+    1. ``repartitionByRange`` on the order column — the same
+       sort-shuffle any global ordering pays;
+    2. per-partition counts (one row per partition — metadata scale)
+       get prefix-summed and broadcast back as rank offsets;
+    3. global row number = per-partition ``row_number`` + offset.
+
+    The tiny offsets window runs over n_partitions rows, not data rows.
+    Requires a unique order column for a deterministic numbering.
+    """
+    from pyspark.sql import Window as W
+
+    ranged = df.repartitionByRange(n_partitions, order_col).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint(eager=True)  # freeze sampled boundaries
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    w_meta = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, W.currentRow)
+    offsets = counts.withColumn(
+        "__off", (F.sum("__n").over(w_meta) - F.col("__n")).cast("long")
+    ).select("__pid", "__off")
+    w_local = W.partitionBy("__pid").orderBy(order_col)
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn("rn", (F.row_number().over(w_local) + F.col("__off")).cast("long"))
+        .drop("__pid", "__off")
+    )

@@ -3693,6 +3693,194 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Mergeable sketches, error-safe arithmetic, distributed numbering,
+# stream-static enrichment, prefix-filtered similarity self-join.
+# ---------------------------------------------------------------------
+
+
+@register(
+    "prefix_jaccard_threshold_join",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(list_filter(string_split(text,' '), x -> x <> '')) - 2, 1)),
+               i -> array_to_string((list_filter(string_split(text,' '), x -> x <> ''))[i:i+2], ' ')
+             )) AS sh3
+      FROM documents
+      WHERE len(list_filter(string_split(text,' '), x -> x <> '')) > 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(floor(CAST(len(list_intersect(a.sh3, b.sh3)) AS DOUBLE)
+                      / greatest(len(a.sh3) + len(b.sh3)
+                                 - len(list_intersect(a.sh3, b.sh3)), 1)
+                      * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh3, b.sh3)) * 10
+          >= 6 * (len(a.sh3) + len(b.sh3) - len(list_intersect(a.sh3, b.sh3)))
+    """,
+    "Threshold Jaccard self-join (J >= 0.6, 3-shingles) with "
+    "PPJoin-style prefix filtering — NO blocking key: each doc "
+    "explodes only its n - ceil(0.6n) + 1 globally-rarest shingles "
+    "(any qualifying pair must share one), a length filter bounds "
+    "|B| in [0.6|A|, |A|/0.6] inside the join, and exact Jaccard "
+    "verifies candidates only. All three filters are LOSSLESS at the "
+    "threshold, so the result equals the oracle's brute-force "
+    "all-pairs scan — which is the point: the oracle is O(n^2), the "
+    "engine path is ~linear in the true result size and survives an "
+    "all-corpus self-join at 100 TB. Threshold compare runs in "
+    "integer space (10*inter >= 6*union); output uses grid-stable "
+    "floor rounding.",
+    tags=("text", "dedup", "similarity"),
+)
+def prefix_jaccard_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import prefix_filtered_jaccard_join
+
+    return prefix_filtered_jaccard_join(
+        t(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.6
+    )
+
+
+@register(
+    "hll_distinct_sketch_merge",
+    """
+    SELECT r_name, count(DISTINCT o_custkey) AS distinct_customers,
+           TRUE AS within_bound
+    FROM orders, customer, nation, region
+    WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    "Mergeable distinct-count sketches (Apache DataSketches HLL, "
+    "lgK=14): per-NATION sketches of ordering customers are built in "
+    "one pass, then UNIONED up to region level and estimated — the "
+    "two-level partial-aggregate shape that lets a 1000-executor "
+    "cluster count distincts with fixed-size state instead of "
+    "re-shuffling raw keys per rollup level. The query emits the "
+    "EXACT distinct per region plus a boolean asserting the sketch "
+    "estimate lands within 0.05 of it (lgK=14 -> rsd ~0.8%), so the "
+    "oracle checks the sketch's actual guarantee, hash-exactly.",
+    tags=("agg", "sketch", "approx"),
+)
+def hll_distinct_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    facts = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("o_custkey", "n_nationkey", "r_name")
+    )
+    per_nation = facts.groupBy("n_nationkey", "r_name").agg(
+        F.expr("hll_sketch_agg(o_custkey, 14)").alias("sk")
+    )
+    merged = per_nation.groupBy("r_name").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    exact = facts.groupBy("r_name").agg(
+        F.count_distinct("o_custkey").alias("distinct_customers")
+    )
+    return exact.join(merged, "r_name").select(
+        "r_name",
+        "distinct_customers",
+        (
+            F.abs(F.col("est") - F.col("distinct_customers"))
+            <= 0.05 * F.col("distinct_customers")
+        ).alias("within_bound"),
+    )
+
+
+@register(
+    "try_arithmetic_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity = 25 THEN NULL
+                ELSE CAST(floor(l_extendedprice / (l_quantity - 25)
+                                * 10000.0 + 0.5) / 10000.0 AS DOUBLE)
+           END AS safe_ratio,
+           CASE WHEN l_orderkey >= 2 THEN NULL
+                ELSE CAST(l_orderkey * 4611686018427387904 AS BIGINT)
+           END AS overflow_mul,
+           CASE WHEN l_orderkey >= 1 THEN NULL
+                ELSE CAST(l_orderkey + 9223372036854775807 AS BIGINT)
+           END AS overflow_add
+    FROM lineitem WHERE l_orderkey % 97 = 0
+    """,
+    "ANSI error-safe arithmetic (try_divide / try_multiply / try_add): "
+    "engineered zero denominators and int64 overflows return NULL "
+    "instead of failing the job — the semantics batch pipelines need "
+    "under Spark 4's ANSI-on default, where a single bad row would "
+    "otherwise kill a 100 TB stage. The oracle spells out the "
+    "equivalent guarded CASE expressions; the ratio uses the "
+    "grid-stable floor rounding.",
+    tags=("scalar", "ansi"),
+)
+def try_arithmetic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 97 == 0)
+    ratio = F.expr("try_divide(l_extendedprice, l_quantity - 25)")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(ratio * 10000.0 + 0.5) / 10000.0)
+        .cast("double")
+        .alias("safe_ratio"),
+        F.expr("try_multiply(l_orderkey, 4611686018427387904L)").alias(
+            "overflow_mul"
+        ),
+        F.expr("try_add(l_orderkey, 9223372036854775807L)").alias("overflow_add"),
+    )
+
+
+@register(
+    "distributed_row_number",
+    """
+    SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn
+    FROM orders
+    """,
+    "Global row numbering WITHOUT the single-partition window trap: "
+    "repartitionByRange on the order key (the sort-shuffle any global "
+    "ordering pays), per-partition counts prefix-summed into broadcast "
+    "offsets (metadata scale: one row per partition), then global rn = "
+    "local row_number + offset. Every data-touching stage is "
+    "partition-parallel; the oracle is the naive single-window form, "
+    "which only an engine at fixture scale can afford to run.",
+    tags=("window", "scale"),
+)
+def distributed_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import global_row_number
+
+    return global_row_number(
+        t(spark, sf_dir, "orders").select("o_orderkey"), "o_orderkey"
+    ).select("o_orderkey", "rn")
+
+
+@register(
+    "streaming_static_join",
+    """
+    SELECT CAST(epoch(time_bucket(INTERVAL 6 HOUR, ts)) AS BIGINT) AS window_start,
+           c_mktsegment,
+           count(*)             AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+    "Stream-static enrichment join: the events stream broadcast-joins "
+    "the static customer dimension per micro-batch (NO join state — "
+    "only the windowed agg's watermark-bounded state), then aggregates "
+    "into 6-hour tumbling windows by market segment. The default "
+    "pattern for dimension joins on a high-volume stream; the batch "
+    "oracle runs the same join+window in SQL and must hash-match.",
+    tags=("streaming", "join"),
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import run_stream_static_join
+
+    return run_stream_static_join(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------
 # Synthetic partsupp: the fixtures omit TPC-H's partsupp table, which
 # blocks q2/q9/q11/q16/q20. Both engines DERIVE an identical partsupp
 # from part x {0..3} with the official generator's supplier-spreading

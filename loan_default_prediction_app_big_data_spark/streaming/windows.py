@@ -274,3 +274,54 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.table(name).cache()
     out.count()
     return out
+
+
+def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the events stream joins a STATIC
+    dimension (customer, read as a plain batch table) before a windowed
+    aggregation by market segment.
+
+    Unlike a stream-stream join this keeps NO join state: the static
+    side is broadcast into every micro-batch, so the only state is the
+    windowed aggregation's (bounded by the watermark). That asymmetry
+    is exactly why the enrichment-then-aggregate pattern is the default
+    for dimension joins on a 100 TB/day stream — re-keying the stream
+    to co-partition with a dimension would be a per-batch shuffle.
+    """
+    from ..sources.readers import read_parquet_table
+
+    name = f"ssenrich_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ev = streaming_events(spark, sf_dir)
+    cust = read_parquet_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(cust), "user_id").withWatermark("ts", "1 hour")
+    agg = (
+        joined.groupBy(F.window("ts", "6 hours").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = spark.table(name).cache()
+    out.count()
+    return out

@@ -123,3 +123,52 @@ def test_partitioned_scan_prunes(spark, sf_dir):
     # the year filter must NOT appear as a post-scan data filter
     pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert pushed is None or "o_year" not in pushed.group(1)
+
+
+def test_global_row_number_planted(spark):
+    """Two-phase numbering must equal the naive global window on a
+    planted frame with skewed key spacing."""
+    from loan_default_prediction_app_big_data_spark.operators.relational import (
+        global_row_number,
+    )
+
+    vals = [7, 1, 100, 42, 3, 99, 55, 2, 1000, 0]
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    out = {r["k"]: r["rn"] for r in global_row_number(df, "k", n_partitions=4).collect()}
+    expected = {v: i + 1 for i, v in enumerate(sorted(vals))}
+    assert out == expected
+
+
+def test_distributed_row_number_plan_is_partitioned(spark, sf_dir):
+    """The data-side row_number window must be PARTITIONED (by __pid)
+    and the offsets joined via broadcast — the single-partition stages
+    may only touch the per-partition counts (metadata scale). The range
+    shuffle itself is hidden behind the localCheckpoint that freezes
+    the sampled boundaries."""
+    plan = formatted_plan(spark, "distributed_row_number", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    m = re.search(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    assert m and "__pid" in m.group(1), m.group(0) if m else plan[:1500]
+
+
+def test_prefix_jaccard_planted_recall_and_negative(spark):
+    """Prefix filtering must be LOSSLESS at the threshold: a planted
+    near-dup pair is found with the exact brute-force Jaccard, and
+    unrelated docs produce no pair (negative control)."""
+    from loan_default_prediction_app_big_data_spark.operators.dedup import (
+        prefix_filtered_jaccard_join,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(39)) + " changed"
+    other = " ".join(f"zzz{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    out = prefix_filtered_jaccard_join(df, "doc_id", "text", k=3, threshold=0.6)
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    # exact jaccard: 38 shingles each, 37 shared -> 37/39 = 0.948718 (6dp grid)
+    assert r["jaccard"] == 0.948718
