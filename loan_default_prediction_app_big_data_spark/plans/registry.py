@@ -4492,9 +4492,10 @@ _DRIVER_PRIORITY: list[str] = [
     "time_bucket_gapfill",
     "embedding_centroids",
     "csv_source_roundtrip",
-    # round-1-green anchor (regression cover for the core agg shape)
-    # (q5/union_by_name/multimodal rotated out this round to fit the
-    # three new category-novel queries above; all keep local oracle
-    # cover and return to the slots next round)
-    "q1_pricing_summary",
+    # (q5/union_by_name/multimodal/q1 rotated out this round to fit
+    # category-novel queries; all keep local oracle cover and return
+    # to the slots in later rounds. doc_chunking represents the new
+    # text-prep tier — its oracle hashes chunk TEXT, so one driver row
+    # certifies tokenization+slicing value parity for the whole tier.)
+    "doc_chunking",
 ]
