@@ -3742,6 +3742,64 @@ def prefix_jaccard_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "variant_functions",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CAST(NULL AS BIGINT)                       AS missing_val,
+           (json_extract(props, '$.k') IS NULL)       AS k_is_null
+    FROM events WHERE event_id % 17 = 0
+    """,
+    "Spark 4 VARIANT type: parse_json into a binary variant once, then "
+    "typed path access with variant_get / try_variant_get (missing "
+    "path -> NULL, no error). Variant is the semi-structured scan "
+    "format that replaces per-query JSON string re-parsing — at 100 TB "
+    "the parse happens once at ingest and every downstream path access "
+    "is a binary probe. The DuckDB oracle uses its native JSON "
+    "extraction over the same props column.",
+    tags=("scalar", "json", "variant"),
+)
+def variant_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k_val"),
+        F.expr("try_variant_get(parse_json(props), '$.missing', 'long')").alias(
+            "missing_val"
+        ),
+        F.expr("variant_get(parse_json(props), '$.k', 'long')")
+        .isNull()
+        .alias("k_is_null"),
+    )
+
+
+@register(
+    "xml_serialize_roundtrip",
+    """
+    SELECT o_orderkey, o_orderstatus AS xml_status, o_totalprice AS xml_price
+    FROM orders WHERE o_orderkey % 50 = 0
+    """,
+    "XML serialization round-trip: to_xml(struct) -> from_xml(schema) "
+    "must reproduce the input values exactly — including doubles, "
+    "whose shortest-decimal text form round-trips losslessly. The "
+    "oracle selects the ORIGINAL columns, so a hash match proves the "
+    "XML writer/parser pair loses nothing. Per-row projection, "
+    "map-only at scale (the XML interchange path for feeds that "
+    "aren't parquet).",
+    tags=("scalar", "xml", "serialize"),
+)
+def xml_serialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    xml = F.to_xml(F.struct(F.col("o_orderstatus"), F.col("o_totalprice")))
+    parsed = F.from_xml(xml, "o_orderstatus STRING, o_totalprice DOUBLE")
+    return o.select(
+        "o_orderkey",
+        parsed.getField("o_orderstatus").alias("xml_status"),
+        parsed.getField("o_totalprice").alias("xml_price"),
+    )
+
+
+@register(
     "hll_distinct_sketch_merge",
     """
     SELECT r_name, count(DISTINCT o_custkey) AS distinct_customers,

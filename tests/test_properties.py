@@ -142,3 +142,29 @@ def test_token_count_matches_python_split(spark, text):
     df = spark.createDataFrame([(text,)], "text string")
     n = df.select(X.token_count("text").alias("n")).first()["n"]
     assert n == len([t for t in text.split(" ") if t])
+
+
+@given(
+    n_tokens=st.integers(min_value=1, max_value=120),
+    window=st.integers(min_value=4, max_value=40),
+)
+@SETTINGS
+def test_chunking_covers_every_token_in_order(spark, n_tokens, window):
+    """Sliding-window chunking with stride == window (no overlap) must
+    partition the token sequence exactly: concatenating chunks in
+    chunk_idx order reproduces the document, token for token."""
+    from loan_default_prediction_app_big_data_spark.operators.textprep import (
+        chunk_documents,
+    )
+
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame(
+        [(1, "s", text)], "doc_id long, source string, text string"
+    )
+    rows = sorted(
+        chunk_documents(df, window=window, stride=window).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    rebuilt = " ".join(r["chunk_text"] for r in rows)
+    assert rebuilt == text
+    assert sum(r["n_chunk_tokens"] for r in rows) == n_tokens
