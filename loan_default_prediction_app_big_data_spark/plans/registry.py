@@ -3742,6 +3742,28 @@ def prefix_jaccard_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "streaming_foreach_batch_upsert",
+    """
+    SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    "foreachBatch sink with exactly-once MERGE semantics: the stream "
+    "is unioned with itself (every event arrives >= twice) and the "
+    "sink dedups in-batch AND anti-joins the already-written target "
+    "before appending — the idempotent-writer pattern Structured "
+    "Streaming provides for batch-only sinks (Delta/Iceberg MERGE at "
+    "production scale). The final per-type aggregate must equal the "
+    "plain batch GROUP BY over SINGLE copies, which the oracle checks "
+    "— duplicates surviving the merge would double every count.",
+    tags=("streaming", "upsert", "sink"),
+)
+def streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import run_foreach_batch_upsert
+
+    return run_foreach_batch_upsert(spark, sf_dir)
+
+
+@register(
     "variant_functions",
     """
     SELECT event_id,

@@ -325,3 +325,57 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.table(name).cache()
     out.count()
     return out
+
+
+def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` sink with exactly-once MERGE semantics: the
+    events stream is unioned with itself (every event arrives at least
+    twice), and the sink dedups within the batch AND anti-joins against
+    the already-written target before appending — so the final table
+    holds each event exactly once, whatever the batch boundaries.
+
+    This is the idempotent-sink pattern for sinks without transactional
+    MERGE: at production scale the anti-join becomes a Delta/Iceberg
+    MERGE ON event_id (one key shuffle), and foreachBatch is the hook
+    Structured Streaming provides for exactly such batch-only writers.
+    The returned aggregate must equal the plain batch GROUP BY — which
+    is what the oracle checks.
+    """
+    import shutil
+    import tempfile
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    tgt = tempfile.mkdtemp(prefix="fbu_") + "/target"
+    ev = streaming_events(spark, sf_dir)
+    doubled = ev.union(ev)
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        fresh = batch.dropDuplicates(["event_id"])
+        try:
+            cur = s.read.parquet(tgt).select("event_id")
+            fresh = fresh.join(cur, "event_id", "left_anti")
+        except Exception:
+            pass  # first batch: no target yet
+        fresh.write.mode("append").parquet(tgt)
+
+    q = doubled.writeStream.foreachBatch(merge).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    agg = (
+        spark.read.parquet(tgt)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    # Pin the handful of result rows before removing the temp target
+    # (groups are event_type cardinality — metadata scale).
+    out = spark.createDataFrame(agg.collect(), agg.schema)
+    shutil.rmtree(tgt.rsplit("/", 1)[0], ignore_errors=True)
+    return out
