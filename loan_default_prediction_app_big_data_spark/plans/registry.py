@@ -3742,6 +3742,47 @@ def prefix_jaccard_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "regression_aggregates",
+    """
+    SELECT l_returnflag,
+           CAST(floor(regr_slope(l_extendedprice, l_quantity) * 10000.0 + 0.5)
+                / 10000.0 AS DOUBLE)  AS price_qty_slope,
+           CAST(floor(regr_intercept(l_extendedprice, l_quantity) * 10000.0 + 0.5)
+                / 10000.0 AS DOUBLE)  AS price_qty_intercept,
+           CAST(floor(regr_r2(l_extendedprice, l_quantity) * 1000000.0 + 0.5)
+                / 1000000.0 AS DOUBLE) AS price_qty_r2,
+           regr_count(l_extendedprice, l_quantity) AS n_pairs
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "Linear-regression aggregates (regr_slope / regr_intercept / "
+    "regr_r2 / regr_count) per group — single-pass streaming moments "
+    "with map-side partial aggregation, the in-engine OLS fit for "
+    "feature screening without an ML round-trip. Outputs use "
+    "grid-stable floor rounding (slope/intercept 4dp, r2 6dp); "
+    "regr_count also pins the pairwise-null semantics (only rows "
+    "where BOTH columns are non-null count).",
+    tags=("agg", "stats"),
+)
+def regression_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    def g(c, scale):
+        return (F.floor(c * scale + 0.5) / scale).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        g(F.expr("regr_slope(l_extendedprice, l_quantity)"), 10000.0).alias(
+            "price_qty_slope"
+        ),
+        g(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 10000.0).alias(
+            "price_qty_intercept"
+        ),
+        g(F.expr("regr_r2(l_extendedprice, l_quantity)"), 1000000.0).alias(
+            "price_qty_r2"
+        ),
+        F.expr("regr_count(l_extendedprice, l_quantity)").alias("n_pairs"),
+    )
+
+
+@register(
     "streaming_foreach_batch_upsert",
     """
     SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
