@@ -194,3 +194,61 @@ def weighted_sample(
     threshold = F.col(weight_col) * F.lit(int(scale_per_unit_weight))
     draw = (F.col(key_col) * F.lit(KNUTH)) % F.lit(MOD32)
     return df.filter(draw < threshold)
+
+
+def benchmark_decontamination(
+    candidates: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    tau_pct: int = 30,
+) -> DataFrame:
+    """Benchmark decontamination: per-candidate overlap with a held-out
+    benchmark's k-gram shingle set.
+
+    The standard pre-training hygiene pass: any training document that
+    shares too many word n-grams with an eval benchmark is flagged (and
+    usually dropped) so the benchmark stays uncontaminated. Emits one
+    row per candidate document that has >=1 shingle:
+    ``(doc_id, n_shingles, n_contaminated, contamination_ratio,
+    is_contaminated)`` — ALL candidates are reported (zero-overlap
+    included) so the output is never vacuously empty and the flag
+    threshold is auditable downstream.
+
+    Scale shape: the benchmark side is small by nature (eval suites are
+    thousands of documents, the corpus is billions), so its DISTINCT
+    shingle set is broadcast — the 100 TB candidate scan never
+    shuffles for the join; the per-doc aggregation partial-aggregates
+    map-side (each document's shingles live in one input row before
+    the explode), so the one shuffle moves ~1 row per document.
+
+    The flag compares in INTEGER space (``100*hits >= tau_pct*total``)
+    and the ratio uses grid-stable rounding, so the result is
+    bit-identical across engines.
+    """
+    from .text import shingles
+
+    bench_sh = (
+        benchmark.select(F.explode(shingles(text_col, k)).alias("s"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cand_sh = candidates.select(
+        F.col("doc_id"), F.explode(shingles(text_col, k)).alias("s")
+    )
+    joined = cand_sh.join(F.broadcast(bench_sh), "s", "left")
+    agg = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_contaminated"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        grid_round4(
+            F.col("n_contaminated").cast("double") / F.col("n_shingles")
+        ).alias("contamination_ratio"),
+        (100 * F.col("n_contaminated") >= F.lit(int(tau_pct)) * F.col("n_shingles"))
+        .cast("int")
+        .alias("is_contaminated"),
+    )

@@ -4560,6 +4560,193 @@ def partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "benchmark_decontamination",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) > 0 THEN list_distinct(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 1)),
+                   i -> array_to_string(tk[i:i+2], ' ')
+               )) ELSE [] END AS shl
+        FROM toks WHERE len(tk) > 0
+    ), bench AS (
+        SELECT DISTINCT unnest(shl) AS s FROM sh WHERE doc_id % 97 = 0
+    ), cand AS (
+        SELECT doc_id, unnest(shl) AS s FROM sh WHERE doc_id % 97 <> 0
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT)   AS n_shingles,
+           CAST(count(b.s) AS BIGINT) AS n_contaminated,
+           floor(CAST(count(b.s) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000
+                                      AS contamination_ratio,
+           CAST(100 * count(b.s) >= 10 * count(*) AS INT) AS is_contaminated
+    FROM cand c LEFT JOIN bench b ON c.s = b.s
+    GROUP BY c.doc_id
+    """,
+    "Benchmark decontamination (pre-training hygiene): per-candidate "
+    "overlap with the benchmark split's distinct 3-gram shingle set "
+    "(benchmark = doc_id % 97 == 0, a stand-in for an eval suite). "
+    "The benchmark side is small by nature, so its shingle set is "
+    "BROADCAST — the 100 TB candidate scan joins map-side and the "
+    "per-doc count partial-aggregates before the one ~1-row-per-doc "
+    "shuffle. Flag compares in integer space (100*hits >= 10*total); "
+    "ratio uses grid-stable floor(x*1e4+0.5)/1e4 — bit-identical "
+    "across engines.",
+    tags=("text", "textprep", "dedup"),
+)
+def benchmark_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textprep import benchmark_decontamination
+
+    docs = t(spark, sf_dir, "documents")
+    return benchmark_decontamination(
+        candidates=docs.filter(F.col("doc_id") % 97 != 0),
+        benchmark=docs.filter(F.col("doc_id") % 97 == 0),
+        text_col="text",
+        k=3,
+        tau_pct=10,
+    )
+
+
+@register(
+    "bm25_topk",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents
+    ), d AS (
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+               CAST(len(list_filter(tk, x -> x = 'spark'))  AS BIGINT) AS tf1,
+               CAST(len(list_filter(tk, x -> x = 'hash'))   AS BIGINT) AS tf2,
+               CAST(len(list_filter(tk, x -> x = 'window')) AS BIGINT) AS tf3
+        FROM toks WHERE len(tk) > 0
+    ), g AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               avg(CAST(dl AS DOUBLE))  AS avgdl,
+               CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+               CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+               CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+        FROM d
+    )
+    SELECT doc_id, dl AS n_tokens,
+           floor((
+               ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+                 * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+                 * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n_docs - df3 + 0.5) / (df3 + 0.5))
+                 * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           ) * 10000 + 0.5) / 10000 AS bm25
+    FROM d CROSS JOIN g
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+    "BM25 relevance scoring (k1=1.2, b=0.75) of every document "
+    "against the fixed query {spark, hash, window}, top-20. ONE "
+    "aggregation pass computes the global stats (N, avgdl, per-term "
+    "document frequencies); the 1-row result broadcasts back onto the "
+    "corpus scan, so scoring is map-side — corpus scanned twice, "
+    "shuffled never (the top-20 is a TakeOrdered, not a sort). "
+    "Deterministic order: grid-rounded score desc, then doc_id.",
+    tags=("text", "search"),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textprep import grid_round4
+
+    terms = ["spark", "hash", "window"]
+    k1, b = 1.2, 0.75
+    toks = X.tokens("text")
+
+    def term_freq(term: str):
+        # NB: F.filter treats a 2-arg lambda as (element, index) — the
+        # term must be captured by closure, not by a default argument.
+        return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("bigint")
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(toks).alias("dl_i"),
+            *[term_freq(tm).alias(f"tf{i + 1}") for i, tm in enumerate(terms)],
+        )
+        .filter(F.col("dl_i") > 0)
+        .withColumn("dl", F.col("dl_i").cast("bigint"))
+        .drop("dl_i")
+    )
+    g = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i + 1}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df{i + 1}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = d.crossJoin(F.broadcast(g))
+    norm = F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    score = None
+    for i in range(len(terms)):
+        tf, df = F.col(f"tf{i + 1}"), F.col(f"df{i + 1}")
+        idf = F.log(F.lit(1.0) + (F.col("n_docs") - df + 0.5) / (df + 0.5))
+        term_score = idf * (tf * F.lit(k1 + 1)) / (tf + norm)
+        score = term_score if score is None else score + term_score
+    return (
+        scored.select(
+            "doc_id",
+            F.col("dl").alias("n_tokens"),
+            grid_round4(score).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "group_aware_split",
+    """
+    SELECT CASE WHEN (c_custkey * 2654435761) % 4294967296 < 3435973836
+                THEN 'train' ELSE 'test' END AS split,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(count(*) AS BIGINT)                    AS n_orders,
+           round(sum(o_totalprice), 2)                 AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    "Leakage-free train/test split for ML: the split is a "
+    "deterministic hash of the GROUP key (customer), so every order "
+    "of a customer lands in the same split — the group-aware split "
+    "that prevents entity leakage between train and eval. Pure int64 "
+    "arithmetic (Knuth multiplicative hash mod 2^32 < floor(0.8*2^32))"
+    " — no RNG, identical membership on every engine/retry; the "
+    "customer side broadcasts and the split predicate is map-side, so "
+    "the only shuffle is the summary aggregation.",
+    tags=("sampling", "ml"),
+)
+def group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textprep import KNUTH, MOD32
+
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    threshold = int(0.8 * MOD32)  # 3435973836
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).withColumn(
+        "split",
+        F.when(
+            (F.col("c_custkey") * F.lit(KNUTH)) % F.lit(MOD32) < F.lit(threshold),
+            F.lit("train"),
+        ).otherwise(F.lit("test")),
+    )
+    return joined.groupBy("split").agg(
+        F.countDistinct("c_custkey").cast("bigint").alias("n_customers"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round-1 unchecked (registration slots 51-88), original order
     "ivf_ann_topk",

@@ -172,3 +172,75 @@ def test_prefix_jaccard_planted_recall_and_negative(spark):
     assert (r["id_a"], r["id_b"]) == (1, 2)
     # exact jaccard: 38 shingles each, 37 shared -> 37/39 = 0.948718 (6dp grid)
     assert r["jaccard"] == 0.948718
+
+
+def test_decontamination_planted_flag_and_negative(spark):
+    from loan_default_prediction_app_big_data_spark.operators.textprep import (
+        benchmark_decontamination,
+    )
+
+    bench = _docs(spark, [(100, "b", "alpha beta gamma delta epsilon zeta")])
+    cands = _docs(
+        spark,
+        [
+            # verbatim copy of the benchmark doc -> ratio 1.0, flagged
+            (1, "a", "alpha beta gamma delta epsilon zeta"),
+            # disjoint vocabulary -> ratio 0.0, not flagged
+            (2, "a", "one two three four five six seven"),
+            # shares a 2-token run but no 3-gram -> ratio 0.0
+            (3, "a", "alpha beta unrelated words here now"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in benchmark_decontamination(cands, bench, k=3, tau_pct=10).collect()
+    }
+    assert out[1]["contamination_ratio"] == 1.0 and out[1]["is_contaminated"] == 1
+    assert out[2]["n_contaminated"] == 0 and out[2]["is_contaminated"] == 0
+    assert out[3]["n_contaminated"] == 0  # 2-token overlap is below k=3
+    # every candidate with >=1 token is reported (zero-overlap included)
+    assert set(out) == {1, 2, 3}
+
+
+def test_decontamination_benchmark_side_broadcasts(spark, sf_dir):
+    plan = formatted_plan(spark, "benchmark_decontamination", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_ranks_term_rich_docs_first(spark, sf_dir):
+    from loan_default_prediction_app_big_data_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["bm25_topk"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert scores[0] > 0.0
+    # top doc must actually contain at least one query term
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    top_text = docs.filter(F.col("doc_id") == rows[0]["doc_id"]).first()["text"]
+    assert any(t in top_text.split(" ") for t in ("spark", "hash", "window"))
+
+
+def test_group_aware_split_no_customer_leakage(spark, sf_dir):
+    from loan_default_prediction_app_big_data_spark.operators.textprep import KNUTH, MOD32
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    split = orders.withColumn(
+        "split",
+        F.when(
+            (F.col("o_custkey") * F.lit(KNUTH)) % F.lit(MOD32) < F.lit(int(0.8 * MOD32)),
+            F.lit("train"),
+        ).otherwise(F.lit("test")),
+    )
+    leaked = (
+        split.groupBy("o_custkey")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert leaked == 0
+    frac = (
+        split.filter(F.col("split") == "train").count() / max(split.count(), 1)
+    )
+    assert 0.7 < frac < 0.9  # hash split tracks the 80% target
