@@ -79,10 +79,19 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     # (unix_timestamp/unix_micros) is timezone-stable even when the
     # caller's session was built without an explicit timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Naive parquet timestamps must scan as TIMESTAMP (LTZ) — NTZ is
+    # rejected by withWatermark/unix_micros, and a cast above the scan
+    # would block predicate pushdown on date filters.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", ns_long_to_timestamp("ts"))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            # Belt-and-suspenders for sessions created before the conf
+            # took effect (schema already cached): UTC session makes the
+            # cast value-preserving.
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

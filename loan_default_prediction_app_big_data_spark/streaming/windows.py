@@ -28,6 +28,9 @@ def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     file; ns timestamps converted exactly like the batch reader)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Event-time operators (withWatermark) require TIMESTAMP, not NTZ —
+    # scan naive parquet timestamps as session-tz TIMESTAMP.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = os.path.join(sf_dir, "events.parquet")
     static_schema = spark.read.parquet(path).schema
     # FileStreamSource needs a directory or glob, not a bare file path.
@@ -38,6 +41,8 @@ def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..sources.readers import ns_long_to_timestamp
 
         stream = stream.withColumn("ts", ns_long_to_timestamp("ts"))
+    elif isinstance(static_schema["ts"].dataType, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
