@@ -4747,6 +4747,188 @@ def group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One SQL text, two engines: both Spark 4 and DuckDB run ANSI
+# WITH RECURSIVE, so the query body IS its own oracle.
+_RECURSIVE_TREE_SQL = """
+    WITH RECURSIVE tree AS (
+        SELECT s_suppkey AS node, 0 AS depth FROM supplier WHERE s_suppkey = 0
+        UNION ALL
+        SELECT s.s_suppkey AS node, tree.depth + 1 AS depth
+        FROM supplier s
+        JOIN tree ON CAST(FLOOR(s.s_suppkey / 2.0) AS BIGINT) = tree.node
+        WHERE s.s_suppkey > 0
+    )
+    SELECT CAST(depth AS INT)          AS depth,
+           CAST(count(*) AS BIGINT)    AS n_nodes,
+           CAST(min(node) AS BIGINT)   AS min_key,
+           CAST(max(node) AS BIGINT)   AS max_key
+    FROM tree GROUP BY depth
+"""
+
+
+@register(
+    "recursive_cte_hierarchy",
+    _RECURSIVE_TREE_SQL,
+    "Recursive CTE (ANSI WITH RECURSIVE, Spark 4): per-level rollup of "
+    "an implicit binary hierarchy parent(k)=floor(k/2) over supplier "
+    "keys — the transitive-closure / org-chart walk shape. Spark "
+    "executes each recursion step as a join against the previous "
+    "frontier, so total work is O(edges x depth) with depth bounded by "
+    "log2(n) here; at 100 TB the frontier join shuffles on the parent "
+    "key and each level is a separate AQE-planned stage. The SAME SQL "
+    "text is the DuckDB oracle.",
+    tags=("sql", "iterative"),
+)
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "supplier")
+    return spark.sql(_RECURSIVE_TREE_SQL)
+
+
+@register(
+    "histogram_width_bucket",
+    """
+    SELECT CAST(FLOOR(o_totalprice * 20.0 / 600000.0) AS BIGINT) + 1 AS bucket,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY 1
+    """,
+    "Equi-width histogram via width_bucket(v, 0, 600000, 20): the "
+    "one-pass binning primitive behind distribution profiling and "
+    "outlier gates. Map-side bucket computation + a 20-group partial "
+    "aggregate — the same shape at any scale. DuckDB lacks "
+    "width_bucket, so the oracle computes the identical IEEE "
+    "floor(v*n/(hi-lo))+1 arithmetic (no fixture value sits on an "
+    "exact 30000.00 bucket edge at the driver's sf0.01).",
+    tags=("agg", "scalar"),
+)
+def histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.expr("width_bucket(o_totalprice, 0.0d, 600000.0d, 20)").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "vocab_prune_topk",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(l)                     AS token,
+               unnest(range(1, len(l) + 1)) AS pos
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS l
+              FROM documents)
+    ),
+    top AS (
+        SELECT token FROM (
+            SELECT token, count(DISTINCT doc_id) AS df
+            FROM tok GROUP BY token
+        ) ORDER BY df DESC, token LIMIT 20
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)             AS n_kept,
+           string_agg(token, ' ' ORDER BY pos)  AS pruned_text
+    FROM tok ANTI JOIN top USING (token)
+    GROUP BY doc_id
+    """,
+    "Corpus-wide vocabulary pruning (training-data prep): find the 20 "
+    "highest-document-frequency tokens, then strip them from every "
+    "document, preserving original token order. Two shuffles total — "
+    "token DF aggregation, then doc reassembly — and the stoplist "
+    "itself is 20 rows, BROADCAST to make the strip map-side. "
+    "Deterministic top-k tiebreak (df DESC, token ASC) so both "
+    "engines pick the identical stoplist. At 100 TB the DF table is "
+    "vocabulary-sized (millions of rows, not corpus-sized) and the "
+    "reassembly groupBy carries only surviving (pos, token) pairs.",
+    tags=("text", "textprep"),
+)
+def vocab_prune_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.expr("filter(split(text, ' '), x -> x != '')")).alias(
+            "pos", "token"
+        ),
+    # posexplode is 0-based; the oracle's generate_series is 1-based —
+    # order (not the index value) is all that must agree, and pos is
+    # not emitted.
+    )
+    top = (
+        tok.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(20)
+        .select("token")
+    )
+    pruned = tok.join(F.broadcast(top), "token", "left_anti")
+    return pruned.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list(struct(pos, token))),"
+            " s -> s.token))"
+        ).alias("pruned_text"),
+    )
+
+
+@register(
+    "ewma_daily_value",
+    """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    arrs AS (
+        SELECT event_type, list(v ORDER BY day) AS vals
+        FROM daily GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(len(vals) AS BIGINT) AS n_days,
+           CAST(FLOOR(list_reduce(vals,
+                    (acc, x) -> CAST(0.2 AS DOUBLE) * x
+                              + CAST(0.8 AS DOUBLE) * acc) * 10000.0 + 0.5)
+                / 10000.0 AS DOUBLE) AS ewma
+    FROM arrs
+    """,
+    "Exponentially-weighted moving average of daily event values per "
+    "type — the classic time-series smoothing feature. Daily partial "
+    "aggregate first (corpus -> #days x #types rows), THEN an ordered "
+    "fold per key via the aggregate() lambda — so the sequential "
+    "recursion runs over a metadata-scale array, never the raw "
+    "events. Both engines fold left-to-right from the first day's "
+    "value with identical IEEE ops (DuckDB list_reduce seeds with "
+    "element 1; Spark aggregate(slice(...,2,...), element_at(...,1)) "
+    "mirrors it), and the result lands on the 1e-4 grid via the "
+    "floor(x*1e4+0.5) trick.",
+    tags=("events", "window", "ml"),
+)
+def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.avg("value").alias("v"))
+    arrs = daily.groupBy("event_type").agg(
+        F.expr("transform(array_sort(collect_list(struct(day, v))), s -> s.v)").alias(
+            "vals"
+        )
+    )
+    return arrs.select(
+        "event_type",
+        F.size("vals").cast("bigint").alias("n_days"),
+        F.expr(
+            "cast(floor(aggregate(slice(vals, 2, size(vals) - 1),"
+            " element_at(vals, 1),"
+            " (acc, x) -> 0.2d * x + 0.8d * acc) * 10000.0 + 0.5)"
+            " / 10000.0 as double)"
+        ).alias("ewma"),
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the
@@ -4803,8 +4985,9 @@ _DRIVER_PRIORITY: list[str] = [
     "q5_region_revenue",
     "multimodal_features",
     "exact_dedup_docs",
-    "embedding_cosine_topk",
-    "ngram_jaccard_pairs",
-    "doc_chunking",
-    "embedding_neardup_pairs",
+    # round-3 new operators
+    "recursive_cte_hierarchy",
+    "histogram_width_bucket",
+    "vocab_prune_topk",
+    "ewma_daily_value",
 ]
