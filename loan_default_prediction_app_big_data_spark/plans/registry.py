@@ -4929,6 +4929,86 @@ def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "map_lambda_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           concat('DISC100=', CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT),
+                  ',QTY=', CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS upper_keys,
+           CASE WHEN l_quantity > 25
+                THEN concat('qty=', CAST(FLOOR(2 * l_quantity + 0.5) AS BIGINT))
+                ELSE '' END AS filtered_doubled,
+           concat('disc100=',
+                  CAST(FLOOR(l_discount * 100 + l_tax * 100 + 0.5) AS BIGINT),
+                  ',qty=',
+                  CAST(FLOOR(l_quantity + l_linenumber + 0.5) AS BIGINT)) AS zipped
+    FROM lineitem WHERE l_orderkey % 97 = 0
+    """,
+    "Map higher-order functions: transform_keys / transform_values / "
+    "map_filter / map_zip_with over per-row map<string,double> built "
+    "from lineitem measures, serialized deterministically "
+    "(array_sort(map_entries(...)) -> 'k=v' CSV) so the hash compare "
+    "is order-stable. All lambdas run inside codegen — zero Python. "
+    "The DuckDB oracle computes the identical strings with the key "
+    "set unrolled (keys are compile-time constants).",
+    tags=("scalar", "lambda"),
+)
+def map_lambda_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 97 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "concat_ws(',', transform(array_sort(map_entries("
+            " transform_keys(map('qty', l_quantity, 'disc100', l_discount * 100),"
+            "                (k, v) -> upper(k)))),"
+            " e -> concat(e.key, '=', cast(floor(e.value + 0.5d) as bigint))))"
+        ).alias("upper_keys"),
+        F.expr(
+            "concat_ws(',', transform(array_sort(map_entries("
+            " map_filter(transform_values("
+            "   map('qty', l_quantity, 'disc100', l_discount * 100),"
+            "   (k, v) -> v * 2),"
+            "  (k, v) -> v > 50))),"
+            " e -> concat(e.key, '=', cast(floor(e.value + 0.5d) as bigint))))"
+        ).alias("filtered_doubled"),
+        F.expr(
+            "concat_ws(',', transform(array_sort(map_entries("
+            " map_zip_with(map('qty', l_quantity, 'disc100', l_discount * 100),"
+            "              map('qty', cast(l_linenumber as double),"
+            "                  'disc100', l_tax * 100),"
+            "              (k, v1, v2) -> v1 + v2))),"
+            " e -> concat(e.key, '=', cast(floor(e.value + 0.5d) as bigint))))"
+        ).alias("zipped"),
+    )
+
+
+@register(
+    "listagg_group_concat",
+    """
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+               AS priorities,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "ANSI LISTAGG (Spark 4) WITHIN GROUP ordered string aggregation — "
+    "the export/report concatenation primitive. DISTINCT bounds the "
+    "result at group-count x |priority| regardless of input size, so "
+    "the agg stays partial-aggregatable and the output metadata-scale.",
+    tags=("agg", "sql"),
+)
+def listagg_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr(
+            "listagg(DISTINCT o_orderpriority, ',')"
+            " WITHIN GROUP (ORDER BY o_orderpriority)"
+        ).alias("priorities"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the
@@ -4983,9 +5063,9 @@ _DRIVER_PRIORITY: list[str] = [
     "json_source_roundtrip",
     "orc_source_roundtrip",
     "q5_region_revenue",
-    "multimodal_features",
-    "exact_dedup_docs",
     # round-3 new operators
+    "map_lambda_functions",
+    "listagg_group_concat",
     "recursive_cte_hierarchy",
     "histogram_width_bucket",
     "vocab_prune_topk",
