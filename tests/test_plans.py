@@ -195,3 +195,49 @@ def test_pandas_scalar_udf_is_arrow(spark, sf_dir):
     plan = formatted_plan(spark, "pandas_scalar_udf_score", sf_dir)
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """100 TB posture: when a selective dimension side is too big to
+    broadcast, Spark must inject a runtime Bloom filter on the fact
+    side's join key (partial_bloom_filter_agg on the build side,
+    might_contain above the probe scan) so the big shuffle only moves
+    rows that can survive the join. Fixture sizes sit below the
+    production thresholds, so the test pins them low — the assertion
+    is that the OPTIMIZER wires the filter, which is size-independent."""
+    from pyspark.sql import functions as F
+
+    from loan_default_prediction_app_big_data_spark.sources.readers import read_parquet_table
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        li = read_parquet_table(spark, sf_dir, "lineitem")
+        o = read_parquet_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 450000
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
