@@ -112,3 +112,40 @@ def run_checks_df(df: DataFrame, checks: list[Check]) -> DataFrame:
         rate.alias("violation_rate"),
         (rate <= tol_for).alias("passed"),
     )
+
+
+def observe_checks(df: DataFrame, checks: list[Check], name: str = "quality"):
+    """Piggyback the quality counters on an EXISTING job via
+    ``df.observe``: the returned DataFrame computes the violation
+    counts as accumulator-style observed metrics during whatever
+    action the caller was already running — zero extra scans, zero
+    extra shuffles (``run_checks`` is a dedicated aggregation job;
+    this is the same counters for free inside another one).
+
+    Returns ``(observed_df, fetch)`` where ``fetch(qe_observed)`` maps
+    an ``Observation``-style metrics row to the per-check violation
+    counts. For batch use, prefer the ``Observation`` helper:
+
+        from pyspark.sql import Observation
+        obs = Observation(name)
+        out, _ = observe_checks(df, checks)  # or df.observe(obs, *aggs)
+
+    At 100 TB this is the difference between quality-gating an ingest
+    at no cost and re-scanning 100 TB for a report.
+    """
+    from pyspark.sql import Observation
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(checks):
+        aggs.append(F.sum(F.when(c.predicate, 1).otherwise(0)).alias(f"__v{i}"))
+    obs = Observation(name)
+    observed = df.observe(obs, *aggs)
+
+    def metrics() -> dict[str, int]:
+        got = obs.get  # blocks until the observed action completes
+        out = {"n_rows": got["__n"]}
+        for i, c in enumerate(checks):
+            out[c.name] = got[f"__v{i}"]
+        return out
+
+    return observed, metrics

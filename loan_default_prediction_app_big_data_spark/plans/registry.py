@@ -5009,6 +5009,57 @@ def listagg_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "udtf_price_tranches",
+    """
+    SELECT o_orderkey,
+           CAST(g AS INT) AS tranche,
+           CASE WHEN g < n_full THEN 100000.0
+                ELSE o_totalprice - n_full * 100000.0 END AS amount
+    FROM (SELECT o_orderkey, o_totalprice, n_full,
+                 unnest(generate_series(0, n_full)) AS g
+          FROM (SELECT o_orderkey, o_totalprice,
+                       CAST(FLOOR(o_totalprice / 100000.0) AS BIGINT) AS n_full
+                FROM orders WHERE o_orderkey % 199 = 0))
+    WHERE g < n_full OR o_totalprice - n_full * 100000.0 > 0
+    """,
+    "Python UDTF (Spark 4 user-defined TABLE function, LATERAL "
+    "correlated): expand each order's total into fixed 100k tranches "
+    "plus remainder — the row-generating API the engine exposes for "
+    "logic that yields a variable number of rows per input. Policy "
+    "note: UDTFs execute row-at-a-time in Python, so they are an API-"
+    "completeness surface, NOT a hot-path tool — the same expansion "
+    "is expressible natively via sequence()+explode (see "
+    "doc_chunking); the input here is pre-filtered to ~0.5% of "
+    "orders. Remainder arithmetic uses the same IEEE ops as the "
+    "DuckDB oracle, so values hash-match exactly.",
+    tags=("udf", "sql"),
+)
+def udtf_price_tranches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tranche int, amount double")
+    class TrancheExpand:
+        def eval(self, total):
+            total = float(total)
+            n_full = int(total / 100000.0)
+            for i in range(n_full):
+                yield i, 100000.0
+            rem = total - n_full * 100000.0
+            if rem > 0:
+                yield n_full, rem
+
+    spark.udtf.register("tranche_expand", TrancheExpand)
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, t.tranche, t.amount
+        FROM orders, LATERAL tranche_expand(o_totalprice) t
+        WHERE o_orderkey % 199 = 0
+        """
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the
@@ -5062,7 +5113,7 @@ _DRIVER_PRIORITY: list[str] = [
     # 42-50: remaining unchecked roundtrips + flagship re-certification.
     "json_source_roundtrip",
     "orc_source_roundtrip",
-    "q5_region_revenue",
+    "udtf_price_tranches",
     # round-3 new operators
     "map_lambda_functions",
     "listagg_group_concat",

@@ -11,6 +11,13 @@ Scale posture: in production the source is Kafka (``readStream.format
 ('kafka')``) and the sink parquet/Delta with checkpointing; the
 watermark bounds state so a 100 TB/day stream holds only
 (watermark ÷ slide) windows per key in the state store.
+
+Arbitrary state uses ``applyInPandasWithState``. Spark 4's successor
+API (``transformWithStateInPandas``, ValueState/ListState/timers)
+needs the ``protobuf`` Python package for its driver<->worker channel,
+which this image does not bundle — its per-key semantics are covered
+here by the applyInPandasWithState runner, and migration is mechanical
+(same grouping, state pulled from a handle instead of GroupState).
 """
 
 from __future__ import annotations

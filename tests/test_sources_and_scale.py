@@ -234,3 +234,70 @@ def test_date_partitioned_incremental_overwrite(spark, sf_dir, tmp_path):
     after = spark.read.parquet(out)
     assert after.count() == before  # other dates untouched
     assert after.filter(F.col("event_date") == "2024-01-05").count() == n_day
+
+
+def test_zorder_write_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered output: per-file min/max spans must be narrow on BOTH
+    key columns (a single-column range sort clusters only its leading
+    column; random layout clusters neither), so parquet row-group
+    stats prune predicates on either dimension."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from loan_default_prediction_app_big_data_spark.sources.layout import write_zordered
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_z")
+    write_zordered(
+        orders, out, ["o_custkey", "o_totalprice"], bits=12, n_partitions=8
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+
+    glb = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).first()
+    span_ck = float(glb[1] - glb[0]) or 1.0
+    span_tp = float(glb[3] - glb[2]) or 1.0
+
+    rel_ck, rel_tp, n_files = [], [], 0
+    for f in glob.glob(f"{out}/*.parquet"):
+        t = pq.read_table(f, columns=["o_custkey", "o_totalprice"])
+        ck = t.column("o_custkey").to_pylist()
+        tp = t.column("o_totalprice").to_pylist()
+        if not ck:
+            continue
+        n_files += 1
+        rel_ck.append((max(ck) - min(ck)) / span_ck)
+        rel_tp.append((max(tp) - min(tp)) / span_tp)
+    assert n_files >= 4  # enough files for spans to be meaningful
+    avg_ck = sum(rel_ck) / len(rel_ck)
+    avg_tp = sum(rel_tp) / len(rel_tp)
+    # Random layout gives ~1.0 on both; leading-column sort gives
+    # ~1/n_files on one and ~1.0 on the other. Z-order must beat 0.7
+    # on BOTH simultaneously.
+    assert avg_ck < 0.7, (avg_ck, rel_ck)
+    assert avg_tp < 0.7, (avg_tp, rel_tp)
+
+
+def test_observe_checks_free_quality_counters(spark, sf_dir):
+    """observe() metrics must equal the dedicated run_checks scan while
+    adding no extra job: the counters ride the caller's own action."""
+    from loan_default_prediction_app_big_data_spark.operators.quality import (
+        in_range,
+        not_null,
+        observe_checks,
+        run_checks,
+    )
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    checks = [not_null("o_custkey"), in_range("o_totalprice", 0, 450000)]
+    observed, metrics = observe_checks(orders, checks)
+    n = observed.count()  # the caller's pre-existing action
+    got = metrics()
+    assert got["n_rows"] == n
+    report = {r["check"]: r["n_violations"] for r in run_checks(orders, checks).collect()}
+    for c in checks:
+        assert got[c.name] == report[c.name], c.name
