@@ -5170,6 +5170,114 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "winsorize_robust_scale",
+    """
+    WITH b AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.01) AS p01,
+               quantile_cont(l_extendedprice, 0.99) AS p99
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(FLOOR(least(greatest(l.l_extendedprice, b.p01), b.p99)
+                      * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS price_winsorized,
+           CAST(l.l_extendedprice < b.p01 OR l.l_extendedprice > b.p99
+                AS INT) AS clipped
+    FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+    """,
+    "Winsorization (robust feature scaling): clamp each value into its "
+    "group's [p01, p99] — the outlier-taming transform applied before "
+    "training on heavy-tailed features. Exact interpolated percentiles "
+    "here for oracle parity; at 100 TB swap percentile() for "
+    "approx_percentile (single-pass sketch, no per-group sort) — the "
+    "clamp join is a broadcast of one tiny bounds row per group either "
+    "way. Grid-stable 4dp flooring because the clamp boundaries are "
+    "interpolated doubles that sit on no decimal grid.",
+    tags=("agg", "ml", "stats"),
+)
+def winsorize_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("p01"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    )
+    j = li.join(F.broadcast(b), "l_returnflag")
+    clamped = F.least(F.greatest(F.col("l_extendedprice"), F.col("p01")), F.col("p99"))
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(clamped * 10000.0 + 0.5) / 10000.0)
+        .cast("double")
+        .alias("price_winsorized"),
+        (
+            (F.col("l_extendedprice") < F.col("p01"))
+            | (F.col("l_extendedprice") > F.col("p99"))
+        )
+        .cast("int")
+        .alias("clipped"),
+    )
+
+
+@register(
+    "attribution_touchpoints",
+    """
+    WITH e AS (
+        SELECT user_id, event_type, ts,
+               CAST(epoch_us(ts) AS BIGINT) // 1000000 AS t_s
+        FROM events
+    ),
+    w AS (
+        SELECT user_id, event_type, t_s,
+               min(CASE WHEN event_type = 'view' THEN t_s END) OVER (
+                   PARTITION BY user_id ORDER BY t_s
+                   RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
+               ) AS first_touch_s,
+               max(CASE WHEN event_type = 'view' THEN t_s END) OVER (
+                   PARTITION BY user_id ORDER BY t_s
+                   RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
+               ) AS last_touch_s
+        FROM e
+    )
+    SELECT user_id, t_s AS purchase_s, first_touch_s, last_touch_s
+    FROM w WHERE event_type = 'purchase'
+    """,
+    "First-touch / last-touch attribution: for every purchase, the "
+    "earliest and latest preceding 'view' of the SAME user inside a "
+    "24-hour RANGE window frame — conditional aggregates over an "
+    "event-time range frame, one shuffle on user_id. The range-frame "
+    "form never materializes candidate pairs (the interval-join "
+    "formulation of the same question does — see range_join_events), "
+    "so per-user cost is O(events in frame), the shape that survives "
+    "100 TB of events. Epoch seconds via integer division for "
+    "engine-identical bucketing.",
+    tags=("events", "window"),
+)
+def attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("t_s"),
+    )
+    frame = (
+        W.partitionBy("user_id").orderBy("t_s").rangeBetween(-86400, 0)
+    )
+    view_t = F.when(F.col("event_type") == "view", F.col("t_s"))
+    w = ev.select(
+        "user_id",
+        "event_type",
+        "t_s",
+        F.min(view_t).over(frame).alias("first_touch_s"),
+        F.max(view_t).over(frame).alias("last_touch_s"),
+    )
+    return w.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("t_s").alias("purchase_s"),
+        "first_touch_s",
+        "last_touch_s",
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the
