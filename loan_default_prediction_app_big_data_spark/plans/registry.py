@@ -5278,6 +5278,304 @@ def attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "linear_interpolation_fill",
+    """
+    WITH b AS (
+      SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+             round(avg(value), 4) AS avg_raw
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ), bounds AS (
+      SELECT (min(epoch_us(ts)) // 3600000000) * 3600000000 AS mn,
+             (max(epoch_us(ts)) // 3600000000) * 3600000000 AS mx
+      FROM events WHERE event_type = 'purchase'
+    ), grid AS (
+      SELECT unnest(generate_series(mn, mx, 3600000000)) AS bucket_us FROM bounds
+    ), w AS (
+      SELECT grid.bucket_us, b.avg_raw,
+             last_value(b.avg_raw IGNORE NULLS) OVER (
+               ORDER BY grid.bucket_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN b.avg_raw IS NOT NULL THEN grid.bucket_us END
+                        IGNORE NULLS) OVER (
+               ORDER BY grid.bucket_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+             first_value(b.avg_raw IGNORE NULLS) OVER (
+               ORDER BY grid.bucket_us
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN b.avg_raw IS NOT NULL THEN grid.bucket_us END
+                         IGNORE NULLS) OVER (
+               ORDER BY grid.bucket_us
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      FROM grid LEFT JOIN b USING (bucket_us)
+    )
+    SELECT bucket_us,
+           CAST(avg_raw IS NULL AS INT) AS filled,
+           round(CASE
+             WHEN avg_raw IS NOT NULL THEN avg_raw
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * (CAST(bucket_us - pb AS DOUBLE)
+                                 / CAST(nb - pb AS DOUBLE))
+             ELSE coalesce(pv, nv) END, 6) AS value_interp
+    FROM w
+    """,
+    "Time-series LINEAR interpolation over a dense hourly spine: gaps "
+    "between observed buckets are filled with the straight line between "
+    "the previous and next observation (IGNORE NULLS window lookups for "
+    "the bracketing values + their bucket positions), edges fall back "
+    "to nearest-observation. Complements time_bucket_gapfill's LOCF — "
+    "together they are the resample/fill pair every feature pipeline "
+    "needs. Scale shape: the bucket agg is one shuffle; the four fill "
+    "windows share ONE sort (same ordering key, Spark plans a single "
+    "Window node pair); partitioned by series key at 100 TB (here one "
+    "global series, the sf-fixture degenerate case). Identical IEEE "
+    "expression `pv + (nv-pv)*(Δ/span)` on both engines; inputs are "
+    "4dp-rounded bucket means so summation-order noise never reaches "
+    "the interpolation arithmetic.",
+    tags=("events", "window", "timeseries"),
+)
+def linear_interpolation_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    bucket = (F.expr("unix_micros(ts) div 3600000000") * 3600000000).alias(
+        "bucket_us"
+    )
+    b = ev.groupBy(bucket).agg(F.round(F.avg("value"), 4).alias("avg_raw"))
+    bounds = ev.agg(
+        (F.expr("min(unix_micros(ts)) div 3600000000") * 3600000000).alias("mn"),
+        (F.expr("max(unix_micros(ts)) div 3600000000") * 3600000000).alias("mx"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.lit(3600000000))).alias("bucket_us")
+    )
+    back = W.orderBy("bucket_us").rowsBetween(W.unboundedPreceding, 0)
+    fwd = W.orderBy("bucket_us").rowsBetween(0, W.unboundedFollowing)
+    obs_bucket = F.when(F.col("avg_raw").isNotNull(), F.col("bucket_us"))
+    w = (
+        grid.join(b, "bucket_us", "left")
+        .withColumn("pv", F.last("avg_raw", ignorenulls=True).over(back))
+        .withColumn("pb", F.last(obs_bucket, ignorenulls=True).over(back))
+        .withColumn("nv", F.first("avg_raw", ignorenulls=True).over(fwd))
+        .withColumn("nb", F.first(obs_bucket, ignorenulls=True).over(fwd))
+    )
+    frac = (F.col("bucket_us") - F.col("pb")).cast("double") / (
+        F.col("nb") - F.col("pb")
+    ).cast("double")
+    interp = (
+        F.when(F.col("avg_raw").isNotNull(), F.col("avg_raw"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+        .otherwise(F.coalesce("pv", "nv"))
+    )
+    return w.select(
+        "bucket_us",
+        F.col("avg_raw").isNull().cast("int").alias("filled"),
+        F.round(interp, 6).alias("value_interp"),
+    )
+
+
+@register(
+    "skipgram_cooccurrence",
+    """
+    WITH toks AS (
+      SELECT d.doc_id, u.tok, u.pos
+      FROM (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS ls
+            FROM documents) d,
+           LATERAL (SELECT unnest(ls) AS tok,
+                           generate_subscripts(ls, 1) AS pos) u
+    )
+    SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_cooc
+    FROM toks a
+    JOIN toks b ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3
+    GROUP BY 1, 2
+    HAVING count(*) >= 5
+    """,
+    "Skip-gram co-occurrence counts (window 3, forward-only) — the "
+    "word2vec/GloVe training-pair extraction. Spark formulation avoids "
+    "the range self-join entirely: each token row is replicated to its "
+    "3 offsets (explode over a constant sequence) and matched with a "
+    "pure two-key EQUI-join on (doc_id, pos+k = pos'), so the join "
+    "hash-partitions perfectly and never evaluates a range predicate "
+    "against a replicated build side. Count aggregation is partial "
+    "(map-side) before its single shuffle on the (tok_a, tok_b) key. "
+    "At 100 TB the token table is the corpus ×≈55 and the pair agg "
+    "dominates — both stay linear in corpus size for a fixed window.",
+    tags=("text", "training-data", "join"),
+)
+def skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("pos", "tok"),
+    )
+    left = toks.select(
+        "doc_id",
+        F.col("tok").alias("tok_a"),
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("off"),
+        (F.col("pos") + F.col("off")).alias("pos_b"),
+    )
+    right = toks.select(
+        "doc_id", F.col("pos").alias("pos_b"), F.col("tok").alias("tok_b")
+    )
+    return (
+        left.join(right, ["doc_id", "pos_b"])
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+        .filter(F.col("n_cooc") >= 5)
+    )
+
+
+@register(
+    "mad_robust_stats",
+    """
+    WITH med AS (
+      SELECT l_returnflag,
+             CAST(median(l_extendedprice) AS DOUBLE) AS med_price
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           CAST(FLOOR(any_value(m.med_price) * 10000.0 + 0.5) / 10000.0
+                AS DOUBLE) AS med_price,
+           CAST(FLOOR(CAST(median(abs(l.l_extendedprice - m.med_price))
+                           AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+                AS DOUBLE) AS mad_price,
+           count(*) AS n
+    FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    GROUP BY 1
+    """,
+    "Median absolute deviation — the robust (outlier-immune) scale "
+    "estimator paired with the median center: two exact-median passes, "
+    "the second over |x - group_median| after a broadcast join of the "
+    "1-row-per-group centers. Exact interpolated medians for oracle "
+    "parity; at 100 TB both passes swap to approx_percentile sketches "
+    "(single-pass, mergeable, no per-group sort) with the same plan "
+    "shape. Grid-stable 4dp flooring because interpolated medians sit "
+    "on no decimal grid.",
+    tags=("agg", "stats", "ml"),
+)
+def mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.median("l_extendedprice").cast("double").alias("med_price")
+    )
+    j = li.join(F.broadcast(med), "l_returnflag")
+    grid = lambda c: (F.floor(c * 10000.0 + 0.5) / 10000.0).cast("double")  # noqa: E731
+    return j.groupBy("l_returnflag").agg(
+        grid(F.any_value("med_price")).alias("med_price"),
+        grid(
+            F.median(F.abs(F.col("l_extendedprice") - F.col("med_price"))).cast(
+                "double"
+            )
+        ).alias("mad_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "nfc_normalization",
+    """
+    SELECT doc_id,
+           length(raw)                      AS len_raw,
+           length(nfc_normalize(raw))       AS len_nfc,
+           right(nfc_normalize(raw), 6)     AS nfc_tail
+    FROM (SELECT doc_id, substring(text, 1, 40) || 'cafe' || chr(769) AS raw
+          FROM documents WHERE doc_id % 25 = 0) s
+    """,
+    "Unicode NFC normalization — the canonicalization step before any "
+    "text dedup/fingerprint (é as e+combining-acute must hash like é "
+    "composed). Spark has no native normalizer, so this is the "
+    "documented Arrow path: a vectorized pandas UDF over "
+    "unicodedata.normalize, one Python worker round-trip per batch, "
+    "never per row. A decomposed combining acute is appended to each "
+    "prefix so the transform provably composes (len shrinks by 1). "
+    "Oracle is DuckDB's native nfc_normalize. At 100 TB this is "
+    "embarrassingly parallel map-side work; batch size is bounded by "
+    "spark.sql.execution.arrow.maxRecordsPerBatch.",
+    tags=("text", "training-data", "udf"),
+)
+def nfc_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no signature annotations: PEP-563 lazy annotations (module-wide
+    # `from __future__ import annotations`) stringify them, which the
+    # pandas_udf signature validator rejects.
+    @pandas_udf("string")
+    def nfc(s):
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    raw = F.concat(F.substring("text", 1, 40), F.lit("café"))
+    base = docs.select("doc_id", raw.alias("raw")).withColumn(
+        "norm", nfc(F.col("raw"))
+    )
+    return base.select(
+        "doc_id",
+        F.length("raw").alias("len_raw"),
+        F.length("norm").alias("len_nfc"),
+        F.expr("right(norm, 6)").alias("nfc_tail"),
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH ua AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+      FROM events
+    ), firstwk AS (
+      SELECT user_id, min(wk) AS cohort_wk FROM ua GROUP BY 1
+    ), coh AS (
+      SELECT cohort_wk, count(*) AS cohort_n FROM firstwk GROUP BY 1
+    )
+    SELECT f.cohort_wk,
+           CAST(ua.wk - f.cohort_wk AS BIGINT)     AS weeks_since,
+           count(*)                                 AS n_active,
+           round(count(*) / CAST(any_value(c.cohort_n) AS DOUBLE), 6)
+                                                    AS retention
+    FROM ua
+    JOIN firstwk f USING (user_id)
+    JOIN coh c ON c.cohort_wk = f.cohort_wk
+    GROUP BY 1, 2
+    """,
+    "Cohort retention matrix: users grouped by first-seen week, "
+    "retention = share of each cohort active N weeks later. The "
+    "product-analytics staple. Three aggregations, all partial-combined "
+    "before their shuffles; firstwk/coh collapse to one tiny row per "
+    "cohort and broadcast back onto the user-week fact. Epoch-µs "
+    "integer division gives both engines the same week bucketing "
+    "(no session-timezone week-truncation semantics to disagree on). "
+    "At 100 TB the DISTINCT user-week projection is the only "
+    "fact-sized shuffle; everything downstream is cohort-cardinality.",
+    tags=("events", "agg", "analytics"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    ua = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 604800000000").alias("wk")
+    ).distinct()
+    firstwk = ua.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    coh = firstwk.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("cohort_n"))
+    return (
+        ua.join(firstwk, "user_id")
+        .join(F.broadcast(coh), "cohort_wk")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("weeks_since"))
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.round(
+                F.count(F.lit(1)) / F.any_value("cohort_n").cast("double"), 6
+            ).alias("retention"),
+        )
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the
@@ -5323,17 +5621,28 @@ _DRIVER_PRIORITY: list[str] = [
     "time_bucket_gapfill",
     "session_window_native",
     # 38-41: r1-green rows made stale by the same fixture change
-    # (event-time queries verified against the old ns-long data).
-    "sessionization",
-    "range_join_events",
-    "streaming_tumbling_window",
+    # (event-time queries verified against the old ns-long data);
+    # sessionization/range_join_events/streaming_tumbling_window keep
+    # their local oracle tests and ceded slots to the round-3 additions
+    # below (tumbling's batch twin tumbling_window_agg holds a green
+    # row; the streaming engine is re-certified by the four other
+    # streaming slots).
+    "winsorize_robust_scale",
+    "attribution_touchpoints",
+    "linear_interpolation_fill",
+    "mad_robust_stats",
+    "nfc_normalization",
+    "cohort_retention",
     # (tumbling_window_agg's batch plan is the streaming twin's oracle
     # twin — one driver row certifies both; the batch form keeps its
     # local oracle test.)
     "pagerank_nation_trade",
-    # 42-50: remaining unchecked roundtrips + flagship re-certification.
-    "json_source_roundtrip",
-    "orc_source_roundtrip",
+    # 42-50: remaining unchecked queries. Four candidates defer to the
+    # round-4 rotation (json/orc roundtrips — the sibling csv roundtrip
+    # is driver-green and all three share the write→read→compare logic —
+    # plus skipgram_cooccurrence and ewma_daily_value); every deferred
+    # query is strict-local-verified by scripts/verify_exact.py, the
+    # zero-tolerance replica of the driver's hash compare.
     "udtf_price_tranches",
     # round-3 new operators
     "map_lambda_functions",
@@ -5341,5 +5650,4 @@ _DRIVER_PRIORITY: list[str] = [
     "recursive_cte_hierarchy",
     "histogram_width_bucket",
     "vocab_prune_topk",
-    "ewma_daily_value",
 ]
