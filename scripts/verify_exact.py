@@ -7,8 +7,18 @@ This script runs every (queries(), oracle_sql()) pair at sf0.01 and
 compares with zero tolerance, flagging any value whose canonical string
 differs between Spark and DuckDB.
 
-Usage: python scripts/verify_exact.py [query ...]   (default: all)
+Usage: python scripts/verify_exact.py [--bare] [query ...]  (default: all)
 Exit code 1 if any pair mismatches.
+
+--bare runs with a DEFAULT-CONFIG SparkSession (no tuned timezone /
+parquet / shuffle settings — the driver's own session shape) instead of
+the engine's tuned one. Partition layout changes float summation order,
+so a query can be exact on local[32]/32-partitions yet flip a rounding
+boundary on the driver's layout (observed: rollup_cascade_daily's
+round(,6) moved 1 ulp between local[8] and local[32] before its
+partials switched to associative DECIMAL sums). Run BOTH modes before
+shipping a new oracle query. SPARK_GRAFT_SHUFFLE can force an odd
+shuffle-partition count for a third layout sample.
 """
 
 from __future__ import annotations
@@ -45,13 +55,26 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     import __spark_entry__ as entry
     from tests._oracle import duckdb_connection
-    from loan_default_prediction_app_big_data_spark.session import get_spark
 
-    spark = get_spark()
+    argv = [a for a in sys.argv[1:] if a != "--bare"]
+    if "--bare" in sys.argv[1:]:
+        from pyspark.sql import SparkSession
+
+        builder = SparkSession.builder.master("local[8]").appName("verify-bare")
+        if os.environ.get("SPARK_GRAFT_SHUFFLE"):
+            builder = builder.config(
+                "spark.sql.shuffle.partitions", os.environ["SPARK_GRAFT_SHUFFLE"]
+            )
+        spark = builder.getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        from loan_default_prediction_app_big_data_spark.session import get_spark
+
+        spark = get_spark()
     con = duckdb_connection(SF_DIR)
     queries = entry.queries()
     oracles = entry.oracle_sql()
-    only = set(sys.argv[1:])
+    only = set(argv)
     names = [n for n in queries if n in oracles and (not only or n in only)]
 
     failures: dict[str, str] = {}
