@@ -5632,6 +5632,108 @@ def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "triangle_count_trade_graph",
+    """
+    WITH d AS (
+        SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey
+    ), e AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM d
+    ), tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), membership AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ), deg AS (
+        SELECT node, count(*) AS degree FROM (
+            SELECT a AS node, b FROM e UNION ALL SELECT b, a FROM e
+        ) GROUP BY 1
+    )
+    SELECT CAST(d.node AS BIGINT)  AS nationkey,
+           CAST(d.degree AS BIGINT) AS degree,
+           CAST(coalesce(m.n_tri, 0) AS BIGINT) AS n_triangles,
+           round(coalesce(m.n_tri, 0) * 2.0
+                 / (d.degree * (d.degree - 1)), 6) AS clustering_coeff
+    FROM deg d
+    LEFT JOIN (SELECT node, count(*) AS n_tri FROM membership GROUP BY 1) m
+           ON m.node = d.node
+    """,
+    "Distributed triangle counting + local clustering coefficient over "
+    "the undirected nation trade graph (nations that traded, from the "
+    "same heavy edge extraction as pagerank_nation_trade). The "
+    "canonical-orientation trick (each edge stored once as a<b, "
+    "triangles enumerated a<b<c) makes the join tree enumerate every "
+    "triangle EXACTLY once with two equi-joins and no post-hoc dedup — "
+    "the standard MapReduce triangle algorithm. At 100 TB graphs the "
+    "same plan holds with edges hash-partitioned on the join key; "
+    "orientation by degree (low-degree node first) bounds the skew of "
+    "the e1.b = e2.a shuffle, the known fix for power-law graphs. "
+    "Everything after the one-time fact-table edge extraction is "
+    "edge-cardinality work.",
+    tags=("iterative", "join", "graph"),
+)
+def triangle_count_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+
+    directed = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .distinct()
+    )
+    e = directed.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    # Edge table is <= |nations|^2 — pin it so the fact join runs once
+    # across the three self-join arms (same rationale as pagerank's
+    # transition table).
+    e = e.localCheckpoint(eager=True)
+
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = e1.join(e2, F.col("e2.a") == F.col("e1.b")).join(
+        e3,
+        (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+    )
+    membership = (
+        tri.select(F.col("e1.a").alias("node"))
+        .unionAll(tri.select(F.col("e1.b").alias("node")))
+        .unionAll(tri.select(F.col("e2.b").alias("node")))
+    )
+    n_tri = membership.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+    deg = (
+        e.select(F.col("a").alias("node"), "b")
+        .unionAll(e.select(F.col("b").alias("node"), F.col("a")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.join(n_tri, "node", "left").select(
+        F.col("node").cast("bigint").alias("nationkey"),
+        F.col("degree").cast("bigint").alias("degree"),
+        F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_triangles"),
+        F.round(
+            F.coalesce("n_tri", F.lit(0)) * 2.0
+            / (F.col("degree") * (F.col("degree") - 1)),
+            6,
+        ).alias("clustering_coeff"),
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the
