@@ -5734,6 +5734,116 @@ def triangle_count_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "inverted_index_postings",
+    """
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+        FROM documents
+    ), df AS (
+        SELECT term, count(*) AS doc_freq FROM toks GROUP BY 1
+    )
+    SELECT t.term,
+           CAST(d.doc_freq AS BIGINT) AS doc_freq,
+           array_to_string(list_sort(list(t.doc_id)), ',') AS postings
+    FROM toks t JOIN df d USING (term)
+    WHERE d.doc_freq BETWEEN 5 AND 40
+    GROUP BY t.term, d.doc_freq
+    """,
+    "Inverted-index construction: term -> sorted posting list of the "
+    "documents containing it (the IR primitive behind BM25/boolean "
+    "retrieval; bm25_topk scores over exactly this structure). "
+    "Posting lists serialize as comma-joined sorted strings so the "
+    "output is scalar and deterministic — collect_list order is "
+    "partition-dependent, sort_array pins it. Mid-frequency band "
+    "filter (5..40 docs) models the stoplist+hapax pruning a real "
+    "index applies. At 100 TB postings for stop-words would dwarf "
+    "executor memory — the doc_freq pre-filter drops them BEFORE "
+    "collect_list materializes anything (vocab_prune_topk is the "
+    "standalone form), and ultra-long survivors shard into "
+    "(term, bucket) segment postings.",
+    tags=("text", "training-data", "agg"),
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+            )
+        ).alias("term"),
+    )
+    df_counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    band = df_counts.filter(F.col("doc_freq").between(5, 40))
+    return (
+        toks.join(band, "term")
+        .groupBy("term", "doc_freq")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
+                "postings"
+            )
+        )
+        .select("term", F.col("doc_freq").cast("bigint").alias("doc_freq"), "postings")
+    )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ), c AS (
+        SELECT event_type, next_type, count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
+           round(n / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 6)
+               AS p_transition
+    FROM c
+    """,
+    "First-order Markov transition matrix over per-user event "
+    "sequences: P(next event type | current), from a lead() window on "
+    "(ts, event_id) — the tiebreaker makes same-timestamp ordering "
+    "deterministic on both engines. The behavioral-model complement "
+    "of funnel_analysis (which fixes the path; this learns the "
+    "transition structure). One shuffle on user_id for the sequence "
+    "window, then transition-cardinality work: the count aggregate is "
+    "partial-combined and the normalizing window runs over "
+    "|event_types|^2 rows.",
+    tags=("events", "window", "analytics"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    c = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return c.select(
+        "event_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.col("n")
+            / F.sum("n").over(W.partitionBy("event_type")).cast("double"),
+            6,
+        ).alias("p_transition"),
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the
