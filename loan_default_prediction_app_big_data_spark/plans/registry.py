@@ -5905,12 +5905,15 @@ _DRIVER_PRIORITY: list[str] = [
     # twin — one driver row certifies both; the batch form keeps its
     # local oracle test.)
     "pagerank_nation_trade",
-    # 42-50: remaining unchecked queries. Four candidates defer to the
-    # round-4 rotation (json/orc roundtrips — the sibling csv roundtrip
-    # is driver-green and all three share the write→read→compare logic —
-    # plus skipgram_cooccurrence and ewma_daily_value); every deferred
-    # query is strict-local-verified by scripts/verify_exact.py, the
-    # zero-tolerance replica of the driver's hash compare.
+    # 42-50: remaining unchecked queries. Round-4 rotation queue (no
+    # free slot this round): json/orc roundtrips (the sibling csv
+    # roundtrip is driver-green; all three share the
+    # write→read→compare logic), skipgram_cooccurrence,
+    # ewma_daily_value, rollup_cascade_daily, triangle_count_trade_graph,
+    # inverted_index_postings, event_transition_matrix. Every deferred
+    # query is strict-local-verified by scripts/verify_exact.py (the
+    # zero-tolerance replica of the driver's hash compare) in BOTH
+    # tuned and --bare session layouts.
     "udtf_price_tranches",
     # round-3 new operators
     "map_lambda_functions",
