@@ -1705,6 +1705,26 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_pq_ann_topk",
+    None,  # KMeans layout + PQ codes are engine-specific -> rows-only
+    "IVF-PQ approximate nearest neighbors (faiss IndexIVFPQ shape as "
+    "DataFrames): coarse KMeans lists pruned to 4 of 16 probes, "
+    "members scanned as 8-byte PQ codes (64x smaller than the raw "
+    "float64[64]) with the asymmetric-distance score computed as a "
+    "NATIVE aggregate/zip_with expression over a broadcast 128-double "
+    "lookup table, then the top-100 ADC candidates reranked with exact "
+    "cosine. Codebooks train on a bounded driver-side sample "
+    "(faiss-standard). Recall vs exact top-k asserted in tests.",
+    tags=("similarity",),
+)
+def ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return S.ivf_pq_topk(corpus, qvec, k=10, n_clusters=16, n_probe=4)
+
+
+@register(
     "streaming_stateful_counts",
     """
     SELECT user_id, count(*) AS n_events

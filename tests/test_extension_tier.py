@@ -358,3 +358,23 @@ def test_stream_stream_join_matches_batch_interval_join(spark, sf_dir):
     assert streamed.count() > 0
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_ivf_pq_recall_matches_plain_ivf(spark, emb):
+    """IVF-PQ's PQ layer must not LOSE candidates the coarse probe
+    found: with rerank covering the probed lists, its top-10 recall
+    equals plain IVF's (the ADC ordering only decides which candidates
+    reach the exact-cosine rerank)."""
+    corpus = emb.filter(F.col("vec_id") != 0)
+    query = emb.filter(F.col("vec_id") == 0)
+    exact = {r["vec_id"] for r in S.cosine_topk(corpus, query, k=10).collect()}
+    qvec = [float(x) for x in query.first()["embedding"]]
+    tagged, model = S.ivf_index(corpus, n_clusters=16)
+    ivf = {
+        r["vec_id"]
+        for r in S.ivf_topk(tagged, model, qvec, k=10, n_probe=4).collect()
+    }
+    pq = {r["vec_id"] for r in S.ivf_pq_topk(corpus, qvec, k=10).collect()}
+    assert len(pq) == 10
+    assert len(exact & pq) >= len(exact & ivf)  # PQ adds no recall loss
+    assert len(exact & pq) >= 5
