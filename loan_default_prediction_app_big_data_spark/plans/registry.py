@@ -5930,7 +5930,8 @@ _DRIVER_PRIORITY: list[str] = [
     # roundtrip is driver-green; all three share the
     # write→read→compare logic), skipgram_cooccurrence,
     # ewma_daily_value, rollup_cascade_daily, triangle_count_trade_graph,
-    # inverted_index_postings, event_transition_matrix. Every deferred
+    # inverted_index_postings, event_transition_matrix, ivf_pq_ann_topk
+    # (rows-only). Every deferred
     # query is strict-local-verified by scripts/verify_exact.py (the
     # zero-tolerance replica of the driver's hash compare) in BOTH
     # tuned and --bare session layouts.
