@@ -5864,6 +5864,69 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "column_profile",
+    """
+    WITH a AS (
+        SELECT count(*) AS n,
+               count(l_orderkey)      AS nn_ok,  count(DISTINCT l_orderkey)      AS nd_ok,
+               CAST(min(l_orderkey) AS VARCHAR) AS mn_ok, CAST(max(l_orderkey) AS VARCHAR) AS mx_ok,
+               count(l_quantity)      AS nn_q,   count(DISTINCT l_quantity)      AS nd_q,
+               CAST(min(l_quantity) AS VARCHAR) AS mn_q,  CAST(max(l_quantity) AS VARCHAR) AS mx_q,
+               count(l_discount)      AS nn_d,   count(DISTINCT l_discount)      AS nd_d,
+               CAST(min(l_discount) AS VARCHAR) AS mn_d,  CAST(max(l_discount) AS VARCHAR) AS mx_d,
+               count(l_returnflag)    AS nn_rf,  count(DISTINCT l_returnflag)    AS nd_rf,
+               min(l_returnflag)      AS mn_rf,  max(l_returnflag)               AS mx_rf
+        FROM lineitem
+    )
+    SELECT 'l_orderkey' AS col_name, CAST(n - nn_ok AS BIGINT) AS n_null,
+           CAST(nd_ok AS BIGINT) AS n_distinct, mn_ok AS min_val, mx_ok AS max_val FROM a
+    UNION ALL
+    SELECT 'l_quantity', CAST(n - nn_q AS BIGINT), CAST(nd_q AS BIGINT), mn_q, mx_q FROM a
+    UNION ALL
+    SELECT 'l_discount', CAST(n - nn_d AS BIGINT), CAST(nd_d AS BIGINT), mn_d, mx_d FROM a
+    UNION ALL
+    SELECT 'l_returnflag', CAST(n - nn_rf AS BIGINT), CAST(nd_rf AS BIGINT), mn_rf, mx_rf FROM a
+    """,
+    "One-pass column profiling (the DESCRIBE-at-scale primitive run "
+    "before any pipeline touches a new table): per-column null count, "
+    "exact distinct cardinality, min and max — ALL columns' metrics in "
+    "a single aggregation over the fact table, pivoted to one row per "
+    "column by exploding a struct array over the 1-row aggregate "
+    "(metadata-scale work). Multiple exact COUNT(DISTINCT)s share one "
+    "scan via Catalyst's Expand; at 100 TB swap them for "
+    "approx_count_distinct to drop the expand factor — same plan "
+    "otherwise. Numeric min/max serialize as canonical strings so one "
+    "uniform schema profiles heterogeneous column types.",
+    tags=("agg", "quality"),
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_quantity", "l_discount", "l_returnflag"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    one = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"null_{c}").cast("bigint").alias("n_null"),
+                F.col(f"nd_{c}").cast("bigint").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_val"),
+                F.col(f"mx_{c}").alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the
@@ -5931,7 +5994,7 @@ _DRIVER_PRIORITY: list[str] = [
     # write→read→compare logic), skipgram_cooccurrence,
     # ewma_daily_value, rollup_cascade_daily, triangle_count_trade_graph,
     # inverted_index_postings, event_transition_matrix, ivf_pq_ann_topk
-    # (rows-only). Every deferred
+    # (rows-only), column_profile. Every deferred
     # query is strict-local-verified by scripts/verify_exact.py (the
     # zero-tolerance replica of the driver's hash compare) in BOTH
     # tuned and --bare session layouts.
