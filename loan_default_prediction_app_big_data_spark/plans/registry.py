@@ -5927,6 +5927,50 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(F.explode(rows).alias("p")).select("p.*")
 
 
+@register(
+    "dedup_keep_latest",
+    """
+    SELECT user_id, event_type,
+           epoch_us(ts)  AS last_ts_us,
+           event_id      AS last_event_id,
+           round(value, 4) AS last_value
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    "Keep-latest compaction: the newest record per business key "
+    "((user, event_type) here), ties broken deterministically by "
+    "event_id — the CDC upsert-log -> current-state primitive (what a "
+    "MERGE against an append log reduces to, and the read-side of "
+    "merge_upsert's write-side). One shuffle on the key; row_number "
+    "with a rank-limit pushes a per-partition top-1 (Spark plans a "
+    "WindowGroupLimit) so each task keeps one row per key before any "
+    "data concentrates. At 100 TB this is strictly cheaper than "
+    "groupBy(max_by(...)) chains for wide rows: the payload never "
+    "enters an aggregation buffer.",
+    tags=("window", "events", "dedup"),
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("unix_micros(ts)").alias("last_ts_us"),
+            F.col("event_id").alias("last_event_id"),
+            F.round("value", 4).alias("last_value"),
+        )
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the
@@ -5994,7 +6038,7 @@ _DRIVER_PRIORITY: list[str] = [
     # write→read→compare logic), skipgram_cooccurrence,
     # ewma_daily_value, rollup_cascade_daily, triangle_count_trade_graph,
     # inverted_index_postings, event_transition_matrix, ivf_pq_ann_topk
-    # (rows-only), column_profile. Every deferred
+    # (rows-only), column_profile, dedup_keep_latest. Every deferred
     # query is strict-local-verified by scripts/verify_exact.py (the
     # zero-tolerance replica of the driver's hash compare) in BOTH
     # tuned and --bare session layouts.
