@@ -5971,6 +5971,71 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "contribution_analysis",
+    """
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(18,6))) AS revenue
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT region, nation,
+           CAST(revenue AS DOUBLE) AS revenue,
+           round(CAST(revenue AS DOUBLE)
+                 / CAST(sum(revenue) OVER (PARTITION BY region) AS DOUBLE),
+                 6) AS pct_of_region,
+           round(CAST(revenue AS DOUBLE)
+                 / CAST(sum(revenue) OVER () AS DOUBLE), 6) AS pct_of_total
+    FROM rev
+    """,
+    "Contribution analysis (share-of-group at two grains): per-nation "
+    "revenue with its share of region and share of grand total — the "
+    "BI drill-down staple. The fact-sized work is one star join + one "
+    "aggregation; both window normalizations run over the 25-row "
+    "aggregate, so the empty-frame global window is metadata-scale by "
+    "construction (the anti-pattern is windowing the FACT table). "
+    "Revenue sums DECIMAL(18,6) partials — associative, so the "
+    "round(,6) shares are bit-identical under any partition layout.",
+    tags=("agg", "window", "analytics"),
+)
+def contribution_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("rev_dec")
+        )
+    )
+    rev_d = F.col("rev_dec").cast("double")
+    by_region = F.sum("rev_dec").over(W.partitionBy("region")).cast("double")
+    total = F.sum("rev_dec").over(W.partitionBy()).cast("double")
+    return rev.select(
+        "region",
+        "nation",
+        rev_d.alias("revenue"),
+        F.round(rev_d / by_region, 6).alias("pct_of_region"),
+        F.round(rev_d / total, 6).alias("pct_of_total"),
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the
@@ -6038,7 +6103,8 @@ _DRIVER_PRIORITY: list[str] = [
     # write→read→compare logic), skipgram_cooccurrence,
     # ewma_daily_value, rollup_cascade_daily, triangle_count_trade_graph,
     # inverted_index_postings, event_transition_matrix, ivf_pq_ann_topk
-    # (rows-only), column_profile, dedup_keep_latest. Every deferred
+    # (rows-only), column_profile, dedup_keep_latest,
+    # contribution_analysis. Every deferred
     # query is strict-local-verified by scripts/verify_exact.py (the
     # zero-tolerance replica of the driver's hash compare) in BOTH
     # tuned and --bare session layouts.
