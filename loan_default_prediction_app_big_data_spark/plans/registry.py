@@ -6036,6 +6036,60 @@ def contribution_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ordered_list_agg_structs",
+    """
+    SELECT o_orderkey,
+           CAST(len(items) AS BIGINT) AS n_items,
+           items[1]                   AS top_item_linenumber,
+           array_to_string(items, ',') AS items_str
+    FROM (
+        SELECT l_orderkey AS o_orderkey,
+               list(l_linenumber ORDER BY l_quantity DESC, l_linenumber)
+                   AS items
+        FROM lineitem
+        WHERE l_orderkey % 211 = 0
+        GROUP BY 1
+    )
+    """,
+    "Ordered list aggregation over nested data: per order, the line "
+    "numbers collected INTO an array ordered by quantity (desc, "
+    "linenumber tiebreak) — the collect-sorted-detail primitive behind "
+    "order-book / clickstream-path features. collect_list order is "
+    "partition-dependent, so the engine sorts a (negated-quantity, "
+    "linenumber) struct array and projects the field out: "
+    "deterministic on any layout, all native array expressions. "
+    "DuckDB's ORDER BY-qualified list() is the oracle. At 100 TB the "
+    "per-key arrays are bounded by order width (7 items), not data "
+    "volume — the unbounded-key variant needs the posting-list "
+    "doc_freq guard (see inverted_index_postings).",
+    tags=("agg", "array", "sql"),
+)
+def ordered_list_agg_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 211 == 0)
+    sorted_structs = F.sort_array(
+        F.collect_list(
+            F.struct(
+                (-F.col("l_quantity")).alias("negq"),
+                F.col("l_linenumber").alias("ln"),
+            )
+        )
+    )
+    items = F.transform(sorted_structs, lambda s: s.getField("ln"))
+    return (
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(items.alias("items"))
+        .select(
+            "o_orderkey",
+            F.size("items").cast("bigint").alias("n_items"),
+            F.element_at("items", 1).alias("top_item_linenumber"),
+            F.array_join(F.col("items").cast("array<string>"), ",").alias(
+                "items_str"
+            ),
+        )
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the
@@ -6104,7 +6158,7 @@ _DRIVER_PRIORITY: list[str] = [
     # ewma_daily_value, rollup_cascade_daily, triangle_count_trade_graph,
     # inverted_index_postings, event_transition_matrix, ivf_pq_ann_topk
     # (rows-only), column_profile, dedup_keep_latest,
-    # contribution_analysis. Every deferred
+    # contribution_analysis, ordered_list_agg_structs. Every deferred
     # query is strict-local-verified by scripts/verify_exact.py (the
     # zero-tolerance replica of the driver's hash compare) in BOTH
     # tuned and --bare session layouts.
