@@ -6090,6 +6090,37 @@ def ordered_list_agg_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LATERAL_TOPK_SQL = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 3) t
+    WHERE c.c_custkey % 19 = 0
+"""
+
+
+@register(
+    "lateral_topk_join",
+    _LATERAL_TOPK_SQL,
+    "ANSI LATERAL correlated subquery join: each customer's top-3 "
+    "orders by price, expressed as a per-row dependent subquery with "
+    "ORDER BY/LIMIT — the SQL-standard form of top-N-per-entity "
+    "(window_topk_per_group is the window-function twin). The SAME SQL "
+    "text runs on both engines. Catalyst decorrelates the lateral into "
+    "a join + per-key WindowGroupLimit-style rank pruning rather than "
+    "executing the subquery per row — so the plan is one shuffle on "
+    "the correlation key, and at 100 TB it behaves exactly like the "
+    "window formulation (no nested-loop re-execution).",
+    tags=("join", "sql", "subquery"),
+)
+def lateral_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_LATERAL_TOPK_SQL)
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the
@@ -6158,7 +6189,8 @@ _DRIVER_PRIORITY: list[str] = [
     # ewma_daily_value, rollup_cascade_daily, triangle_count_trade_graph,
     # inverted_index_postings, event_transition_matrix, ivf_pq_ann_topk
     # (rows-only), column_profile, dedup_keep_latest,
-    # contribution_analysis, ordered_list_agg_structs. Every deferred
+    # contribution_analysis, ordered_list_agg_structs,
+    # lateral_topk_join. Every deferred
     # query is strict-local-verified by scripts/verify_exact.py (the
     # zero-tolerance replica of the driver's hash compare) in BOTH
     # tuned and --bare session layouts.
