@@ -6121,6 +6121,91 @@ def lateral_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_LATERAL_TOPK_SQL)
 
 
+@register(
+    "doc_quality_filter",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_ratio,
+               len(list_filter(toks, x -> list_contains(
+                   ['the','a','of','and','to','in','is','that','for','it'],
+                   lower(x)))) * 1.0 / len(toks) AS stopword_ratio
+        FROM d WHERE len(toks) > 0
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(distinct_ratio * 10000.0 + 0.5) / 10000.0 AS DOUBLE)
+               AS distinct_ratio,
+           CAST(floor(stopword_ratio * 10000.0 + 0.5) / 10000.0 AS DOUBLE)
+               AS stopword_ratio,
+           CAST(n_tokens >= 30 AND distinct_ratio >= 0.35
+                AND stopword_ratio >= 0.02 AS INT) AS keep,
+           concat_ws(',',
+               CASE WHEN n_tokens < 30           THEN 'too_short' END,
+               CASE WHEN distinct_ratio < 0.35   THEN 'repetitive' END,
+               CASE WHEN stopword_ratio < 0.02   THEN 'unnatural' END)
+               AS drop_reasons
+    FROM s
+    """,
+    "Composite training-data quality gate (Gopher/C4-style rule "
+    "filter): minimum length, lexical diversity (distinct-token "
+    "ratio), and natural-language signal (stopword ratio) evaluated "
+    "in ONE projection pass, emitting keep/drop plus machine-readable "
+    "reason codes — the auditable form every corpus-curation pipeline "
+    "needs (reasons feed the drop-rate dashboards that catch filter "
+    "drift). Thresholds split the fixture corpus non-trivially. All "
+    "per-row native expressions: at 100 TB this is embarrassingly "
+    "parallel map work with zero shuffles; the component stats have "
+    "standalone queries (text_stats, repetition_stats) and this gate "
+    "composes them without re-tokenizing per rule (one split, one "
+    "pass). Ratio outputs grid-floored at 4dp on both engines; the "
+    "keep/drop decisions compare raw doubles computed by identical "
+    "IEEE expressions, so no boundary drift.",
+    tags=("text", "training-data", "quality"),
+)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    stop = F.array(*[F.lit(w) for w in
+                     ["the", "a", "of", "and", "to", "in", "is", "that", "for", "it"]])
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    n = F.size("toks")
+    s = d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct("toks")) * F.lit(1.0) / n).alias("dr"),
+        (
+            F.size(F.filter("toks", lambda x: F.array_contains(stop, F.lower(x))))
+            * F.lit(1.0)
+            / n
+        ).alias("sr"),
+    )
+    grid = lambda c: (F.floor(c * 10000.0 + 0.5) / 10000.0).cast("double")  # noqa: E731
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        grid(F.col("dr")).alias("distinct_ratio"),
+        grid(F.col("sr")).alias("stopword_ratio"),
+        (
+            (F.col("n_tokens") >= 30)
+            & (F.col("dr") >= 0.35)
+            & (F.col("sr") >= 0.02)
+        )
+        .cast("int")
+        .alias("keep"),
+        F.concat_ws(
+            ",",
+            F.when(F.col("n_tokens") < 30, F.lit("too_short")),
+            F.when(F.col("dr") < 0.35, F.lit("repetitive")),
+            F.when(F.col("sr") < 0.02, F.lit("unnatural")),
+        ).alias("drop_reasons"),
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the
@@ -6190,7 +6275,7 @@ _DRIVER_PRIORITY: list[str] = [
     # inverted_index_postings, event_transition_matrix, ivf_pq_ann_topk
     # (rows-only), column_profile, dedup_keep_latest,
     # contribution_analysis, ordered_list_agg_structs,
-    # lateral_topk_join. Every deferred
+    # lateral_topk_join, doc_quality_filter. Every deferred
     # query is strict-local-verified by scripts/verify_exact.py (the
     # zero-tolerance replica of the driver's hash compare) in BOTH
     # tuned and --bare session layouts.
