@@ -168,3 +168,35 @@ def test_chunking_covers_every_token_in_order(spark, n_tokens, window):
     rebuilt = " ".join(r["chunk_text"] for r in rows)
     assert rebuilt == text
     assert sum(r["n_chunk_tokens"] for r in rows) == n_tokens
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=2,
+        max_size=60,
+    ),
+    parts=st.sampled_from([1, 2, 3, 7]),
+)
+@SETTINGS
+def test_decimal_partials_layout_invariant(spark, vals, parts):
+    """The engine's layout-stability rule (PERF.md): DOUBLE sums depend
+    on partition layout (float addition is not associative), but
+    DECIMAL(18,6) partial sums are bit-identical under ANY
+    repartitioning — the property rollup_cascade_daily and
+    contribution_analysis rely on for exact driver hashes."""
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    sums = set()
+    for n in (1, parts):
+        s = (
+            df.repartition(n)
+            .agg(F.sum(F.col("v").cast("decimal(18,6)")).alias("s"))
+            .first()["s"]
+        )
+        sums.add(str(s))
+    assert len(sums) == 1, sums
