@@ -6206,6 +6206,54 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "skew_diagnosis",
+    """
+    WITH per_key AS (
+        SELECT o_custkey AS key, count(*) AS n
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT)          AS n_keys,
+           CAST(sum(n) AS BIGINT)            AS n_rows,
+           CAST(max(n) AS BIGINT)            AS max_per_key,
+           round(avg(n), 6)                  AS avg_per_key,
+           CAST(floor(CAST(quantile_cont(n, 0.99) AS DOUBLE) * 10000.0 + 0.5)
+                / 10000.0 AS DOUBLE)         AS p99_per_key,
+           round(max(n) / avg(n), 4)         AS skew_ratio
+    FROM per_key
+    """,
+    "Join-key skew diagnosis: per-key row counts reduced to the "
+    "distribution summary (max, p99, max/avg skew ratio) that decides "
+    "a shuffle strategy BEFORE the join runs — ratio near 1 means hash "
+    "partitioning balances, a hot ratio means salt the key or lean on "
+    "AQE skew-join splitting (skew_join_salted is the treatment; this "
+    "is the diagnostic). Two aggregations: the per-key count is the "
+    "fact-sized shuffle with map-side partials, the summary is "
+    "key-cardinality work. The exact p99 here becomes approx_percentile "
+    "at 100 TB (same single-pass shape). DuckDB quantile_cont is the "
+    "oracle twin of Spark's percentile(), both 4dp grid-floored.",
+    tags=("agg", "stats", "skew"),
+)
+def skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    per_key = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").cast("bigint").alias("max_per_key"),
+        F.round(F.avg("n"), 6).alias("avg_per_key"),
+        (
+            F.floor(F.expr("percentile(n, 0.99)").cast("double") * 10000.0 + 0.5)
+            / 10000.0
+        )
+        .cast("double")
+        .alias("p99_per_key"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the
@@ -6275,7 +6323,7 @@ _DRIVER_PRIORITY: list[str] = [
     # inverted_index_postings, event_transition_matrix, ivf_pq_ann_topk
     # (rows-only), column_profile, dedup_keep_latest,
     # contribution_analysis, ordered_list_agg_structs,
-    # lateral_topk_join, doc_quality_filter. Every deferred
+    # lateral_topk_join, doc_quality_filter, skew_diagnosis. Every deferred
     # query is strict-local-verified by scripts/verify_exact.py (the
     # zero-tolerance replica of the driver's hash compare) in BOTH
     # tuned and --bare session layouts.
