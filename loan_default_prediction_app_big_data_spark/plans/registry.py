@@ -6254,6 +6254,53 @@ def skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "time_since_last_event",
+    """
+    SELECT event_id, user_id, event_type,
+           t_us - last_value(CASE WHEN event_type = 'purchase' THEN t_us END
+                             IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS us_since_purchase
+    FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us
+          FROM events)
+    """,
+    "Recency feature: per event, microseconds since the SAME user's "
+    "previous purchase (NULL before the first) — the "
+    "time-since-last-X transform behind churn/propensity features, via "
+    "a conditional IGNORE NULLS window lookup with the frame ending at "
+    "1 PRECEDING so a purchase measures from the PRIOR purchase, not "
+    "itself. (ts, event_id) ordering keeps same-timestamp rows "
+    "deterministic. One shuffle on user_id; running state is one "
+    "scalar per user regardless of history length — at 100 TB this "
+    "scales with users, not events, and integer µs arithmetic means "
+    "no float drift anywhere.",
+    tags=("events", "window", "ml"),
+)
+def time_since_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("t_us"),
+    )
+    frame = (
+        W.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_purchase = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("t_us")), ignorenulls=True
+    ).over(frame)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("t_us") - prev_purchase).alias("us_since_purchase"),
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the
@@ -6323,7 +6370,8 @@ _DRIVER_PRIORITY: list[str] = [
     # inverted_index_postings, event_transition_matrix, ivf_pq_ann_topk
     # (rows-only), column_profile, dedup_keep_latest,
     # contribution_analysis, ordered_list_agg_structs,
-    # lateral_topk_join, doc_quality_filter, skew_diagnosis. Every deferred
+    # lateral_topk_join, doc_quality_filter, skew_diagnosis,
+    # time_since_last_event. Every deferred
     # query is strict-local-verified by scripts/verify_exact.py (the
     # zero-tolerance replica of the driver's hash compare) in BOTH
     # tuned and --bare session layouts.
