@@ -6490,6 +6490,548 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Credit-risk analytics tier — the model-evaluation readouts the
+# reference's domain (loan-default prediction) runs on every scored
+# portfolio: KS separation, WOE/IV, PSI drift, gains/lift, threshold
+# confusion sweep, banded ROC-AUC. The reference computes AUC/accuracy
+# once (spark.py:80-90 BinaryClassificationEvaluator, app.py:121-127
+# test accuracy); a production credit engine additionally monitors the
+# score DISTRIBUTION — these six queries are that surface.
+#
+# All six share one deterministic "model score" stand-in (at 100 TB
+# this column is the output of batch inference, A16): an integer in
+# [0, 99990] built from pure modular arithmetic on the order keys,
+# shifted up by 30000 for defaulted orders so good/bad distributions
+# overlap partially (uniform [0,70000) vs [30000,99991)) — a realistic
+# mid-strength scorecard. Label: o_orderstatus = 'F' (closed-default
+# proxy, ~33% bad rate). Score bands are fixed-width (score div
+# 10000, 10 bands) — fixed bands, not quantile cuts, exactly as credit
+# scorecards band FICO-style scores, and exactly reproducible on both
+# engines with zero float ops.
+#
+# Scale shape (identical across the tier): one partial-combined
+# groupBy on the 10-value band key — the only fact-sized work — then
+# windows over the ≤10-row aggregate. Every rate/share/lift divides
+# exact integer counts (one correctly-rounded IEEE division, identical
+# expression trees both engines); WOE/PSI take ln() of one
+# exact-integer-product ratio; IV/PSI totals sum MICRO-UNITS (rounded
+# contributions scaled to BIGINT) so the cross-band sum is associative
+# and layout-independent.
+# =====================================================================
+
+_SCORED_SQL = """
+        SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad,
+               ((o_orderkey % 99991) * 31 + (o_custkey % 99991) * 17)
+                 % 99991 % 70000
+                 + CASE WHEN o_orderstatus = 'F' THEN 30000 ELSE 0 END
+                 AS score
+        FROM orders
+"""
+
+_BANDS_SQL = f"""
+    WITH scored AS ({_SCORED_SQL}),
+    b AS (
+        SELECT score // 10000 AS band,
+               CAST(sum(bad) AS BIGINT)     AS n_bad,
+               CAST(sum(1 - bad) AS BIGINT) AS n_good
+        FROM scored GROUP BY 1
+    )
+"""
+
+
+def _scored_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with the deterministic score/label twin of ``_SCORED_SQL``."""
+    o = t(spark, sf_dir, "orders")
+    bad = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    score = (
+        ((F.col("o_orderkey") % 99991) * 31 + (F.col("o_custkey") % 99991) * 17)
+        % 99991
+        % 70000
+        + F.when(F.col("o_orderstatus") == "F", 30000).otherwise(0)
+    )
+    return o.select(bad.alias("bad"), score.alias("score"))
+
+
+def _score_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band exact bad/good counts — the tier's one fact-sized pass."""
+    return (
+        _scored_orders(spark, sf_dir)
+        .groupBy(F.expr("score div 10000").alias("band"))
+        .agg(
+            F.sum("bad").cast("bigint").alias("n_bad"),
+            F.sum(1 - F.col("bad")).cast("bigint").alias("n_good"),
+        )
+    )
+
+
+def _w_all():
+    # Whole-frame window over the ≤10-row band aggregate (NOT the fact
+    # table — metadata scale by construction).
+    return W.partitionBy()
+
+
+def _w_desc():
+    return W.orderBy(F.desc("band")).rowsBetween(W.unboundedPreceding, 0)
+
+
+@register(
+    "ks_risk_separation",
+    _BANDS_SQL
+    + """
+    , c AS (
+        SELECT band, n_bad, n_good,
+               CAST(sum(n_bad) OVER (ORDER BY band DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / CAST(sum(n_bad) OVER () AS DOUBLE)  AS cbs,
+               CAST(sum(n_good) OVER (ORDER BY band DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / CAST(sum(n_good) OVER () AS DOUBLE) AS cgs
+        FROM b
+    )
+    SELECT CAST(band AS BIGINT)          AS band,
+           n_bad, n_good,
+           round(cbs, 6)                 AS cum_bad_share,
+           round(cgs, 6)                 AS cum_good_share,
+           round(abs(cbs - cgs), 6)      AS ks_curve,
+           round(max(abs(cbs - cgs)) OVER (), 6) AS ks_stat
+    FROM c
+    """,
+    "Kolmogorov-Smirnov risk separation: sweep the score from riskiest "
+    "band down, tracking cumulative bad-capture vs good-capture; KS is "
+    "the max gap — the credit-scoring discrimination statistic "
+    "(reference evaluates AUC at spark.py:80-90; KS is its sworn "
+    "companion on every scorecard validation report). One "
+    "partial-combined groupBy on the 10-value band key, then windows "
+    "over 10 rows. Cumulative sums are exact BIGINT; each share is one "
+    "IEEE division of exact integers — bit-identical on both engines.",
+    tags=("agg", "window", "analytics", "credit"),
+)
+def ks_risk_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _score_bands(spark, sf_dir)
+    cbs = F.sum("n_bad").over(_w_desc()).cast("double") / F.sum("n_bad").over(
+        _w_all()
+    ).cast("double")
+    cgs = F.sum("n_good").over(_w_desc()).cast("double") / F.sum("n_good").over(
+        _w_all()
+    ).cast("double")
+    c = b.select(
+        "band", "n_bad", "n_good", cbs.alias("cbs"), cgs.alias("cgs")
+    )
+    return c.select(
+        F.col("band").cast("bigint").alias("band"),
+        "n_bad",
+        "n_good",
+        F.round("cbs", 6).alias("cum_bad_share"),
+        F.round("cgs", 6).alias("cum_good_share"),
+        F.round(F.abs(F.col("cbs") - F.col("cgs")), 6).alias("ks_curve"),
+        F.round(
+            F.max(F.abs(F.col("cbs") - F.col("cgs"))).over(_w_all()), 6
+        ).alias("ks_stat"),
+    )
+
+
+@register(
+    "woe_iv_score_bands",
+    _BANDS_SQL
+    + """
+    , c AS (
+        SELECT band, n_bad, n_good,
+               CAST(sum(n_bad) OVER () AS BIGINT)  AS tot_bad,
+               CAST(sum(n_good) OVER () AS BIGINT) AS tot_good
+        FROM b
+    ), w AS (
+        SELECT band, n_bad, n_good,
+               ln(CAST((2 * n_good + 1) * tot_bad AS DOUBLE)
+                  / CAST((2 * n_bad + 1) * tot_good AS DOUBLE))    AS woe,
+               (CAST(2 * n_good + 1 AS DOUBLE) / CAST(2 * tot_good AS DOUBLE)
+                - CAST(2 * n_bad + 1 AS DOUBLE) / CAST(2 * tot_bad AS DOUBLE))
+               * ln(CAST((2 * n_good + 1) * tot_bad AS DOUBLE)
+                    / CAST((2 * n_bad + 1) * tot_good AS DOUBLE)) AS contrib
+        FROM c
+    ), m AS (
+        SELECT band, n_bad, n_good, woe,
+               CAST(round(round(contrib, 6) * 1000000.0) AS BIGINT) AS iv_micro
+        FROM w
+    )
+    SELECT CAST(band AS BIGINT) AS band, n_bad, n_good,
+           round(woe, 6)        AS woe,
+           CAST(iv_micro AS DOUBLE) / 1000000.0 AS iv_contrib,
+           CAST(CAST(sum(iv_micro) OVER () AS BIGINT) AS DOUBLE) / 1000000.0
+                                AS iv_total
+    FROM m
+    """,
+    "Weight-of-Evidence / Information-Value banding — THE classic "
+    "loan-default feature-screening readout (scorecard modelers gate "
+    "features on IV before the reference's LogisticRegression ever "
+    "sees them, spark.py:70-78). Zero-cell bands (three bands hold no "
+    "bads) get the standard Laplace 0.5 adjustment, folded into "
+    "doubled-integer products so WOE per band stays ln of one "
+    "exact-integer-product ratio (both engines take ln of the "
+    "IDENTICAL double); IV contributions are rounded to micro-units "
+    "and summed as BIGINT, so the cross-band total is associative — "
+    "exact under any partition layout. Same one-shuffle shape as the "
+    "rest of the tier.",
+    tags=("agg", "window", "analytics", "credit"),
+)
+def woe_iv_score_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _score_bands(spark, sf_dir)
+    c = b.select(
+        "band",
+        "n_bad",
+        "n_good",
+        F.sum("n_bad").over(_w_all()).cast("bigint").alias("tot_bad"),
+        F.sum("n_good").over(_w_all()).cast("bigint").alias("tot_good"),
+    )
+    # Laplace 0.5 adjustment (the standard zero-cell WOE fix: three
+    # bands have no bads by construction) via doubled-integer products
+    # so every ln/division input is still an exact integer ratio.
+    ratio = ((2 * F.col("n_good") + 1) * F.col("tot_bad")).cast("double") / (
+        (2 * F.col("n_bad") + 1) * F.col("tot_good")
+    ).cast("double")
+    contrib = (
+        (2 * F.col("n_good") + 1).cast("double")
+        / (2 * F.col("tot_good")).cast("double")
+        - (2 * F.col("n_bad") + 1).cast("double")
+        / (2 * F.col("tot_bad")).cast("double")
+    ) * F.log(ratio)
+    m = c.select(
+        "band",
+        "n_bad",
+        "n_good",
+        F.log(ratio).alias("woe"),
+        F.round(F.round(contrib, 6) * 1000000.0, 0)
+        .cast("bigint")
+        .alias("iv_micro"),
+    )
+    return m.select(
+        F.col("band").cast("bigint").alias("band"),
+        "n_bad",
+        "n_good",
+        F.round("woe", 6).alias("woe"),
+        (F.col("iv_micro").cast("double") / 1000000.0).alias("iv_contrib"),
+        (
+            F.sum("iv_micro").over(_w_all()).cast("bigint").cast("double")
+            / 1000000.0
+        ).alias("iv_total"),
+    )
+
+
+@register(
+    "psi_score_drift",
+    f"""
+    WITH scored AS (
+        SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad,
+               ((o_orderkey % 99991) * 31 + (o_custkey % 99991) * 17)
+                 % 99991 % 70000
+                 + CASE WHEN o_orderstatus = 'F' THEN 30000 ELSE 0 END
+                 AS score,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                    THEN 1 ELSE 0 END AS is_expected
+        FROM orders
+    ), b AS (
+        SELECT score // 10000 AS band,
+               CAST(sum(is_expected) AS BIGINT)     AS n_exp,
+               CAST(sum(1 - is_expected) AS BIGINT) AS n_act
+        FROM scored GROUP BY 1
+    ), c AS (
+        SELECT band, n_exp, n_act,
+               CAST(sum(n_exp) OVER () AS BIGINT) AS tot_exp,
+               CAST(sum(n_act) OVER () AS BIGINT) AS tot_act
+        FROM b
+    ), w AS (
+        SELECT band, n_exp, n_act,
+               (CAST(n_act AS DOUBLE) / CAST(tot_act AS DOUBLE)
+                - CAST(n_exp AS DOUBLE) / CAST(tot_exp AS DOUBLE))
+               * ln(CAST(n_act * tot_exp AS DOUBLE)
+                    / CAST(n_exp * tot_act AS DOUBLE)) AS contrib
+        FROM c
+    ), m AS (
+        SELECT band, n_exp, n_act,
+               CAST(round(round(contrib, 6) * 1000000.0) AS BIGINT) AS psi_micro
+        FROM w
+    )
+    SELECT CAST(band AS BIGINT) AS band, n_exp, n_act,
+           CAST(psi_micro AS DOUBLE) / 1000000.0 AS psi_contrib,
+           CAST(CAST(sum(psi_micro) OVER () AS BIGINT) AS DOUBLE) / 1000000.0
+                                                 AS psi_total
+    FROM m
+    """,
+    "Population Stability Index: score-distribution drift between the "
+    "development cohort (orders before 1998) and the current one — the "
+    "model-monitoring metric every deployed scorecard (reference "
+    "app.py's saved .pth model serving rows forever) must watch; "
+    "PSI > 0.25 means retrain. Per-band (population share delta) x "
+    "ln(share ratio) with the ratio formed from exact integer "
+    "products; contributions summed in micro-units for associativity. "
+    "One partial-combined groupBy; windows over 10 rows.",
+    tags=("agg", "window", "analytics", "credit"),
+)
+def psi_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    score = (
+        ((F.col("o_orderkey") % 99991) * 31 + (F.col("o_custkey") % 99991) * 17)
+        % 99991
+        % 70000
+        + F.when(F.col("o_orderstatus") == "F", 30000).otherwise(0)
+    )
+    is_exp = F.when(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 1
+    ).otherwise(0)
+    scored = o.select(score.alias("score"), is_exp.alias("is_expected"))
+    b = scored.groupBy(F.expr("score div 10000").alias("band")).agg(
+        F.sum("is_expected").cast("bigint").alias("n_exp"),
+        F.sum(1 - F.col("is_expected")).cast("bigint").alias("n_act"),
+    )
+    c = b.select(
+        "band",
+        "n_exp",
+        "n_act",
+        F.sum("n_exp").over(_w_all()).cast("bigint").alias("tot_exp"),
+        F.sum("n_act").over(_w_all()).cast("bigint").alias("tot_act"),
+    )
+    contrib = (
+        F.col("n_act").cast("double") / F.col("tot_act").cast("double")
+        - F.col("n_exp").cast("double") / F.col("tot_exp").cast("double")
+    ) * F.log(
+        (F.col("n_act") * F.col("tot_exp")).cast("double")
+        / (F.col("n_exp") * F.col("tot_act")).cast("double")
+    )
+    m = c.select(
+        "band",
+        "n_exp",
+        "n_act",
+        F.round(F.round(contrib, 6) * 1000000.0, 0)
+        .cast("bigint")
+        .alias("psi_micro"),
+    )
+    return m.select(
+        F.col("band").cast("bigint").alias("band"),
+        "n_exp",
+        "n_act",
+        (F.col("psi_micro").cast("double") / 1000000.0).alias("psi_contrib"),
+        (
+            F.sum("psi_micro").over(_w_all()).cast("bigint").cast("double")
+            / 1000000.0
+        ).alias("psi_total"),
+    )
+
+
+@register(
+    "gains_lift_bands",
+    _BANDS_SQL
+    + """
+    , c AS (
+        SELECT band, n_bad, n_good, n_bad + n_good AS n,
+               CAST(sum(n_bad) OVER (ORDER BY band DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_bad,
+               CAST(sum(n_bad + n_good) OVER (ORDER BY band DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_n,
+               CAST(sum(n_bad) OVER () AS BIGINT)          AS tot_bad,
+               CAST(sum(n_bad + n_good) OVER () AS BIGINT) AS tot_n
+        FROM b
+    )
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(n AS BIGINT)    AS n,
+           n_bad,
+           round(CAST(cum_bad AS DOUBLE) / CAST(tot_bad AS DOUBLE), 6)
+                                AS capture_rate,
+           round((CAST(n_bad AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(tot_bad AS DOUBLE) / CAST(tot_n AS DOUBLE)), 6)
+                                AS lift,
+           round((CAST(cum_bad AS DOUBLE) / CAST(cum_n AS DOUBLE))
+                 / (CAST(tot_bad AS DOUBLE) / CAST(tot_n AS DOUBLE)), 6)
+                                AS cum_lift
+    FROM c
+    """,
+    "Gains / lift table: walk score bands riskiest-first, reporting "
+    "cumulative bad-capture (gains), per-band lift, and cumulative "
+    "lift over the base rate — how collections teams decide how deep "
+    "to work a scored portfolio (the reference's batch predictions, "
+    "spark.py:79, feed exactly this readout downstream). Every rate "
+    "is a division of exact BIGINT counts; one groupBy shuffle, "
+    "windows over 10 rows.",
+    tags=("agg", "window", "analytics", "credit"),
+)
+def gains_lift_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _score_bands(spark, sf_dir)
+    n = (F.col("n_bad") + F.col("n_good")).alias("n")
+    c = b.select(
+        "band",
+        "n_bad",
+        "n_good",
+        n,
+        F.sum("n_bad").over(_w_desc()).cast("bigint").alias("cum_bad"),
+        F.sum(F.col("n_bad") + F.col("n_good"))
+        .over(_w_desc())
+        .cast("bigint")
+        .alias("cum_n"),
+        F.sum("n_bad").over(_w_all()).cast("bigint").alias("tot_bad"),
+        F.sum(F.col("n_bad") + F.col("n_good"))
+        .over(_w_all())
+        .cast("bigint")
+        .alias("tot_n"),
+    )
+    base_rate = F.col("tot_bad").cast("double") / F.col("tot_n").cast("double")
+    return c.select(
+        F.col("band").cast("bigint").alias("band"),
+        F.col("n").cast("bigint").alias("n"),
+        "n_bad",
+        F.round(
+            F.col("cum_bad").cast("double") / F.col("tot_bad").cast("double"), 6
+        ).alias("capture_rate"),
+        F.round(
+            (F.col("n_bad").cast("double") / F.col("n").cast("double"))
+            / base_rate,
+            6,
+        ).alias("lift"),
+        F.round(
+            (F.col("cum_bad").cast("double") / F.col("cum_n").cast("double"))
+            / base_rate,
+            6,
+        ).alias("cum_lift"),
+    )
+
+
+@register(
+    "threshold_confusion_sweep",
+    _BANDS_SQL
+    + """
+    , c AS (
+        SELECT band,
+               CAST(sum(n_bad) OVER (ORDER BY band DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS tp,
+               CAST(sum(n_good) OVER (ORDER BY band DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS fp,
+               CAST(sum(n_bad) OVER () AS BIGINT)  AS tot_bad,
+               CAST(sum(n_good) OVER () AS BIGINT) AS tot_good
+        FROM b
+    )
+    SELECT CAST(band * 10000 AS BIGINT) AS threshold,
+           tp, fp,
+           tot_bad - tp                 AS fn,
+           tot_good - fp                AS tn,
+           round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)   AS precision,
+           round(CAST(tp AS DOUBLE) / CAST(tot_bad AS DOUBLE), 6)   AS recall,
+           round(CAST(2 * tp AS DOUBLE)
+                 / CAST(2 * tp + fp + (tot_bad - tp) AS DOUBLE), 6) AS f1
+    FROM c
+    """,
+    "Threshold sweep: confusion matrix + precision/recall/F1 at every "
+    "score cutoff — the operating-point picker for the reference's "
+    "binary decision (app.py:151-158 renders exactly one threshold's "
+    "Approved/Rejected; this query shows the whole frontier). TP/FP "
+    "fall out of the same descending cumulative BIGINT sums as the "
+    "gains table; FN/TN by subtraction from exact totals; every "
+    "metric one exact-integer IEEE division. One shuffle, 10-row "
+    "windows.",
+    tags=("agg", "window", "analytics", "credit"),
+)
+def threshold_confusion_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _score_bands(spark, sf_dir)
+    c = b.select(
+        "band",
+        F.sum("n_bad").over(_w_desc()).cast("bigint").alias("tp"),
+        F.sum("n_good").over(_w_desc()).cast("bigint").alias("fp"),
+        F.sum("n_bad").over(_w_all()).cast("bigint").alias("tot_bad"),
+        F.sum("n_good").over(_w_all()).cast("bigint").alias("tot_good"),
+    )
+    return c.select(
+        (F.col("band") * 10000).cast("bigint").alias("threshold"),
+        "tp",
+        "fp",
+        (F.col("tot_bad") - F.col("tp")).alias("fn"),
+        (F.col("tot_good") - F.col("fp")).alias("tn"),
+        F.round(
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double"),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.col("tp").cast("double") / F.col("tot_bad").cast("double"), 6
+        ).alias("recall"),
+        F.round(
+            (2 * F.col("tp")).cast("double")
+            / (2 * F.col("tp") + F.col("fp") + (F.col("tot_bad") - F.col("tp"))).cast(
+                "double"
+            ),
+            6,
+        ).alias("f1"),
+    )
+
+
+@register(
+    "roc_auc_banded",
+    _BANDS_SQL
+    + """
+    , c AS (
+        SELECT band,
+               CAST(sum(n_bad) OVER (ORDER BY band DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cb,
+               CAST(sum(n_good) OVER (ORDER BY band DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cg,
+               CAST(sum(n_bad) OVER () AS BIGINT)  AS tot_bad,
+               CAST(sum(n_good) OVER () AS BIGINT) AS tot_good
+        FROM b
+    ), seg AS (
+        SELECT tot_bad, tot_good,
+               (cg - coalesce(lag(cg) OVER (ORDER BY band DESC), 0))
+               * (cb + coalesce(lag(cb) OVER (ORDER BY band DESC), 0))
+               AS seg_area2
+        FROM c
+    )
+    SELECT round(CAST(CAST(sum(seg_area2) AS BIGINT) AS DOUBLE)
+                 / CAST(2 * max(tot_bad) * max(tot_good) AS DOUBLE), 6) AS auc,
+           CAST(max(tot_bad) AS BIGINT)  AS tot_bad,
+           CAST(max(tot_good) AS BIGINT) AS tot_good
+    FROM seg
+    """,
+    "Banded ROC-AUC by exact trapezoid integration over the 10 ROC "
+    "points — the reference's headline metric (spark.py:80-90 "
+    "BinaryClassificationEvaluator areaUnderROC) recomputed with pure "
+    "INTEGER arithmetic: each trapezoid's doubled area is a product "
+    "of exact BIGINT cumulative counts, summed exactly, divided once "
+    "at the end — bit-identical on any engine and any partition "
+    "layout, unlike float-accumulated AUC. Equals the exact "
+    "per-score-value AUC when ties are banded (here: band = score "
+    "div 10000). One groupBy shuffle; windows and lag over 10 rows.",
+    tags=("agg", "window", "analytics", "credit", "ml"),
+)
+def roc_auc_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _score_bands(spark, sf_dir)
+    c = b.select(
+        "band",
+        F.sum("n_bad").over(_w_desc()).cast("bigint").alias("cb"),
+        F.sum("n_good").over(_w_desc()).cast("bigint").alias("cg"),
+        F.sum("n_bad").over(_w_all()).cast("bigint").alias("tot_bad"),
+        F.sum("n_good").over(_w_all()).cast("bigint").alias("tot_good"),
+    )
+    lag_w = W.orderBy(F.desc("band"))
+    seg = c.select(
+        "tot_bad",
+        "tot_good",
+        (
+            (F.col("cg") - F.coalesce(F.lag("cg").over(lag_w), F.lit(0)))
+            * (F.col("cb") + F.coalesce(F.lag("cb").over(lag_w), F.lit(0)))
+        ).alias("seg_area2"),
+    )
+    return seg.agg(
+        F.round(
+            F.sum("seg_area2").cast("bigint").cast("double")
+            / (2 * F.max("tot_bad") * F.max("tot_good")).cast("double"),
+            6,
+        ).alias("auc"),
+        F.max("tot_bad").cast("bigint").alias("tot_bad"),
+        F.max("tot_good").cast("bigint").alias("tot_good"),
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the
