@@ -7032,6 +7032,343 @@ def roc_auc_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Statistical analysis additions: categorical association, feature
+# encoding, and time-series diagnostics. Same determinism discipline
+# as the credit tier: fact-sized work is one partial-combined groupBy;
+# every ratio divides exact integers or DECIMAL partials; float
+# cross-row totals go through micro-unit BIGINT sums.
+# =====================================================================
+
+
+@register(
+    "target_encoding",
+    """
+    WITH j AS (
+        SELECT c.c_mktsegment AS segment,
+               CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), g AS (
+        SELECT segment,
+               CAST(count(*) AS BIGINT)  AS n,
+               CAST(sum(bad) AS BIGINT)  AS n_bad
+        FROM j GROUP BY 1
+    ), c AS (
+        SELECT segment, n, n_bad,
+               CAST(sum(n) OVER () AS BIGINT)     AS tot_n,
+               CAST(sum(n_bad) OVER () AS BIGINT) AS tot_bad
+        FROM g
+    )
+    SELECT segment, n, n_bad,
+           round(CAST(n_bad AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+           round((CAST(n_bad AS DOUBLE)
+                  + 20.0 * (CAST(tot_bad AS DOUBLE) / CAST(tot_n AS DOUBLE)))
+                 / (CAST(n AS DOUBLE) + 20.0), 6)              AS encoded
+    FROM c
+    """,
+    "Smoothed target (mean) encoding of a categorical feature against "
+    "the default label — the scorecard feature-engineering step that "
+    "replaces high-cardinality categories before the reference's "
+    "LogisticRegression (spark.py:70-78; its StringIndexer/OHE "
+    "equivalent for wide categories). Empirical-Bayes shrinkage with "
+    "prior weight m=20 pulls small categories toward the global rate "
+    "(the leakage-resistant form). Dimension join broadcasts the "
+    "customer segment; counts are exact BIGINT; rate and encoding are "
+    "IEEE divisions of identical expression trees. At 100 TB the "
+    "groupBy key is the category — thousands of groups, one shuffle.",
+    tags=("agg", "join", "analytics", "ml", "credit"),
+)
+def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    cdim = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(cdim), o.o_custkey == cdim.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("bad"),
+    )
+    g = j.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("bad").cast("bigint").alias("n_bad"),
+    )
+    c = g.select(
+        "segment",
+        "n",
+        "n_bad",
+        F.sum("n").over(W.partitionBy()).cast("bigint").alias("tot_n"),
+        F.sum("n_bad").over(W.partitionBy()).cast("bigint").alias("tot_bad"),
+    )
+    global_rate = F.col("tot_bad").cast("double") / F.col("tot_n").cast("double")
+    return c.select(
+        "segment",
+        "n",
+        "n_bad",
+        F.round(
+            F.col("n_bad").cast("double") / F.col("n").cast("double"), 6
+        ).alias("raw_rate"),
+        F.round(
+            (F.col("n_bad").cast("double") + F.lit(20.0) * global_rate)
+            / (F.col("n").cast("double") + F.lit(20.0)),
+            6,
+        ).alias("encoded"),
+    )
+
+
+@register(
+    "chi_square_independence",
+    """
+    WITH j AS (
+        SELECT c.c_mktsegment AS segment, o.o_orderstatus AS status
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), cell AS (
+        SELECT segment, status, CAST(count(*) AS BIGINT) AS obs
+        FROM j GROUP BY 1, 2
+    ), m AS (
+        SELECT segment, status, obs,
+               CAST(sum(obs) OVER (PARTITION BY segment) AS BIGINT) AS row_tot,
+               CAST(sum(obs) OVER (PARTITION BY status) AS BIGINT)  AS col_tot,
+               CAST(sum(obs) OVER () AS BIGINT)                     AS n,
+               CAST(count(DISTINCT segment) OVER () AS BIGINT)      AS nr,
+               CAST(count(DISTINCT status) OVER () AS BIGINT)       AS ncol
+        FROM cell
+    ), w AS (
+        SELECT segment, status, obs, nr, ncol, n,
+               CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE) AS exp,
+               (CAST(obs AS DOUBLE)
+                - CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(obs AS DOUBLE)
+                  - CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE))
+                                                                     AS contrib
+        FROM m
+    ), mm AS (
+        SELECT segment, status, obs, nr, ncol, n,
+               round(exp, 4) AS expected,
+               CAST(round(round(contrib, 6) * 1000000.0) AS BIGINT) AS chi_micro
+        FROM w
+    )
+    SELECT segment, status, obs, expected,
+           CAST(chi_micro AS DOUBLE) / 1000000.0 AS contrib,
+           CAST(CAST(sum(chi_micro) OVER () AS BIGINT) AS DOUBLE) / 1000000.0
+                                                 AS chi2,
+           (nr - 1) * (ncol - 1)                 AS dof,
+           round(sqrt((CAST(CAST(sum(chi_micro) OVER () AS BIGINT) AS DOUBLE)
+                       / 1000000.0)
+                      / (CAST(n AS DOUBLE)
+                         * CAST(least(nr - 1, ncol - 1) AS DOUBLE))), 6)
+                                                 AS cramers_v
+    FROM mm
+    """,
+    "Chi-square test of independence (market segment x order status) "
+    "with Cramer's V effect size — the categorical-association screen "
+    "run before encoding features into the reference's model "
+    "(spark.py:70-78). Observed counts are exact BIGINT; expected "
+    "counts and per-cell contributions are IEEE-identical expression "
+    "trees; the chi-square total sums micro-unit BIGINTs "
+    "(associative, layout-independent); V = sqrt(chi2/(N*min(r-1,"
+    "c-1))) uses only correctly-rounded ops. One fact-sized groupBy "
+    "on the 15-cell contingency key, then windows over 15 rows.",
+    tags=("agg", "join", "window", "analytics", "stats"),
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    cdim = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(cdim), o.o_custkey == cdim.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    cell = j.groupBy("segment", "status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    w_all = W.partitionBy()
+    m = cell.select(
+        "segment",
+        "status",
+        "obs",
+        F.sum("obs").over(W.partitionBy("segment")).cast("bigint").alias("row_tot"),
+        F.sum("obs").over(W.partitionBy("status")).cast("bigint").alias("col_tot"),
+        F.sum("obs").over(w_all).cast("bigint").alias("n"),
+        F.size(F.collect_set("segment").over(w_all)).cast("bigint").alias("nr"),
+        F.size(F.collect_set("status").over(w_all)).cast("bigint").alias("ncol"),
+    )
+    exp = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("n").cast(
+        "double"
+    )
+    contrib = (F.col("obs").cast("double") - exp) * (
+        F.col("obs").cast("double") - exp
+    ) / exp
+    mm = m.select(
+        "segment",
+        "status",
+        "obs",
+        "nr",
+        "ncol",
+        "n",
+        F.round(exp, 4).alias("expected"),
+        F.round(F.round(contrib, 6) * 1000000.0, 0)
+        .cast("bigint")
+        .alias("chi_micro"),
+    )
+    chi2 = (
+        F.sum("chi_micro").over(w_all).cast("bigint").cast("double") / 1000000.0
+    )
+    return mm.select(
+        "segment",
+        "status",
+        "obs",
+        "expected",
+        (F.col("chi_micro").cast("double") / 1000000.0).alias("contrib"),
+        chi2.alias("chi2"),
+        ((F.col("nr") - 1) * (F.col("ncol") - 1)).alias("dof"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (
+                    F.col("n").cast("double")
+                    * F.least(F.col("nr") - 1, F.col("ncol") - 1).cast("double")
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "autocorrelation_daily_revenue",
+    """
+    WITH daily AS (
+        SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))))
+                    AS BIGINT) AS rev
+        FROM orders GROUP BY 1
+    ), lags(k) AS (SELECT unnest([1, 7])),
+    pairs AS (
+        SELECT l.k, a.rev AS x, b.rev AS y
+        FROM lags l
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.day = a.day + l.k
+    ), s AS (
+        SELECT k,
+               CAST(count(*) AS DOUBLE)           AS n,
+               CAST(CAST(sum(x) AS BIGINT) AS DOUBLE)     AS sx,
+               CAST(CAST(sum(y) AS BIGINT) AS DOUBLE)     AS sy,
+               CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS sxy,
+               CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+               CAST(CAST(sum(y * y) AS BIGINT) AS DOUBLE) AS syy
+        FROM pairs GROUP BY 1
+    )
+    SELECT CAST(k AS BIGINT) AS lag_days,
+           CAST(n AS BIGINT) AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+                             AS acf
+    FROM s
+    """,
+    "Autocorrelation of the daily revenue series at lag 1 and lag 7 — "
+    "the time-series diagnostic behind forecast models (is there "
+    "weekly seasonality worth modeling?). Daily revenue sums "
+    "DECIMAL(18,2) partials (associative) then floors to exact BIGINT "
+    "dollars, so ALL five Pearson sufficient statistics are integer "
+    "sums — exact under any layout; the final correlation is one "
+    "closed-form expression of those exact values (sums stay under "
+    "2^53, so the DOUBLE casts are value-preserving). Lagged pairs "
+    "come from an equi-join on day+k (never a positional window that "
+    "would misalign across calendar gaps). Fact-sized work: one "
+    "groupBy(day); everything after runs on ~2,400 rows.",
+    tags=("agg", "join", "analytics", "stats", "timeseries"),
+)
+def autocorrelation_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day")
+    ).agg(
+        F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+        .cast("bigint")
+        .alias("rev")
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(7))).alias("k")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = (
+        lags.crossJoin(a)
+        .join(b, F.col("b.day") == F.col("a.day") + F.col("k"))
+        .select("k", F.col("a.rev").alias("x"), F.col("b.rev").alias("y"))
+    )
+    s = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("bigint").cast("double").alias("sx"),
+        F.sum("y").cast("bigint").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return s.select(
+        F.col("k").cast("bigint").alias("lag_days"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(num / den, 6).alias("acf"),
+    )
+
+
+@register(
+    "seasonality_dow_profile",
+    """
+    WITH d AS (
+        SELECT (epoch_us(o_orderdate) // 86400000000 + 4) % 7 AS dow,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders
+    ), g AS (
+        SELECT dow,
+               CAST(count(*) AS BIGINT)              AS n_orders,
+               sum(price)                            AS revenue
+        FROM d GROUP BY 1
+    )
+    SELECT CAST(dow AS BIGINT) AS dow,
+           n_orders,
+           CAST(revenue AS DOUBLE) AS revenue,
+           round(CAST(revenue AS DOUBLE)
+                 / CAST(sum(revenue) OVER () AS DOUBLE), 6) AS revenue_share,
+           round((CAST(revenue AS DOUBLE)
+                  / CAST(sum(revenue) OVER () AS DOUBLE)) * 7.0, 6)
+                                                            AS seasonal_index
+    FROM g
+    """,
+    "Day-of-week seasonality profile: order count, revenue, revenue "
+    "share, and a seasonal index (share x 7; 1.0 = flat) — the "
+    "companion readout to autocorrelation_daily_revenue's lag-7 ACF. "
+    "Day-of-week from pure integer epoch arithmetic ((days+4) % 7, "
+    "Monday=0 — identical on both engines, no locale-dependent "
+    "dayofweek()); revenue sums DECIMAL partials. One "
+    "partial-combined groupBy on a 7-value key; windows over 7 rows.",
+    tags=("agg", "window", "analytics", "timeseries"),
+)
+def seasonality_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    d = o.select(
+        ((F.expr("unix_micros(o_orderdate) div 86400000000") + 4) % 7).alias(
+            "dow"
+        ),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    g = d.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("price").alias("revenue"),
+    )
+    share = F.col("revenue").cast("double") / F.sum("revenue").over(
+        W.partitionBy()
+    ).cast("double")
+    return g.select(
+        F.col("dow").cast("bigint").alias("dow"),
+        "n_orders",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.round(share, 6).alias("revenue_share"),
+        F.round(share * F.lit(7.0), 6).alias("seasonal_index"),
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the
