@@ -60,3 +60,55 @@ def test_seasonality_profile_partition_of_unity(spark, sf_dir):
     assert sum(r["revenue_share"] for r in out) == pytest.approx(1.0, abs=1e-5)
     mean_idx = sum(r["seasonal_index"] for r in out) / 7
     assert mean_idx == pytest.approx(1.0, abs=0.05)
+
+
+def test_welch_t_on_independent_groups(spark, sf_dir):
+    out = rows(spark, sf_dir, "welch_t_test")[0]
+    # Status is independent of amount in the fixture => small |t|.
+    assert abs(out["t_stat"]) < 4.0
+    assert out["n_defaulted"] + out["n_other"] > 0
+    assert min(out["n_defaulted"], out["n_other"]) - 1 <= out["welch_dof"] \
+        <= out["n_defaulted"] + out["n_other"] - 2
+    assert out["mean_defaulted"] == pytest.approx(out["mean_other"], rel=0.1)
+
+
+def test_mannwhitney_consistency(spark, sf_dir):
+    out = rows(spark, sf_dir, "mannwhitney_amount_by_status")[0]
+    n1, n2 = out["n_defaulted"], out["n_other"]
+    # U - mean is bounded by n1*n2/2 and z matches its own sigma-scaled
+    # definition (independent groups => |z| modest).
+    assert abs(out["u_minus_mean"]) <= n1 * n2 / 2
+    assert abs(out["z_score"]) < 4.0
+
+
+def test_benford_rejects_synthetic_uniform_amounts(spark, sf_dir):
+    out = rows(spark, sf_dir, "benfords_law_digits")
+    assert {r["digit"] for r in out} <= set(range(1, 10))
+    assert sum(r["observed_share"] for r in out) == pytest.approx(1.0, abs=1e-4)
+    assert sum(r["expected_share"] for r in out) == pytest.approx(1.0, abs=1e-4)
+    # Synthetic near-uniform amounts are NOT Benford — chi2 must be
+    # far beyond the 9-digit critical value (~20).
+    assert out[0]["chi2_vs_benford"] > 100
+
+
+def test_gini_matches_direct_formula(spark, sf_dir):
+    from loan_default_prediction_app_big_data_spark.plans.registry import REGISTRY
+    import duckdb as _duck
+
+    out = rows(spark, sf_dir, "gini_concentration")[0]
+    assert 0.0 <= out["gini"] <= 1.0
+    con = _duck.connect()
+    xs = [
+        r[0]
+        for r in con.execute(
+            "SELECT CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2)))) AS BIGINT)"
+            f" FROM read_parquet('{sf_dir}/orders.parquet') GROUP BY o_custkey"
+        ).fetchall()
+    ]
+    con.close()
+    xs.sort()
+    n, sx = len(xs), sum(xs)
+    gini = 2.0 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * sx) - (n + 1) / n
+    assert out["gini"] == pytest.approx(gini, abs=1e-4)
+    assert out["n_customers"] == n
+    assert out["total_revenue"] == sx
