@@ -7719,6 +7719,257 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Corpus-governance additions: the dataset-curation readouts a
+# 100 TB training-data pipeline runs between dedup and training —
+# domain mixture rebalancing, per-source duplication audits,
+# cross-source contamination, and drift changepoints.
+# =====================================================================
+
+
+@register(
+    "domain_mix_rebalance",
+    """
+    WITH g AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1
+    ), c AS (
+        SELECT source, n,
+               CAST(sum(n) OVER () AS BIGINT)   AS tot,
+               CAST(count(*) OVER () AS BIGINT) AS k
+        FROM g
+    )
+    SELECT source, n,
+           round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6)  AS natural_share,
+           round(1.0 / CAST(k AS DOUBLE), 6)                  AS target_share,
+           round(CAST(tot AS DOUBLE) / (CAST(k AS DOUBLE) * CAST(n AS DOUBLE)),
+                 6)                                           AS sample_weight,
+           round(least(CAST(tot AS DOUBLE)
+                       / (CAST(k AS DOUBLE) * CAST(n AS DOUBLE)), 4.0), 6)
+                                                              AS capped_weight,
+           CAST(round(least(CAST(tot AS DOUBLE)
+                            / (CAST(k AS DOUBLE) * CAST(n AS DOUBLE)), 4.0)
+                      * CAST(n AS DOUBLE)) AS BIGINT)         AS expected_docs
+    FROM c
+    """,
+    "Domain-mixture rebalancing: per-source sampling weights that move "
+    "the corpus from its natural source distribution toward a uniform "
+    "target mix, with upsampling capped at 4 epochs (the "
+    "data-curation step between dedup and training — what mixture "
+    "tuning ablations sweep). Counts are exact BIGINT; every share "
+    "and weight is one IEEE division chain of exact integers; "
+    "least() is exact. One groupBy on the source key; the weight "
+    "table then broadcast-joins back onto documents for the actual "
+    "weighted_doc_sample draw (that operator exists separately).",
+    tags=("agg", "window", "llm-data", "documents"),
+)
+def domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    c = g.select(
+        "source",
+        "n",
+        F.sum("n").over(W.partitionBy()).cast("bigint").alias("tot"),
+        F.count(F.lit(1)).over(W.partitionBy()).cast("bigint").alias("k"),
+    )
+    weight = F.col("tot").cast("double") / (
+        F.col("k").cast("double") * F.col("n").cast("double")
+    )
+    capped = F.least(weight, F.lit(4.0))
+    return c.select(
+        "source",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tot").cast("double"), 6).alias(
+            "natural_share"
+        ),
+        F.round(F.lit(1.0) / F.col("k").cast("double"), 6).alias("target_share"),
+        F.round(weight, 6).alias("sample_weight"),
+        F.round(capped, 6).alias("capped_weight"),
+        F.round(capped * F.col("n").cast("double"), 0)
+        .cast("bigint")
+        .alias("expected_docs"),
+    )
+
+
+@register(
+    "dedup_rate_by_source",
+    """
+    WITH h AS (
+        SELECT source, md5(text) AS h FROM documents
+    ), g AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT)          AS n_docs,
+               CAST(count(DISTINCT h) AS BIGINT) AS n_unique
+        FROM h GROUP BY 1
+    )
+    SELECT source, n_docs, n_unique,
+           n_docs - n_unique AS n_dups,
+           round(CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+                             AS dup_rate
+    FROM g
+    """,
+    "Per-source exact-duplicate audit: document counts, distinct "
+    "content hashes, and duplication rate by corpus source — the "
+    "governance readout that decides which sources need aggressive "
+    "dedup before training (exact_dedup_docs REMOVES dups; this "
+    "MEASURES them per provenance). Content identity is md5 of the "
+    "text — byte-identical across engines — so the distinct-count "
+    "shuffles 16-byte hashes, never documents; count(DISTINCT) "
+    "expands map-side per source. One shuffle on (source, hash).",
+    tags=("agg", "dedup", "llm-data", "documents", "quality"),
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    h = d.select("source", F.md5("text").alias("h"))
+    g = h.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct("h").cast("bigint").alias("n_unique"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        (F.col("n_docs") - F.col("n_unique")).alias("n_dups"),
+        F.round(
+            (F.col("n_docs") - F.col("n_unique")).cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+@register(
+    "contamination_overlap_matrix",
+    """
+    WITH h AS (
+        SELECT DISTINCT source, md5(text) AS h FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS shared_texts
+    FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    "Cross-source contamination matrix: for every source pair, how "
+    "many EXACT texts appear in both — the benchmark-leakage / "
+    "provenance-overlap audit (benchmark_decontamination strips "
+    "overlaps against one eval set; this surveys ALL pairwise "
+    "overlaps). Per-source distinct hashes first (16-byte keys), "
+    "then a self-equi-join ON the hash with a source_a < source_b "
+    "canonical orientation — candidates only where hashes collide, "
+    "never an all-pairs comparison; the join shuffles hash keys "
+    "co-partitioned on both sides. Output is the S*(S-1)/2 pair "
+    "matrix (metadata scale).",
+    tags=("agg", "join", "dedup", "llm-data", "documents"),
+)
+def contamination_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    h = d.select("source", F.md5("text").alias("h")).distinct()
+    a = h.alias("a")
+    b = h.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_texts"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+@register(
+    "cusum_changepoint_daily",
+    """
+    WITH daily AS (
+        SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))))
+                    AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), c AS (
+        SELECT day, x,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT)      AS i,
+               CAST(sum(x) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT)                                       AS cx,
+               CAST(count(*) OVER () AS BIGINT)                      AS n,
+               CAST(sum(x) OVER () AS BIGINT)                        AS sx
+        FROM daily
+    ), s AS (
+        SELECT day, n,
+               n * cx - i * sx AS s_scaled
+        FROM c
+    ), peak AS (
+        SELECT day, n, s_scaled,
+               max(abs(s_scaled)) OVER () AS peak_scaled
+        FROM s
+    )
+    SELECT CAST(min(day) AS BIGINT)        AS changepoint_day,
+           CAST(max(n) AS BIGINT)          AS n_days,
+           round(CAST(max(peak_scaled) AS DOUBLE)
+                 / CAST(max(n) AS DOUBLE), 2) AS cusum_peak_dollars
+    FROM peak WHERE abs(s_scaled) = peak_scaled
+    """,
+    "CUSUM changepoint detection on the daily revenue series: the "
+    "cumulative sum of deviations from the global mean, S_t = "
+    "sum(x_i) - t*mean, peaks at the most likely level-shift point — "
+    "the drift monitor behind psi_score_drift's verdict (PSI says IF "
+    "the population moved; CUSUM says WHEN). Computed with ZERO "
+    "float accumulation: S_t*n = n*cumsum_t - t*total is exact "
+    "BIGINT at every step (cumulative sums of floor-dollar BIGINTs), "
+    "|.| and argmax are integer ops, and the single division by n "
+    "happens once at the end. Deterministic tiebreak: min day among "
+    "peak rows. One groupBy(day); windows over the ~2,400-row daily "
+    "aggregate.",
+    tags=("agg", "window", "analytics", "timeseries", "stats"),
+)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day")
+    ).agg(
+        F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+        .cast("bigint")
+        .alias("x")
+    )
+    w_cum = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy()
+    c = daily.select(
+        "day",
+        "x",
+        F.row_number().over(W.orderBy("day")).cast("bigint").alias("i"),
+        F.sum("x").over(w_cum).cast("bigint").alias("cx"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+        F.sum("x").over(w_all).cast("bigint").alias("sx"),
+    )
+    s = c.select(
+        "day",
+        "n",
+        (F.col("n") * F.col("cx") - F.col("i") * F.col("sx")).alias("s_scaled"),
+    )
+    peak = s.select(
+        "day",
+        "n",
+        "s_scaled",
+        F.max(F.abs(F.col("s_scaled"))).over(w_all).alias("peak_scaled"),
+    )
+    return (
+        peak.filter(F.abs(F.col("s_scaled")) == F.col("peak_scaled"))
+        .agg(
+            F.min("day").cast("bigint").alias("changepoint_day"),
+            F.max("n").cast("bigint").alias("n_days"),
+            F.round(
+                F.max("peak_scaled").cast("double") / F.max("n").cast("double"),
+                2,
+            ).alias("cusum_peak_dollars"),
+        )
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the
