@@ -7970,6 +7970,272 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "max_concurrent_sessions",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+    ), marked AS (
+        SELECT user_id, ts_us,
+               CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM (SELECT user_id, ts_us, event_id,
+                     lag(ts_us) OVER (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id) AS prev
+              FROM e)
+    ), g AS (
+        SELECT user_id, ts_us,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        FROM (SELECT user_id, ts_us, new_s FROM marked)
+    ), iv AS (
+        SELECT user_id, seq,
+               CAST(min(ts_us) AS BIGINT) AS s_us,
+               CAST(max(ts_us) AS BIGINT) AS e_us
+        FROM g GROUP BY 1, 2
+    ), pts AS (
+        SELECT s_us AS t, 1 AS delta FROM iv
+        UNION ALL
+        SELECT e_us AS t, -1 AS delta FROM iv
+    ), c AS (
+        SELECT t, delta,
+               CAST(sum(delta) OVER (ORDER BY t, delta DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS conc
+        FROM pts
+    ), mx AS (
+        SELECT t, conc, max(conc) OVER () AS peak,
+               CAST(count(*) OVER () AS BIGINT) / 2 AS n_sessions
+        FROM c
+    )
+    SELECT CAST(max(peak) AS BIGINT)       AS peak_concurrency,
+           CAST(min(t) AS BIGINT)          AS peak_time_us,
+           CAST(max(n_sessions) AS BIGINT) AS n_sessions
+    FROM mx WHERE conc = peak
+    """,
+    "Peak concurrency via the sweep-line pattern: rebuild 30-minute-"
+    "gap sessions (same definition as `sessionization`), explode each "
+    "interval into (+1 at start, -1 at end) endpoint deltas, and take "
+    "the running sum over time — the classic 'maximum overlapping "
+    "intervals' computed as sort + prefix sum, which at 100 TB is a "
+    "range-partitioned sort plus the two-pass per-partition-offset "
+    "cumulative (distributed_row_number pattern) — never a self-join "
+    "of intervals. Inclusive-boundary tie rule is pinned (delta DESC: "
+    "starts before ends at the same microsecond) so the peak is "
+    "deterministic; all arithmetic is BIGINT.",
+    tags=("events", "window", "analytics", "sessions"),
+)
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w_user = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts_us",
+        F.when(
+            F.lag("ts_us").over(w_user).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w_user) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    w_seq = W.partitionBy("user_id").orderBy("ts_us").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    g = marked.select(
+        "user_id", "ts_us", F.sum("new_s").over(w_seq).alias("seq")
+    )
+    iv = g.groupBy("user_id", "seq").agg(
+        F.min("ts_us").cast("bigint").alias("s_us"),
+        F.max("ts_us").cast("bigint").alias("e_us"),
+    )
+    pts = iv.select(F.col("s_us").alias("t"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.col("e_us").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w_sweep = W.orderBy(F.asc("t"), F.desc("delta")).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    c = pts.select(
+        "t", "delta", F.sum("delta").over(w_sweep).cast("bigint").alias("conc")
+    )
+    mx = c.select(
+        "t",
+        "conc",
+        F.max("conc").over(W.partitionBy()).alias("peak"),
+        (F.count(F.lit(1)).over(W.partitionBy()) / 2)
+        .cast("bigint")
+        .alias("n_sessions"),
+    )
+    return mx.filter(F.col("conc") == F.col("peak")).agg(
+        F.max("peak").cast("bigint").alias("peak_concurrency"),
+        F.min("t").cast("bigint").alias("peak_time_us"),
+        F.max("n_sessions").cast("bigint").alias("n_sessions"),
+    )
+
+
+@register(
+    "event_trigram_topk",
+    """
+    WITH seqs AS (
+        SELECT event_type AS e1,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS e2,
+               lead(event_type, 2) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS e3
+        FROM events
+    ), g AS (
+        SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+        FROM seqs WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY 1, 2, 3
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS trigram, n
+    FROM g ORDER BY n DESC, trigram LIMIT 10
+    """,
+    "Sequential-pattern mining: top-10 most frequent 3-step event "
+    "sequences (trigrams) across all user journeys — the exploratory "
+    "companion to event_transition_matrix's first-order Markov view "
+    "(trigrams expose second-order structure funnels miss). Per-user "
+    "lead() windows run partitioned on the natural user key with a "
+    "deterministic (ts, event_id) order; trigram counting is one "
+    "partial-combined groupBy; the top-10 cut is "
+    "TakeOrderedAndProject with a total (count DESC, trigram) order "
+    "— per-partition heaps, no global sort.",
+    tags=("events", "window", "agg", "analytics"),
+)
+def event_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w_user = W.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    seqs = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w_user).alias("e2"),
+        F.lead("event_type", 2).over(w_user).alias("e3"),
+    )
+    g = (
+        seqs.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return (
+        g.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("trigram"), "n"
+        )
+        .orderBy(F.desc("n"), F.asc("trigram"))
+        .limit(10)
+    )
+
+
+@register(
+    "seasonal_naive_backtest",
+    """
+    WITH daily AS (
+        SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))))
+                    AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), paired AS (
+        SELECT a.day, a.x, b.x AS f
+        FROM daily a JOIN daily b ON b.day = a.day - 7
+    ), err AS (
+        SELECT day, x, f,
+               abs(x - f) AS ae,
+               CAST(round(round(CAST(abs(x - f) AS DOUBLE)
+                                / CAST(x AS DOUBLE), 6) * 1000000.0)
+                    AS BIGINT) AS ape_micro,
+               CAST(round(round(2.0 * CAST(abs(x - f) AS DOUBLE)
+                                / CAST(x + f AS DOUBLE), 6) * 1000000.0)
+                    AS BIGINT) AS sape_micro
+        FROM paired WHERE x > 0
+    )
+    SELECT CAST(count(*) AS BIGINT)                       AS n_days,
+           round(CAST(CAST(sum(ae) AS BIGINT) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 2)           AS mae,
+           round(CAST(CAST(sum(ape_micro) AS BIGINT) AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mape,
+           round(CAST(CAST(sum(sape_micro) AS BIGINT) AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS smape
+    FROM err
+    """,
+    "Seasonal-naive forecast backtest: predict each day's revenue "
+    "with the value 7 days earlier and score MAE / MAPE / SMAPE — "
+    "the baseline every forecasting model (the reference domain's "
+    "loss-projection models included) must beat, and the natural "
+    "consumer of autocorrelation_daily_revenue's lag-7 signal. "
+    "Absolute errors are exact BIGINT on floor-dollar daily sums; "
+    "per-day percentage errors are exact-integer IEEE divisions "
+    "rounded to micro-units and summed as BIGINT (associative, "
+    "layout-independent); each mean is one final division. Lag "
+    "alignment is an equi-join on day-7 (calendar-correct across "
+    "gaps, unlike positional lag). One groupBy(day) is the only "
+    "fact-sized work.",
+    tags=("agg", "join", "analytics", "timeseries"),
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day")
+    ).agg(
+        F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+        .cast("bigint")
+        .alias("x")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    paired = a.join(b, F.col("b.day") == F.col("a.day") - 7).select(
+        F.col("a.day").alias("day"), F.col("a.x").alias("x"), F.col("b.x").alias("f")
+    )
+    err = paired.filter(F.col("x") > 0).select(
+        "day",
+        "x",
+        "f",
+        F.abs(F.col("x") - F.col("f")).alias("ae"),
+        F.round(
+            F.round(
+                F.abs(F.col("x") - F.col("f")).cast("double")
+                / F.col("x").cast("double"),
+                6,
+            )
+            * 1000000.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("ape_micro"),
+        F.round(
+            F.round(
+                F.lit(2.0)
+                * F.abs(F.col("x") - F.col("f")).cast("double")
+                / (F.col("x") + F.col("f")).cast("double"),
+                6,
+            )
+            * 1000000.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("sape_micro"),
+    )
+    return err.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(
+            F.sum("ae").cast("bigint").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            2,
+        ).alias("mae"),
+        F.round(
+            F.sum("ape_micro").cast("bigint").cast("double")
+            / (F.count(F.lit(1)).cast("double") * 1000000.0),
+            6,
+        ).alias("mape"),
+        F.round(
+            F.sum("sape_micro").cast("bigint").cast("double")
+            / (F.count(F.lit(1)).cast("double") * 1000000.0),
+            6,
+        ).alias("smape"),
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

@@ -1,0 +1,44 @@
+"""Semantic checks for sweep-line concurrency, trigram mining, and
+the seasonal-naive backtest."""
+
+from __future__ import annotations
+
+import pytest
+
+from loan_default_prediction_app_big_data_spark.plans.registry import REGISTRY
+
+
+def rows(spark, sf_dir, name):
+    return REGISTRY[name].fn(spark, sf_dir).collect()
+
+
+def test_max_concurrency_bounds(spark, sf_dir):
+    out = rows(spark, sf_dir, "max_concurrent_sessions")[0]
+    # Sessions are per-user, so peak concurrency is bounded by the
+    # number of distinct users and must be >= 1.
+    sess = rows(spark, sf_dir, "sessionization")
+    n_users = len({r["user_id"] for r in sess})
+    assert 1 <= out["peak_concurrency"] <= n_users
+    # Same session definition => same session count.
+    assert out["n_sessions"] == len(sess)
+
+
+def test_trigram_topk_is_consistent_with_transitions(spark, sf_dir):
+    out = rows(spark, sf_dir, "event_trigram_topk")
+    assert 0 < len(out) <= 10
+    ns = [r["n"] for r in out]
+    assert ns == sorted(ns, reverse=True)
+    for r in out:
+        parts = r["trigram"].split(">")
+        assert len(parts) == 3
+        assert all(p for p in parts)
+
+
+def test_seasonal_naive_backtest_error_relations(spark, sf_dir):
+    out = rows(spark, sf_dir, "seasonal_naive_backtest")[0]
+    assert out["n_days"] > 50
+    assert out["mae"] >= 0
+    # SMAPE is bounded [0, 2]; MAPE positive; on a stationary series
+    # the naive forecast errs but not absurdly.
+    assert 0 <= out["smape"] <= 2
+    assert out["mape"] >= 0
