@@ -6608,27 +6608,9 @@ def _w_desc():
     tags=("agg", "window", "analytics", "credit"),
 )
 def ks_risk_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = _score_bands(spark, sf_dir)
-    cbs = F.sum("n_bad").over(_w_desc()).cast("double") / F.sum("n_bad").over(
-        _w_all()
-    ).cast("double")
-    cgs = F.sum("n_good").over(_w_desc()).cast("double") / F.sum("n_good").over(
-        _w_all()
-    ).cast("double")
-    c = b.select(
-        "band", "n_bad", "n_good", cbs.alias("cbs"), cgs.alias("cgs")
-    )
-    return c.select(
-        F.col("band").cast("bigint").alias("band"),
-        "n_bad",
-        "n_good",
-        F.round("cbs", 6).alias("cum_bad_share"),
-        F.round("cgs", 6).alias("cum_good_share"),
-        F.round(F.abs(F.col("cbs") - F.col("cgs")), 6).alias("ks_curve"),
-        F.round(
-            F.max(F.abs(F.col("cbs") - F.col("cgs"))).over(_w_all()), 6
-        ).alias("ks_stat"),
-    )
+    from ..functions import risk
+
+    return risk.ks_table(_score_bands(spark, sf_dir))
 
 
 @register(
@@ -6675,46 +6657,9 @@ def ks_risk_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "window", "analytics", "credit"),
 )
 def woe_iv_score_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = _score_bands(spark, sf_dir)
-    c = b.select(
-        "band",
-        "n_bad",
-        "n_good",
-        F.sum("n_bad").over(_w_all()).cast("bigint").alias("tot_bad"),
-        F.sum("n_good").over(_w_all()).cast("bigint").alias("tot_good"),
-    )
-    # Laplace 0.5 adjustment (the standard zero-cell WOE fix: three
-    # bands have no bads by construction) via doubled-integer products
-    # so every ln/division input is still an exact integer ratio.
-    ratio = ((2 * F.col("n_good") + 1) * F.col("tot_bad")).cast("double") / (
-        (2 * F.col("n_bad") + 1) * F.col("tot_good")
-    ).cast("double")
-    contrib = (
-        (2 * F.col("n_good") + 1).cast("double")
-        / (2 * F.col("tot_good")).cast("double")
-        - (2 * F.col("n_bad") + 1).cast("double")
-        / (2 * F.col("tot_bad")).cast("double")
-    ) * F.log(ratio)
-    m = c.select(
-        "band",
-        "n_bad",
-        "n_good",
-        F.log(ratio).alias("woe"),
-        F.round(F.round(contrib, 6) * 1000000.0, 0)
-        .cast("bigint")
-        .alias("iv_micro"),
-    )
-    return m.select(
-        F.col("band").cast("bigint").alias("band"),
-        "n_bad",
-        "n_good",
-        F.round("woe", 6).alias("woe"),
-        (F.col("iv_micro").cast("double") / 1000000.0).alias("iv_contrib"),
-        (
-            F.sum("iv_micro").over(_w_all()).cast("bigint").cast("double")
-            / 1000000.0
-        ).alias("iv_total"),
-    )
+    from ..functions import risk
+
+    return risk.woe_iv_table(_score_bands(spark, sf_dir))
 
 
 @register(
@@ -6856,43 +6801,9 @@ def psi_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "window", "analytics", "credit"),
 )
 def gains_lift_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = _score_bands(spark, sf_dir)
-    n = (F.col("n_bad") + F.col("n_good")).alias("n")
-    c = b.select(
-        "band",
-        "n_bad",
-        "n_good",
-        n,
-        F.sum("n_bad").over(_w_desc()).cast("bigint").alias("cum_bad"),
-        F.sum(F.col("n_bad") + F.col("n_good"))
-        .over(_w_desc())
-        .cast("bigint")
-        .alias("cum_n"),
-        F.sum("n_bad").over(_w_all()).cast("bigint").alias("tot_bad"),
-        F.sum(F.col("n_bad") + F.col("n_good"))
-        .over(_w_all())
-        .cast("bigint")
-        .alias("tot_n"),
-    )
-    base_rate = F.col("tot_bad").cast("double") / F.col("tot_n").cast("double")
-    return c.select(
-        F.col("band").cast("bigint").alias("band"),
-        F.col("n").cast("bigint").alias("n"),
-        "n_bad",
-        F.round(
-            F.col("cum_bad").cast("double") / F.col("tot_bad").cast("double"), 6
-        ).alias("capture_rate"),
-        F.round(
-            (F.col("n_bad").cast("double") / F.col("n").cast("double"))
-            / base_rate,
-            6,
-        ).alias("lift"),
-        F.round(
-            (F.col("cum_bad").cast("double") / F.col("cum_n").cast("double"))
-            / base_rate,
-            6,
-        ).alias("cum_lift"),
-    )
+    from ..functions import risk
+
+    return risk.gains_table(_score_bands(spark, sf_dir))
 
 
 @register(
@@ -6932,35 +6843,10 @@ def gains_lift_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "window", "analytics", "credit"),
 )
 def threshold_confusion_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = _score_bands(spark, sf_dir)
-    c = b.select(
-        "band",
-        F.sum("n_bad").over(_w_desc()).cast("bigint").alias("tp"),
-        F.sum("n_good").over(_w_desc()).cast("bigint").alias("fp"),
-        F.sum("n_bad").over(_w_all()).cast("bigint").alias("tot_bad"),
-        F.sum("n_good").over(_w_all()).cast("bigint").alias("tot_good"),
-    )
-    return c.select(
-        (F.col("band") * 10000).cast("bigint").alias("threshold"),
-        "tp",
-        "fp",
-        (F.col("tot_bad") - F.col("tp")).alias("fn"),
-        (F.col("tot_good") - F.col("fp")).alias("tn"),
-        F.round(
-            F.col("tp").cast("double")
-            / (F.col("tp") + F.col("fp")).cast("double"),
-            6,
-        ).alias("precision"),
-        F.round(
-            F.col("tp").cast("double") / F.col("tot_bad").cast("double"), 6
-        ).alias("recall"),
-        F.round(
-            (2 * F.col("tp")).cast("double")
-            / (2 * F.col("tp") + F.col("fp") + (F.col("tot_bad") - F.col("tp"))).cast(
-                "double"
-            ),
-            6,
-        ).alias("f1"),
+    from ..functions import risk
+
+    return risk.confusion_sweep(
+        _score_bands(spark, sf_dir), F.col("band") * 10000
     )
 
 
@@ -7004,32 +6890,9 @@ def threshold_confusion_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "window", "analytics", "credit", "ml"),
 )
 def roc_auc_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = _score_bands(spark, sf_dir)
-    c = b.select(
-        "band",
-        F.sum("n_bad").over(_w_desc()).cast("bigint").alias("cb"),
-        F.sum("n_good").over(_w_desc()).cast("bigint").alias("cg"),
-        F.sum("n_bad").over(_w_all()).cast("bigint").alias("tot_bad"),
-        F.sum("n_good").over(_w_all()).cast("bigint").alias("tot_good"),
-    )
-    lag_w = W.orderBy(F.desc("band"))
-    seg = c.select(
-        "tot_bad",
-        "tot_good",
-        (
-            (F.col("cg") - F.coalesce(F.lag("cg").over(lag_w), F.lit(0)))
-            * (F.col("cb") + F.coalesce(F.lag("cb").over(lag_w), F.lit(0)))
-        ).alias("seg_area2"),
-    )
-    return seg.agg(
-        F.round(
-            F.sum("seg_area2").cast("bigint").cast("double")
-            / (2 * F.max("tot_bad") * F.max("tot_good")).cast("double"),
-            6,
-        ).alias("auc"),
-        F.max("tot_bad").cast("bigint").alias("tot_bad"),
-        F.max("tot_good").cast("bigint").alias("tot_good"),
-    )
+    from ..functions import risk
+
+    return risk.auc_banded(_score_bands(spark, sf_dir))
 
 
 # =====================================================================

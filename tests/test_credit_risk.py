@@ -135,3 +135,99 @@ def test_psi_detects_no_drift_on_time_split(spark, sf_dir):
     assert all(r["psi_total"] == psi for r in out)
     assert 0 <= psi < 0.1
     assert psi == pytest.approx(sum(r["psi_contrib"] for r in out), abs=1e-6)
+
+
+# ---------------------------------------------------------------------
+# The generalized risk API (functions/risk.py) on REAL model output:
+# the registry tier proves the math against DuckDB on a synthetic
+# score; this proves the same builders work on the reference
+# pipeline's actual predictions and agree with MLlib's evaluator.
+# ---------------------------------------------------------------------
+
+import os
+
+from pyspark.sql import functions as F
+
+from loan_default_prediction_app_big_data_spark.functions import risk
+from loan_default_prediction_app_big_data_spark.ml.loan_pipeline import (
+    build_preprocessing_pipeline,
+    cast_features_double,
+    seeded_split,
+)
+from loan_default_prediction_app_big_data_spark.sources.readers import (
+    read_loan_csv,
+)
+
+LOAN_CSV = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "Loan_Default.csv",
+)
+
+
+@pytest.fixture(scope="module")
+def loan_predictions(spark):
+    from pyspark.ml.classification import LogisticRegression
+
+    df = cast_features_double(read_loan_csv(spark, LOAN_CSV))
+    pre = build_preprocessing_pipeline(with_mean=False).fit(df)
+    train, test = seeded_split(pre.transform(df))
+    lr = LogisticRegression(
+        featuresCol="scaled_features", labelCol="Status", maxIter=50
+    )
+    model = lr.fit(train)
+    return model, model.transform(test).cache()
+
+
+def test_banded_auc_tracks_mllib_evaluator(spark, loan_predictions):
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.functions import vector_to_array
+
+    model, preds = loan_predictions
+    mllib_auc = BinaryClassificationEvaluator(
+        labelCol="Status", rawPredictionCol="rawPrediction"
+    ).evaluate(preds)
+    scored = preds.select(
+        vector_to_array("probability")[1].alias("p"), F.col("Status")
+    )
+    bands = risk.band_counts(
+        scored,
+        score=F.col("p"),
+        label=F.col("Status"),
+        band=F.floor(F.col("p") * 1000).cast("bigint"),
+    )
+    banded = risk.auc_banded(bands).collect()[0]
+    # 1000 probability bands: banding loss is far below 0.01 AUC.
+    assert banded["auc"] == pytest.approx(mllib_auc, abs=0.01)
+    assert banded["tot_bad"] + banded["tot_good"] == preds.count()
+
+
+def test_risk_tables_on_real_scores_are_coherent(spark, loan_predictions):
+    from pyspark.ml.functions import vector_to_array
+
+    _, preds = loan_predictions
+    scored = preds.select(
+        vector_to_array("probability")[1].alias("p"), F.col("Status")
+    )
+    bands = risk.band_counts(
+        scored,
+        score=F.col("p"),
+        label=F.col("Status"),
+        band=F.floor(F.col("p") * 10).cast("bigint"),
+    ).cache()
+    ks = risk.ks_table(bands).collect()
+    assert 0 < ks[0]["ks_stat"] <= 1
+    gains = risk.gains_table(bands).collect()
+    assert max(r["capture_rate"] for r in gains) == pytest.approx(1.0, abs=1e-6)
+    sweep = risk.confusion_sweep(bands, F.col("band") * 10).collect()
+    tot_bad = sweep[0]["tp"] + sweep[0]["fn"]
+    assert all(r["tp"] + r["fn"] == tot_bad for r in sweep)
+    woe = risk.woe_iv_table(bands).collect()
+    assert woe[0]["iv_total"] == pytest.approx(
+        sum(r["iv_contrib"] for r in woe), abs=1e-6
+    )
+    # A real trained model must separate: IV > 0.1 ("medium") and the
+    # top band must be bad-enriched (lift > 1).
+    assert woe[0]["iv_total"] > 0.1
+    top = max(gains, key=lambda r: r["band"])
+    assert top["lift"] > 1.0
