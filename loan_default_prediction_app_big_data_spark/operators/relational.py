@@ -99,3 +99,51 @@ def global_row_number(
         .withColumn("rn", (F.row_number().over(w_local) + F.col("__off")).cast("long"))
         .drop("__pid", "__off")
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str,
+    out_col: str = "cumsum",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Global running sum of ``value_col`` in ``order_cols`` order
+    WITHOUT a single-partition window — the distributed sweep-line /
+    cumulative primitive (same two-phase shape as
+    ``global_row_number``):
+
+    1. ``repartitionByRange`` on the order columns (the sort-shuffle
+       any global ordering pays anyway);
+    2. per-partition value totals (one row per partition) are
+       prefix-summed on metadata scale and broadcast back as offsets;
+    3. running sum = per-partition cumulative window + offset.
+
+    Exact for integer/decimal values (associative partials); for
+    floats the summation order is pinned by the range partitioning,
+    deterministic for a fixed layout.
+    """
+    from pyspark.sql import Window as W
+
+    ranged = df.repartitionByRange(n_partitions, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint(eager=True)  # freeze sampled boundaries
+    totals = ranged.groupBy("__pid").agg(F.sum(value_col).alias("__t"))
+    w_meta = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, W.currentRow)
+    offsets = totals.withColumn(
+        "__off", (F.sum("__t").over(w_meta) - F.col("__t")).cast("long")
+    ).select("__pid", "__off")
+    w_local = (
+        W.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            out_col,
+            (F.sum(value_col).over(w_local) + F.col("__off")).cast("long"),
+        )
+        .drop("__pid", "__off")
+    )

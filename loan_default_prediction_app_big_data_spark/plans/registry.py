@@ -7889,6 +7889,8 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "window", "analytics", "sessions"),
 )
 def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import global_prefix_sum
+
     ev = t(spark, sf_dir, "events").select(
         "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
     )
@@ -7917,24 +7919,27 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = iv.select(F.col("s_us").alias("t"), F.lit(1).alias("delta")).unionAll(
         iv.select(F.col("e_us").alias("t"), F.lit(-1).alias("delta"))
     )
-    w_sweep = W.orderBy(F.asc("t"), F.desc("delta")).rowsBetween(
-        W.unboundedPreceding, 0
+    # Sweep order (t ASC, delta DESC) == (t, -delta) ascending; the
+    # running concurrency is a DISTRIBUTED two-pass prefix sum (range
+    # repartition + per-partition cumsum + broadcast offsets), never a
+    # single-partition window over the endpoint stream.
+    swept = global_prefix_sum(
+        pts.withColumn("neg_delta", -F.col("delta")),
+        order_cols=["t", "neg_delta"],
+        value_col="delta",
+        out_col="conc",
     )
-    c = pts.select(
-        "t", "delta", F.sum("delta").over(w_sweep).cast("bigint").alias("conc")
+    stats = swept.agg(
+        F.max("conc").cast("bigint").alias("peak"),
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_sessions"),
     )
-    mx = c.select(
-        "t",
-        "conc",
-        F.max("conc").over(W.partitionBy()).alias("peak"),
-        (F.count(F.lit(1)).over(W.partitionBy()) / 2)
-        .cast("bigint")
-        .alias("n_sessions"),
-    )
-    return mx.filter(F.col("conc") == F.col("peak")).agg(
-        F.max("peak").cast("bigint").alias("peak_concurrency"),
-        F.min("t").cast("bigint").alias("peak_time_us"),
-        F.max("n_sessions").cast("bigint").alias("n_sessions"),
+    return (
+        swept.join(F.broadcast(stats), swept.conc == stats.peak)
+        .agg(
+            F.max("peak").cast("bigint").alias("peak_concurrency"),
+            F.min("t").cast("bigint").alias("peak_time_us"),
+            F.max("n_sessions").cast("bigint").alias("n_sessions"),
+        )
     )
 
 

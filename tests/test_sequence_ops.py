@@ -42,3 +42,35 @@ def test_seasonal_naive_backtest_error_relations(spark, sf_dir):
     # the naive forecast errs but not absurdly.
     assert 0 <= out["smape"] <= 2
     assert out["mape"] >= 0
+
+
+def test_global_prefix_sum_matches_single_partition_window(spark):
+    """The distributed two-pass prefix sum must equal the naive
+    single-partition cumulative on any layout and any value signs."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from loan_default_prediction_app_big_data_spark.operators.relational import (
+        global_prefix_sum,
+    )
+
+    df = (
+        spark.range(0, 5000)
+        .select(
+            (F.col("id") * 37 % 1000).alias("k"),
+            F.col("id").alias("uid"),
+            ((F.col("id") % 7) - 3).alias("v"),
+        )
+        .repartition(13)
+    )
+    got = global_prefix_sum(
+        df, order_cols=["k", "uid"], value_col="v", out_col="c", n_partitions=8
+    )
+    naive = df.withColumn(
+        "c_ref",
+        F.sum("v")
+        .over(W.orderBy("k", "uid").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    joined = got.join(naive.select("uid", "c_ref"), "uid")
+    assert joined.filter(F.col("c") != F.col("c_ref")).count() == 0
