@@ -8143,6 +8143,88 @@ def robust_center_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "daily_revenue_var",
+    """
+    WITH daily AS (
+        SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))))
+                    AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), chg AS (
+        SELECT a.day, a.x - b.x AS c
+        FROM daily a JOIN daily b ON b.day = a.day - 1
+    ), ranked AS (
+        SELECT day, c,
+               CAST(row_number() OVER (ORDER BY c, day) AS BIGINT) AS rn,
+               CAST(count(*) OVER () AS BIGINT)                    AS n
+        FROM chg
+    ), k AS (
+        SELECT *, CAST(ceil(0.05 * CAST(n AS DOUBLE)) AS BIGINT) AS kk
+        FROM ranked
+    )
+    SELECT CAST(max(n) AS BIGINT)                    AS n_days,
+           CAST(max(CASE WHEN rn = kk THEN c END) AS BIGINT) AS var95,
+           round(CAST(CAST(sum(CASE WHEN rn <= kk THEN c END) AS BIGINT)
+                      AS DOUBLE) / CAST(max(kk) AS DOUBLE), 2) AS cvar95,
+           CAST(min(CASE WHEN rn = 1 THEN day END) AS BIGINT) AS worst_day
+    FROM k
+    """,
+    "Value-at-Risk on the daily revenue series: the 95% VaR is the "
+    "5th-percentile worst day-over-day change, CVaR (expected "
+    "shortfall) the mean of the tail at or below it — the portfolio "
+    "risk readout a lender runs on cash flows. Rather than engine "
+    "percentile functions (percentile_disc rank conventions differ "
+    "across engines), the tail element is selected by an EXPLICIT "
+    "deterministic rank (row_number over (change, day), k = "
+    "ceil(0.05n)) — bit-identical everywhere; changes and the tail "
+    "sum are exact BIGINT on floor-dollar revenue. Day-over-day "
+    "alignment is a calendar equi-join (day-1), not positional lag. "
+    "Fact-sized work: one groupBy(day); ranking runs on the ~2,400-"
+    "row daily aggregate (two-pass offsets at larger grains).",
+    tags=("agg", "window", "analytics", "timeseries", "stats"),
+)
+def daily_revenue_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day")
+    ).agg(
+        F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+        .cast("bigint")
+        .alias("x")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    chg = a.join(b, F.col("b.day") == F.col("a.day") - 1).select(
+        F.col("a.day").alias("day"), (F.col("a.x") - F.col("b.x")).alias("c")
+    )
+    ranked = chg.select(
+        "day",
+        "c",
+        F.row_number().over(W.orderBy("c", "day")).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).cast("bigint").alias("n"),
+    )
+    k = ranked.withColumn(
+        "kk", F.ceil(F.lit(0.05) * F.col("n").cast("double")).cast("bigint")
+    )
+    return k.agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.max(F.when(F.col("rn") == F.col("kk"), F.col("c")))
+        .cast("bigint")
+        .alias("var95"),
+        F.round(
+            F.sum(F.when(F.col("rn") <= F.col("kk"), F.col("c")))
+            .cast("bigint")
+            .cast("double")
+            / F.max("kk").cast("double"),
+            2,
+        ).alias("cvar95"),
+        F.min(F.when(F.col("rn") == 1, F.col("day")))
+        .cast("bigint")
+        .alias("worst_day"),
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

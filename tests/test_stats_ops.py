@@ -112,3 +112,13 @@ def test_gini_matches_direct_formula(spark, sf_dir):
     assert out["gini"] == pytest.approx(gini, abs=1e-4)
     assert out["n_customers"] == n
     assert out["total_revenue"] == sx
+
+
+def test_var_cvar_tail_relation(spark, sf_dir):
+    out = rows(spark, sf_dir, "daily_revenue_var")[0]
+    # CVaR (mean of the tail at or below VaR) can never exceed VaR.
+    assert out["cvar95"] <= out["var95"]
+    assert out["n_days"] > 50
+    # VaR of day-over-day changes on a stationary series is negative
+    # (there ARE down days).
+    assert out["var95"] < 0
