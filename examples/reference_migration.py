@@ -113,6 +113,47 @@ def main() -> None:
     pdf = viz_feed(df, ["loan_amount", "rate_of_interest", "age"], n=100)
     print(f"viz feed: {len(pdf)} rows x {list(pdf.columns)}")
 
+    # --- beyond the reference: scorecard validation on the model's own
+    # predictions (functions/risk.py) — KS, gains/lift, banded AUC —
+    # and CrossValidator tuning (ml/tuning.py). The reference prints a
+    # single AUC/accuracy (spark.py:73-78); this is the full readout a
+    # credit shop signs off on.
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    from loan_default_prediction_app_big_data_spark.functions import risk
+    from loan_default_prediction_app_big_data_spark.ml.loan_pipeline import (
+        cast_features_double,
+        seeded_split,
+    )
+
+    pre_model = pre  # reuse the loaded preprocessing transformers
+    _, test = seeded_split(pre_model.transform(cast_features_double(df)))
+    scored = lr.transform(test).select(
+        vector_to_array("probability")[1].alias("p"), F.col("Status")
+    )
+    bands = risk.band_counts(
+        scored,
+        score=F.col("p"),
+        label=F.col("Status"),
+        band=F.floor(F.col("p") * 10).cast("bigint"),
+    ).cache()
+    print("banded AUC:", risk.auc_banded(bands).collect()[0]["auc"])
+    print("KS:", risk.ks_table(bands).collect()[0]["ks_stat"])
+    top_gain = max(risk.gains_table(bands).collect(), key=lambda r: r["band"])
+    print(f"top-band lift: {top_gain['lift']}  capture: {top_gain['capture_rate']}")
+
+    from loan_default_prediction_app_big_data_spark.ml.tuning import (
+        tune_loan_model,
+    )
+
+    tuned = tune_loan_model(df, num_folds=2, max_iter=25)
+    print(
+        f"CV best: regParam={tuned.best_reg_param} "
+        f"elasticNet={tuned.best_elastic_net} "
+        f"cv_auc={tuned.best_cv_auc:.4f} holdout_auc={tuned.holdout_auc:.4f}"
+    )
+
     spark.stop()
 
 
