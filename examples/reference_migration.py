@@ -144,10 +144,10 @@ def main() -> None:
     print(f"top-band lift: {top_gain['lift']}  capture: {top_gain['capture_rate']}")
 
     from loan_default_prediction_app_big_data_spark.ml.tuning import (
-        tune_loan_model,
+        tune_with_holdout,
     )
 
-    tuned = tune_loan_model(df, num_folds=2, max_iter=25)
+    tuned = tune_with_holdout(df, num_folds=2)
     print(
         f"CV best: regParam={tuned.best_reg_param} "
         f"elasticNet={tuned.best_elastic_net} "

@@ -1,72 +1,51 @@
-"""Hyperparameter tuning for the loan model (MLlib CrossValidator).
+"""Hyperparameter tuning for the loan model.
 
-The reference trains one fixed LogisticRegression (spark.py:70-78,
-lr = LogisticRegression(...); app.py:109-118 fixed lr/epochs) — no
-model selection anywhere. A production credit pipeline sweeps
-regularization before freezing a scorecard; this module adds that
-capability natively: MLlib ``CrossValidator`` over a
-regParam x elasticNetParam grid, k-fold, AUC-scored, with the same
-preprocessing pipeline the rest of the engine uses.
+The reference hard-codes its hyperparameters (Adam lr=0.001, 10 epochs
+at reference app.py:114-117; MLlib defaults at reference spark.py:62).
+The engine adds the idiomatic MLlib tuning layer: CrossValidator over a
+small regularization grid, AUC as the selection metric.
 
-Scale posture: CrossValidator with ``parallelism=n`` trains the k*|grid|
-models concurrently as independent Spark jobs over the SAME cached
-train split — at cluster scale this is embarrassingly parallel across
-the grid, and each fold's fit is the usual distributed LBFGS. No
-driver-side data movement beyond per-model metrics.
+Scale note: CV trains |grid| × k models — each fit is a distributed
+treeAggregate job, and ``parallelism`` fits several models
+concurrently; at 100 TB prefer TrainValidationSplit (one split, not k)
+and a coarse-to-fine grid.
 """
 
 from __future__ import annotations
-
-from dataclasses import dataclass
 
 from pyspark.ml.classification import LogisticRegression
 from pyspark.ml.evaluation import BinaryClassificationEvaluator
 from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
 from pyspark.sql import DataFrame
 
-from .loan_pipeline import (
-    LOAN_LABEL,
-    build_preprocessing_pipeline,
-    cast_features_double,
-    seeded_split,
-)
-
-
-@dataclass
-class TuningResult:
-    best_reg_param: float
-    best_elastic_net: float
-    best_cv_auc: float
-    holdout_auc: float
-    avg_metrics: list[float]
-    grid_size: int
+from ..schema import LOAN_LABEL
+from .loan_pipeline import build_preprocessing_pipeline, cast_features_double
 
 
 def tune_loan_model(
     df: DataFrame,
-    reg_params: tuple[float, ...] = (0.0, 0.1),
-    elastic_net_params: tuple[float, ...] = (0.0, 1.0),
-    num_folds: int = 2,
+    reg_params: tuple[float, ...] = (0.0, 0.01, 0.1),
+    elastic_net_params: tuple[float, ...] = (0.0, 0.5),
+    num_folds: int = 3,
     seed: int = 42,
-    max_iter: int = 25,
     parallelism: int = 4,
-) -> TuningResult:
-    """Grid-search the loan LR with k-fold CV; report CV + holdout AUC.
+):
+    """Grid-search (regParam × elasticNetParam) with k-fold CV.
 
-    The holdout split is carved off BEFORE cross-validation (the same
-    seeded A12 split as fit_loan_model), so the reported holdout AUC
-    is untouched by model selection — the leakage-safe protocol the
-    reference's single train/test split (spark.py:66) can't offer for
-    tuned models.
+    Returns (best_lr_model, fitted_preprocessing, avg_metrics) where
+    avg_metrics aligns with the grid order.
     """
-    df = cast_features_double(df)
-    pre = build_preprocessing_pipeline(with_mean=False).fit(df)
-    train, holdout = seeded_split(pre.transform(df), seed=seed)
-    train = train.cache()
+    from pyspark.ml import Pipeline, PipelineModel
 
-    lr = LogisticRegression(
-        featuresCol="scaled_features", labelCol=LOAN_LABEL, maxIter=max_iter
-    )
+    df = cast_features_double(df)
+
+    # The WHOLE pipeline (preprocessing + LR) is the CV estimator, so
+    # each fold fits impute surrogates and scaler stats on its own
+    # training split — fitting preprocessing once on the full table
+    # would leak every fold's held-out rows into its transform and bias
+    # avgMetrics optimistically.
+    lr = LogisticRegression(featuresCol="scaled_features", labelCol=LOAN_LABEL)
+    full = Pipeline(stages=build_preprocessing_pipeline().getStages() + [lr])
     grid = (
         ParamGridBuilder()
         .addGrid(lr.regParam, list(reg_params))
@@ -79,24 +58,75 @@ def tune_loan_model(
         metricName="areaUnderROC",
     )
     cv = CrossValidator(
-        estimator=lr,
+        estimator=full,
         estimatorParamMaps=grid,
         evaluator=evaluator,
         numFolds=num_folds,
         seed=seed,
         parallelism=parallelism,
     )
-    cv_model = cv.fit(train)
-    best = cv_model.bestModel
-    holdout_auc = evaluator.evaluate(best.transform(holdout))
-    best_idx = max(
-        range(len(cv_model.avgMetrics)), key=lambda i: cv_model.avgMetrics[i]
+    cv_model = cv.fit(df)
+    best = cv_model.bestModel  # PipelineModel: [imputer, assembler, scaler, lr]
+    best_lr = best.stages[-1]
+    pre_model = PipelineModel(best.stages[:-1])
+    return best_lr, pre_model, list(cv_model.avgMetrics)
+
+
+from dataclasses import dataclass  # noqa: E402
+
+
+@dataclass
+class TuningResult:
+    """Summary of a tuned run with a leakage-safe holdout readout."""
+
+    best_reg_param: float
+    best_elastic_net: float
+    best_cv_auc: float
+    holdout_auc: float
+    avg_metrics: list[float]
+    grid_size: int
+
+
+def tune_with_holdout(
+    df: DataFrame,
+    reg_params: tuple[float, ...] = (0.0, 0.1),
+    elastic_net_params: tuple[float, ...] = (0.0, 1.0),
+    num_folds: int = 2,
+    seed: int = 42,
+    parallelism: int = 4,
+) -> TuningResult:
+    """``tune_loan_model`` plus an untouched holdout: the A12 seeded
+    split is carved off BEFORE cross-validation, so the reported
+    holdout AUC is unbiased by model selection — the protocol the
+    reference's single train/test split (reference spark.py:66)
+    cannot offer once hyperparameters are searched.
+    """
+    from .loan_pipeline import seeded_split
+
+    work = cast_features_double(df)
+    train, holdout = seeded_split(work, seed=seed)
+    best_lr, pre_model, avg_metrics = tune_loan_model(
+        train,
+        reg_params=reg_params,
+        elastic_net_params=elastic_net_params,
+        num_folds=num_folds,
+        seed=seed,
+        parallelism=parallelism,
     )
+    evaluator = BinaryClassificationEvaluator(
+        labelCol=LOAN_LABEL,
+        rawPredictionCol="rawPrediction",
+        metricName="areaUnderROC",
+    )
+    holdout_auc = evaluator.evaluate(
+        best_lr.transform(pre_model.transform(cast_features_double(holdout)))
+    )
+    best_idx = max(range(len(avg_metrics)), key=lambda i: avg_metrics[i])
     return TuningResult(
-        best_reg_param=float(best.getRegParam()),
-        best_elastic_net=float(best.getElasticNetParam()),
-        best_cv_auc=float(cv_model.avgMetrics[best_idx]),
+        best_reg_param=float(best_lr.getRegParam()),
+        best_elastic_net=float(best_lr.getElasticNetParam()),
+        best_cv_auc=float(avg_metrics[best_idx]),
         holdout_auc=float(holdout_auc),
-        avg_metrics=[float(m) for m in cv_model.avgMetrics],
-        grid_size=len(grid),
+        avg_metrics=[float(m) for m in avg_metrics],
+        grid_size=len(avg_metrics),
     )

@@ -8107,39 +8107,68 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "robust_center_aggregates",
     """
-    SELECT o_orderstatus,
-           CAST(count(*) AS BIGINT)        AS n,
-           round(median(o_totalprice), 4)  AS median_price,
-           mode(o_orderpriority)           AS mode_priority,
-           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                 / CAST(count(*) AS DOUBLE), 4) AS mean_price
-    FROM orders
-    GROUP BY o_orderstatus
+    WITH pc AS (
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2
+    ), md AS (
+        SELECT o_orderstatus,
+               min(CASE WHEN rnk = 1 THEN o_orderpriority END) AS mode_priority
+        FROM (SELECT o_orderstatus, o_orderpriority, n,
+                     rank() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY n DESC) AS rnk
+              FROM pc)
+        GROUP BY 1
+    ), base AS (
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT)       AS n,
+               round(median(o_totalprice), 4) AS median_price,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 4) AS mean_price
+        FROM orders GROUP BY 1
+    )
+    SELECT b.o_orderstatus, b.n, b.median_price, m.mode_priority, b.mean_price
+    FROM base b JOIN md m USING (o_orderstatus)
     """,
-    "Exact median and mode per group — the robust-center aggregates "
-    "(median survives the fat-tailed amounts that skew avg; mode is "
-    "the categorical center). Spark 4's native median()/mode() run as "
-    "sort-based/hash holistic aggregates per group; at 100 TB the "
-    "documented swap is approx_percentile(0.5) (percentile_stats "
-    "shows both forms) since exact median is a per-group sort. The "
-    "fixture's priority counts have a unique per-group maximum, so "
-    "mode is well-defined on both engines; median of an even group "
-    "averages the two middle values identically.",
-    tags=("agg", "stats"),
+    "Exact median and deterministic mode per group — the robust-center "
+    "aggregates (median survives fat-tailed amounts; mode is the "
+    "categorical center). Engine-native mode() breaks count ties "
+    "arbitrarily (and the sf0.001 fixture HAS a tie), so mode is "
+    "computed by its definition with a pinned tiebreak: rank counts "
+    "per (group, value), take the MINIMUM value among tied maxima — "
+    "identical on every engine. Median uses Spark 4's native exact "
+    "median() (per-group holistic sort; approx_percentile(0.5) is the "
+    "documented 100 TB swap — percentile_stats shows both); the mean "
+    "sums DECIMAL partials so it is associative. Two partial-combined "
+    "groupBys + a broadcast join of two metadata-scale aggregates.",
+    tags=("agg", "window", "stats"),
 )
 def robust_center_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
+    pc = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w_rnk = W.partitionBy("o_orderstatus").orderBy(F.desc("n"))
+    md = (
+        pc.select("o_orderstatus", "o_orderpriority", F.rank().over(w_rnk).alias("rnk"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.min(
+                F.when(F.col("rnk") == 1, F.col("o_orderpriority"))
+            ).alias("mode_priority")
+        )
+    )
+    base = o.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.round(F.median("o_totalprice"), 4).alias("median_price"),
-        F.mode("o_orderpriority").alias("mode_priority"),
-        # DECIMAL partials keep the mean associative (layout-stable),
-        # unlike a raw double avg().
         F.round(
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
             / F.count(F.lit(1)).cast("double"),
             4,
         ).alias("mean_price"),
+    )
+    return base.join(F.broadcast(md), "o_orderstatus").select(
+        "o_orderstatus", "n", "median_price", "mode_priority", "mean_price"
     )
 
 

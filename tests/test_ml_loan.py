@@ -391,10 +391,10 @@ def test_cross_validated_tuning_selects_sane_model(spark, loan):
     must cover the full grid, and the tuned holdout AUC must not fall
     below an untuned fit by more than noise."""
     from loan_default_prediction_app_big_data_spark.ml.tuning import (
-        tune_loan_model,
+        tune_with_holdout,
     )
 
-    res = tune_loan_model(loan, num_folds=2, max_iter=25)
+    res = tune_with_holdout(loan, num_folds=2)
     assert res.grid_size == 4
     assert len(res.avg_metrics) == 4
     assert res.best_reg_param in (0.0, 0.1)
