@@ -8254,6 +8254,190 @@ def daily_revenue_var(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "growth_accounting_weekly",
+    """
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               epoch_us(ts) // 86400000000 // 7 AS week
+        FROM events
+    ), marked AS (
+        SELECT user_id, week,
+               min(week) OVER (PARTITION BY user_id)           AS first_week,
+               lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week
+        FROM uw
+    ), cls AS (
+        SELECT week,
+               CAST(count(*) AS BIGINT) AS n_active,
+               CAST(sum(CASE WHEN week = first_week THEN 1 ELSE 0 END)
+                    AS BIGINT)          AS n_new,
+               CAST(sum(CASE WHEN prev_week = week - 1 THEN 1 ELSE 0 END)
+                    AS BIGINT)          AS n_retained,
+               CAST(sum(CASE WHEN week > first_week
+                             AND (prev_week IS NULL OR prev_week < week - 1)
+                             THEN 1 ELSE 0 END)
+                    AS BIGINT)          AS n_resurrected
+        FROM marked GROUP BY 1
+    )
+    SELECT c.week, c.n_active, c.n_new, c.n_retained, c.n_resurrected,
+           coalesce(p.n_active, 0) - c.n_retained AS n_churned,
+           CASE WHEN coalesce(p.n_active, 0) - c.n_retained > 0
+                THEN round(CAST(c.n_new + c.n_resurrected AS DOUBLE)
+                           / CAST(coalesce(p.n_active, 0) - c.n_retained
+                                  AS DOUBLE), 6)
+           END AS quick_ratio
+    FROM cls c LEFT JOIN cls p ON p.week = c.week - 1
+    """,
+    "Growth accounting: every week's active users decomposed into "
+    "new / retained / resurrected, churn derived as last week's "
+    "actives minus this week's retained, and the quick ratio "
+    "((new+resurrected)/churned) — the canonical product-growth "
+    "readout (Social Capital's framework). Per-user state needs only "
+    "a lag over that user's distinct active weeks (partitioned on the "
+    "natural key) and a broadcast-sized week-over-week self-join of "
+    "the 350-row weekly aggregate. All counts exact BIGINT; the one "
+    "fact-sized pass is the DISTINCT (user, week) projection.",
+    tags=("events", "window", "agg", "analytics"),
+)
+def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000 div 7").alias("week")
+    ).distinct()
+    w_user = W.partitionBy("user_id")
+    w_ord = W.partitionBy("user_id").orderBy("week")
+    marked = uw.select(
+        "user_id",
+        "week",
+        F.min("week").over(w_user).alias("first_week"),
+        F.lag("week").over(w_ord).alias("prev_week"),
+    )
+    cls = marked.groupBy("week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum(F.when(F.col("week") == F.col("first_week"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(F.col("prev_week") == F.col("week") - 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                (F.col("week") > F.col("first_week"))
+                & (
+                    F.col("prev_week").isNull()
+                    | (F.col("prev_week") < F.col("week") - 1)
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    c = cls.alias("c")
+    p = cls.alias("p")
+    churned = F.coalesce(F.col("p.n_active"), F.lit(0)) - F.col("c.n_retained")
+    return c.join(
+        F.broadcast(p), F.col("p.week") == F.col("c.week") - 1, "left"
+    ).select(
+        F.col("c.week").alias("week"),
+        F.col("c.n_active").alias("n_active"),
+        F.col("c.n_new").alias("n_new"),
+        F.col("c.n_retained").alias("n_retained"),
+        F.col("c.n_resurrected").alias("n_resurrected"),
+        churned.alias("n_churned"),
+        F.when(
+            churned > 0,
+            F.round(
+                (F.col("c.n_new") + F.col("c.n_resurrected")).cast("double")
+                / churned.cast("double"),
+                6,
+            ),
+        ).alias("quick_ratio"),
+    )
+
+
+@register(
+    "cohort_ltv",
+    """
+    WITH uw AS (
+        SELECT user_id,
+               epoch_us(ts) // 86400000000 // 7 AS week,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ), fw AS (
+        SELECT user_id, min(week) AS cohort FROM uw GROUP BY 1
+    ), sized AS (
+        SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users FROM fw GROUP BY 1
+    ), aged AS (
+        SELECT f.cohort, u.week - f.cohort AS age_weeks,
+               CAST(sum(u.rev_cents) AS BIGINT) AS rev_cents
+        FROM uw u JOIN fw f ON u.user_id = f.user_id
+        GROUP BY 1, 2
+    )
+    SELECT a.cohort, a.age_weeks, s.cohort_users, a.rev_cents,
+           round(CAST(CAST(sum(a.rev_cents) OVER (PARTITION BY a.cohort
+                           ORDER BY a.age_weeks
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS DOUBLE)
+                 / (CAST(s.cohort_users AS DOUBLE) * 100.0), 4)
+               AS cum_ltv_per_user
+    FROM aged a JOIN sized s USING (cohort)
+    WHERE a.cohort >= 0
+    """,
+    "Cohort LTV curves: purchasers grouped by first-purchase week, "
+    "cumulative revenue per cohort member by weeks-since-first — the "
+    "monetization companion to cohort_retention's activity matrix "
+    "(does later revenue make up for churn?). Revenue integerizes to "
+    "floor-cents BIGINT at the row level, so per-(user,week) partials, "
+    "cohort-age sums, and the running cumulative are ALL exact "
+    "integer arithmetic; the single division per output row happens "
+    "last. Fact-sized work: one groupBy(user, week) on purchases; "
+    "the LTV windows run over the cohort x age aggregate.",
+    tags=("events", "window", "agg", "analytics"),
+)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    uw = ev.groupBy(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000 div 7").alias("week"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    fw = uw.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    sized = fw.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users")
+    )
+    aged = (
+        uw.join(fw, "user_id")
+        .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("age_weeks"))
+        .agg(F.sum("rev_cents").cast("bigint").alias("rev_cents"))
+    )
+    w_cum = (
+        W.partitionBy("cohort")
+        .orderBy("age_weeks")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        aged.join(F.broadcast(sized), "cohort")
+        .filter(F.col("cohort") >= 0)
+        .select(
+            "cohort",
+            "age_weeks",
+            "cohort_users",
+            "rev_cents",
+            F.round(
+                F.sum("rev_cents").over(w_cum).cast("bigint").cast("double")
+                / (F.col("cohort_users").cast("double") * F.lit(100.0)),
+                4,
+            ).alias("cum_ltv_per_user"),
+        )
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

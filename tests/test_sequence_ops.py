@@ -74,3 +74,38 @@ def test_global_prefix_sum_matches_single_partition_window(spark):
     )
     joined = got.join(naive.select("uid", "c_ref"), "uid")
     assert joined.filter(F.col("c") != F.col("c_ref")).count() == 0
+
+
+def test_growth_accounting_identities(spark, sf_dir):
+    out = {r["week"]: r for r in rows(spark, sf_dir, "growth_accounting_weekly")}
+    weeks = sorted(out)
+    total_new = 0
+    for w in weeks:
+        r = out[w]
+        # Active decomposes exactly into new + retained + resurrected.
+        assert r["n_active"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]
+        assert r["n_churned"] >= 0 or w == weeks[0]
+        total_new += r["n_new"]
+        prev = out.get(w - 1)
+        if prev is not None:
+            assert r["n_churned"] == prev["n_active"] - r["n_retained"]
+    # Every user is new exactly once.
+    sess = rows(spark, sf_dir, "sessionization")
+    assert total_new == len({r["user_id"] for r in sess})
+
+
+def test_cohort_ltv_monotone_and_consistent(spark, sf_dir):
+    out = rows(spark, sf_dir, "cohort_ltv")
+    by_cohort = {}
+    for r in out:
+        by_cohort.setdefault(r["cohort"], []).append(r)
+    assert len(by_cohort) >= 1  # events span few weeks at sf0.001
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["age_weeks"])
+        # age 0 exists (the cohort's defining week has revenue).
+        assert rs[0]["age_weeks"] == 0
+        ltvs = [r["cum_ltv_per_user"] for r in rs]
+        # Cumulative LTV can only grow (revenue >= 0).
+        assert ltvs == sorted(ltvs)
+        sizes = {r["cohort_users"] for r in rs}
+        assert len(sizes) == 1
