@@ -8438,6 +8438,159 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "market_basket_lift",
+    """
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), tot AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM op
+    ), pa AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_a FROM op GROUP BY 1
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT part_a, part_b, n_ab,
+           round(CAST(n_ab AS DOUBLE) / CAST(t.n AS DOUBLE), 6)     AS support,
+           round(CAST(n_ab AS DOUBLE) / CAST(x.n_a AS DOUBLE), 6)   AS confidence,
+           round(CAST(n_ab * t.n AS DOUBLE)
+                 / CAST(x.n_a * y.n_a AS DOUBLE), 6)                AS lift
+    FROM pairs
+    JOIN pa x ON part_a = x.l_partkey
+    JOIN pa y ON part_b = y.l_partkey
+    CROSS JOIN tot t
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 20
+    """,
+    "Market-basket affinity: support / confidence / lift for part "
+    "pairs co-purchased in the same order, top-20 by lift — the "
+    "association-rules readout behind every recommender baseline. "
+    "Pair generation is a self-equi-join ON the order key with a "
+    "canonical part_a < part_b orientation (pairs per order are "
+    "bounded by basket size squared — never a global cross product); "
+    "item frequencies broadcast back onto the pair aggregate; every "
+    "measure is one IEEE division of exact BIGINT counts, and the "
+    "top-20 cut is TakeOrderedAndProject on (lift, part_a, part_b) — "
+    "a total order, so the cut is deterministic.",
+    tags=("agg", "join", "analytics"),
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    tot = op.agg(F.count_distinct("l_orderkey").cast("bigint").alias("n"))
+    pa = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a")
+    )
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    x = pa.alias("x")
+    y = pa.alias("y")
+    return (
+        pairs.join(F.broadcast(x), F.col("part_a") == F.col("x.l_partkey"))
+        .join(F.broadcast(y), F.col("part_b") == F.col("y.l_partkey"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") / F.col("n").cast("double"), 6
+            ).alias("support"),
+            F.round(
+                F.col("n_ab").cast("double") / F.col("x.n_a").cast("double"), 6
+            ).alias("confidence"),
+            F.round(
+                (F.col("n_ab") * F.col("n")).cast("double")
+                / (F.col("x.n_a") * F.col("y.n_a")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
+@register(
+    "rolling_trend_slope",
+    """
+    WITH daily AS (
+        SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))))
+                    AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), win AS (
+        SELECT day,
+               CAST(count(*) OVER w AS BIGINT)          AS n,
+               CAST(CAST(sum(day) OVER w AS BIGINT) AS DOUBLE)     AS sx,
+               CAST(CAST(sum(x) OVER w AS BIGINT) AS DOUBLE)       AS sy,
+               CAST(CAST(sum(day * x) OVER w AS BIGINT) AS DOUBLE) AS sxy,
+               CAST(CAST(sum(day * day) OVER w AS BIGINT) AS DOUBLE) AS sxx
+        FROM daily
+        WINDOW w AS (ORDER BY day RANGE BETWEEN 27 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, n,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 4) AS slope
+    FROM win WHERE n >= 21
+    """,
+    "Rolling 28-day revenue trend: the least-squares slope "
+    "(dollars/day) over a trailing CALENDAR window — RANGE framing on "
+    "the integer day key, so calendar gaps shrink the window instead "
+    "of silently stretching it the way a positional ROWS frame would. "
+    "All five regression sufficient statistics are windowed sums of "
+    "exact BIGINTs (floor-dollar revenue); the closed-form slope is "
+    "one IEEE expression per row. Runs over the ~2,400-row daily "
+    "aggregate (partitioned by calendar year at 100 TB with overlap "
+    "stitching, or the two-pass offset pattern).",
+    tags=("agg", "window", "analytics", "timeseries", "stats"),
+)
+def rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day")
+    ).agg(
+        F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+        .cast("bigint")
+        .alias("x")
+    )
+    w = W.orderBy("day").rangeBetween(-27, 0)
+    win = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("day").over(w).cast("bigint").cast("double").alias("sx"),
+        F.sum("x").over(w).cast("bigint").cast("double").alias("sy"),
+        F.sum(F.col("day") * F.col("x")).over(w).cast("bigint").cast("double").alias("sxy"),
+        F.sum(F.col("day") * F.col("day")).over(w).cast("bigint").cast("double").alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    return win.filter(F.col("n") >= 21).select(
+        "day",
+        "n",
+        F.round(
+            (n_d * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (n_d * F.col("sxx") - F.col("sx") * F.col("sx")),
+            4,
+        ).alias("slope"),
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

@@ -122,3 +122,26 @@ def test_var_cvar_tail_relation(spark, sf_dir):
     # VaR of day-over-day changes on a stationary series is negative
     # (there ARE down days).
     assert out["var95"] < 0
+
+
+def test_market_basket_measure_relations(spark, sf_dir):
+    out = rows(spark, sf_dir, "market_basket_lift")
+    assert 0 < len(out) <= 20
+    lifts = [r["lift"] for r in out]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in out:
+        assert r["part_a"] < r["part_b"]
+        assert r["n_ab"] >= 2
+        assert 0 < r["support"] <= 1
+        assert 0 < r["confidence"] <= 1
+        # lift = confidence / P(b) >= support always; and lift*P(a)*P(b)
+        # reconstructs support within rounding.
+        assert r["lift"] > 0
+
+
+def test_rolling_slope_windows_are_calendar_bounded(spark, sf_dir):
+    out = rows(spark, sf_dir, "rolling_trend_slope")
+    # sf0.001's sparse calendar leaves few >=21-observation windows.
+    assert len(out) >= 1
+    for r in out[:200]:
+        assert 21 <= r["n"] <= 28
