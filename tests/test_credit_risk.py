@@ -231,3 +231,38 @@ def test_risk_tables_on_real_scores_are_coherent(spark, loan_predictions):
     assert woe[0]["iv_total"] > 0.1
     top = max(gains, key=lambda r: r["band"])
     assert top["lift"] > 1.0
+
+
+def test_probability_calibration_improves_brier(spark, loan_predictions):
+    """Isotonic and Platt calibration (ml/calibration.py): fit on one
+    half of the held-out scores, evaluate on the other — the
+    calibrated Brier score must not be worse than the raw model's
+    (isotonic can only help in-sample; out-of-sample it must at least
+    not collapse), and calibrated probabilities stay in [0, 1]."""
+    from loan_default_prediction_app_big_data_spark.ml.calibration import (
+        calibrate,
+        scores_frame,
+    )
+
+    _, preds = loan_predictions
+    scored = scores_frame(preds, label_col="Status")
+    cal, ev = scored.randomSplit([0.5, 0.5], seed=7)
+    cal, ev = cal.cache(), ev.cache()
+
+    for method in ("isotonic", "platt"):
+        res = calibrate(cal, ev, method=method)
+        assert res.brier_raw > 0
+        # Out-of-sample tolerance: no worse than raw + small noise.
+        assert res.brier_calibrated <= res.brier_raw + 0.02, method
+
+    # Isotonic output is monotone in the raw score (PAV property).
+    from loan_default_prediction_app_big_data_spark.ml.calibration import (
+        _apply,
+        fit_isotonic,
+    )
+
+    iso = fit_isotonic(cal)
+    mapped = _apply(iso, ev).orderBy("raw_p").collect()
+    cal_ps = [r["cal_p"] for r in mapped]
+    assert all(0.0 <= p <= 1.0 for p in cal_ps)
+    assert all(a <= b + 1e-9 for a, b in zip(cal_ps, cal_ps[1:]))
