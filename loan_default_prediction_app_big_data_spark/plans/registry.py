@@ -8591,6 +8591,187 @@ def rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "weighted_median_exact",
+    """
+    WITH w AS (
+        SELECT o.o_totalprice AS v, CAST(count(*) AS BIGINT) AS wt
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_totalprice
+    ), ranked AS (
+        SELECT v, wt,
+               CAST(sum(wt) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_wt,
+               CAST(sum(wt) OVER () AS BIGINT) AS tot_wt
+        FROM w
+    )
+    SELECT CAST(max(tot_wt) AS BIGINT) AS total_weight,
+           round(min(CASE WHEN 2 * cum_wt >= tot_wt THEN v END), 2)
+                                       AS weighted_median
+    FROM ranked
+    """,
+    "Exact weighted median: order value weighted by line count — the "
+    "'median dollar' (half the LINES sit in cheaper orders), a "
+    "different animal from the median ORDER robust_center_aggregates "
+    "reports. Selection by definition: cumulative weight sweep, first "
+    "element where 2*cum >= total — exact BIGINT weights, exact "
+    "element pick, no interpolation convention to disagree on. "
+    "Weights come from a count aggregate on the join key (never a "
+    "fact-widening join); the sweep runs over the order-level "
+    "aggregate (two-pass offsets at 100 TB, same as "
+    "distributed_row_number).",
+    tags=("agg", "join", "window", "stats"),
+)
+def weighted_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    w = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wt"))
+        .select(F.col("o_totalprice").alias("v"), "wt")
+    )
+    w_cum = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    ranked = w.select(
+        "v",
+        "wt",
+        F.sum("wt").over(w_cum).cast("bigint").alias("cum_wt"),
+        F.sum("wt").over(W.partitionBy()).cast("bigint").alias("tot_wt"),
+    )
+    return ranked.agg(
+        F.max("tot_wt").cast("bigint").alias("total_weight"),
+        F.round(
+            F.min(F.when(2 * F.col("cum_wt") >= F.col("tot_wt"), F.col("v"))),
+            2,
+        ).alias("weighted_median"),
+    )
+
+
+@register(
+    "histogram_equi_depth",
+    """
+    WITH ranked AS (
+        SELECT o_totalprice AS v,
+               CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+                    AS BIGINT) AS rn,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM orders
+    )
+    SELECT CAST(b AS BIGINT)                       AS bucket,
+           round(min(v), 2)                        AS upper_bound,
+           CAST((b * n) // 10 - ((b - 1) * n) // 10 AS BIGINT) AS bucket_rows
+    FROM ranked
+    CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS b) bs
+    WHERE rn = (b * n) // 10
+    GROUP BY b, n
+    """,
+    "Equi-depth (quantile) histogram: 10 boundaries, each holding "
+    "n/10 rows — the statistic cost-based optimizers keep per column "
+    "(Spark's own ANALYZE ... FOR COLUMNS builds exactly this), and "
+    "the complement of histogram_width_bucket's equi-WIDTH bins. "
+    "Boundaries are picked by explicit integer rank ((b*n)/10 with a "
+    "(value, key) total order) — exact element selection on both "
+    "engines, no percentile interpolation. The rank itself is the "
+    "sort-shuffle any quantile pass pays; at 100 TB the rank comes "
+    "from the two-pass offset pattern and the boundary probe is a "
+    "10-key broadcast semi-join.",
+    tags=("agg", "window", "stats"),
+)
+def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    ranked = o.select(
+        F.col("o_totalprice").alias("v"),
+        F.row_number()
+        .over(W.orderBy("o_totalprice", "o_orderkey"))
+        .cast("bigint")
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).cast("bigint").alias("n"),
+    )
+    bs = spark.range(1, 11).select(F.col("id").alias("b"))
+    # Integer-division parity: DuckDB's // on BIGINTs == Spark's div.
+    hit = ranked.crossJoin(F.broadcast(bs)).filter(
+        F.col("rn") == F.expr("(b * n) div 10")
+    )
+    return hit.groupBy(F.col("b").cast("bigint").alias("bucket")).agg(
+        F.round(F.min("v"), 2).alias("upper_bound"),
+        F.max(
+            F.expr("(b * n) div 10") - F.expr("((b - 1) * n) div 10")
+        )
+        .cast("bigint")
+        .alias("bucket_rows"),
+    )
+
+
+@register(
+    "join_cardinality_estimate",
+    """
+    WITH s AS (
+        SELECT CAST(count(*) AS BIGINT)                    AS n_li,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT)  AS ndv_li
+        FROM lineitem
+    ), o AS (
+        SELECT CAST(count(*) AS BIGINT)                    AS n_o,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT)  AS ndv_o
+        FROM orders
+    ), actual AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_join
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT s.n_li, o.n_o, s.ndv_li, o.ndv_o, a.n_join AS actual_rows,
+           CAST((s.n_li * o.n_o) // greatest(s.ndv_li, o.ndv_o) AS BIGINT)
+                                             AS estimated_rows,
+           round(CAST(a.n_join AS DOUBLE)
+                 / CAST((s.n_li * o.n_o) // greatest(s.ndv_li, o.ndv_o)
+                        AS DOUBLE), 6)       AS actual_over_estimate
+    FROM s, o, actual a
+    """,
+    "Join cardinality estimation vs ground truth: the textbook "
+    "|R ⋈ S| = |R|*|S| / max(ndv_R, ndv_S) formula every cost-based "
+    "optimizer (Catalyst CBO included) uses, computed from exact "
+    "distinct counts and compared against the actual join count — "
+    "the diagnostic for WHY a plan mis-chose (ratio far from 1 means "
+    "skew or correlation the uniform-key assumption missed; at scale "
+    "the exact NDVs become HLL sketches, hll_distinct_sketch_merge). "
+    "Three aggregates + a 1x1x1-row combine; the actual-count join "
+    "shuffles only the key columns.",
+    tags=("agg", "join", "stats", "quality"),
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    s = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_li"),
+        F.count_distinct("l_orderkey").cast("bigint").alias("ndv_li"),
+    )
+    od = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_o"),
+        F.count_distinct("o_orderkey").cast("bigint").alias("ndv_o"),
+    )
+    actual = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("actual_rows"))
+    )
+    est = F.expr("(n_li * n_o) div greatest(ndv_li, ndv_o)")
+    return (
+        s.crossJoin(F.broadcast(od))
+        .crossJoin(F.broadcast(actual))
+        .select(
+            "n_li",
+            "n_o",
+            "ndv_li",
+            "ndv_o",
+            "actual_rows",
+            est.cast("bigint").alias("estimated_rows"),
+            F.round(
+                F.col("actual_rows").cast("double")
+                / est.cast("double"),
+                6,
+            ).alias("actual_over_estimate"),
+        )
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

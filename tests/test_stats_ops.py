@@ -145,3 +145,40 @@ def test_rolling_slope_windows_are_calendar_bounded(spark, sf_dir):
     assert len(out) >= 1
     for r in out[:200]:
         assert 21 <= r["n"] <= 28
+
+
+def test_weighted_median_between_min_max(spark, sf_dir):
+    out = rows(spark, sf_dir, "weighted_median_exact")[0]
+    import duckdb
+
+    con = duckdb.connect()
+    lo, hi, med = con.execute(
+        "SELECT min(o_totalprice), max(o_totalprice), median(o_totalprice)"
+        f" FROM read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchone()
+    con.close()
+    assert lo <= out["weighted_median"] <= hi
+    # Line-count weighting is near-independent of price, so the
+    # weighted median stays in the same region as the plain median.
+    assert abs(out["weighted_median"] - med) / med < 0.25
+
+
+def test_equi_depth_histogram_properties(spark, sf_dir):
+    out = sorted(rows(spark, sf_dir, "histogram_equi_depth"), key=lambda r: r["bucket"])
+    assert [r["bucket"] for r in out] == list(range(1, 11))
+    bounds = [r["upper_bound"] for r in out]
+    assert bounds == sorted(bounds)
+    n = sum(r["bucket_rows"] for r in out)
+    # Depths differ by at most 1 row (integer division remainder).
+    depths = [r["bucket_rows"] for r in out]
+    assert max(depths) - min(depths) <= 1
+    assert n == depths[0] * 10 + sum(d - depths[0] for d in depths)
+
+
+def test_join_cardinality_estimate_is_exact_for_pk_fk(spark, sf_dir):
+    out = rows(spark, sf_dir, "join_cardinality_estimate")[0]
+    # orders.o_orderkey is the PK: ndv_o == n_o, so the uniform-key
+    # formula is EXACT for a PK-FK join — ratio must be 1.
+    assert out["ndv_o"] == out["n_o"]
+    assert out["estimated_rows"] == out["actual_rows"]
+    assert out["actual_over_estimate"] == 1.0
