@@ -8772,6 +8772,94 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "entropy_kl_event_mix",
+    """
+    WITH seg AS (
+        SELECT CAST(user_id % 4 AS BIGINT) AS segment, event_type
+        FROM events
+    ), cell AS (
+        SELECT segment, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM seg GROUP BY 1, 2
+    ), m AS (
+        SELECT segment, event_type, n,
+               CAST(sum(n) OVER (PARTITION BY segment) AS BIGINT) AS seg_tot,
+               CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS glob_n,
+               CAST(sum(n) OVER () AS BIGINT)                     AS tot
+        FROM cell
+    ), w AS (
+        SELECT segment, event_type, n, seg_tot,
+               -(CAST(n AS DOUBLE) / CAST(seg_tot AS DOUBLE))
+                 * ln(CAST(n AS DOUBLE) / CAST(seg_tot AS DOUBLE)) AS h_term,
+               (CAST(n AS DOUBLE) / CAST(seg_tot AS DOUBLE))
+                 * ln(CAST(n * tot AS DOUBLE)
+                      / CAST(seg_tot * glob_n AS DOUBLE))          AS kl_term
+        FROM m
+    ), mm AS (
+        SELECT segment, event_type, n,
+               CAST(round(round(h_term, 6) * 1000000.0) AS BIGINT)  AS h_micro,
+               CAST(round(round(kl_term, 6) * 1000000.0) AS BIGINT) AS kl_micro
+        FROM w
+    )
+    SELECT segment, event_type, n,
+           CAST(CAST(sum(h_micro) OVER (PARTITION BY segment) AS BIGINT)
+                AS DOUBLE) / 1000000.0  AS segment_entropy,
+           CAST(CAST(sum(kl_micro) OVER (PARTITION BY segment) AS BIGINT)
+                AS DOUBLE) / 1000000.0  AS kl_vs_global
+    FROM mm
+    """,
+    "Information-theoretic mix audit: Shannon entropy of each user "
+    "segment's event-type distribution plus its KL divergence from "
+    "the global mix — the drift/imbalance readout feature stores run "
+    "per slice (KL is PSI's asymmetric parent; segments here are a "
+    "deterministic user_id % 4 shard stand-in). Every probability is "
+    "an exact-integer ratio (n*tot / seg_tot*glob_n keeps even the "
+    "KL log argument an exact-integer quotient); per-cell terms round "
+    "to micro-units and sum as BIGINT per segment — associative, "
+    "layout-independent. One fact-sized groupBy on (segment, type); "
+    "windows over the 16-cell aggregate.",
+    tags=("events", "agg", "window", "analytics", "stats"),
+)
+def entropy_kl_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        (F.col("user_id") % 4).cast("bigint").alias("segment"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    m = cell.select(
+        "segment",
+        "event_type",
+        "n",
+        F.sum("n").over(W.partitionBy("segment")).cast("bigint").alias("seg_tot"),
+        F.sum("n").over(W.partitionBy("event_type")).cast("bigint").alias("glob_n"),
+        F.sum("n").over(W.partitionBy()).cast("bigint").alias("tot"),
+    )
+    p = F.col("n").cast("double") / F.col("seg_tot").cast("double")
+    h_term = -p * F.log(p)
+    kl_term = p * F.log(
+        (F.col("n") * F.col("tot")).cast("double")
+        / (F.col("seg_tot") * F.col("glob_n")).cast("double")
+    )
+    mm = m.select(
+        "segment",
+        "event_type",
+        "n",
+        F.round(F.round(h_term, 6) * 1000000.0, 0).cast("bigint").alias("h_micro"),
+        F.round(F.round(kl_term, 6) * 1000000.0, 0)
+        .cast("bigint")
+        .alias("kl_micro"),
+    )
+    w_seg = W.partitionBy("segment")
+    return mm.select(
+        "segment",
+        "event_type",
+        "n",
+        (F.sum("h_micro").over(w_seg).cast("bigint").cast("double") / 1000000.0)
+        .alias("segment_entropy"),
+        (F.sum("kl_micro").over(w_seg).cast("bigint").cast("double") / 1000000.0)
+        .alias("kl_vs_global"),
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the
