@@ -8931,6 +8931,65 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rolling_median_28d",
+    """
+    WITH daily AS (
+        SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))))
+                    AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), win AS (
+        SELECT day, x,
+               list(x) OVER (ORDER BY day
+                    RANGE BETWEEN 27 PRECEDING AND CURRENT ROW) AS vals
+        FROM daily
+    )
+    SELECT day, x AS revenue,
+           CAST(len(vals) AS BIGINT) AS n,
+           CAST(list_sort(vals)[(len(vals) + 1) // 2] AS BIGINT)
+                                     AS rolling_median
+    FROM win WHERE len(vals) >= 21
+    """,
+    "Rolling 28-day median revenue — the robust trend line that "
+    "rolling_trend_slope's least-squares fit should be compared "
+    "against when outlier days distort it. Window-holistic "
+    "aggregates have no native Spark form, so the median is computed "
+    "by DEFINITION with a pinned convention: collect the calendar "
+    "(RANGE-framed) window into an array, sort, take the LOWER "
+    "median element ((n+1)/2, 1-indexed) — exact BIGINT element "
+    "selection, no interpolation to disagree on, identical on both "
+    "engines. The 28-element arrays exist only inside the ~2,400-row "
+    "daily aggregate (window state is bounded by the frame, not the "
+    "fact table).",
+    tags=("agg", "window", "analytics", "timeseries", "stats"),
+)
+def rolling_median_28d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day")
+    ).agg(
+        F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+        .cast("bigint")
+        .alias("x")
+    )
+    w = W.orderBy("day").rangeBetween(-27, 0)
+    win = daily.select(
+        "day", "x", F.collect_list("x").over(w).alias("vals")
+    )
+    n = F.size("vals")
+    return win.filter(n >= 21).select(
+        "day",
+        F.col("x").alias("revenue"),
+        n.cast("bigint").alias("n"),
+        F.element_at(
+            F.sort_array("vals"), ((F.size("vals") + 1) / 2).cast("int")
+        )
+        .cast("bigint")
+        .alias("rolling_median"),
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the
