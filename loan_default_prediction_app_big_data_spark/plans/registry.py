@@ -8990,6 +8990,88 @@ def rolling_median_28d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scd2_asof_fact_join",
+    """
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment AS segment,
+               TIMESTAMP '1990-01-01' AS valid_from,
+               TIMESTAMP '1998-01-01' AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN 'MIGRATED-' || c_mktsegment
+                    ELSE c_mktsegment END,
+               TIMESTAMP '1998-01-01',
+               TIMESTAMP '2999-01-01'
+        FROM customer
+    )
+    SELECT d.segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                                    AS revenue
+    FROM orders o
+    JOIN dim d
+      ON d.c_custkey = o.o_custkey
+     AND o.o_orderdate >= d.valid_from
+     AND o.o_orderdate < d.valid_to
+    GROUP BY 1
+    """,
+    "Temporal (SCD2 as-of) dimension join: each fact row joins the "
+    "dimension VERSION that was valid at the fact's event time — the "
+    "point-in-time-correct attribution every warehouse needs once "
+    "dimensions change (operators/upsert.py builds these validity "
+    "windows; here a deterministic two-version dimension is "
+    "synthesized identically on both engines so the oracle can check "
+    "the join). Plan shape: equi-join ON the surrogate key with the "
+    "validity-range predicate as a post-join filter — Catalyst keeps "
+    "the hash join on c_custkey (never a range-only join), the "
+    "dimension broadcasts, and each fact row matches exactly one "
+    "version. Revenue sums DECIMAL partials.",
+    tags=("join", "agg", "timeseries"),
+)
+def scd2_asof_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    v1 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1990-01-01").cast("timestamp").alias("valid_from"),
+        F.lit("1998-01-01").cast("timestamp").alias("valid_to"),
+    )
+    v2 = c.select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.lit("MIGRATED-"), F.col("c_mktsegment")),
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.lit("1998-01-01").cast("timestamp").alias("valid_from"),
+        F.lit("2999-01-01").cast("timestamp").alias("valid_to"),
+    )
+    dim = v1.unionAll(v2)
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.join(
+            F.broadcast(dim),
+            (dim.c_custkey == o.o_custkey)
+            & (o.o_orderdate >= dim.valid_from)
+            & (o.o_orderdate < dim.valid_to),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+        )
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the
