@@ -9143,13 +9143,23 @@ _DRIVER_PRIORITY: list[str] = [
     # contribution_analysis, ordered_list_agg_structs,
     # lateral_topk_join, doc_quality_filter, skew_diagnosis,
     # time_since_last_event, ab_test_conversion, pareto_customers,
-    # rolling_active_users, plus the late-round-3 credit-risk tier
-    # (ks_risk_separation, woe_iv_score_bands, psi_score_drift,
-    # gains_lift_bands, threshold_confusion_sweep, roc_auc_banded)
-    # and statistics tier (target_encoding, chi_square_independence,
-    # autocorrelation_daily_revenue, seasonality_dow_profile,
-    # mannwhitney_amount_by_status, benfords_law_digits,
-    # gini_concentration, welch_t_test). Every deferred
+    # rolling_active_users, plus the late-round-3 additions: the
+    # credit-risk tier (ks_risk_separation, woe_iv_score_bands,
+    # psi_score_drift, gains_lift_bands, threshold_confusion_sweep,
+    # roc_auc_banded), the statistics tier (target_encoding,
+    # chi_square_independence, autocorrelation_daily_revenue,
+    # seasonality_dow_profile, mannwhitney_amount_by_status,
+    # benfords_law_digits, gini_concentration, welch_t_test,
+    # robust_center_aggregates, daily_revenue_var,
+    # weighted_median_exact, histogram_equi_depth,
+    # join_cardinality_estimate, entropy_kl_event_mix,
+    # rolling_trend_slope, rolling_median_28d), corpus governance
+    # (domain_mix_rebalance, dedup_rate_by_source,
+    # contamination_overlap_matrix, cusum_changepoint_daily,
+    # referential_integrity_audit), product analytics
+    # (max_concurrent_sessions, event_trigram_topk,
+    # seasonal_naive_backtest, growth_accounting_weekly, cohort_ltv,
+    # market_basket_lift), and scd2_asof_fact_join. Every deferred
     # query is strict-local-verified by scripts/verify_exact.py (the
     # zero-tolerance replica of the driver's hash compare) in BOTH
     # tuned and --bare session layouts.

@@ -301,3 +301,32 @@ def test_observe_checks_free_quality_counters(spark, sf_dir):
     report = {r["check"]: r["n_violations"] for r in run_checks(orders, checks).collect()}
     for c in checks:
         assert got[c.name] == report[c.name], c.name
+
+
+def test_python_datasource_roundtrip_and_pushdown(spark):
+    """Spark 4 Python DataSource API (sources/pydatasource.py): exact
+    deterministic content, partition-parallel generation, and REAL
+    filter pushdown (the scan's retained Filter keeps only the
+    isnotnull guards — the comparison predicates were absorbed)."""
+    from loan_default_prediction_app_big_data_spark.sources.pydatasource import (
+        _row,
+        register,
+    )
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_loans")
+        .option("rows", 500)
+        .option("partitions", 8)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() >= 8
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == sorted(_row(i) for i in range(500))
+
+    flt = df.filter("status = 1 and credit_score > 600")
+    expected = sum(1 for i in range(500) if _row(i)[3] == 1 and _row(i)[1] > 600)
+    assert flt.count() == expected
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    # The pushed comparisons must NOT reappear as post-scan filters.
+    assert "(status" not in plan.split("BatchScan")[0].replace("isnotnull(status", "")
