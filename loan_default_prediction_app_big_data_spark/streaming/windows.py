@@ -391,3 +391,55 @@ def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.createDataFrame(agg.collect(), agg.schema)
     shutil.rmtree(tgt.rsplit("/", 1)[0], ignore_errors=True)
     return out
+
+
+def run_checkpointed_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shaped sink: append-mode windowed aggregation written
+    to a PARQUET sink with a checkpoint directory — the exactly-once
+    file-sink pattern (commit log + checkpoint), vs the memory sink
+    the deterministic replay tests use.
+
+    Append mode only emits windows the watermark has CLOSED; on a
+    finite replay the processAllAvailable() pass leaves the tail
+    window(s) open, so the batch oracle applies the same watermark
+    cutoff: windows whose end <= max(ts) - 1 hour... except the final
+    watermark after the last micro-batch is max(ts) - delay, so the
+    oracle filter is window_end <= max_ts - 1h. Restarting from the
+    checkpoint re-emits NOTHING (exactly-once), which the runner
+    asserts by re-opening the stream.
+    """
+    import shutil
+    import tempfile
+
+    events = streaming_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_sink_")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        for _ in range(2):  # second run: restart from checkpoint, no dupes
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        out = spark.read.parquet(out_dir).cache()
+        out.count()
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
