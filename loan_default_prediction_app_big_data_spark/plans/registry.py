@@ -9101,6 +9101,109 @@ def streaming_checkpointed_file_sink(spark: SparkSession, sf_dir: str) -> DataFr
     return run_checkpointed_parquet_sink(spark, sf_dir)
 
 
+@register(
+    "rfm_segmentation",
+    """
+    WITH base AS (
+        SELECT o_custkey,
+               CAST((SELECT max(epoch_us(o_orderdate)) FROM orders)
+                    // 86400000000
+                    - max(epoch_us(o_orderdate)) // 86400000000 AS BIGINT)
+                   AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))))
+                    AS BIGINT)          AS monetary
+        FROM orders GROUP BY 1
+    ), scored AS (
+        SELECT *,
+               CASE WHEN recency_days <= 180 THEN 3
+                    WHEN recency_days <= 540 THEN 2 ELSE 1 END AS r_score,
+               CASE WHEN frequency >= 15 THEN 3
+                    WHEN frequency >= 8 THEN 2 ELSE 1 END      AS f_score,
+               CASE WHEN monetary >= 2000000 THEN 3
+                    WHEN monetary >= 1000000 THEN 2 ELSE 1 END AS m_score
+        FROM base
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary) AS BIGINT) AS segment_revenue,
+           round(CAST(sum(monetary) AS DOUBLE)
+                 / CAST(sum(sum(monetary)) OVER () AS DOUBLE), 6)
+                                    AS revenue_share
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    "RFM segmentation: every customer scored on Recency (days since "
+    "last order, vs the dataset's anchor date), Frequency (order "
+    "count), and Monetary (floor-dollar lifetime revenue), bucketed "
+    "into fixed 3x3x3 policy bands and rolled up to segment sizes "
+    "and revenue share — the CRM workhorse for collections and "
+    "cross-sell targeting in a lending book. Fixed band edges (not "
+    "quantile cuts) are how production RFM policies are actually "
+    "written, and they keep every boundary exact-integer. One "
+    "groupBy(custkey) is the fact-sized pass; the anchor date is a "
+    "broadcast scalar subquery; segment rollup runs on ~1,500 rows.",
+    tags=("agg", "window", "analytics"),
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    anchor = o.agg(
+        F.expr("max(unix_micros(o_orderdate)) div 86400000000").alias("anchor")
+    )
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.expr("max(unix_micros(o_orderdate)) div 86400000000").alias(
+                "last_day"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+            .cast("bigint")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            (F.col("anchor") - F.col("last_day"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = base.select(
+        "monetary",
+        F.when(F.col("recency_days") <= 180, 3)
+        .when(F.col("recency_days") <= 540, 2)
+        .otherwise(1)
+        .alias("r_score"),
+        F.when(F.col("frequency") >= 15, 3)
+        .when(F.col("frequency") >= 8, 2)
+        .otherwise(1)
+        .alias("f_score"),
+        F.when(F.col("monetary") >= 2_000_000, 3)
+        .when(F.col("monetary") >= 1_000_000, 2)
+        .otherwise(1)
+        .alias("m_score"),
+    )
+    seg = scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("monetary").cast("bigint").alias("segment_revenue"),
+    )
+    return seg.select(
+        F.col("r_score").cast("bigint").alias("r_score"),
+        F.col("f_score").cast("bigint").alias("f_score"),
+        F.col("m_score").cast("bigint").alias("m_score"),
+        "n_customers",
+        "segment_revenue",
+        F.round(
+            F.col("segment_revenue").cast("double")
+            / F.sum("segment_revenue").over(W.partitionBy()).cast("double"),
+            6,
+        ).alias("revenue_share"),
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the
