@@ -9460,6 +9460,109 @@ def basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "score_migration_matrix",
+    """
+    WITH scored AS (
+        SELECT o_custkey, o_orderkey,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                    THEN 0 ELSE 1 END AS period,
+               (((o_orderkey % 99991) * 31 + (o_custkey % 99991) * 17)
+                 % 99991 % 70000
+                + CASE WHEN o_orderstatus = 'F' THEN 30000 ELSE 0 END)
+               // 20000 AS band
+        FROM orders
+    ), latest AS (
+        SELECT o_custkey, period, band
+        FROM (SELECT o_custkey, period, band,
+                     row_number() OVER (PARTITION BY o_custkey, period
+                                        ORDER BY o_orderkey DESC) AS rn
+              FROM scored)
+        WHERE rn = 1
+    ), paired AS (
+        SELECT a.o_custkey, a.band AS band_from, b.band AS band_to
+        FROM latest a JOIN latest b
+          ON a.o_custkey = b.o_custkey AND a.period = 0 AND b.period = 1
+    )
+    , g AS (
+        SELECT band_from, band_to, CAST(count(*) AS BIGINT) AS n_customers
+        FROM paired GROUP BY 1, 2
+    )
+    SELECT CAST(band_from AS BIGINT) AS band_from,
+           CAST(band_to AS BIGINT)   AS band_to,
+           n_customers,
+           round(CAST(n_customers AS DOUBLE)
+                 / CAST(sum(n_customers) OVER (PARTITION BY band_from)
+                        AS DOUBLE), 6) AS row_share
+    FROM g
+    """,
+    "Credit-band migration matrix: each customer's risk band in the "
+    "development period (pre-1998, via their latest scored order) "
+    "crossed with their band in the current period — row-normalized "
+    "into the transition-probability matrix that drives PD term "
+    "structures and IFRS9 staging (the dynamic counterpart of "
+    "psi_score_drift's static histogram shift). Latest-order-per-"
+    "period selection is a deterministic per-key window "
+    "(row_number over orderkey DESC); the matrix is one "
+    "partial-combined groupBy over the ~25-cell band-pair key; row "
+    "shares divide exact BIGINT counts within a 5-row window "
+    "partition.",
+    tags=("agg", "window", "join", "analytics", "credit"),
+)
+def score_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    score = (
+        ((F.col("o_orderkey") % 99991) * 31 + (F.col("o_custkey") % 99991) * 17)
+        % 99991
+        % 70000
+        + F.when(F.col("o_orderstatus") == "F", 30000).otherwise(0)
+    )
+    scored = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("period"),
+        F.expr(
+            "((((o_orderkey % 99991) * 31 + (o_custkey % 99991) * 17)"
+            " % 99991 % 70000"
+            " + CASE WHEN o_orderstatus = 'F' THEN 30000 ELSE 0 END)"
+            ") div 20000"
+        ).alias("band"),
+    )
+    w_latest = W.partitionBy("o_custkey", "period").orderBy(
+        F.desc("o_orderkey")
+    )
+    latest = (
+        scored.withColumn("rn", F.row_number().over(w_latest))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "period", "band")
+    )
+    a = latest.filter(F.col("period") == 0).select(
+        "o_custkey", F.col("band").alias("band_from")
+    )
+    b = latest.filter(F.col("period") == 1).select(
+        "o_custkey", F.col("band").alias("band_to")
+    )
+    paired = a.join(b, "o_custkey")
+    g = paired.groupBy("band_from", "band_to").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    w_row = W.partitionBy("band_from")
+    return g.select(
+        F.col("band_from").cast("bigint").alias("band_from"),
+        F.col("band_to").cast("bigint").alias("band_to"),
+        "n_customers",
+        F.round(
+            F.col("n_customers").cast("double")
+            / F.sum("n_customers").over(w_row).cast("double"),
+            6,
+        ).alias("row_share"),
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

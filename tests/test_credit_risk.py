@@ -266,3 +266,16 @@ def test_probability_calibration_improves_brier(spark, loan_predictions):
     cal_ps = [r["cal_p"] for r in mapped]
     assert all(0.0 <= p <= 1.0 for p in cal_ps)
     assert all(a <= b + 1e-9 for a, b in zip(cal_ps, cal_ps[1:]))
+
+
+def test_migration_matrix_rows_sum_to_one(spark, sf_dir):
+    out = rows(spark, sf_dir, "score_migration_matrix")
+    by_from = {}
+    for r in out:
+        by_from.setdefault(r["band_from"], []).append(r)
+    for band, rs in by_from.items():
+        assert sum(r["row_share"] for r in rs) == pytest.approx(1.0, abs=1e-4)
+        assert all(0 <= r["band_to"] <= 4 for r in rs)
+    # Defaulted-heavy bands shift scores up by construction, so the
+    # matrix must have at least one off-diagonal move.
+    assert any(r["band_from"] != r["band_to"] for r in out)

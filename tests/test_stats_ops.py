@@ -182,3 +182,30 @@ def test_join_cardinality_estimate_is_exact_for_pk_fk(spark, sf_dir):
     assert out["ndv_o"] == out["n_o"]
     assert out["estimated_rows"] == out["actual_rows"]
     assert out["actual_over_estimate"] == 1.0
+
+
+def test_power_analysis_relations(spark, sf_dir):
+    out = rows(spark, sf_dir, "power_analysis_ab")[0]
+    # sf0.001's tiny population converts at 100% -> MDE degenerates to 0.
+    assert 0 < out["base_rate"] <= 1
+    assert out["mde_abs"] >= 0
+    if out["base_rate"] < 1:
+        assert out["mde_abs"] > 0
+    assert out["mde_rel"] == pytest.approx(
+        out["mde_abs"] / out["base_rate"], rel=1e-3, abs=1e-9
+    )
+
+
+def test_anomaly_days_are_rare_and_extreme(spark, sf_dir):
+    out = rows(spark, sf_dir, "anomaly_zscore_days")
+    for r in out:
+        assert abs(r["z_score"]) > 2.5
+        assert r["window_days"] >= 21
+
+
+def test_basket_distribution_partition_of_unity(spark, sf_dir):
+    out = sorted(rows(spark, sf_dir, "basket_size_distribution"), key=lambda r: r["items"])
+    assert sum(r["share"] for r in out) == pytest.approx(1.0, abs=1e-4)
+    assert out[-1]["cum_share"] == pytest.approx(1.0, abs=1e-6)
+    cums = [r["cum_share"] for r in out]
+    assert cums == sorted(cums)
