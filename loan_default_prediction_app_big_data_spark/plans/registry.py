@@ -9563,6 +9563,73 @@ def score_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "skyline_price_size",
+    """
+    WITH p AS (
+        SELECT p_partkey, p_size,
+               CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents
+        FROM part
+    ), swept AS (
+        SELECT p_partkey, p_size, price_cents,
+               max(p_size) OVER (ORDER BY price_cents
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS best_cheaper,
+               max(p_size) OVER (PARTITION BY price_cents) AS best_same
+        FROM p
+    )
+    SELECT p_partkey,
+           CAST(p_size AS BIGINT) AS p_size,
+           price_cents
+    FROM swept
+    WHERE (best_cheaper IS NULL OR p_size > best_cheaper)
+      AND p_size = best_same
+    ORDER BY price_cents, p_partkey
+    """,
+    "Skyline (Pareto-frontier) query: parts not dominated on "
+    "(cheaper-or-equal price, larger-or-equal size, strict "
+    "somewhere) — the preference-query operator class (the "
+    "sort-filter-skyline algorithm) without the naive O(n^2) "
+    "dominance self-join: one sort by exact integer cents, a "
+    "running max over the STRICTLY-cheaper prefix (RANGE frame "
+    "excludes price peers), and a per-price-group max for the "
+    "equal-price dominance case. Floor-cents pricing makes sort and "
+    "maxima integer-deterministic. At 100 TB: range-partition by "
+    "price + per-partition sweep + broadcast partition maxima — the "
+    "global_prefix_sum shape with max as the monoid.",
+    tags=("window", "analytics"),
+)
+def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.floor(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    w_cheaper = W.orderBy("price_cents").rangeBetween(W.unboundedPreceding, -1)
+    swept = p.select(
+        "p_partkey",
+        "p_size",
+        "price_cents",
+        F.max("p_size").over(w_cheaper).alias("best_cheaper"),
+        F.max("p_size").over(W.partitionBy("price_cents")).alias("best_same"),
+    )
+    return (
+        swept.filter(
+            (
+                F.col("best_cheaper").isNull()
+                | (F.col("p_size") > F.col("best_cheaper"))
+            )
+            & (F.col("p_size") == F.col("best_same"))
+        )
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("bigint").alias("p_size"),
+            "price_cents",
+        )
+        .orderBy("price_cents", "p_partkey")
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

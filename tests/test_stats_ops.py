@@ -209,3 +209,19 @@ def test_basket_distribution_partition_of_unity(spark, sf_dir):
     assert out[-1]["cum_share"] == pytest.approx(1.0, abs=1e-6)
     cums = [r["cum_share"] for r in out]
     assert cums == sorted(cums)
+
+
+def test_skyline_is_mutually_nondominated(spark, sf_dir):
+    out = rows(spark, sf_dir, "skyline_price_size")
+    assert len(out) >= 1
+    pts = [(r["price_cents"], r["p_size"]) for r in out]
+    # Frontier: strictly increasing size as price increases.
+    for (pa, sa), (pb, sb) in zip(pts, pts[1:]):
+        assert pb >= pa
+        if pb > pa:
+            assert sb > sa
+    # No point dominates another.
+    for i, (pa, sa) in enumerate(pts):
+        for pb, sb in pts[i + 1:]:
+            dominated = pb <= pa and sb >= sa and (pb < pa or sb > sa)
+            assert not dominated
