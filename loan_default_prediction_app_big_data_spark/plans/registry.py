@@ -9630,6 +9630,103 @@ def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdf_transform_vs_reference",
+    """
+    WITH px AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS price,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                    THEN 1 ELSE 0 END AS is_ref
+        FROM orders
+    ), sw AS (
+        SELECT price, is_ref,
+               CAST(sum(is_ref) OVER (ORDER BY price, is_ref DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_ref,
+               CAST(sum(is_ref) OVER () AS BIGINT) AS n_ref
+        FROM px
+    ), cur AS (
+        SELECT least(CAST((cum_ref * 10) // n_ref AS BIGINT), 9) AS decile
+        FROM sw WHERE is_ref = 0
+    ), b AS (
+        SELECT decile, CAST(count(*) AS BIGINT) AS n FROM cur GROUP BY 1
+    )
+    , w AS (
+        SELECT decile, n,
+               CAST(sum(n) OVER () AS BIGINT) AS tot,
+               CAST(sum(n) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM b
+    )
+    SELECT decile, n,
+           round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+           round(max(abs(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
+                         - CAST(decile + 1 AS DOUBLE) / 10.0)) OVER (), 6)
+                                                             AS ks_vs_uniform
+    FROM w
+    """,
+    "CDF / quantile-normalization transform: every current-period "
+    "order amount mapped to its percentile under the 1995-1997 "
+    "REFERENCE distribution (the feature-preprocessing step that "
+    "makes scores comparable across vintages), then the decile "
+    "histogram of those percentiles plus a decile-level KS against "
+    "uniform — if the distribution hadn't drifted, the transform "
+    "would be uniform by construction. The rank lookup is a "
+    "sweep-line: union both periods, sort by exact cents (reference "
+    "rows first within a tie so the CDF is <=), cumulative count of "
+    "reference rows — on the Spark side this runs through "
+    "global_prefix_sum (range-partitioned two-pass), never a "
+    "single-partition window over the fact union. Deciles and "
+    "shares are exact-integer arithmetic.",
+    tags=("agg", "window", "analytics", "stats", "ml"),
+)
+def cdf_transform_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import global_prefix_sum
+
+    o = t(spark, sf_dir, "orders")
+    px = o.select(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("price"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    swept = global_prefix_sum(
+        px.withColumn("neg_ref", -F.col("is_ref")),
+        order_cols=["price", "neg_ref"],
+        value_col="is_ref",
+        out_col="cum_ref",
+    )
+    n_ref = px.agg(F.sum("is_ref").cast("bigint").alias("n_ref"))
+    cur = (
+        swept.filter(F.col("is_ref") == 0)
+        .crossJoin(F.broadcast(n_ref))
+        .select(
+            F.least(
+                F.expr("(cum_ref * 10) div n_ref").cast("bigint"), F.lit(9)
+            ).alias("decile")
+        )
+    )
+    b = cur.groupBy("decile").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w_all = W.partitionBy()
+    w_cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    ecdf_gap = F.abs(
+        F.sum("n").over(w_cum).cast("double")
+        / F.sum("n").over(w_all).cast("double")
+        - (F.col("decile") + 1).cast("double") / F.lit(10.0)
+    )
+    return b.select(
+        "decile",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w_all).cast("double"), 6
+        ).alias("share"),
+        F.round(F.max(ecdf_gap).over(w_all), 6).alias("ks_vs_uniform"),
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

@@ -225,3 +225,14 @@ def test_skyline_is_mutually_nondominated(spark, sf_dir):
         for pb, sb in pts[i + 1:]:
             dominated = pb <= pa and sb >= sa and (pb < pa or sb > sa)
             assert not dominated
+
+
+def test_cdf_transform_decile_coverage(spark, sf_dir):
+    out = sorted(rows(spark, sf_dir, "cdf_transform_vs_reference"), key=lambda r: r["decile"])
+    assert sum(r["share"] for r in out) == pytest.approx(1.0, abs=1e-4)
+    assert all(0 <= r["decile"] <= 9 for r in out)
+    ks = out[0]["ks_vs_uniform"]
+    assert all(r["ks_vs_uniform"] == ks for r in out)
+    # Price distribution is stationary across the date split => the
+    # transform is near-uniform; KS must be small but non-negative.
+    assert 0 <= ks < 0.2
