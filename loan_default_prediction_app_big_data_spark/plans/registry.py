@@ -9727,6 +9727,125 @@ def cdf_transform_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fulfillment_lag_distribution",
+    """
+    WITH lag_days AS (
+        SELECT (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+               // 86400000000 AS d
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), banded AS (
+        SELECT CASE WHEN d < 0 THEN 'pre-dated'
+                    WHEN d <= 7 THEN '0-7d'
+                    WHEN d <= 30 THEN '8-30d'
+                    WHEN d <= 90 THEN '31-90d'
+                    ELSE '90d+' END AS sla_band,
+               d
+        FROM lag_days
+    )
+    SELECT sla_band,
+           CAST(count(*) AS BIGINT)        AS n_lines,
+           CAST(min(d) AS BIGINT)          AS min_days,
+           CAST(max(d) AS BIGINT)          AS max_days,
+           round(CAST(count(*) AS DOUBLE)
+                 / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
+    FROM banded GROUP BY 1
+    """,
+    "Order-fulfillment SLA distribution: ship-date minus order-date "
+    "lag for every line item, banded into operational SLA buckets "
+    "with shares — the logistics health readout (and a referential "
+    "sanity check: a 'pre-dated' band would mean shipments before "
+    "their order, the time-travel data bug). Lag is pure integer "
+    "epoch arithmetic; the join shuffles only the two key+date "
+    "columns; one partial-combined groupBy on a 5-value band key.",
+    tags=("join", "agg", "analytics", "quality", "timeseries"),
+)
+def fulfillment_lag_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lag_days = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.expr(
+            "(unix_micros(l_shipdate) - unix_micros(o_orderdate))"
+            " div 86400000000"
+        ).alias("d")
+    )
+    banded = lag_days.select(
+        F.when(F.col("d") < 0, "pre-dated")
+        .when(F.col("d") <= 7, "0-7d")
+        .when(F.col("d") <= 30, "8-30d")
+        .when(F.col("d") <= 90, "31-90d")
+        .otherwise("90d+")
+        .alias("sla_band"),
+        "d",
+    )
+    g = banded.groupBy("sla_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.min("d").cast("bigint").alias("min_days"),
+        F.max("d").cast("bigint").alias("max_days"),
+    )
+    return g.select(
+        "sla_band",
+        "n_lines",
+        "min_days",
+        "max_days",
+        F.round(
+            F.col("n_lines").cast("double")
+            / F.sum("n_lines").over(W.partitionBy()).cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+
+@register(
+    "duplicate_transaction_detection",
+    """
+    WITH keyed AS (
+        SELECT o_custkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS amount_cents,
+               epoch_us(o_orderdate) // 86400000000      AS day,
+               o_orderkey
+        FROM orders
+    ), dupes AS (
+        SELECT o_custkey, amount_cents, day,
+               CAST(count(*) AS BIGINT)      AS n_orders,
+               CAST(min(o_orderkey) AS BIGINT) AS first_orderkey,
+               CAST(max(o_orderkey) AS BIGINT) AS last_orderkey
+        FROM keyed
+        GROUP BY 1, 2, 3
+        HAVING count(*) > 1
+    )
+    SELECT * FROM dupes ORDER BY o_custkey, amount_cents, day
+    """,
+    "Duplicate-transaction detection: orders sharing (customer, "
+    "exact cent amount, same day) — the double-charge / replay "
+    "screen every payments and lending ledger runs (same shape as "
+    "exact_dedup_docs but on a composite business key instead of a "
+    "content hash). One partial-combined groupBy on the composite "
+    "key; HAVING keeps only collision groups, so the output is the "
+    "exception list, not the ledger. All key components are exact "
+    "integers (floor-cents, epoch days).",
+    tags=("agg", "quality", "dedup", "analytics"),
+)
+def duplicate_transaction_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("amount_cents"),
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
+        "o_orderkey",
+    )
+    return (
+        keyed.groupBy("o_custkey", "amount_cents", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_orderkey").cast("bigint").alias("first_orderkey"),
+            F.max("o_orderkey").cast("bigint").alias("last_orderkey"),
+        )
+        .filter(F.col("n_orders") > 1)
+        .orderBy("o_custkey", "amount_cents", "day")
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the
