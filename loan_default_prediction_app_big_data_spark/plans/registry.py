@@ -9846,6 +9846,425 @@ def duplicate_transaction_detection(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register(
+    "survival_kaplan_meier",
+    """
+    WITH days AS (
+        SELECT o_custkey,
+               epoch_us(o_orderdate) // 86400000000 AS day
+        FROM orders
+    ), bounds AS (
+        SELECT max(day) AS obs_end FROM days
+    ), cust AS (
+        SELECT o_custkey, min(day) AS first_day, max(day) AS last_day
+        FROM days GROUP BY 1
+    ), labeled AS (
+        SELECT (last_day - first_day) // 90 AS band,
+               CASE WHEN last_day <= (SELECT obs_end FROM bounds) - 90
+                    THEN 1 ELSE 0 END AS event
+        FROM cust
+    ), banded AS (
+        SELECT band,
+               CAST(sum(event) AS BIGINT)            AS n_churned,
+               CAST(count(*) - sum(event) AS BIGINT) AS n_censored
+        FROM labeled GROUP BY 1
+    ), risk AS (
+        SELECT band, n_churned, n_censored,
+               CAST(sum(n_churned + n_censored) OVER ()
+                    - coalesce(sum(n_churned + n_censored) OVER (
+                          ORDER BY band
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_at_risk
+        FROM banded
+    ), km AS (
+        SELECT band, n_churned, n_censored, n_at_risk,
+               CAST(sum(CASE WHEN n_at_risk = n_churned THEN NULL
+                        ELSE CAST(round(ln(CAST(n_at_risk - n_churned AS DOUBLE)
+                                          / CAST(n_at_risk AS DOUBLE)) * 1e9)
+                                  AS BIGINT) END)
+                    OVER (ORDER BY band
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS log_surv_nano,
+               max(CASE WHEN n_at_risk = n_churned THEN 1 ELSE 0 END)
+                   OVER (ORDER BY band
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS hit_zero
+        FROM risk
+    )
+    SELECT CAST(band AS BIGINT)      AS tenure_band,
+           CAST(band * 90 AS BIGINT) AS band_start_day,
+           n_churned, n_censored, n_at_risk,
+           CASE WHEN hit_zero = 1 THEN NULL ELSE log_surv_nano END AS log_surv_nano,
+           CASE WHEN hit_zero = 1 THEN 0.0
+                ELSE round(exp(CAST(log_surv_nano AS DOUBLE) / 1e9), 6)
+           END AS survival
+    FROM km ORDER BY tenure_band
+    """,
+    "Kaplan-Meier survival estimator over customer tenure: per "
+    "customer, tenure = days between first and last order banded to "
+    "90-day intervals; churn event if the last order predates the "
+    "observation end by >90 days, else right-censored (still active "
+    "at cutoff — exactly what naive churn rates get wrong). "
+    "S(t) = prod_{u<=t} (n_u - d_u)/n_u with the standard "
+    "deaths-before-censorings-at-equal-time convention. Determinism: "
+    "d/c/n are exact BIGINTs; each band's log-hazard contribution is "
+    "rounded to integer nano-units and cumulated as BIGINT "
+    "(associative), so the only cross-engine float ops are one ln "
+    "and one exp per band over identical exact inputs. Scale: one "
+    "fact-sized groupBy(custkey), then all windows run on the "
+    "~30-row band frame; the observation-end scalar is a broadcast "
+    "1-row aggregate, not a driver collect.",
+    tags=("agg", "window", "analytics", "stats", "timeseries"),
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    days = o.select(
+        "o_custkey",
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
+    )
+    bounds = days.agg(F.max("day").alias("obs_end"))
+    cust = days.groupBy("o_custkey").agg(
+        F.min("day").alias("first_day"), F.max("day").alias("last_day")
+    )
+    labeled = cust.crossJoin(F.broadcast(bounds)).select(
+        F.expr("(last_day - first_day) div 90").alias("band"),
+        F.when(F.col("last_day") <= F.col("obs_end") - 90, 1)
+        .otherwise(0)
+        .alias("event"),
+    )
+    banded = labeled.groupBy("band").agg(
+        F.sum("event").cast("bigint").alias("n_churned"),
+        (F.count(F.lit(1)) - F.sum("event")).cast("bigint").alias("n_censored"),
+    )
+    exits = F.col("n_churned") + F.col("n_censored")
+    w_all = W.partitionBy()
+    w_prior = W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
+    w_cum = W.orderBy("band").rowsBetween(W.unboundedPreceding, 0)
+    risk = banded.select(
+        "band",
+        "n_churned",
+        "n_censored",
+        (
+            F.sum(exits).over(w_all)
+            - F.coalesce(F.sum(exits).over(w_prior), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_at_risk"),
+    )
+    contrib = F.when(F.col("n_at_risk") == F.col("n_churned"), F.lit(None)).otherwise(
+        F.round(
+            F.log(
+                (F.col("n_at_risk") - F.col("n_churned")).cast("double")
+                / F.col("n_at_risk").cast("double")
+            )
+            * 1e9
+        ).cast("bigint")
+    )
+    km = risk.select(
+        "band",
+        "n_churned",
+        "n_censored",
+        "n_at_risk",
+        F.sum(contrib).over(w_cum).cast("bigint").alias("log_surv_nano"),
+        F.max(
+            F.when(F.col("n_at_risk") == F.col("n_churned"), 1).otherwise(0)
+        )
+        .over(w_cum)
+        .alias("hit_zero"),
+    )
+    return (
+        km.select(
+            F.col("band").cast("bigint").alias("tenure_band"),
+            (F.col("band") * 90).cast("bigint").alias("band_start_day"),
+            "n_churned",
+            "n_censored",
+            "n_at_risk",
+            F.when(F.col("hit_zero") == 1, F.lit(None).cast("bigint"))
+            .otherwise(F.col("log_surv_nano"))
+            .alias("log_surv_nano"),
+            F.when(F.col("hit_zero") == 1, F.lit(0.0))
+            .otherwise(
+                F.round(F.exp(F.col("log_surv_nano").cast("double") / 1e9), 6)
+            )
+            .alias("survival"),
+        )
+        .orderBy("tenure_band")
+    )
+
+
+_JOURNEY_PATTERNS: list[tuple[str, str]] = [
+    # (name, regex) — intersection of Java-regex and RE2 semantics
+    # only (literals, classes, anchors, ?, *, |), so Spark RLIKE and
+    # DuckDB regexp_matches agree by construction.
+    ("converted", "p"),
+    ("direct_view_purchase", "vc?p"),
+    ("error_before_purchase", "e[^p]*p"),
+    ("signup_first_event", "^s"),
+    ("clicked_never_purchased", "^[^p]*c[^p]*$"),
+    ("single_event_bounce", "^.$"),
+]
+
+
+@register(
+    "journey_pattern_match",
+    """
+    WITH j AS (
+        SELECT user_id,
+               string_agg(CASE event_type WHEN 'signup' THEN 's'
+                                          WHEN 'view' THEN 'v'
+                                          WHEN 'click' THEN 'c'
+                                          WHEN 'purchase' THEN 'p'
+                                          ELSE 'e' END,
+                          '' ORDER BY ts, event_id) AS journey
+        FROM events GROUP BY 1
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN regexp_matches(journey, 'p') THEN 1 ELSE 0 END) AS BIGINT) AS m0,
+               CAST(sum(CASE WHEN regexp_matches(journey, 'vc?p') THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+               CAST(sum(CASE WHEN regexp_matches(journey, 'e[^p]*p') THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+               CAST(sum(CASE WHEN regexp_matches(journey, '^s') THEN 1 ELSE 0 END) AS BIGINT) AS m3,
+               CAST(sum(CASE WHEN regexp_matches(journey, '^[^p]*c[^p]*$') THEN 1 ELSE 0 END) AS BIGINT) AS m4,
+               CAST(sum(CASE WHEN regexp_matches(journey, '^.$') THEN 1 ELSE 0 END) AS BIGINT) AS m5
+        FROM j
+    )
+    SELECT p.pattern, p.n_users, a.n_total,
+           round(CAST(p.n_users AS DOUBLE) / CAST(a.n_total AS DOUBLE), 6) AS share
+    FROM agg a, (
+        SELECT 'converted' AS pattern, m0 AS n_users FROM agg
+        UNION ALL SELECT 'direct_view_purchase', m1 FROM agg
+        UNION ALL SELECT 'error_before_purchase', m2 FROM agg
+        UNION ALL SELECT 'signup_first_event', m3 FROM agg
+        UNION ALL SELECT 'clicked_never_purchased', m4 FROM agg
+        UNION ALL SELECT 'single_event_bounce', m5 FROM agg
+    ) p
+    ORDER BY p.pattern
+    """,
+    "MATCH_RECOGNIZE-style sequence pattern matching: each user's "
+    "event history becomes an ordered journey string (one char per "
+    "event, tie-broken by event_id), and regular expressions over "
+    "journeys count behavioral cohorts — conversion, direct "
+    "view-to-purchase, error-before-purchase recovery, abandonment. "
+    "The regex subset is the Java-regex / RE2 intersection so both "
+    "engines match identically. Scale: one groupBy(user_id) builds "
+    "journeys (bounded per-user state, the sessionization shape); "
+    "all six patterns evaluate in the same projection pass (one "
+    "scan, no per-pattern re-aggregation); the final unpivot runs "
+    "on a 1-row aggregate.",
+    tags=("window", "analytics", "text", "funnel"),
+)
+def journey_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    ch = (
+        F.when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("e")
+    )
+    j = (
+        ev.select("user_id", F.struct("ts", "event_id", ch.alias("ch")).alias("s"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")), lambda x: x["ch"]),
+                "",
+            ).alias("journey")
+        )
+    )
+    flags = [
+        F.sum(F.when(F.col("journey").rlike(rx), 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"m{i}")
+        for i, (_, rx) in enumerate(_JOURNEY_PATTERNS)
+    ]
+    agg = j.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"), *flags)
+    stack_args = ", ".join(
+        f"'{name}', m{i}" for i, (name, _) in enumerate(_JOURNEY_PATTERNS)
+    )
+    return (
+        agg.select(
+            F.expr(
+                f"stack({len(_JOURNEY_PATTERNS)}, {stack_args}) AS (pattern, n_users)"
+            ),
+            "n_total",
+        )
+        .select(
+            "pattern",
+            "n_users",
+            "n_total",
+            F.round(
+                F.col("n_users").cast("double") / F.col("n_total").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("pattern")
+    )
+
+
+@register(
+    "collated_aggregation",
+    """
+    WITH noisy AS (
+        SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                    ELSE lower(c_mktsegment) END AS seg_noisy,
+               c_acctbal
+        FROM customer
+    )
+    SELECT lower(seg_noisy)                                   AS segment,
+           CAST(count(*) AS BIGINT)                           AS n_customers,
+           CAST(count(DISTINCT seg_noisy) AS BIGINT)          AS n_spellings,
+           round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2)    AS sum_acctbal
+    FROM noisy GROUP BY lower(seg_noisy) ORDER BY segment
+    """,
+    "Case-insensitive grouping via engine-native collation: the keys "
+    "carry mixed-case noise (synthesized deterministically from the "
+    "key parity — the dirty-CRM reality), and Spark groups on "
+    "collate(key, 'UTF8_LCASE') — Spark 4's collation type system — "
+    "rather than wrapping keys in lower(). At scale the collated "
+    "column keeps its column identity through the aggregation "
+    "(collation-aware hash/codegen), where an expression-wrapped key "
+    "defeats per-column statistics; the oracle proves the semantics "
+    "equal the lower() rewrite. n_spellings witnesses real folding "
+    "(2 spellings collapse per group). DECIMAL partial sums keep the "
+    "money total layout-stable.",
+    tags=("agg", "functions", "sql"),
+)
+def collated_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    noisy = c.select(
+        F.when(F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment"))
+        .otherwise(F.lower("c_mktsegment"))
+        .alias("seg_noisy"),
+        "c_acctbal",
+    )
+    return (
+        noisy.groupBy(F.collate(F.col("seg_noisy"), "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.count_distinct(
+                # count distinct RAW spellings inside the collated group
+                F.collate(F.col("seg_noisy"), "UTF8_BINARY")
+            )
+            .cast("bigint")
+            .alias("n_spellings"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2).alias(
+                "sum_acctbal"
+            ),
+        )
+        .select(
+            # canonical output key: collation-free lowercase string
+            F.collate(F.lower(F.col("k")), "UTF8_BINARY").alias("segment"),
+            "n_customers",
+            "n_spellings",
+            "sum_acctbal",
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "shortest_path_trade_cost",
+    """
+    WITH d AS (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+               count(*) AS n_trades
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey
+        GROUP BY 1, 2
+    ), e AS (
+        SELECT src, dst, 1 + (n_trades % 3) AS w FROM d
+    ), r AS (
+        WITH RECURSIVE reach(node, dist) AS (
+            SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+            UNION
+            SELECT CAST(e.dst AS BIGINT), CAST(reach.dist + e.w AS BIGINT)
+            FROM reach JOIN e ON e.src = reach.node
+            WHERE reach.dist + e.w <= 30
+        )
+        SELECT node, min(dist) AS min_cost FROM reach GROUP BY 1
+    )
+    SELECT n.n_name                    AS nation,
+           CAST(r.node AS BIGINT)      AS nationkey,
+           CAST(r.min_cost AS BIGINT)  AS min_cost
+    FROM r JOIN nation n ON n.n_nationkey = r.node
+    ORDER BY min_cost, nationkey
+    """,
+    "Weighted single-source shortest path (Bellman-Ford) over the "
+    "directed nation trade graph: edge weight derived from trade "
+    "volume (small exact integers, so min-plus relaxation is exact "
+    "arithmetic with no float ties), source = nation 0. The Spark "
+    "side runs distributed Bellman-Ford — per iteration one "
+    "edges-join + groupBy(node).min relaxation, lineage truncated "
+    "per round, early exit when an iteration improves nothing (the "
+    "same iterate-to-fixpoint harness as neardup_clusters' connected "
+    "components). Iterations are bounded by path diameter, not edge "
+    "count; the fact-sized work is the one-time edge extraction, "
+    "after which relaxations run on the node-scale frontier. The "
+    "oracle's bounded recursive CTE enumerates (node, dist) pairs "
+    "distinctly with a cost cap, which terminates on cyclic graphs.",
+    tags=("graph", "join", "iterative"),
+)
+def shortest_path_trade_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = t(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n_trades"))
+        .select("src", "dst", (1 + F.col("n_trades") % 3).alias("w"))
+        .localCheckpoint(eager=True)  # edge extraction runs once, not per iteration
+    )
+
+    dist = edges.sparkSession.createDataFrame(
+        [(0, 0)], "node bigint, dist bigint"
+    )
+    for _ in range(24):  # |V| - 1 relaxation rounds max; early exit below
+        relaxed = (
+            dist.join(edges, dist.node == edges.src)
+            .select(
+                F.col("dst").cast("bigint").alias("node"),
+                (F.col("dist") + F.col("w")).cast("bigint").alias("dist"),
+            )
+            .unionByName(dist)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        improved = (
+            relaxed.alias("r")
+            .join(dist.alias("d"), F.col("r.node") == F.col("d.node"), "left")
+            .filter(
+                F.col("d.dist").isNull() | (F.col("r.dist") < F.col("d.dist"))
+            )
+            .count()
+        )
+        dist = relaxed
+        if improved == 0:
+            break
+
+    return (
+        dist.filter(F.col("dist") <= 30)
+        .join(F.broadcast(nation), F.col("node") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("node").cast("bigint").alias("nationkey"),
+            F.col("dist").cast("bigint").alias("min_cost"),
+        )
+        .orderBy("min_cost", "nationkey")
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

@@ -112,3 +112,100 @@ def test_rollup_cascade_matches_direct_daily(run, spark, sf_dir):
         n, s = cascade[(r.event_type, r.d)]
         assert n == r.n
         assert s == r.s  # decimal partials -> bit-identical merge
+
+
+def test_kaplan_meier_invariants(run):
+    """KM estimator laws: the at-risk set follows the exit recurrence,
+    survival is a non-increasing product in (0, 1], and every customer
+    exits exactly once (churned or censored)."""
+    import math
+
+    rows = sorted(run("survival_kaplan_meier").collect(), key=lambda r: r.tenure_band)
+    assert rows
+    total_exits = sum(r.n_churned + r.n_censored for r in rows)
+    assert rows[0].n_at_risk == total_exits  # everyone at risk at t=0
+    prev_surv = 1.0
+    for i, r in enumerate(rows):
+        assert r.band_start_day == r.tenure_band * 90
+        assert 0 <= r.n_churned <= r.n_at_risk
+        if i + 1 < len(rows):
+            assert (
+                rows[i + 1].n_at_risk
+                == r.n_at_risk - r.n_churned - r.n_censored
+            ), "at-risk recurrence broken"
+        if r.survival is not None and r.log_surv_nano is not None:
+            # survival is the rounded exp of the exact nano-log
+            assert r.survival == pytest.approx(
+                math.exp(r.log_surv_nano / 1e9), abs=1e-6
+            )
+        assert 0.0 <= r.survival <= prev_surv + 1e-12, "survival must not increase"
+        prev_surv = r.survival
+
+
+def test_journey_patterns_are_consistent_cohorts(run):
+    """Pattern-cohort set laws that the regexes must satisfy by
+    construction: direct purchases and error-recoveries are subsets of
+    converted; clicked-never-purchased is disjoint from converted."""
+    rows = {r.pattern: r for r in run("journey_pattern_match").collect()}
+    assert set(rows) == {
+        "converted",
+        "direct_view_purchase",
+        "error_before_purchase",
+        "signup_first_event",
+        "clicked_never_purchased",
+        "single_event_bounce",
+    }
+    n_total = {r.n_total for r in rows.values()}
+    assert len(n_total) == 1
+    (n_total,) = n_total
+    conv = rows["converted"].n_users
+    assert rows["direct_view_purchase"].n_users <= conv
+    assert rows["error_before_purchase"].n_users <= conv
+    assert rows["clicked_never_purchased"].n_users + conv <= n_total
+    for r in rows.values():
+        assert 0 <= r.n_users <= n_total
+        assert r.share == pytest.approx(r.n_users / n_total, abs=1e-6)
+
+
+def test_collated_aggregation_folds_spellings(run):
+    """UTF8_LCASE grouping must fold exactly the two synthesized
+    spellings of each segment into one group, and segment totals must
+    cover every customer exactly once."""
+    rows = run("collated_aggregation").collect()
+    assert rows
+    segs = [r.segment for r in rows]
+    assert segs == sorted(segs)
+    assert len(set(segs)) == len(segs), "collation left duplicate groups"
+    for r in rows:
+        assert r.segment == r.segment.lower()
+        assert r.n_spellings == 2, r  # upper + lower variants both occur
+        assert r.n_customers >= r.n_spellings
+
+
+def test_shortest_path_satisfies_triangle_inequality(run, spark, sf_dir):
+    """Bellman-Ford output laws: source distance 0; every edge (u, v)
+    obeys dist(v) <= dist(u) + w(u, v) at the fixpoint."""
+    dist = {r.nationkey: r.min_cost for r in run("shortest_path_trade_cost").collect()}
+    assert dist.get(0) == 0
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    li = read_parquet_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = read_parquet_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_parquet_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = read_parquet_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("src", "dst", (1 + F.col("n") % 3).alias("w"))
+        .collect()
+    )
+    for e in edges:
+        if e.src in dist:
+            assert e.dst in dist, f"reachable node {e.dst} missing"
+            assert dist[e.dst] <= dist[e.src] + e.w, (e, dist[e.src], dist[e.dst])
