@@ -82,3 +82,64 @@ def extract_media_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
             )
 
     return df.mapInPandas(op, schema=MEDIA_FEATURE_SCHEMA)
+
+
+#: Output schema of the frame-feature stub decoder.
+FRAME_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("t_ms", T.LongType(), False),
+        T.StructField("frame_feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def frame_sample_plan(df: DataFrame, n_frames: int = 8) -> DataFrame:
+    """Uniform frame-sampling plan for video payloads: N timestamps per
+    clip from its duration metadata — the shape every video training
+    pipeline needs before any decode happens.
+
+    Pure native expressions (sequence + explode): the *plan* is rows of
+    (doc_id, frame_idx, t_ms), so at 100 TB the expensive decode fans
+    out over exactly the sampled frames, never whole clips; partition
+    count follows the exploded row count, not payload bytes. Input
+    needs columns doc_id and duration_ms.
+    """
+    return df.select(
+        "doc_id",
+        "duration_ms",
+        F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_idx"),
+    ).select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        # frame i sampled at i/N of the clip, integer milliseconds
+        ((F.col("frame_idx") * F.col("duration_ms")) / n_frames)
+        .cast("bigint")
+        .alias("t_ms"),
+    )
+
+
+def decode_frames_stub(frames: DataFrame) -> DataFrame:
+    """STUB frame decoder over a frame-sample plan (same contract as
+    ``extract_media_features``: real Spark plumbing, deterministic fake
+    pixels — swap for pyav/ffmpeg bindings without touching the plan).
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys = (
+                pdf["doc_id"].astype(str) + ":" + pdf["t_ms"].astype(str)
+            ).map(lambda s: hashlib.sha256(s.encode()).digest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "frame_idx": pdf["frame_idx"].astype("int32"),
+                    "t_ms": pdf["t_ms"].astype("int64"),
+                    "frame_feature": keys.map(
+                        lambda h: [b / 255.0 for b in h[:4]]
+                    ),
+                }
+            )
+
+    return frames.mapInPandas(op, schema=FRAME_FEATURE_SCHEMA)

@@ -10265,6 +10265,116 @@ def shortest_path_trade_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "video_frame_sample_plan",
+    """
+    WITH meta AS (
+        SELECT doc_id, 1000 + (n_chars * 37) % 59000 AS duration_ms
+        FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT m.doc_id,
+           CAST(f.frame_idx AS INT)                              AS frame_idx,
+           CAST((f.frame_idx * m.duration_ms) // 8 AS BIGINT)    AS t_ms,
+           substr(md5(CAST(m.doc_id AS VARCHAR) || ':' ||
+                      CAST(CAST((f.frame_idx * m.duration_ms) // 8 AS BIGINT)
+                           AS VARCHAR)), 1, 16) AS frame_key
+    FROM meta m, LATERAL (
+        SELECT unnest(generate_series(0, 7)) AS frame_idx
+    ) f
+    ORDER BY m.doc_id, frame_idx
+    """,
+    "Multimodal video pipeline front half: uniform 8-frame sampling "
+    "plan per clip from duration metadata (deterministically "
+    "synthesized here — the container has no codecs, so payloads are "
+    "stand-ins; the metadata path is the real contract). The plan is "
+    "pure native sequence+explode: at 100 TB the decode (stubbed in "
+    "operators/multimodal.py decode_frames_stub, exercised in tests) "
+    "fans out over exactly the sampled frames — 8 rows per clip — "
+    "never whole clips, and each frame row carries a content-address "
+    "key (md5) for the downstream feature store. No Python in this "
+    "plan; the stub decoder is Arrow-batched mapInPandas.",
+    tags=("multimodal", "generator"),
+)
+def video_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import frame_sample_plan
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    meta = docs.select(
+        "doc_id", (1000 + (F.col("n_chars") * 37) % 59000).alias("duration_ms")
+    )
+    plan = frame_sample_plan(meta, n_frames=8)
+    return plan.select(
+        "doc_id",
+        "frame_idx",
+        "t_ms",
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    F.col("t_ms").cast("string"),
+                )
+            ),
+            1,
+            16,
+        ).alias("frame_key"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "als_recommendations",
+    None,  # iterative stochastic factorization — engine-specific, rows-only
+    "Collaborative-filtering recommendations via MLlib ALS on the "
+    "implicit customer x part purchase matrix (quantity-weighted). "
+    "Distributed alternating least squares: both factor matrices are "
+    "block-partitioned, each iteration solves per-block normal "
+    "equations — the standard 100 TB-scale recommender shape (no "
+    "driver-side matrix ever materializes). Seeded and "
+    "coldStartStrategy=drop; output is top-3 parts for the 10 "
+    "lowest-key customers. Rows-only check: the factorization is "
+    "engine-specific (init + partition order), so no cross-engine "
+    "oracle exists; invariant tests pin recommendation count, "
+    "catalog membership, and score finiteness.",
+    tags=("ml", "recommendation", "iterative"),
+)
+def als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.recommendation import ALS
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ratings = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.sum("l_quantity").cast("float").alias("rating"))
+    )
+    als = ALS(
+        rank=8,
+        maxIter=5,
+        regParam=0.1,
+        implicitPrefs=True,
+        alpha=1.0,
+        seed=42,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    users = ratings.select("user").distinct().filter(F.col("user") <= 10)
+    recs = model.recommendForUserSubset(users, 3)
+    return recs.select(
+        F.col("user").cast("bigint").alias("custkey"),
+        F.posexplode("recommendations").alias("rec_rank", "rec"),
+    ).select(
+        "custkey",
+        (F.col("rec_rank") + 1).cast("int").alias("rec_rank"),
+        F.col("rec.item").cast("bigint").alias("partkey"),
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

@@ -209,3 +209,61 @@ def test_shortest_path_satisfies_triangle_inequality(run, spark, sf_dir):
         if e.src in dist:
             assert e.dst in dist, f"reachable node {e.dst} missing"
             assert dist[e.dst] <= dist[e.src] + e.w, (e, dist[e.src], dist[e.dst])
+
+
+def test_video_frame_plan_and_stub_decode(run, spark, sf_dir):
+    """The frame-sample plan emits exactly 8 uniformly-spaced frames
+    per sampled clip, and the Arrow-batched stub decoder preserves
+    plan keys 1:1 with a fixed feature width."""
+    plan = run("video_frame_sample_plan")
+    rows = plan.collect()
+    assert rows
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, frames in by_doc.items():
+        assert [f.frame_idx for f in sorted(frames, key=lambda f: f.frame_idx)] == list(
+            range(8)
+        )
+        ts = sorted(f.t_ms for f in frames)
+        assert ts[0] == 0
+        deltas = {ts[i + 1] - ts[i] for i in range(len(ts) - 1)}
+        assert max(deltas) - min(deltas) <= 1, "non-uniform sampling"  # int floor jitter
+        assert all(len(f.frame_key) == 16 for f in frames)
+
+    from loan_default_prediction_app_big_data_spark.operators.multimodal import (
+        decode_frames_stub,
+    )
+
+    decoded = decode_frames_stub(plan.select("doc_id", "frame_idx", "t_ms")).collect()
+    assert len(decoded) == len(rows)
+    assert {(d.doc_id, d.frame_idx) for d in decoded} == {
+        (r.doc_id, r.frame_idx) for r in rows
+    }
+    for d in decoded:
+        assert len(d.frame_feature) == 4
+        assert all(0.0 <= v <= 1.0 for v in d.frame_feature)
+
+
+def test_als_recommendations_shape_and_catalog(run, spark, sf_dir):
+    """ALS output laws: 3 ranked recs per requested customer, every
+    recommended part exists in the catalog, ranks are 1..3 with no
+    duplicate parts per customer."""
+    rows = run("als_recommendations").collect()
+    assert rows and len(rows) % 3 == 0
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    parts = {
+        r.p_partkey
+        for r in read_parquet_table(spark, sf_dir, "part").select("p_partkey").collect()
+    }
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        assert r.custkey <= 10
+        assert r.partkey in parts
+        by_cust.setdefault(r.custkey, []).append(r)
+    for cust, recs in by_cust.items():
+        assert sorted(r.rec_rank for r in recs) == [1, 2, 3]
+        assert len({r.partkey for r in recs}) == 3
