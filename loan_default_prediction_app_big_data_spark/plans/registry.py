@@ -10375,6 +10375,128 @@ def als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fpgrowth_frequent_itemsets",
+    """
+    WITH b AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ), nb AS (
+        SELECT count(DISTINCT l_orderkey) AS n FROM b
+    ), thresh AS (
+        SELECT CAST(ceil(0.0023 * n) AS BIGINT) AS m FROM nb
+    ), singles AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS itemset,
+               1 AS set_size,
+               CAST(count(*) AS BIGINT) AS support
+        FROM b GROUP BY l_suppkey
+        HAVING count(*) >= (SELECT m FROM thresh)
+    ), pairs AS (
+        SELECT CAST(x.l_suppkey AS VARCHAR) || ',' ||
+               CAST(y.l_suppkey AS VARCHAR) AS itemset,
+               2 AS set_size,
+               CAST(count(*) AS BIGINT) AS support
+        FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+                         AND x.l_suppkey < y.l_suppkey
+        GROUP BY x.l_suppkey, y.l_suppkey
+        HAVING count(*) >= (SELECT m FROM thresh)
+    )
+    SELECT itemset, CAST(set_size AS INT) AS set_size, support
+    FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
+    ORDER BY set_size, itemset
+    """,
+    "Frequent-itemset mining via MLlib's distributed FP-Growth "
+    "(PFP: parallel FP-trees over group-dependent shards, "
+    "SIGKDD'08 algorithm) on supplier co-purchase baskets, "
+    "minSupport 0.23% of baskets. The oracle enumerates the size<=2 "
+    "lattice exactly (distinct-pair self-join with the identical "
+    "ceil-threshold rule), so the miner's counts are hash-checked "
+    "against ground truth — output filtered to size<=2 to keep the "
+    "oracle exact at any scale factor (larger itemsets, when they "
+    "clear support, are validated by the monotonicity test instead). "
+    "Scale: baskets shuffle once on orderkey; FP-trees never "
+    "materialize the pair lattice, which is why FP-Growth beats the "
+    "self-join at 100 TB while the self-join stays the perfect "
+    "small-scale oracle.",
+    tags=("ml", "mining", "agg"),
+)
+def fpgrowth_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.fpm import FPGrowth
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_suppkey").alias("items"))
+        .select("items")
+    )
+    model = FPGrowth(
+        itemsCol="items", minSupport=0.0023, minConfidence=0.5
+    ).fit(baskets)
+    return (
+        model.freqItemsets.filter(F.size("items") <= 2)
+        .select(
+            F.array_join(F.array_sort("items"), ",").alias("itemset"),
+            F.size("items").cast("int").alias("set_size"),
+            F.col("freq").cast("bigint").alias("support"),
+        )
+        .orderBy("set_size", "itemset")
+    )
+
+
+@register(
+    "bitmap_distinct_count",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_distinct_supps
+    FROM lineitem
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "Exact distinct counting through bitmap indexes (Spark "
+    "bitmap_construct_agg / bitmap_or_agg / bitmap_count): keys hash "
+    "to (bucket, bit-position), per-bucket bitmaps build map-side, "
+    "and the final count is the sum of per-bucket popcounts. This is "
+    "the re-aggregatable exact-distinct pattern for 100 TB: partial "
+    "bitmap OR is associative and bounded (one ~4 KB bitmap per "
+    "bucket) where count(DISTINCT) expands every key through the "
+    "shuffle, and the bitmaps can persist as an incremental-refresh "
+    "distinct sketch with NO approximation (vs HLL's error bound). "
+    "The oracle is plain count(DISTINCT) — the bitmap path must be "
+    "exactly equal, not approximately.",
+    tags=("agg", "sketch", "functions"),
+)
+def bitmap_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+
+    def two_level(key: str, out: str) -> DataFrame:
+        # level 1: one bitmap per (group, bucket) — map-side partials OR
+        # together; level 2: popcount-sum over buckets. Each key needs
+        # its OWN bucket grouping (sharing one would split a key's
+        # bitmap across the other key's buckets and double-count).
+        per_bucket = li.groupBy(
+            "l_returnflag",
+            "l_linestatus",
+            F.expr(f"bitmap_bucket_number({key})").alias("bkt"),
+        ).agg(
+            F.expr(f"bitmap_construct_agg(bitmap_bit_position({key}))").alias("bm")
+        )
+        return per_bucket.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias(out)
+        )
+
+    parts = two_level("l_partkey", "n_distinct_parts")
+    supps = two_level("l_suppkey", "n_distinct_supps")
+    return (
+        parts.join(supps, ["l_returnflag", "l_linestatus"])
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n_distinct_parts",
+            "n_distinct_supps",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

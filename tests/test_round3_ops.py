@@ -267,3 +267,38 @@ def test_als_recommendations_shape_and_catalog(run, spark, sf_dir):
     for cust, recs in by_cust.items():
         assert sorted(r.rec_rank for r in recs) == [1, 2, 3]
         assert len({r.partkey for r in recs}) == 3
+
+
+def test_fpgrowth_support_monotonicity(run):
+    """Apriori law: a pair's support never exceeds either member's
+    singleton support; all supports clear the ceil-threshold."""
+    rows = run("fpgrowth_frequent_itemsets").collect()
+    assert rows
+    singles = {r.itemset: r.support for r in rows if r.set_size == 1}
+    pairs = [r for r in rows if r.set_size == 2]
+    assert singles
+    for p in pairs:
+        a, b = p.itemset.split(",")
+        # frequent pair members must themselves be frequent (and present)
+        assert a in singles and b in singles, p.itemset
+        assert p.support <= min(singles[a], singles[b]), p.itemset
+
+
+def test_bitmap_distinct_matches_spark_count_distinct(run, spark, sf_dir):
+    """The bitmap two-level popcount is EXACT: equal to Spark's own
+    count_distinct on the same grouping (not just the DuckDB oracle)."""
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    got = {
+        (r.l_returnflag, r.l_linestatus): (r.n_distinct_parts, r.n_distinct_supps)
+        for r in run("bitmap_distinct_count").collect()
+    }
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    exact = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count_distinct("l_partkey").alias("p"),
+        F.count_distinct("l_suppkey").alias("s"),
+    )
+    for r in exact.collect():
+        assert got[(r.l_returnflag, r.l_linestatus)] == (r.p, r.s)
