@@ -302,3 +302,22 @@ def test_bitmap_distinct_matches_spark_count_distinct(run, spark, sf_dir):
     )
     for r in exact.collect():
         assert got[(r.l_returnflag, r.l_linestatus)] == (r.p, r.s)
+
+
+def test_prefixspan_sequential_laws(run):
+    """Sequential apriori laws: support(<a->b>) <= min(support(<a>),
+    support(<b>)); singleton patterns exist for every pair member."""
+    rows = {r.pattern: r.support for r in run("prefixspan_sequential_patterns").collect()}
+    assert rows
+    singles = {p: s for p, s in rows.items() if "->" not in p}
+    pairs = {p: s for p, s in rows.items() if "->" in p}
+    assert singles and pairs
+    for p, s in pairs.items():
+        a, b = p.split("->")
+        assert s <= min(singles.get(a, 0), singles.get(b, 0)) or (
+            a not in singles or b not in singles
+        ) is False, p
+    # self-sequences <a->a> require two occurrences; support bounded by <a>
+    for a, s in singles.items():
+        if f"{a}->{a}" in pairs:
+            assert pairs[f"{a}->{a}"] <= s
