@@ -321,3 +321,33 @@ def test_prefixspan_sequential_laws(run):
     for a, s in singles.items():
         if f"{a}->{a}" in pairs:
             assert pairs[f"{a}->{a}"] <= s
+
+
+def test_spatial_blocked_join_completeness(run, spark, sf_dir):
+    """The 3x3-neighborhood blocking must find EVERY pair within the
+    radius (no boundary loss) and no pair twice; verified against a
+    driver-local brute force over the same synthetic coordinates."""
+    rows = run("spatial_blocked_join").collect()
+    got = {(r.id_a, r.id_b): r.dist_sq_md for r in rows}
+    assert len(got) == len(rows), "duplicate pairs from neighbor cells"
+    # brute force on the deterministic coordinate formula
+    import itertools
+
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    ids = [
+        r.c_custkey
+        for r in read_parquet_table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .collect()
+    ]
+    pts = {i: ((i * 7919) % 180000 - 90000, (i * 104729) % 360000 - 180000) for i in ids}
+    expect = {}
+    R2 = 2000 * 2000
+    for a, b in itertools.combinations(ids, 2):
+        d = (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2
+        if d <= R2:
+            expect[(a, b)] = d
+    assert got == expect
