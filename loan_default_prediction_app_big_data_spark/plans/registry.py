@@ -10667,6 +10667,121 @@ def spatial_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "funnel_within_window",
+    """
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+    ), q1 AS (
+        SELECT user_id, event_type, t,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY t
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                   AS has_view_1h
+        FROM e
+    ), q2 AS (
+        SELECT user_id, event_type, t, has_view_1h,
+               max(CASE WHEN event_type = 'click' AND has_view_1h = 1
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY t
+                         RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+                   AS has_qc_24h
+        FROM q1
+    ), per_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+               max(CASE WHEN event_type = 'click' AND has_view_1h = 1
+                        THEN 1 ELSE 0 END) AS s2,
+               max(CASE WHEN event_type = 'purchase' AND has_qc_24h = 1
+                        THEN 1 ELSE 0 END) AS s3
+        FROM q2 GROUP BY 1
+    )
+    SELECT CAST(sum(s1) AS BIGINT) AS n_viewed,
+           CAST(sum(s2) AS BIGINT) AS n_clicked_within_1h,
+           CAST(sum(s3) AS BIGINT) AS n_purchased_within_24h,
+           round(CAST(sum(s2) AS DOUBLE) / CAST(sum(s1) AS DOUBLE), 6)
+               AS click_conv,
+           round(CAST(sum(s3) AS DOUBLE) / CAST(sum(s1) AS DOUBLE), 6)
+               AS purchase_conv
+    FROM per_user
+    """,
+    "Time-constrained funnel (view -> click within 1 h of a view -> "
+    "purchase within 24 h of a qualified click): the CEP shape "
+    "first-occurrence funnels can't express, since the first click "
+    "after the first view may miss the window while a later "
+    "view-click pair qualifies. Computed with per-user event-time "
+    "RANGE-frame windows — 'a qualifying predecessor exists within "
+    "Delta' is max(flag) over RANGE Delta PRECEDING — so there is NO "
+    "events self-join: two windowed passes over user-partitioned "
+    "event time (one shuffle), per-user state bounded by the frame, "
+    "exact integer epoch arithmetic throughout. Equal-timestamp "
+    "peers are in-frame under RANGE semantics on both engines, so "
+    "zero-gap chains count identically.",
+    tags=("window", "funnel", "analytics", "timeseries"),
+)
+def funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("t")
+    )
+    w1 = (
+        W.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    q1 = e.select(
+        "user_id",
+        "event_type",
+        "t",
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .over(w1)
+        .alias("has_view_1h"),
+    )
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    q2 = q1.select(
+        "user_id",
+        "event_type",
+        "t",
+        "has_view_1h",
+        F.max(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("has_view_1h") == 1), 1
+            ).otherwise(0)
+        )
+        .over(w2)
+        .alias("has_qc_24h"),
+    )
+    per_user = q2.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("s1"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("has_view_1h") == 1), 1
+            ).otherwise(0)
+        ).alias("s2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("has_qc_24h") == 1),
+                1,
+            ).otherwise(0)
+        ).alias("s3"),
+    )
+    return per_user.agg(
+        F.sum("s1").cast("bigint").alias("n_viewed"),
+        F.sum("s2").cast("bigint").alias("n_clicked_within_1h"),
+        F.sum("s3").cast("bigint").alias("n_purchased_within_24h"),
+        F.round(
+            F.sum("s2").cast("double") / F.sum("s1").cast("double"), 6
+        ).alias("click_conv"),
+        F.round(
+            F.sum("s3").cast("double") / F.sum("s1").cast("double"), 6
+        ).alias("purchase_conv"),
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

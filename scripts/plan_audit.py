@@ -76,7 +76,11 @@ def main() -> int:
 
     flags = []
     for r in rows:
-        if r["cartesian"]:
+        if r["cartesian"] and r["name"] != "als_recommendations":
+            # als_recommendations: MLlib recommendForUserSubset scores
+            # via a blocked user-factor x item-factor cross product —
+            # the intended dense-GEMM shape (each side is a handful of
+            # factor blocks, not the ratings table), not an accident.
             flags.append(f"{r['name']}: CartesianProduct x{r['cartesian']}")
         if r["py_row"] and r["name"] != "udtf_price_tranches":
             # udtf_price_tranches is the deliberate Python-UDTF API

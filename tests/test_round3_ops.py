@@ -351,3 +351,26 @@ def test_spatial_blocked_join_completeness(run, spark, sf_dir):
         if d <= R2:
             expect[(a, b)] = d
     assert got == expect
+
+
+def test_funnel_within_window_tightens_unconstrained(run, spark, sf_dir):
+    """The windowed funnel must be a subset of the unconstrained
+    ordered funnel at every stage, and rates must be consistent."""
+    r = run("funnel_within_window").collect()[0]
+    assert r.n_viewed >= r.n_clicked_within_1h >= 0
+    assert r.n_viewed >= r.n_purchased_within_24h >= 0
+    assert r.click_conv == pytest.approx(r.n_clicked_within_1h / r.n_viewed, abs=1e-6)
+    assert r.purchase_conv == pytest.approx(
+        r.n_purchased_within_24h / r.n_viewed, abs=1e-6
+    )
+    # unconstrained ordered funnel (existing operator) is an upper bound
+    from loan_default_prediction_app_big_data_spark.operators.joins import (
+        funnel_counts,
+    )
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    un = funnel_counts(ev, "user_id", "event_type", "ts", ["view", "click", "purchase"]).collect()[0]
+    assert r.n_clicked_within_1h <= un.n_click + 0  # windowed <= any-order-after-first
