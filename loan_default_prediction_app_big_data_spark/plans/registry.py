@@ -10782,6 +10782,258 @@ def funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lm_bigram_surprisal",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), bi AS (
+        SELECT doc_id, unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS bg
+        FROM toks WHERE len(ws) >= 2
+    ), bigrams AS (
+        SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM bi
+    ), c1 AS (
+        SELECT w1, CAST(count(*) AS BIGINT) AS n1 FROM bigrams GROUP BY 1
+    ), c12 AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12
+        FROM bigrams GROUP BY 1, 2
+    ), scored AS (
+        SELECT b.doc_id,
+               CAST(round(-ln(CAST(c12.n12 AS DOUBLE) / CAST(c1.n1 AS DOUBLE))
+                          * 1e6) AS BIGINT) AS nll_micro
+        FROM bigrams b
+        JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+        JOIN c1  ON b.w1 = c1.w1
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(sum(nll_micro) AS BIGINT) AS sum_nll_micro,
+               CAST(count(*) AS BIGINT)       AS n_bigrams
+        FROM scored GROUP BY 1
+    )
+    SELECT doc_id, sum_nll_micro, n_bigrams,
+           round(CAST(sum_nll_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+                 / 1e6, 6) AS avg_surprisal
+    FROM per_doc
+    ORDER BY avg_surprisal DESC, doc_id LIMIT 20
+    """,
+    "Language-model quality scoring for training-data curation: a "
+    "bigram MLE model is fit on the corpus itself (count tables, one "
+    "groupBy each) and every document is scored by its average "
+    "per-bigram surprisal -ln p(w2|w1) — the distributed analog of "
+    "the perplexity filters LLM pipelines run (high-surprisal docs "
+    "are the off-distribution / noisy candidates for review). "
+    "Bigrams come from slice+zip over the token array (no "
+    "position self-join); the model tables join back broadcast "
+    "(vocabulary-bounded). Determinism: counts are exact BIGINTs; "
+    "each bigram's nll is rounded to micro-units then summed as "
+    "BIGINT (associative), so no float accumulation crosses rows. "
+    "Top-20 most-surprising docs, doc_id tie-broken.",
+    tags=("text", "quality", "llm-pipeline", "agg"),
+)
+def lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    n = F.size("ws")
+    bigrams = (
+        toks.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("ws"), 1, n - 1),
+                    F.slice(F.col("ws"), 2, n - 1),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+    )
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+    c12 = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n12")
+    )
+    scored = (
+        bigrams.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), ["w1"])
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(F.col("n12").cast("double") / F.col("n1").cast("double"))
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("nll_micro"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("nll_micro").cast("bigint").alias("sum_nll_micro"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "sum_nll_micro",
+            "n_bigrams",
+            F.round(
+                F.col("sum_nll_micro").cast("double")
+                / F.col("n_bigrams").cast("double")
+                / 1e6,
+                6,
+            ).alias("avg_surprisal"),
+        )
+        .orderBy(F.desc("avg_surprisal"), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "permutation_test_segment",
+    """
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice) AS BIGINT) AS cents,
+               c_mktsegment = 'BUILDING' AS is_b
+        FROM orders JOIN customer ON c_custkey = o_custkey
+    ), obs AS (
+        SELECT CAST(sum(CASE WHEN is_b THEN cents ELSE 0 END) AS BIGINT) AS s1,
+               CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT)     AS n1,
+               CAST(sum(CASE WHEN is_b THEN 0 ELSE cents END) AS BIGINT) AS s2,
+               CAST(sum(CASE WHEN is_b THEN 0 ELSE 1 END) AS BIGINT)     AS n2
+        FROM o
+    ), perms AS (
+        SELECT b.b,
+               CAST(sum(CASE WHEN (o.o_orderkey * (2654435761 + b.b * 40503))
+                                  % 2147483648 < 429496730
+                             THEN o.cents ELSE 0 END) AS BIGINT) AS s1,
+               CAST(sum(CASE WHEN (o.o_orderkey * (2654435761 + b.b * 40503))
+                                  % 2147483648 < 429496730
+                             THEN 1 ELSE 0 END) AS BIGINT)       AS n1,
+               CAST(sum(o.cents) AS BIGINT)                      AS st,
+               CAST(count(*) AS BIGINT)                          AS nt
+        FROM o, (SELECT unnest(generate_series(0, 63)) AS b) b
+        GROUP BY 1
+    ), stats AS (
+        SELECT b,
+               abs(s1 * (nt - n1) - (st - s1) * n1) AS num,
+               n1 * (nt - n1)                       AS den
+        FROM perms WHERE n1 > 0 AND n1 < nt
+    ), obs_stat AS (
+        SELECT abs(s1 * n2 - s2 * n1) AS num, n1 * n2 AS den FROM obs
+    )
+    SELECT (SELECT n1 FROM obs)                         AS n_building,
+           (SELECT n2 FROM obs)                         AS n_other,
+           round((SELECT CAST(num AS DOUBLE) / den FROM obs_stat), 4)
+               AS observed_diff_dollars,
+           CAST((SELECT count(*) FROM stats, obs_stat
+                  WHERE CAST(stats.num AS HUGEINT) * obs_stat.den
+                        >= CAST(obs_stat.num AS HUGEINT) * stats.den) AS BIGINT) AS n_extreme,
+           CAST((SELECT count(*) FROM stats) AS BIGINT) AS n_perms,
+           round((SELECT count(*) FROM stats, obs_stat
+                   WHERE CAST(stats.num AS HUGEINT) * obs_stat.den
+                         >= CAST(obs_stat.num AS HUGEINT) * stats.den)
+                 / (SELECT CAST(count(*) AS DOUBLE) FROM stats), 6) AS p_value
+    """,
+    "Monte-Carlo permutation (randomization) test: is the BUILDING "
+    "segment's mean order value different from the rest? 64 "
+    "deterministic pseudo-random re-assignments (portable "
+    "multiplicative-hash congruence on the order key — identical "
+    "integer math on both engines, no engine RNG) rebuild the null "
+    "distribution of |mean difference|; the p-value is the fraction "
+    "of permutations at least as extreme as observed. EVERY "
+    "comparison is exact integer arithmetic: mean differences "
+    "compare as cross-multiplied BIGINT rationals (|s1*n2 - s2*n1| "
+    "vs den), never as divided floats, so the count of extreme "
+    "permutations cannot drift by a ulp. Scale: the 64 replicas "
+    "explode map-side and partial-combine into 64 rows before the "
+    "shuffle — replica count x bounded key, not x fact size.",
+    tags=("stats", "agg", "analytics"),
+)
+def permutation_test_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice")).cast("bigint").alias("cents"),
+            (F.col("c_mktsegment") == "BUILDING").alias("is_b"),
+        )
+    )
+    obs = base.agg(
+        F.sum(F.when(F.col("is_b"), F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.when(F.col("is_b"), 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("is_b"), 0).otherwise(F.col("cents")))
+        .cast("bigint")
+        .alias("s2"),
+        F.sum(F.when(F.col("is_b"), 0).otherwise(1)).cast("bigint").alias("n2"),
+    )
+    replicated = base.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+    )
+    assign = (
+        (F.col("o_orderkey") * (F.lit(2654435761) + F.col("b") * 40503))
+        % 2147483648
+    ) < F.lit(429496730)
+    perms = replicated.groupBy("b").agg(
+        F.sum(F.when(assign, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.when(assign, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum("cents").cast("bigint").alias("st"),
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+    )
+    stats = perms.filter((F.col("n1") > 0) & (F.col("n1") < F.col("nt"))).select(
+        F.abs(
+            F.col("s1") * (F.col("nt") - F.col("n1"))
+            - (F.col("st") - F.col("s1")) * F.col("n1")
+        ).alias("num"),
+        (F.col("n1") * (F.col("nt") - F.col("n1"))).alias("den"),
+    )
+    joined = stats.crossJoin(
+        F.broadcast(
+            obs.select(
+                "n1",
+                "n2",
+                F.abs(F.col("s1") * F.col("n2") - F.col("s2") * F.col("n1")).alias(
+                    "obs_num"
+                ),
+                (F.col("n1") * F.col("n2")).alias("obs_den"),
+            )
+        )
+    )
+    return joined.agg(
+        F.first("n1").cast("bigint").alias("n_building"),
+        F.first("n2").cast("bigint").alias("n_other"),
+        F.round(
+            F.first(F.col("obs_num").cast("double") / F.col("obs_den")), 4
+        ).alias("observed_diff_dollars"),
+        F.sum(
+            F.when(
+                F.col("num").cast("decimal(38,0)") * F.col("obs_den")
+                >= F.col("obs_num").cast("decimal(38,0)") * F.col("den"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_extreme"),
+        F.count(F.lit(1)).cast("bigint").alias("n_perms"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("num").cast("decimal(38,0)") * F.col("obs_den")
+                    >= F.col("obs_num").cast("decimal(38,0)") * F.col("den"),
+                    1,
+                ).otherwise(0)
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("p_value"),
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

@@ -374,3 +374,30 @@ def test_funnel_within_window_tightens_unconstrained(run, spark, sf_dir):
     ev = read_parquet_table(spark, sf_dir, "events")
     un = funnel_counts(ev, "user_id", "event_type", "ts", ["view", "click", "purchase"]).collect()[0]
     assert r.n_clicked_within_1h <= un.n_click + 0  # windowed <= any-order-after-first
+
+
+def test_lm_surprisal_scores_are_valid_nll(run):
+    """Bigram surprisal laws: every score is positive (MLE probability
+    <= 1 for a vocabulary with alternatives), averages equal
+    sum/count, and the list is sorted most-surprising-first."""
+    rows = run("lm_bigram_surprisal").collect()
+    assert len(rows) == 20
+    vals = [r.avg_surprisal for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    for r in rows:
+        assert r.n_bigrams > 0
+        assert r.sum_nll_micro >= 0  # -ln(p) >= 0 for p <= 1
+        assert r.avg_surprisal == pytest.approx(
+            r.sum_nll_micro / r.n_bigrams / 1e6, abs=1e-6
+        )
+
+
+def test_permutation_test_pvalue_sane(run):
+    """p-value in [0, 1] with exactly 64 valid permutations, counts
+    partition the order table."""
+    r = run("permutation_test_segment").collect()[0]
+    assert r.n_perms == 64
+    assert 0 <= r.n_extreme <= r.n_perms
+    assert r.p_value == pytest.approx(r.n_extreme / r.n_perms, abs=1e-6)
+    assert r.n_building > 0 and r.n_other > 0
+    assert r.observed_diff_dollars >= 0.0
