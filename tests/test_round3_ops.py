@@ -401,3 +401,38 @@ def test_permutation_test_pvalue_sane(run):
     assert r.p_value == pytest.approx(r.n_extreme / r.n_perms, abs=1e-6)
     assert r.n_building > 0 and r.n_other > 0
     assert r.observed_diff_dollars >= 0.0
+
+
+def test_k_anonymity_monotone_in_k(run):
+    """Raising k can only add violations: violating groups, affected
+    rows, and share are non-decreasing in k."""
+    rows = sorted(run("k_anonymity_audit").collect(), key=lambda r: r.k)
+    assert [r.k for r in rows] == [2, 5, 10]
+    for a, b in zip(rows, rows[1:]):
+        assert a.violating_groups <= b.violating_groups
+        assert a.affected_rows <= b.affected_rows
+        assert a.affected_share <= b.affected_share + 1e-9
+    for r in rows:
+        assert 0.0 <= r.affected_share <= 1.0
+        # a violating group has at most k-1 members
+        assert r.affected_rows <= r.violating_groups * (r.k - 1)
+
+
+def test_decayed_leaderboard_bounded_by_raw_quantity(run, spark, sf_dir):
+    """Decay weights are in (0, 1], so every decayed score is bounded
+    by the part's raw quantity total; list is sorted and tie-stable."""
+    rows = run("decayed_leaderboard").collect()
+    assert len(rows) == 25
+    scores = [r.score_micro for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    raw = {
+        r.l_partkey: r.q
+        for r in li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("q")).collect()
+    }
+    for r in rows:
+        assert 0 < r.decayed_qty <= raw[r.partkey] + 1e-6
