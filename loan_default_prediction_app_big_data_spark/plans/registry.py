@@ -11163,6 +11163,141 @@ def decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "seasonal_decomposition_daily",
+    """
+    WITH daily AS (
+        SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))))
+                    AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), trended AS (
+        SELECT day, x,
+               CAST(count(*) OVER w7 AS BIGINT) AS w_n,
+               CAST(sum(x) OVER w7 AS BIGINT)   AS w_s
+        FROM daily
+        WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), det AS (
+        SELECT day, x,
+               CAST(round(CAST(w_s AS DOUBLE) / w_n, 4) AS DECIMAL(18,4))
+                   AS trend,
+               CAST(x AS DECIMAL(18,4))
+                 - CAST(round(CAST(w_s AS DOUBLE) / w_n, 4) AS DECIMAL(18,4))
+                   AS detrended
+        FROM trended WHERE w_n = 7
+    ), seas AS (
+        SELECT day % 7 AS dow,
+               CAST(round(CAST(sum(detrended) AS DOUBLE) / count(*), 4)
+                    AS DECIMAL(18,4)) AS seasonal
+        FROM det GROUP BY 1
+    )
+    SELECT d.day, d.x AS revenue,
+           CAST(d.trend AS DOUBLE)                 AS trend,
+           CAST(s.seasonal AS DOUBLE)              AS seasonal,
+           CAST(d.detrended - s.seasonal AS DOUBLE) AS residual
+    FROM det d JOIN seas s ON d.day % 7 = s.dow
+    ORDER BY d.day LIMIT 100
+    """,
+    "Additive seasonal decomposition of the daily revenue series "
+    "(classical decompose: 7-day centered moving-average trend, "
+    "day-of-week seasonal from the detrended mean, residual = "
+    "x - trend - seasonal). Determinism engineering: the daily series "
+    "floors to BIGINT dollars after DECIMAL partials; the trend "
+    "window sums BIGINTs over a FIXED 7-row frame (exact) with one "
+    "rounded division; detrended values live as DECIMAL(18,4) so the "
+    "day-of-week means sum associatively (no float-order drift "
+    "across layouts) — every float op is a single division or final "
+    "cast. Scale: the fact-sized work is one groupBy(day); all "
+    "windows run on the ~2,400-row daily frame. Edge days without a "
+    "full 7-day frame are excluded (w_n = 7), the textbook "
+    "centered-MA convention.",
+    tags=("timeseries", "window", "agg", "stats", "analytics"),
+)
+def seasonal_decomposition_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day")
+    ).agg(
+        F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+        .cast("bigint")
+        .alias("x")
+    )
+    w7 = W.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "x",
+        F.count(F.lit(1)).over(w7).cast("bigint").alias("w_n"),
+        F.sum("x").over(w7).cast("bigint").alias("w_s"),
+    )
+    trend = F.round(F.col("w_s").cast("double") / F.col("w_n"), 4).cast(
+        "decimal(18,4)"
+    )
+    det = trended.filter(F.col("w_n") == 7).select(
+        "day",
+        "x",
+        trend.alias("trend"),
+        (F.col("x").cast("decimal(18,4)") - trend).alias("detrended"),
+    )
+    seas = det.groupBy((F.col("day") % 7).alias("dow")).agg(
+        F.round(
+            F.sum("detrended").cast("double") / F.count(F.lit(1)), 4
+        )
+        .cast("decimal(18,4)")
+        .alias("seasonal")
+    )
+    return (
+        det.join(F.broadcast(seas), det.day % 7 == seas.dow)
+        .select(
+            "day",
+            F.col("x").alias("revenue"),
+            F.col("trend").cast("double").alias("trend"),
+            F.col("seasonal").cast("double").alias("seasonal"),
+            (F.col("detrended") - F.col("seasonal"))
+            .cast("double")
+            .alias("residual"),
+        )
+        .orderBy("day")
+        .limit(100)
+    )
+
+
+@register(
+    "pca_embeddings",
+    None,  # eigendecomposition signs/ulps are engine- and layout-specific
+    "Distributed PCA over the embedding corpus (MLlib: covariance "
+    "accumulated via treeAggregate — one pass over partitions, a "
+    "d x d Gramian at the driver where d = embedding width, never "
+    "n x n) projecting to 4 components. The dimensionality-reduction "
+    "stage of embedding pipelines (IVF coarse quantizers, "
+    "visualization, whitening). Rows-only: eigenvector sign and "
+    "float accumulation order are engine-specific, so correctness is "
+    "pinned by invariant tests instead — orthonormal loadings, "
+    "non-increasing explained variance, projection norms bounded by "
+    "input norms.",
+    tags=("ml", "similarity", "iterative"),
+)
+def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = t(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
+    )
+    model = PCA(k=4, inputCol="v", outputCol="pc").fit(vecs)
+    out = model.transform(vecs)
+    return out.select(
+        "vec_id",
+        vector_to_array(F.col("pc")).alias("components"),
+    ).select(
+        "vec_id",
+        F.round(F.col("components")[0], 6).alias("pc1"),
+        F.round(F.col("components")[1], 6).alias("pc2"),
+        F.round(F.col("components")[2], 6).alias("pc3"),
+        F.round(F.col("components")[3], 6).alias("pc4"),
+    ).orderBy("vec_id")
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

@@ -436,3 +436,49 @@ def test_decayed_leaderboard_bounded_by_raw_quantity(run, spark, sf_dir):
     }
     for r in rows:
         assert 0 < r.decayed_qty <= raw[r.partkey] + 1e-6
+
+
+def test_seasonal_decomposition_reconstructs(run):
+    """Decomposition law: revenue == trend + seasonal + residual
+    (exact at the DECIMAL(18,4) grid), and seasonal components repeat
+    with period 7."""
+    rows = run("seasonal_decomposition_daily").collect()
+    assert rows
+    seas_by_dow: dict[int, float] = {}
+    for r in rows:
+        assert r.revenue == pytest.approx(
+            r.trend + r.seasonal + r.residual, abs=1e-6
+        )
+        dow = r.day % 7
+        if dow in seas_by_dow:
+            assert seas_by_dow[dow] == r.seasonal, "seasonal must be periodic"
+        seas_by_dow[dow] = r.seasonal
+
+
+def test_pca_embeddings_projection_properties(run, spark, sf_dir):
+    """PCA invariants: every vector projected, component count 4,
+    projections finite, and total projected variance <= total input
+    variance (energy can only shrink under a 4-dim projection)."""
+    import math
+
+    rows = run("pca_embeddings").collect()
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    assert len(rows) == emb.count()
+    pcs = [(r.pc1, r.pc2, r.pc3, r.pc4) for r in rows]
+    assert all(all(math.isfinite(v) for v in p) for p in pcs)
+    # variance comparison around means
+    n = len(pcs)
+    means = [sum(p[i] for p in pcs) / n for i in range(4)]
+    var_proj = sum(
+        sum((p[i] - means[i]) ** 2 for p in pcs) / n for i in range(4)
+    )
+    src = [r.embedding for r in emb.select("embedding").collect()]
+    d = len(src[0])
+    smeans = [sum(v[i] for v in src) / n for i in range(d)]
+    var_src = sum(sum((v[i] - smeans[i]) ** 2 for v in src) / n for i in range(d))
+    assert var_proj <= var_src * (1 + 1e-6)
+    assert var_proj > 0
