@@ -11298,6 +11298,151 @@ def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+@register(
+    "span_corruption_plan",
+    """
+    WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+        FROM documents WHERE doc_id % 10 = 0
+    ), planned AS (
+        SELECT doc_id, n_tok,
+               greatest(1, CAST(floor(n_tok * 0.15 / 3) AS BIGINT)) AS n_spans
+        FROM toks WHERE n_tok >= 8
+    ), spans AS (
+        SELECT p.doc_id, p.n_tok, p.n_spans, s.span_idx,
+               -- deterministic start: multiplicative-hash congruence on
+               -- (doc_id, span_idx), landing inside [0, n_tok - 3]
+               (p.doc_id * 2654435761 + s.span_idx * 40503)
+                   % (p.n_tok - 2) AS start_tok
+        FROM planned p, LATERAL (
+            SELECT unnest(generate_series(0, CAST(p.n_spans - 1 AS INT)))
+                   AS span_idx
+        ) s
+    )
+    SELECT doc_id, CAST(span_idx AS INT) AS span_idx,
+           CAST(start_tok AS BIGINT)     AS start_tok,
+           CAST(3 AS INT)                AS span_len,
+           CAST(n_tok AS BIGINT)         AS n_tok
+    FROM spans ORDER BY doc_id, span_idx
+    """,
+    "T5/UL2-style span-corruption plan: for each document, ~15% of "
+    "tokens are marked for masking in fixed-length-3 spans whose "
+    "starts come from a portable multiplicative-hash congruence on "
+    "(doc_id, span_idx) — deterministic noise with NO engine RNG, so "
+    "the same corpus yields the same training examples on any engine "
+    "or layout (and the oracle proves it). This is the "
+    "training-example-construction stage of a denoising-LM data "
+    "pipeline; the plan is pure projection + bounded explode (spans "
+    "per doc ~ n_tok/20), no shuffle at all until a downstream "
+    "grouping. Spans may overlap — the reference T5 sampler resolves "
+    "overlaps at tokenization; the PLAN records candidates.",
+    tags=("text", "llm-pipeline", "generator"),
+)
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    toks = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    planned = toks.filter(F.col("n_tok") >= 8).select(
+        "doc_id",
+        "n_tok",
+        F.greatest(
+            F.lit(1), F.floor(F.col("n_tok") * 0.15 / 3).cast("bigint")
+        ).alias("n_spans"),
+    )
+    spans = planned.select(
+        "doc_id",
+        "n_tok",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("n_spans") - 1).cast("int"))
+        ).alias("span_idx"),
+    )
+    return spans.select(
+        "doc_id",
+        F.col("span_idx").cast("int").alias("span_idx"),
+        (
+            (F.col("doc_id") * 2654435761 + F.col("span_idx") * 40503)
+            % (F.col("n_tok") - 2)
+        )
+        .cast("bigint")
+        .alias("start_tok"),
+        F.lit(3).cast("int").alias("span_len"),
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+    ).orderBy("doc_id", "span_idx")
+
+
+@register(
+    "embedding_int8_quantization",
+    """
+    WITH d AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id, emb,
+               list_max(list_transform(emb, x -> abs(x))) AS scale
+        FROM d
+    ), coded AS (
+        SELECT vec_id, scale,
+               list_transform(emb,
+                              x -> CAST(round(x / scale * 127) AS BIGINT))
+                   AS code
+        FROM q WHERE scale > 0
+    )
+    SELECT vec_id,
+           round(CAST(scale AS DOUBLE), 6)       AS scale,
+           CAST(list_max(code) AS BIGINT)        AS max_code,
+           CAST(list_min(code) AS BIGINT)        AS min_code,
+           CAST(list_sum(list_transform(code, c -> abs(c))) AS BIGINT)
+               AS l1_code
+    FROM coded ORDER BY vec_id LIMIT 200
+    """,
+    "Int8 symmetric quantization of the embedding corpus — the "
+    "vector-store compression step (4x over float32; the scalar- "
+    "quantization sibling of ivf_pq_ann_topk's product quantizer): "
+    "per-vector absmax scale, codes round(x/scale*127) in [-127, "
+    "127]. Pure array lambdas (transform/aggregate) on both engines "
+    "— per-element work, zero shuffles before the final order. The "
+    "driver-checkable output summarizes each vector's code block "
+    "(scale, min/max code, L1 mass) so the hash pins every code "
+    "without serializing 64-element arrays through the comparator; "
+    "the reconstruction-error bound lives in the invariant test.",
+    tags=("similarity", "functions", "llm-pipeline"),
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.select(
+        "vec_id",
+        "embedding",
+        F.array_max(F.transform("embedding", lambda x: F.abs(x))).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    coded = q.select(
+        "vec_id",
+        "scale",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x / F.col("scale") * 127).cast("bigint"),
+        ).alias("code"),
+    )
+    return (
+        coded.select(
+            "vec_id",
+            F.round(F.col("scale").cast("double"), 6).alias("scale"),
+            F.array_max("code").cast("bigint").alias("max_code"),
+            F.array_min("code").cast("bigint").alias("min_code"),
+            F.aggregate(
+                F.transform("code", lambda c: F.abs(c)),
+                F.lit(0).cast("bigint"),
+                lambda acc, c: acc + c,
+            )
+            .cast("bigint")
+            .alias("l1_code"),
+        )
+        .orderBy("vec_id")
+        .limit(200)
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

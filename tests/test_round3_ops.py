@@ -482,3 +482,48 @@ def test_pca_embeddings_projection_properties(run, spark, sf_dir):
     var_src = sum(sum((v[i] - smeans[i]) ** 2 for v in src) / n for i in range(d))
     assert var_proj <= var_src * (1 + 1e-6)
     assert var_proj > 0
+
+
+def test_span_corruption_plan_in_bounds(run):
+    """Every planned span fits inside its document: start in
+    [0, n_tok-3], ~15%/3 spans per doc, contiguous span indexes."""
+    rows = run("span_corruption_plan").collect()
+    assert rows
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert r.span_len == 3
+        assert 0 <= r.start_tok <= r.n_tok - 3
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, spans in by_doc.items():
+        idx = sorted(s.span_idx for s in spans)
+        assert idx == list(range(len(idx)))
+        n_tok = spans[0].n_tok
+        assert len(spans) == max(1, int(n_tok * 0.15 / 3))
+
+
+def test_int8_quantization_reconstruction_error(run, spark, sf_dir):
+    """Quantization laws: codes within [-127, 127], at least one code
+    hits +/-127 (absmax scaling is tight), and reconstruction error
+    per element is bounded by scale/254 (half a quantization step)."""
+    rows = run("embedding_int8_quantization").collect()
+    assert rows
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    emb = {
+        r.vec_id: r.embedding
+        for r in read_parquet_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") <= 10000)
+        .collect()
+    }
+    for r in rows:
+        assert -127 <= r.min_code <= r.max_code <= 127
+        assert max(abs(r.min_code), abs(r.max_code)) == 127, "absmax must map to 127"
+        v = emb[r.vec_id]
+        scale = max(abs(float(x)) for x in v)
+        # reconstruct and bound error by half a step
+        step = scale / 127
+        for x in v:
+            code = round(float(x) / scale * 127)
+            assert abs(code * step - float(x)) <= step / 2 + 1e-9
