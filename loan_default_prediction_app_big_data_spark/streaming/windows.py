@@ -443,3 +443,48 @@ def run_checkpointed_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def run_incremental_backfill(
+    spark: SparkSession, sf_dir: str, n_files: int = 8, per_trigger: int = 2
+):
+    """Backfill pattern: replay a bounded history through Trigger.
+    AvailableNow with ``maxFilesPerTrigger``, so the stream processes
+    the archive in several rate-limited micro-batches and terminates —
+    exactly how a production job catches up after downtime without one
+    giant batch. State (the tumbling windows) must merge correctly
+    ACROSS micro-batches for the final answer to equal the batch twin;
+    a single-batch replay would never exercise that merge.
+
+    Returns (result DataFrame, micro-batch count).
+    """
+    import tempfile
+
+    from ..sources.readers import read_parquet_table
+
+    base = tempfile.mkdtemp(prefix="backfill_")
+    src_dir = os.path.join(base, "events")
+    # Re-shard the replay so the rate limit yields multiple batches.
+    read_parquet_table(spark, sf_dir, "events").repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", per_trigger)
+        .parquet(src_dir)
+    )
+    name = f"backfill_{uuid.uuid4().hex[:8]}"
+    q = (
+        tumbling_window_agg_stream(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    out = spark.table(name).cache()
+    out.count()
+    return out, n_batches

@@ -527,3 +527,30 @@ def test_int8_quantization_reconstruction_error(run, spark, sf_dir):
         for x in v:
             code = round(float(x) / scale * 127)
             assert abs(code * step - float(x)) <= step / 2 + 1e-9
+
+
+def test_incremental_backfill_runs_multiple_batches(spark, sf_dir):
+    """The rate-limited availableNow replay must process >= 3
+    micro-batches (else the cross-batch state merge isn't exercised)
+    and still equal the batch tumbling aggregate exactly."""
+    from loan_default_prediction_app_big_data_spark.streaming.windows import (
+        run_incremental_backfill,
+    )
+
+    out, n_batches = run_incremental_backfill(spark, sf_dir)
+    assert n_batches >= 3, f"only {n_batches} micro-batches — rate limit inert"
+    batch = REGISTRY["tumbling_window_agg"].fn(spark, sf_dir)
+    got = {(r.window_start, r.event_type): (r.n_events, r.total_value) for r in out.collect()}
+    exp = {(r.window_start, r.event_type): (r.n_events, r.total_value) for r in batch.collect()}
+    assert got == exp
+
+
+def test_topk_with_ties_keeps_boundary_ties(run, spark, sf_dir):
+    """WITH TIES law: kept rows >= 3 per group, and where more than 3
+    are kept the boundary rows must all share the cutoff quantity."""
+    rows = run("window_topk_with_ties").collect()
+    assert rows
+    assert any(r.n_rows_kept > 3 for r in rows), "fixture has boundary ties"
+    for r in rows:
+        assert r.n_rows_kept >= min(3, r.deepest_rank)
+        assert r.deepest_rank <= 3
