@@ -73,7 +73,15 @@ def test_multimodal_uses_arrow_not_row_python(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name",
-    [n for n, s in REGISTRY.items() if "streaming" not in n and n != "ivf_ann_topk"],
+    [
+        n
+        for n, s in REGISTRY.items()
+        if "streaming" not in n and n not in ("ivf_ann_topk", "als_recommendations")
+        # als_recommendations: recommendForUserSubset scores via MLlib's
+        # intended blocked user-factor x item-factor cross product
+        # (factor blocks, not the ratings table) — whitelisted here and
+        # in scripts/plan_audit.py.
+    ],
 )
 def test_no_cartesian_products_anywhere(spark, sf_dir, name):
     """No registry query may plan an unbounded cartesian product.
