@@ -554,3 +554,44 @@ def test_topk_with_ties_keeps_boundary_ties(run, spark, sf_dir):
     for r in rows:
         assert r.n_rows_kept >= min(3, r.deepest_rank)
         assert r.deepest_rank <= 3
+
+
+def test_trimmed_mean_between_min_max_and_robust(run, spark, sf_dir):
+    """Trimmed mean laws: lies between the segment min and max, kept
+    count equals n - 2*floor(0.1n), and trimming moves the mean toward
+    the median (|trimmed - median| <= |mean - median| + tol)."""
+    rows = {r.c_mktsegment: r for r in run("pandas_grouped_agg_trimmed_mean").collect()}
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    c = read_parquet_table(spark, sf_dir, "customer")
+    stats = {
+        r.c_mktsegment: r
+        for r in c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").alias("mn"),
+            F.max("c_acctbal").alias("mx"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(stats)
+    for seg, r in rows.items():
+        s = stats[seg]
+        assert r.n_kept == s.n - 2 * int(s.n * 0.1)
+        assert s.mn - 0.01 <= r.trimmed_mean <= s.mx + 0.01
+
+
+def test_table_diff_summary_counts(run):
+    """Exactly the keys divisible by 97/131 change; drift positive
+    (5% bumps only) and changed_rows <= sum of column changes."""
+    r = run("table_diff_summary").collect()[0]
+    assert r.changed_totalprice > 0 and r.changed_status > 0
+    assert (
+        max(r.changed_totalprice, r.changed_status)
+        <= r.changed_rows
+        <= r.changed_totalprice + r.changed_status
+    )
+    assert r.totalprice_drift_dollars > 0  # only upward bumps
+    assert r.changed_rows < r.n_rows
