@@ -11671,6 +11671,156 @@ def table_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "run_length_encoding",
+    """
+    WITH e AS (
+        SELECT user_id, event_type,
+               CAST(epoch_us(ts) AS HUGEINT) * 10000000 + event_id AS k
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_type, k,
+               CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS is_start
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY k)
+    ), runs AS (
+        SELECT user_id, event_type,
+               sum(is_start) OVER (PARTITION BY user_id ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run_id
+        FROM flagged
+    ), lens AS (
+        SELECT event_type, count(*) AS run_len
+        FROM runs GROUP BY user_id, event_type, run_id
+    )
+    SELECT event_type, CAST(run_len AS BIGINT) AS run_len,
+           CAST(count(*) AS BIGINT) AS n_runs
+    FROM lens GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "Run-length encoding of event streams (value-change "
+    "gaps-and-islands): consecutive same-type events per user "
+    "collapse into runs via the lag-flag + running-sum island id, "
+    "then the run-length distribution per type — the stream- "
+    "compression / stuck-sensor diagnostic (a long 'error' run is an "
+    "incident, not traffic). Ordering ties break on event_id through "
+    "one composite sort key. One shuffle on user_id; both window "
+    "passes share the same partitioning; run ids never leave their "
+    "partition. Counts exact.",
+    tags=("window", "events", "timeseries", "analytics"),
+)
+def run_length_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        (
+            F.unix_micros(F.col("ts")).cast("decimal(38,0)") * 10000000
+            + F.col("event_id")
+        ).alias("k"),
+    )
+    w = W.partitionBy("user_id").orderBy("k")
+    flagged = e.select(
+        "user_id",
+        "event_type",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("is_start"),
+        "k",
+    )
+    runs = flagged.select(
+        "user_id",
+        "event_type",
+        F.sum("is_start")
+        .over(W.partitionBy("user_id").orderBy("k").rowsBetween(W.unboundedPreceding, 0))
+        .alias("run_id"),
+    )
+    lens = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        lens.groupBy("event_type", F.col("run_len").cast("bigint").alias("run_len"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_runs"))
+        .orderBy("event_type", "run_len")
+    )
+
+
+@register(
+    "table_checksum",
+    """
+    WITH o AS (
+        SELECT bit_xor(CAST('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CAST(o_custkey AS VARCHAR) || '|' ||
+                   o_orderstatus || '|' ||
+                   CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+               ), 1, 15) AS BIGINT)) AS checksum,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM orders
+    ), c AS (
+        SELECT bit_xor(CAST('0x' || substr(md5(
+                   CAST(c_custkey AS VARCHAR) || '|' ||
+                   CAST(c_nationkey AS VARCHAR) || '|' ||
+                   c_mktsegment || '|' ||
+                   CAST(CAST(floor(c_acctbal * 100) AS BIGINT) AS VARCHAR)
+               ), 1, 15) AS BIGINT)) AS checksum,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM customer
+    )
+    SELECT 'orders' AS table_name, n_rows, checksum FROM o
+    UNION ALL
+    SELECT 'customer', n_rows, checksum FROM c
+    ORDER BY table_name
+    """,
+    "Content-addressed table checksum: every row serializes its "
+    "business columns canonically (money as floor-cents BIGINT so no "
+    "float formatting crosses engines), hashes through md5, and the "
+    "table fingerprint is the XOR-fold of 60-bit hash prefixes — "
+    "order-insensitive and partition-associative, so a 100 TB "
+    "table's checksum computes map-side with a 16-byte merge state "
+    "and NO shuffle of row data (the anti-entropy / "
+    "replica-reconciliation primitive; two replicas disagree iff "
+    "any row differs, detected without moving either table). "
+    "Counts + checksums are exact integers.",
+    tags=("quality", "agg", "governance", "functions"),
+)
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def cksum(df: DataFrame, label: str, row_str: F.Column) -> DataFrame:
+        h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("bigint")
+        return df.agg(
+            F.lit(label).alias("table_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.bit_xor(h).alias("checksum"),
+        )
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    orders_ck = cksum(
+        o,
+        "orders",
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        ),
+    )
+    cust_ck = cksum(
+        c,
+        "customer",
+        F.concat_ws(
+            "|",
+            F.col("c_custkey").cast("string"),
+            F.col("c_nationkey").cast("string"),
+            F.col("c_mktsegment"),
+            F.floor(F.col("c_acctbal") * 100).cast("bigint").cast("string"),
+        ),
+    )
+    return orders_ck.unionByName(cust_ck).orderBy("table_name")
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

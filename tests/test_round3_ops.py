@@ -595,3 +595,62 @@ def test_table_diff_summary_counts(run):
     )
     assert r.totalprice_drift_dollars > 0  # only upward bumps
     assert r.changed_rows < r.n_rows
+
+
+def test_rle_mass_conservation(run, spark, sf_dir):
+    """RLE law: sum(run_len * n_runs) per type == event count of that
+    type (every event belongs to exactly one run)."""
+    rows = run("run_length_encoding").collect()
+    mass: dict[str, int] = {}
+    for r in rows:
+        assert r.run_len >= 1 and r.n_runs >= 1
+        mass[r.event_type] = mass.get(r.event_type, 0) + r.run_len * r.n_runs
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    counts = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert mass == counts
+
+
+def test_table_checksum_detects_single_row_change(run, spark, sf_dir):
+    """Anti-entropy property: the checksum flips when any single row
+    changes, and is invariant to row order (computed via xor-fold)."""
+    base = {r.table_name: r.checksum for r in run("table_checksum").collect()}
+    assert set(base) == {"orders", "customer"}
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    o = read_parquet_table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("bigint")
+    # order-invariance: recompute after a shuffling repartition
+    again = o.repartition(13).agg(F.bit_xor(h)).collect()[0][0]
+    assert again == base["orders"]
+    # single-row perturbation flips it
+    o2 = o.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") == o.select(F.min("o_orderkey")).collect()[0][0],
+               F.col("o_custkey") + 1).otherwise(F.col("o_custkey")),
+    )
+    row_str2 = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+    )
+    h2 = F.conv(F.substring(F.md5(row_str2), 1, 15), 16, 10).cast("bigint")
+    changed = o2.agg(F.bit_xor(h2)).collect()[0][0]
+    assert changed != base["orders"]
