@@ -11821,6 +11821,70 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders_ck.unionByName(cust_ck).orderBy("table_name")
 
 
+@register(
+    "embedding_dimension_stats",
+    """
+    WITH raw AS (
+        -- parallel unnest zips element and index in lockstep
+        SELECT unnest(range(0, len(embedding))) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ), exploded AS (
+        SELECT dim,
+               CAST(x AS DECIMAL(28,10))     AS xd,
+               CAST(x * x AS DECIMAL(28,12)) AS xsq,
+               x
+        FROM raw
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(xd) AS DOUBLE) / count(*), 6) AS mean,
+           round(CAST(sum(xsq) AS DOUBLE) / count(*)
+                 - (CAST(sum(xd) AS DOUBLE) / count(*))
+                 * (CAST(sum(xd) AS DOUBLE) / count(*)), 6) AS variance,
+           round(min(x), 6) AS min_val,
+           round(max(x), 6) AS max_val
+    FROM exploded GROUP BY 1 ORDER BY 1
+    """,
+    "Per-dimension embedding statistics (mean/variance/min/max per "
+    "coordinate) — the normalization/whitening precursor every "
+    "embedding pipeline computes before PCA, quantization, or "
+    "standardized ANN. posexplode fans each vector into (dim, value) "
+    "rows that partial-combine per dimension — d accumulators per "
+    "task, one bounded-key shuffle. Determinism: each element (and "
+    "its square, computed in double) casts to DECIMAL before "
+    "summation, so cross-row accumulation is associative and "
+    "layout-stable; the only floats are per-row casts and the final "
+    "divisions. Population variance via E[x^2] - E[x]^2 on the "
+    "decimal sums.",
+    tags=("similarity", "agg", "stats", "llm-pipeline"),
+)
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    ).select(
+        "dim",
+        F.col("x").cast("decimal(28,10)").alias("xd"),
+        (F.col("x") * F.col("x")).cast("decimal(28,12)").alias("xsq"),
+        "x",
+    )
+    mean = F.sum("xd").cast("double") / F.count(F.lit(1))
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(mean, 6).alias("mean"),
+            F.round(
+                F.sum("xsq").cast("double") / F.count(F.lit(1)) - mean * mean, 6
+            ).alias("variance"),
+            F.round(F.min("x"), 6).alias("min_val"),
+            F.round(F.max("x"), 6).alias("max_val"),
+        )
+        .orderBy("dim")
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

@@ -654,3 +654,30 @@ def test_table_checksum_detects_single_row_change(run, spark, sf_dir):
     h2 = F.conv(F.substring(F.md5(row_str2), 1, 15), 16, 10).cast("bigint")
     changed = o2.agg(F.bit_xor(h2)).collect()[0][0]
     assert changed != base["orders"]
+
+
+def test_embedding_dimension_stats_consistent(run, spark, sf_dir):
+    """Per-dimension stats: one row per dimension, n == corpus size,
+    variance >= 0, min <= mean <= max, and mean matches a numpy
+    recomputation."""
+    rows = sorted(run("embedding_dimension_stats").collect(), key=lambda r: r.dim)
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    vecs = [
+        r.embedding
+        for r in read_parquet_table(spark, sf_dir, "embeddings").collect()
+    ]
+    d = len(vecs[0])
+    assert [r.dim for r in rows] == list(range(d))
+    for r in rows:
+        assert r.n == len(vecs)
+        assert r.variance >= 0
+        assert r.min_val - 1e-9 <= r.mean <= r.max_val + 1e-9
+    import numpy as np
+
+    m = np.array(vecs, dtype="float64")
+    for r in rows:
+        assert r.mean == pytest.approx(float(m[:, r.dim].mean()), abs=1e-5)
+        assert r.variance == pytest.approx(float(m[:, r.dim].var()), abs=1e-5)
