@@ -11974,6 +11974,18 @@ _DRIVER_PRIORITY: list[str] = [
     # seasonal_naive_backtest, growth_accounting_weekly, cohort_ltv,
     # market_basket_lift), and scd2_asof_fact_join. Every deferred
     # query is strict-local-verified by scripts/verify_exact.py (the
+    # Session-2 additions join the same round-4 rotation queue:
+    # survival_kaplan_meier, journey_pattern_match, funnel_within_window,
+    # collated_aggregation, shortest_path_trade_cost,
+    # fpgrowth_frequent_itemsets, prefixspan_sequential_patterns,
+    # bitmap_distinct_count, spatial_blocked_join, lm_bigram_surprisal,
+    # permutation_test_segment, k_anonymity_audit, decayed_leaderboard,
+    # seasonal_decomposition_daily, video_frame_sample_plan,
+    # span_corruption_plan, embedding_int8_quantization,
+    # streaming_incremental_backfill, window_topk_with_ties,
+    # pandas_grouped_agg_trimmed_mean, table_diff_summary,
+    # run_length_encoding, table_checksum, embedding_dimension_stats
+    # (als_recommendations / pca_embeddings are rows-only by design).
     # zero-tolerance replica of the driver's hash compare) in BOTH
     # tuned and --bare session layouts.
     "udtf_price_tranches",
