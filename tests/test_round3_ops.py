@@ -681,3 +681,21 @@ def test_embedding_dimension_stats_consistent(run, spark, sf_dir):
     for r in rows:
         assert r.mean == pytest.approx(float(m[:, r.dim].mean()), abs=1e-5)
         assert r.variance == pytest.approx(float(m[:, r.dim].var()), abs=1e-5)
+
+
+def test_llm_pipeline_example_composes(spark, sf_dir):
+    """The end-to-end curation example must be monotonically narrowing
+    and keep a non-empty corpus (examples/llm_data_pipeline.py)."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples",
+        "llm_data_pipeline.py",
+    )
+    spec = importlib.util.spec_from_file_location("llm_pipeline_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    # main() asserts the monotone-narrowing and checksum invariants
+    mod.main(sf_dir)
