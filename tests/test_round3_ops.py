@@ -699,3 +699,43 @@ def test_llm_pipeline_example_composes(spark, sf_dir):
     spec.loader.exec_module(mod)
     # main() asserts the monotone-narrowing and checksum invariants
     mod.main(sf_dir)
+
+
+def test_timezone_buckets_differ_from_utc(run, spark, sf_dir):
+    """Localization must actually shift buckets: NY day boundaries
+    differ from UTC day boundaries, and every NY day overlaps exactly
+    1-2 Kolkata days (offset difference is always < 24h)."""
+    rows = run("timezone_local_day_agg").collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_kolkata_days <= 2
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    utc = {
+        r.d: r.n
+        for r in ev.groupBy(
+            F.expr("unix_micros(ts) div 86400000000").alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    ny = {r.ny_day: r.n_events for r in rows}
+    # NY is UTC-4/-5: day indexes shift, so the histograms must differ
+    common = set(ny) & set(utc)
+    assert any(ny[d] != utc[d] for d in common)
+
+
+def test_hll_rolling_wau_all_windows_in_bound(run):
+    """Every full 7-day window's sketch-union estimate sits inside the
+    published 3-sigma HLL bound (the column is the check), and exact
+    WAU is positive and bounded by total users."""
+    rows = run("hll_rolling_wau").collect()
+    assert rows
+    assert all(r.estimate_within_bound for r in rows)
+    days = [r.day for r in rows]
+    assert days == sorted(days)
+    for r in rows:
+        assert r.wau_exact > 0
