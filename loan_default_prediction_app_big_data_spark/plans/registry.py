@@ -12028,6 +12028,151 @@ def hll_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pivot_multi_agg",
+    """
+    SELECT l_returnflag,
+           CAST(sum(l_quantity) FILTER (l_linestatus = 'O') AS BIGINT) AS O_qty,
+           CAST(count(*)        FILTER (l_linestatus = 'O') AS BIGINT) AS O_n,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                 FILTER (l_linestatus = 'O'), 2)                       AS O_rev,
+           CAST(sum(l_quantity) FILTER (l_linestatus = 'F') AS BIGINT) AS F_qty,
+           CAST(count(*)        FILTER (l_linestatus = 'F') AS BIGINT) AS F_n,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                 FILTER (l_linestatus = 'F'), 2)                       AS F_rev
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+    "Pivot with MULTIPLE aggregations per pivoted value (sum + count "
+    "+ decimal revenue per line status): Catalyst compiles the "
+    "explicit-values multi-measure pivot into one PivotFirst pass — "
+    "one scan, one shuffle, measure columns materialized per pivot "
+    "value — where naive per-measure pivots would scan three times. "
+    "Explicit value list keeps the single-pass property "
+    "(value-discovery pivots need a collect first); DECIMAL partials "
+    "keep revenue layout-stable. The multi-measure shape is what "
+    "reporting workloads actually emit.",
+    tags=("agg", "sql"),
+)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            F.sum("l_quantity").cast("bigint").alias("qty"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2).alias(
+                "rev"
+            ),
+        )
+    )
+    return out.select(
+        "l_returnflag",
+        *[F.col(f"{v}_{m}") for v in ("O", "F") for m in ("qty", "n", "rev")],
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "correlation_matrix_exact",
+    """
+    WITH v AS (
+        SELECT CAST(l_quantity AS BIGINT)                      AS q,
+               CAST(floor(l_extendedprice * 100) AS BIGINT)    AS p,
+               CAST(round(l_discount * 100) AS BIGINT)         AS d,
+               CAST(round(l_tax * 100) AS BIGINT)              AS tx
+        FROM lineitem
+    ), sums AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(q)  AS HUGEINT) AS sq,  CAST(sum(p)  AS HUGEINT) AS sp,
+               CAST(sum(d)  AS HUGEINT) AS sd,  CAST(sum(tx) AS HUGEINT) AS st,
+               CAST(sum(q*q)   AS HUGEINT) AS sqq, CAST(sum(p*p) AS HUGEINT) AS spp,
+               CAST(sum(d*d)   AS HUGEINT) AS sdd, CAST(sum(tx*tx) AS HUGEINT) AS stt,
+               CAST(sum(q*p)   AS HUGEINT) AS sqp, CAST(sum(q*d) AS HUGEINT) AS sqd,
+               CAST(sum(q*tx)  AS HUGEINT) AS sqt, CAST(sum(p*d) AS HUGEINT) AS spd,
+               CAST(sum(p*tx)  AS HUGEINT) AS spt, CAST(sum(d*tx) AS HUGEINT) AS sdt
+        FROM v
+    )
+    SELECT pair, round(CAST(num AS DOUBLE)
+                 / sqrt(CAST(den1 AS DOUBLE) * CAST(den2 AS DOUBLE)), 6)
+               AS corr
+    FROM (
+        SELECT 'quantity~price' AS pair, n*sqp - sq*sp AS num,
+               n*sqq - sq*sq AS den1, n*spp - sp*sp AS den2 FROM sums
+        UNION ALL SELECT 'quantity~discount', n*sqd - sq*sd,
+               n*sqq - sq*sq, n*sdd - sd*sd FROM sums
+        UNION ALL SELECT 'quantity~tax', n*sqt - sq*st,
+               n*sqq - sq*sq, n*stt - st*st FROM sums
+        UNION ALL SELECT 'price~discount', n*spd - sp*sd,
+               n*spp - sp*sp, n*sdd - sd*sd FROM sums
+        UNION ALL SELECT 'price~tax', n*spt - sp*st,
+               n*spp - sp*sp, n*stt - st*st FROM sums
+        UNION ALL SELECT 'discount~tax', n*sdt - sd*st,
+               n*sdd - sd*sd, n*stt - st*st FROM sums
+    ) ORDER BY pair
+    """,
+    "All-pairs Pearson correlation matrix over the line-item "
+    "measures in ONE aggregation pass: every moment (4 sums, 4 "
+    "square-sums, 6 cross-products) accumulates as an EXACT integer "
+    "(floor-cents / hundredths inputs; DECIMAL(38,0)/HUGEINT "
+    "accumulators, associative at any layout), and each correlation "
+    "is one closed-form IEEE expression over exact moments — the "
+    "feature-EDA primitive with zero float-order drift, vs "
+    "corr()-per-pair which re-scans per pair and sums doubles in "
+    "partition order. At 100 TB this is a single partial-combined "
+    "scan producing a 14-number state.",
+    tags=("stats", "agg", "analytics"),
+)
+def correlation_matrix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("p"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
+        F.round(F.col("l_tax") * 100).cast("bigint").alias("tx"),
+    )
+    D = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    sums = v.agg(
+        D(F.count(F.lit(1))).alias("n"),
+        D(F.sum("q")).alias("sq"),
+        D(F.sum("p")).alias("sp"),
+        D(F.sum("d")).alias("sd"),
+        D(F.sum("tx")).alias("st"),
+        D(F.sum(F.col("q") * F.col("q"))).alias("sqq"),
+        D(F.sum(F.col("p") * F.col("p"))).alias("spp"),
+        D(F.sum(F.col("d") * F.col("d"))).alias("sdd"),
+        D(F.sum(F.col("tx") * F.col("tx"))).alias("stt"),
+        D(F.sum(F.col("q") * F.col("p"))).alias("sqp"),
+        D(F.sum(F.col("q") * F.col("d"))).alias("sqd"),
+        D(F.sum(F.col("q") * F.col("tx"))).alias("sqt"),
+        D(F.sum(F.col("p") * F.col("d"))).alias("spd"),
+        D(F.sum(F.col("p") * F.col("tx"))).alias("spt"),
+        D(F.sum(F.col("d") * F.col("tx"))).alias("sdt"),
+    )
+    pairs = [
+        ("quantity~price", "sqp", "sq", "sp", "sqq", "spp"),
+        ("quantity~discount", "sqd", "sq", "sd", "sqq", "sdd"),
+        ("quantity~tax", "sqt", "sq", "st", "sqq", "stt"),
+        ("price~discount", "spd", "sp", "sd", "spp", "sdd"),
+        ("price~tax", "spt", "sp", "st", "spp", "stt"),
+        ("discount~tax", "sdt", "sd", "st", "sdd", "stt"),
+    ]
+    rows = None
+    for name, sxy, sx, sy, sxx, syy in pairs:
+        num = F.col("n") * F.col(sxy) - F.col(sx) * F.col(sy)
+        den1 = F.col("n") * F.col(sxx) - F.col(sx) * F.col(sx)
+        den2 = F.col("n") * F.col(syy) - F.col(sy) * F.col(sy)
+        r = sums.select(
+            F.lit(name).alias("pair"),
+            F.round(
+                num.cast("double")
+                / F.sqrt(den1.cast("double") * den2.cast("double")),
+                6,
+            ).alias("corr"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("pair")
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

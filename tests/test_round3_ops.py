@@ -739,3 +739,47 @@ def test_hll_rolling_wau_all_windows_in_bound(run):
     assert days == sorted(days)
     for r in rows:
         assert r.wau_exact > 0
+
+
+def test_pivot_multi_agg_mass_conservation(run, spark, sf_dir):
+    """Pivoted measures must re-sum to the unpivoted totals per flag."""
+    rows = run("pivot_multi_agg").collect()
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    totals = {
+        r.l_returnflag: (r.qty, r.n)
+        for r in li.filter(F.col("l_linestatus").isin("O", "F"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("l_quantity").cast("bigint").alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    for r in rows:
+        qty = (r.O_qty or 0) + (r.F_qty or 0)
+        n = (r.O_n or 0) + (r.F_n or 0)
+        assert (qty, n) == totals[r.l_returnflag]
+
+
+def test_correlation_matrix_agrees_with_spark_corr(run, spark, sf_dir):
+    """The exact-moment closed form must agree with Spark's own corr()
+    to float tolerance, and every value sits in [-1, 1]."""
+    rows = {r.pair: r.corr for r in run("correlation_matrix_exact").collect()}
+    assert len(rows) == 6
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_quantity").cast("double").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100).cast("double").alias("p"),
+    )
+    ref = v.agg(F.corr("q", "p")).collect()[0][0]
+    assert rows["quantity~price"] == pytest.approx(ref, abs=1e-4)
+    for pair, c in rows.items():
+        assert -1.0 <= c <= 1.0, (pair, c)
