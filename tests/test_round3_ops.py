@@ -783,3 +783,12 @@ def test_correlation_matrix_agrees_with_spark_corr(run, spark, sf_dir):
     assert rows["quantity~price"] == pytest.approx(ref, abs=1e-4)
     for pair, c in rows.items():
         assert -1.0 <= c <= 1.0, (pair, c)
+
+
+def test_csv_corrupt_audit_reconciles(run):
+    """Parser-contract reconciliation: permissive = good + corrupt,
+    dropmalformed = good, corrupt rate exactly the injected 1/50."""
+    r = run("csv_corrupt_record_audit").collect()[0]
+    assert r.permissive_rows == r.n_good + r.n_corrupt
+    assert r.dropmalformed_rows == r.n_good
+    assert r.n_corrupt > 0
