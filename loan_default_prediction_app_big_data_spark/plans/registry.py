@@ -12263,6 +12263,71 @@ def csv_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "balanced_shard_plan",
+    """
+    WITH ranked AS (
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents
+    ), sharded AS (
+        SELECT (rn - 1) % 8 AS shard, n_chars FROM ranked
+    ), per_shard AS (
+        SELECT shard,
+               CAST(count(*) AS BIGINT)     AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM sharded GROUP BY 1
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, n_docs, total_chars,
+           round(CAST(total_chars AS DOUBLE)
+                 / (CAST(sum(total_chars) OVER () AS DOUBLE) / 8), 6)
+               AS balance_ratio
+    FROM per_shard ORDER BY shard
+    """,
+    "Balanced output-shard planner for training-data releases: "
+    "documents rank by size (desc, id tie-broken) and deal "
+    "round-robin into 8 shards — the size-ranked round-robin "
+    "approximation of bin packing, which bounds shard skew by one "
+    "max-document per shard (balance_ratio stays within ~1% of 1.0 "
+    "here, vs the >2x skew naive hash sharding gives a heavy-tailed "
+    "corpus). At scale the global rank uses the engine's "
+    "distributed_row_number primitive (range repartition + "
+    "per-partition offsets — no single-partition window); at "
+    "fixture scale the plan IS that primitive's oracle twin. "
+    "Downstream writers then partitionBy(shard) for equal-size "
+    "output files.",
+    tags=("llm-pipeline", "window", "layout", "agg"),
+)
+def balanced_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import global_row_number
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        # one sortable unique key encoding (size DESC, doc_id ASC)
+        (-F.col("n_chars") * 10000000 + F.col("doc_id")).alias("rank_key"),
+    )
+    ranked = global_row_number(docs, "rank_key")
+    per_shard = (
+        ranked.select(((F.col("rn") - 1) % 8).alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+    return per_shard.select(
+        F.col("shard").cast("bigint").alias("shard"),
+        "n_docs",
+        "total_chars",
+        F.round(
+            F.col("total_chars").cast("double")
+            / (F.sum("total_chars").over(W.partitionBy()).cast("double") / 8),
+            6,
+        ).alias("balance_ratio"),
+    ).orderBy("shard")
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

@@ -792,3 +792,27 @@ def test_csv_corrupt_audit_reconciles(run):
     assert r.permissive_rows == r.n_good + r.n_corrupt
     assert r.dropmalformed_rows == r.n_good
     assert r.n_corrupt > 0
+
+
+def test_balanced_shards_beat_hash_sharding(run, spark, sf_dir):
+    """Shard balance law: all docs covered, and size-ranked round-robin
+    yields tighter balance than doc_id hash sharding."""
+    rows = run("balanced_shard_plan").collect()
+    assert len(rows) == 8
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    spread = max(r.balance_ratio for r in rows) - min(r.balance_ratio for r in rows)
+    # hash-shard comparison on the same corpus
+    hashed = (
+        docs.groupBy((F.crc32(F.col("doc_id").cast("string")) % 8).alias("s"))
+        .agg(F.sum("n_chars").alias("tc"))
+        .collect()
+    )
+    mean = sum(r.tc for r in hashed) / 8
+    hash_spread = (max(r.tc for r in hashed) - min(r.tc for r in hashed)) / mean
+    assert spread < hash_spread, (spread, hash_spread)
+    assert spread < 0.05
