@@ -816,3 +816,61 @@ def test_balanced_shards_beat_hash_sharding(run, spark, sf_dir):
     hash_spread = (max(r.tc for r in hashed) - min(r.tc for r in hashed)) / mean
     assert spread < hash_spread, (spread, hash_spread)
     assert spread < 0.05
+
+
+def test_negative_sampling_labels_differ(run, spark, sf_dir):
+    """Every sampled negative has a different label than its anchor,
+    ranks are contiguous from 1, and draws are reproducible (pure
+    function of ids — rerun equality)."""
+    rows = run("negative_sampling_plan").collect()
+    assert rows
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    labels = {
+        r.vec_id: r.label
+        for r in read_parquet_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    by_anchor: dict[int, list] = {}
+    for r in rows:
+        assert labels[r.neg_id] != labels[r.anchor_id]
+        assert r.neg_id != r.anchor_id
+        by_anchor.setdefault(r.anchor_id, []).append(r.neg_rank)
+    for a, ranks in by_anchor.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    again = run("negative_sampling_plan").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_hard_negatives_are_hardest(run, spark, sf_dir):
+    """The mined negatives for anchor 0 must be the true top-3
+    different-label cosines (numpy brute-force cross-check), sorted
+    descending."""
+    import numpy as np
+
+    rows = [r for r in run("hard_negative_mining").collect() if r.anchor_id == 0]
+    assert len(rows) == 3
+    sims = [r.cos_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings").collect()
+    a = next(r for r in emb if r.vec_id == 0)
+    av = np.array(a.embedding, dtype="float64")
+    cands = []
+    for r in emb:
+        if r.label == a.label:
+            continue
+        v = np.array(r.embedding, dtype="float64")
+        cands.append(
+            (float(av @ v / (np.linalg.norm(av) * np.linalg.norm(v))), r.vec_id)
+        )
+    expect = sorted(cands, key=lambda t: (-t[0], t[1]))[:3]
+    got = [(r.cos_sim, r.neg_id) for r in rows]
+    for (es, ei), (gs, gi) in zip(expect, got):
+        assert gi == ei and gs == pytest.approx(es, abs=1e-5)
