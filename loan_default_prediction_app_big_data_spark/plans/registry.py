@@ -10427,6 +10427,7 @@ def fpgrowth_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.collect_set("l_suppkey").alias("items"))
         .select("items")
+        .cache()  # PFP iterates the baskets; uncached it re-aggregates per pass
     )
     model = FPGrowth(
         itemsCol="items", minSupport=0.0023, minConfidence=0.5
@@ -10559,6 +10560,7 @@ def prefixspan_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("sequence")
         )
         .select("sequence")
+        .cache()  # projected-database passes re-read the sequences
     )
     ps = PrefixSpan(
         minSupport=0.3, maxPatternLength=2, maxLocalProjDBSize=32000000
