@@ -12490,6 +12490,124 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle(n_merges: int = 5) -> str:
+    """Generate the n-stage BPE oracle: each stage counts adjacent
+    token pairs, picks the (count DESC, w1, w2) argmax, and rewrites
+    the corpus with the pair merged — identical string semantics to
+    the Spark loop (see bpe_merge_training)."""
+    stages = ["WITH t0 AS (SELECT doc_id, text FROM documents)"]
+    selects = []
+    for i in range(n_merges):
+        stages.append(f"""
+    p{i} AS (
+        SELECT bg[1] AS w1, bg[2] AS w2, count(*) AS cnt
+        FROM (
+            SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS bg
+            FROM (SELECT string_split(text, ' ') AS ws FROM t{i})
+            WHERE len(ws) >= 2
+        ) GROUP BY 1, 2
+    ),
+    m{i} AS (
+        SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt FROM p{i}
+        ORDER BY cnt DESC, w1, w2 LIMIT 1
+    ),
+    t{i + 1} AS (
+        SELECT doc_id,
+               trim(replace(replace(
+                   ' ' || replace(text, ' ', '  ') || ' ',
+                   ' ' || (SELECT w1 FROM m{i}) || '  '
+                       || (SELECT w2 FROM m{i}) || ' ',
+                   ' ' || (SELECT w1 FROM m{i}) || '@@'
+                       || (SELECT w2 FROM m{i}) || ' '),
+                   '  ', ' ')) AS text
+        FROM t{i}
+    )""")
+        selects.append(
+            f"SELECT {i + 1} AS merge_order, w1, w2, cnt FROM m{i}"
+        )
+    union = "\n    UNION ALL ".join(selects)
+    return (
+        ",".join(stages).replace("WITH t0 AS", "WITH t0 AS", 1)
+        + f"\n    SELECT CAST(merge_order AS INT) AS merge_order, w1, w2,"
+        f" cnt AS pair_count FROM ({union}) ORDER BY merge_order"
+    )
+
+
+@register(
+    "bpe_merge_training",
+    _bpe_oracle(5),
+    "BPE (byte-pair-encoding) merge-rule training, the vocabulary- "
+    "learning stage of every modern tokenizer, run distributed: each "
+    "round counts ALL adjacent token pairs across the corpus (one "
+    "slice+zip explode, partial-combined groupBy), picks the "
+    "argmax pair with a total deterministic tie-break (count DESC, "
+    "then lexicographic), and rewrites the corpus with that pair "
+    "merged ('@@'-joined). Corpus rewrite semantics are pinned "
+    "cross-engine by the double-space trick: doubling separators "
+    "gives every adjacent pair its own delimiters, so left-to-right "
+    "non-overlapping replace() — identical in both engines — merges "
+    "greedily without consuming a neighbor's boundary (canonical "
+    "single-spacing restored per round). Per round the driver "
+    "receives exactly ONE row (the argmax) — corpus text never "
+    "leaves the executors; 5 rounds = the merge table output. The "
+    "real-tokenizer scale notes: rounds are embarrassingly parallel "
+    "in the count phase, and production BPE runs this exact loop "
+    "~30-50k times with the same plan per round.",
+    tags=("text", "llm-pipeline", "iterative", "agg"),
+)
+def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # a handful of partitions is plenty: the corpus leg of every round
+    # is two cheap string jobs, and fewer tasks beats scheduler overhead
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(8)
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for i in range(5):
+        toks = docs.select(F.split("text", " ").alias("ws"))
+        n = F.size("ws")
+        pairs = (
+            toks.filter(n >= 2)
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(F.col("ws"), 1, n - 1),
+                        F.slice(F.col("ws"), 2, n - 1),
+                    )
+                ).alias("bg")
+            )
+            .groupBy(F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), "w1", "w2").limit(1).collect()[0]
+        merges.append((i + 1, top.w1, top.w2, top.cnt))
+        pat = f" {top.w1}  {top.w2} "
+        rep = f" {top.w1}@@{top.w2} "
+        docs = docs.select(
+            "doc_id",
+            F.trim(
+                F.replace(
+                    F.replace(
+                        F.concat(
+                            F.lit(" "),
+                            F.replace(F.col("text"), F.lit(" "), F.lit("  ")),
+                            F.lit(" "),
+                        ),
+                        F.lit(pat),
+                        F.lit(rep),
+                    ),
+                    F.lit("  "),
+                    F.lit(" "),
+                )
+            ).alias("text"),
+        ).localCheckpoint(eager=True)  # truncate: round k+1 must not replay rounds 1..k
+    return docs.sparkSession.createDataFrame(
+        merges, "merge_order int, w1 string, w2 string, pair_count bigint"
+    ).orderBy("merge_order")
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

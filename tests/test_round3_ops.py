@@ -874,3 +874,35 @@ def test_hard_negatives_are_hardest(run, spark, sf_dir):
     got = [(r.cos_sim, r.neg_id) for r in rows]
     for (es, ei), (gs, gi) in zip(expect, got):
         assert gi == ei and gs == pytest.approx(es, abs=1e-5)
+
+
+def test_bpe_merges_are_valid_and_reproducible(run, spark, sf_dir):
+    """BPE laws: merge counts are non-increasing in rank order is NOT
+    guaranteed (a merge can create a new frequent pair), but every
+    count must be positive, pairs distinct, and a rerun must produce
+    the identical merge table. The first merge must be the true argmax
+    bigram of the raw corpus (duckdb-free local recount)."""
+    rows = sorted(run("bpe_merge_training").collect(), key=lambda r: r.merge_order)
+    assert [r.merge_order for r in rows] == [1, 2, 3, 4, 5]
+    assert len({(r.w1, r.w2) for r in rows}) == 5
+    assert all(r.pair_count > 0 for r in rows)
+    again = sorted(run("bpe_merge_training").collect(), key=lambda r: r.merge_order)
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    # first merge == raw-corpus argmax bigram
+    from collections import Counter
+
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    texts = [
+        r.text
+        for r in read_parquet_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    c: Counter = Counter()
+    for t_ in texts:
+        ws = t_.split(" ")
+        c.update(zip(ws, ws[1:]))
+    best = sorted(c.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+    assert (rows[0].w1, rows[0].w2) == best[0]
+    assert rows[0].pair_count == best[1]
