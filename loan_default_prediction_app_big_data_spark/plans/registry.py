@@ -12495,11 +12495,11 @@ def _bpe_oracle(n_merges: int = 5) -> str:
     token pairs, picks the (count DESC, w1, w2) argmax, and rewrites
     the corpus with the pair merged — identical string semantics to
     the Spark loop (see bpe_merge_training)."""
-    stages = ["WITH t0 AS (SELECT doc_id, text FROM documents)"]
+    stages = ["WITH t0 AS MATERIALIZED (SELECT doc_id, text FROM documents)"]
     selects = []
     for i in range(n_merges):
         stages.append(f"""
-    p{i} AS (
+    p{i} AS MATERIALIZED (
         SELECT bg[1] AS w1, bg[2] AS w2, count(*) AS cnt
         FROM (
             SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS bg
@@ -12507,11 +12507,11 @@ def _bpe_oracle(n_merges: int = 5) -> str:
             WHERE len(ws) >= 2
         ) GROUP BY 1, 2
     ),
-    m{i} AS (
+    m{i} AS MATERIALIZED (
         SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt FROM p{i}
         ORDER BY cnt DESC, w1, w2 LIMIT 1
     ),
-    t{i + 1} AS (
+    t{i + 1} AS MATERIALIZED (
         SELECT doc_id,
                trim(replace(replace(
                    ' ' || replace(text, ' ', '  ') || ' ',
@@ -12606,6 +12606,85 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.sparkSession.createDataFrame(
         merges, "merge_order int, w1 string, w2 string, pair_count bigint"
     ).orderBy("merge_order")
+
+
+def _bpe_apply_oracle(n_merges: int = 5) -> str:
+    """Oracle for bpe_tokenize_apply: the same n merge stages as
+    _bpe_oracle, then per-doc token counts before/after."""
+    base = _bpe_oracle(n_merges)
+    # reuse the stage CTEs, swap the final SELECT for the apply readout
+    cut = base.rindex("\n    SELECT CAST(merge_order AS INT)")
+    return (
+        base[:cut]
+        + f"""
+    SELECT a.doc_id,
+           CAST(len(string_split(a.text, ' ')) AS BIGINT) AS n_tok_raw,
+           CAST(len(string_split(b.text, ' ')) AS BIGINT) AS n_tok_bpe,
+           round(1.0 - CAST(len(string_split(b.text, ' ')) AS DOUBLE)
+                     / CAST(len(string_split(a.text, ' ')) AS DOUBLE), 6)
+               AS compression
+    FROM t0 a JOIN t{n_merges} b ON a.doc_id = b.doc_id
+    WHERE a.doc_id % 25 = 0
+    ORDER BY a.doc_id"""
+    )
+
+
+@register(
+    "bpe_tokenize_apply",
+    _bpe_apply_oracle(5),
+    "BPE merge application (the encode side of bpe_merge_training): "
+    "the learned merge table rewrites every document in rank order — "
+    "the same greedy double-space replace semantics as training, so "
+    "encode(train_corpus) is exactly the training loop's final "
+    "state — and the readout is per-document token counts before and "
+    "after plus the compression each document gets from the 5-rule "
+    "vocabulary. The pipeline-shape point: tokenization cost at "
+    "100 TB is per-row string work with a BROADCAST merge table, "
+    "zero shuffles; the training loop is where the aggregations "
+    "live. Sampled every-25th doc for a bounded readout.",
+    tags=("text", "llm-pipeline", "functions"),
+)
+def bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = bpe_merge_training(spark, sf_dir).collect()
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    encoded = docs
+    for m in sorted(merges, key=lambda r: r.merge_order):
+        pat = f" {m.w1}  {m.w2} "
+        rep = f" {m.w1}@@{m.w2} "
+        encoded = encoded.select(
+            "doc_id",
+            F.trim(
+                F.replace(
+                    F.replace(
+                        F.concat(
+                            F.lit(" "),
+                            F.replace(F.col("text"), F.lit(" "), F.lit("  ")),
+                            F.lit(" "),
+                        ),
+                        F.lit(pat),
+                        F.lit(rep),
+                    ),
+                    F.lit("  "),
+                    F.lit(" "),
+                )
+            ).alias("text"),
+        )
+    n_raw = F.size(F.split(F.col("a.text"), " ")).cast("bigint")
+    n_bpe = F.size(F.split(F.col("b.text"), " ")).cast("bigint")
+    return (
+        docs.alias("a")
+        .join(encoded.alias("b"), "doc_id")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select(
+            "doc_id",
+            n_raw.alias("n_tok_raw"),
+            n_bpe.alias("n_tok_bpe"),
+            F.round(
+                1.0 - n_bpe.cast("double") / n_raw.cast("double"), 6
+            ).alias("compression"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 _DRIVER_PRIORITY: list[str] = [

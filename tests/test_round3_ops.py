@@ -906,3 +906,17 @@ def test_bpe_merges_are_valid_and_reproducible(run, spark, sf_dir):
     best = sorted(c.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
     assert (rows[0].w1, rows[0].w2) == best[0]
     assert rows[0].pair_count == best[1]
+
+
+def test_bpe_apply_compresses_and_conserves(run):
+    """Encoding with k merge rules can only shrink token counts, by at
+    most k occurrences' worth per document, and compression must match
+    the count ratio."""
+    rows = run("bpe_tokenize_apply").collect()
+    assert rows
+    assert any(r.n_tok_bpe < r.n_tok_raw for r in rows), "no merge ever applied"
+    for r in rows:
+        assert 0 < r.n_tok_bpe <= r.n_tok_raw
+        assert r.compression == pytest.approx(
+            1.0 - r.n_tok_bpe / r.n_tok_raw, abs=1e-6
+        )
