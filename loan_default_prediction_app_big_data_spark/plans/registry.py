@@ -12687,6 +12687,39 @@ def bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_append_mode_windows",
+    """
+    WITH wm AS (
+        SELECT max(epoch_us(ts)) - 3600000000 AS watermark_us FROM events
+    )
+    SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT)
+               AS window_start,
+           event_type,
+           count(*)              AS n_events,
+           round(sum(value), 4)  AS total_value
+    FROM events
+    GROUP BY 1, 2
+    HAVING CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) * 1000000
+           + 3600000000 <= (SELECT watermark_us FROM wm)
+    """,
+    "APPEND-mode streaming windows: each window row emits exactly "
+    "once, only after the watermark (max event time - 1 h) passes "
+    "its end — the contract file/queue sinks require (complete mode "
+    "re-emits the whole state every trigger; append is the "
+    "write-once form). On the bounded replay the final watermark "
+    "withholds the newest still-open windows, and the oracle applies "
+    "the SAME cutoff analytically: windows with end <= max(ts) - 1 h. "
+    "A hash match therefore proves both the aggregation AND the "
+    "emission policy (no early emit, no missing closed window).",
+    tags=("streaming",),
+)
+def streaming_append_mode_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import run_append_mode_windows
+
+    return run_append_mode_windows(spark, sf_dir)
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

@@ -488,3 +488,31 @@ def run_incremental_backfill(
     out = spark.table(name).cache()
     out.count()
     return out, n_batches
+
+
+def run_append_mode_windows(spark: SparkSession, sf_dir: str):
+    """Append-mode tumbling windows: a window row is emitted ONLY once
+    the watermark (max event time - 1 h) passes its end — the
+    exactly-once downstream-sink contract (complete mode re-emits
+    everything each trigger; append emits each window exactly once,
+    which is what file/kafka sinks need). On a bounded replay the
+    final watermark is max(ts) - 1 h, so windows ending after that
+    are withheld as still-open — the batch-oracle twin applies the
+    same cutoff.
+    """
+    name = f"append_{uuid.uuid4().hex[:8]}"
+    q = (
+        tumbling_window_agg_stream(streaming_events(spark, sf_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name).cache()
+    out.count()
+    spark.catalog.dropTempView(name)
+    return out

@@ -920,3 +920,23 @@ def test_bpe_apply_compresses_and_conserves(run):
         assert r.compression == pytest.approx(
             1.0 - r.n_tok_bpe / r.n_tok_raw, abs=1e-6
         )
+
+
+def test_append_mode_withholds_open_windows(run, spark, sf_dir):
+    """Append-mode output must be a strict subset of the complete
+    batch aggregate: closed windows identical, open windows absent."""
+    appended = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in run("streaming_append_mode_windows").collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in run("tumbling_window_agg").collect()
+    }
+    assert appended and set(appended) < set(batch), "append must withhold something"
+    for k, v in appended.items():
+        assert batch[k] == v
+    max_start = max(ws for ws, _ in batch)
+    withheld = {k for k in batch if k not in appended}
+    # every withheld window is newer than every emitted one
+    assert min(ws for ws, _ in withheld) > max(ws for ws, _ in appended)
