@@ -12720,6 +12720,111 @@ def streaming_append_mode_windows(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_append_mode_windows(spark, sf_dir)
 
 
+@register(
+    "parquet_schema_evolution",
+    """
+    WITH old AS (
+        SELECT count(*) AS n FROM orders WHERE o_orderkey % 2 = 0
+    ), new AS (
+        SELECT count(*) AS n,
+               CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS s
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT CAST((SELECT n FROM old) + (SELECT n FROM new) AS BIGINT)
+               AS n_total,
+           CAST((SELECT n FROM old) AS BIGINT) AS n_null_priority,
+           CAST((SELECT n FROM new) AS BIGINT) AS n_with_priority,
+           CAST((SELECT s FROM new) AS BIGINT) AS dollars_v2_only
+    """,
+    "Schema evolution on the parquet path: batch v1 writes (key, "
+    "status), batch v2 adds a dollars column; a mergeSchema read "
+    "unions the file schemas, null-filling v1 rows — the "
+    "add-a-column migration every long-lived table performs, proven "
+    "lossless by reconciling row counts and the v2-only column "
+    "aggregate against the analytic oracle. At 100 TB the footer "
+    "merge is metadata work; scans of pre-migration files stay "
+    "column-pruned (the absent column materializes as null without "
+    "reading anything).",
+    tags=("source", "sink", "quality"),
+)
+def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    repo = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    )
+    path = _os.path.join(repo, ".tmp_io", "schema_evolution")
+    o = t(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_orderstatus")
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor("o_totalprice").cast("bigint").alias("dollars"),
+    )
+    v1.write.mode("overwrite").parquet(_os.path.join(path, "batch=v1"))
+    v2.write.mode("overwrite").parquet(_os.path.join(path, "batch=v2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        _os.path.join(path, "batch=v1"), _os.path.join(path, "batch=v2")
+    )
+    return merged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("dollars").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_priority"),
+        F.count("dollars").cast("bigint").alias("n_with_priority"),
+        F.sum("dollars").cast("bigint").alias("dollars_v2_only"),
+    )
+
+
+@register(
+    "dynamic_partition_overwrite",
+    """
+    WITH counts AS (
+        SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1
+    )
+    SELECT o_orderstatus,
+           CAST(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE n END AS BIGINT)
+               AS n_rows
+    FROM counts ORDER BY o_orderstatus
+    """,
+    "Dynamic partition overwrite (partitionOverwriteMode=dynamic): a "
+    "status-partitioned table is rewritten with a batch touching "
+    "ONLY partition 'O' (a single sentinel row); dynamic mode "
+    "replaces exactly the partitions present in the new batch and "
+    "leaves every other partition byte-identical — vs static mode, "
+    "which would truncate the whole table. This is the idempotent "
+    "daily-reload primitive for partitioned 100 TB tables (reload "
+    "one day, never touch the rest). The oracle states the law "
+    "analytically: every partition keeps its count except the "
+    "overwritten one, which holds the new batch's single row.",
+    tags=("sink", "layout", "quality"),
+)
+def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    repo = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    )
+    path = _os.path.join(repo, ".tmp_io", "dyn_overwrite")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        one = spark.createDataFrame(
+            [(-1, "O")], "o_orderkey bigint, o_orderstatus string"
+        )
+        one.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .orderBy("o_orderstatus")
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

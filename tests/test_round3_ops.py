@@ -940,3 +940,33 @@ def test_append_mode_withholds_open_windows(run, spark, sf_dir):
     withheld = {k for k in batch if k not in appended}
     # every withheld window is newer than every emitted one
     assert min(ws for ws, _ in withheld) > max(ws for ws, _ in appended)
+
+
+def test_schema_evolution_nulls_old_rows(run):
+    """mergeSchema law: total = null-priority + with-priority, v1 rows
+    null-filled and v2 aggregate intact."""
+    r = run("parquet_schema_evolution").collect()[0]
+    assert r.n_total == r.n_null_priority + r.n_with_priority
+    assert r.n_null_priority > 0 and r.n_with_priority > 0
+    assert r.dollars_v2_only > 0
+
+
+def test_dynamic_overwrite_touches_one_partition(run, spark, sf_dir):
+    """Dynamic-mode law: the overwritten partition holds exactly the
+    sentinel row; all other partitions keep their original counts."""
+    got = {r.o_orderstatus: r.n_rows for r in run("dynamic_partition_overwrite").collect()}
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    orig = {
+        r.o_orderstatus: r.n
+        for r in read_parquet_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got["O"] == 1
+    for k, v in orig.items():
+        if k != "O":
+            assert got[k] == v
