@@ -12825,6 +12825,131 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "functional_dependency_audit",
+    """
+    WITH fd1 AS (  -- c_custkey -> c_nationkey must hold (key FD)
+        SELECT count(*) AS viol FROM (
+            SELECT c_custkey FROM customer
+            GROUP BY 1 HAVING count(DISTINCT c_nationkey) > 1)
+    ), fd2 AS (    -- o_custkey -> o_orderstatus should NOT hold
+        SELECT count(*) AS viol FROM (
+            SELECT o_custkey FROM orders
+            GROUP BY 1 HAVING count(DISTINCT o_orderstatus) > 1)
+    ), fd3 AS (    -- n_nationkey -> n_regionkey must hold
+        SELECT count(*) AS viol FROM (
+            SELECT n_nationkey FROM nation
+            GROUP BY 1 HAVING count(DISTINCT n_regionkey) > 1)
+    ), fd4 AS (    -- l_orderkey -> o_orderdate through the join (FK FD)
+        SELECT count(*) AS viol FROM (
+            SELECT l.l_orderkey FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1 HAVING count(DISTINCT o.o_orderdate) > 1)
+    )
+    SELECT fd, CAST(viol AS BIGINT) AS violating_keys, holds FROM (
+        SELECT 'custkey->nationkey' AS fd, viol, viol = 0 AS holds FROM fd1
+        UNION ALL SELECT 'custkey->orderstatus', viol, viol = 0 FROM fd2
+        UNION ALL SELECT 'nationkey->regionkey', viol, viol = 0 FROM fd3
+        UNION ALL SELECT 'orderkey->orderdate', viol, viol = 0 FROM fd4
+    ) ORDER BY fd
+    """,
+    "Functional-dependency audit (Metanome-style data profiling): "
+    "for each candidate FD X -> Y, count determinant values mapping "
+    "to more than one dependent value — zero violations means the "
+    "dependency holds and can back a constraint, a normalization, or "
+    "a join-cardinality assumption. The suite checks two FDs that "
+    "must hold (key and FK-derived), one that must NOT (behavioral "
+    "column), so the audit itself is regression-tested by the hash. "
+    "Each FD is one partial-combined groupBy with a count-distinct "
+    "HAVING — at 100 TB, candidate FDs batch into one pass per "
+    "determinant via multi-aggregate grouping.",
+    tags=("quality", "governance", "agg"),
+)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    n = t(spark, sf_dir, "nation")
+    li = t(spark, sf_dir, "lineitem")
+
+    def fd(df: DataFrame, det: str, dep, name: str) -> DataFrame:
+        viol = (
+            df.groupBy(det)
+            .agg(F.count_distinct(dep).alias("nd"))
+            .filter(F.col("nd") > 1)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("violating_keys"))
+        )
+        return viol.select(
+            F.lit(name).alias("fd"),
+            "violating_keys",
+            (F.col("violating_keys") == 0).alias("holds"),
+        )
+
+    joined = li.select("l_orderkey").join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    out = (
+        fd(c, "c_custkey", F.col("c_nationkey"), "custkey->nationkey")
+        .unionByName(fd(o, "o_custkey", F.col("o_orderstatus"), "custkey->orderstatus"))
+        .unionByName(fd(n, "n_nationkey", F.col("n_regionkey"), "nationkey->regionkey"))
+        .unionByName(fd(joined, "l_orderkey", F.col("o_orderdate"), "orderkey->orderdate"))
+    )
+    return out.orderBy("fd")
+
+
+@register(
+    "argmax_aggregates",
+    """
+    WITH keyed AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000
+                 + o_orderkey AS price_key,
+               c_mktsegment
+        FROM orders JOIN customer ON c_custkey = o_custkey
+    )
+    SELECT c_mktsegment,
+           CAST(arg_max(o_orderkey, price_key) AS BIGINT) AS biggest_order,
+           CAST(arg_min(o_orderkey, price_key) AS BIGINT) AS smallest_order,
+           CAST(max(price_key) // 10000000 AS BIGINT)     AS max_price_cents
+    FROM keyed GROUP BY 1 ORDER BY 1
+    """,
+    "Argmax/argmin aggregates (Spark max_by/min_by ≡ DuckDB "
+    "arg_max/arg_min): the id of the extreme-valued row per group "
+    "WITHOUT a rank window or self-join — one partial-combined "
+    "aggregate carrying (key, value) state, the cheapest "
+    "'which row was the max' form at scale. Tie-safety engineered "
+    "in: the ordering key is (floor-cents, orderkey) packed into one "
+    "BIGINT, so the extremum is unique and both engines' otherwise "
+    "unspecified tie-breaking never fires.",
+    tags=("agg", "functions", "sql"),
+)
+def argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    keyed = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            (
+                F.floor(F.col("o_totalprice") * 100).cast("bigint") * 10000000
+                + F.col("o_orderkey")
+            ).alias("price_key"),
+        )
+    )
+    return (
+        keyed.groupBy("c_mktsegment")
+        .agg(
+            F.max_by("o_orderkey", "price_key").cast("bigint").alias("biggest_order"),
+            F.min_by("o_orderkey", "price_key").cast("bigint").alias("smallest_order"),
+            F.expr("max(price_key) div 10000000").cast("bigint").alias(
+                "max_price_cents"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

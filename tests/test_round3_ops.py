@@ -970,3 +970,46 @@ def test_dynamic_overwrite_touches_one_partition(run, spark, sf_dir):
     for k, v in orig.items():
         if k != "O":
             assert got[k] == v
+
+
+def test_fd_audit_verdicts(run):
+    """Key/FK dependencies must hold; the behavioral one must not."""
+    rows = {r.fd: r for r in run("functional_dependency_audit").collect()}
+    assert rows["custkey->nationkey"].holds
+    assert rows["nationkey->regionkey"].holds
+    assert rows["orderkey->orderdate"].holds
+    assert not rows["custkey->orderstatus"].holds
+    assert rows["custkey->orderstatus"].violating_keys > 0
+
+
+def test_argmax_picks_true_extremes(run, spark, sf_dir):
+    """max_by/min_by results must equal a window-rank recomputation."""
+    rows = {r.c_mktsegment: r for r in run("argmax_aggregates").collect()}
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+    from pyspark.sql import Window as W
+
+    o = read_parquet_table(spark, sf_dir, "orders")
+    c = read_parquet_table(spark, sf_dir, "customer")
+    keyed = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment",
+        "o_orderkey",
+        (
+            F.floor(F.col("o_totalprice") * 100).cast("bigint") * 10000000
+            + F.col("o_orderkey")
+        ).alias("pk"),
+    )
+    w = W.partitionBy("c_mktsegment")
+    ref = (
+        keyed.withColumn("mx", F.max("pk").over(w))
+        .withColumn("mn", F.min("pk").over(w))
+        .filter((F.col("pk") == F.col("mx")) | (F.col("pk") == F.col("mn")))
+        .collect()
+    )
+    for r in ref:
+        expect = rows[r.c_mktsegment]
+        if r.pk == r.mx:
+            assert expect.biggest_order == r.o_orderkey
+        if r.pk == r.mn:
+            assert expect.smallest_order == r.o_orderkey
