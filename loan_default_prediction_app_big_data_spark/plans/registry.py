@@ -12950,6 +12950,57 @@ def argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incremental_aggregate_maintenance",
+    """
+    SELECT epoch_us(date_trunc('month', o_orderdate)) // 86400000000
+               AS month_day,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS revenue
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    "Incremental view maintenance: the monthly revenue rollup is "
+    "maintained as agg(base) MERGE agg(delta) — counts add, DECIMAL "
+    "sums add — and the hash-compare against the oracle's direct "
+    "full-table aggregation proves the merge algebra exact (not "
+    "approximately right: bit-equal). This is the refresh path for "
+    "materialized aggregates at 100 TB — the nightly delta "
+    "aggregates alone (its partition), then a metadata-scale merge "
+    "touches one row per (month x measure), never the base fact "
+    "table. The split point derives from the data (median order "
+    "key), so both 'versions' are non-trivial.",
+    tags=("agg", "timeseries", "quality", "sink"),
+)
+def incremental_aggregate_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_totalprice")
+    month = F.expr(
+        "unix_micros(date_trunc('month', o_orderdate)) div 86400000000"
+    ).alias("month_day")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(month).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        )
+
+    split = o.agg(
+        F.expr("percentile_approx(o_orderkey, 0.5)").alias("mid")
+    )
+    with_split = o.crossJoin(F.broadcast(split))
+    base = rollup(with_split.filter(F.col("o_orderkey") <= F.col("mid")))
+    delta = rollup(with_split.filter(F.col("o_orderkey") > F.col("mid")))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("month_day")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+        )
+    )
+    return merged.orderBy("month_day")
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

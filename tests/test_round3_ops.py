@@ -1013,3 +1013,33 @@ def test_argmax_picks_true_extremes(run, spark, sf_dir):
             assert expect.biggest_order == r.o_orderkey
         if r.pk == r.mn:
             assert expect.smallest_order == r.o_orderkey
+
+
+def test_ivm_merge_equals_direct(run, spark, sf_dir):
+    """agg(base) merge agg(delta) must equal the direct full aggregate
+    bit-for-bit (counts and DECIMAL-summed revenue)."""
+    merged = {
+        r.month_day: (r.n_orders, r.revenue)
+        for r in run("incremental_aggregate_maintenance").collect()
+    }
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    o = read_parquet_table(spark, sf_dir, "orders")
+    direct = {
+        r.month_day: (r.n, r.rev)
+        for r in o.groupBy(
+            F.expr(
+                "unix_micros(date_trunc('month', o_orderdate)) div 86400000000"
+            ).alias("month_day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("rev"),
+        )
+        .collect()
+    }
+    assert merged == direct
