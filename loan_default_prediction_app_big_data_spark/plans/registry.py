@@ -13001,6 +13001,121 @@ def incremental_aggregate_maintenance(spark: SparkSession, sf_dir: str) -> DataF
     return merged.orderBy("month_day")
 
 
+@register(
+    "theil_sen_mann_kendall",
+    """
+    WITH daily AS (
+        SELECT epoch_us(o_orderdate) // 86400000000 AS x,
+               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), pairs AS (
+        SELECT b.y - a.y AS dy, b.x - a.x AS dx
+        FROM daily a JOIN daily b ON a.x < b.x
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN dy > 0 THEN 1
+                             WHEN dy < 0 THEN -1 ELSE 0 END) AS BIGINT)
+                   AS s_stat
+        FROM pairs
+    ), ranked AS (
+        SELECT dy, dx,
+               row_number() OVER (
+                   ORDER BY CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE), dy, dx)
+                   AS rn
+        FROM pairs
+    ), med AS (
+        SELECT dy, dx FROM ranked, stats
+        WHERE rn = (n_pairs + 1) // 2
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily)       AS n_days,
+           s.n_pairs,
+           s.s_stat,
+           round(CAST(s.s_stat AS DOUBLE) / s.n_pairs, 6)     AS kendall_tau,
+           (SELECT dy FROM med)                               AS med_dy,
+           (SELECT dx FROM med)                               AS med_dx,
+           round((SELECT CAST(dy AS DOUBLE) / dx FROM med), 6)
+               AS theil_sen_slope
+    FROM stats s
+    """,
+    "Robust trend analysis on the daily revenue series: the "
+    "Mann-Kendall S statistic (sum of pairwise signs — the "
+    "non-parametric is-there-a-trend test, exact integer) with "
+    "Kendall's tau, plus the Theil-Sen estimator (median of all "
+    "pairwise slopes — 29% breakdown point vs OLS's zero; "
+    "rolling_trend_slope is the OLS sibling). Every pair statistic "
+    "is exact integer arithmetic on (floor-dollar, day) deltas; the "
+    "median slope is selected by explicit rank with a total "
+    "(slope, dy, dx) ordering so engines can't disagree on ties, "
+    "and the selected pair is output as exact integers alongside "
+    "the rounded slope. Scale: pairs form over the metadata-scale "
+    "daily aggregate (~n_days^2/2 rows of two BIGINTs), never the "
+    "fact table; at larger histories Theil-Sen subsamples pairs — "
+    "the plan shape is unchanged.",
+    tags=("stats", "timeseries", "analytics", "window"),
+)
+def theil_sen_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("x")
+    ).agg(
+        F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+        .cast("bigint")
+        .alias("y")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        (F.col("b.y") - F.col("a.y")).alias("dy"),
+        (F.col("b.x") - F.col("a.x")).alias("dx"),
+    )
+    pairs = pairs.localCheckpoint(eager=True)  # reused by stats + ranking
+    stats = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("dy") > 0, 1).when(F.col("dy") < 0, -1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s_stat"),
+    )
+    ranked = pairs.select(
+        "dy",
+        "dx",
+        F.row_number()
+        .over(
+            W.orderBy(
+                F.col("dy").cast("double") / F.col("dx").cast("double"),
+                "dy",
+                "dx",
+            )
+        )
+        .alias("rn"),
+    )
+    med = (
+        ranked.crossJoin(F.broadcast(stats))
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .select(F.col("dy").alias("med_dy"), F.col("dx").alias("med_dx"))
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return (
+        stats.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            "n_days",
+            "n_pairs",
+            "s_stat",
+            F.round(F.col("s_stat").cast("double") / F.col("n_pairs"), 6).alias(
+                "kendall_tau"
+            ),
+            "med_dy",
+            "med_dx",
+            F.round(
+                F.col("med_dy").cast("double") / F.col("med_dx"), 6
+            ).alias("theil_sen_slope"),
+        )
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

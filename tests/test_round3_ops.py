@@ -1043,3 +1043,17 @@ def test_ivm_merge_equals_direct(run, spark, sf_dir):
         .collect()
     }
     assert merged == direct
+
+
+def test_theil_sen_mann_kendall_laws(run):
+    """|S| <= n_pairs; tau in [-1, 1]; slope equals med_dy/med_dx; the
+    positive S and positive slope must agree in sign (both-or-neither
+    trend direction)."""
+    r = run("theil_sen_mann_kendall").collect()[0]
+    assert r.n_pairs == r.n_days * (r.n_days - 1) // 2
+    assert abs(r.s_stat) <= r.n_pairs
+    assert -1.0 <= r.kendall_tau <= 1.0
+    assert r.med_dx > 0
+    assert r.theil_sen_slope == pytest.approx(r.med_dy / r.med_dx, abs=1e-6)
+    if abs(r.kendall_tau) > 0.05:
+        assert (r.s_stat > 0) == (r.theil_sen_slope > 0)
