@@ -13116,6 +13116,237 @@ def theil_sen_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "logrank_test_segments",
+    """
+    WITH days AS (
+        SELECT o.o_custkey,
+               c.c_mktsegment = 'BUILDING' AS g1,
+               epoch_us(o.o_orderdate) // 86400000000 AS day
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), bounds AS (
+        SELECT max(day) AS obs_end FROM days
+    ), cust AS (
+        SELECT o_custkey, g1, min(day) AS first_day, max(day) AS last_day
+        FROM days GROUP BY 1, 2
+    ), labeled AS (
+        SELECT g1, (last_day - first_day) // 90 AS band,
+               CASE WHEN last_day <= (SELECT obs_end FROM bounds) - 90
+                    THEN 1 ELSE 0 END AS event
+        FROM cust
+    ), banded AS (
+        SELECT band,
+               CAST(sum(CASE WHEN g1 THEN event ELSE 0 END) AS BIGINT) AS d1,
+               CAST(sum(CASE WHEN g1 THEN 0 ELSE event END) AS BIGINT) AS d2,
+               CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT)     AS x1,
+               CAST(count(*) AS BIGINT)                                AS xt
+        FROM labeled GROUP BY 1
+    ), risk AS (
+        SELECT band, d1, d2,
+               CAST(sum(x1) OVER () - coalesce(sum(x1) OVER w, 0) AS BIGINT)
+                   AS n1,
+               CAST(sum(xt) OVER () - coalesce(sum(xt) OVER w, 0) AS BIGINT)
+                   AS nt
+        FROM banded
+        WINDOW w AS (ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING)
+    ), terms AS (
+        SELECT d1, d2, n1, nt,
+               CAST(round(CAST((d1 + d2) * n1 AS DOUBLE) / nt * 1e6)
+                    AS BIGINT) AS e1_micro,
+               CASE WHEN nt > 1 THEN
+                   CAST(round(CAST((d1 + d2) * n1 AS DOUBLE) / nt
+                        * (1.0 - CAST(n1 AS DOUBLE) / nt)
+                        * (nt - d1 - d2) / (nt - 1) * 1e6) AS BIGINT)
+               ELSE 0 END AS v_micro
+        FROM risk WHERE nt > 0
+    )
+    SELECT CAST(sum(d1) AS BIGINT)        AS observed_g1,
+           CAST(sum(d2) AS BIGINT)        AS observed_g2,
+           CAST(sum(e1_micro) AS BIGINT)  AS expected_g1_micro,
+           round(pow(CAST(sum(d1) AS DOUBLE)
+                     - CAST(sum(e1_micro) AS DOUBLE) / 1e6, 2)
+                 / (CAST(sum(v_micro) AS DOUBLE) / 1e6), 4) AS logrank_chi2
+    FROM terms
+    """,
+    "Log-rank test: do BUILDING-segment customers churn on a "
+    "different survival curve than everyone else? Per tenure band, "
+    "observed group-1 events compare against the expectation under "
+    "the pooled-hazard null (d_total * n1/n_total), with the "
+    "hypergeometric variance; the statistic is (O-E)^2/V ~ chi2(1). "
+    "Completes the survival tier: survival_kaplan_meier estimates "
+    "each curve, this tests their difference. Determinism: counts "
+    "and at-risk sets are exact BIGINTs via the same "
+    "suffix-cumulative recurrence as the KM query; each band's E and "
+    "V terms round to micro-units and sum associatively, so only "
+    "the final chi-square expression is IEEE. One fact-sized "
+    "groupBy(custkey); all band math on the ~30-row frame.",
+    tags=("stats", "analytics", "window", "agg"),
+)
+def logrank_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    days = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "o_custkey",
+            (F.col("c_mktsegment") == "BUILDING").alias("g1"),
+            F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
+        )
+    )
+    bounds = days.agg(F.max("day").alias("obs_end"))
+    cust = days.groupBy("o_custkey", "g1").agg(
+        F.min("day").alias("first_day"), F.max("day").alias("last_day")
+    )
+    labeled = cust.crossJoin(F.broadcast(bounds)).select(
+        "g1",
+        F.expr("(last_day - first_day) div 90").alias("band"),
+        F.when(F.col("last_day") <= F.col("obs_end") - 90, 1)
+        .otherwise(0)
+        .alias("event"),
+    )
+    banded = labeled.groupBy("band").agg(
+        F.sum(F.when(F.col("g1"), F.col("event")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.when(F.col("g1"), 0).otherwise(F.col("event")))
+        .cast("bigint")
+        .alias("d2"),
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("bigint").alias("x1"),
+        F.count(F.lit(1)).cast("bigint").alias("xt"),
+    )
+    w_all = W.partitionBy()
+    w_prior = W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
+    risk = banded.select(
+        "band",
+        "d1",
+        "d2",
+        (F.sum("x1").over(w_all) - F.coalesce(F.sum("x1").over(w_prior), F.lit(0)))
+        .cast("bigint")
+        .alias("n1"),
+        (F.sum("xt").over(w_all) - F.coalesce(F.sum("xt").over(w_prior), F.lit(0)))
+        .cast("bigint")
+        .alias("nt"),
+    ).filter(F.col("nt") > 0)
+    dt = F.col("d1") + F.col("d2")
+    e1 = dt.cast("double") * F.col("n1") / F.col("nt")
+    v = F.when(
+        F.col("nt") > 1,
+        F.round(
+            dt.cast("double")
+            * F.col("n1")
+            / F.col("nt")
+            * (1.0 - F.col("n1").cast("double") / F.col("nt"))
+            * (F.col("nt") - dt)
+            / (F.col("nt") - 1)
+            * 1e6
+        ).cast("bigint"),
+    ).otherwise(0)
+    terms = risk.select(
+        "d1",
+        "d2",
+        F.round(dt.cast("double") * F.col("n1") / F.col("nt") * 1e6)
+        .cast("bigint")
+        .alias("e1_micro"),
+        v.alias("v_micro"),
+    )
+    return terms.agg(
+        F.sum("d1").cast("bigint").alias("observed_g1"),
+        F.sum("d2").cast("bigint").alias("observed_g2"),
+        F.sum("e1_micro").cast("bigint").alias("expected_g1_micro"),
+        F.round(
+            F.pow(
+                F.sum("d1").cast("double")
+                - F.sum("e1_micro").cast("double") / 1e6,
+                2,
+            )
+            / (F.sum("v_micro").cast("double") / 1e6),
+            4,
+        ).alias("logrank_chi2"),
+    )
+
+
+@register(
+    "cuped_variance_reduction",
+    """
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(sum(CASE WHEN epoch_us(o_orderdate) // 86400000000
+                                  < 10000 THEN
+                   CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END) AS BIGINT)
+                   AS pre,
+               CAST(sum(CASE WHEN epoch_us(o_orderdate) // 86400000000
+                                  >= 10000 THEN
+                   CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END) AS BIGINT)
+                   AS post
+        FROM orders GROUP BY 1
+    ), m AS (
+        SELECT CAST(count(*) AS HUGEINT)        AS n,
+               CAST(sum(pre)  AS HUGEINT)       AS sx,
+               CAST(sum(post) AS HUGEINT)       AS sy,
+               CAST(sum(pre * pre)   AS HUGEINT) AS sxx,
+               CAST(sum(post * post) AS HUGEINT) AS syy,
+               CAST(sum(pre * post)  AS HUGEINT) AS sxy
+        FROM cust
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6)      AS theta,
+           round(1.0 - (1.0 - pow(CAST(n * sxy - sx * sy AS DOUBLE), 2)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE))), 6) AS variance_reduction
+    FROM m
+    """,
+    "CUPED (Controlled-experiment Using Pre-Existing Data): the "
+    "variance-reduction adjustment every experimentation platform "
+    "applies — post-period customer spend adjusted by "
+    "theta * pre-period spend, theta = cov(pre,post)/var(pre), "
+    "cutting metric variance by exactly rho^2. All five moments "
+    "accumulate as EXACT integers (floor-dollar spends, "
+    "HUGEINT/DECIMAL accumulators) in one pass over the per-customer "
+    "frame; theta and the variance-reduction fraction are single "
+    "closed-form IEEE expressions over exact moments — the same "
+    "determinism contract as correlation_matrix_exact. Pre/post "
+    "split at a fixed epoch-day boundary.",
+    tags=("stats", "analytics", "agg"),
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    day = F.expr("unix_micros(o_orderdate) div 86400000000")
+    dollars = F.floor("o_totalprice").cast("bigint")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.when(day < 10000, dollars).otherwise(0)).cast("bigint").alias("pre"),
+        F.sum(F.when(day >= 10000, dollars).otherwise(0))
+        .cast("bigint")
+        .alias("post"),
+    )
+    D = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = cust.agg(
+        D(F.count(F.lit(1))).alias("n"),
+        D(F.sum("pre")).alias("sx"),
+        D(F.sum("post")).alias("sy"),
+        D(F.sum(F.col("pre") * F.col("pre"))).alias("sxx"),
+        D(F.sum(F.col("post") * F.col("post"))).alias("syy"),
+        D(F.sum(F.col("pre") * F.col("post"))).alias("sxy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(cov.cast("double") / varx.cast("double"), 6).alias("theta"),
+        F.round(
+            1.0
+            - (
+                1.0
+                - F.pow(cov.cast("double"), 2)
+                / (varx.cast("double") * vary.cast("double"))
+            ),
+            6,
+        ).alias("variance_reduction"),
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

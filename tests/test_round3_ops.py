@@ -1057,3 +1057,54 @@ def test_theil_sen_mann_kendall_laws(run):
     assert r.theil_sen_slope == pytest.approx(r.med_dy / r.med_dx, abs=1e-6)
     if abs(r.kendall_tau) > 0.05:
         assert (r.s_stat > 0) == (r.theil_sen_slope > 0)
+
+
+def test_logrank_consistency_with_km(run):
+    """Observed events across both groups must equal the KM query's
+    total churned; expected ~ observed totals (E1+E2 == D_total by
+    construction, checked within micro-rounding)."""
+    lr = run("logrank_test_segments").collect()[0]
+    km = run("survival_kaplan_meier").collect()
+    total_churned = sum(r.n_churned for r in km)
+    assert lr.observed_g1 + lr.observed_g2 == total_churned
+    assert lr.logrank_chi2 >= 0
+    # E1 bounded by total deaths
+    assert 0 <= lr.expected_g1_micro / 1e6 <= total_churned
+
+
+def test_cuped_reduction_equals_r_squared(run, spark, sf_dir):
+    """CUPED law: variance_reduction == corr(pre, post)^2; theta and
+    the reduction agree with a numpy recomputation."""
+    import numpy as np
+
+    r = run("cuped_variance_reduction").collect()[0]
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    o = read_parquet_table(spark, sf_dir, "orders")
+    rows = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("unix_micros(o_orderdate) div 86400000000") < 10000,
+                    F.floor("o_totalprice").cast("bigint"),
+                ).otherwise(0)
+            ).alias("pre"),
+            F.sum(
+                F.when(
+                    F.expr("unix_micros(o_orderdate) div 86400000000") >= 10000,
+                    F.floor("o_totalprice").cast("bigint"),
+                ).otherwise(0)
+            ).alias("post"),
+        )
+        .collect()
+    )
+    pre = np.array([x.pre for x in rows], dtype="float64")
+    post = np.array([x.post for x in rows], dtype="float64")
+    rho = np.corrcoef(pre, post)[0, 1]
+    theta = np.cov(pre, post, bias=True)[0, 1] / pre.var()
+    assert r.theta == pytest.approx(theta, abs=1e-4)
+    assert r.variance_reduction == pytest.approx(rho**2, abs=1e-4)
+    assert 0.0 <= r.variance_reduction <= 1.0
