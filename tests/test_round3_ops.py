@@ -1108,3 +1108,21 @@ def test_cuped_reduction_equals_r_squared(run, spark, sf_dir):
     assert r.theta == pytest.approx(theta, abs=1e-4)
     assert r.variance_reduction == pytest.approx(rho**2, abs=1e-4)
     assert 0.0 <= r.variance_reduction <= 1.0
+
+
+def test_sketch_rollup_cube_grains_consistent(run):
+    """Cube laws: every grain's bound check passes; nation and segment
+    grains each partition the customer base (sums >= total, equality
+    since a customer has one nation and one segment)."""
+    rows = run("hll_sketch_rollup_cube").collect()
+    assert rows and all(r.estimate_within_bound for r in rows)
+    by_grain: dict[str, int] = {}
+    total = None
+    for r in rows:
+        if r.grain == "total":
+            total = r.exact_customers
+        else:
+            by_grain[r.grain] = by_grain.get(r.grain, 0) + r.exact_customers
+    assert total and total > 0
+    assert by_grain["nation"] == total
+    assert by_grain["segment"] == total
