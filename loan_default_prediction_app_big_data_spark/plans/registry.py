@@ -13452,6 +13452,289 @@ def hll_sketch_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("grain", "key")
 
 
+@register(
+    "three_way_reconciliation",
+    """
+    WITH a AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 11 <> 0),
+         b AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 13 <> 0),
+         c AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 17 <> 0),
+         u AS (
+        SELECT coalesce(a.k, b.k, c.k) AS k,
+               a.k IS NOT NULL AS in_a,
+               b.k IS NOT NULL AS in_b,
+               c.k IS NOT NULL AS in_c
+        FROM a FULL JOIN b ON a.k = b.k FULL JOIN c ON coalesce(a.k, b.k) = c.k
+    )
+    SELECT CAST(in_a AS INT) AS in_source,
+           CAST(in_b AS INT) AS in_staging,
+           CAST(in_c AS INT) AS in_prod,
+           CAST(count(*) AS BIGINT) AS n_keys
+    FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    "Three-way reconciliation (source vs staging vs prod): one "
+    "full-outer join chain on the business key yields every Venn "
+    "region's key count — which rows each environment is missing and "
+    "where they diverge, the promotion gate for multi-environment "
+    "pipelines (three deterministic drop patterns stand in for the "
+    "three environments). At 100 TB all three legs co-partition on "
+    "the key, so the chain is one shuffle-stage of key-only rows; "
+    "region counts partial-combine. Every region count is exact.",
+    tags=("join", "quality", "governance", "agg"),
+)
+def three_way_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    a = o.filter(F.col("k") % 11 != 0).select(F.col("k").alias("ka"))
+    b = o.filter(F.col("k") % 13 != 0).select(F.col("k").alias("kb"))
+    c = o.filter(F.col("k") % 17 != 0).select(F.col("k").alias("kc"))
+    u = (
+        a.join(b, a.ka == b.kb, "full")
+        .join(c, F.coalesce(F.col("ka"), F.col("kb")) == c.kc, "full")
+        .select(
+            F.col("ka").isNotNull().cast("int").alias("in_source"),
+            F.col("kb").isNotNull().cast("int").alias("in_staging"),
+            F.col("kc").isNotNull().cast("int").alias("in_prod"),
+        )
+    )
+    return (
+        u.groupBy("in_source", "in_staging", "in_prod")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+        .orderBy("in_source", "in_staging", "in_prod")
+    )
+
+
+@register(
+    "graph_assortativity",
+    """
+    WITH d AS (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+               count(*) AS n_trades
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey
+        GROUP BY 1, 2
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS np,
+               CAST(sum(n_trades) AS BIGINT) AS tt FROM d
+    ), e AS (
+        -- heavy edges only (above-average trade volume, exact integer
+        -- cross-multiplied compare) — the complete graph has constant
+        -- degree and undefined assortativity
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM d, agg WHERE n_trades * np > tt
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS k FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b FROM e
+        ) GROUP BY 1
+    ), ends AS (
+        -- each undirected edge contributes both orientations
+        SELECT da.k AS x, db.k AS y FROM e
+        JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+        UNION ALL
+        SELECT db.k, da.k FROM e
+        JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+    ), m AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(x) AS HUGEINT)   AS sx,
+               CAST(sum(y) AS HUGEINT)   AS sy,
+               CAST(sum(x*x) AS HUGEINT) AS sxx,
+               CAST(sum(y*y) AS HUGEINT) AS syy,
+               CAST(sum(x*y) AS HUGEINT) AS sxy
+        FROM ends
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+               AS assortativity
+    FROM m
+    """,
+    "Degree assortativity of the nation trade graph (Newman's r): "
+    "the Pearson correlation of endpoint degrees over all edge "
+    "orientations — positive means hubs trade with hubs, negative "
+    "a hub-and-spoke economy. Completes the graph-metric tier "
+    "(pagerank, triangles/clustering, components, BFS, SSSP). Both "
+    "orientations of each undirected edge enter symmetrically "
+    "(standard definition), all five moments are exact integers "
+    "over BIGINT degrees, and the final r is one closed-form IEEE "
+    "expression — the correlation_matrix_exact determinism contract "
+    "applied to graph structure. Degrees join back via two "
+    "broadcast lookups; nothing exceeds edge-table scale.",
+    tags=("graph", "stats", "agg"),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    d = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n_trades"))
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+        F.sum("n_trades").cast("bigint").alias("tt"),
+    )
+    e = (
+        d.crossJoin(F.broadcast(agg))
+        .filter(F.col("n_trades") * F.col("np") > F.col("tt"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("k").alias("ka"))
+    db = deg.select(F.col("node").alias("b"), F.col("k").alias("kb"))
+    joined = e.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    ends = joined.select(F.col("ka").alias("x"), F.col("kb").alias("y")).unionAll(
+        joined.select(F.col("kb").alias("x"), F.col("ka").alias("y"))
+    )
+    D = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    m = ends.agg(
+        D(F.count(F.lit(1))).alias("n"),
+        D(F.sum("x")).alias("sx"),
+        D(F.sum("y")).alias("sy"),
+        D(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+        D(F.sum(F.col("y") * F.col("y"))).alias("syy"),
+        D(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
+    )
+    return m.select(
+        (F.col("n") / 2).cast("bigint").alias("n_edges"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+@register(
+    "distinctive_terms_by_source",
+    """
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ), cnt AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS n
+        FROM toks GROUP BY 1, 2
+    ), tot AS (
+        SELECT source, CAST(sum(n) AS BIGINT) AS nt FROM cnt GROUP BY 1
+    ), gl AS (
+        SELECT w, CAST(sum(n) AS BIGINT) AS g FROM cnt GROUP BY 1
+    ), gt AS (
+        SELECT CAST(sum(n) AS BIGINT) AS gtot FROM cnt
+    ), scored AS (
+        SELECT c.source, c.w,
+               CAST(round(
+                   (ln((CAST(c.n AS DOUBLE) + 1.0)
+                       / (CAST(t.nt AS DOUBLE) + 1.0))
+                  - ln((CAST(g.g AS DOUBLE) + 1.0)
+                       / (CAST((SELECT gtot FROM gt) AS DOUBLE) + 1.0)))
+                   * 1e6) AS BIGINT) AS lift_micro,
+               c.n
+        FROM cnt c JOIN tot t ON t.source = c.source
+        JOIN gl g ON g.w = c.w
+        WHERE c.n >= 20
+    ), ranked AS (
+        SELECT source, w, lift_micro, n,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY lift_micro DESC, w) AS rk
+        FROM scored
+    )
+    SELECT source, CAST(rk AS INT) AS rank, w AS term, n AS term_count,
+           round(CAST(lift_micro AS DOUBLE) / 1e6, 6) AS log_lift
+    FROM ranked WHERE rk <= 5 ORDER BY source, rank
+    """,
+    "Distinctive vocabulary per source (add-one-smoothed log-lift of "
+    "a term's in-source rate over its corpus-wide rate): the "
+    "corpus-slice characterization tool — what makes each source "
+    "read differently — behind domain-mix debugging and "
+    "contamination triage; the per-source complement of "
+    "tfidf_top_terms' per-document scores. Count tables are exact "
+    "BIGINTs; each term's log-lift rounds to micro-units BEFORE the "
+    "per-source ranking so ordering can't flip on a ulp; top-5 per "
+    "source, term tie-broken. One tokenize pass, two bounded-key "
+    "groupBys, broadcast joins of vocabulary-scale tables.",
+    tags=("text", "llm-pipeline", "agg", "window"),
+)
+def distinctive_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    cnt = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = cnt.groupBy("source").agg(F.sum("n").cast("bigint").alias("nt"))
+    glob = cnt.groupBy("w").agg(F.sum("n").cast("bigint").alias("g"))
+    gtot = cnt.agg(F.sum("n").cast("bigint").alias("gtot"))
+    scored = (
+        cnt.filter(F.col("n") >= 20)
+        .join(F.broadcast(tot), "source")
+        .join(F.broadcast(glob), "w")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "source",
+            "w",
+            "n",
+            F.round(
+                (
+                    F.log(
+                        (F.col("n").cast("double") + 1.0)
+                        / (F.col("nt").cast("double") + 1.0)
+                    )
+                    - F.log(
+                        (F.col("g").cast("double") + 1.0)
+                        / (F.col("gtot").cast("double") + 1.0)
+                    )
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("lift_micro"),
+        )
+    )
+    ranked = scored.select(
+        "source",
+        "w",
+        "n",
+        "lift_micro",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy(F.desc("lift_micro"), "w"))
+        .alias("rk"),
+    )
+    return (
+        ranked.filter(F.col("rk") <= 5)
+        .select(
+            "source",
+            F.col("rk").cast("int").alias("rank"),
+            F.col("w").alias("term"),
+            F.col("n").alias("term_count"),
+            F.round(F.col("lift_micro").cast("double") / 1e6, 6).alias(
+                "log_lift"
+            ),
+        )
+        .orderBy("source", "rank")
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

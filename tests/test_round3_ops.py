@@ -1126,3 +1126,47 @@ def test_sketch_rollup_cube_grains_consistent(run):
     assert total and total > 0
     assert by_grain["nation"] == total
     assert by_grain["segment"] == total
+
+
+def test_three_way_venn_partitions_universe(run, spark, sf_dir):
+    """Venn regions are disjoint and cover exactly the union of keys;
+    the all-absent region cannot appear."""
+    rows = run("three_way_reconciliation").collect()
+    regions = {(r.in_source, r.in_staging, r.in_prod): r.n_keys for r in rows}
+    assert (0, 0, 0) not in regions
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    o = read_parquet_table(spark, sf_dir, "orders")
+    union_n = o.filter(
+        (F.col("o_orderkey") % 11 != 0)
+        | (F.col("o_orderkey") % 13 != 0)
+        | (F.col("o_orderkey") % 17 != 0)
+    ).count()
+    assert sum(regions.values()) == union_n
+    # every environment's total reconstructs from its regions
+    in_a = sum(v for k, v in regions.items() if k[0])
+    assert in_a == o.filter(F.col("o_orderkey") % 11 != 0).count()
+
+
+def test_assortativity_in_valid_range(run):
+    r = run("graph_assortativity").collect()[0]
+    assert r.n_edges > 0
+    assert -1.0 <= r.assortativity <= 1.0
+
+
+def test_distinctive_terms_have_positive_lift(run):
+    """Top-ranked distinctive terms must over-index in their source
+    (log-lift > 0 at rank 1) and ranks are contiguous per source."""
+    rows = run("distinctive_terms_by_source").collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    assert by_source
+    for src, terms in by_source.items():
+        ranks = sorted(t.rank for t in terms)
+        assert ranks == list(range(1, len(ranks) + 1))
+        top = min(terms, key=lambda t: t.rank)
+        assert top.log_lift > 0, (src, top)
+        assert all(t.term_count >= 20 for t in terms)
