@@ -13794,13 +13794,14 @@ def fiscal_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE epoch_us(l.l_shipdate) >= epoch_us(o.o_orderdate)
     ), bd AS (
-        -- NETWORKDAYS-style: epoch day 0 = Thu 1970-01-01, so
-        -- weekday(d) = (d + 4) % 7 with Sat=5, Sun=6. Weekdays in
-        -- [0, d) = 5*(d/7) + min(d%7 counted from weekday offset...)
-        -- computed via the closed form below applied at both ends.
+        -- NETWORKDAYS-style: epoch day 0 = Thu 1970-01-01, so a week
+        -- starting at day k*7 runs Thu..Wed with Sat/Sun at remainder
+        -- positions 2 and 3. Weekdays in [0, d):
+        --   f(d) = 5*(d/7) + (d%7) - clamp(d%7 - 2, 0, 2)
+        -- (validated against a day-by-day calendar walk 0..29).
         SELECT (d1 - d0) AS cal_days,
-               ( (d1 // 7) * 5 + least((d1 % 7 + 4) % 7 + 1, 5)
-               - ((d0 // 7) * 5 + least((d0 % 7 + 4) % 7 + 1, 5)) )
+               ( (d1 // 7) * 5 + d1 % 7 - least(greatest(d1 % 7 - 2, 0), 2)
+               - ((d0 // 7) * 5 + d0 % 7 - least(greatest(d0 % 7 - 2, 0), 2)) )
                    AS business_days
         FROM lags
     )
@@ -13837,8 +13838,11 @@ def business_days_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def weekdays_before(day: str) -> F.Column:
+        # f(d) = 5*(d div 7) + d%7 - clamp(d%7 - 2, 0, 2); epoch day 0
+        # is a Thursday, putting Sat/Sun at remainder positions 2, 3
         return F.expr(
-            f"({day} div 7) * 5 + least(({day} % 7 + 4) % 7 + 1, 5)"
+            f"({day} div 7) * 5 + {day} % 7"
+            f" - least(greatest({day} % 7 - 2, 0), 2)"
         )
 
     bd = lags.select(
