@@ -12133,22 +12133,25 @@ def correlation_matrix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_tax") * 100).cast("bigint").alias("tx"),
     )
     D = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # DECIMAL partials INSIDE every sum: a BIGINT accumulator of p^2
+    # (1e14/row) overflows past ~90k rows — found by the sf0.1 bench,
+    # invisible at the sf0.01 oracle scale.
     sums = v.agg(
         D(F.count(F.lit(1))).alias("n"),
-        D(F.sum("q")).alias("sq"),
-        D(F.sum("p")).alias("sp"),
-        D(F.sum("d")).alias("sd"),
-        D(F.sum("tx")).alias("st"),
-        D(F.sum(F.col("q") * F.col("q"))).alias("sqq"),
-        D(F.sum(F.col("p") * F.col("p"))).alias("spp"),
-        D(F.sum(F.col("d") * F.col("d"))).alias("sdd"),
-        D(F.sum(F.col("tx") * F.col("tx"))).alias("stt"),
-        D(F.sum(F.col("q") * F.col("p"))).alias("sqp"),
-        D(F.sum(F.col("q") * F.col("d"))).alias("sqd"),
-        D(F.sum(F.col("q") * F.col("tx"))).alias("sqt"),
-        D(F.sum(F.col("p") * F.col("d"))).alias("spd"),
-        D(F.sum(F.col("p") * F.col("tx"))).alias("spt"),
-        D(F.sum(F.col("d") * F.col("tx"))).alias("sdt"),
+        F.sum(D(F.col("q"))).alias("sq"),
+        F.sum(D(F.col("p"))).alias("sp"),
+        F.sum(D(F.col("d"))).alias("sd"),
+        F.sum(D(F.col("tx"))).alias("st"),
+        F.sum(D(F.col("q") * F.col("q"))).alias("sqq"),
+        F.sum(D(F.col("p")) * D(F.col("p"))).alias("spp"),
+        F.sum(D(F.col("d") * F.col("d"))).alias("sdd"),
+        F.sum(D(F.col("tx") * F.col("tx"))).alias("stt"),
+        F.sum(D(F.col("q")) * D(F.col("p"))).alias("sqp"),
+        F.sum(D(F.col("q") * F.col("d"))).alias("sqd"),
+        F.sum(D(F.col("q") * F.col("tx"))).alias("sqt"),
+        F.sum(D(F.col("p")) * D(F.col("d"))).alias("spd"),
+        F.sum(D(F.col("p")) * D(F.col("tx"))).alias("spt"),
+        F.sum(D(F.col("d") * F.col("tx"))).alias("sdt"),
     )
     pairs = [
         ("quantity~price", "sqp", "sq", "sp", "sqq", "spp"),
@@ -13323,11 +13326,11 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     D = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     m = cust.agg(
         D(F.count(F.lit(1))).alias("n"),
-        D(F.sum("pre")).alias("sx"),
-        D(F.sum("post")).alias("sy"),
-        D(F.sum(F.col("pre") * F.col("pre"))).alias("sxx"),
-        D(F.sum(F.col("post") * F.col("post"))).alias("syy"),
-        D(F.sum(F.col("pre") * F.col("post"))).alias("sxy"),
+        F.sum(D(F.col("pre"))).alias("sx"),
+        F.sum(D(F.col("post"))).alias("sy"),
+        F.sum(D(F.col("pre")) * D(F.col("pre"))).alias("sxx"),
+        F.sum(D(F.col("post")) * D(F.col("post"))).alias("syy"),
+        F.sum(D(F.col("pre")) * D(F.col("post"))).alias("sxy"),
     )
     cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -13605,11 +13608,11 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     D = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     m = ends.agg(
         D(F.count(F.lit(1))).alias("n"),
-        D(F.sum("x")).alias("sx"),
-        D(F.sum("y")).alias("sy"),
-        D(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
-        D(F.sum(F.col("y") * F.col("y"))).alias("syy"),
-        D(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(D(F.col("x"))).alias("sx"),
+        F.sum(D(F.col("y"))).alias("sy"),
+        F.sum(D(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(D(F.col("y") * F.col("y"))).alias("syy"),
+        F.sum(D(F.col("x") * F.col("y"))).alias("sxy"),
     )
     return m.select(
         (F.col("n") / 2).cast("bigint").alias("n_edges"),
