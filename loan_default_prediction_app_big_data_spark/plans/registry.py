@@ -7161,9 +7161,15 @@ def autocorrelation_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("x").cast("bigint").cast("double").alias("sx"),
         F.sum("y").cast("bigint").cast("double").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").cast("double").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").cast("double").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").cast("double").alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("syy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
@@ -7294,7 +7300,9 @@ def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = x.groupBy("grp").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("v").cast("bigint").cast("double").alias("sx"),
-        F.sum(F.col("v") * F.col("v")).cast("bigint").cast("double").alias("sxx"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
     )
     w = s.agg(
         F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
@@ -7574,7 +7582,7 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sx").cast("bigint").alias("total_revenue"),
         F.round(
             F.lit(2.0)
-            * F.sum(F.col("i") * F.col("x")).cast("bigint").cast("double")
+            * F.sum((F.col("i") * F.col("x")).cast("decimal(38,0)")).cast("double")
             / (F.max("n").cast("double") * F.max("sx").cast("double"))
             - (F.max("n").cast("double") + F.lit(1.0)) / F.max("n").cast("double"),
             6,
