@@ -13872,6 +13872,187 @@ def business_days_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_edge_churn",
+    """
+    WITH e AS (
+        SELECT DISTINCT year(o.o_orderdate) AS yr,
+               least(s.s_nationkey, c.c_nationkey)    AS a,
+               greatest(s.s_nationkey, c.c_nationkey) AS b
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey
+          AND year(o.o_orderdate) IN (1996, 1997)
+    ), u AS (
+        SELECT coalesce(p.a, q.a) AS a, coalesce(p.b, q.b) AS b,
+               p.a IS NOT NULL AS in_96, q.a IS NOT NULL AS in_97
+        FROM (SELECT a, b FROM e WHERE yr = 1996) p
+        FULL JOIN (SELECT a, b FROM e WHERE yr = 1997) q
+          ON p.a = q.a AND p.b = q.b
+    )
+    SELECT CAST(sum(CASE WHEN in_96 AND in_97 THEN 1 ELSE 0 END) AS BIGINT)
+               AS persisted,
+           CAST(sum(CASE WHEN in_96 AND NOT in_97 THEN 1 ELSE 0 END) AS BIGINT)
+               AS removed,
+           CAST(sum(CASE WHEN in_97 AND NOT in_96 THEN 1 ELSE 0 END) AS BIGINT)
+               AS added,
+           round(CAST(sum(CASE WHEN in_96 AND in_97 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS jaccard_stability
+    FROM u
+    """,
+    "Temporal graph churn: the nation trade graph's edge set in 1996 "
+    "vs 1997 — persisted / removed / added edges and the Jaccard "
+    "stability of the structure, the year-over-year supply-network "
+    "health readout (a collapsing stability score means the trading "
+    "topology is being rebuilt, not grown). One fact-sized edge "
+    "extraction with the year carried through the distinct, then a "
+    "full-outer join of two metadata-scale edge sets. All counts "
+    "exact.",
+    tags=("graph", "timeseries", "join", "agg"),
+)
+def graph_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .filter(F.year("o_orderdate").isin(1996, 1997))
+        .select(
+            F.year("o_orderdate").alias("yr"),
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .distinct()
+    )
+    p = e.filter(F.col("yr") == 1996).select("a", "b")
+    q = e.filter(F.col("yr") == 1997).select(
+        F.col("a").alias("qa"), F.col("b").alias("qb")
+    )
+    u = p.join(
+        q, (p.a == q.qa) & (p.b == q.qb), "full"
+    ).select(
+        F.col("a").isNotNull().alias("in_96"),
+        F.col("qa").isNotNull().alias("in_97"),
+    )
+    both = F.sum(F.when(F.col("in_96") & F.col("in_97"), 1).otherwise(0))
+    return u.agg(
+        both.cast("bigint").alias("persisted"),
+        F.sum(F.when(F.col("in_96") & ~F.col("in_97"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("removed"),
+        F.sum(F.when(F.col("in_97") & ~F.col("in_96"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("added"),
+        F.round(both.cast("double") / F.count(F.lit(1)), 6).alias(
+            "jaccard_stability"
+        ),
+    )
+
+
+@register(
+    "containment_detection",
+    """
+    WITH sh AS (
+        SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                   AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g
+        WHERE len(ws) >= 3
+    ), sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM sh x JOIN sh y ON x.shingle = y.shingle
+                           AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b, i.n_common,
+           sa.n_sh AS n_sh_a, sb.n_sh AS n_sh_b,
+           round(CAST(i.n_common AS DOUBLE)
+                 / least(sa.n_sh, sb.n_sh), 6) AS containment,
+           round(CAST(i.n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_common * 10 >= least(sa.n_sh, sb.n_sh) * 7
+    ORDER BY id_a, id_b
+    """,
+    "Asymmetric containment detection: document pairs where the "
+    "smaller side's shingle set is >= 70% contained in the other — "
+    "the quote-inclusion / boilerplate-wrapping duplicates that "
+    "symmetric Jaccard thresholds MISS (a short doc embedded in a "
+    "long one has high containment but low Jaccard; the output "
+    "carries both so the gap is visible). Same set-similarity-join "
+    "shape as ngram_jaccard_pairs: explode shingles once, equi-join "
+    "on the shingle (work scales with shared shingles, never n^2), "
+    "sizes join back broadcast. The threshold compares as "
+    "cross-multiplied integers — no float cut ambiguity. At corpus "
+    "scale the shingle key becomes the LSH band bucket, same as the "
+    "dedup tier.",
+    tags=("dedup", "text", "join", "llm-pipeline"),
+)
+def containment_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    sh = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 2),"
+                    " i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    x = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    y = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        x.join(y, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_sh_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_sh_b"))
+    out = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(
+            F.col("n_common") * 10 >= F.least("n_sh_a", "n_sh_b") * 7
+        )
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "n_common",
+        "n_sh_a",
+        "n_sh_b",
+        F.round(
+            F.col("n_common").cast("double") / F.least("n_sh_a", "n_sh_b"), 6
+        ).alias("containment"),
+        F.round(
+            F.col("n_common").cast("double")
+            / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")),
+            6,
+        ).alias("jaccard"),
+    ).orderBy("id_a", "id_b")
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

@@ -1207,3 +1207,25 @@ def test_business_days_never_exceed_calendar(run):
         assert r.business_days >= r.min_cal_days * 5 // 7 - 2
     # same business lag spans multiple calendar lags when weekends differ
     assert any(r.max_cal_days > r.min_cal_days for r in rows)
+
+
+def test_graph_edge_churn_consistency(run):
+    """Churn counts are non-negative and stability equals
+    persisted/union exactly."""
+    r = run("graph_edge_churn").collect()[0]
+    union = r.persisted + r.removed + r.added
+    assert union > 0 and r.persisted >= 0
+    assert r.jaccard_stability == pytest.approx(r.persisted / union, abs=1e-6)
+    assert 0.0 <= r.jaccard_stability <= 1.0
+
+
+def test_containment_bounds_and_gap(run):
+    """containment >= jaccard always; every pair clears the 70%
+    containment threshold; intersection bounded by the smaller set."""
+    rows = run("containment_detection").collect()
+    assert rows
+    for r in rows:
+        assert r.n_common <= min(r.n_sh_a, r.n_sh_b)
+        assert r.containment >= r.jaccard - 1e-9
+        assert r.containment >= 0.7 - 1e-9
+        assert 0.0 < r.jaccard <= 1.0
