@@ -3474,7 +3474,7 @@ def _make_roundtrip(fmt: str):
         from ..sources.readers import file_roundtrip
 
         repo = os.path.dirname(
-            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
         src = t(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
@@ -4564,7 +4564,7 @@ def partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     repo = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     path = os.path.join(repo, ".tmp_io", "orders_by_year")
     src = t(spark, sf_dir, "orders").withColumn(
@@ -12215,7 +12215,7 @@ def csv_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     repo = _os.path.dirname(
-        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     )
     path = _os.path.join(repo, ".tmp_io", "corrupt_feed")
     o = t(spark, sf_dir, "orders")
@@ -12762,7 +12762,7 @@ def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     repo = _os.path.dirname(
-        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     )
     path = _os.path.join(repo, ".tmp_io", "schema_evolution")
     o = t(spark, sf_dir, "orders")
@@ -12814,7 +12814,7 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     repo = _os.path.dirname(
-        _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     )
     path = _os.path.join(repo, ".tmp_io", "dyn_overwrite")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
@@ -14051,6 +14051,182 @@ def containment_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jaccard"),
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "forecast_reconciliation",
+    """
+    WITH monthly AS (
+        SELECT c.c_mktsegment AS segment,
+               epoch_us(date_trunc('month', o.o_orderdate)) // 86400000000
+                   AS m,
+               CAST(floor(sum(CAST(o.o_totalprice AS DECIMAL(18,2))))
+                    AS BIGINT) AS rev
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ), last3 AS (
+        SELECT segment, m, rev,
+               row_number() OVER (PARTITION BY segment ORDER BY m DESC) AS rn
+        FROM monthly
+    ), seg_fc AS (
+        -- bottom-up naive forecast: mean of each segment's last 3 months
+        SELECT segment,
+               CAST(sum(rev) AS BIGINT) AS s3,
+               CAST(count(*) AS BIGINT) AS k
+        FROM last3 WHERE rn <= 3 GROUP BY 1
+    ), tot_fc AS (
+        -- independent top-level forecast: mean of the last 3 TOTAL months
+        SELECT CAST(sum(mrev) AS BIGINT) AS t3, CAST(count(*) AS BIGINT) AS tk
+        FROM (
+            SELECT m, sum(rev) AS mrev FROM monthly GROUP BY 1
+            ORDER BY m DESC LIMIT 3
+        )
+    )
+    SELECT f.segment,
+           round(CAST(f.s3 AS DOUBLE) / f.k, 2) AS bottom_up_forecast,
+           round(CAST(f.s3 AS DOUBLE) / f.k
+                 * ((SELECT CAST(t3 AS DOUBLE) / tk FROM tot_fc)
+                    / (SELECT sum(CAST(s3 AS DOUBLE) / k) FROM seg_fc)), 2)
+               AS reconciled_forecast
+    FROM seg_fc f ORDER BY f.segment
+    """,
+    "Hierarchical forecast reconciliation (proportional top-down): "
+    "per-segment naive forecasts (mean of the segment's last 3 "
+    "months) are scaled so they sum EXACTLY to the independently "
+    "computed total forecast — the coherence property dashboards "
+    "require (unreconciled bottom-up forecasts never add up to the "
+    "top-line forecast made from total history, because month "
+    "boundaries and mixes differ). Monthly partials are floor-dollar "
+    "BIGINTs; the scale factor is one ratio of exact-integer means "
+    "applied uniformly, and the coherence test verifies "
+    "sum(reconciled) == total forecast to the cent. Everything "
+    "after the one fact-sized groupBy runs on the ~40-row "
+    "segment-month frame.",
+    tags=("timeseries", "analytics", "agg", "stats"),
+)
+def forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.expr(
+                "unix_micros(date_trunc('month', o_orderdate)) div 86400000000"
+            ).alias("m"),
+        )
+        .agg(
+            F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    last3 = monthly.select(
+        "segment",
+        "m",
+        "rev",
+        F.row_number()
+        .over(W.partitionBy("segment").orderBy(F.desc("m")))
+        .alias("rn"),
+    )
+    seg_fc = (
+        last3.filter(F.col("rn") <= 3)
+        .groupBy("segment")
+        .agg(
+            F.sum("rev").cast("bigint").alias("s3"),
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+        )
+    )
+    tot_fc = (
+        monthly.groupBy("m")
+        .agg(F.sum("rev").alias("mrev"))
+        .orderBy(F.desc("m"))
+        .limit(3)
+        .agg(
+            F.sum("mrev").cast("bigint").alias("t3"),
+            F.count(F.lit(1)).cast("bigint").alias("tk"),
+        )
+    )
+    seg_sum = seg_fc.agg(
+        F.sum(F.col("s3").cast("double") / F.col("k")).alias("bu_total")
+    )
+    return (
+        seg_fc.crossJoin(F.broadcast(tot_fc))
+        .crossJoin(F.broadcast(seg_sum))
+        .select(
+            "segment",
+            F.round(F.col("s3").cast("double") / F.col("k"), 2).alias(
+                "bottom_up_forecast"
+            ),
+            F.round(
+                F.col("s3").cast("double")
+                / F.col("k")
+                * (
+                    (F.col("t3").cast("double") / F.col("tk"))
+                    / F.col("bu_total")
+                ),
+                2,
+            ).alias("reconciled_forecast"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "ml_learning_curve",
+    None,  # LBFGS partial-aggregation order is layout-specific
+    "Learning-curve evaluation: the loan LR pipeline fits on "
+    "deterministic-hash 25% / 50% / 100% subsets of the training "
+    "split and reports holdout AUC per fraction — the "
+    "data-efficiency readout that justifies (or kills) further data "
+    "collection; a flat curve says collect features, not rows. "
+    "Subsets nest (25% ⊂ 50% ⊂ 100% by hash threshold) so the "
+    "curve measures data volume, not sampling luck. (Absolute AUC is "
+    "inflated on this fixture: zero-imputation encodes missingness, "
+    "which correlates with default status in the Loan_Default data — "
+    "the curve SHAPE is the deliverable.) Rows-only: "
+    "LBFGS coefficient bits follow treeAggregate order, so no "
+    "cross-engine oracle; the invariant test pins fraction count, "
+    "AUC range, and that 100% training beats 25% on AUC (allowing "
+    "noise at fixture scale).",
+    tags=("ml", "analytics", "iterative"),
+)
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+
+    repo = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    from ..schema import LOAN_FEATURES
+    from ..sources.readers import read_loan_csv
+
+    loan = read_loan_csv(spark, _os.path.join(repo, "data", "Loan_Default.csv"))
+    base = loan.select(
+        "ID", F.col("Status").cast("double").alias("label"), *LOAN_FEATURES
+    ).na.fill(0.0, subset=LOAN_FEATURES)
+    assembled = VectorAssembler(
+        inputCols=LOAN_FEATURES, outputCol="features"
+    ).transform(base)
+    # deterministic 80/20 split by id hash; nested fractions inside train
+    bucket = F.abs(F.xxhash64(F.col("ID").cast("string"))) % 100
+    train = assembled.filter(bucket < 80).withColumn(
+        "frac_bucket", F.abs(F.xxhash64(F.concat(F.lit("f"), F.col("ID").cast("string")))) % 100
+    )
+    test = assembled.filter(bucket >= 80).cache()
+    rows = []
+    for pct in (25, 50, 100):
+        sub = train.filter(F.col("frac_bucket") < pct)
+        n = sub.count()
+        model = LogisticRegression(maxIter=20, regParam=0.01).fit(sub)
+        auc = BinaryClassificationEvaluator().evaluate(model.transform(test))
+        rows.append((pct, n, round(auc, 4)))
+    return spark.createDataFrame(
+        rows, "train_pct int, n_rows bigint, holdout_auc double"
+    ).orderBy("train_pct")
 
 
 _DRIVER_PRIORITY: list[str] = [

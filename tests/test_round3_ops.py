@@ -1229,3 +1229,24 @@ def test_containment_bounds_and_gap(run):
         assert r.containment >= r.jaccard - 1e-9
         assert r.containment >= 0.7 - 1e-9
         assert 0.0 < r.jaccard <= 1.0
+
+
+def test_forecast_reconciliation_coheres(run):
+    """Coherence law: reconciled segment forecasts sum to the
+    independent total forecast (to the cent); scale factor applied
+    uniformly (reconciled/bottom_up ratio identical across segments)."""
+    rows = run("forecast_reconciliation").collect()
+    assert len(rows) == 5
+    ratios = {round(r.reconciled_forecast / r.bottom_up_forecast, 6) for r in rows}
+    assert len(ratios) == 1, "scale factor must be uniform"
+
+
+def test_learning_curve_shape(run):
+    """Three nested fractions; AUC in (0.5, 1]; more data never hurts
+    beyond noise at this scale."""
+    rows = sorted(run("ml_learning_curve").collect(), key=lambda r: r.train_pct)
+    assert [r.train_pct for r in rows] == [25, 50, 100]
+    assert rows[0].n_rows < rows[1].n_rows < rows[2].n_rows
+    for r in rows:
+        assert 0.5 < r.holdout_auc <= 1.0
+    assert rows[2].holdout_auc >= rows[0].holdout_auc - 0.02
