@@ -14229,6 +14229,127 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("train_pct")
 
 
+@register(
+    "cluster_canonical_keeper",
+    """
+    WITH sh AS (
+        SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                   AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g
+        WHERE len(ws) >= 3
+    ), sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS nc
+        FROM sh x JOIN sh y ON x.shingle = y.shingle
+                           AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT i.id_a, i.id_b FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE 3 * i.nc >= sa.n_sh + sb.n_sh  -- jaccard >= 0.5, exact ints
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ), labels AS (
+        WITH RECURSIVE reach(a, b) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+        )
+        SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster
+        FROM reach GROUP BY 1
+    ), members AS (
+        SELECT l.cluster, l.doc_id, d.n_chars
+        FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+    ), ranked AS (
+        SELECT cluster, doc_id, n_chars,
+               row_number() OVER (PARTITION BY cluster
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM members
+    )
+    SELECT m.cluster,
+           CAST(count(*) AS BIGINT)  AS n_members,
+           CAST(max(CASE WHEN r.rk = 1 THEN r.doc_id END) AS BIGINT)
+               AS keeper_id,
+           CAST(max(CASE WHEN r.rk = 1 THEN r.n_chars END) AS BIGINT)
+               AS keeper_chars
+    FROM members m JOIN ranked r
+      ON r.cluster = m.cluster AND r.doc_id = m.doc_id
+    GROUP BY 1 ORDER BY 1
+    """,
+    "Near-dup cluster resolution WITH an exact oracle: similarity "
+    "edges are exact 3-shingle Jaccard >= 0.5 (integer-cross-"
+    "multiplied threshold over the set-similarity join — "
+    "deterministic, unlike hash-seeded LSH candidates), transitive "
+    "closure assigns each member its minimum reachable id as the "
+    "cluster label, and each cluster elects a canonical keeper by "
+    "the curation policy (longest document, id tie-break) — the "
+    "decision step that turns near-dup DETECTION into an actionable "
+    "drop list. The Spark side runs the engine's iterative min-label "
+    "propagation (the 100 TB shape: join + groupBy-min per round, "
+    "diameter-bounded); the oracle reproduces the closure with a "
+    "bounded recursive CTE — making this the registry's "
+    "ORACLE-VERIFIED connected components (neardup_clusters' LSH "
+    "pipeline stays rows-only by necessity).",
+    tags=("dedup", "graph", "iterative", "llm-pipeline"),
+)
+def cluster_canonical_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    sh = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 2),"
+                    " i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    x = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    y = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        x.join(y, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nc"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    pairs = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(3 * F.col("nc") >= F.col("n_a") + F.col("n_b"))
+        .select("id_a", "id_b")
+    )
+    labels = connected_components(pairs).select(
+        F.col("node_id").alias("doc_id"), F.col("cluster_id").alias("cluster")
+    )
+    members = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+    # keeper: longest doc, lowest id on ties — packed into one max_by key
+    key = F.col("n_chars") * 10000000 - F.col("doc_id")
+    return (
+        members.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.max_by("doc_id", key).cast("bigint").alias("keeper_id"),
+            F.max("n_chars").cast("bigint").alias("keeper_chars"),
+        )
+        .orderBy("cluster")
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

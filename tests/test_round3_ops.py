@@ -1250,3 +1250,24 @@ def test_learning_curve_shape(run):
     for r in rows:
         assert 0.5 < r.holdout_auc <= 1.0
     assert rows[2].holdout_auc >= rows[0].holdout_auc - 0.02
+
+
+def test_cluster_keeper_policy(run, spark, sf_dir):
+    """Cluster laws: label == min member id; keeper is the longest
+    member (id tie-break); members >= 2 (singletons excluded)."""
+    rows = run("cluster_canonical_keeper").collect()
+    assert rows
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    chars = {
+        r.doc_id: r.n_chars
+        for r in read_parquet_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    for r in rows:
+        assert r.n_members >= 2
+        assert r.keeper_chars == chars[r.keeper_id]
+        assert r.keeper_id >= r.cluster  # label is the min member id
