@@ -14350,6 +14350,144 @@ def cluster_canonical_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quantized_code_collisions",
+    """
+    WITH d AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id,
+               list_max(list_transform(emb, x -> abs(x))) AS scale, emb
+        FROM d
+    ), coded AS (
+        SELECT vec_id,
+               array_to_string(list_transform(emb,
+                   x -> CAST(CAST(round(x / scale * 7) AS BIGINT) AS VARCHAR)),
+                   ',') AS code
+        FROM q WHERE scale > 0
+    ), groups AS (
+        SELECT code, CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(min(vec_id) AS BIGINT) AS first_vec
+        FROM coded GROUP BY 1 HAVING count(*) > 1
+    )
+    SELECT CAST(count(*) AS BIGINT)          AS n_collision_groups,
+           CAST(coalesce(sum(n_vectors), 0) AS BIGINT) AS n_colliding_vectors,
+           CAST(coalesce(max(n_vectors), 0) AS BIGINT) AS largest_group,
+           CAST(coalesce(min(first_vec), -1) AS BIGINT) AS min_first_vec
+    FROM groups
+    """,
+    "Quantization as a near-dup blocking key: embeddings coarsely "
+    "quantized to 4-bit symmetric codes (absmax scale, levels "
+    "-7..7), and vectors sharing an IDENTICAL code string are "
+    "collision candidates — the zero-join blocking stage a vector "
+    "store runs before exact re-scoring (the coarse sibling of "
+    "embedding_int8_quantization; collisions at 4 bits are the "
+    "candidate set the 8-bit codes then verify). One per-element "
+    "lambda pass + one groupBy on the code string; at corpus scale "
+    "the code IS the shuffle key, exactly like a SimHash signature. "
+    "Summary counts keep the output driver-hashable at any "
+    "collision density.",
+    tags=("similarity", "dedup", "sketch", "llm-pipeline"),
+)
+def quantized_code_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = emb.select(
+        "vec_id",
+        "emb",
+        F.array_max(F.transform("emb", lambda x: F.abs(x))).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    coded = q.select(
+        "vec_id",
+        F.array_join(
+            F.transform(
+                "emb",
+                lambda x: F.round(x / F.col("scale") * 7)
+                .cast("bigint")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("code"),
+    )
+    groups = (
+        coded.groupBy("code")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.min("vec_id").cast("bigint").alias("first_vec"),
+        )
+        .filter(F.col("n_vectors") > 1)
+    )
+    return groups.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_collision_groups"),
+        F.coalesce(F.sum("n_vectors"), F.lit(0))
+        .cast("bigint")
+        .alias("n_colliding_vectors"),
+        F.coalesce(F.max("n_vectors"), F.lit(0))
+        .cast("bigint")
+        .alias("largest_group"),
+        F.coalesce(F.min("first_vec"), F.lit(-1))
+        .cast("bigint")
+        .alias("min_first_vec"),
+    )
+
+
+@register(
+    "class_reweighting_plan",
+    """
+    WITH counts AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nt,
+               CAST(count(*) AS BIGINT) AS k FROM counts
+    )
+    SELECT c.label,
+           c.n,
+           round(CAST(t.nt AS DOUBLE) / (t.k * c.n), 6) AS class_weight,
+           round(CAST(c.n AS DOUBLE) * CAST(t.nt AS DOUBLE)
+                 / (t.k * c.n), 2) AS effective_rows
+    FROM counts c, tot t ORDER BY c.label
+    """,
+    "Inverse-frequency class reweighting plan (sklearn's 'balanced' "
+    "formula, n_total / (k * n_class)): the weights an imbalanced "
+    "classifier fit attaches per class so every class contributes "
+    "equal effective mass — effective_rows = n * weight is constant "
+    "across classes by construction, which the test pins. One "
+    "bounded-key groupBy; weights divide exact integers once. The "
+    "ML-prep counterpart of domain_mix_rebalance (corpora) applied "
+    "to label space.",
+    tags=("ml", "agg", "sampling"),
+)
+def class_reweighting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    counts = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = counts.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            "n",
+            F.round(
+                F.col("nt").cast("double") / (F.col("k") * F.col("n")), 6
+            ).alias("class_weight"),
+            F.round(
+                F.col("n").cast("double")
+                * F.col("nt").cast("double")
+                / (F.col("k") * F.col("n")),
+                2,
+            ).alias("effective_rows"),
+        )
+        .orderBy("label")
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

@@ -1271,3 +1271,25 @@ def test_cluster_keeper_policy(run, spark, sf_dir):
         assert r.n_members >= 2
         assert r.keeper_chars == chars[r.keeper_id]
         assert r.keeper_id >= r.cluster  # label is the min member id
+
+
+def test_quantized_collisions_sane(run):
+    """Collision accounting: colliding vectors >= 2 * groups; largest
+    group within the colliding total."""
+    r = run("quantized_code_collisions").collect()[0]
+    if r.n_collision_groups > 0:
+        assert r.n_colliding_vectors >= 2 * r.n_collision_groups
+        assert r.largest_group <= r.n_colliding_vectors
+        assert r.min_first_vec >= 0
+
+
+def test_class_weights_balance_mass(run):
+    """Balanced-weight law: n * weight identical across classes
+    (equal effective mass), weights positive."""
+    rows = run("class_reweighting_plan").collect()
+    assert len(rows) >= 2
+    masses = {round(r.effective_rows, 1) for r in rows}
+    assert len(masses) == 1
+    for r in rows:
+        assert r.class_weight > 0
+        assert r.effective_rows == pytest.approx(r.n * r.class_weight, abs=0.51)
