@@ -1293,3 +1293,13 @@ def test_class_weights_balance_mass(run):
     for r in rows:
         assert r.class_weight > 0
         assert r.effective_rows == pytest.approx(r.n * r.class_weight, abs=0.51)
+
+
+def test_revenue_bridge_decomposition_sums(run):
+    """Waterfall identity: volume + price + mix effects equal the
+    exact integer revenue delta (to rounding of the three parts)."""
+    rows = run("revenue_bridge_waterfall").collect()
+    assert rows
+    for r in rows:
+        total = r.volume_effect + r.price_effect + r.mix_effect
+        assert total == pytest.approx(r.delta_revenue, abs=0.05)
