@@ -14571,6 +14571,55 @@ def revenue_bridge_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stratified_kfold_assignment",
+    """
+    WITH ranked AS (
+        SELECT vec_id, label,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY (vec_id * 2654435761) % 1000003,
+                                           vec_id) AS rnk
+        FROM embeddings
+    ), folded AS (
+        SELECT label, (rnk - 1) % 5 AS fold FROM ranked
+    )
+    SELECT CAST(fold AS INT) AS fold, label,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM folded GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "Stratified k-fold assignment (k=5): within each label, rows "
+    "shuffle by a multiplicative-hash order (deterministic — no "
+    "engine RNG, so every engine and every rerun builds the SAME "
+    "folds) and deal round-robin, so every fold's label distribution "
+    "matches the population within one row per class — the "
+    "leakage-free CV splitter for imbalanced labels (plain random "
+    "folds can starve a rare class from a fold entirely). The "
+    "per-label rank is one window over label partitions; at 100 TB "
+    "the same construction runs through the distributed row-number "
+    "primitive per label shard. Output is the fold x label census "
+    "the balance test checks.",
+    tags=("ml", "sampling", "window"),
+)
+def stratified_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    ranked = emb.select(
+        "label",
+        F.row_number()
+        .over(
+            W.partitionBy("label").orderBy(
+                (F.col("vec_id") * 2654435761) % 1000003, "vec_id"
+            )
+        )
+        .alias("rnk"),
+    )
+    return (
+        ranked.select("label", ((F.col("rnk") - 1) % 5).alias("fold"))
+        .groupBy(F.col("fold").cast("int").alias("fold"), "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .orderBy("fold", "label")
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

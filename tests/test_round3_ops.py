@@ -1303,3 +1303,22 @@ def test_revenue_bridge_decomposition_sums(run):
     for r in rows:
         total = r.volume_effect + r.price_effect + r.mix_effect
         assert total == pytest.approx(r.delta_revenue, abs=0.05)
+
+
+def test_stratified_folds_balanced(run, spark, sf_dir):
+    """Every (fold, label) cell within 1 row of its label's n/5;
+    folds partition the corpus exactly."""
+    rows = run("stratified_kfold_assignment").collect()
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    totals = {
+        r.label: r.n
+        for r in emb.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sum(r.n_rows for r in rows) == emb.count()
+    for r in rows:
+        ideal = totals[r.label] / 5
+        assert abs(r.n_rows - ideal) < 1.0, r
