@@ -1322,3 +1322,16 @@ def test_stratified_folds_balanced(run, spark, sf_dir):
     for r in rows:
         ideal = totals[r.label] / 5
         assert abs(r.n_rows - ideal) < 1.0, r
+
+
+def test_hhi_bounds(run):
+    """HHI in (10000/n, 10000]; top supplier share consistent with
+    concentration (hhi >= 10000 * top_share^2)."""
+    rows = run("supplier_concentration_hhi").collect()
+    assert rows
+    hhis = [r.hhi for r in rows]
+    assert hhis == sorted(hhis, reverse=True)
+    for r in rows:
+        assert 0 < r.hhi <= 10000.0 + 1e-6
+        assert r.hhi >= 10000.0 / r.n_suppliers - 0.01  # uniform mix lower bound
+        assert r.hhi >= 10000.0 * r.top_share**2 - 0.01
