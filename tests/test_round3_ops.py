@@ -1335,3 +1335,18 @@ def test_hhi_bounds(run):
         assert 0 < r.hhi <= 10000.0 + 1e-6
         assert r.hhi >= 10000.0 / r.n_suppliers - 0.01  # uniform mix lower bound
         assert r.hhi >= 10000.0 * r.top_share**2 - 0.01
+
+
+def test_interval_range_window_follows_event_time(run):
+    """Event-time frame laws: days_in_window <= 7; trailing sum >= the
+    day's own revenue; a calendar gap shrinks the window."""
+    rows = sorted(run("interval_range_window").collect(), key=lambda r: r.day)
+    assert rows
+    by_day = {r.day: r for r in rows}
+    for r in rows:
+        assert 1 <= r.days_in_window <= 7
+        assert r.trailing_7d_rev >= r.rev
+        # recompute from the visible series where the full window is present
+        window_days = [d for d in range(r.day - 6, r.day + 1) if d in by_day]
+        if len(window_days) == r.days_in_window:
+            assert r.trailing_7d_rev == sum(by_day[d].rev for d in window_days)
