@@ -14740,6 +14740,72 @@ def interval_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "open_backlog_aging",
+    """
+    WITH anchor AS (
+        SELECT max(epoch_us(o_orderdate)) // 86400000000 AS today FROM orders
+    ), open_orders AS (
+        SELECT (SELECT today FROM anchor)
+                 - epoch_us(o_orderdate) // 86400000000 AS age_days,
+               o_totalprice
+        FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT CASE WHEN age_days <= 30 THEN '0-30d'
+                WHEN age_days <= 90 THEN '31-90d'
+                WHEN age_days <= 365 THEN '91-365d'
+                ELSE '365d+' END AS age_band,
+           CAST(count(*) AS BIGINT) AS n_open,
+           CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2)))) AS BIGINT)
+               AS open_value_floor,
+           CAST(max(age_days) AS BIGINT) AS oldest_days
+    FROM open_orders GROUP BY 1 ORDER BY 1
+    """,
+    "Open-order backlog aging: unfulfilled ('O') orders bucketed by "
+    "age against the data's own anchor date, with open value per "
+    "band — the AR-aging-style operations report (a growing 365d+ "
+    "band is stuck demand or a dead status pipeline; this fixture's "
+    "perpetually-open old orders land there by construction, which "
+    "the quality narrative flags). Integer epoch-day ages, DECIMAL "
+    "value partials floored to BIGINT, broadcast scalar anchor; one "
+    "filtered fact scan with a 4-value band key.",
+    tags=("agg", "analytics", "quality", "timeseries"),
+)
+def open_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    anchor = o.agg(
+        F.expr("max(unix_micros(o_orderdate)) div 86400000000").alias("today")
+    )
+    open_orders = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            (
+                F.col("today")
+                - F.expr("unix_micros(o_orderdate) div 86400000000")
+            ).alias("age_days"),
+            "o_totalprice",
+        )
+    )
+    band = (
+        F.when(F.col("age_days") <= 30, "0-30d")
+        .when(F.col("age_days") <= 90, "31-90d")
+        .when(F.col("age_days") <= 365, "91-365d")
+        .otherwise("365d+")
+    )
+    return (
+        open_orders.groupBy(band.alias("age_band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_open"),
+            F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+            .cast("bigint")
+            .alias("open_value_floor"),
+            F.max("age_days").cast("bigint").alias("oldest_days"),
+        )
+        .orderBy("age_band")
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

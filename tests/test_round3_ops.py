@@ -1350,3 +1350,21 @@ def test_interval_range_window_follows_event_time(run):
         window_days = [d for d in range(r.day - 6, r.day + 1) if d in by_day]
         if len(window_days) == r.days_in_window:
             assert r.trailing_7d_rev == sum(by_day[d].rev for d in window_days)
+
+
+def test_backlog_aging_covers_open_orders(run, spark, sf_dir):
+    """Bands partition all open orders; oldest ages are consistent
+    with band upper bounds."""
+    rows = {r.age_band: r for r in run("open_backlog_aging").collect()}
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    o = read_parquet_table(spark, sf_dir, "orders")
+    n_open = o.filter(F.col("o_orderstatus") == "O").count()
+    assert sum(r.n_open for r in rows.values()) == n_open
+    bounds = {"0-30d": 30, "31-90d": 90, "91-365d": 365}
+    for band, r in rows.items():
+        if band in bounds:
+            assert r.oldest_days <= bounds[band]
+        assert r.open_value_floor > 0
