@@ -14806,6 +14806,87 @@ def open_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "vocab_growth_curve",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), births AS (
+        SELECT w, CAST(min(doc_id) AS BIGINT) AS first_doc FROM toks GROUP BY 1
+    ), doc_tokens AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+        FROM toks GROUP BY 1
+    ), milestones AS (
+        SELECT unnest([50, 100, 200, 300, 400, 500]) AS m
+    )
+    SELECT CAST(ms.m AS BIGINT) AS docs_processed,
+           (SELECT CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+              FROM doc_tokens WHERE doc_id <= ms.m) AS tokens_processed,
+           (SELECT CAST(count(*) AS BIGINT)
+              FROM births WHERE first_doc <= ms.m) AS distinct_terms
+    FROM milestones ms ORDER BY docs_processed
+    """,
+    "Vocabulary growth curve (the Heaps'-law diagnostic every corpus "
+    "scaling study plots): distinct terms seen vs tokens processed "
+    "at document milestones, computed WITHOUT any sequential scan — "
+    "each term's 'birth' is min(doc_id) over its occurrences (one "
+    "groupBy), and every milestone's vocabulary is a count of births "
+    "at or before it. Saturating growth says the corpus is "
+    "exhausting its domain (more data adds tokens, not words — the "
+    "dedup/diversity signal); power-law growth says keep "
+    "collecting. All counts exact; milestones are a 6-row literal "
+    "table joined against two bounded aggregates.",
+    tags=("text", "llm-pipeline", "agg", "analytics"),
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    births = toks.groupBy("w").agg(
+        F.min("doc_id").cast("bigint").alias("first_doc")
+    )
+    doc_tokens = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok")
+    )
+    # one conditional-sum pass per side — no inequality join (which
+    # would nested-loop milestones x docs at scale)
+    MS = [50, 100, 200, 300, 400, 500]
+    tok_row = doc_tokens.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("doc_id") <= m, F.col("n_tok"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"t{m}")
+            for m in MS
+        ]
+    )
+    voc_row = births.agg(
+        *[
+            F.sum(F.when(F.col("first_doc") <= m, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"v{m}")
+            for m in MS
+        ]
+    )
+    stack_t = ", ".join(f"{m}L, t{m}" for m in MS)
+    stack_v = ", ".join(f"{m}L, v{m}" for m in MS)
+    t_long = tok_row.select(
+        F.expr(f"stack({len(MS)}, {stack_t}) AS (docs_processed, tokens_processed)")
+    )
+    v_long = voc_row.select(
+        F.expr(f"stack({len(MS)}, {stack_v}) AS (docs_processed, distinct_terms)")
+    )
+    return (
+        t_long.join(v_long, "docs_processed")
+        .select(
+            F.col("docs_processed").cast("bigint").alias("docs_processed"),
+            "tokens_processed",
+            "distinct_terms",
+        )
+        .orderBy("docs_processed")
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

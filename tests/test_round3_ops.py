@@ -1368,3 +1368,19 @@ def test_backlog_aging_covers_open_orders(run, spark, sf_dir):
         if band in bounds:
             assert r.oldest_days <= bounds[band]
         assert r.open_value_floor > 0
+
+
+def test_vocab_growth_monotone_saturating(run):
+    """Heaps-curve laws: both series strictly non-decreasing in
+    milestones; vocabulary <= tokens; incremental vocab per token
+    (growth rate) non-increasing at the tail (saturation on this
+    closed-vocabulary fixture)."""
+    rows = sorted(run("vocab_growth_curve").collect(), key=lambda r: r.docs_processed)
+    assert [r.docs_processed for r in rows] == [50, 100, 200, 300, 400, 500]
+    for a, b in zip(rows, rows[1:]):
+        assert a.tokens_processed <= b.tokens_processed
+        assert a.distinct_terms <= b.distinct_terms
+    for r in rows:
+        assert 0 < r.distinct_terms <= r.tokens_processed
+    # closed vocabulary: the last two milestones add no new terms
+    assert rows[-1].distinct_terms == rows[-2].distinct_terms
