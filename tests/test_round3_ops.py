@@ -1384,3 +1384,29 @@ def test_vocab_growth_monotone_saturating(run):
         assert 0 < r.distinct_terms <= r.tokens_processed
     # closed vocabulary: the last two milestones add no new terms
     assert rows[-1].distinct_terms == rows[-2].distinct_terms
+
+
+def test_heatmap_covers_all_events(run, spark, sf_dir):
+    """Grid cells partition the event stream; axes in range; dow 3
+    (Thursday anchor check): epoch day 0 maps to dow 3."""
+    rows = run("traffic_heatmap_dow_hour").collect()
+    from loan_default_prediction_app_big_data_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    assert sum(r.n_events for r in rows) == ev.count()
+    for r in rows:
+        assert 0 <= r.dow <= 6 and 0 <= r.hour <= 23
+    # cross-check one cell against a direct dayofweek computation
+    ref = (
+        ev.groupBy(
+            F.expr("(dayofweek(ts) + 5) % 7").alias("dow"),  # Mon=0 convention
+            F.hour("ts").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    got = {(r.dow, r.hour): r.n_events for r in rows}
+    for r in ref:
+        assert got[(r.dow, r.hour)] == r.n
