@@ -14933,6 +14933,92 @@ def traffic_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "role_playing_date_rollup",
+    """
+    WITH li AS (
+        SELECT epoch_us(date_trunc('month', o.o_orderdate)) // 86400000000
+                   AS order_month,
+               epoch_us(date_trunc('month', l.l_shipdate)) // 86400000000
+                   AS ship_month,
+               CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), by_order AS (
+        SELECT order_month AS m, CAST(sum(cents) AS BIGINT) AS booked_cents
+        FROM li GROUP BY 1
+    ), by_ship AS (
+        SELECT ship_month AS m, CAST(sum(cents) AS BIGINT) AS shipped_cents
+        FROM li GROUP BY 1
+    ), shifted AS (
+        SELECT CAST(sum(CASE WHEN order_month <> ship_month
+                             THEN cents ELSE 0 END) AS BIGINT) AS cross_cents,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM li
+    )
+    SELECT coalesce(o.m, s.m) AS month_day,
+           coalesce(o.booked_cents, 0)  AS booked_cents,
+           coalesce(s.shipped_cents, 0) AS shipped_cents,
+           round((SELECT CAST(cross_cents AS DOUBLE) / total_cents
+                  FROM shifted), 6) AS global_cross_month_share
+    FROM by_order o FULL JOIN by_ship s ON o.m = s.m
+    ORDER BY month_day LIMIT 90
+    """,
+    "Role-playing date dimension: the SAME line items roll up "
+    "through two date roles — booked revenue by ORDER month vs "
+    "shipped revenue by SHIP month — the recognition-vs-fulfillment "
+    "split every finance/BI model needs when one fact row carries "
+    "multiple dates (naive single-calendar models silently conflate "
+    "them; the cross-month share quantifies how much revenue "
+    "changes month depending on the role). One scan produces both "
+    "role keys; two bounded groupBys full-join on month. "
+    "Floor-cents exact everywhere; one global ratio.",
+    tags=("agg", "timeseries", "join", "sql", "analytics"),
+)
+def role_playing_date_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.expr(
+            "unix_micros(date_trunc('month', o_orderdate)) div 86400000000"
+        ).alias("order_month"),
+        F.expr(
+            "unix_micros(date_trunc('month', l_shipdate)) div 86400000000"
+        ).alias("ship_month"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    by_order = base.groupBy(F.col("order_month").alias("m")).agg(
+        F.sum("cents").cast("bigint").alias("booked_cents")
+    )
+    by_ship = base.groupBy(F.col("ship_month").alias("ms")).agg(
+        F.sum("cents").cast("bigint").alias("shipped_cents")
+    )
+    shifted = base.agg(
+        F.sum(
+            F.when(F.col("order_month") != F.col("ship_month"), F.col("cents"))
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("cross_cents"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+    return (
+        by_order.join(by_ship, by_order.m == by_ship.ms, "full")
+        .crossJoin(F.broadcast(shifted))
+        .select(
+            F.coalesce(F.col("m"), F.col("ms")).alias("month_day"),
+            F.coalesce(F.col("booked_cents"), F.lit(0)).alias("booked_cents"),
+            F.coalesce(F.col("shipped_cents"), F.lit(0)).alias("shipped_cents"),
+            F.round(
+                F.col("cross_cents").cast("double") / F.col("total_cents"), 6
+            ).alias("global_cross_month_share"),
+        )
+        .orderBy("month_day")
+        .limit(90)
+    )
+
+
 _DRIVER_PRIORITY: list[str] = [
     # round 3 slots. 1-30: queries with no driver correctness row in
     # either prior round (r1 checked registration slots 1-50, r2 the

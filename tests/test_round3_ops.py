@@ -1410,3 +1410,15 @@ def test_heatmap_covers_all_events(run, spark, sf_dir):
     got = {(r.dow, r.hour): r.n_events for r in rows}
     for r in ref:
         assert got[(r.dow, r.hour)] == r.n
+
+
+def test_role_playing_rollup_mass_conservation(run):
+    """Both roles account for the same total cents; cross-month share
+    positive (ship month lags order month for most lines)."""
+    rows = run("role_playing_date_rollup").collect()
+    assert rows
+    assert sum(r.booked_cents for r in rows) == sum(r.shipped_cents for r in rows)
+    share = {r.global_cross_month_share for r in rows}
+    assert len(share) == 1
+    (share,) = share
+    assert 0.0 < share < 1.0
