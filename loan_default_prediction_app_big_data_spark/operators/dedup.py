@@ -188,10 +188,17 @@ def minhash_native_candidates(
         .localCheckpoint(eager=True)
     )
 
+    # NOTE: the transform lambda must take ONE argument. A two-arg
+    # lambda (e.g. ``lambda s, i=i: ...``) makes Spark bind the second
+    # parameter to the ARRAY INDEX, silently shadowing the captured
+    # hash-function id — all n_hashes "independent" functions collapse
+    # to one and banding degenerates (caught in round 4: a J=0.9 pair
+    # with all-matching signatures was never emitted as a candidate).
+    def _hash_fn(seed: int):
+        return lambda s: F.xxhash64(F.lit(seed), s)
+
     sig_cols = [
-        F.array_min(
-            F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(F.lit(i), s))
-        ).alias(f"h{i}")
+        F.array_min(F.transform(F.col("sh"), _hash_fn(i))).alias(f"h{i}")
         for i in range(n_hashes)
     ]
     sigs = sh.select("id", *sig_cols)

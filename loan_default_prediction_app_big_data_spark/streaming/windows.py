@@ -23,6 +23,7 @@ here by the applyInPandasWithState runner, and migration is mechanical
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -458,36 +459,41 @@ def run_incremental_backfill(
 
     Returns (result DataFrame, micro-batch count).
     """
-    import tempfile
-
     from ..sources.readers import read_parquet_table
 
-    base = tempfile.mkdtemp(prefix="backfill_")
-    src_dir = os.path.join(base, "events")
-    # Re-shard the replay so the rate limit yields multiple batches.
-    read_parquet_table(spark, sf_dir, "events").repartition(n_files).write.mode(
-        "overwrite"
-    ).parquet(src_dir)
-    schema = spark.read.parquet(src_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", per_trigger)
-        .parquet(src_dir)
-    )
-    name = f"backfill_{uuid.uuid4().hex[:8]}"
-    q = (
-        tumbling_window_agg_stream(stream)
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
-    out = spark.table(name).cache()
-    out.count()
-    return out, n_batches
+    # Temp IO lives under <repo>/.tmp_io (gitignored) like every other
+    # IO query, and is removed in finally once the memory-sink result
+    # is materialized.
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    base = os.path.join(repo, ".tmp_io", f"backfill_{uuid.uuid4().hex[:8]}")
+    try:
+        src_dir = os.path.join(base, "events")
+        # Re-shard the replay so the rate limit yields multiple batches.
+        read_parquet_table(spark, sf_dir, "events").repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", per_trigger)
+            .parquet(src_dir)
+        )
+        name = f"backfill_{uuid.uuid4().hex[:8]}"
+        q = (
+            tumbling_window_agg_stream(stream)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        out = spark.table(name).cache()
+        out.count()
+        return out, n_batches
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def run_append_mode_windows(spark: SparkSession, sf_dir: str):

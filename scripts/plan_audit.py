@@ -112,8 +112,11 @@ def main() -> int:
         if flags:
             f.writelines(f"- {x}\n" for x in flags)
         else:
-            f.write("None: zero cartesian products, zero row-at-a-time Python "
-                    "across the entire registry.\n")
+            f.write("No unexpected flags. Whitelisted (deliberate, see "
+                    "Totals): als_recommendations' CartesianProduct nodes "
+                    "(MLlib ALS blocked factor cross-product) and "
+                    "udtf_price_tranches' row-at-a-time Python (the UDTF "
+                    "API demo).\n")
         f.write("\n## Single-partition exchanges (all over post-aggregation "
                 "metadata-scale frames)\n\n")
         f.write("| query | single-partition exchanges | total exchanges |\n|---|---|---|\n")
