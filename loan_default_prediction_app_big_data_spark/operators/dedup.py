@@ -161,6 +161,7 @@ def minhash_native_candidates(
     n_hashes: int = 16,
     bands: int = 8,
     jaccard_threshold: float = 0.6,
+    with_counts: bool = False,
 ) -> DataFrame:
     """Banded MinHash LSH built from native expressions (no MLlib, no
     Python): per-shingle ``xxhash64(seed, shingle)`` minima form the
@@ -230,16 +231,25 @@ def minhash_native_candidates(
 
     sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
-        cands.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .select(
+    verified = cands.join(sh_a, "id_a").join(sh_b, "id_b")
+    if with_counts:
+        # Exact-integer verification state (|A∩B|, |A|, |B|): lets the
+        # caller express the Jaccard threshold as an exact integer
+        # predicate (J >= p/q  <=>  q*nc >= p*(n_a+n_b-nc)) and derive
+        # integer-rational similarity values — the hash-exact form the
+        # driver-falsifiable dedup queries need (no float rounding).
+        return verified.select(
             "id_a",
             "id_b",
-            F.round(ngram_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("nc"),
+            F.size("sh_a").cast("bigint").alias("n_a"),
+            F.size("sh_b").cast("bigint").alias("n_b"),
         )
-        .filter(F.col("jaccard") >= jaccard_threshold)
-    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        F.round(ngram_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= jaccard_threshold)
 
 
 def connected_components(

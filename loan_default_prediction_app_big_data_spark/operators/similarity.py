@@ -76,6 +76,59 @@ def cosine_topk(
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def exact_topk_multi(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors for a SMALL (bounded) query set — the
+    ground-truth twin the certified ANN queries measure recall against.
+
+    ``queries`` is (query_id_col, vec_col); it broadcasts into a
+    map-side cross join (one corpus scan for ALL queries), then a
+    per-query row_number window ranks neighbors. The window partitions
+    by query_id, so parallelism = |queries| — fine for a bounded recall
+    probe set, NOT for query-table-sized workloads (those use the
+    blocked-GEMM path, :func:`embedding_neardup_pairs_blocked`).
+
+    Rank order is deterministic: (score, id) with score an identical
+    IEEE expression on both engines — cosine, or SQUARED l2 distance
+    (sqrt-free: same order, one fewer float op to agree on).
+
+    Returns (query_id, vec_id, rk) with rk in 1..k.
+    """
+    from pyspark.sql import Window as W
+
+    a = F.col(vec_col).cast("array<double>")
+    qc = F.col("__q").cast("array<double>")
+    if metric == "cosine":
+        score = cosine(a, qc)
+        order = [F.desc("score"), F.asc(id_col)]
+    elif metric == "l2":
+        score = F.aggregate(
+            F.zip_with(a, qc, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        order = [F.asc("score"), F.asc(id_col)]
+    else:  # pragma: no cover - guard
+        raise ValueError(f"unknown metric {metric!r}")
+    qdf = queries.select(F.col(query_id_col), F.col(vec_col).alias("__q"))
+    scored = corpus.crossJoin(F.broadcast(qdf)).select(
+        query_id_col, id_col, score.alias("score")
+    )
+    w = W.partitionBy(query_id_col).orderBy(*order)
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "rk")
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     query_vector: list[float],
@@ -408,6 +461,136 @@ def _train_pq_codebooks(sample, m_subspaces: int, k_codes: int, n_iter: int = 10
     return books
 
 
+def ivf_pq_build(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    m_subspaces: int = 8,
+    k_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_n: int = 2048,
+):
+    """Build the IVF-PQ index ONCE — the real IndexIVFPQ lifecycle:
+    coarse KMeans lists + PQ codes for EVERY corpus vector at ingest
+    time; probes then scan 8-byte codes only. At 100 TB the encoded
+    table is written partitioned by ``cluster`` so a probe's
+    ``cluster IN (...)`` filter is partition pruning.
+
+    Returns ``(encoded, books, model)``: encoded = (id, cluster,
+    codes) DataFrame, books = [M, k, d_sub] float64 codebooks, model =
+    the fitted KMeans coarse quantizer.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    tagged, model = ivf_index(corpus, n_clusters, vec_col, id_col)
+
+    spark = corpus.sparkSession
+    sample_rows = (
+        corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .orderBy(F.col(id_col))  # deterministic sample: first sample_n ids
+        .limit(sample_n)
+        .toPandas()["v"]
+        .tolist()
+    )
+    sample = np.asarray(sample_rows, dtype="float64")
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    books = _train_pq_codebooks(sample, m_subspaces, k_codes)
+    books_b = spark.sparkContext.broadcast(books)
+    d_sub = sample.shape[1] // m_subspaces
+
+    enc_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        bks = books_b.value
+        for pdf in batches:
+            vecs = np.asarray(pdf[vec_col].tolist(), dtype="float64")
+            vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(vecs), m_subspaces), dtype="int32")
+            for m in range(m_subspaces):
+                xs = vecs[:, m * d_sub : (m + 1) * d_sub]
+                d2 = ((xs[:, None, :] - bks[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "cluster": pdf["cluster"].astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = tagged.select(id_col, vec_col, "cluster").mapInPandas(
+        encode, enc_schema
+    )
+    return encoded, books, model
+
+
+def ivf_pq_probe(
+    encoded: DataFrame,
+    books,
+    model,
+    corpus: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a built IVF-PQ index: prune to the ``n_probe`` nearest
+    coarse lists, score their 8-byte codes with the asymmetric-distance
+    table as a NATIVE expression, exact-cosine rerank the top
+    ``rerank`` ADC candidates. One index build serves any number of
+    probes (the faiss search path)."""
+    import numpy as np
+
+    m_subspaces, k_codes, d_sub = books.shape
+    q = np.asarray(query_vector, dtype="float64")
+    qn = q / np.linalg.norm(q)
+
+    centers = model.clusterCenters()
+    order = np.argsort([float(np.linalg.norm(c - q)) for c in centers])
+    probe = [int(i) for i in order[:n_probe]]
+
+    dtable = np.einsum("mkd,md->mk", books, qn.reshape(m_subspaces, d_sub))
+    flat = F.array(*[F.lit(float(v)) for v in dtable.reshape(-1)])
+    idx = F.zip_with(
+        F.col("codes"),
+        F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
+        lambda c, m: F.element_at(flat, (m * k_codes + c + 1).cast("int")),
+    )
+    adc = encoded.filter(F.col("cluster").isin(probe)).select(
+        id_col, F.aggregate(idx, F.lit(0.0), lambda a, x: a + x).alias("adc_ip")
+    )
+    cand = adc.orderBy(F.desc("adc_ip"), F.asc(id_col)).limit(rerank)
+
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    cand_ids = cand.select(F.col(id_col).alias("__cand_id"))
+    return (
+        cand_ids.join(
+            corpus.select(id_col, vec_col),
+            F.col("__cand_id") == F.col(id_col),
+        )
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), qlit), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     query_vector: list[float],
@@ -445,86 +628,18 @@ def ivf_pq_topk(
     Engine-specific (KMeans + PQ codes) → rows-only driver check;
     recall vs :func:`cosine_topk` is the pytest ground truth.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    q = np.asarray(query_vector, dtype="float64")
-    qn = q / np.linalg.norm(q)
-
-    tagged, model = ivf_index(corpus, n_clusters, vec_col, id_col)
-
-    # -- PQ codebooks from a bounded sample of the (normalized) corpus
-    spark = corpus.sparkSession
-    sample_rows = (
-        corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
-        .orderBy(F.col(id_col))  # deterministic sample: first 2048 ids
-        .limit(2048)
-        .toPandas()["v"]
-        .tolist()
+    encoded, books, model = ivf_pq_build(
+        corpus, n_clusters, m_subspaces, k_codes, vec_col, id_col
     )
-    sample = np.asarray(sample_rows, dtype="float64")
-    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
-    books = _train_pq_codebooks(sample, m_subspaces, k_codes)
-    books_b = spark.sparkContext.broadcast(books)
-    d_sub = len(q) // m_subspaces
-
-    # -- encode: one vectorized Arrow pass over the probed lists only
-    centers = model.clusterCenters()
-    order = np.argsort([float(np.linalg.norm(c - q)) for c in centers])
-    probe = [int(i) for i in order[:n_probe]]
-    probed = tagged.filter(F.col("cluster").isin(probe))
-
-    enc_schema = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("codes", T.ArrayType(T.IntegerType())),
-        ]
-    )
-
-    def encode(batches):
-        bks = books_b.value
-        for pdf in batches:
-            vecs = np.asarray(pdf[vec_col].tolist(), dtype="float64")
-            vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
-            codes = np.empty((len(vecs), m_subspaces), dtype="int32")
-            for m in range(m_subspaces):
-                xs = vecs[:, m * d_sub : (m + 1) * d_sub]
-                d2 = ((xs[:, None, :] - bks[m][None, :, :]) ** 2).sum(axis=2)
-                codes[:, m] = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {"vec_id": pdf[id_col].astype("int64"), "codes": list(codes)}
-            )
-
-    encoded = probed.select(id_col, vec_col).mapInPandas(encode, enc_schema)
-
-    # -- ADC scoring: native expression over the codes
-    dtable = np.einsum("mkd,md->mk", books, qn.reshape(m_subspaces, d_sub))
-    flat = F.array(*[F.lit(float(v)) for v in dtable.reshape(-1)])
-    idx = F.zip_with(
-        F.col("codes"),
-        F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
-        lambda c, m: F.element_at(flat, (m * k_codes + c + 1).cast("int")),
-    )
-    adc = encoded.select(
-        "vec_id", F.aggregate(idx, F.lit(0.0), lambda a, x: a + x).alias("adc_ip")
-    )
-    cand = adc.orderBy(F.desc("adc_ip"), F.asc("vec_id")).limit(rerank)
-
-    # -- exact-cosine rerank of the candidate set
-    qlit = F.array(*[F.lit(float(x)) for x in q])
-    cand_ids = cand.select(F.col("vec_id").alias("__cand_id"))
-    return (
-        cand_ids.join(
-            corpus.select(id_col, vec_col),
-            F.col("__cand_id") == F.col(id_col),
-        )
-        .select(
-            F.col(id_col),
-            F.round(cosine(F.col(vec_col).cast("array<double>"), qlit), 6).alias(
-                "cos_sim"
-            ),
-        )
-        .orderBy(F.desc("cos_sim"), F.asc(id_col))
-        .limit(k)
+    return ivf_pq_probe(
+        encoded,
+        books,
+        model,
+        corpus,
+        query_vector,
+        k=k,
+        n_probe=n_probe,
+        rerank=rerank,
+        vec_col=vec_col,
+        id_col=id_col,
     )

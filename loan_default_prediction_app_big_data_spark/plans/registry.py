@@ -1175,18 +1175,53 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_lsh_dedup",
-    None,  # Spark MinHash seeds are engine-specific -> rows-only check
-    "Near-duplicate candidate pairs via MinHashLSH (shingle → binary "
-    "HashingTF → banded signature join). Cost scales with candidate "
-    "collisions, never n². Exactness is cross-checked by "
-    "ngram_jaccard_pairs (the oracle-checkable verifier).",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(ws) - 2, 1)),
+                   i -> array_to_string(ws[i:i+2], ' '))) AS sh3
+        FROM toks WHERE len(ws) > 0
+    ), e AS (
+        SELECT doc_id, unnest(sh3) AS s FROM sh
+    ), sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS nc
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT CAST(i.id_a AS BIGINT) AS id_a, CAST(i.id_b AS BIGINT) AS id_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE 8 * i.nc > 3 * (sa.n + sb.n)  -- jaccard > 0.6, exact ints
+    ORDER BY id_a, id_b
+    """,
+    "Near-duplicate pairs via MinHashLSH (shingle → binary HashingTF "
+    "→ banded signature join), DRIVER-FALSIFIABLE (VERDICT r3 item "
+    "3): the emitted pair set must EQUAL the exact shingle-Jaccard "
+    "pair set at J > 0.6 (= distance threshold 0.4), which the oracle "
+    "computes O(n²)-exactly with an integer predicate (8·|A∩B| > "
+    "3·(|A|+|B|)). A missed true pair (banding recall) or a spurious "
+    "one (HashingTF bucket collision) each break the hash. Cost "
+    "scales with candidate collisions, never n²; P(miss | J=0.9) = "
+    "0.1^8 with 8 OR-ed hash tables.",
     tags=("dedup",),
 )
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.minhash_lsh_candidates(
+    pairs = D.minhash_lsh_candidates(
         t(spark, sf_dir, "documents"), "text", "doc_id",
         k_shingle=3, jaccard_distance_threshold=0.4,
     )
+    return pairs.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+    ).orderBy("id_a", "id_b")
 
 
 @register(
@@ -1246,17 +1281,82 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_topk",
-    None,  # LSH bucket layout is engine-specific -> rows-only check
-    "Approximate nearest neighbors via BucketedRandomProjectionLSH "
-    "(random hyperplane buckets, seeded). Probes matching buckets "
-    "only — the interactive-latency path at corpus scale; recall "
-    "cross-checked against embedding_cosine_topk in tests.",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+    ), c AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id NOT IN (0, 1, 2, 3)
+    ), r AS (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_distance(c.embedding::DOUBLE[],
+                                          q.qe::DOUBLE[]), c.vec_id) AS rk
+        FROM q, c
+    )
+    SELECT CAST(query_id AS BIGINT)                           AS query_id,
+           CAST(max(CASE WHEN rk = 1 THEN vec_id END) AS BIGINT)
+               AS exact_top1_id,
+           TRUE AS returned_k, TRUE AS top1_found, TRUE AS recall10_ge_07
+    FROM r GROUP BY query_id ORDER BY query_id
+    """,
+    "ANN via BucketedRandomProjectionLSH, DRIVER-FALSIFIABLE (VERDICT "
+    "r3 item 3, the approx_aggregates bound-boolean pattern): 4 probe "
+    "queries run BOTH the LSH path and the exact brute-force l2 twin "
+    "in-engine; the hashed output carries the oracle-computable exact "
+    "top-1 id plus recall-bound booleans (k results returned, exact "
+    "top-1 found, recall@10 >= 0.7 — measured 0.9-1.0 with 2-hit "
+    "margin). Any recall regression flips a boolean and breaks the "
+    "driver hash. Probes matching buckets only — the "
+    "interactive-latency path at corpus scale.",
     tags=("similarity",),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce as _reduce
+
+    QIDS = [0, 1, 2, 3]
     emb = t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return S.ann_lsh_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+    corpus = emb.filter(~F.col("vec_id").isin(QIDS))
+    queries = emb.filter(F.col("vec_id").isin(QIDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # exact l2 ground truth: one broadcast cross-join scan, ranked
+    exact = S.exact_topk_multi(corpus, queries, k=10, metric="l2")
+    # LSH path per probe query (bounded 4-row collect of query vectors)
+    ann_parts = [
+        S.ann_lsh_topk(
+            corpus, [float(x) for x in row["embedding"]], k=10
+        ).select(F.lit(row["query_id"]).cast("bigint").alias("query_id"), "vec_id")
+        for row in queries.collect()
+    ]
+    ann = _reduce(lambda a, b: a.unionByName(b), ann_parts)
+    hits = exact.join(ann, ["query_id", "vec_id"], "left_semi").groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("hits"))
+    nret = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ret"))
+    top1 = exact.filter(F.col("rk") == 1).select(
+        "query_id", F.col("vec_id").alias("exact_top1_id")
+    )
+    t1f = (
+        exact.filter(F.col("rk") == 1)
+        .join(ann, ["query_id", "vec_id"], "left_semi")
+        .select("query_id", F.lit(True).alias("t1"))
+    )
+    return (
+        top1.join(hits, "query_id")
+        .join(nret, "query_id")
+        .join(t1f, "query_id", "left")
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("exact_top1_id").cast("bigint").alias("exact_top1_id"),
+            (F.col("n_ret") == 10).alias("returned_k"),
+            F.coalesce(F.col("t1"), F.lit(False)).alias("top1_found"),
+            (F.col("hits") >= 7).alias("recall10_ge_07"),
+        )
+        .orderBy("query_id")
+    )
 
 
 @register(
@@ -1689,39 +1789,165 @@ def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ivf_ann_topk",
-    None,  # KMeans cluster layout is engine-specific -> rows-only
-    "IVF approximate nearest neighbors: KMeans-partitioned corpus, "
-    "probe the 4 nearest centroids of 16, brute-force only their "
-    "members (~25% of the corpus per query). Recall vs exact top-k "
-    "asserted in tests.",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+    ), c AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id NOT IN (0, 1, 2, 3)
+    ), r AS (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+                                                   q.qe::DOUBLE[]) DESC,
+                            c.vec_id) AS rk
+        FROM q, c
+    )
+    SELECT CAST(query_id AS BIGINT)                           AS query_id,
+           CAST(max(CASE WHEN rk = 1 THEN vec_id END) AS BIGINT)
+               AS exact_top1_id,
+           TRUE AS top1_found, TRUE AS recall10_ge_05
+    FROM r GROUP BY query_id ORDER BY query_id
+    """,
+    "IVF ANN, DRIVER-FALSIFIABLE (VERDICT r3 item 3): one KMeans "
+    "coarse index (16 lists) serves 4 probe queries, each scanning "
+    "only its 6 nearest lists (~37% of the corpus); the exact cosine "
+    "twin runs in-engine and the hashed output carries the "
+    "oracle-computable exact top-1 id plus recall booleans (top-1 "
+    "found; recall@10 >= 0.5 — measured 0.7-1.0 at n_probe=6, 2-hit "
+    "margin absorbs KMeans layout jitter). A probe-pruning or "
+    "assignment bug flips a boolean and breaks the driver hash.",
     tags=("similarity",),
 )
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce as _reduce
+
+    QIDS = [0, 1, 2, 3]
     emb = t(spark, sf_dir, "embeddings")
-    corpus = emb.filter(F.col("vec_id") != 0)
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.filter(~F.col("vec_id").isin(QIDS))
+    queries = emb.filter(F.col("vec_id").isin(QIDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.exact_topk_multi(corpus, queries, k=10, metric="cosine")
+    # ONE index build; per-query probes reuse the tagged corpus
     tagged, model = S.ivf_index(corpus, n_clusters=16)
-    return S.ivf_topk(tagged, model, qvec, k=10, n_probe=4)
+    tagged = tagged.localCheckpoint(eager=True)
+    ivf_parts = [
+        S.ivf_topk(
+            tagged, model, [float(x) for x in row["embedding"]], k=10, n_probe=6
+        ).select(F.lit(row["query_id"]).cast("bigint").alias("query_id"), "vec_id")
+        for row in queries.collect()
+    ]
+    ann = _reduce(lambda a, b: a.unionByName(b), ivf_parts)
+    hits = exact.join(ann, ["query_id", "vec_id"], "left_semi").groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("hits"))
+    top1 = exact.filter(F.col("rk") == 1).select(
+        "query_id", F.col("vec_id").alias("exact_top1_id")
+    )
+    t1f = (
+        exact.filter(F.col("rk") == 1)
+        .join(ann, ["query_id", "vec_id"], "left_semi")
+        .select("query_id", F.lit(True).alias("t1"))
+    )
+    return (
+        top1.join(hits, "query_id")
+        .join(t1f, "query_id", "left")
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("exact_top1_id").cast("bigint").alias("exact_top1_id"),
+            F.coalesce(F.col("t1"), F.lit(False)).alias("top1_found"),
+            (F.col("hits") >= 5).alias("recall10_ge_05"),
+        )
+        .orderBy("query_id")
+    )
 
 
 @register(
     "ivf_pq_ann_topk",
-    None,  # KMeans layout + PQ codes are engine-specific -> rows-only
-    "IVF-PQ approximate nearest neighbors (faiss IndexIVFPQ shape as "
-    "DataFrames): coarse KMeans lists pruned to 4 of 16 probes, "
-    "members scanned as 8-byte PQ codes (64x smaller than the raw "
-    "float64[64]) with the asymmetric-distance score computed as a "
-    "NATIVE aggregate/zip_with expression over a broadcast 128-double "
-    "lookup table, then the top-100 ADC candidates reranked with exact "
-    "cosine. Codebooks train on a bounded driver-side sample "
-    "(faiss-standard). Recall vs exact top-k asserted in tests.",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+    ), c AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id NOT IN (0, 1, 2, 3)
+    ), r AS (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+                                                   q.qe::DOUBLE[]) DESC,
+                            c.vec_id) AS rk
+        FROM q, c
+    )
+    SELECT CAST(query_id AS BIGINT)                           AS query_id,
+           CAST(max(CASE WHEN rk = 1 THEN vec_id END) AS BIGINT)
+               AS exact_top1_id,
+           TRUE AS top1_found, TRUE AS recall10_ge_04
+    FROM r GROUP BY query_id ORDER BY query_id
+    """,
+    "IVF-PQ ANN (faiss IndexIVFPQ shape), DRIVER-FALSIFIABLE (VERDICT "
+    "r3 item 3): the index builds ONCE (coarse KMeans lists + 8-byte "
+    "PQ codes for every vector — the real ingest-time lifecycle, "
+    "ivf_pq_build) and serves 4 probe queries, each ADC-scanning 6 of "
+    "16 lists natively then exact-cosine reranking the top-100. The "
+    "hashed output carries the oracle-computable exact top-1 id plus "
+    "recall booleans (top-1 found after rerank; recall@10 >= 0.4 — "
+    "measured 0.6-0.9 at n_probe=6, 2-hit margin). Quantization or "
+    "rerank bugs flip a boolean and break the driver hash.",
     tags=("similarity",),
 )
 def ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce as _reduce
+
+    QIDS = [0, 1, 2, 3]
     emb = t(spark, sf_dir, "embeddings")
-    corpus = emb.filter(F.col("vec_id") != 0)
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return S.ivf_pq_topk(corpus, qvec, k=10, n_clusters=16, n_probe=4)
+    corpus = emb.filter(~F.col("vec_id").isin(QIDS))
+    queries = emb.filter(F.col("vec_id").isin(QIDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.exact_topk_multi(corpus, queries, k=10, metric="cosine")
+    # build the index ONCE (codes materialized), probe per query
+    encoded, books, model = S.ivf_pq_build(corpus, n_clusters=16)
+    encoded = encoded.localCheckpoint(eager=True)
+    pq_parts = [
+        S.ivf_pq_probe(
+            encoded,
+            books,
+            model,
+            corpus,
+            [float(x) for x in row["embedding"]],
+            k=10,
+            n_probe=6,
+        ).select(F.lit(row["query_id"]).cast("bigint").alias("query_id"), "vec_id")
+        for row in queries.collect()
+    ]
+    ann = _reduce(lambda a, b: a.unionByName(b), pq_parts)
+    hits = exact.join(ann, ["query_id", "vec_id"], "left_semi").groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("hits"))
+    top1 = exact.filter(F.col("rk") == 1).select(
+        "query_id", F.col("vec_id").alias("exact_top1_id")
+    )
+    t1f = (
+        exact.filter(F.col("rk") == 1)
+        .join(ann, ["query_id", "vec_id"], "left_semi")
+        .select("query_id", F.lit(True).alias("t1"))
+    )
+    return (
+        top1.join(hits, "query_id")
+        .join(t1f, "query_id", "left")
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("exact_top1_id").cast("bigint").alias("exact_top1_id"),
+            F.coalesce(F.col("t1"), F.lit(False)).alias("top1_found"),
+            (F.col("hits") >= 4).alias("recall10_ge_04"),
+        )
+        .orderBy("query_id")
+    )
 
 
 @register(
@@ -1928,18 +2154,63 @@ def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_native_dedup",
-    None,  # xxhash64 seeds are Spark-specific -> rows-only check
-    "Banded MinHash LSH built from native expressions (xxhash64 "
-    "signature minima, band buckets, exact-Jaccard verification) — "
-    "2-4x faster than the MLlib VectorUDT path at sf0.1 and every "
-    "stage is a plain DataFrame op. Candidates scale with true "
-    "collisions; the S-curve is tuned via (n_hashes, bands).",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(ws) - 2, 1)),
+                   i -> array_to_string(ws[i:i+2], ' '))) AS sh3
+        FROM toks WHERE len(ws) > 0
+    ), e AS (
+        SELECT doc_id, unnest(sh3) AS s FROM sh
+    ), sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS nc
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT CAST(i.id_a AS BIGINT) AS id_a, CAST(i.id_b AS BIGINT) AS id_b,
+           CAST((i.nc * 1000000) // (sa.n + sb.n - i.nc) AS BIGINT)
+               AS jaccard_millionths
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE 3 * i.nc >= sa.n + sb.n  -- jaccard >= 0.5, exact ints
+    ORDER BY id_a, id_b
+    """,
+    "Banded MinHash LSH from native expressions (xxhash64 signature "
+    "minima, band buckets, exact-Jaccard verification), "
+    "DRIVER-FALSIFIABLE (VERDICT r3 item 3): the emitted pair set — "
+    "with similarity as an exact integer rational (|A∩B|·1e6 div "
+    "|A∪B|) — must EQUAL the exact shingle-Jaccard pair set at "
+    "J >= 0.5, which the oracle computes O(n²)-exactly. A banding "
+    "recall miss (P = (1-J²)^8 per pair; this caught round 4's "
+    "seed-capture bug where all 16 hash functions collapsed to one) "
+    "or a spurious pair each break the hash. 2-4x faster than the "
+    "MLlib VectorUDT path at sf0.1; candidates scale with true "
+    "collisions, never n².",
     tags=("dedup",),
 )
 def minhash_native_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.minhash_native_candidates(
+    counts = D.minhash_native_candidates(
         t(spark, sf_dir, "documents"), "text", "doc_id",
-        k_shingle=3, n_hashes=16, bands=8, jaccard_threshold=0.3,
+        k_shingle=3, n_hashes=16, bands=8, with_counts=True,
+    )
+    return (
+        counts.filter(3 * F.col("nc") >= F.col("n_a") + F.col("n_b"))
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            F.expr("(nc * 1000000) div (n_a + n_b - nc)")
+            .cast("bigint")
+            .alias("jaccard_millionths"),
+        )
+        .orderBy("id_a", "id_b")
     )
 
 
@@ -2897,20 +3168,68 @@ def null_semantics_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "neardup_clusters",
-    None,  # iterative label propagation -> rows-only (prompt-sanctioned)
-    "Near-dup CLUSTER resolution: native-MinHash pairs -> transitive "
-    "closure via iterative min-label propagation (join+groupBy per "
-    "iteration, converges in graph-diameter steps) -> (node, cluster) "
-    "labels. The step that turns pairwise similarity into an actual "
-    "keep/drop decision; planted-cluster tests verify the closure.",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(ws) - 2, 1)),
+                   i -> array_to_string(ws[i:i+2], ' '))) AS sh3
+        FROM toks WHERE len(ws) > 0
+    ), e AS (
+        SELECT doc_id, unnest(sh3) AS s FROM sh
+    ), sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS nc
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT i.id_a, i.id_b FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE 3 * i.nc >= sa.n + sb.n  -- jaccard >= 0.5, exact ints
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ), labels AS (
+        WITH RECURSIVE reach(a, b) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT r.a, e2.dst FROM reach r JOIN edges e2 ON e2.src = r.b
+        )
+        SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY 1
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(cluster AS BIGINT) AS cluster
+    FROM labels ORDER BY doc_id
+    """,
+    "Near-dup CLUSTER resolution, DRIVER-FALSIFIABLE (VERDICT r3 item "
+    "3): native-MinHash candidate pairs (J >= 0.5, exact integer "
+    "predicate) -> transitive closure via iterative min-label "
+    "propagation (join+groupBy per round, converges in graph-diameter "
+    "steps). The emitted (doc_id, cluster=min member id) labels must "
+    "EQUAL the recursive-CTE closure over the exact O(n²) pair set — "
+    "an LSH recall miss that changes any component, or a propagation "
+    "bug, breaks the driver hash. The step that turns pairwise "
+    "similarity into an actual keep/drop decision.",
     tags=("dedup", "iterative"),
 )
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = D.minhash_native_candidates(
+    counts = D.minhash_native_candidates(
         t(spark, sf_dir, "documents"), "text", "doc_id",
-        k_shingle=3, jaccard_threshold=0.3,
+        k_shingle=3, n_hashes=16, bands=8, with_counts=True,
     )
-    return D.connected_components(pairs)
+    pairs = counts.filter(3 * F.col("nc") >= F.col("n_a") + F.col("n_b")).select(
+        "id_a", "id_b"
+    )
+    labels = D.connected_components(pairs)
+    return labels.select(
+        F.col("node_id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster"),
+    ).orderBy("doc_id")
 
 
 # =====================================================================
@@ -15044,113 +15363,114 @@ def role_playing_date_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DRIVER_PRIORITY: list[str] = [
-    # round 3 slots. 1-30: queries with no driver correctness row in
-    # either prior round (r1 checked registration slots 1-50, r2 the
-    # rotated batch) — these close VERDICT r1 item 1 completely.
-    "union_by_name",
-    "stratified_sample_systematic",
-    "skew_join_salted",
-    "window_ignore_nulls",
-    "null_safe_join",
-    "pandas_scalar_udf_score",
-    "data_quality_gates",
-    "merge_upsert",
-    "prefix_jaccard_threshold_join",
-    "regression_aggregates",
-    "streaming_foreach_batch_upsert",
-    "variant_functions",
-    "xml_serialize_roundtrip",
-    "hll_distinct_sketch_merge",
-    "try_arithmetic_functions",
-    "distributed_row_number",
-    "streaming_static_join",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_supplier_part_counts",
-    "q20_excess_inventory_suppliers",
-    "context_packing",
-    "pii_redaction",
-    "repetition_stats",
-    "weighted_doc_sample",
-    "partitioned_pruned_scan",
-    "benchmark_decontamination",
-    "bm25_topk",
-    "group_aware_split",
-    # 31-37: ERR'd in r2 on the fixtures' move from ns-long to naive-us
-    # parquet timestamps (TIMESTAMP_NTZ scan); fixed via
-    # inferTimestampNTZ=false in the readers — re-certify.
-    "streaming_sliding_window",
-    "streaming_dedup",
-    "streaming_stream_stream_join",
-    "asof_join_events",
-    "funnel_analysis",
-    "time_bucket_gapfill",
-    "session_window_native",
-    # 38-41: r1-green rows made stale by the same fixture change
-    # (event-time queries verified against the old ns-long data);
-    # sessionization/range_join_events/streaming_tumbling_window keep
-    # their local oracle tests and ceded slots to the round-3 additions
-    # below (tumbling's batch twin tumbling_window_agg holds a green
-    # row; the streaming engine is re-certified by the four other
-    # streaming slots).
-    "winsorize_robust_scale",
-    "attribution_touchpoints",
-    "linear_interpolation_fill",
-    "mad_robust_stats",
-    "nfc_normalization",
-    "cohort_retention",
-    # (tumbling_window_agg's batch plan is the streaming twin's oracle
-    # twin — one driver row certifies both; the batch form keeps its
-    # local oracle test.)
-    "pagerank_nation_trade",
-    # 42-50: remaining unchecked queries. Round-4 rotation queue (no
-    # free slot this round): json/orc roundtrips (the sibling csv
-    # roundtrip is driver-green; all three share the
-    # write→read→compare logic), skipgram_cooccurrence,
-    # ewma_daily_value, rollup_cascade_daily, triangle_count_trade_graph,
-    # inverted_index_postings, event_transition_matrix, ivf_pq_ann_topk
-    # (rows-only), column_profile, dedup_keep_latest,
-    # contribution_analysis, ordered_list_agg_structs,
-    # lateral_topk_join, doc_quality_filter, skew_diagnosis,
-    # time_since_last_event, ab_test_conversion, pareto_customers,
-    # rolling_active_users, plus the late-round-3 additions: the
-    # credit-risk tier (ks_risk_separation, woe_iv_score_bands,
-    # psi_score_drift, gains_lift_bands, threshold_confusion_sweep,
-    # roc_auc_banded), the statistics tier (target_encoding,
-    # chi_square_independence, autocorrelation_daily_revenue,
-    # seasonality_dow_profile, mannwhitney_amount_by_status,
-    # benfords_law_digits, gini_concentration, welch_t_test,
-    # robust_center_aggregates, daily_revenue_var,
-    # weighted_median_exact, histogram_equi_depth,
-    # join_cardinality_estimate, entropy_kl_event_mix,
-    # rolling_trend_slope, rolling_median_28d), corpus governance
-    # (domain_mix_rebalance, dedup_rate_by_source,
-    # contamination_overlap_matrix, cusum_changepoint_daily,
-    # referential_integrity_audit), product analytics
-    # (max_concurrent_sessions, event_trigram_topk,
-    # seasonal_naive_backtest, growth_accounting_weekly, cohort_ltv,
-    # market_basket_lift), and scd2_asof_fact_join. Every deferred
-    # query is strict-local-verified by scripts/verify_exact.py (the
-    # Session-2 additions join the same round-4 rotation queue:
-    # survival_kaplan_meier, journey_pattern_match, funnel_within_window,
-    # collated_aggregation, shortest_path_trade_cost,
-    # fpgrowth_frequent_itemsets, prefixspan_sequential_patterns,
-    # bitmap_distinct_count, spatial_blocked_join, lm_bigram_surprisal,
-    # permutation_test_segment, k_anonymity_audit, decayed_leaderboard,
-    # seasonal_decomposition_daily, video_frame_sample_plan,
+    # Round-4 slots (VERDICT r3 "next round" item 1). 1-3: the three
+    # stale event-time rows — driver-greened in r1 against the old
+    # ns-long fixtures, never re-certified after the TIMESTAMP_NTZ
+    # reader fix (sessionization is BENCH_r02's crash site).
+    "sessionization",
+    "range_join_events",
+    "streaming_tumbling_window",
+    # 4-9: the ANN/LSH tier, newly DRIVER-FALSIFIABLE (VERDICT r3 item
+    # 3): exact-twin top-1 ids + recall-bound booleans (ANN) and
+    # exact-integer pair/cluster equality against O(n^2) oracles
+    # (dedup). These leave the no_oracle bucket this round.
+    "ann_lsh_topk",
+    "ivf_ann_topk",
+    "ivf_pq_ann_topk",
+    "minhash_native_dedup",
+    "minhash_lsh_dedup",
+    "neardup_clusters",
+    # 10: re-certify after the 6x-duplicated-aggregate fix (same hash,
+    # new 1-exchange plan — VERDICT r3 "what's wrong" item 1).
+    "correlation_matrix_exact",
+    # 11-12: remaining file-format connectors (csv twin is r2-green).
+    "json_source_roundtrip",
+    "orc_source_roundtrip",
+    # 13-18: credit-risk tier (ties to reference spark.py:71-73
+    # evaluator surface) — entirely driver-unchecked until now.
+    "roc_auc_banded",
+    "ks_risk_separation",
+    "woe_iv_score_bands",
+    "psi_score_drift",
+    "gains_lift_bands",
+    "threshold_confusion_sweep",
+    # 19-26: statistics tier.
+    "welch_t_test",
+    "target_encoding",
+    "chi_square_independence",
+    "autocorrelation_daily_revenue",
+    "seasonality_dow_profile",
+    "mannwhitney_amount_by_status",
+    "benfords_law_digits",
+    "gini_concentration",
+    # 27-31: corpus-governance tier.
+    "domain_mix_rebalance",
+    "dedup_rate_by_source",
+    "contamination_overlap_matrix",
+    "cusum_changepoint_daily",
+    "referential_integrity_audit",
+    # 32-37: product-analytics / sequence tier.
+    "max_concurrent_sessions",
+    "event_trigram_topk",
+    "seasonal_naive_backtest",
+    "growth_accounting_weekly",
+    "cohort_ltv",
+    "market_basket_lift",
+    # 38-42: exact-quantile / distribution tier.
+    "scd2_asof_fact_join",
+    "weighted_median_exact",
+    "histogram_equi_depth",
+    "entropy_kl_event_mix",
+    "rolling_median_28d",
+    # 43-50: highest-information remainder of the r3 queue.
+    "lateral_topk_join",
+    "inverted_index_postings",
+    "dedup_keep_latest",
+    "containment_detection",
+    "cluster_canonical_keeper",
+    "lm_bigram_surprisal",
+    "window_topk_with_ties",
+    "survival_kaplan_meier",
+    # Round-5 rotation queue (strict-local-verified, still without a
+    # driver row after this round): skipgram_cooccurrence,
+    # ewma_daily_value, rollup_cascade_daily, tranche_expand,
+    # triangle_count_trade_graph, event_transition_matrix,
+    # column_profile, contribution_analysis, ordered_list_agg_structs,
+    # doc_quality_filter, skew_diagnosis, time_since_last_event,
+    # ab_test_conversion, pareto_customers, rolling_active_users,
+    # rfm_segmentation, data_freshness_slo, power_analysis_ab,
+    # anomaly_zscore_days, basket_size_distribution,
+    # score_migration_matrix, skyline_price_size,
+    # cdf_transform_vs_reference, fulfillment_lag_distribution,
+    # duplicate_transaction_detection, survival analytics follow-ups
+    # (journey_pattern_match, funnel_within_window), collated_aggregation,
+    # shortest_path_trade_cost, fpgrowth_frequent_itemsets,
+    # prefixspan_sequential_patterns, bitmap_distinct_count,
+    # spatial_blocked_join, permutation_test_segment, k_anonymity_audit,
+    # decayed_leaderboard, seasonal_decomposition_daily,
     # span_corruption_plan, embedding_int8_quantization,
-    # streaming_incremental_backfill, window_topk_with_ties,
-    # pandas_grouped_agg_trimmed_mean, table_diff_summary,
-    # run_length_encoding, table_checksum, embedding_dimension_stats
-    # (als_recommendations / pca_embeddings are rows-only by design).
-    # zero-tolerance replica of the driver's hash compare) in BOTH
-    # tuned and --bare session layouts.
-    "udtf_price_tranches",
-    # round-3 new operators
-    "map_lambda_functions",
-    "listagg_group_concat",
-    "recursive_cte_hierarchy",
-    "histogram_width_bucket",
-    "vocab_prune_topk",
+    # streaming_incremental_backfill, pandas_grouped_agg_trimmed_mean,
+    # table_diff_summary, run_length_encoding, table_checksum,
+    # embedding_dimension_stats, timezone_local_day_agg,
+    # hll_rolling_wau, pivot_multi_agg, csv_corrupt_record_audit,
+    # balanced_shard_plan, negative_sampling_plan, hard_negative_mining,
+    # bpe_merge_training, bpe_tokenize_apply,
+    # streaming_append_mode_windows, parquet_schema_evolution,
+    # dynamic_partition_overwrite, functional_dependency_audit,
+    # argmax_aggregates, incremental_aggregate_maintenance,
+    # theil_sen_mann_kendall, logrank_test_segments,
+    # cuped_variance_reduction, hll_sketch_rollup_cube,
+    # three_way_reconciliation, graph_assortativity,
+    # distinctive_terms_by_source, fiscal_calendar_rollup,
+    # business_days_lag, graph_edge_churn, forecast_reconciliation,
+    # quantized_code_collisions, class_reweighting_plan,
+    # revenue_bridge_waterfall, stratified_kfold_assignment,
+    # supplier_concentration_hhi, interval_range_window,
+    # open_backlog_aging, vocab_growth_curve, traffic_heatmap_dow_hour,
+    # role_playing_date_rollup, streaming_checkpointed_file_sink,
+    # video_frame_sample_plan, lateral/window long tail. Rows-only by
+    # design (no oracle possible): als_recommendations, pca_embeddings,
+    # ml_learning_curve, simhash_dedup (engine-specific 64-bit
+    # signature IS the operator; no portable oracle), video frame stub.
 ]
+
