@@ -1,0 +1,208 @@
+"""Query registry — the engine's public operator surface.
+
+Every operator from SURVEY.md §2 (reference Tier A + charter Tier B) is
+exposed as a named query: a ``(spark, sf_dir) -> DataFrame`` callable
+plus, where SQL-expressible, an equivalent ANSI-SQL oracle string that
+DuckDB runs on the same parquet fixtures. The driver hash-compares the
+two at sf0.01 — this registry IS the correctness surface.
+
+Conventions (required for oracle hash-matching):
+- every computed column is aliased identically on both sides;
+- double aggregates are ``round()``-ed on both sides (float summation
+  order differs between engines);
+- sums of integer columns are cast to BIGINT in the oracle (DuckDB
+  promotes int sums to HUGEINT, Spark to LONG);
+- timestamps that cross the boundary are compared as epoch BIGINT.
+
+Scale notes are attached per query: the fixture runs at sf0.01/0.1 but
+each plan is written for the 100 TB shape (broadcast dims, partial
+aggs, no driver-side collection, pushdown-friendly predicates).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..sources.readers import read_parquet_table
+from ..operators import relational as R
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    description: str = ""
+    tags: tuple[str, ...] = field(default=())
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, description: str = "", tags: tuple[str, ...] = ()):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, description, tags)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, name)
+
+
+
+
+# =====================================================================
+# Driver-contract exports
+# =====================================================================
+
+
+def _ordered_names() -> list[str]:
+    """Registry names with the driver-priority slots first.
+
+    The driver verifies the FIRST 50 entries of ``queries()`` per
+    round; registration order alone left 38 of round 1's queries with
+    no driver correctness row (VERDICT r1 item 1). ``_DRIVER_PRIORITY``
+    (defined at the end of this module, after all registrations) pins
+    the 50 slots to maximize per-round category coverage; everything
+    else follows in registration order and rotates into future rounds.
+    """
+    priority = [n for n in _DRIVER_PRIORITY if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in set(priority)]
+    return priority + rest
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """``name -> (spark, sf_dir) -> DataFrame`` for every registered op."""
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
+
+
+def oracle_sql() -> dict[str, str]:
+    """DuckDB oracle SQL for every SQL-expressible registered op."""
+    return {
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
+    }
+
+
+
+
+_DRIVER_PRIORITY: list[str] = [
+    # Round-4 slots (VERDICT r3 "next round" item 1). 1-3: the three
+    # stale event-time rows — driver-greened in r1 against the old
+    # ns-long fixtures, never re-certified after the TIMESTAMP_NTZ
+    # reader fix (sessionization is BENCH_r02's crash site).
+    "sessionization",
+    "range_join_events",
+    "streaming_tumbling_window",
+    # 4-9: the ANN/LSH tier, newly DRIVER-FALSIFIABLE (VERDICT r3 item
+    # 3): exact-twin top-1 ids + recall-bound booleans (ANN) and
+    # exact-integer pair/cluster equality against O(n^2) oracles
+    # (dedup). These leave the no_oracle bucket this round.
+    "ann_lsh_topk",
+    "ivf_ann_topk",
+    "ivf_pq_ann_topk",
+    "minhash_native_dedup",
+    "minhash_lsh_dedup",
+    "neardup_clusters",
+    # 10: re-certify after the 6x-duplicated-aggregate fix (same hash,
+    # new 1-exchange plan — VERDICT r3 "what's wrong" item 1).
+    "correlation_matrix_exact",
+    # 11-12: remaining file-format connectors (csv twin is r2-green).
+    "json_source_roundtrip",
+    "orc_source_roundtrip",
+    # 13-18: credit-risk tier (ties to reference spark.py:71-73
+    # evaluator surface) — entirely driver-unchecked until now.
+    "roc_auc_banded",
+    "ks_risk_separation",
+    "woe_iv_score_bands",
+    "psi_score_drift",
+    "gains_lift_bands",
+    "threshold_confusion_sweep",
+    # 19-26: statistics tier.
+    "welch_t_test",
+    "target_encoding",
+    "chi_square_independence",
+    "autocorrelation_daily_revenue",
+    "seasonality_dow_profile",
+    "mannwhitney_amount_by_status",
+    "benfords_law_digits",
+    "gini_concentration",
+    # 27-31: corpus-governance tier.
+    "domain_mix_rebalance",
+    "dedup_rate_by_source",
+    "contamination_overlap_matrix",
+    "cusum_changepoint_daily",
+    "referential_integrity_audit",
+    # 32-37: product-analytics / sequence tier.
+    "max_concurrent_sessions",
+    "event_trigram_topk",
+    "seasonal_naive_backtest",
+    "growth_accounting_weekly",
+    "cohort_ltv",
+    "market_basket_lift",
+    # 38-42: exact-quantile / distribution tier.
+    "scd2_asof_fact_join",
+    "weighted_median_exact",
+    "histogram_equi_depth",
+    "entropy_kl_event_mix",
+    "rolling_median_28d",
+    # 43-50: highest-information remainder of the r3 queue.
+    "lateral_topk_join",
+    "inverted_index_postings",
+    "dedup_keep_latest",
+    "containment_detection",
+    "cluster_canonical_keeper",
+    "lm_bigram_surprisal",
+    "window_topk_with_ties",
+    "survival_kaplan_meier",
+    # Round-5 rotation queue (strict-local-verified, still without a
+    # driver row after this round): image_decode_stats (NEW in r4 —
+    # real BMP/PPM codecs; lead with it), skipgram_cooccurrence,
+    # ewma_daily_value, rollup_cascade_daily, tranche_expand,
+    # triangle_count_trade_graph, event_transition_matrix,
+    # column_profile, contribution_analysis, ordered_list_agg_structs,
+    # doc_quality_filter, skew_diagnosis, time_since_last_event,
+    # ab_test_conversion, pareto_customers, rolling_active_users,
+    # rfm_segmentation, data_freshness_slo, power_analysis_ab,
+    # anomaly_zscore_days, basket_size_distribution,
+    # score_migration_matrix, skyline_price_size,
+    # cdf_transform_vs_reference, fulfillment_lag_distribution,
+    # duplicate_transaction_detection, survival analytics follow-ups
+    # (journey_pattern_match, funnel_within_window), collated_aggregation,
+    # shortest_path_trade_cost, fpgrowth_frequent_itemsets,
+    # prefixspan_sequential_patterns, bitmap_distinct_count,
+    # spatial_blocked_join, permutation_test_segment, k_anonymity_audit,
+    # decayed_leaderboard, seasonal_decomposition_daily,
+    # span_corruption_plan, embedding_int8_quantization,
+    # streaming_incremental_backfill, pandas_grouped_agg_trimmed_mean,
+    # table_diff_summary, run_length_encoding, table_checksum,
+    # embedding_dimension_stats, timezone_local_day_agg,
+    # hll_rolling_wau, pivot_multi_agg, csv_corrupt_record_audit,
+    # balanced_shard_plan, negative_sampling_plan, hard_negative_mining,
+    # bpe_merge_training, bpe_tokenize_apply,
+    # streaming_append_mode_windows, parquet_schema_evolution,
+    # dynamic_partition_overwrite, functional_dependency_audit,
+    # argmax_aggregates, incremental_aggregate_maintenance,
+    # theil_sen_mann_kendall, logrank_test_segments,
+    # cuped_variance_reduction, hll_sketch_rollup_cube,
+    # three_way_reconciliation, graph_assortativity,
+    # distinctive_terms_by_source, fiscal_calendar_rollup,
+    # business_days_lag, graph_edge_churn, forecast_reconciliation,
+    # quantized_code_collisions, class_reweighting_plan,
+    # revenue_bridge_waterfall, stratified_kfold_assignment,
+    # supplier_concentration_hhi, interval_range_window,
+    # open_backlog_aging, vocab_growth_curve, traffic_heatmap_dow_hour,
+    # role_playing_date_rollup, streaming_checkpointed_file_sink,
+    # video_frame_sample_plan, lateral/window long tail. Rows-only by
+    # design (no oracle possible): als_recommendations, pca_embeddings,
+    # ml_learning_curve, simhash_dedup (engine-specific 64-bit
+    # signature IS the operator; no portable oracle), video frame stub.
+]

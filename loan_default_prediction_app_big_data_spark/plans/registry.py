@@ -21,15456 +21,28 @@ aggs, no driver-side collection, pushdown-friendly predicates).
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from dataclasses import dataclass, field
-
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql import Window as W
-
-from ..sources.readers import read_parquet_table
-from ..operators import relational as R
-
-
-@dataclass
-class QuerySpec:
-    name: str
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
-    description: str = ""
-    tags: tuple[str, ...] = field(default=())
-
-
-REGISTRY: dict[str, QuerySpec] = {}
-
-
-def register(name: str, oracle: str | None, description: str = "", tags: tuple[str, ...] = ()):
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QuerySpec(name, fn, oracle, description, tags)
-        return fn
-
-    return deco
-
-
-def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return read_parquet_table(spark, sf_dir, name)
-
-
-# =====================================================================
-# Relational core — aggregations (SURVEY.md §2.B "Aggregations")
-# =====================================================================
-
-
-@register(
-    "q1_pricing_summary",
-    """
-    SELECT l_returnflag, l_linestatus,
-           CAST(sum(l_quantity) AS DOUBLE)                             AS sum_qty,
-           round(sum(l_extendedprice), 2)                              AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4)           AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-           round(avg(l_quantity), 4)                                   AS avg_qty,
-           round(avg(l_extendedprice), 4)                              AS avg_price,
-           round(avg(l_discount), 4)                                   AS avg_disc,
-           count(*)                                                    AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-    "TPC-H Q1 shape: scan-side filter + hash aggregate with partial "
-    "(map-side) combine. At 100 TB: one shuffle keyed on 6 tiny groups — "
-    "partial aggregation reduces each of thousands of input partitions "
-    "to 6 rows before the exchange.",
-    tags=("agg",),
-)
-def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum("l_quantity").cast("double").alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
-
-
-@register(
-    "group_distinct_agg",
-    """
-    SELECT o_orderstatus,
-           count(DISTINCT o_custkey)           AS n_customers,
-           count(*)                            AS n_orders,
-           round(avg(o_totalprice), 4)         AS avg_price,
-           round(max(o_totalprice), 2)         AS max_price,
-           round(min(o_totalprice), 2)         AS min_price
-    FROM orders
-    GROUP BY o_orderstatus
-    """,
-    "Distinct aggregate: Spark plans expand+two-phase agg; distinct on "
-    "the shuffle key side stays scalable (no driver materialization).",
-    tags=("agg",),
-)
-def group_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        t(spark, sf_dir, "orders")
-        .groupBy("o_orderstatus")
-        .agg(
-            F.countDistinct("o_custkey").alias("n_customers"),
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
-            F.round(F.max("o_totalprice"), 2).alias("max_price"),
-            F.round(F.min("o_totalprice"), 2).alias("min_price"),
-        )
-    )
-
-
-@register(
-    "rollup_agg",
-    """
-    SELECT l_returnflag, l_linestatus,
-           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
-           count(*)                        AS n
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-    "ROLLUP grouping sets — Spark's Expand operator feeds one hash agg; "
-    "subtotal rows have NULL group keys on both engines.",
-    tags=("agg",),
-)
-def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        t(spark, sf_dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum("l_quantity").cast("double").alias("sum_qty"),
-            F.count(F.lit(1)).alias("n"),
-        )
-    )
-
-
-@register(
-    "cube_agg",
-    """
-    SELECT l_returnflag, l_linestatus,
-           grouping(l_returnflag)  AS g_flag,
-           grouping(l_linestatus)  AS g_status,
-           round(sum(l_extendedprice), 2) AS sum_price
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-    "CUBE with per-column grouping flags (disambiguates NULL-as-subtotal "
-    "from NULL-as-value).",
-    tags=("agg",),
-)
-def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        t(spark, sf_dir, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.grouping("l_returnflag").cast("long").alias("g_flag"),
-            F.grouping("l_linestatus").cast("long").alias("g_status"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        )
-        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_price")
-    )
-
-
-@register(
-    "pivot_agg",
-    """
-    SELECT l_returnflag,
-           CAST(sum(l_quantity) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_O,
-           CAST(sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_F
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-    "Pivot with an explicit value list — one pass, no extra shuffle "
-    "(never use the two-pass value-discovery form at scale).",
-    tags=("agg",),
-)
-def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = (
-        t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum("l_quantity").cast("double"))
-    )
-    return out.select(
-        "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
-    )
-
-
-# =====================================================================
-# Joins (SURVEY.md §2.B "Joins") — absent from the reference, required
-# by the harness; full Spark join surface.
-# =====================================================================
-
-
-@register(
-    "q3_shipping_priority",
-    """
-    SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
-           CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch,
-           o_orderpriority
-    FROM customer
-    JOIN orders   ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '1998-03-15'
-      AND l_shipdate  > TIMESTAMP '1998-03-15'
-    GROUP BY l_orderkey, o_orderdate, o_orderpriority
-    ORDER BY revenue DESC, l_orderkey
-    LIMIT 10
-    """,
-    "TPC-H Q3 shape: selective dim filter → broadcast customer into "
-    "orders, shuffle-join lineitem on orderkey, agg, top-10 via "
-    "TakeOrderedAndProject (no global sort).",
-    tags=("join",),
-)
-def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
-    )
-    li = t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
-    )
-    joined = li.join(
-        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
-        li.l_orderkey == F.col("o_orderkey"),
-    )
-    return (
-        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
-        )
-        .select(
-            "l_orderkey",
-            "revenue",
-            F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
-            "o_orderpriority",
-        )
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
-        .limit(10)
-    )
-
-
-@register(
-    "q5_region_revenue",
-    """
-    SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
-    FROM lineitem
-    JOIN orders   ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-    JOIN nation   ON s_nationkey = n_nationkey
-    JOIN region   ON n_regionkey = r_regionkey
-    WHERE r_name = 'ASIA'
-    GROUP BY n_name
-    """,
-    "TPC-H Q5 shape: star join — every dimension (customer, supplier, "
-    "nation, region) broadcast; the only shuffle is lineitem⋈orders on "
-    "orderkey plus the final small agg. At 100 TB this is the canonical "
-    "broadcast-star plan.",
-    tags=("join",),
-)
-def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    orders = t(spark, sf_dir, "orders")
-    cust = t(spark, sf_dir, "customer")
-    supp = t(spark, sf_dir, "supplier")
-    nation = t(spark, sf_dir, "nation")
-    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .join(
-            F.broadcast(supp),
-            (li.l_suppkey == supp.s_suppkey)
-            & (cust.c_nationkey == supp.s_nationkey),
-        )
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
-        )
-    )
-
-
-@register(
-    "semi_anti_join",
-    """
-    SELECT 'has_open_order' AS kind, c_custkey FROM customer
-    WHERE EXISTS (SELECT 1 FROM orders
-                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
-    UNION ALL
-    SELECT 'no_order' AS kind, c_custkey FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    """,
-    "Left-semi (EXISTS) and left-anti (NOT EXISTS) joins. Both avoid row "
-    "duplication and carry only the probe side's columns — at scale the "
-    "semi/anti build side reduces to a distinct-key set.",
-    tags=("join",),
-)
-def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
-    open_orders = orders.filter(F.col("o_orderstatus") == "O")
-    has_open = (
-        cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi")
-        .select(F.lit("has_open_order").alias("kind"), "c_custkey")
-    )
-    no_order = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .select(F.lit("no_order").alias("kind"), "c_custkey")
-    )
-    return has_open.unionByName(no_order)
-
-
-@register(
-    "outer_join_coalesce",
-    """
-    SELECT c_custkey,
-           count(o_orderkey)                            AS n_orders,
-           round(coalesce(sum(o_totalprice), 0.0), 2)   AS total_spend
-    FROM customer
-    LEFT JOIN orders ON c_custkey = o_custkey
-    GROUP BY c_custkey
-    """,
-    "Left outer join + null-aware aggregate (count skips nulls, sum "
-    "coalesced). Customer side broadcast when small; at 100 TB flip to "
-    "shuffle join keyed on custkey and AQE handles skewed customers.",
-    tags=("join",),
-)
-def outer_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
-                "total_spend"
-            ),
-        )
-    )
-
-
-@register(
-    "range_join_events",
-    """
-    SELECT e1.user_id,
-           count(*) AS n_followups
-    FROM events e1
-    JOIN events e2
-      ON e1.user_id = e2.user_id
-     AND epoch_us(e2.ts) > epoch_us(e1.ts)
-     AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 300000000
-    WHERE e1.event_type = 'click'
-    GROUP BY e1.user_id
-    """,
-    "Range (theta) join: equi part on user_id carries the shuffle; the "
-    "time-band predicate is evaluated post-join. At 100 TB, bucket ts "
-    "into 5-minute buckets and equi-join on (user_id, bucket±1) to keep "
-    "the per-key cross product bounded.",
-    tags=("join",),
-)
-def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    e1 = ev.filter(F.col("event_type") == "click").alias("e1")
-    e2 = ev.alias("e2")
-    return (
-        e1.join(
-            e2,
-            (F.col("e1.user_id") == F.col("e2.user_id"))
-            & (F.col("e2.ts") > F.col("e1.ts"))
-            & (
-                F.col("e2.ts")
-                <= F.col("e1.ts") + F.expr("INTERVAL 5 MINUTES")
-            ),
-        )
-        .groupBy(F.col("e1.user_id").alias("user_id"))
-        .agg(F.count(F.lit(1)).alias("n_followups"))
-    )
-
-
-# =====================================================================
-# Set operations (SURVEY.md §2.B "Set ops")
-# =====================================================================
-
-
-@register(
-    "set_ops",
-    """
-    WITH open_cust AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'),
-         done_cust AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
-    SELECT 'both' AS kind, custkey FROM (SELECT custkey FROM open_cust INTERSECT SELECT custkey FROM done_cust)
-    UNION ALL
-    SELECT 'open_only' AS kind, custkey FROM (SELECT custkey FROM open_cust EXCEPT SELECT custkey FROM done_cust)
-    UNION ALL
-    SELECT 'either' AS kind, custkey FROM (SELECT custkey FROM open_cust UNION SELECT custkey FROM done_cust)
-    """,
-    "UNION / INTERSECT / EXCEPT over distinct key sets — Spark plans "
-    "these as aggregates/semi-joins on the shuffle key.",
-    tags=("setop",),
-)
-def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = t(spark, sf_dir, "orders")
-    open_c = (
-        orders.filter(F.col("o_orderstatus") == "O")
-        .select(F.col("o_custkey").alias("custkey"))
-        .distinct()
-    )
-    done_c = (
-        orders.filter(F.col("o_orderstatus") == "F")
-        .select(F.col("o_custkey").alias("custkey"))
-        .distinct()
-    )
-    both = open_c.intersect(done_c).select(F.lit("both").alias("kind"), "custkey")
-    open_only = open_c.exceptAll(done_c).select(
-        F.lit("open_only").alias("kind"), "custkey"
-    )
-    either = open_c.union(done_c).distinct().select(
-        F.lit("either").alias("kind"), "custkey"
-    )
-    return both.unionByName(open_only).unionByName(either)
-
-
-# =====================================================================
-# Row-level ops: projection / filter / clamp / sample / top-k
-# (SURVEY.md §2 A6, A7, A18, A22-A24)
-# =====================================================================
-
-
-@register(
-    "project_filter_clamp",
-    """
-    SELECT l_orderkey, l_linenumber,
-           l_quantity,
-           CASE WHEN l_discount > 0 THEN l_discount ELSE 0.1 END AS discount_clamped,
-           round(l_extendedprice * (1 - l_discount), 4)          AS net_price
-    FROM lineitem
-    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
-      AND l_quantity > 45
-    """,
-    "A7 projection + A23 null-drop + A24 conditional clamp (reference "
-    "app.py:217-220), all native expressions — filter and pruning push "
-    "into the parquet scan (visible as PushedFilters in explain).",
-    tags=("relational",),
-)
-def project_filter_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    out = R.null_drop(li, ["l_quantity", "l_extendedprice"]).filter(
-        F.col("l_quantity") > 45
-    )
-    return out.select(
-        "l_orderkey",
-        "l_linenumber",
-        "l_quantity",
-        R.clamp_positive(F.col("l_discount")).alias("discount_clamped"),
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
-            "net_price"
-        ),
-    )
-
-
-@register(
-    "topk_orders",
-    """
-    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderpriority
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 10
-    """,
-    "Top-k: Spark plans TakeOrderedAndProject — per-partition heap of k "
-    "then a k*partitions driver merge, never a global sort.",
-    tags=("relational",),
-)
-def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = t(spark, sf_dir, "orders")
-    out = R.top_k(orders, [F.desc("o_totalprice"), F.asc("o_orderkey")], 10)
-    return out.select(
-        "o_orderkey",
-        F.round("o_totalprice", 2).alias("o_totalprice"),
-        "o_orderpriority",
-    )
-
-
-@register(
-    "deterministic_sample",
-    """
-    SELECT o_orderkey, o_custkey, o_orderstatus
-    FROM orders
-    WHERE o_orderkey % 97 = 0
-    """,
-    "Engine-portable deterministic sample (A22 analog): key-modulus "
-    "bucket filter — stable under repartitioning, unlike seeded "
-    "Bernoulli sampling, and pushes to the scan.",
-    tags=("relational",),
-)
-def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = t(spark, sf_dir, "orders")
-    return R.deterministic_sample(orders, F.col("o_orderkey"), 97, 1).select(
-        "o_orderkey", "o_custkey", "o_orderstatus"
-    )
-
-
-@register(
-    "count_rows",
-    "SELECT count(*) AS n_rows FROM lineitem",
-    "A21 count — parquet row-group metadata makes this near-free.",
-    tags=("relational",),
-)
-def count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
-
-
-# =====================================================================
-# Window functions (SURVEY.md §2.B "Window functions")
-# =====================================================================
-
-
-@register(
-    "window_topk_per_group",
-    """
-    WITH per_part AS (
-        SELECT l_suppkey, l_partkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
-        FROM lineitem
-        GROUP BY l_suppkey, l_partkey
-    )
-    SELECT l_suppkey, l_partkey, revenue, rk FROM (
-        SELECT *, row_number() OVER (
-                   PARTITION BY l_suppkey
-                   ORDER BY revenue DESC, l_partkey) AS rk
-        FROM per_part
-    ) WHERE rk <= 3
-    """,
-    "Top-k per group: pre-aggregate to unique (suppkey, partkey) rows "
-    "(deterministic tie-break), then row_number window. At 100 TB the "
-    "pre-agg shuffle doubles as the window's partitioning — one "
-    "exchange, reused.",
-    tags=("window",),
-)
-def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    per_part = li.groupBy("l_suppkey", "l_partkey").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-        ).alias("revenue")
-    )
-    w = W.partitionBy("l_suppkey").orderBy(F.desc("revenue"), F.asc("l_partkey"))
-    return (
-        per_part.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("l_suppkey", "l_partkey", "revenue", "rk")
-    )
-
-
-@register(
-    "window_running_sum",
-    """
-    SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (
-               PARTITION BY o_custkey
-               ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
-           row_number() OVER (
-               PARTITION BY o_custkey
-               ORDER BY o_orderdate, o_orderkey) AS order_seq
-    FROM orders
-    """,
-    "Running aggregate over a rows frame with a unique-order tie-break "
-    "(orderdate, orderkey) so the cumulative float sum is order-stable "
-    "across engines.",
-    tags=("window",),
-)
-def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = t(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(
-            F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2
-        ).alias("running_spend"),
-        F.row_number().over(w).alias("order_seq"),
-    )
-
-
-@register(
-    "window_lag_lead",
-    """
-    SELECT user_id, event_id,
-           lag(event_type)  OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type,
-           lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type,
-           round(value - lag(value) OVER (
-               PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 4) AS value_delta
-    FROM events
-    """,
-    "Analytic lag/lead over event time with a unique tie-break "
-    "(ts, event_id). One shuffle on user_id; sort within partitions.",
-    tags=("window",),
-)
-def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.lag("event_type").over(w).alias("prev_type"),
-        F.lead("event_type").over(w).alias("next_type"),
-        F.round(F.col("value") - F.lag("value").over(w), 4).alias("value_delta"),
-    )
-
-
-@register(
-    "window_ntile_rank",
-    """
-    SELECT c_custkey,
-           ntile(4)     OVER (ORDER BY c_acctbal DESC, c_custkey) AS balance_quartile,
-           rank()       OVER (ORDER BY c_nationkey)               AS nation_rank,
-           dense_rank() OVER (ORDER BY c_nationkey)               AS nation_dense_rank
-    FROM customer
-    """,
-    "Ranking family (ntile/rank/dense_rank) over a global order — a "
-    "single-partition window; at 100 TB restrict global windows to "
-    "pre-aggregated or dimension-sized inputs (customer here).",
-    tags=("window",),
-)
-def window_ntile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = t(spark, sf_dir, "customer")
-    w_bal = W.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    w_nat = W.orderBy("c_nationkey")
-    return cust.select(
-        "c_custkey",
-        F.ntile(4).over(w_bal).alias("balance_quartile"),
-        F.rank().over(w_nat).alias("nation_rank"),
-        F.dense_rank().over(w_nat).alias("nation_dense_rank"),
-    )
-
-
-# =====================================================================
-# ML-preprocessing SQL twins (SURVEY.md §2 A8, A10, A11) — the
-# oracle-checkable forms of mean-impute and standardize; the MLlib
-# pipeline itself lives in ml/ and is golden-tested.
-# =====================================================================
-
-
-@register(
-    "impute_mean_twin",
-    """
-    WITH stats AS (SELECT avg(value) AS mean_value FROM events)
-    SELECT event_id,
-           round(coalesce(value, mean_value), 4) AS value_imputed
-    FROM events, stats
-    """,
-    "A8 mean imputation as SQL: full-table avg + per-row coalesce "
-    "(exactly what ml.feature.Imputer(strategy='mean') computes). The "
-    "aggregate is a scalar broadcast — no per-row shuffle.",
-    tags=("ml-twin",),
-)
-def impute_mean_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    stats = ev.agg(F.avg("value").alias("mean_value"))
-    return ev.crossJoin(F.broadcast(stats)).select(
-        "event_id",
-        F.round(F.coalesce(F.col("value"), F.col("mean_value")), 4).alias(
-            "value_imputed"
-        ),
-    )
-
-
-@register(
-    "standardize_twin",
-    """
-    WITH stats AS (
-        SELECT avg(l_extendedprice) AS mu, stddev_samp(l_extendedprice) AS sigma
-        FROM lineitem
-    )
-    SELECT l_orderkey, l_linenumber,
-           floor(l_extendedprice / sigma * 10000.0 + 0.5) / 10000.0        AS scaled,
-           floor((l_extendedprice - mu) / sigma * 10000.0 + 0.5) / 10000.0 AS standardized
-    FROM lineitem, stats
-    """,
-    "A10/A11 standardization twins: `scaled` = Spark StandardScaler "
-    "default (withStd only, reference spark.py:49); `standardized` = "
-    "sklearn semantics (center AND scale, reference app.py:76-78). "
-    "Scalar stats broadcast; the per-row transform is map-side only. "
-    "Rounding is the grid-stable floor(x*1e4+0.5)/1e4 on BOTH engines: "
-    "Spark round() is decimal-string HALF_UP while DuckDB rounds binary "
-    "doubles, so the same expression in identical IEEE ops is the only "
-    "form that hashes equal (VERDICT r1 item 2).",
-    tags=("ml-twin",),
-)
-def standardize_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    stats = li.agg(
-        F.avg("l_extendedprice").alias("mu"),
-        F.stddev_samp("l_extendedprice").alias("sigma"),
-    )
-    def grid_round4(c):
-        # floor(x*1e4 + 0.5)/1e4 — same IEEE ops as the oracle SQL, so
-        # both engines land on the same binary double (round() would
-        # diverge: Spark HALF_UP on decimal strings, DuckDB on binary).
-        return (F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).cast("double")
-
-    return li.crossJoin(F.broadcast(stats)).select(
-        "l_orderkey",
-        "l_linenumber",
-        grid_round4(F.col("l_extendedprice") / F.col("sigma")).alias("scaled"),
-        grid_round4(
-            (F.col("l_extendedprice") - F.col("mu")) / F.col("sigma")
-        ).alias("standardized"),
-    )
-
-
-# =====================================================================
-# Scalar functions (SURVEY.md §2.B "Scalar functions") — string / date /
-# math / JSON over events.
-# =====================================================================
-
-
-@register(
-    "scalar_functions",
-    """
-    SELECT event_id,
-           upper(event_type)                         AS type_upper,
-           substr(event_type, 1, 3)                  AS type_prefix,
-           length(event_type)                        AS type_len,
-           concat(event_type, ':', CAST(user_id AS VARCHAR)) AS type_user,
-           CAST(year(ts) AS BIGINT)                  AS y,
-           CAST(month(ts) AS BIGINT)                 AS m,
-           CAST(day(ts) AS BIGINT)                   AS d,
-           CAST(hour(ts) AS BIGINT)                  AS h,
-           round(abs(value - 50), 4)                 AS abs_dev,
-           round(sqrt(abs(value)), 4)                AS sqrt_val,
-           round(ln(abs(value) + 1), 4)              AS log_val,
-           round(power(value, 2), 4)                 AS sq_val,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
-    FROM events
-    """,
-    "Scalar-function surface: string (upper/substr/length/concat), "
-    "datetime (year/month/day/hour on UTC timestamps), math "
-    "(abs/sqrt/ln/power/round), JSON extraction from a string column. "
-    "All JVM-side whole-stage-codegen expressions — zero Python.",
-    tags=("scalar",),
-)
-def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        F.upper("event_type").alias("type_upper"),
-        F.substring("event_type", 1, 3).alias("type_prefix"),
-        F.length("event_type").cast("long").alias("type_len"),
-        F.concat_ws(":", F.col("event_type"), F.col("user_id").cast("string")).alias(
-            "type_user"
-        ),
-        F.year("ts").cast("long").alias("y"),
-        F.month("ts").cast("long").alias("m"),
-        F.dayofmonth("ts").cast("long").alias("d"),
-        F.hour("ts").cast("long").alias("h"),
-        F.round(F.abs(F.col("value") - 50), 4).alias("abs_dev"),
-        F.round(F.sqrt(F.abs("value")), 4).alias("sqrt_val"),
-        F.round(F.log(F.abs(F.col("value")) + 1), 4).alias("log_val"),
-        F.round(F.pow("value", 2), 4).alias("sq_val"),
-        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
-    )
-
-
-@register(
-    "case_when_bucketing",
-    """
-    SELECT CASE WHEN o_totalprice < 50000  THEN 'small'
-                WHEN o_totalprice < 200000 THEN 'medium'
-                ELSE 'large' END AS price_band,
-           o_orderstatus,
-           count(*) AS n,
-           round(avg(o_totalprice), 4) AS avg_price
-    FROM orders
-    GROUP BY 1, 2
-    """,
-    "Multi-branch CASE WHEN (the generalization of the reference's A18 "
-    "conjunctive override and A24 clamp) feeding an aggregate.",
-    tags=("scalar",),
-)
-def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = t(spark, sf_dir, "orders")
-    band = (
-        F.when(F.col("o_totalprice") < 50000, "small")
-        .when(F.col("o_totalprice") < 200000, "medium")
-        .otherwise("large")
-    )
-    return (
-        orders.groupBy(band.alias("price_band"), F.col("o_orderstatus"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
-        )
-    )
-
-
-# =====================================================================
-# Sessionization (event-time gap sessions — window composition)
-# =====================================================================
-
-
-@register(
-    "sessionization",
-    """
-    WITH flagged AS (
-        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
-                        PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-                        > 1800000000
-                         OR lag(epoch_us(ts)) OVER (
-                        PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
-                    THEN 1 ELSE 0 END AS new_session
-        FROM events
-    ),
-    sessions AS (
-        SELECT user_id, event_id, ts_us,
-               sum(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts_us, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-        FROM flagged
-    )
-    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
-           count(*) AS n_events,
-           (max(ts_us) - min(ts_us)) // 1000000 AS duration_s
-    FROM sessions
-    GROUP BY user_id, session_seq
-    """,
-    "Gap-based sessionization (30-min inactivity): lag + cumulative-sum "
-    "windows then per-session agg. One shuffle on user_id reused by "
-    "both windows and the final agg — Catalyst collapses the exchanges.",
-    tags=("window", "events"),
-)
-def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
-    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
-    prev_us = F.lag("ts_us").over(w)
-    new_session = F.when(
-        prev_us.isNull() | (F.col("ts_us") - prev_us > 1_800_000_000), 1
-    ).otherwise(0)
-    sessions = ev.withColumn("new_session", new_session).withColumn(
-        "session_seq",
-        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
-    )
-    return (
-        sessions.groupBy("user_id", F.col("session_seq").cast("long").alias("session_seq"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.floor((F.max("ts_us") - F.min("ts_us")) / 1_000_000).alias("duration_s"),
-        )
-    )
-
-
-# =====================================================================
-# Time-window aggregation (batch twin of the streaming query)
-# =====================================================================
-
-TUMBLING_ORACLE = """
-    SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start,
-           event_type,
-           count(*)              AS n_events,
-           round(sum(value), 4)  AS total_value
-    FROM events
-    GROUP BY 1, 2
-"""
-
-
-@register(
-    "tumbling_window_agg",
-    TUMBLING_ORACLE,
-    "Tumbling 1-hour event-time windows (batch form). The streaming "
-    "variant (streaming_tumbling_window) runs the same plan via "
-    "readStream and must produce identical results.",
-    tags=("events", "window"),
-)
-def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
-        )
-        .select(
-            F.unix_timestamp(F.col("w.start")).alias("window_start"),
-            "event_type",
-            "n_events",
-            "total_value",
-        )
-    )
-
-
-# =====================================================================
-# Driver-contract exports
-# =====================================================================
-
-
-def _ordered_names() -> list[str]:
-    """Registry names with the driver-priority slots first.
-
-    The driver verifies the FIRST 50 entries of ``queries()`` per
-    round; registration order alone left 38 of round 1's queries with
-    no driver correctness row (VERDICT r1 item 1). ``_DRIVER_PRIORITY``
-    (defined at the end of this module, after all registrations) pins
-    the 50 slots to maximize per-round category coverage; everything
-    else follows in registration order and rotates into future rounds.
-    """
-    priority = [n for n in _DRIVER_PRIORITY if n in REGISTRY]
-    rest = [n for n in REGISTRY if n not in set(priority)]
-    return priority + rest
-
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """``name -> (spark, sf_dir) -> DataFrame`` for every registered op."""
-    return {name: REGISTRY[name].fn for name in _ordered_names()}
-
-
-def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL for every SQL-expressible registered op."""
-    return {
-        name: REGISTRY[name].oracle
-        for name in _ordered_names()
-        if REGISTRY[name].oracle is not None
-    }
-
-
-# =====================================================================
-# Extension tier (charter BASELINE.json:6): dedup / text analysis /
-# similarity search / multimodal / streaming.
-# =====================================================================
-
-from ..operators import dedup as D  # noqa: E402
-from ..operators import multimodal as M  # noqa: E402
-from ..operators import similarity as S  # noqa: E402
-from ..operators import text as X  # noqa: E402
-
-
-@register(
-    "exact_dedup_docs",
-    """
-    SELECT sha256(text)         AS content_sha,
-           min(doc_id)          AS keep_id,
-           count(*)             AS n_copies
-    FROM documents
-    GROUP BY sha256(text)
-    """,
-    "Exact content dedup: groupBy sha256(content) keeping min id — the "
-    "shuffle moves 32-byte hashes, not documents. Idempotent (output "
-    "row count == distinct contents).",
-    tags=("dedup",),
-)
-def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.content_hash_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
-
-
-@register(
-    "text_stats",
-    """
-    SELECT doc_id,
-           len(list_filter(string_split(text, ' '), x -> x <> ''))  AS n_tokens,
-           strlen(text)                                             AS n_chars_measured,
-           round(list_sum(list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
-                                         x -> strlen(x)))
-                 / greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1), 6)
-                                                                    AS avg_token_len,
-           round(len(list_filter(string_split(text, ' '),
-                     x -> list_contains(['the','a','of','and','to','in','is','that','for','it'], lower(x))))
-                 / CAST(greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1) AS DOUBLE), 6)
-                                                                    AS stopword_ratio
-    FROM documents
-    """,
-    "Per-document quality stats (token count, byte length, avg token "
-    "length, function-word ratio) — all native array expressions, "
-    "map-side only, no shuffle at any scale.",
-    tags=("text",),
-)
-def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    toks = X.tokens("text")
-    return docs.select(
-        "doc_id",
-        X.token_count("text").alias("n_tokens"),
-        F.length("text").cast("long").alias("n_chars_measured"),
-        F.round(
-            F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
-            / F.greatest(F.size(toks), F.lit(1)),
-            6,
-        ).alias("avg_token_len"),
-        F.round(X.stopword_ratio("text"), 6).alias("stopword_ratio"),
-    )
-
-
-@register(
-    "lang_id_heuristic",
-    """
-    SELECT doc_id, lang AS labeled_lang,
-           CASE WHEN len(list_filter(string_split(text, ' '),
-                         x -> list_contains(['the','a','of','and','to','in','is','that','for','it'], lower(x))))
-                     / CAST(greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1) AS DOUBLE)
-                     >= 0.05
-                THEN 'en' ELSE 'unknown' END AS predicted_lang
-    FROM documents
-    """,
-    "Function-word language-ID heuristic (n-gram family): classify 'en' "
-    "when the English stopword ratio clears 5%. Broadcast word set, "
-    "map-side evaluation.",
-    tags=("text",),
-)
-def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        X.lang_id("text").alias("predicted_lang"),
-    )
-
-
-@register(
-    "regex_token_count",
-    """
-    SELECT doc_id,
-           len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_regex_tokens
-    FROM documents
-    """,
-    "BPE-ish token counting: maximal alnum runs via regexp — the "
-    "whitespace-agnostic token-count estimator for budget accounting.",
-    tags=("text",),
-)
-def regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return t(spark, sf_dir, "documents").select(
-        "doc_id", X.regex_token_count("text").alias("n_regex_tokens")
-    )
-
-
-@register(
-    "doc_fingerprint",
-    """
-    WITH toks AS (
-        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk, text
-        FROM documents
-    )
-    SELECT doc_id,
-           substr(sha256(text), 1, 16) AS content_fp,
-           CASE WHEN len(tk) > 0 THEN list_min(list_transform(
-               generate_series(1, greatest(len(tk) - 4, 1)),
-               i -> substr(sha256(array_to_string(tk[i:i+4], ' ')), 1, 16)
-           )) END AS min_shingle_fp
-    FROM toks
-    """,
-    "Document fingerprinting: whole-content sha256 prefix + rolling "
-    "min-shingle fingerprint (1-permutation MinHash over word "
-    "5-shingles, sha256-based so it is engine-portable).",
-    tags=("text", "dedup"),
-)
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        X.content_fingerprint("text").alias("content_fp"),
-        X.min_shingle_fingerprint("text", 5).alias("min_shingle_fp"),
-    )
-
-
-@register(
-    "ngram_jaccard_pairs",
-    """
-    WITH sh AS (
-        SELECT doc_id, source,
-               CASE WHEN len(list_filter(string_split(text,' '), x -> x <> '')) > 0
-                    THEN list_distinct(list_transform(
-                   generate_series(1, greatest(len(list_filter(string_split(text,' '), x -> x <> '')) - 2, 1)),
-                   i -> array_to_string((list_filter(string_split(text,' '), x -> x <> ''))[i:i+2], ' ')
-               )) ELSE [] END AS sh3
-        FROM documents
-        WHERE len(list_filter(string_split(text,' '), x -> x <> '')) > 0
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(CAST(len(list_intersect(a.sh3, b.sh3)) AS DOUBLE)
-                 / greatest(len(list_distinct(a.sh3 || b.sh3)), 1), 6) AS jaccard
-    FROM sh a JOIN sh b
-      ON a.source = b.source AND a.doc_id < b.doc_id
-    """,
-    "Exact n-gram (3-shingle) Jaccard similarity for all same-source "
-    "pairs — the verification stage after LSH candidate generation. "
-    "Blocking on `source` keeps the pair count linear-ish; at 100 TB "
-    "the blocking key is the LSH band bucket instead.",
-    tags=("text", "dedup"),
-)
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Set-similarity join, MapReduce shape: explode shingles, equi-join
-    # on (source, shingle) to count intersections, then derive
-    # |A∪B| = |A|+|B|-|A∩B|. Pairs never materialize shingle arrays —
-    # per-pair cost is O(shared shingles), not O(|A|+|B|), and the work
-    # is one hash-shuffle on the shingle key. ~8× faster than the
-    # naive pair×array_intersect plan at sf0.1 and the only shape that
-    # survives 100× scale. Zero-overlap pairs are restored by a
-    # right-padded join against the cheap (id_a, id_b) pair frame.
-    docs = t(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", "source", X.shingles("text", 3).alias("sh3")
-    ).select(
-        "doc_id", "source", F.size("sh3").alias("n_sh"), F.explode("sh3").alias("s")
-    )
-    sizes = sh.groupBy("doc_id", "source").agg(F.first("n_sh").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    pairs = (
-        sa.join(
-            sb,
-            (F.col("sa.source") == F.col("sb.source"))
-            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
-        )
-        .select(
-            F.col("sa.doc_id").alias("id_a"),
-            F.col("sb.doc_id").alias("id_b"),
-            (F.col("sa.n_sh") + F.col("sb.n_sh")).alias("n_total"),
-        )
-    )
-    return (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_inter")
-                / F.greatest(F.col("n_total") - F.col("n_inter"), F.lit(1)),
-                6,
-            ).alias("jaccard"),
-        )
-    )
-
-
-@register(
-    "minhash_lsh_dedup",
-    """
-    WITH toks AS (
-        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
-        FROM documents
-    ), sh AS (
-        SELECT doc_id,
-               list_distinct(list_transform(
-                   generate_series(1, greatest(len(ws) - 2, 1)),
-                   i -> array_to_string(ws[i:i+2], ' '))) AS sh3
-        FROM toks WHERE len(ws) > 0
-    ), e AS (
-        SELECT doc_id, unnest(sh3) AS s FROM sh
-    ), sizes AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1
-    ), inter AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(count(*) AS BIGINT) AS nc
-        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    )
-    SELECT CAST(i.id_a AS BIGINT) AS id_a, CAST(i.id_b AS BIGINT) AS id_b
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.id_a
-    JOIN sizes sb ON sb.doc_id = i.id_b
-    WHERE 8 * i.nc > 3 * (sa.n + sb.n)  -- jaccard > 0.6, exact ints
-    ORDER BY id_a, id_b
-    """,
-    "Near-duplicate pairs via MinHashLSH (shingle → binary HashingTF "
-    "→ banded signature join), DRIVER-FALSIFIABLE (VERDICT r3 item "
-    "3): the emitted pair set must EQUAL the exact shingle-Jaccard "
-    "pair set at J > 0.6 (= distance threshold 0.4), which the oracle "
-    "computes O(n²)-exactly with an integer predicate (8·|A∩B| > "
-    "3·(|A|+|B|)). A missed true pair (banding recall) or a spurious "
-    "one (HashingTF bucket collision) each break the hash. Cost "
-    "scales with candidate collisions, never n²; P(miss | J=0.9) = "
-    "0.1^8 with 8 OR-ed hash tables.",
-    tags=("dedup",),
-)
-def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = D.minhash_lsh_candidates(
-        t(spark, sf_dir, "documents"), "text", "doc_id",
-        k_shingle=3, jaccard_distance_threshold=0.4,
-    )
-    return pairs.select(
-        F.col("id_a").cast("bigint").alias("id_a"),
-        F.col("id_b").cast("bigint").alias("id_b"),
-    ).orderBy("id_a", "id_b")
-
-
-@register(
-    "simhash_dedup",
-    None,  # xxhash64 not available in DuckDB -> rows-only check
-    "SimHash near-dup grouping: 64-bit signature from per-token "
-    "xxhash64 bit votes, all native array expressions; groupBy the "
-    "8-byte signature. member_ids is serialized to a comma-joined "
-    "string so every output column is scalar (driver-hashable).",
-    tags=("dedup",),
-)
-def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = D.simhash_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
-    return out.withColumn(
-        "member_ids", F.array_join(F.col("member_ids").cast("array<string>"), ",")
-    )
-
-
-@register(
-    "embedding_cosine_scores",
-    """
-    SELECT e.vec_id,
-           round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos_sim
-    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-    """,
-    "Brute-force cosine of every corpus vector against the query vector "
-    "(vec_id=0), computed as native array aggregate expressions — "
-    "map-side only, broadcast query, no shuffle.",
-    tags=("similarity",),
-)
-def embedding_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
-    return S.cosine_scores(emb, emb.filter(F.col("vec_id") == 0))
-
-
-@register(
-    "embedding_cosine_topk",
-    """
-    SELECT e.vec_id,
-           round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos_sim
-    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-    WHERE e.vec_id <> 0
-    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id
-    LIMIT 10
-    """,
-    "Exact top-k nearest neighbors by cosine — brute-force scores + "
-    "TakeOrderedAndProject. The ANN twin (ann_lsh_topk) is the "
-    "sub-linear scale path.",
-    tags=("similarity",),
-)
-def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
-    return S.cosine_topk(
-        emb.filter(F.col("vec_id") != 0), emb.filter(F.col("vec_id") == 0), k=10
-    )
-
-
-@register(
-    "ann_lsh_topk",
-    """
-    WITH q AS (
-        SELECT vec_id AS query_id, embedding AS qe
-        FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
-    ), c AS (
-        SELECT vec_id, embedding FROM embeddings
-        WHERE vec_id NOT IN (0, 1, 2, 3)
-    ), r AS (
-        SELECT q.query_id, c.vec_id,
-               row_number() OVER (
-                   PARTITION BY q.query_id
-                   ORDER BY list_distance(c.embedding::DOUBLE[],
-                                          q.qe::DOUBLE[]), c.vec_id) AS rk
-        FROM q, c
-    )
-    SELECT CAST(query_id AS BIGINT)                           AS query_id,
-           CAST(max(CASE WHEN rk = 1 THEN vec_id END) AS BIGINT)
-               AS exact_top1_id,
-           TRUE AS returned_k, TRUE AS top1_found, TRUE AS recall10_ge_07
-    FROM r GROUP BY query_id ORDER BY query_id
-    """,
-    "ANN via BucketedRandomProjectionLSH, DRIVER-FALSIFIABLE (VERDICT "
-    "r3 item 3, the approx_aggregates bound-boolean pattern): 4 probe "
-    "queries run BOTH the LSH path and the exact brute-force l2 twin "
-    "in-engine; the hashed output carries the oracle-computable exact "
-    "top-1 id plus recall-bound booleans (k results returned, exact "
-    "top-1 found, recall@10 >= 0.7 — measured 0.9-1.0 with 2-hit "
-    "margin). Any recall regression flips a boolean and breaks the "
-    "driver hash. Probes matching buckets only — the "
-    "interactive-latency path at corpus scale.",
-    tags=("similarity",),
-)
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from functools import reduce as _reduce
-
-    QIDS = [0, 1, 2, 3]
-    emb = t(spark, sf_dir, "embeddings")
-    corpus = emb.filter(~F.col("vec_id").isin(QIDS))
-    queries = emb.filter(F.col("vec_id").isin(QIDS)).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    # exact l2 ground truth: one broadcast cross-join scan, ranked
-    exact = S.exact_topk_multi(corpus, queries, k=10, metric="l2")
-    # LSH path per probe query (bounded 4-row collect of query vectors)
-    ann_parts = [
-        S.ann_lsh_topk(
-            corpus, [float(x) for x in row["embedding"]], k=10
-        ).select(F.lit(row["query_id"]).cast("bigint").alias("query_id"), "vec_id")
-        for row in queries.collect()
-    ]
-    ann = _reduce(lambda a, b: a.unionByName(b), ann_parts)
-    hits = exact.join(ann, ["query_id", "vec_id"], "left_semi").groupBy(
-        "query_id"
-    ).agg(F.count(F.lit(1)).alias("hits"))
-    nret = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ret"))
-    top1 = exact.filter(F.col("rk") == 1).select(
-        "query_id", F.col("vec_id").alias("exact_top1_id")
-    )
-    t1f = (
-        exact.filter(F.col("rk") == 1)
-        .join(ann, ["query_id", "vec_id"], "left_semi")
-        .select("query_id", F.lit(True).alias("t1"))
-    )
-    return (
-        top1.join(hits, "query_id")
-        .join(nret, "query_id")
-        .join(t1f, "query_id", "left")
-        .select(
-            F.col("query_id").cast("bigint").alias("query_id"),
-            F.col("exact_top1_id").cast("bigint").alias("exact_top1_id"),
-            (F.col("n_ret") == 10).alias("returned_k"),
-            F.coalesce(F.col("t1"), F.lit(False)).alias("top1_found"),
-            (F.col("hits") >= 7).alias("recall10_ge_07"),
-        )
-        .orderBy("query_id")
-    )
-
-
-@register(
-    "multimodal_features",
-    """
-    SELECT doc_id,
-           'text/plain'                    AS media_type,
-           strlen(text)                    AS n_bytes,
-           substr(sha256(text), 1, 16)     AS sha256_prefix
-    FROM documents
-    """,
-    "Multimodal plumbing: BinaryType payload column + Arrow-batched "
-    "mapInPandas feature extraction (decode step stubbed — no codec "
-    "libs in the container; schema/batching/partitioning are real). "
-    "Oracle checks the deterministic scalar features.",
-    tags=("multimodal",),
-)
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    feats = M.extract_media_features(M.attach_binary_payload(docs))
-    return feats.select("doc_id", "media_type", "n_bytes", "sha256_prefix")
-
-
-@register(
-    "streaming_tumbling_window",
-    TUMBLING_ORACLE,
-    "Structured Streaming: 1-hour tumbling event-time windows with "
-    "watermark over the events replay, memory sink, complete mode — "
-    "must equal the batch twin (tumbling_window_agg), and the same "
-    "DuckDB oracle checks it.",
-    tags=("streaming",),
-)
-def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming import run_tumbling_stream
-
-    return run_tumbling_stream(spark, sf_dir)
-
-
-# =====================================================================
-# Batch 3: SQL-API subqueries, percentiles, unpivot, string/date
-# functions, range-frame windows, native TF-IDF, embedding near-dup,
-# IVF ANN, stateful streaming.
-# =====================================================================
-
-
-def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
-    for n in names:
-        t(spark, sf_dir, n).createOrReplaceTempView(n)
-
-
-@register(
-    "in_subquery",
-    """
-    SELECT c_custkey, c_name
-    FROM customer
-    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
-      AND c_acctbal > 0
-    """,
-    "IN-subquery through the engine's SQL entry point — Catalyst "
-    "rewrites it to a left-semi join (same plan as the DataFrame form).",
-    tags=("sql", "join"),
-)
-def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _views(spark, sf_dir, "customer", "orders")
-    return spark.sql(
-        """
-        SELECT c_custkey, c_name
-        FROM customer
-        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
-          AND c_acctbal > 0
-        """
-    )
-
-
-@register(
-    "scalar_subquery",
-    """
-    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
-    FROM orders
-    WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
-    """,
-    "Scalar subquery: the inner aggregate computes once and broadcasts "
-    "into the filter — no per-row recomputation.",
-    tags=("sql",),
-)
-def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _views(spark, sf_dir, "orders")
-    return spark.sql(
-        """
-        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
-        FROM orders
-        WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
-        """
-    )
-
-
-@register(
-    "correlated_exists_subquery",
-    """
-    SELECT s_suppkey, s_name
-    FROM supplier
-    WHERE EXISTS (SELECT 1 FROM lineitem
-                  WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
-    """,
-    "Correlated EXISTS — decorrelated by Catalyst into a semi-join on "
-    "the correlation key.",
-    tags=("sql", "join"),
-)
-def correlated_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _views(spark, sf_dir, "supplier", "lineitem")
-    return spark.sql(
-        """
-        SELECT s_suppkey, s_name
-        FROM supplier
-        WHERE EXISTS (SELECT 1 FROM lineitem
-                      WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
-        """
-    )
-
-
-@register(
-    "percentile_stats",
-    """
-    SELECT l_returnflag,
-           round(median(l_quantity), 4)                    AS median_qty,
-           round(quantile_cont(l_quantity, 0.90), 4)       AS p90_qty,
-           round(quantile_cont(l_extendedprice, 0.99), 4)  AS p99_price
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-    "Exact interpolated percentiles (median/p90/p99) per group. The "
-    "approximate twin (approx_aggregates, rows-only) is the 100 TB "
-    "path — single-pass sketches, no per-group sort.",
-    tags=("agg",),
-)
-def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
-        F.round(F.expr("percentile(l_quantity, 0.90)"), 4).alias("p90_qty"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99_price"),
-    )
-
-
-@register(
-    "approx_aggregates",
-    """
-    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT)  AS exact_parts,
-           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
-           TRUE AS parts_within_bound,
-           TRUE AS orders_within_bound,
-           TRUE AS median_within_bound,
-           TRUE AS p90_within_bound
-    FROM lineitem
-    """,
-    "Approximate aggregates for interactive 100 TB queries: HLL++ "
-    "approx_count_distinct and GK-sketch percentile_approx — one pass, "
-    "bounded memory, no sort. Sketch values are engine-specific, so "
-    "the DRIVER-CHECKABLE output is the exact values plus "
-    "within-error-bound booleans: |HLL - exact| <= 3·rsd·exact, and "
-    "the RANK of each approx percentile (count of values <= it) must "
-    "sit within ±0.05·n of the target rank — the GK sketch's actual "
-    "guarantee, verified by a one-pass conditional count instead of an "
-    "exact-percentile sort (which regressed 15× at sf0.1). The oracle "
-    "computes the same exact values and literal TRUEs — a hash match "
-    "PROVES the sketches hit their bounds (VERDICT r1 item 7).",
-    tags=("agg",),
-)
-def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    # Pass 1: the sketches (one scan, partial aggs map-side).
-    sketches = li.agg(
-        F.approx_count_distinct("l_partkey", rsd=0.05).alias("apx_parts"),
-        F.approx_count_distinct("l_orderkey", rsd=0.05).alias("apx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("apx_med"),
-        F.percentile_approx("l_quantity", 0.9).alias("apx_p90"),
-    )
-    # Pass 2: exact distincts + rank-position counts of the sketch
-    # outputs (broadcast scalar probe, still no sort anywhere).
-    return (
-        li.crossJoin(F.broadcast(sketches))
-        .agg(
-            F.countDistinct("l_partkey").alias("exact_parts"),
-            F.countDistinct("l_orderkey").alias("exact_orders"),
-            (
-                F.abs(F.first("apx_parts") - F.countDistinct("l_partkey"))
-                <= 0.15 * F.countDistinct("l_partkey")
-            ).alias("parts_within_bound"),
-            (
-                F.abs(F.first("apx_orders") - F.countDistinct("l_orderkey"))
-                <= 0.15 * F.countDistinct("l_orderkey")
-            ).alias("orders_within_bound"),
-            F.sum((F.col("l_extendedprice") <= F.col("apx_med")).cast("long"))
-            .between(0.45 * F.count(F.lit(1)), 0.55 * F.count(F.lit(1)))
-            .alias("median_within_bound"),
-            F.sum((F.col("l_quantity") <= F.col("apx_p90")).cast("long"))
-            .between(0.85 * F.count(F.lit(1)), 0.95 * F.count(F.lit(1)))
-            .alias("p90_within_bound"),
-        )
-    )
-
-
-@register(
-    "unpivot_measures",
-    """
-    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
-    FROM lineitem WHERE l_orderkey % 199 = 0
-    UNION ALL
-    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem WHERE l_orderkey % 199 = 0
-    UNION ALL
-    SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem WHERE l_orderkey % 199 = 0
-    """,
-    "Unpivot (wide→long) via stack() — the inverse of pivot_agg; "
-    "planned as a generate, no shuffle.",
-    tags=("relational",),
-)
-def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 199 == 0)
-    return li.selectExpr(
-        "l_orderkey",
-        "l_linenumber",
-        "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax) AS (measure, value)",
-    )
-
-
-@register(
-    "string_functions",
-    """
-    SELECT p_partkey,
-           upper(p_name)                                   AS name_upper,
-           replace(p_type, ' ', '_')                       AS type_snake,
-           lpad(CAST(p_size AS VARCHAR), 4, '0')           AS size_padded,
-           concat(p_brand, '/', p_type)                    AS brand_type,
-           length(p_name)                                  AS name_len,
-           position('Brand' IN p_brand)                    AS brand_pos,
-           trim(concat('  ', p_name, '  '))                AS trimmed,
-           reverse(p_brand)                                AS brand_rev,
-           repeat(p_brand, 2)                              AS brand_twice
-    FROM part
-    """,
-    "String-function surface (upper/replace/lpad/concat/length/"
-    "position/trim/reverse/repeat) — all codegen'd JVM expressions.",
-    tags=("scalar",),
-)
-def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = t(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.upper("p_name").alias("name_upper"),
-        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
-        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
-        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
-        F.length("p_name").cast("long").alias("name_len"),
-        F.instr(F.col("p_brand"), "Brand").cast("long").alias("brand_pos"),
-        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
-        F.reverse(F.col("p_brand")).alias("brand_rev"),
-        F.repeat(F.col("p_brand"), 2).alias("brand_twice"),
-    )
-
-
-@register(
-    "date_functions",
-    """
-    SELECT o_orderkey,
-           CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_epoch,
-           CAST(quarter(o_orderdate) AS BIGINT)                    AS qtr,
-           CAST(epoch(o_orderdate + INTERVAL 30 DAY) AS BIGINT)    AS plus_30d_epoch,
-           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start,
-           CAST(epoch(last_day(o_orderdate::DATE)::TIMESTAMP + INTERVAL 1 DAY - INTERVAL 1 DAY) AS BIGINT) AS month_end_epoch
-    FROM orders
-    """,
-    "Datetime surface: truncation, quarter, interval arithmetic, day "
-    "diffs, last-day — epoch-BIGINT projected for engine-portable "
-    "comparison.",
-    tags=("scalar",),
-)
-def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.unix_timestamp(F.date_trunc("month", "o_orderdate")).alias(
-            "month_start_epoch"
-        ),
-        F.quarter("o_orderdate").cast("long").alias("qtr"),
-        F.unix_timestamp(
-            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
-        ).alias("plus_30d_epoch"),
-        F.datediff(
-            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
-        ).cast("long").alias("days_since_epoch_start"),
-        F.unix_timestamp(
-            F.last_day(F.col("o_orderdate")).cast("timestamp")
-        ).alias("month_end_epoch"),
-    )
-
-
-@register(
-    "array_agg_functions",
-    """
-    SELECT user_id,
-           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv,
-           CAST(len(list(DISTINCT event_type)) AS BIGINT)             AS n_types
-    FROM events
-    GROUP BY user_id
-    """,
-    "Array aggregation: per-user distinct event-type vocabulary as a "
-    "sorted CSV (engine-portable array comparison via array_join).",
-    tags=("agg", "scalar"),
-)
-def array_agg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    return ev.groupBy("user_id").agg(
-        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
-            "types_csv"
-        ),
-        F.size(F.collect_set("event_type")).cast("long").alias("n_types"),
-    )
-
-
-@register(
-    "window_range_frame",
-    """
-    SELECT user_id, event_id,
-           round(sum(value) OVER (
-               PARTITION BY user_id ORDER BY epoch_us(ts)
-               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4) AS rolling_1h_value,
-           count(*) OVER (
-               PARTITION BY user_id ORDER BY epoch_us(ts)
-               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)     AS rolling_1h_events
-    FROM events
-    """,
-    "RANGE frame over event time (trailing 1-hour rolling sum/count "
-    "per user) — the windowed form of the range join; one shuffle on "
-    "user_id, sorted within partitions.",
-    tags=("window",),
-)
-def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts_us")
-        .rangeBetween(-3_600_000_000, 0)
-    )
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.round(F.sum("value").over(w), 4).alias("rolling_1h_value"),
-        F.count(F.lit(1)).over(w).alias("rolling_1h_events"),
-    )
-
-
-@register(
-    "tfidf_top_terms",
-    """
-    WITH tok AS (
-        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
-        FROM documents
-    ),
-    tf AS (
-        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
-    ),
-    df AS (
-        SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
-    ),
-    n AS (SELECT count(*) AS n_docs FROM documents),
-    scored AS (
-        SELECT tf.doc_id, tf.term,
-               tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS score
-        FROM tf JOIN df USING (term) CROSS JOIN n
-    )
-    SELECT doc_id, term, round(score, 6) AS score, rk FROM (
-        SELECT doc_id, term, score,
-               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
-        FROM scored
-    ) WHERE rk <= 3
-    """,
-    "Native TF-IDF (smoothed idf = ln((N+1)/(df+1))+1, sklearn "
-    "convention) with top-3 terms per document — explode + two hash "
-    "aggs + broadcast of the tiny df table; fully SQL-expressible so "
-    "the oracle checks it exactly (unlike HashingTF, whose buckets are "
-    "engine-specific).",
-    tags=("text",),
-)
-def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(X.tokens("text")).alias("term")
-    )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()  # scalar; broadcast as literal
-    scored = tf.join(F.broadcast(df_), "term").select(
-        "doc_id",
-        "term",
-        (
-            F.col("tf")
-            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0)
-        ).alias("score"),
-    )
-    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("doc_id", "term", F.round("score", 6).alias("score"), "rk")
-    )
-
-
-@register(
-    "embedding_neardup_pairs",
-    """
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
-    """,
-    "Embedding-cosine near-duplicate pairs via DISTRIBUTED block-pair "
-    "GEMM: corpus hash-split into blocks, rows replicated to their "
-    "unordered block pairs, float64 BLAS matmul inside each pair via "
-    "applyInPandas — exact all-pairs results with NO driver-side "
-    "collect and per-task memory of two blocks (VERDICT r1 item 3). "
-    "At 100 TB, LSH/IVF blocking prunes to candidate block pairs and "
-    "the same kernel verifies inside them.",
-    tags=("similarity", "dedup"),
-)
-def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.embedding_neardup_pairs_blocked(
-        t(spark, sf_dir, "embeddings"), threshold=0.4, n_blocks=8
-    )
-
-
-@register(
-    "ivf_ann_topk",
-    """
-    WITH q AS (
-        SELECT vec_id AS query_id, embedding AS qe
-        FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
-    ), c AS (
-        SELECT vec_id, embedding FROM embeddings
-        WHERE vec_id NOT IN (0, 1, 2, 3)
-    ), r AS (
-        SELECT q.query_id, c.vec_id,
-               row_number() OVER (
-                   PARTITION BY q.query_id
-                   ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
-                                                   q.qe::DOUBLE[]) DESC,
-                            c.vec_id) AS rk
-        FROM q, c
-    )
-    SELECT CAST(query_id AS BIGINT)                           AS query_id,
-           CAST(max(CASE WHEN rk = 1 THEN vec_id END) AS BIGINT)
-               AS exact_top1_id,
-           TRUE AS top1_found, TRUE AS recall10_ge_05
-    FROM r GROUP BY query_id ORDER BY query_id
-    """,
-    "IVF ANN, DRIVER-FALSIFIABLE (VERDICT r3 item 3): one KMeans "
-    "coarse index (16 lists) serves 4 probe queries, each scanning "
-    "only its 6 nearest lists (~37% of the corpus); the exact cosine "
-    "twin runs in-engine and the hashed output carries the "
-    "oracle-computable exact top-1 id plus recall booleans (top-1 "
-    "found; recall@10 >= 0.5 — measured 0.7-1.0 at n_probe=6, 2-hit "
-    "margin absorbs KMeans layout jitter). A probe-pruning or "
-    "assignment bug flips a boolean and breaks the driver hash.",
-    tags=("similarity",),
-)
-def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from functools import reduce as _reduce
-
-    QIDS = [0, 1, 2, 3]
-    emb = t(spark, sf_dir, "embeddings")
-    corpus = emb.filter(~F.col("vec_id").isin(QIDS))
-    queries = emb.filter(F.col("vec_id").isin(QIDS)).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    exact = S.exact_topk_multi(corpus, queries, k=10, metric="cosine")
-    # ONE index build; per-query probes reuse the tagged corpus
-    tagged, model = S.ivf_index(corpus, n_clusters=16)
-    tagged = tagged.localCheckpoint(eager=True)
-    ivf_parts = [
-        S.ivf_topk(
-            tagged, model, [float(x) for x in row["embedding"]], k=10, n_probe=6
-        ).select(F.lit(row["query_id"]).cast("bigint").alias("query_id"), "vec_id")
-        for row in queries.collect()
-    ]
-    ann = _reduce(lambda a, b: a.unionByName(b), ivf_parts)
-    hits = exact.join(ann, ["query_id", "vec_id"], "left_semi").groupBy(
-        "query_id"
-    ).agg(F.count(F.lit(1)).alias("hits"))
-    top1 = exact.filter(F.col("rk") == 1).select(
-        "query_id", F.col("vec_id").alias("exact_top1_id")
-    )
-    t1f = (
-        exact.filter(F.col("rk") == 1)
-        .join(ann, ["query_id", "vec_id"], "left_semi")
-        .select("query_id", F.lit(True).alias("t1"))
-    )
-    return (
-        top1.join(hits, "query_id")
-        .join(t1f, "query_id", "left")
-        .select(
-            F.col("query_id").cast("bigint").alias("query_id"),
-            F.col("exact_top1_id").cast("bigint").alias("exact_top1_id"),
-            F.coalesce(F.col("t1"), F.lit(False)).alias("top1_found"),
-            (F.col("hits") >= 5).alias("recall10_ge_05"),
-        )
-        .orderBy("query_id")
-    )
-
-
-@register(
-    "ivf_pq_ann_topk",
-    """
-    WITH q AS (
-        SELECT vec_id AS query_id, embedding AS qe
-        FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
-    ), c AS (
-        SELECT vec_id, embedding FROM embeddings
-        WHERE vec_id NOT IN (0, 1, 2, 3)
-    ), r AS (
-        SELECT q.query_id, c.vec_id,
-               row_number() OVER (
-                   PARTITION BY q.query_id
-                   ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
-                                                   q.qe::DOUBLE[]) DESC,
-                            c.vec_id) AS rk
-        FROM q, c
-    )
-    SELECT CAST(query_id AS BIGINT)                           AS query_id,
-           CAST(max(CASE WHEN rk = 1 THEN vec_id END) AS BIGINT)
-               AS exact_top1_id,
-           TRUE AS top1_found, TRUE AS recall10_ge_04
-    FROM r GROUP BY query_id ORDER BY query_id
-    """,
-    "IVF-PQ ANN (faiss IndexIVFPQ shape), DRIVER-FALSIFIABLE (VERDICT "
-    "r3 item 3): the index builds ONCE (coarse KMeans lists + 8-byte "
-    "PQ codes for every vector — the real ingest-time lifecycle, "
-    "ivf_pq_build) and serves 4 probe queries, each ADC-scanning 6 of "
-    "16 lists natively then exact-cosine reranking the top-100. The "
-    "hashed output carries the oracle-computable exact top-1 id plus "
-    "recall booleans (top-1 found after rerank; recall@10 >= 0.4 — "
-    "measured 0.6-0.9 at n_probe=6, 2-hit margin). Quantization or "
-    "rerank bugs flip a boolean and break the driver hash.",
-    tags=("similarity",),
-)
-def ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from functools import reduce as _reduce
-
-    QIDS = [0, 1, 2, 3]
-    emb = t(spark, sf_dir, "embeddings")
-    corpus = emb.filter(~F.col("vec_id").isin(QIDS))
-    queries = emb.filter(F.col("vec_id").isin(QIDS)).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    exact = S.exact_topk_multi(corpus, queries, k=10, metric="cosine")
-    # build the index ONCE (codes materialized), probe per query
-    encoded, books, model = S.ivf_pq_build(corpus, n_clusters=16)
-    encoded = encoded.localCheckpoint(eager=True)
-    pq_parts = [
-        S.ivf_pq_probe(
-            encoded,
-            books,
-            model,
-            corpus,
-            [float(x) for x in row["embedding"]],
-            k=10,
-            n_probe=6,
-        ).select(F.lit(row["query_id"]).cast("bigint").alias("query_id"), "vec_id")
-        for row in queries.collect()
-    ]
-    ann = _reduce(lambda a, b: a.unionByName(b), pq_parts)
-    hits = exact.join(ann, ["query_id", "vec_id"], "left_semi").groupBy(
-        "query_id"
-    ).agg(F.count(F.lit(1)).alias("hits"))
-    top1 = exact.filter(F.col("rk") == 1).select(
-        "query_id", F.col("vec_id").alias("exact_top1_id")
-    )
-    t1f = (
-        exact.filter(F.col("rk") == 1)
-        .join(ann, ["query_id", "vec_id"], "left_semi")
-        .select("query_id", F.lit(True).alias("t1"))
-    )
-    return (
-        top1.join(hits, "query_id")
-        .join(t1f, "query_id", "left")
-        .select(
-            F.col("query_id").cast("bigint").alias("query_id"),
-            F.col("exact_top1_id").cast("bigint").alias("exact_top1_id"),
-            F.coalesce(F.col("t1"), F.lit(False)).alias("top1_found"),
-            (F.col("hits") >= 4).alias("recall10_ge_04"),
-        )
-        .orderBy("query_id")
-    )
-
-
-@register(
-    "streaming_stateful_counts",
-    """
-    SELECT user_id, count(*) AS n_events
-    FROM events
-    GROUP BY user_id
-    """,
-    "Custom stateful streaming operator (applyInPandasWithState): "
-    "per-user running counts with explicit GroupState; the final state "
-    "on a finite replay equals the batch groupBy count — which is the "
-    "oracle.",
-    tags=("streaming",),
-)
-def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming import run_stateful_user_counts
-
-    return run_stateful_user_counts(spark, sf_dir)
-
-
-# =====================================================================
-# Batch 4: more TPC-H-shaped plans + skew-safe aggregation.
-# =====================================================================
-
-from ..operators import skew as K  # noqa: E402
-
-
-@register(
-    "q6_forecast_revenue",
-    """
-    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
-           count(*) AS n_lines
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-      AND l_shipdate <  TIMESTAMP '1997-01-01'
-      AND l_discount BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
-    """,
-    "TPC-H Q6 shape: pure scan-filter-agg, every predicate pushed to "
-    "parquet (range + BETWEEN + <) — the query where pushdown and "
-    "column pruning are the entire cost model.",
-    tags=("agg",),
-)
-def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("l_discount").between(0.05, 0.07))
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
-                "revenue"
-            ),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
-    )
-
-
-@register(
-    "q18_large_orders",
-    """
-    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
-           CAST(sum(l_quantity) AS DOUBLE) AS total_qty
-    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-    GROUP BY o_orderkey, o_totalprice
-    HAVING sum(l_quantity) > 150
-    """,
-    "TPC-H Q18 shape: join + group + HAVING over the aggregate — the "
-    "post-aggregation filter runs reducer-side on already-tiny groups.",
-    tags=("agg", "join"),
-)
-def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("o_orderkey", "o_totalprice")
-        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
-        .filter(F.col("total_qty") > 150)
-        .select(
-            "o_orderkey",
-            F.round("o_totalprice", 2).alias("o_totalprice"),
-            "total_qty",
-        )
-    )
-
-
-@register(
-    "q19_disjunctive_predicates",
-    """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
-           count(*) AS n_matches
-    FROM lineitem JOIN part ON p_partkey = l_partkey
-    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
-       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
-       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 30)
-    """,
-    "TPC-H Q19 shape: disjunctive multi-column predicates across both "
-    "join sides — Catalyst keeps the common join key conjunct, "
-    "broadcast part, evaluate the OR post-join.",
-    tags=("join",),
-)
-def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    part = t(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
-    cond = (
-        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 10))
-        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 20))
-        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & (F.col("l_quantity") >= 30))
-    )
-    return joined.filter(cond).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-        ).alias("revenue"),
-        F.count(F.lit(1)).alias("n_matches"),
-    )
-
-
-@register(
-    "salted_aggregation",
-    """
-    SELECT l_returnflag,
-           round(CAST(sum(l_quantity) AS DOUBLE), 4) AS total,
-           count(*) AS n_rows
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-    "Skew-safe two-stage aggregation: partial sums per (key, salt) "
-    "spread a hot key over n reducers, then a final tiny re-agg per "
-    "key. Semantically identical to the plain groupBy (the oracle IS "
-    "the plain groupBy); the two-stage plan is the 100 TB-hot-key form.",
-    tags=("agg", "skew"),
-)
-def salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    out = K.salted_sum_count(li, ["l_returnflag"], "l_quantity", n_salts=16)
-    return out.select(
-        "l_returnflag",
-        F.round(F.col("total").cast("double"), 4).alias("total"),
-        "n_rows",
-    )
-
-
-@register(
-    "map_functions",
-    """
-    SELECT event_id,
-           array_to_string(json_keys(props), ',')                  AS prop_keys,
-           CAST(len(json_keys(props)) AS BIGINT)                   AS n_keys,
-           CAST(json_extract_string(props, '$.k') AS BIGINT)       AS k_value
-    FROM events
-    """,
-    "MapType surface: parse the JSON props column into map<string,string> "
-    "(from_json), then map_keys/size/element access — Spark's map "
-    "functions against DuckDB's JSON introspection.",
-    tags=("scalar",),
-)
-def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    m = F.from_json("props", "map<string,string>")
-    return ev.select(
-        "event_id",
-        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
-        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
-        m["k"].cast("long").alias("k_value"),
-    )
-
-
-@register(
-    "window_first_last_value",
-    """
-    SELECT o_custkey, o_orderkey,
-           first_value(o_orderkey) OVER w AS first_order,
-           last_value(o_orderkey)  OVER w AS latest_order,
-           nth_value(o_orderkey, 2) OVER w AS second_order
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-    """,
-    "first/last/nth value over an unbounded frame — per-customer "
-    "first/latest order ids; one shuffle on the partition key.",
-    tags=("window",),
-)
-def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = t(spark, sf_dir, "orders")
-    w = (
-        W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    )
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.first("o_orderkey").over(w).alias("first_order"),
-        F.last("o_orderkey").over(w).alias("latest_order"),
-        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
-    )
-
-
-@register(
-    "minhash_native_dedup",
-    """
-    WITH toks AS (
-        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
-        FROM documents
-    ), sh AS (
-        SELECT doc_id,
-               list_distinct(list_transform(
-                   generate_series(1, greatest(len(ws) - 2, 1)),
-                   i -> array_to_string(ws[i:i+2], ' '))) AS sh3
-        FROM toks WHERE len(ws) > 0
-    ), e AS (
-        SELECT doc_id, unnest(sh3) AS s FROM sh
-    ), sizes AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1
-    ), inter AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(count(*) AS BIGINT) AS nc
-        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    )
-    SELECT CAST(i.id_a AS BIGINT) AS id_a, CAST(i.id_b AS BIGINT) AS id_b,
-           CAST((i.nc * 1000000) // (sa.n + sb.n - i.nc) AS BIGINT)
-               AS jaccard_millionths
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.id_a
-    JOIN sizes sb ON sb.doc_id = i.id_b
-    WHERE 3 * i.nc >= sa.n + sb.n  -- jaccard >= 0.5, exact ints
-    ORDER BY id_a, id_b
-    """,
-    "Banded MinHash LSH from native expressions (xxhash64 signature "
-    "minima, band buckets, exact-Jaccard verification), "
-    "DRIVER-FALSIFIABLE (VERDICT r3 item 3): the emitted pair set — "
-    "with similarity as an exact integer rational (|A∩B|·1e6 div "
-    "|A∪B|) — must EQUAL the exact shingle-Jaccard pair set at "
-    "J >= 0.5, which the oracle computes O(n²)-exactly. A banding "
-    "recall miss (P = (1-J²)^8 per pair; this caught round 4's "
-    "seed-capture bug where all 16 hash functions collapsed to one) "
-    "or a spurious pair each break the hash. 2-4x faster than the "
-    "MLlib VectorUDT path at sf0.1; candidates scale with true "
-    "collisions, never n².",
-    tags=("dedup",),
-)
-def minhash_native_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    counts = D.minhash_native_candidates(
-        t(spark, sf_dir, "documents"), "text", "doc_id",
-        k_shingle=3, n_hashes=16, bands=8, with_counts=True,
-    )
-    return (
-        counts.filter(3 * F.col("nc") >= F.col("n_a") + F.col("n_b"))
-        .select(
-            F.col("id_a").cast("bigint").alias("id_a"),
-            F.col("id_b").cast("bigint").alias("id_b"),
-            F.expr("(nc * 1000000) div (n_a + n_b - nc)")
-            .cast("bigint")
-            .alias("jaccard_millionths"),
-        )
-        .orderBy("id_a", "id_b")
-    )
-
-
-# =====================================================================
-# Batch 5: remaining TPC-H query shapes adapted to the fixture schema.
-# =====================================================================
-
-
-@register(
-    "q4_order_priority",
-    """
-    SELECT o_orderpriority, count(*) AS order_count
-    FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
-      AND o_orderdate <  TIMESTAMP '1996-10-01'
-      AND EXISTS (SELECT 1 FROM lineitem
-                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
-    GROUP BY o_orderpriority
-    """,
-    "TPC-H Q4 shape: date-windowed EXISTS semi-join then tiny agg — "
-    "the semi-join build side reduces to distinct orderkeys.",
-    tags=("join", "agg"),
-)
-def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _views(spark, sf_dir, "orders", "lineitem")
-    return spark.sql(
-        """
-        SELECT o_orderpriority, count(*) AS order_count
-        FROM orders
-        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
-          AND o_orderdate <  TIMESTAMP '1996-10-01'
-          AND EXISTS (SELECT 1 FROM lineitem
-                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
-        GROUP BY o_orderpriority
-        """
-    )
-
-
-@register(
-    "q7_nation_trade_flows",
-    """
-    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-           CAST(year(l_shipdate) AS BIGINT) AS l_year,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
-    FROM lineitem
-    JOIN orders   ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    JOIN supplier ON l_suppkey = s_suppkey
-    JOIN nation sn ON s_nationkey = sn.n_nationkey
-    JOIN nation cn ON c_nationkey = cn.n_nationkey
-    WHERE sn.n_name <> cn.n_name
-    GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
-    """,
-    "TPC-H Q7 shape: cross-nation trade flows — nation joined twice "
-    "under different aliases (both broadcast), grouped by an extracted "
-    "year.",
-    tags=("join", "agg"),
-)
-def q7_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    orders = t(spark, sf_dir, "orders")
-    cust = t(spark, sf_dir, "customer")
-    supp = t(spark, sf_dir, "supplier")
-    nation = t(spark, sf_dir, "nation")
-    sn = nation.alias("sn")
-    cn = nation.alias("cn")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn.n_nationkey"))
-        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn.n_nationkey"))
-        .filter(F.col("sn.n_name") != F.col("cn.n_name"))
-        .groupBy(
-            F.col("sn.n_name").alias("supp_nation"),
-            F.col("cn.n_name").alias("cust_nation"),
-            F.year("l_shipdate").cast("long").alias("l_year"),
-        )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
-        )
-    )
-
-
-@register(
-    "q12_priority_shipping",
-    """
-    SELECT l_linestatus,
-           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-      AND l_shipdate <  TIMESTAMP '1998-01-01'
-    GROUP BY l_linestatus
-    """,
-    "TPC-H Q12 shape: conditional-sum pivoting on a joined attribute "
-    "(CASE-in-aggregate, the pre-FILTER idiom).",
-    tags=("join", "agg"),
-)
-def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        li.join(orders, orders.o_orderkey == li.l_orderkey)
-        .groupBy("l_linestatus")
-        .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
-        )
-    )
-
-
-@register(
-    "q17_small_quantity_revenue",
-    """
-    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
-    FROM lineitem JOIN part ON p_partkey = l_partkey
-    WHERE p_brand = 'Brand#5'
-      AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
-                        WHERE l2.l_partkey = lineitem.l_partkey)
-    """,
-    "TPC-H Q17 shape: correlated scalar aggregate subquery per part — "
-    "Catalyst decorrelates to an aggregate + join on partkey.",
-    tags=("join", "agg", "sql"),
-)
-def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _views(spark, sf_dir, "lineitem", "part")
-    return spark.sql(
-        """
-        SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
-        FROM lineitem JOIN part ON p_partkey = l_partkey
-        WHERE p_brand = 'Brand#5'
-          AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
-                            WHERE l2.l_partkey = lineitem.l_partkey)
-        """
-    )
-
-
-@register(
-    "q22_inactive_rich_customers",
-    """
-    SELECT substr(c_name, 1, 9) AS name_prefix,
-           count(*) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
-    FROM customer
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
-      AND NOT EXISTS (SELECT 1 FROM orders
-                          WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
-    GROUP BY substr(c_name, 1, 9)
-    """,
-    "TPC-H Q22 shape: scalar-subquery threshold + anti-join + "
-    "substring grouping — 'rich customers with no open orders' "
-    "composition.",
-    tags=("join", "agg", "sql"),
-)
-def q22_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _views(spark, sf_dir, "customer", "orders")
-    return spark.sql(
-        """
-        SELECT substr(c_name, 1, 9) AS name_prefix,
-               count(*) AS numcust,
-               round(sum(c_acctbal), 2) AS totacctbal
-        FROM customer
-        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
-          AND NOT EXISTS (SELECT 1 FROM orders
-                          WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
-        GROUP BY substr(c_name, 1, 9)
-        """
-    )
-
-
-@register(
-    "streaming_sliding_window",
-    """
-    WITH expanded AS (
-        SELECT event_id, event_type,
-               time_bucket(INTERVAL 30 MINUTE, ts) AS w1,
-               time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE AS w2
-        FROM events
-    )
-    SELECT CAST(epoch(w) AS BIGINT) AS window_start, event_type,
-           count(*) AS n_events
-    FROM (SELECT event_id, event_type, w1 AS w FROM expanded
-          UNION ALL
-          SELECT event_id, event_type, w2 AS w FROM expanded)
-    GROUP BY w, event_type
-    """,
-    "Structured Streaming sliding windows (1 h window, 30 min slide): "
-    "each event lands in exactly two windows. The oracle expands each "
-    "event into its two covering windows and aggregates — the "
-    "streaming engine must produce the identical window set.",
-    tags=("streaming",),
-)
-def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.windows import run_sliding_stream
-
-    return run_sliding_stream(spark, sf_dir)
-
-
-@register(
-    "streaming_dedup",
-    """
-    SELECT DISTINCT user_id, event_type FROM events
-    """,
-    "Streaming dropDuplicates keyed on (user_id, event_type) under a "
-    "watermark — the surviving key set on a finite replay equals the "
-    "batch DISTINCT (the oracle). The watermark bounds dedup state at "
-    "scale.",
-    tags=("streaming", "dedup"),
-)
-def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.windows import run_streaming_dedup
-
-    return run_streaming_dedup(spark, sf_dir)
-
-
-@register(
-    "set_ops_bag",
-    """
-    SELECT CAST(l_quantity AS DOUBLE) AS qty FROM lineitem WHERE l_returnflag = 'A'
-    INTERSECT ALL
-    SELECT CAST(l_quantity AS DOUBLE) AS qty FROM lineitem WHERE l_returnflag = 'R'
-    """,
-    "Bag-semantics INTERSECT ALL (multiplicity-preserving) — Spark's "
-    "intersectAll; complements the distinct-set ops in set_ops.",
-    tags=("setop",),
-)
-def set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    a = li.filter(F.col("l_returnflag") == "A").select(
-        F.col("l_quantity").cast("double").alias("qty")
-    )
-    r = li.filter(F.col("l_returnflag") == "R").select(
-        F.col("l_quantity").cast("double").alias("qty")
-    )
-    return a.intersectAll(r)
-
-
-# =====================================================================
-# Batch 6: distribution windows, bitwise/edit-distance scalars, array
-# lambdas, grouped-map pandas (applyInPandas) with oracle parity.
-# =====================================================================
-
-
-@register(
-    "window_distribution",
-    """
-    SELECT c_custkey,
-           round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS bal_pct_rank,
-           round(cume_dist()    OVER (ORDER BY c_acctbal, c_custkey), 6) AS bal_cume_dist
-    FROM customer
-    """,
-    "Distribution window functions (percent_rank / cume_dist) over a "
-    "unique total order.",
-    tags=("window",),
-)
-def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = t(spark, sf_dir, "customer")
-    w = W.orderBy("c_acctbal", "c_custkey")
-    return cust.select(
-        "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
-    )
-
-
-@register(
-    "bitwise_functions",
-    """
-    SELECT o_orderkey,
-           o_orderkey & 255                   AS low_byte,
-           o_orderkey | 15                    AS with_low_bits,
-           xor(o_orderkey, 255)               AS xored,
-           CAST(o_orderkey << 2 AS BIGINT)    AS shifted_left,
-           CAST(o_orderkey >> 3 AS BIGINT)    AS shifted_right
-    FROM orders
-    WHERE o_orderkey % 101 = 0
-    """,
-    "Bitwise scalar surface (& | xor << >>) — hash-bucketing building "
-    "blocks, all codegen'd.",
-    tags=("scalar",),
-)
-def bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 101 == 0)
-    k = F.col("o_orderkey")
-    return o.select(
-        "o_orderkey",
-        k.bitwiseAND(255).alias("low_byte"),
-        k.bitwiseOR(15).alias("with_low_bits"),
-        k.bitwiseXOR(255).alias("xored"),
-        F.shiftleft(k, 2).cast("long").alias("shifted_left"),
-        F.shiftright(k, 3).cast("long").alias("shifted_right"),
-    )
-
-
-@register(
-    "edit_distance_pairs",
-    """
-    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
-    FROM part a JOIN part b
-      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-    WHERE a.p_partkey % 7 = 0 AND b.p_partkey % 7 = 0
-    """,
-    "Levenshtein edit distance between same-brand part names (blocked "
-    "+ sampled self-join) — the string-similarity primitive for "
-    "fuzzy dedup of short fields.",
-    tags=("text", "scalar"),
-)
-def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0)
-    a, b = p.alias("a"), p.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
-        )
-        .select(
-            F.col("a.p_partkey").alias("key_a"),
-            F.col("b.p_partkey").alias("key_b"),
-            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-            .cast("long")
-            .alias("edit_dist"),
-        )
-    )
-
-
-@register(
-    "array_lambda_functions",
-    """
-    WITH t AS (
-        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        FROM documents
-    )
-    SELECT doc_id,
-           CAST(len(list_filter(toks, x -> strlen(x) > 5)) AS BIGINT)        AS n_long_tokens,
-           array_to_string(list_transform(toks[1:3], x -> upper(x)), ' ')    AS head_upper,
-           CAST(list_sum(list_transform(toks, x -> strlen(x))) AS BIGINT)    AS total_chars,
-           len(toks) > 0 AND list_bool_and(list_transform(toks, x -> strlen(x) > 0)) AS all_nonempty
-    FROM t
-    """,
-    "Higher-order array functions (filter / transform / slice / "
-    "aggregate / forall) — the lambda surface over array columns, all "
-    "JVM-side.",
-    tags=("scalar", "text"),
-)
-def array_lambda_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    toks = X.tokens("text")
-    return docs.select(
-        "doc_id",
-        F.size(F.filter(toks, lambda x: F.length(x) > 5)).cast("long").alias(
-            "n_long_tokens"
-        ),
-        F.array_join(
-            F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)), " "
-        ).alias("head_upper"),
-        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
-        .alias("total_chars"),
-        (
-            (F.size(toks) > 0)
-            & F.forall(toks, lambda x: F.length(x) > 0)
-        ).alias("all_nonempty"),
-    )
-
-
-@register(
-    "grouped_pandas_zscore",
-    """
-    WITH stats AS (
-        SELECT event_type,
-               avg(value) AS mu,
-               stddev_samp(value) AS sigma
-        FROM events GROUP BY event_type
-    )
-    SELECT e.event_id, e.event_type,
-           round((e.value - s.mu) / s.sigma, 4) AS zscore
-    FROM events e JOIN stats s ON e.event_type = s.event_type
-    """,
-    "Grouped-map pandas UDF (applyInPandas): per-event-type z-scores "
-    "computed in vectorized pandas per group — the custom-operator "
-    "escape hatch, oracle-checked against the pure-SQL window form. "
-    "One shuffle on the grouping key; Arrow both directions.",
-    tags=("udf",),
-)
-def grouped_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
-    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-
-    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        mu = pdf["value"].mean()
-        sigma = pdf["value"].std(ddof=1)
-        return pd.DataFrame(
-            {
-                "event_id": pdf["event_id"],
-                "event_type": pdf["event_type"],
-                "zscore": ((pdf["value"] - mu) / sigma).round(4),
-            }
-        )
-
-    return ev.groupBy("event_type").applyInPandas(
-        zscore, schema="event_id long, event_type string, zscore double"
-    )
-
-
-# =====================================================================
-# Batch 7: statistical aggregates, frequent items, union-by-name,
-# regexp functions.
-# =====================================================================
-
-
-@register(
-    "correlation_stats",
-    """
-    SELECT l_returnflag,
-           round(corr(l_quantity, l_extendedprice), 6)        AS qty_price_corr,
-           round(covar_samp(l_quantity, l_extendedprice), 4)  AS qty_price_covar,
-           round(covar_pop(l_quantity, l_extendedprice), 4)   AS qty_price_covar_pop,
-           round(var_samp(l_quantity), 6)                     AS qty_variance
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-    "Statistical co-aggregates (Pearson corr, sample/population "
-    "covariance, variance) per group — single-pass streaming moments, "
-    "partial-aggregated like any other agg.",
-    tags=("agg",),
-)
-def correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
-            "qty_price_covar"
-        ),
-        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias(
-            "qty_price_covar_pop"
-        ),
-        F.round(F.var_samp("l_quantity"), 6).alias("qty_variance"),
-    )
-
-
-@register(
-    "frequent_items",
-    """
-    WITH n AS (SELECT count(*) AS n FROM lineitem),
-    rf AS (SELECT l_returnflag AS v, count(*) AS c FROM lineitem GROUP BY 1),
-    ls AS (SELECT l_linestatus AS v, count(*) AS c FROM lineitem GROUP BY 1)
-    SELECT coalesce((SELECT string_agg(v, ',' ORDER BY v) FROM rf, n WHERE c > 0.3 * n), '') AS heavy_returnflags,
-           coalesce((SELECT string_agg(v, ',' ORDER BY v) FROM ls, n WHERE c > 0.3 * n), '') AS heavy_linestatuses,
-           TRUE AS returnflags_covered,
-           TRUE AS linestatuses_covered
-    FROM n
-    """,
-    "Frequent-item sketch (df.stat.freqItems, Karp/misra-gries style) "
-    "over lineitem flags — the one-pass heavy-hitters primitive for "
-    "100 TB cardinality profiling. The sketch may contain false "
-    "positives, so the DRIVER-CHECKABLE output is the EXACT heavy "
-    "hitters (freq > 0.3) plus booleans asserting the sketch "
-    "(support=0.2) contains every one of them — freqItems' documented "
-    "guarantee. Oracle emits the same exact lists + literal TRUEs "
-    "(VERDICT r1 item 7).",
-    tags=("agg",),
-)
-def frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    sketch = li.stat.freqItems(["l_returnflag", "l_linestatus"], support=0.2)
-    exact = li.agg(F.count(F.lit(1)).alias("n"))
-    heavy_rf = (
-        li.groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .crossJoin(F.broadcast(exact))
-        .filter(F.col("c") > 0.3 * F.col("n"))
-        .agg(F.sort_array(F.collect_list("l_returnflag")).alias("heavy_rf"))
-    )
-    heavy_ls = (
-        li.groupBy("l_linestatus")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .crossJoin(F.broadcast(exact))
-        .filter(F.col("c") > 0.3 * F.col("n"))
-        .agg(F.sort_array(F.collect_list("l_linestatus")).alias("heavy_ls"))
-    )
-    return (
-        sketch.crossJoin(F.broadcast(heavy_rf))
-        .crossJoin(F.broadcast(heavy_ls))
-        .select(
-            F.array_join("heavy_rf", ",").alias("heavy_returnflags"),
-            F.array_join("heavy_ls", ",").alias("heavy_linestatuses"),
-            (
-                F.size(F.array_except("heavy_rf", "l_returnflag_freqItems")) == 0
-            ).alias("returnflags_covered"),
-            (
-                F.size(F.array_except("heavy_ls", "l_linestatus_freqItems")) == 0
-            ).alias("linestatuses_covered"),
-        )
-    )
-
-
-@register(
-    "union_by_name",
-    """
-    SELECT o_orderkey AS key, 'order' AS kind,
-           round(o_totalprice, 2) AS amount, o_orderpriority AS detail
-    FROM orders WHERE o_orderkey % 211 = 0
-    UNION ALL BY NAME
-    SELECT l_orderkey AS key, 'line' AS kind,
-           round(l_extendedprice, 2) AS amount, NULL AS detail
-    FROM lineitem WHERE l_orderkey % 211 = 0 AND l_linenumber = 1
-    """,
-    "unionByName with allowMissingColumns — schema-aligned union of "
-    "heterogeneous frames (missing columns null-padded), the safe "
-    "union for evolving schemas.",
-    tags=("setop",),
-)
-def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 211 == 0)
-    li = t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_orderkey") % 211 == 0) & (F.col("l_linenumber") == 1)
-    )
-    a = orders.select(
-        F.col("o_orderkey").alias("key"),
-        F.lit("order").alias("kind"),
-        F.round("o_totalprice", 2).alias("amount"),
-        F.col("o_orderpriority").alias("detail"),
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("key"),
-        F.lit("line").alias("kind"),
-        F.round("l_extendedprice", 2).alias("amount"),
-    )
-    return a.unionByName(b, allowMissingColumns=True)
-
-
-@register(
-    "regexp_functions",
-    """
-    SELECT p_partkey,
-           regexp_extract(p_brand, '([0-9]+)', 1)            AS brand_num,
-           regexp_replace(p_name, '[aeiou]', '_', 'g')       AS name_devoweled,
-           regexp_matches(p_type, '^[A-Z]+ ')                AS type_starts_upper_word,
-           CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_word_runs
-    FROM part
-    """,
-    "Regexp surface: extract (group), replace, match-test, "
-    "extract-all count — identical RE2-compatible patterns on both "
-    "engines.",
-    tags=("scalar", "text"),
-)
-def regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = t(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
-        F.regexp_replace("p_name", r"[aeiou]", "_").alias("name_devoweled"),
-        F.col("p_type").rlike(r"^[A-Z]+ ").alias("type_starts_upper_word"),
-        F.regexp_count(F.col("p_name"), F.lit(r"[a-z]+")).cast("long").alias(
-            "n_word_runs"
-        ),
-    )
-
-
-# =====================================================================
-# Batch 8: as-of join + funnel analysis (custom composed operators).
-# =====================================================================
-
-from ..operators import joins as J  # noqa: E402
-
-
-@register(
-    "asof_join_events",
-    """
-    WITH tagged AS (
-        SELECT user_id, epoch_us(ts) AS t_us, 1 AS side,
-               event_id, NULL::DOUBLE AS r_value
-        FROM events WHERE event_type = 'click'
-        UNION ALL BY NAME
-        SELECT user_id, epoch_us(ts) AS t_us, 0 AS side,
-               NULL::BIGINT AS event_id, value AS r_value
-        FROM events WHERE event_type = 'view'
-    ),
-    carried AS (
-        SELECT user_id, t_us, side, event_id,
-               last_value(r_value IGNORE NULLS) OVER (
-                   PARTITION BY user_id ORDER BY t_us, side
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
-        FROM tagged
-    )
-    SELECT user_id, event_id,
-           round(asof_value, 4) AS asof_value
-    FROM carried WHERE side = 1
-    """,
-    "As-of join (Spark has no native one): for every click, the value "
-    "of that user's most recent prior-or-simultaneous view. Composed "
-    "as union + tagged window + last(ignorenulls) — ONE shuffle on the "
-    "key, no range explosion; the canonical scalable as-of shape.",
-    tags=("join", "events"),
-)
-def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").withColumn("t_us", F.unix_micros("ts"))
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "t_us", "event_id"
-    )
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", "t_us", "value"
-    )
-    out = J.asof_join(
-        clicks, views, key="user_id", time_col="t_us",
-        right_value_cols=["value"], left_cols=["event_id"],
-    )
-    return out.select(
-        "user_id", "event_id", F.round("asof_value", 4).alias("asof_value")
-    )
-
-
-@register(
-    "funnel_analysis",
-    """
-    WITH per_user AS (
-        SELECT user_id,
-               min(CASE WHEN event_type = 'view'     THEN epoch_us(ts) END) AS t0,
-               min(CASE WHEN event_type = 'click'    THEN epoch_us(ts) END) AS t1,
-               min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t2
-        FROM events GROUP BY user_id
-    )
-    SELECT CAST(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
-           CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
-           CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
-                         AND t2 IS NOT NULL AND t2 >= t1
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
-    FROM per_user
-    """,
-    "Ordered funnel (view -> click -> purchase) on first occurrences — "
-    "one groupBy per user, no self-joins; the standard product-"
-    "analytics primitive at any scale.",
-    tags=("agg", "events"),
-)
-def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    return J.funnel_counts(ev, "user_id", "event_type", "ts", ["view", "click", "purchase"])
-
-
-@register(
-    "grouping_sets_explicit",
-    """
-    SELECT l_returnflag, l_linestatus,
-           round(sum(l_extendedprice), 2) AS sum_price,
-           count(*) AS n
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-    """,
-    "Explicit GROUPING SETS (neither rollup nor cube): per-flag, "
-    "per-status, and grand-total rows from one Expand + one hash agg.",
-    tags=("agg",),
-)
-def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _views(spark, sf_dir, "lineitem")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               round(sum(l_extendedprice), 2) AS sum_price,
-               count(*) AS n
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        """
-    )
-
-
-@register(
-    "lateral_explode_tokens",
-    """
-    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
-    FROM documents
-    WHERE doc_id % 50 = 0
-    """,
-    "LATERAL VIEW explode (generator in SQL): one row per token — the "
-    "normalize-to-long-form primitive behind every text aggregate.",
-    tags=("text", "sql"),
-)
-def lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _views(spark, sf_dir, "documents")
-    return spark.sql(
-        """
-        SELECT doc_id, token
-        FROM documents
-        LATERAL VIEW explode(filter(split(text, ' '), x -> x != '')) t AS token
-        WHERE doc_id % 50 = 0
-        """
-    )
-
-
-@register(
-    "serialize_functions",
-    """
-    SELECT o_orderkey,
-           to_json(struct_pack(k := o_orderkey, status := o_orderstatus)) AS as_json,
-           hex(o_orderkey)                                                AS key_hex,
-           base64(encode(o_orderstatus))                                  AS status_b64
-    FROM orders WHERE o_orderkey % 307 = 0
-    """,
-    "Serialization surface: struct -> JSON string, hex encoding, "
-    "base64 — the interchange primitives for export pipelines.",
-    tags=("scalar",),
-)
-def serialize_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 307 == 0)
-    return o.select(
-        "o_orderkey",
-        F.to_json(
-            F.struct(F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("status"))
-        ).alias("as_json"),
-        F.hex(F.col("o_orderkey")).alias("key_hex"),
-        F.base64(F.col("o_orderstatus").cast("binary")).alias("status_b64"),
-    )
-
-
-@register(
-    "session_window_native",
-    """
-    WITH flagged AS (
-        SELECT user_id, epoch_us(ts) AS ts_us,
-               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
-                        PARTITION BY user_id ORDER BY epoch_us(ts))
-                        > 1800000000
-                         OR lag(epoch_us(ts)) OVER (
-                        PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
-                    THEN 1 ELSE 0 END AS new_session
-        FROM events
-    ),
-    sessions AS (
-        SELECT user_id, ts_us,
-               sum(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts_us
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
-        FROM flagged
-    )
-    SELECT user_id,
-           min(ts_us) // 1000000 AS session_start_s,
-           count(*) AS n_events
-    FROM sessions
-    GROUP BY user_id, seq
-    """,
-    "Native session_window (gap-merged event-time sessions, built-in "
-    "since Spark 3.2) — one groupBy, the state-store-backed form that "
-    "also works in Structured Streaming. Oracle: the equivalent "
-    "lag+cumsum window SQL (same sessions, different machinery).",
-    tags=("window", "events"),
-)
-def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.floor(F.unix_micros(F.col("w.start")) / 1_000_000).alias(
-                "session_start_s"
-            ),
-            "n_events",
-        )
-    )
-
-
-@register(
-    "explode_outer_generator",
-    """
-    WITH arrs AS (
-        SELECT l_orderkey,
-               list_filter(list(CASE WHEN l_quantity >= 50 THEN l_linenumber END),
-                           x -> x IS NOT NULL) AS big_lines
-        FROM lineitem GROUP BY l_orderkey
-    )
-    SELECT l_orderkey,
-           CAST(unnest(CASE WHEN len(big_lines) = 0 THEN [NULL] ELSE big_lines END) AS BIGINT) AS big_linenumber
-    FROM arrs
-    """,
-    "explode_outer: generator that PRESERVES rows whose array is empty "
-    "(a NULL row instead of dropping the parent) — here, every order "
-    "keeps a row even when it has no max-quantity lineitems.",
-    tags=("relational", "scalar"),
-)
-def explode_outer_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    arrs = li.groupBy("l_orderkey").agg(
-        F.collect_list(
-            F.when(F.col("l_quantity") >= 50, F.col("l_linenumber"))
-        ).alias("big_lines")
-    )
-    return arrs.select(
-        "l_orderkey", F.explode_outer("big_lines").alias("__ln")
-    ).select("l_orderkey", F.col("__ln").cast("long").alias("big_linenumber"))
-
-
-@register(
-    "q10_returned_items",
-    """
-    SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
-           n_name
-    FROM customer
-    JOIN orders   ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    JOIN nation   ON c_nationkey = n_nationkey
-    WHERE l_returnflag = 'R'
-      AND o_orderdate >= TIMESTAMP '1997-01-01'
-      AND o_orderdate <  TIMESTAMP '1997-07-01'
-    GROUP BY c_custkey, c_name, n_name
-    ORDER BY revenue DESC, c_custkey
-    LIMIT 20
-    """,
-    "TPC-H Q10 shape: returned-item revenue per customer — join chain "
-    "with broadcast dims, agg, top-20 via TakeOrderedAndProject.",
-    tags=("join", "agg"),
-)
-def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
-    )
-    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    nation = t(spark, sf_dir, "nation")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
-        )
-        .select("c_custkey", "c_name", "revenue", "n_name")
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
-        .limit(20)
-    )
-
-
-@register(
-    "q14_promo_share",
-    """
-    SELECT round(
-             100.0 * sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-      AND l_shipdate <  TIMESTAMP '1997-02-01'
-    """,
-    "TPC-H Q14 shape: conditional revenue share (promo percentage) — "
-    "two conditional sums in one pass over the broadcast-part join.",
-    tags=("join", "agg"),
-)
-def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
-    )
-    part = t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
-                6,
-            ).alias("promo_revenue_pct")
-        )
-    )
-
-
-@register(
-    "q15_top_supplier",
-    """
-    WITH revenue AS (
-        SELECT l_suppkey AS supplier_no,
-               sum(l_extendedprice * (1 - l_discount)) AS total_revenue
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-          AND l_shipdate <  TIMESTAMP '1997-04-01'
-        GROUP BY l_suppkey
-    )
-    SELECT s_suppkey, s_name, round(total_revenue, 4) AS total_revenue
-    FROM supplier JOIN revenue ON s_suppkey = supplier_no
-    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
-    """,
-    "TPC-H Q15 shape: derived revenue view + scalar-subquery max — the "
-    "view computes once; Catalyst reuses the aggregate for both the "
-    "join and the max.",
-    tags=("join", "agg", "sql"),
-)
-def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _views(spark, sf_dir, "lineitem", "supplier")
-    return spark.sql(
-        """
-        WITH revenue AS (
-            SELECT l_suppkey AS supplier_no,
-                   sum(l_extendedprice * (1 - l_discount)) AS total_revenue
-            FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-              AND l_shipdate <  TIMESTAMP '1997-04-01'
-            GROUP BY l_suppkey
-        )
-        SELECT s_suppkey, s_name, round(total_revenue, 4) AS total_revenue
-        FROM supplier JOIN revenue ON s_suppkey = supplier_no
-        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
-        """
-    )
-
-
-@register(
-    "null_semantics_functions",
-    """
-    SELECT l_orderkey, l_linenumber,
-           (nullif(l_discount, 0.0) IS NOT DISTINCT FROM nullif(l_tax, 0.0)) AS discount_eq_tax_nullsafe,
-           round(least(l_discount, l_tax), 2)    AS lesser_rate,
-           round(greatest(l_discount, l_tax), 2) AS greater_rate,
-           coalesce(nullif(l_returnflag, 'N'), 'NONE') AS flag_or_none,
-           split_part(l_returnflag || '|' || l_linestatus, '|', 2) AS status_part
-    FROM lineitem WHERE l_orderkey % 157 = 0
-    """,
-    "NULL-semantics surface: nullif, null-safe equality (<=> / IS NOT "
-    "DISTINCT FROM), least/greatest, coalesce chains, split_part.",
-    tags=("scalar",),
-)
-def null_semantics_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 157 == 0)
-    d0 = F.nullif(F.col("l_discount"), F.lit(0.0))
-    t0 = F.nullif(F.col("l_tax"), F.lit(0.0))
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        d0.eqNullSafe(t0).alias("discount_eq_tax_nullsafe"),
-        F.round(F.least("l_discount", "l_tax"), 2).alias("lesser_rate"),
-        F.round(F.greatest("l_discount", "l_tax"), 2).alias("greater_rate"),
-        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("NONE")).alias(
-            "flag_or_none"
-        ),
-        F.split_part(
-            F.concat(F.col("l_returnflag"), F.lit("|"), F.col("l_linestatus")),
-            F.lit("|"),
-            F.lit(2),
-        ).alias("status_part"),
-    )
-
-
-@register(
-    "neardup_clusters",
-    """
-    WITH toks AS (
-        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
-        FROM documents
-    ), sh AS (
-        SELECT doc_id,
-               list_distinct(list_transform(
-                   generate_series(1, greatest(len(ws) - 2, 1)),
-                   i -> array_to_string(ws[i:i+2], ' '))) AS sh3
-        FROM toks WHERE len(ws) > 0
-    ), e AS (
-        SELECT doc_id, unnest(sh3) AS s FROM sh
-    ), sizes AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1
-    ), inter AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(count(*) AS BIGINT) AS nc
-        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ), pairs AS (
-        SELECT i.id_a, i.id_b FROM inter i
-        JOIN sizes sa ON sa.doc_id = i.id_a
-        JOIN sizes sb ON sb.doc_id = i.id_b
-        WHERE 3 * i.nc >= sa.n + sb.n  -- jaccard >= 0.5, exact ints
-    ), edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION ALL SELECT id_b, id_a FROM pairs
-    ), labels AS (
-        WITH RECURSIVE reach(a, b) AS (
-            SELECT src, src FROM edges
-            UNION
-            SELECT r.a, e2.dst FROM reach r JOIN edges e2 ON e2.src = r.b
-        )
-        SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY 1
-    )
-    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(cluster AS BIGINT) AS cluster
-    FROM labels ORDER BY doc_id
-    """,
-    "Near-dup CLUSTER resolution, DRIVER-FALSIFIABLE (VERDICT r3 item "
-    "3): native-MinHash candidate pairs (J >= 0.5, exact integer "
-    "predicate) -> transitive closure via iterative min-label "
-    "propagation (join+groupBy per round, converges in graph-diameter "
-    "steps). The emitted (doc_id, cluster=min member id) labels must "
-    "EQUAL the recursive-CTE closure over the exact O(n²) pair set — "
-    "an LSH recall miss that changes any component, or a propagation "
-    "bug, breaks the driver hash. The step that turns pairwise "
-    "similarity into an actual keep/drop decision.",
-    tags=("dedup", "iterative"),
-)
-def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    counts = D.minhash_native_candidates(
-        t(spark, sf_dir, "documents"), "text", "doc_id",
-        k_shingle=3, n_hashes=16, bands=8, with_counts=True,
-    )
-    pairs = counts.filter(3 * F.col("nc") >= F.col("n_a") + F.col("n_b")).select(
-        "id_a", "id_b"
-    )
-    labels = D.connected_components(pairs)
-    return labels.select(
-        F.col("node_id").cast("bigint").alias("doc_id"),
-        F.col("cluster_id").cast("bigint").alias("cluster"),
-    ).orderBy("doc_id")
-
-
-# =====================================================================
-# Round 2 additions: driver-checkable evaluator twins (A19/A20) and the
-# remaining TPC-H shapes expressible without a partsupp table.
-# =====================================================================
-
-from ..functions import metrics as MET  # noqa: E402
-
-
-@register(
-    "classification_metrics",
-    """
-    WITH scored AS (
-        SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
-               CAST(o_orderkey % 97 AS DOUBLE) / 97.0 AS p
-        FROM orders
-    ),
-    ranked AS (
-        SELECT y, p,
-               rank() OVER (ORDER BY p)
-                   + (count(*) OVER (PARTITION BY p) - 1) / 2.0 AS r
-        FROM scored
-    )
-    SELECT (sum(CASE WHEN y = 1.0 THEN r ELSE 0 END) - sum(y) * (sum(y) + 1) / 2)
-               / (sum(y) * (count(*) - sum(y))) AS auc,
-           (SELECT avg(CASE WHEN (CASE WHEN p >= 0.5 THEN 1.0 ELSE 0.0 END) = y
-                            THEN 1.0 ELSE 0.0 END)
-            FROM scored) AS accuracy
-    FROM ranked
-    """,
-    "A19/A20 evaluator twins, driver-checked end to end: exact ROC-AUC "
-    "via the TWO-PHASE distributed rank-sum (range partition on the "
-    "score -> per-partition row_number + broadcast offsets -> tie "
-    "averaging by groupBy; NO single-partition window, VERDICT r1 item "
-    "6) and accuracy as mean-of-indicator. The scored set is a "
-    "deterministic function of orders (y = status F, p = orderkey mod "
-    "97 scaled — 97 distinct scores force heavy tie groups), and every "
-    "term is integer/half-integer so the doubles are exact across "
-    "engines.",
-    tags=("ml-twin", "metrics"),
-)
-def classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = t(spark, sf_dir, "orders")
-    scored = orders.select(
-        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
-        ((F.col("o_orderkey") % 97).cast("double") / 97.0).alias("p"),
-    )
-    auc = MET.auc_rank_sum_df(scored, "y", "p")
-    acc = scored.agg(
-        F.avg(
-            ((F.col("p") >= 0.5).cast("double") == F.col("y")).cast("double")
-        ).alias("accuracy")
-    )
-    return auc.crossJoin(F.broadcast(acc))
-
-
-@register(
-    "q8_market_share",
-    """
-    SELECT o_year,
-           round(CAST(sum(CASE WHEN nation = 'BRAZIL' THEN volume ELSE 0 END)
-                      / sum(volume) AS DOUBLE), 6) AS mkt_share
-    FROM (
-        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
-               l_extendedprice * (1 - l_discount) AS volume,
-               n2.n_name AS nation
-        FROM part, supplier, lineitem, orders, customer,
-             nation n1, nation n2, region
-        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
-          AND l_orderkey = o_orderkey AND o_custkey = c_custkey
-          AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
-          AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
-          AND p_type = (SELECT min(p_type) FROM part)
-    ) AS all_nations
-    GROUP BY o_year
-    ORDER BY o_year
-    """,
-    "TPC-H Q8 market share: 8-table star join — lineitem⋈orders "
-    "shuffles on orderkey, EVERY dimension (part, supplier, customer, "
-    "both nation roles, region) broadcasts, then a tiny per-year "
-    "conditional aggregate. The p_type probe is a broadcast scalar "
-    "subquery (min type keeps the filter deterministic on synthetic "
-    "data). The canonical 100 TB fact-to-many-dims plan.",
-    tags=("tpch", "join"),
-)
-def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    orders = t(spark, sf_dir, "orders")
-    cust = t(spark, sf_dir, "customer")
-    supp = t(spark, sf_dir, "supplier")
-    part = t(spark, sf_dir, "part")
-    nation = t(spark, sf_dir, "nation")
-    region = t(spark, sf_dir, "region")
-
-    sel_type = part.agg(F.min("p_type").alias("sel_type"))
-    parts = (
-        part.join(F.broadcast(sel_type), part.p_type == sel_type.sel_type)
-        .select("p_partkey")
-    )
-    n1 = nation.select(
-        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
-    )
-    n2 = nation.select(
-        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("nation")
-    )
-    amer = region.filter(F.col("r_name") == "AMERICA").select(
-        F.col("r_regionkey").alias("c_rkey")
-    )
-    joined = (
-        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
-              F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
-        .join(F.broadcast(amer), "c_rkey")
-        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
-              li.l_suppkey == F.col("s_suppkey"))
-        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
-        .select(
-            F.year("o_orderdate").alias("o_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
-            "nation",
-        )
-    )
-    return (
-        joined.groupBy("o_year")
-        .agg(
-            F.round(
-                F.sum(F.when(F.col("nation") == "BRAZIL", F.col("volume")).otherwise(0.0))
-                / F.sum("volume"),
-                6,
-            ).alias("mkt_share")
-        )
-        .orderBy("o_year")
-    )
-
-
-@register(
-    "q13_customer_distribution",
-    """
-    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
-    FROM (
-        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
-        FROM customer LEFT OUTER JOIN orders
-             ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1-%'
-        GROUP BY c_custkey
-    ) AS c_orders
-    GROUP BY c_count
-    ORDER BY custdist DESC, c_count DESC
-    """,
-    "TPC-H Q13 customer order distribution: left outer join with a "
-    "non-equi residual (spec filters o_comment NOT LIKE "
-    "'%special%requests%'; the fixture carries no comment column, so "
-    "the same shape filters priority NOT LIKE '1-%'), double "
-    "aggregation — "
-    "the inner groupBy rides the join's custkey partitioning (no "
-    "second shuffle of the big side), the outer histogram groupBy "
-    "moves only (c_count) pairs.",
-    tags=("tpch", "join", "agg"),
-)
-def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
-    per_cust = (
-        cust.select("c_custkey")
-        .join(
-            orders.filter(~F.col("o_orderpriority").like("1-%")).select(
-                "o_custkey", "o_orderkey"
-            ),
-            cust.c_custkey == F.col("o_custkey"),
-            "left_outer",
-        )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
-    return (
-        per_cust.groupBy("c_count")
-        .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.desc("custdist"), F.desc("c_count"))
-    )
-
-
-@register(
-    "q21_waiting_suppliers",
-    """
-    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
-    FROM supplier, lineitem l1, orders o1, nation
-    WHERE s_suppkey = l1.l_suppkey
-      AND o1.o_orderkey = l1.l_orderkey AND o1.o_orderstatus = 'F'
-      AND l1.l_shipdate > o1.o_orderdate + INTERVAL 100 DAY
-      AND EXISTS (SELECT * FROM lineitem l2
-                  WHERE l2.l_orderkey = l1.l_orderkey
-                    AND l2.l_suppkey <> l1.l_suppkey)
-      AND NOT EXISTS (SELECT * FROM lineitem l3, orders o3
-                      WHERE o3.o_orderkey = l3.l_orderkey
-                        AND l3.l_orderkey = l1.l_orderkey
-                        AND l3.l_suppkey <> l1.l_suppkey
-                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 100 DAY)
-      AND s_nationkey = n_nationkey
-    GROUP BY s_name
-    ORDER BY numwait DESC, s_name
-    LIMIT 100
-    """,
-    "TPC-H Q21 suppliers who kept orders waiting: the hardest "
-    "correlated shape — one EXISTS (another supplier on the order) and "
-    "one NOT EXISTS (no OTHER supplier was late), both decorrelated "
-    "into left-semi / left-anti joins on orderkey so all lineitem "
-    "passes share one shuffle key; supplier and nation broadcast. "
-    "(Spec defines late as receipt > commit; the fixture carries "
-    "neither column, so late = shipped >100 days after the order "
-    "date — the identical plan shape.)",
-    tags=("tpch", "join", "subquery"),
-)
-def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    orders = t(spark, sf_dir, "orders")
-    supp = t(spark, sf_dir, "supplier")
-    nation = t(spark, sf_dir, "nation")
-
-    # Late flag computed ONCE (one lineitem⋈orders shuffle on orderkey);
-    # the semi/anti self-joins below reuse the same key.
-    flagged = (
-        li.select("l_orderkey", "l_suppkey", "l_shipdate")
-        .join(
-            orders.select("o_orderkey", "o_orderdate", "o_orderstatus"),
-            li.l_orderkey == F.col("o_orderkey"),
-        )
-        .withColumn(
-            "late",
-            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 100 DAYS"),
-        )
-    )
-    l1 = (
-        flagged.filter(F.col("late") & (F.col("o_orderstatus") == "F"))
-        .select("l_orderkey", "l_suppkey")
-        .alias("l1")
-    )
-    # EXISTS: some other supplier contributed to the same order.
-    others = li.select(
-        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
-    ).alias("l2")
-    with_other = l1.join(
-        others,
-        (F.col("l1.l_orderkey") == F.col("l2.o_key"))
-        & (F.col("l1.l_suppkey") != F.col("l2.o_supp")),
-        "left_semi",
-    )
-    # NOT EXISTS: no OTHER supplier was late on that order.
-    other_late = (
-        flagged.filter(F.col("late"))
-        .select(F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp"))
-        .alias("l3")
-    )
-    only_late = with_other.join(
-        other_late,
-        (F.col("l1.l_orderkey") == F.col("l3.o_key"))
-        & (F.col("l1.l_suppkey") != F.col("l3.o_supp")),
-        "left_anti",
-    )
-    return (
-        only_late.join(F.broadcast(supp.select("s_suppkey", "s_name", "s_nationkey")),
-                       F.col("l1.l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(nation.select("n_nationkey")),
-              F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-        .orderBy(F.desc("numwait"), F.asc("s_name"))
-        .limit(100)
-    )
-
-
-# =====================================================================
-# Driver correctness slots (see _ordered_names): round 2 promotes the
-# 38 queries registration order left unchecked in round 1, the four
-# fixed/re-implemented ones (standardize_twin rounding, simhash_dedup
-# serialization, approx_aggregates/frequent_items bound oracles,
-# embedding_neardup_pairs blocked-GEMM path), this round's additions,
-# and four round-1-green anchors re-verified for regression cover.
-# =====================================================================
-
-@register(
-    "streaming_stream_stream_join",
-    """
-    SELECT p.user_id,
-           epoch_us(v.ts) AS view_ts_us,
-           epoch_us(p.ts) AS purchase_ts_us
-    FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
-    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
-      ON p.user_id = v.user_id
-    WHERE v.ts BETWEEN p.ts - INTERVAL 24 HOUR AND p.ts
-    """,
-    "Watermarked stream-stream INTERVAL join (purchase ⋈ same-user "
-    "views in the trailing 24h) — the attribution join. Watermarks on "
-    "BOTH sides plus the event-time bound keep join state finite "
-    "(watermark+interval horizon per side); inner joins emit matches "
-    "eagerly, so the finite replay equals the batch interval join, "
-    "which is the oracle.",
-    tags=("streaming", "join"),
-)
-def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming import run_stream_stream_join
-
-    return run_stream_stream_join(spark, sf_dir)
-
-
-@register(
-    "time_bucket_gapfill",
-    """
-    WITH b AS (
-      SELECT event_type,
-             (epoch_us(ts) // 900000000) * 900000000 AS bucket_us,
-             count(*) AS n_raw, round(avg(value), 4) AS avg_raw
-      FROM events GROUP BY 1, 2
-    ), bounds AS (
-      SELECT (min(epoch_us(ts)) // 900000000) * 900000000 AS mn,
-             (max(epoch_us(ts)) // 900000000) * 900000000 AS mx
-      FROM events
-    ), grid AS (
-      SELECT et.event_type, g.bucket_us
-      FROM (SELECT DISTINCT event_type FROM events) et,
-           (SELECT unnest(generate_series(mn, mx, 900000000)) AS bucket_us
-            FROM bounds) g
-    )
-    SELECT grid.event_type, grid.bucket_us,
-           CAST(coalesce(b.n_raw, 0) AS BIGINT) AS n_events,
-           last_value(b.avg_raw IGNORE NULLS) OVER (
-             PARTITION BY grid.event_type ORDER BY grid.bucket_us
-           ) AS avg_value_ffill
-    FROM grid LEFT JOIN b USING (event_type, bucket_us)
-    """,
-    "Hypertable-style time-bucket rollup WITH GAP FILL: events land in "
-    "15-min buckets (integer µs math so both engines share the grid), "
-    "a dense per-type bucket spine is generated from the observed span, "
-    "missing buckets zero-fill counts and forward-fill the last known "
-    "avg (last_value IGNORE NULLS). The resample primitive every "
-    "time-series feature pipeline needs. Scale shape: the agg is one "
-    "shuffle on (type, bucket); the spine is sequence+explode from a "
-    "1-row bounds broadcast (at 100 TB spans, generate day-level first "
-    "and explode twice to bound array sizes); the fill is a window "
-    "partitioned BY TYPE — state is one scalar per partition, and with "
-    "high-cardinality keys it stays fully parallel.",
-    tags=("events", "window", "timeseries"),
-)
-def time_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    bucket = (F.expr("unix_micros(ts) div 900000000") * 900000000).alias("bucket_us")
-    b = ev.groupBy("event_type", bucket).agg(
-        F.count(F.lit(1)).alias("n_raw"),
-        F.round(F.avg("value"), 4).alias("avg_raw"),
-    )
-    bounds = ev.agg(
-        (F.expr("unix_micros(min(ts)) div 900000000") * 900000000).alias("mn"),
-        (F.expr("unix_micros(max(ts)) div 900000000") * 900000000).alias("mx"),
-    )
-    grid = (
-        ev.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.explode(F.sequence("mn", "mx", F.lit(900000000).cast("long"))).alias(
-                "bucket_us"
-            ),
-        )
-    )
-    w = (
-        W.partitionBy("event_type")
-        .orderBy("bucket_us")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return grid.join(b, ["event_type", "bucket_us"], "left").select(
-        "event_type",
-        "bucket_us",
-        F.coalesce("n_raw", F.lit(0)).cast("long").alias("n_events"),
-        F.last("avg_raw", ignorenulls=True).over(w).alias("avg_value_ffill"),
-    )
-
-
-@register(
-    "stratified_sample_systematic",
-    """
-    WITH ranked AS (
-      SELECT l_returnflag, l_orderkey, l_linenumber,
-             row_number() OVER (
-               PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber
-             ) AS rn
-      FROM lineitem
-    )
-    SELECT l_returnflag, l_orderkey, l_linenumber, rn
-    FROM ranked WHERE rn % 20 = 1
-    """,
-    "Deterministic stratified (systematic) sampling: every 20th row "
-    "per stratum under a total per-stratum order — exact 5% per class, "
-    "reproducible across runs/engines, unlike sample()'s Bernoulli "
-    "draw (deterministic_sample covers that). The class-balanced "
-    "train-set downsampler. Scale shape: one shuffle on the stratum "
-    "key; the within-stratum row_number is the only serial-per-stratum "
-    "step, so strata must be finer than executor count at 100 TB — "
-    "compose the stratum key with a hash prefix (as salted_aggregation "
-    "does) when a class dominates.",
-    tags=("sampling",),
-)
-def stratified_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_returnflag").orderBy("l_orderkey", "l_linenumber")
-    return (
-        li.select(
-            "l_returnflag",
-            "l_orderkey",
-            "l_linenumber",
-            F.row_number().over(w).alias("rn"),
-        )
-        .filter((F.col("rn") % 20) == 1)
-    )
-
-
-@register(
-    "embedding_centroids",
-    """
-    SELECT vec_id % 8 AS bucket, i - 1 AS pos,
-           round(avg(embedding[i]), 4) AS centroid,
-           CAST(count(*) AS BIGINT) AS n_vecs
-    FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
-    GROUP BY 1, 2
-    """,
-    "Distributed element-wise vector mean: posexplode the embedding "
-    "array and average per (bucket, dimension) — the centroid-update "
-    "step of k-means/IVF training, expressed as a plain aggregation so "
-    "Catalyst gets partial (map-side) aggs. 8 hash buckets stand in "
-    "for cluster assignments. Scale shape: explode multiplies rows by "
-    "dim (64 here) but each is (long,int,float) — narrow; the shuffle "
-    "carries only partial (sum,count) per (bucket,dim) = "
-    "O(k·dim·partitions), independent of corpus size. This is how IVF "
-    "centroids stay updatable at 100 TB without MLlib's "
-    "collect-to-driver aggregation.",
-    tags=("similarity", "agg"),
-)
-def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    em = t(spark, sf_dir, "embeddings")
-    ex = em.select(
-        (F.col("vec_id") % 8).alias("bucket"),
-        F.posexplode("embedding").alias("pos", "val"),
-    )
-    return ex.groupBy("bucket", "pos").agg(
-        F.round(F.avg("val"), 4).alias("centroid"),
-        F.count(F.lit(1)).alias("n_vecs"),
-    )
-
-
-@register(
-    "skew_join_salted",
-    """
-    SELECT s_name, CAST(count(*) AS BIGINT) AS n_li,
-           round(sum(l_extendedprice), 2) AS revenue
-    FROM lineitem JOIN supplier
-      ON s_suppkey = CASE WHEN l_suppkey % 10 <> 0 THEN 1 ELSE l_suppkey END
-    GROUP BY s_name
-    """,
-    "Skewed shuffle join made uniform by SALTING: ~90% of lineitem "
-    "rows are remapped to one hot supplier key (synthetic skew), the "
-    "fact side adds salt = l_orderkey % 16, the dim side is replicated "
-    "16x, and the join runs on (key, salt) — the hot key spreads over "
-    "16 tasks instead of one straggler. A shuffle-hash hint forces the "
-    "non-broadcast path so the salting is actually exercised (with "
-    "broadcast the skew never materializes — which IS the first-choice "
-    "fix when the dim fits in memory). The oracle is the plain "
-    "unsalted join, proving salting changes the schedule, not the "
-    "answer. At 100 TB: AQE skew-split handles moderate skew "
-    "(PERF.md); explicit salting is for the pathological keys AQE "
-    "can't split below target size.",
-    tags=("join", "skew"),
-)
-def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").select(
-        F.expr(
-            "CASE WHEN l_suppkey % 10 <> 0 THEN CAST(1 AS BIGINT) ELSE CAST(l_suppkey AS BIGINT) END"
-        ).alias("sk"),
-        (F.col("l_orderkey") % 16).cast("long").alias("salt"),
-        "l_extendedprice",
-    )
-    sup = (
-        t(spark, sf_dir, "supplier")
-        .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name")
-        .crossJoin(spark.range(16).select(F.col("id").alias("salt")))
-    )
-    joined = li.join(
-        sup.hint("shuffle_hash"),
-        (li["sk"] == sup["s_suppkey"]) & (li["salt"] == sup["salt"]),
-    )
-    return joined.groupBy("s_name").agg(
-        F.count(F.lit(1)).alias("n_li"),
-        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
-    )
-
-
-@register(
-    "window_ignore_nulls",
-    """
-    SELECT o_orderkey,
-           first_value(v IGNORE NULLS) OVER w AS first_nn,
-           last_value(v IGNORE NULLS) OVER w AS last_nn,
-           nth_value(v, 2 IGNORE NULLS) OVER w AS second_nn
-    FROM (SELECT o_orderkey, o_custkey,
-                 CASE WHEN o_orderkey % 3 = 0 THEN NULL
-                      ELSE round(o_totalprice, 2) END AS v
-          FROM orders) t
-    WINDOW w AS (PARTITION BY o_custkey % 100 ORDER BY o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    """,
-    "IGNORE NULLS analytic windows: first/last/nth non-null value over "
-    "a running frame (every third order's price nulled to exercise "
-    "the skip) — the sparse-sensor carry-forward primitive that plain "
-    "first/last can't express. Same frame/partitioning as the ANSI "
-    "WINDOW clause in the oracle. Scale: one shuffle on the partition "
-    "key (bounded at 100 mod-classes here; real keys are "
-    "high-cardinality), running frame evaluated incrementally.",
-    tags=("window",),
-)
-def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        (F.col("o_custkey") % 100).alias("grp"),
-        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)).otherwise(
-            F.round("o_totalprice", 2)
-        ).alias("v"),
-    )
-    w = (
-        W.partitionBy("grp")
-        .orderBy("o_orderkey")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return o.select(
-        "o_orderkey",
-        F.first("v", ignorenulls=True).over(w).alias("first_nn"),
-        F.last("v", ignorenulls=True).over(w).alias("last_nn"),
-        F.nth_value("v", 2, ignoreNulls=True).over(w).alias("second_nn"),
-    )
-
-
-# ---------------------------------------------------------------------
-# File-format connectors (SURVEY.md §2 A1-A3 widened): write-then-read
-# round-trips through csv / json / orc, hash-verified against the
-# parquet original. A connector that loses precision (timestamp
-# format, float text round-trip, null encoding) fails the oracle hash.
-# ---------------------------------------------------------------------
-
-_ROUNDTRIP_ORACLE = """
-    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price,
-           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
-           CAST(min(epoch_us(o_orderdate)) AS BIGINT) AS min_date_us
-    FROM orders GROUP BY o_orderstatus
-"""
-
-
-def _make_roundtrip(fmt: str):
-    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        import os
-
-        from ..sources.readers import file_roundtrip
-
-        repo = os.path.dirname(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        )
-        src = t(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
-        )
-        back = file_roundtrip(
-            spark, src, fmt, os.path.join(repo, ".tmp_io", f"roundtrip_{fmt}")
-        )
-        return back.groupBy("o_orderstatus").agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-            F.min("o_orderkey").alias("min_key"),
-            F.max("o_orderkey").alias("max_key"),
-            F.unix_micros(F.min("o_orderdate").cast("timestamp")).alias("min_date_us"),
-        )
-
-    fn.__name__ = f"{fmt}_source_roundtrip"
-    return fn
-
-
-for _fmt in ("csv", "json", "orc"):
-    register(
-        f"{_fmt}_source_roundtrip",
-        _ROUNDTRIP_ORACLE,
-        f"Orders written to {_fmt} and read back with the pinned schema, "
-        "then aggregated; the oracle aggregates the parquet ORIGINAL, so "
-        "a hash match proves the connector is value-lossless (doubles, "
-        "timestamps, nulls) — not just schema-shaped. Explicit schema on "
-        "read (no inference pass); CSV self-describes with a header. "
-        "Scale: both legs are full parallel scans/writes; orc keeps "
-        "footer pushdown, text formats are one vectorized parse.",
-        tags=("source", "sink"),
-    )(_make_roundtrip(_fmt))
-
-
-@register(
-    "null_safe_join",
-    """
-    WITH l AS (
-      SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
-                  ELSE o_custkey % 50 END AS k,
-             CAST(count(*) AS BIGINT) AS n_l
-      FROM orders GROUP BY 1
-    ), r AS (
-      SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL
-                  ELSE c_custkey % 50 END AS k,
-             CAST(count(*) AS BIGINT) AS n_r
-      FROM customer GROUP BY 1
-    )
-    SELECT l.k AS k, l.n_l AS n_l, r.n_r AS n_r
-    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
-    """,
-    "NULL-safe equi-join (eqNullSafe / IS NOT DISTINCT FROM): both "
-    "sides carry an engineered NULL key class, and the null-safe "
-    "predicate matches NULL to NULL — one row here vs zero under "
-    "plain equality. The entity-resolution join where 'unknown' is a "
-    "legitimate key. Scale: eqNullSafe stays a hash-join key "
-    "(coalesce-to-sentinel is NOT needed); both sides pre-aggregate "
-    "before the join so the shuffle carries one row per key class.",
-    tags=("join", "null"),
-)
-def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = (
-        t(spark, sf_dir, "orders")
-        .select(
-            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
-            .otherwise(F.col("o_custkey") % 50)
-            .alias("k")
-        )
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("n_l"))
-    )
-    c = (
-        t(spark, sf_dir, "customer")
-        .select(
-            F.when(F.col("c_custkey") % 11 == 0, F.lit(None))
-            .otherwise(F.col("c_custkey") % 50)
-            .alias("k")
-        )
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("n_r"))
-    )
-    return o.join(c, o["k"].eqNullSafe(c["k"])).select(
-        o["k"].alias("k"), "n_l", "n_r"
-    )
-
-
-@register(
-    "pandas_scalar_udf_score",
-    """
-    SELECT l_orderkey, l_linenumber,
-           round(1.0 / (1.0 + exp(-((l_quantity - 25.0) / 10.0
-                                    + l_discount * 5.0 - l_tax * 3.0))), 6)
-             AS score
-    FROM lineitem WHERE l_orderkey % 4 = 0
-    """,
-    "Vectorized SCALAR pandas UDF (Arrow batches, numpy sigmoid) — "
-    "the third leg of the UDF tier next to applyInPandas "
-    "(grouped_pandas_zscore) and mapInPandas (multimodal_features). "
-    "The logistic scoring kernel a model-inference pipeline runs when "
-    "the model lives in Python. This one IS expressible with builtin "
-    "exp() — which is exactly what makes it oracle-checkable: the "
-    "DuckDB twin computes the same closed form, so the hash match "
-    "proves the Arrow round-trip is value-exact. Plan test asserts "
-    "ArrowEvalPython (never row-at-a-time BatchEvalPython). Scale: "
-    "Arrow transfer is columnar and zero-copy into numpy; batch size "
-    "via spark.sql.execution.arrow.maxRecordsPerBatch.",
-    tags=("udf",),
-)
-def pandas_scalar_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-
-    # No type hints on the kernel: with ``from __future__ import
-    # annotations`` in this module, hint strings can't resolve the
-    # locally-imported pandas; the un-hinted form is inferred SCALAR.
-    sigmoid = pandas_udf(lambda z: 1.0 / (1.0 + np.exp(-z)), "double")
-
-    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
-    z = (
-        (F.col("l_quantity") - F.lit(25.0)) / F.lit(10.0)
-        + F.col("l_discount") * F.lit(5.0)
-        - F.col("l_tax") * F.lit(3.0)
-    )
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.round(sigmoid(z), 6).alias("score"),
-    )
-
-
-@register(
-    "data_quality_gates",
-    """
-    WITH agg AS (
-      SELECT count(*) AS n,
-             CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
-             CAST(sum(CASE WHEN l_discount IS NOT NULL
-                            AND l_discount NOT BETWEEN 0.0 AND 0.08
-                           THEN 1 ELSE 0 END) AS BIGINT) AS v1,
-             CAST(sum(CASE WHEN l_returnflag IS NOT NULL
-                            AND l_returnflag NOT IN ('A','N')
-                           THEN 1 ELSE 0 END) AS BIGINT) AS v2
-      FROM lineitem
-    )
-    SELECT 'not_null(l_quantity,tol=0.0)' AS check, v0 AS n_violations,
-           v0 / n AS violation_rate, v0 / n <= 0.0 AS passed FROM agg
-    UNION ALL
-    SELECT 'in_range(l_discount,[0.0,0.08])', v1, v1 / n, v1 / n <= 0.3 FROM agg
-    UNION ALL
-    SELECT 'in_set(l_returnflag)', v2, v2 / n, v2 / n <= 0.5 FROM agg
-    """,
-    "Declarative data-quality gate (operators/quality.py): three "
-    "expectations (not-null, numeric range, categorical domain) "
-    "compiled into ONE conditional-aggregation scan, unpivoted to a "
-    "per-check report (check, n_violations, violation_rate, passed) "
-    "with stack() — no driver round-trip anywhere (run_checks_df). "
-    "Tolerances chosen so the fixture yields a mix of pass and fail "
-    "rows, proving the gate logic, not just zeros. Scale: the gate IS "
-    "the ingest scan — conditional sums ride the existing pass, "
-    "violation rates are exact-integer ÷ count (bit-identical across "
-    "engines, no rounding needed).",
-    tags=("quality",),
-)
-def data_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.quality import in_range, in_set, not_null, run_checks_df
-
-    li = t(spark, sf_dir, "lineitem")
-    checks = [
-        not_null("l_quantity", 0.0),
-        in_range("l_discount", 0.0, 0.08, 0.3),
-        in_set("l_returnflag", ["A", "N"], 0.5),
-    ]
-    # in_set's auto-name has no arg list; pin names to the oracle's.
-    out = run_checks_df(li, checks)
-    return out
-
-
-@register(
-    "merge_upsert",
-    """
-    WITH base AS (
-      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-      WHERE o_orderdate < TIMESTAMP '1997-01-01'
-    ), updates AS (
-      SELECT o_orderkey, 'R' AS o_orderstatus,
-             round(o_totalprice * 1.1, 3) AS o_totalprice
-      FROM orders
-      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderkey % 3 = 0
-    ), merged AS (
-      SELECT b.* FROM base b
-      WHERE NOT EXISTS (SELECT 1 FROM updates u
-                        WHERE u.o_orderkey = b.o_orderkey)
-      UNION ALL
-      SELECT * FROM updates
-    )
-    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-           round(sum(o_totalprice), 3) AS total
-    FROM merged GROUP BY o_orderstatus
-    """,
-    "MERGE INTO emulation (operators/upsert.py::upsert): updates win "
-    "on key collision via left-anti join, inserts append via "
-    "unionByName — the standard lakehouse-free upsert on plain "
-    "parquet. Base = pre-1997 orders; updates = every third post-1997 "
-    "key restated (status 'R', price +10%). The oracle recomputes the "
-    "same MERGE with NOT EXISTS + UNION ALL, so the hash proves "
-    "collision semantics exactly. Scale: one shuffle on the key for "
-    "the anti-join (zero if base and updates are bucketed on it — "
-    "tests/test_upsert.py asserts the bucketed no-exchange plan).",
-    tags=("upsert",),
-)
-def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.upsert import upsert
-
-    o = t(spark, sf_dir, "orders")
-    base = o.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")).select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    updates = (
-        o.filter(
-            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("o_orderkey") % 3 == 0)
-        )
-        .select(
-            "o_orderkey",
-            F.lit("R").alias("o_orderstatus"),
-            # 2dp money x 1.1 sits on a 3dp grid — round AT the grid
-            # (2dp would straddle the HALF_UP/binary boundary).
-            F.round(F.col("o_totalprice") * 1.1, 3).alias("o_totalprice"),
-        )
-    )
-    merged = upsert(base, updates, "o_orderkey")
-    return merged.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 3).alias("total"),
-    )
-
-
-# ---------------------------------------------------------------------
-# Mergeable sketches, error-safe arithmetic, distributed numbering,
-# stream-static enrichment, prefix-filtered similarity self-join.
-# ---------------------------------------------------------------------
-
-
-@register(
-    "prefix_jaccard_threshold_join",
-    """
-    WITH sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               generate_series(1, greatest(len(list_filter(string_split(text,' '), x -> x <> '')) - 2, 1)),
-               i -> array_to_string((list_filter(string_split(text,' '), x -> x <> ''))[i:i+2], ' ')
-             )) AS sh3
-      FROM documents
-      WHERE len(list_filter(string_split(text,' '), x -> x <> '')) > 0
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(floor(CAST(len(list_intersect(a.sh3, b.sh3)) AS DOUBLE)
-                      / greatest(len(a.sh3) + len(b.sh3)
-                                 - len(list_intersect(a.sh3, b.sh3)), 1)
-                      * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sh3, b.sh3)) * 10
-          >= 6 * (len(a.sh3) + len(b.sh3) - len(list_intersect(a.sh3, b.sh3)))
-    """,
-    "Threshold Jaccard self-join (J >= 0.6, 3-shingles) with "
-    "PPJoin-style prefix filtering — NO blocking key: each doc "
-    "explodes only its n - ceil(0.6n) + 1 globally-rarest shingles "
-    "(any qualifying pair must share one), a length filter bounds "
-    "|B| in [0.6|A|, |A|/0.6] inside the join, and exact Jaccard "
-    "verifies candidates only. All three filters are LOSSLESS at the "
-    "threshold, so the result equals the oracle's brute-force "
-    "all-pairs scan — which is the point: the oracle is O(n^2), the "
-    "engine path is ~linear in the true result size and survives an "
-    "all-corpus self-join at 100 TB. Threshold compare runs in "
-    "integer space (10*inter >= 6*union); output uses grid-stable "
-    "floor rounding.",
-    tags=("text", "dedup", "similarity"),
-)
-def prefix_jaccard_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import prefix_filtered_jaccard_join
-
-    return prefix_filtered_jaccard_join(
-        t(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.6
-    )
-
-
-@register(
-    "regression_aggregates",
-    """
-    SELECT l_returnflag,
-           CAST(floor(regr_slope(l_extendedprice, l_quantity) * 10000.0 + 0.5)
-                / 10000.0 AS DOUBLE)  AS price_qty_slope,
-           CAST(floor(regr_intercept(l_extendedprice, l_quantity) * 10000.0 + 0.5)
-                / 10000.0 AS DOUBLE)  AS price_qty_intercept,
-           CAST(floor(regr_r2(l_extendedprice, l_quantity) * 1000000.0 + 0.5)
-                / 1000000.0 AS DOUBLE) AS price_qty_r2,
-           regr_count(l_extendedprice, l_quantity) AS n_pairs
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-    "Linear-regression aggregates (regr_slope / regr_intercept / "
-    "regr_r2 / regr_count) per group — single-pass streaming moments "
-    "with map-side partial aggregation, the in-engine OLS fit for "
-    "feature screening without an ML round-trip. Outputs use "
-    "grid-stable floor rounding (slope/intercept 4dp, r2 6dp); "
-    "regr_count also pins the pairwise-null semantics (only rows "
-    "where BOTH columns are non-null count).",
-    tags=("agg", "stats"),
-)
-def regression_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    def g(c, scale):
-        return (F.floor(c * scale + 0.5) / scale).cast("double")
-    return li.groupBy("l_returnflag").agg(
-        g(F.expr("regr_slope(l_extendedprice, l_quantity)"), 10000.0).alias(
-            "price_qty_slope"
-        ),
-        g(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 10000.0).alias(
-            "price_qty_intercept"
-        ),
-        g(F.expr("regr_r2(l_extendedprice, l_quantity)"), 1000000.0).alias(
-            "price_qty_r2"
-        ),
-        F.expr("regr_count(l_extendedprice, l_quantity)").alias("n_pairs"),
-    )
-
-
-@register(
-    "streaming_foreach_batch_upsert",
-    """
-    SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
-    FROM events GROUP BY event_type
-    """,
-    "foreachBatch sink with exactly-once MERGE semantics: the stream "
-    "is unioned with itself (every event arrives >= twice) and the "
-    "sink dedups in-batch AND anti-joins the already-written target "
-    "before appending — the idempotent-writer pattern Structured "
-    "Streaming provides for batch-only sinks (Delta/Iceberg MERGE at "
-    "production scale). The final per-type aggregate must equal the "
-    "plain batch GROUP BY over SINGLE copies, which the oracle checks "
-    "— duplicates surviving the merge would double every count.",
-    tags=("streaming", "upsert", "sink"),
-)
-def streaming_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.windows import run_foreach_batch_upsert
-
-    return run_foreach_batch_upsert(spark, sf_dir)
-
-
-@register(
-    "variant_functions",
-    """
-    SELECT event_id,
-           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
-           CAST(NULL AS BIGINT)                       AS missing_val,
-           (json_extract(props, '$.k') IS NULL)       AS k_is_null
-    FROM events WHERE event_id % 17 = 0
-    """,
-    "Spark 4 VARIANT type: parse_json into a binary variant once, then "
-    "typed path access with variant_get / try_variant_get (missing "
-    "path -> NULL, no error). Variant is the semi-structured scan "
-    "format that replaces per-query JSON string re-parsing — at 100 TB "
-    "the parse happens once at ingest and every downstream path access "
-    "is a binary probe. The DuckDB oracle uses its native JSON "
-    "extraction over the same props column.",
-    tags=("scalar", "json", "variant"),
-)
-def variant_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
-    return ev.select(
-        "event_id",
-        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k_val"),
-        F.expr("try_variant_get(parse_json(props), '$.missing', 'long')").alias(
-            "missing_val"
-        ),
-        F.expr("variant_get(parse_json(props), '$.k', 'long')")
-        .isNull()
-        .alias("k_is_null"),
-    )
-
-
-@register(
-    "xml_serialize_roundtrip",
-    """
-    SELECT o_orderkey, o_orderstatus AS xml_status, o_totalprice AS xml_price
-    FROM orders WHERE o_orderkey % 50 = 0
-    """,
-    "XML serialization round-trip: to_xml(struct) -> from_xml(schema) "
-    "must reproduce the input values exactly — including doubles, "
-    "whose shortest-decimal text form round-trips losslessly. The "
-    "oracle selects the ORIGINAL columns, so a hash match proves the "
-    "XML writer/parser pair loses nothing. Per-row projection, "
-    "map-only at scale (the XML interchange path for feeds that "
-    "aren't parquet).",
-    tags=("scalar", "xml", "serialize"),
-)
-def xml_serialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
-    xml = F.to_xml(F.struct(F.col("o_orderstatus"), F.col("o_totalprice")))
-    parsed = F.from_xml(xml, "o_orderstatus STRING, o_totalprice DOUBLE")
-    return o.select(
-        "o_orderkey",
-        parsed.getField("o_orderstatus").alias("xml_status"),
-        parsed.getField("o_totalprice").alias("xml_price"),
-    )
-
-
-@register(
-    "hll_distinct_sketch_merge",
-    """
-    SELECT r_name, count(DISTINCT o_custkey) AS distinct_customers,
-           TRUE AS within_bound
-    FROM orders, customer, nation, region
-    WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
-      AND n_regionkey = r_regionkey
-    GROUP BY r_name
-    """,
-    "Mergeable distinct-count sketches (Apache DataSketches HLL, "
-    "lgK=14): per-NATION sketches of ordering customers are built in "
-    "one pass, then UNIONED up to region level and estimated — the "
-    "two-level partial-aggregate shape that lets a 1000-executor "
-    "cluster count distincts with fixed-size state instead of "
-    "re-shuffling raw keys per rollup level. The query emits the "
-    "EXACT distinct per region plus a boolean asserting the sketch "
-    "estimate lands within 0.05 of it (lgK=14 -> rsd ~0.8%), so the "
-    "oracle checks the sketch's actual guarantee, hash-exactly.",
-    tags=("agg", "sketch", "approx"),
-)
-def hll_distinct_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders").select("o_custkey")
-    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n = t(spark, sf_dir, "nation")
-    r = t(spark, sf_dir, "region")
-    facts = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("o_custkey", "n_nationkey", "r_name")
-    )
-    per_nation = facts.groupBy("n_nationkey", "r_name").agg(
-        F.expr("hll_sketch_agg(o_custkey, 14)").alias("sk")
-    )
-    merged = per_nation.groupBy("r_name").agg(
-        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
-    )
-    exact = facts.groupBy("r_name").agg(
-        F.count_distinct("o_custkey").alias("distinct_customers")
-    )
-    return exact.join(merged, "r_name").select(
-        "r_name",
-        "distinct_customers",
-        (
-            F.abs(F.col("est") - F.col("distinct_customers"))
-            <= 0.05 * F.col("distinct_customers")
-        ).alias("within_bound"),
-    )
-
-
-@register(
-    "try_arithmetic_functions",
-    """
-    SELECT l_orderkey, l_linenumber,
-           CASE WHEN l_quantity = 25 THEN NULL
-                ELSE CAST(floor(l_extendedprice / (l_quantity - 25)
-                                * 10000.0 + 0.5) / 10000.0 AS DOUBLE)
-           END AS safe_ratio,
-           CASE WHEN l_orderkey >= 2 THEN NULL
-                ELSE CAST(l_orderkey * 4611686018427387904 AS BIGINT)
-           END AS overflow_mul,
-           CASE WHEN l_orderkey >= 1 THEN NULL
-                ELSE CAST(l_orderkey + 9223372036854775807 AS BIGINT)
-           END AS overflow_add
-    FROM lineitem WHERE l_orderkey % 97 = 0
-    """,
-    "ANSI error-safe arithmetic (try_divide / try_multiply / try_add): "
-    "engineered zero denominators and int64 overflows return NULL "
-    "instead of failing the job — the semantics batch pipelines need "
-    "under Spark 4's ANSI-on default, where a single bad row would "
-    "otherwise kill a 100 TB stage. The oracle spells out the "
-    "equivalent guarded CASE expressions; the ratio uses the "
-    "grid-stable floor rounding.",
-    tags=("scalar", "ansi"),
-)
-def try_arithmetic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 97 == 0)
-    ratio = F.expr("try_divide(l_extendedprice, l_quantity - 25)")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        (F.floor(ratio * 10000.0 + 0.5) / 10000.0)
-        .cast("double")
-        .alias("safe_ratio"),
-        F.expr("try_multiply(l_orderkey, 4611686018427387904L)").alias(
-            "overflow_mul"
-        ),
-        F.expr("try_add(l_orderkey, 9223372036854775807L)").alias("overflow_add"),
-    )
-
-
-@register(
-    "distributed_row_number",
-    """
-    SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn
-    FROM orders
-    """,
-    "Global row numbering WITHOUT the single-partition window trap: "
-    "repartitionByRange on the order key (the sort-shuffle any global "
-    "ordering pays), per-partition counts prefix-summed into broadcast "
-    "offsets (metadata scale: one row per partition), then global rn = "
-    "local row_number + offset. Every data-touching stage is "
-    "partition-parallel; the oracle is the naive single-window form, "
-    "which only an engine at fixture scale can afford to run.",
-    tags=("window", "scale"),
-)
-def distributed_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.relational import global_row_number
-
-    return global_row_number(
-        t(spark, sf_dir, "orders").select("o_orderkey"), "o_orderkey"
-    ).select("o_orderkey", "rn")
-
-
-@register(
-    "streaming_static_join",
-    """
-    SELECT CAST(epoch(time_bucket(INTERVAL 6 HOUR, ts)) AS BIGINT) AS window_start,
-           c_mktsegment,
-           count(*)             AS n_events,
-           round(sum(value), 4) AS total_value
-    FROM events JOIN customer ON user_id = c_custkey
-    GROUP BY 1, 2
-    """,
-    "Stream-static enrichment join: the events stream broadcast-joins "
-    "the static customer dimension per micro-batch (NO join state — "
-    "only the windowed agg's watermark-bounded state), then aggregates "
-    "into 6-hour tumbling windows by market segment. The default "
-    "pattern for dimension joins on a high-volume stream; the batch "
-    "oracle runs the same join+window in SQL and must hash-match.",
-    tags=("streaming", "join"),
-)
-def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.windows import run_stream_static_join
-
-    return run_stream_static_join(spark, sf_dir)
-
-
-# ---------------------------------------------------------------------
-# Synthetic partsupp: the fixtures omit TPC-H's partsupp table, which
-# blocks q2/q9/q11/q16/q20. Both engines DERIVE an identical partsupp
-# from part x {0..3} with the official generator's supplier-spreading
-# formula (TPC-H spec 4.2.3: suppkey = (p + i*(S/4 + p/S)) mod S) and
-# integer-derived cost/qty — pure int64 arithmetic plus one division
-# by 100, so every value is bit-identical across engines. This
-# completes the 22-query TPC-H shape coverage on the fixture surface.
-# ---------------------------------------------------------------------
-
-_PARTSUPP_CTE = """
-    sc AS (SELECT count(*) AS s_total FROM supplier),
-    g AS (SELECT unnest(generate_series(0, 3)) AS i),
-    partsupp AS (
-      SELECT p_partkey AS ps_partkey,
-             (p_partkey + i * ((s_total // 4) + (p_partkey // s_total)))
-               % s_total AS ps_suppkey,
-             CAST((p_partkey * 7 + i * 13) % 9999 + 1 AS BIGINT) AS ps_availqty,
-             CAST((p_partkey * 29 + i * 37) % 20000 AS DOUBLE) / 100.0 + 1.0
-               AS ps_supplycost
-      FROM part CROSS JOIN g CROSS JOIN sc
-    )
-"""
-
-
-def _synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark leg of the shared partsupp derivation (see _PARTSUPP_CTE).
-
-    part x 4 via a broadcast range — map-side row expansion, no
-    shuffle. The supplier count rides along as a broadcast 1-row agg
-    (never a driver-side ``.count()`` scalar)."""
-    part = t(spark, sf_dir, "part").select("p_partkey")
-    s_cnt = (
-        t(spark, sf_dir, "supplier")
-        .agg(F.count(F.lit(1)).cast("long").alias("s_total"))
-    )
-    i4 = spark.range(4).select(F.col("id").alias("i"))
-    return (
-        part.crossJoin(F.broadcast(i4))
-        .crossJoin(F.broadcast(s_cnt))
-        .select(
-            F.col("p_partkey").alias("ps_partkey"),
-            F.expr(
-                "(p_partkey + i * ((s_total div 4) + (p_partkey div s_total)))"
-                " % s_total"
-            ).alias("ps_suppkey"),
-            ((F.col("p_partkey") * 7 + F.col("i") * 13) % 9999 + 1)
-            .cast("long")
-            .alias("ps_availqty"),
-            (
-                ((F.col("p_partkey") * 29 + F.col("i") * 37) % 20000).cast("double")
-                / 100.0
-                + 1.0
-            ).alias("ps_supplycost"),
-        )
-    )
-
-
-@register(
-    "q2_min_cost_supplier",
-    f"""
-    WITH {_PARTSUPP_CTE},
-    eur AS (
-      SELECT ps_partkey, ps_suppkey, ps_supplycost, s_acctbal, s_name, n_name
-      FROM partsupp, supplier, nation, region
-      WHERE s_suppkey = ps_suppkey AND s_nationkey = n_nationkey
-        AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
-    )
-    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost AS supplycost
-    FROM eur, part
-    WHERE p_partkey = ps_partkey AND p_size = 15
-      AND ps_supplycost = (
-        SELECT min(e2.ps_supplycost) FROM eur e2 WHERE e2.ps_partkey = p_partkey
-      )
-    """,
-    "TPC-H Q2 shape (min-cost supplier): region-filtered partsupp, "
-    "then keep rows matching the per-part MIN supplycost. Spark plans "
-    "the correlated min as a window MIN over ps_partkey after "
-    "broadcast-joining the dims — one shuffle on partkey, no "
-    "re-aggregation join. supplycost is emitted RAW (both engines "
-    "derive bit-identical doubles from the shared integer formula).",
-    tags=("tpch", "join", "subquery"),
-)
-def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ps = _synth_partsupp(spark, sf_dir)
-    sup = t(spark, sf_dir, "supplier")
-    nat = t(spark, sf_dir, "nation")
-    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    part = t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
-    eur = (
-        ps.join(F.broadcast(sup), ps["ps_suppkey"] == sup["s_suppkey"])
-        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
-    )
-    w = W.partitionBy("ps_partkey")
-    best = eur.withColumn("min_cost", F.min("ps_supplycost").over(w)).filter(
-        F.col("ps_supplycost") == F.col("min_cost")
-    )
-    return best.join(
-        F.broadcast(part), best["ps_partkey"] == part["p_partkey"]
-    ).select(
-        "s_acctbal",
-        "s_name",
-        "n_name",
-        "p_partkey",
-        "p_brand",
-        F.col("ps_supplycost").alias("supplycost"),
-    )
-
-
-@register(
-    "q9_product_profit",
-    f"""
-    WITH {_PARTSUPP_CTE}
-    SELECT n_name AS nation, year(o_orderdate) AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount)
-                     - ps_supplycost * l_quantity), 4) AS sum_profit
-    FROM lineitem, partsupp, part, supplier, orders, nation
-    WHERE ps_partkey = l_partkey AND ps_suppkey = l_suppkey
-      AND p_partkey = l_partkey AND s_suppkey = l_suppkey
-      AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
-      AND p_name LIKE '%red%'
-    GROUP BY n_name, year(o_orderdate)
-    """,
-    "TPC-H Q9 shape (product-type profit): lineitem x partsupp on the "
-    "composite (partkey, suppkey) key plus part/supplier/orders/nation "
-    "— the widest join tree in the suite. part is filtered BEFORE the "
-    "join (name predicate pushes to its scan) and broadcast; partsupp "
-    "is derived map-side so the composite join shuffles only lineitem. "
-    "Profit rounds at 4dp: extendedprice*(1-discount) is the 4dp grid, "
-    "supplycost*quantity the 2dp grid.",
-    tags=("tpch", "join", "agg"),
-)
-def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    ps = _synth_partsupp(spark, sf_dir)
-    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
-    sup = t(spark, sf_dir, "supplier")
-    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    nat = t(spark, sf_dir, "nation")
-    profit = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .join(
-            F.broadcast(ps),
-            (F.col("l_partkey") == ps["ps_partkey"])
-            & (F.col("l_suppkey") == ps["ps_suppkey"]),
-        )
-        .join(F.broadcast(sup), F.col("l_suppkey") == sup["s_suppkey"])
-        .join(orders, F.col("l_orderkey") == orders["o_orderkey"])
-        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-    )
-    return profit.groupBy(
-        F.col("n_name").alias("nation"),
-        F.year(F.col("o_orderdate")).alias("o_year"),
-    ).agg(
-        F.round(
-            F.sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                - F.col("ps_supplycost") * F.col("l_quantity")
-            ),
-            4,
-        ).alias("sum_profit")
-    )
-
-
-@register(
-    "q11_important_stock",
-    f"""
-    WITH {_PARTSUPP_CTE},
-    nat_ps AS (
-      SELECT ps_partkey, ps_supplycost * ps_availqty AS v
-      FROM partsupp, supplier, nation
-      WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
-        AND n_name = 'NATION_3'
-    )
-    SELECT ps_partkey, round(sum(v), 2) AS value
-    FROM nat_ps
-    GROUP BY ps_partkey
-    HAVING sum(v) > (SELECT sum(v) * 0.01 FROM nat_ps)
-    """,
-    "TPC-H Q11 shape (important stock): per-part inventory value "
-    "within one nation, kept when above a fraction of the nation "
-    "total. The total is a scalar subquery — Spark computes it as a "
-    "1-row broadcast cross join, so the filter is map-side against "
-    "the already-aggregated per-part rows (no second shuffle).",
-    tags=("tpch", "agg", "subquery"),
-)
-def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ps = _synth_partsupp(spark, sf_dir)
-    sup = t(spark, sf_dir, "supplier")
-    nat = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
-    nat_ps = (
-        ps.join(F.broadcast(sup), ps["ps_suppkey"] == sup["s_suppkey"])
-        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select(
-            "ps_partkey",
-            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
-        )
-    )
-    per_part = nat_ps.groupBy("ps_partkey").agg(F.sum("v").alias("sv"))
-    total = nat_ps.agg((F.sum("v") * 0.01).alias("threshold"))
-    return (
-        per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("sv") > F.col("threshold"))
-        .select("ps_partkey", F.round(F.col("sv"), 2).alias("value"))
-    )
-
-
-@register(
-    "q16_supplier_part_counts",
-    f"""
-    WITH {_PARTSUPP_CTE}
-    SELECT p_brand, p_type, p_size,
-           count(DISTINCT ps_suppkey) AS supplier_cnt
-    FROM partsupp, part
-    WHERE p_partkey = ps_partkey
-      AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
-      AND p_size IN (1, 4, 7, 10, 15, 23, 38, 45)
-      AND ps_suppkey NOT IN (
-        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
-      )
-    GROUP BY p_brand, p_type, p_size
-    """,
-    "TPC-H Q16 shape (supplier-part relationship counts): distinct "
-    "suppliers per (brand, type, size) bucket, excluding a NOT-IN "
-    "supplier set (the fixture lacks s_comment, so 'complaint' "
-    "suppliers are the negative-balance ones — same anti-join shape). "
-    "Spark plans NOT IN as a null-aware broadcast anti join off the "
-    "tiny supplier side; the distinct-count shuffles once on the "
-    "grouping key.",
-    tags=("tpch", "agg", "subquery"),
-)
-def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ps = _synth_partsupp(spark, sf_dir)
-    part = t(spark, sf_dir, "part").filter(
-        (F.col("p_brand") != "Brand#1")
-        & (F.col("p_type") != "PROMO")
-        & F.col("p_size").isin(1, 4, 7, 10, 15, 23, 38, 45)
-    )
-    bad_sup = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
-    joined = (
-        ps.join(
-            F.broadcast(bad_sup.select("s_suppkey")),
-            ps["ps_suppkey"] == F.col("s_suppkey"),
-            "left_anti",
-        )
-        .join(F.broadcast(part), F.col("ps_partkey") == part["p_partkey"])
-    )
-    return joined.groupBy("p_brand", "p_type", "p_size").agg(
-        F.count_distinct(F.col("ps_suppkey")).alias("supplier_cnt")
-    )
-
-
-@register(
-    "q20_excess_inventory_suppliers",
-    f"""
-    WITH {_PARTSUPP_CTE},
-    shipped AS (
-      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-        AND l_shipdate < TIMESTAMP '1998-01-01'
-      GROUP BY l_partkey, l_suppkey
-    ),
-    excess AS (
-      SELECT DISTINCT ps_suppkey
-      FROM partsupp
-      JOIN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%') p
-        ON ps_partkey = p.p_partkey
-      JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
-      WHERE ps_availqty > 0.5 * qty
-    )
-    SELECT s_name, round(s_acctbal, 2) AS acctbal
-    FROM supplier JOIN excess ON s_suppkey = ps_suppkey
-    JOIN nation ON s_nationkey = n_nationkey
-    WHERE n_name = 'NATION_3'
-    """,
-    "TPC-H Q20 shape (excess inventory): suppliers in one nation "
-    "holding more than half the 1997 shipped quantity of any 'small' "
-    "part they stock. lineitem pre-aggregates to (part, supp) BEFORE "
-    "the threshold join — the fact table collapses to key cardinality "
-    "first, then a semi-join lifts qualifying suppliers. Matches the "
-    "spec's correlated-subquery semantics (no shipments -> excluded).",
-    tags=("tpch", "join", "subquery"),
-)
-def q20_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    shipped = (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-        )
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum("l_quantity").alias("qty"))
-    )
-    ps = _synth_partsupp(spark, sf_dir)
-    small = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
-    excess = (
-        ps.join(F.broadcast(small.select("p_partkey")), ps["ps_partkey"] == F.col("p_partkey"))
-        .join(
-            shipped,
-            (F.col("ps_partkey") == shipped["l_partkey"])
-            & (F.col("ps_suppkey") == shipped["l_suppkey"]),
-        )
-        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
-        .select("ps_suppkey")
-        .distinct()
-    )
-    sup = t(spark, sf_dir, "supplier")
-    nat = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
-    return (
-        sup.join(excess, sup["s_suppkey"] == excess["ps_suppkey"], "left_semi")
-        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_name", F.round(F.col("s_acctbal"), 2).alias("acctbal"))
-    )
-
-
-# ---------------------------------------------------------------------
-# Training-data text-prep tier (operators/textprep.py): the stages an
-# LLM data pipeline runs between dedup and tokenization — chunking,
-# context packing, PII redaction, repetition scoring, weighted
-# sampling. All native expressions; parity notes in the module doc.
-# ---------------------------------------------------------------------
-
-
-@register(
-    "doc_chunking",
-    """
-    WITH d AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-      FROM documents
-    ), s AS (
-      SELECT doc_id, toks,
-             unnest(generate_series(1, greatest(len(toks), 1), 24)) AS start
-      FROM d WHERE len(toks) > 0
-    )
-    SELECT doc_id,
-           CAST((start - 1) // 24 AS BIGINT)                        AS chunk_idx,
-           CAST(len(list_slice(toks, start, start + 31)) AS BIGINT) AS n_chunk_tokens,
-           array_to_string(list_slice(toks, start, start + 31), ' ') AS chunk_text
-    FROM s
-    """,
-    "Sliding-window chunking (32-token window, stride 24): the "
-    "standard chunker feeding embedding / pretraining pipelines, with "
-    "overlap so no span is split across a boundary unseen. Entirely "
-    "map-side (tokens -> start sequence -> posexplode -> slice), no "
-    "shuffle; the oracle hash covers the chunk TEXT, so slice "
-    "boundaries and token filtering are value-checked, not just "
-    "counted. Scale: explode multiplies rows ~n_tokens/stride inside "
-    "each task; downstream consumers repartition as needed.",
-    tags=("text", "chunking"),
-)
-def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.textprep import chunk_documents
-
-    return chunk_documents(t(spark, sf_dir, "documents"), window=32, stride=24)
-
-
-@register(
-    "context_packing",
-    """
-    WITH d AS (
-      SELECT source, doc_id,
-             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
-                  AS BIGINT) AS n_tok
-      FROM documents
-    ), o AS (
-      SELECT source, doc_id, n_tok,
-             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               - n_tok AS tokens_before
-      FROM d
-    )
-    SELECT source, CAST(floor(tokens_before / 256.0) AS BIGINT) AS bin,
-           count(*)                      AS n_docs,
-           CAST(sum(n_tok) AS BIGINT)    AS bin_tokens,
-           min(doc_id)                   AS first_doc,
-           max(doc_id)                   AS last_doc
-    FROM o GROUP BY source, bin
-    """,
-    "Concat-then-chunk context packing: within each source shard, "
-    "docs in doc_id order are assigned to the 256-token context bin "
-    "where their first token lands (floor(tokens_before/budget)) — "
-    "GPT-style packing after EOS-joined concatenation. The running "
-    "offset is a window sum PARTITIONED by the shard key, so packing "
-    "parallelizes across shards — never the global single-task sort "
-    "naive sequential packing implies.",
-    tags=("text", "packing", "window"),
-)
-def context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.textprep import pack_documents
-
-    return pack_documents(t(spark, sf_dir, "documents"), budget=256)
-
-
-@register(
-    "pii_redaction",
-    """
-    WITH d AS (
-      SELECT doc_id,
-             'contact u' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-'
-               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
-               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' || text
-               AS text
-      FROM documents
-    ), r AS (
-      SELECT doc_id,
-             CAST(len(regexp_extract_all(
-               text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
-               AS BIGINT) AS n_emails,
-             regexp_replace(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-               '[EMAIL]', 'g') AS masked
-      FROM d
-    )
-    SELECT doc_id, n_emails,
-           CAST(len(regexp_extract_all(
-             masked, '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}'))
-             AS BIGINT) AS n_phones,
-           substring(sha256(regexp_replace(masked,
-             '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}',
-             '[PHONE]', 'g')), 1, 16) AS redacted_fp
-    FROM r
-    """,
-    "PII redaction: mask emails then phone numbers with typed "
-    "placeholders and count redactions. The fixture corpus carries no "
-    "PII, so both engines INJECT identical synthetic contact lines "
-    "(derived from doc_id) before redacting — the oracle hash then "
-    "proves pattern semantics AND replacement output agree byte-for-"
-    "byte (redacted_fp = sha256 prefix of the masked text). Patterns "
-    "are RE2-simple (no backrefs/lookaround) so java.util.regex and "
-    "RE2-family engines agree; Spark regexp_replace is global by "
-    "default, DuckDB needs the explicit 'g' flag. Map-only stage.",
-    tags=("text", "pii"),
-)
-def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.textprep import redact_pii
-
-    injected = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat(
-            F.lit("contact u"),
-            F.col("doc_id").cast("string"),
-            F.lit("@example.com or +1-555-"),
-            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
-            F.lit("-"),
-            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-            F.lit(" "),
-            F.col("text"),
-        ).alias("text"),
-    )
-    red = redact_pii(injected, "text")
-    return red.select(
-        "doc_id",
-        "n_emails",
-        "n_phones",
-        F.substring(F.sha2(F.col("text"), 256), 1, 16).alias("redacted_fp"),
-    )
-
-
-@register(
-    "repetition_stats",
-    """
-    WITH d AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-      FROM documents
-    )
-    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-           CAST(floor(len(list_distinct(toks)) * 1.0 / len(toks) * 10000.0 + 0.5)
-                / 10000.0 AS DOUBLE) AS distinct_ratio,
-           CAST(floor(list_max(list_transform(list_distinct(toks),
-                  w -> len(list_filter(toks, x -> x = w)))) * 1.0 / len(toks)
-                  * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS top_token_frac
-    FROM d WHERE len(toks) > 0
-    """,
-    "Per-document repetition profile: distinct-token ratio + top-"
-    "token frequency share — the Gopher-style signals that catch "
-    "boilerplate and keyword stuffing. Higher-order array functions "
-    "per row (no explode+groupBy: repetition is a per-row property, "
-    "shuffling token rows to re-group by doc would be a self-"
-    "inflicted exchange). Ratios use the grid-stable floor(x*1e4+0.5)"
-    "/1e4 — IEEE-deterministic on both engines, immune to the round() "
-    "decimal-string-vs-binary trap.",
-    tags=("text", "quality"),
-)
-def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.textprep import repetition_stats as rep
-
-    return rep(t(spark, sf_dir, "documents"))
-
-
-@register(
-    "weighted_doc_sample",
-    """
-    SELECT doc_id, n_chars
-    FROM documents
-    WHERE (doc_id * 2654435761) % 4294967296 < n_chars * 2147484
-    """,
-    "Deterministic probability-proportional-to-size sample: keep a "
-    "doc iff (doc_id * KNUTH) mod 2^32 < n_chars * scale, i.e. "
-    "inclusion probability ~ n_chars * scale / 2^32 (~15% here). The "
-    "integer hash plays the uniform draw — no RNG, so the selected "
-    "set is identical on every engine/retry/executor placement, and "
-    "the compare is PURE int64 arithmetic (exact oracle parity). "
-    "Map-only; the predicate sits directly on the scan.",
-    tags=("sampling",),
-)
-def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.textprep import weighted_sample
-
-    return weighted_sample(
-        t(spark, sf_dir, "documents").select("doc_id", "n_chars"),
-        "doc_id",
-        "n_chars",
-        2147484,
-    )
-
-
-@register(
-    "partitioned_pruned_scan",
-    """
-    SELECT o_orderstatus,
-           count(*)                       AS n_orders,
-           round(sum(o_totalprice), 2)    AS total_price,
-           min(o_orderkey)                AS min_key,
-           max(o_orderkey)                AS max_key
-    FROM orders WHERE year(o_orderdate) = 1997
-    GROUP BY o_orderstatus
-    """,
-    "Hive-style partitioned layout round-trip: orders written "
-    "partitionBy(year), read back with a partition-key filter, "
-    "aggregated; the oracle filters the UNpartitioned original, so a "
-    "hash match proves the layout loses no rows and the pruned read "
-    "returns exactly the 1997 partition. The plan test asserts "
-    "PartitionFilters prunes at file-listing time — at 100 TB this is "
-    "the difference between scanning one year and scanning thirty.",
-    tags=("source", "layout", "pruning"),
-)
-def partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    repo = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    path = os.path.join(repo, ".tmp_io", "orders_by_year")
-    src = t(spark, sf_dir, "orders").withColumn(
-        "o_year", F.year(F.col("o_orderdate"))
-    )
-    src.write.mode("overwrite").partitionBy("o_year").parquet(path)
-    back = spark.read.parquet(path).filter(F.col("o_year") == 1997)
-    return back.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-        F.min("o_orderkey").alias("min_key"),
-        F.max("o_orderkey").alias("max_key"),
-    )
-
-
-@register(
-    "benchmark_decontamination",
-    """
-    WITH toks AS (
-        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
-        FROM documents
-    ), sh AS (
-        SELECT doc_id,
-               CASE WHEN len(tk) > 0 THEN list_distinct(list_transform(
-                   generate_series(1, greatest(len(tk) - 2, 1)),
-                   i -> array_to_string(tk[i:i+2], ' ')
-               )) ELSE [] END AS shl
-        FROM toks WHERE len(tk) > 0
-    ), bench AS (
-        SELECT DISTINCT unnest(shl) AS s FROM sh WHERE doc_id % 97 = 0
-    ), cand AS (
-        SELECT doc_id, unnest(shl) AS s FROM sh WHERE doc_id % 97 <> 0
-    )
-    SELECT c.doc_id,
-           CAST(count(*) AS BIGINT)   AS n_shingles,
-           CAST(count(b.s) AS BIGINT) AS n_contaminated,
-           floor(CAST(count(b.s) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000
-                                      AS contamination_ratio,
-           CAST(100 * count(b.s) >= 10 * count(*) AS INT) AS is_contaminated
-    FROM cand c LEFT JOIN bench b ON c.s = b.s
-    GROUP BY c.doc_id
-    """,
-    "Benchmark decontamination (pre-training hygiene): per-candidate "
-    "overlap with the benchmark split's distinct 3-gram shingle set "
-    "(benchmark = doc_id % 97 == 0, a stand-in for an eval suite). "
-    "The benchmark side is small by nature, so its shingle set is "
-    "BROADCAST — the 100 TB candidate scan joins map-side and the "
-    "per-doc count partial-aggregates before the one ~1-row-per-doc "
-    "shuffle. Flag compares in integer space (100*hits >= 10*total); "
-    "ratio uses grid-stable floor(x*1e4+0.5)/1e4 — bit-identical "
-    "across engines.",
-    tags=("text", "textprep", "dedup"),
-)
-def benchmark_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.textprep import benchmark_decontamination
-
-    docs = t(spark, sf_dir, "documents")
-    return benchmark_decontamination(
-        candidates=docs.filter(F.col("doc_id") % 97 != 0),
-        benchmark=docs.filter(F.col("doc_id") % 97 == 0),
-        text_col="text",
-        k=3,
-        tau_pct=10,
-    )
-
-
-@register(
-    "bm25_topk",
-    """
-    WITH toks AS (
-        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
-        FROM documents
-    ), d AS (
-        SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
-               CAST(len(list_filter(tk, x -> x = 'spark'))  AS BIGINT) AS tf1,
-               CAST(len(list_filter(tk, x -> x = 'hash'))   AS BIGINT) AS tf2,
-               CAST(len(list_filter(tk, x -> x = 'window')) AS BIGINT) AS tf3
-        FROM toks WHERE len(tk) > 0
-    ), g AS (
-        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-               avg(CAST(dl AS DOUBLE))  AS avgdl,
-               CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
-               CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
-               CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
-        FROM d
-    )
-    SELECT doc_id, dl AS n_tokens,
-           floor((
-               ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5))
-                 * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1 + (n_docs - df2 + 0.5) / (df2 + 0.5))
-                 * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             + ln(1 + (n_docs - df3 + 0.5) / (df3 + 0.5))
-                 * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl))
-           ) * 10000 + 0.5) / 10000 AS bm25
-    FROM d CROSS JOIN g
-    ORDER BY bm25 DESC, doc_id LIMIT 20
-    """,
-    "BM25 relevance scoring (k1=1.2, b=0.75) of every document "
-    "against the fixed query {spark, hash, window}, top-20. ONE "
-    "aggregation pass computes the global stats (N, avgdl, per-term "
-    "document frequencies); the 1-row result broadcasts back onto the "
-    "corpus scan, so scoring is map-side — corpus scanned twice, "
-    "shuffled never (the top-20 is a TakeOrdered, not a sort). "
-    "Deterministic order: grid-rounded score desc, then doc_id.",
-    tags=("text", "search"),
-)
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.textprep import grid_round4
-
-    terms = ["spark", "hash", "window"]
-    k1, b = 1.2, 0.75
-    toks = X.tokens("text")
-
-    def term_freq(term: str):
-        # NB: F.filter treats a 2-arg lambda as (element, index) — the
-        # term must be captured by closure, not by a default argument.
-        return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("bigint")
-
-    d = (
-        t(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.size(toks).alias("dl_i"),
-            *[term_freq(tm).alias(f"tf{i + 1}") for i, tm in enumerate(terms)],
-        )
-        .filter(F.col("dl_i") > 0)
-        .withColumn("dl", F.col("dl_i").cast("bigint"))
-        .drop("dl_i")
-    )
-    g = d.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg(F.col("dl").cast("double")).alias("avgdl"),
-        *[
-            F.sum(F.when(F.col(f"tf{i + 1}") > 0, 1).otherwise(0))
-            .cast("double")
-            .alias(f"df{i + 1}")
-            for i in range(len(terms))
-        ],
-    )
-    scored = d.crossJoin(F.broadcast(g))
-    norm = F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-    score = None
-    for i in range(len(terms)):
-        tf, df = F.col(f"tf{i + 1}"), F.col(f"df{i + 1}")
-        idf = F.log(F.lit(1.0) + (F.col("n_docs") - df + 0.5) / (df + 0.5))
-        term_score = idf * (tf * F.lit(k1 + 1)) / (tf + norm)
-        score = term_score if score is None else score + term_score
-    return (
-        scored.select(
-            "doc_id",
-            F.col("dl").alias("n_tokens"),
-            grid_round4(score).alias("bm25"),
-        )
-        .orderBy(F.desc("bm25"), "doc_id")
-        .limit(20)
-    )
-
-
-@register(
-    "group_aware_split",
-    """
-    SELECT CASE WHEN (c_custkey * 2654435761) % 4294967296 < 3435973836
-                THEN 'train' ELSE 'test' END AS split,
-           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
-           CAST(count(*) AS BIGINT)                    AS n_orders,
-           round(sum(o_totalprice), 2)                 AS total_price
-    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    GROUP BY 1
-    """,
-    "Leakage-free train/test split for ML: the split is a "
-    "deterministic hash of the GROUP key (customer), so every order "
-    "of a customer lands in the same split — the group-aware split "
-    "that prevents entity leakage between train and eval. Pure int64 "
-    "arithmetic (Knuth multiplicative hash mod 2^32 < floor(0.8*2^32))"
-    " — no RNG, identical membership on every engine/retry; the "
-    "customer side broadcasts and the split predicate is map-side, so "
-    "the only shuffle is the summary aggregation.",
-    tags=("sampling", "ml"),
-)
-def group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.textprep import KNUTH, MOD32
-
-    orders = t(spark, sf_dir, "orders")
-    cust = t(spark, sf_dir, "customer").select("c_custkey")
-    threshold = int(0.8 * MOD32)  # 3435973836
-    joined = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
-    ).withColumn(
-        "split",
-        F.when(
-            (F.col("c_custkey") * F.lit(KNUTH)) % F.lit(MOD32) < F.lit(threshold),
-            F.lit("train"),
-        ).otherwise(F.lit("test")),
-    )
-    return joined.groupBy("split").agg(
-        F.countDistinct("c_custkey").cast("bigint").alias("n_customers"),
-        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-    )
-
-
-# One SQL text, two engines: both Spark 4 and DuckDB run ANSI
-# WITH RECURSIVE, so the query body IS its own oracle.
-_RECURSIVE_TREE_SQL = """
-    WITH RECURSIVE tree AS (
-        SELECT s_suppkey AS node, 0 AS depth FROM supplier WHERE s_suppkey = 0
-        UNION ALL
-        SELECT s.s_suppkey AS node, tree.depth + 1 AS depth
-        FROM supplier s
-        JOIN tree ON CAST(FLOOR(s.s_suppkey / 2.0) AS BIGINT) = tree.node
-        WHERE s.s_suppkey > 0
-    )
-    SELECT CAST(depth AS INT)          AS depth,
-           CAST(count(*) AS BIGINT)    AS n_nodes,
-           CAST(min(node) AS BIGINT)   AS min_key,
-           CAST(max(node) AS BIGINT)   AS max_key
-    FROM tree GROUP BY depth
-"""
-
-
-@register(
-    "recursive_cte_hierarchy",
-    _RECURSIVE_TREE_SQL,
-    "Recursive CTE (ANSI WITH RECURSIVE, Spark 4): per-level rollup of "
-    "an implicit binary hierarchy parent(k)=floor(k/2) over supplier "
-    "keys — the transitive-closure / org-chart walk shape. Spark "
-    "executes each recursion step as a join against the previous "
-    "frontier, so total work is O(edges x depth) with depth bounded by "
-    "log2(n) here; at 100 TB the frontier join shuffles on the parent "
-    "key and each level is a separate AQE-planned stage. The SAME SQL "
-    "text is the DuckDB oracle.",
-    tags=("sql", "iterative"),
-)
-def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _views(spark, sf_dir, "supplier")
-    return spark.sql(_RECURSIVE_TREE_SQL)
-
-
-@register(
-    "histogram_width_bucket",
-    """
-    SELECT CAST(FLOOR(o_totalprice * 20.0 / 600000.0) AS BIGINT) + 1 AS bucket,
-           CAST(count(*) AS BIGINT)    AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
-    FROM orders GROUP BY 1
-    """,
-    "Equi-width histogram via width_bucket(v, 0, 600000, 20): the "
-    "one-pass binning primitive behind distribution profiling and "
-    "outlier gates. Map-side bucket computation + a 20-group partial "
-    "aggregate — the same shape at any scale. DuckDB lacks "
-    "width_bucket, so the oracle computes the identical IEEE "
-    "floor(v*n/(hi-lo))+1 arithmetic (no fixture value sits on an "
-    "exact 30000.00 bucket edge at the driver's sf0.01).",
-    tags=("agg", "scalar"),
-)
-def histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    return (
-        o.groupBy(
-            F.expr("width_bucket(o_totalprice, 0.0d, 600000.0d, 20)").alias("bucket")
-        )
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-        )
-    )
-
-
-@register(
-    "vocab_prune_topk",
-    """
-    WITH tok AS (
-        SELECT doc_id,
-               unnest(l)                     AS token,
-               unnest(range(1, len(l) + 1)) AS pos
-        FROM (SELECT doc_id,
-                     list_filter(string_split(text, ' '), x -> x <> '') AS l
-              FROM documents)
-    ),
-    top AS (
-        SELECT token FROM (
-            SELECT token, count(DISTINCT doc_id) AS df
-            FROM tok GROUP BY token
-        ) ORDER BY df DESC, token LIMIT 20
-    )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT)             AS n_kept,
-           string_agg(token, ' ' ORDER BY pos)  AS pruned_text
-    FROM tok ANTI JOIN top USING (token)
-    GROUP BY doc_id
-    """,
-    "Corpus-wide vocabulary pruning (training-data prep): find the 20 "
-    "highest-document-frequency tokens, then strip them from every "
-    "document, preserving original token order. Two shuffles total — "
-    "token DF aggregation, then doc reassembly — and the stoplist "
-    "itself is 20 rows, BROADCAST to make the strip map-side. "
-    "Deterministic top-k tiebreak (df DESC, token ASC) so both "
-    "engines pick the identical stoplist. At 100 TB the DF table is "
-    "vocabulary-sized (millions of rows, not corpus-sized) and the "
-    "reassembly groupBy carries only surviving (pos, token) pairs.",
-    tags=("text", "textprep"),
-)
-def vocab_prune_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        F.posexplode(F.expr("filter(split(text, ' '), x -> x != '')")).alias(
-            "pos", "token"
-        ),
-    # posexplode is 0-based; the oracle's generate_series is 1-based —
-    # order (not the index value) is all that must agree, and pos is
-    # not emitted.
-    )
-    top = (
-        tok.groupBy("token")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .orderBy(F.desc("df"), F.asc("token"))
-        .limit(20)
-        .select("token")
-    )
-    pruned = tok.join(F.broadcast(top), "token", "left_anti")
-    return pruned.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-        F.expr(
-            "concat_ws(' ', transform(array_sort(collect_list(struct(pos, token))),"
-            " s -> s.token))"
-        ).alias("pruned_text"),
-    )
-
-
-@register(
-    "ewma_daily_value",
-    """
-    WITH daily AS (
-        SELECT event_type, date_trunc('day', ts) AS day, avg(value) AS v
-        FROM events GROUP BY 1, 2
-    ),
-    arrs AS (
-        SELECT event_type, list(v ORDER BY day) AS vals
-        FROM daily GROUP BY 1
-    )
-    SELECT event_type,
-           CAST(len(vals) AS BIGINT) AS n_days,
-           CAST(FLOOR(list_reduce(vals,
-                    (acc, x) -> CAST(0.2 AS DOUBLE) * x
-                              + CAST(0.8 AS DOUBLE) * acc) * 10000.0 + 0.5)
-                / 10000.0 AS DOUBLE) AS ewma
-    FROM arrs
-    """,
-    "Exponentially-weighted moving average of daily event values per "
-    "type — the classic time-series smoothing feature. Daily partial "
-    "aggregate first (corpus -> #days x #types rows), THEN an ordered "
-    "fold per key via the aggregate() lambda — so the sequential "
-    "recursion runs over a metadata-scale array, never the raw "
-    "events. Both engines fold left-to-right from the first day's "
-    "value with identical IEEE ops (DuckDB list_reduce seeds with "
-    "element 1; Spark aggregate(slice(...,2,...), element_at(...,1)) "
-    "mirrors it), and the result lands on the 1e-4 grid via the "
-    "floor(x*1e4+0.5) trick.",
-    tags=("events", "window", "ml"),
-)
-def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(F.avg("value").alias("v"))
-    arrs = daily.groupBy("event_type").agg(
-        F.expr("transform(array_sort(collect_list(struct(day, v))), s -> s.v)").alias(
-            "vals"
-        )
-    )
-    return arrs.select(
-        "event_type",
-        F.size("vals").cast("bigint").alias("n_days"),
-        F.expr(
-            "cast(floor(aggregate(slice(vals, 2, size(vals) - 1),"
-            " element_at(vals, 1),"
-            " (acc, x) -> 0.2d * x + 0.8d * acc) * 10000.0 + 0.5)"
-            " / 10000.0 as double)"
-        ).alias("ewma"),
-    )
-
-
-@register(
-    "map_lambda_functions",
-    """
-    SELECT l_orderkey, l_linenumber,
-           concat('DISC100=', CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT),
-                  ',QTY=', CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS upper_keys,
-           CASE WHEN l_quantity > 25
-                THEN concat('qty=', CAST(FLOOR(2 * l_quantity + 0.5) AS BIGINT))
-                ELSE '' END AS filtered_doubled,
-           concat('disc100=',
-                  CAST(FLOOR(l_discount * 100 + l_tax * 100 + 0.5) AS BIGINT),
-                  ',qty=',
-                  CAST(FLOOR(l_quantity + l_linenumber + 0.5) AS BIGINT)) AS zipped
-    FROM lineitem WHERE l_orderkey % 97 = 0
-    """,
-    "Map higher-order functions: transform_keys / transform_values / "
-    "map_filter / map_zip_with over per-row map<string,double> built "
-    "from lineitem measures, serialized deterministically "
-    "(array_sort(map_entries(...)) -> 'k=v' CSV) so the hash compare "
-    "is order-stable. All lambdas run inside codegen — zero Python. "
-    "The DuckDB oracle computes the identical strings with the key "
-    "set unrolled (keys are compile-time constants).",
-    tags=("scalar", "lambda"),
-)
-def map_lambda_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 97 == 0)
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.expr(
-            "concat_ws(',', transform(array_sort(map_entries("
-            " transform_keys(map('qty', l_quantity, 'disc100', l_discount * 100),"
-            "                (k, v) -> upper(k)))),"
-            " e -> concat(e.key, '=', cast(floor(e.value + 0.5d) as bigint))))"
-        ).alias("upper_keys"),
-        F.expr(
-            "concat_ws(',', transform(array_sort(map_entries("
-            " map_filter(transform_values("
-            "   map('qty', l_quantity, 'disc100', l_discount * 100),"
-            "   (k, v) -> v * 2),"
-            "  (k, v) -> v > 50))),"
-            " e -> concat(e.key, '=', cast(floor(e.value + 0.5d) as bigint))))"
-        ).alias("filtered_doubled"),
-        F.expr(
-            "concat_ws(',', transform(array_sort(map_entries("
-            " map_zip_with(map('qty', l_quantity, 'disc100', l_discount * 100),"
-            "              map('qty', cast(l_linenumber as double),"
-            "                  'disc100', l_tax * 100),"
-            "              (k, v1, v2) -> v1 + v2))),"
-            " e -> concat(e.key, '=', cast(floor(e.value + 0.5d) as bigint))))"
-        ).alias("zipped"),
-    )
-
-
-@register(
-    "listagg_group_concat",
-    """
-    SELECT o_orderstatus,
-           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
-               AS priorities,
-           CAST(count(*) AS BIGINT) AS n_orders
-    FROM orders GROUP BY o_orderstatus
-    """,
-    "ANSI LISTAGG (Spark 4) WITHIN GROUP ordered string aggregation — "
-    "the export/report concatenation primitive. DISTINCT bounds the "
-    "result at group-count x |priority| regardless of input size, so "
-    "the agg stays partial-aggregatable and the output metadata-scale.",
-    tags=("agg", "sql"),
-)
-def listagg_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.expr(
-            "listagg(DISTINCT o_orderpriority, ',')"
-            " WITHIN GROUP (ORDER BY o_orderpriority)"
-        ).alias("priorities"),
-        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-    )
-
-
-@register(
-    "udtf_price_tranches",
-    """
-    SELECT o_orderkey,
-           CAST(g AS INT) AS tranche,
-           CASE WHEN g < n_full THEN 100000.0
-                ELSE o_totalprice - n_full * 100000.0 END AS amount
-    FROM (SELECT o_orderkey, o_totalprice, n_full,
-                 unnest(generate_series(0, n_full)) AS g
-          FROM (SELECT o_orderkey, o_totalprice,
-                       CAST(FLOOR(o_totalprice / 100000.0) AS BIGINT) AS n_full
-                FROM orders WHERE o_orderkey % 199 = 0))
-    WHERE g < n_full OR o_totalprice - n_full * 100000.0 > 0
-    """,
-    "Python UDTF (Spark 4 user-defined TABLE function, LATERAL "
-    "correlated): expand each order's total into fixed 100k tranches "
-    "plus remainder — the row-generating API the engine exposes for "
-    "logic that yields a variable number of rows per input. Policy "
-    "note: UDTFs execute row-at-a-time in Python, so they are an API-"
-    "completeness surface, NOT a hot-path tool — the same expansion "
-    "is expressible natively via sequence()+explode (see "
-    "doc_chunking); the input here is pre-filtered to ~0.5% of "
-    "orders. Remainder arithmetic uses the same IEEE ops as the "
-    "DuckDB oracle, so values hash-match exactly.",
-    tags=("udf", "sql"),
-)
-def udtf_price_tranches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import udtf
-
-    @udtf(returnType="tranche int, amount double")
-    class TrancheExpand:
-        def eval(self, total):
-            total = float(total)
-            n_full = int(total / 100000.0)
-            for i in range(n_full):
-                yield i, 100000.0
-            rem = total - n_full * 100000.0
-            if rem > 0:
-                yield n_full, rem
-
-    spark.udtf.register("tranche_expand", TrancheExpand)
-    _views(spark, sf_dir, "orders")
-    return spark.sql(
-        """
-        SELECT o_orderkey, t.tranche, t.amount
-        FROM orders, LATERAL tranche_expand(o_totalprice) t
-        WHERE o_orderkey % 199 = 0
-        """
-    )
-
-
-@register(
-    "pagerank_nation_trade",
-    """
-    WITH edges AS (
-        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
-               CAST(count(*) AS DOUBLE) AS w
-        FROM lineitem l
-        JOIN orders o   ON l.l_orderkey = o.o_orderkey
-        JOIN customer c ON o.o_custkey  = c.c_custkey
-        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
-        GROUP BY 1, 2
-    ),
-    trans AS (
-        SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p_edge
-        FROM edges
-    ),
-    nodes AS (SELECT n_nationkey AS node FROM nation),
-    r0 AS (
-        SELECT node, 1.0 / (SELECT count(*) FROM nation) AS p FROM nodes
-    ),
-    r1 AS (
-        SELECT nd.node,
-               0.15 / (SELECT count(*) FROM nation)
-               + 0.85 * coalesce((SELECT sum(pr.p * t.p_edge)
-                                  FROM trans t JOIN r0 pr ON pr.node = t.src
-                                  WHERE t.dst = nd.node), 0) AS p
-        FROM nodes nd
-    ),
-    r2 AS (
-        SELECT nd.node,
-               0.15 / (SELECT count(*) FROM nation)
-               + 0.85 * coalesce((SELECT sum(pr.p * t.p_edge)
-                                  FROM trans t JOIN r1 pr ON pr.node = t.src
-                                  WHERE t.dst = nd.node), 0) AS p
-        FROM nodes nd
-    ),
-    r3 AS (
-        SELECT nd.node,
-               0.15 / (SELECT count(*) FROM nation)
-               + 0.85 * coalesce((SELECT sum(pr.p * t.p_edge)
-                                  FROM trans t JOIN r2 pr ON pr.node = t.src
-                                  WHERE t.dst = nd.node), 0) AS p
-        FROM nodes nd
-    )
-    SELECT CAST(node AS BIGINT) AS nationkey,
-           CAST(FLOOR(p * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS pagerank
-    FROM r3
-    """,
-    "Iterative PageRank (3 synchronous iterations, damping 0.85) over "
-    "the nation-level trade graph: edge weights come from the HEAVY "
-    "part — lineitem shuffle-joined to orders, customer/supplier/"
-    "nation broadcast — collapsed to a <=|nations|^2 transition table, "
-    "so every iteration is a metadata-scale broadcast join + "
-    "aggregation (the BSP shape GraphX/Pregel uses, expressed as "
-    "plain DataFrames). At 100 TB only the one-time edge extraction "
-    "touches the fact table; iteration cost is independent of corpus "
-    "size. Oracle: the same three iterations as chained CTEs.",
-    tags=("iterative", "join", "agg"),
-)
-def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    n = t(spark, sf_dir, "nation").select("n_nationkey")
-
-    edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
-        .groupBy(
-            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).cast("double").alias("w"))
-    )
-    trans = edges.withColumn(
-        "p_edge", F.col("w") / F.sum("w").over(W.partitionBy("src"))
-    ).select("src", "dst", "p_edge")
-    # The transition table is <= |nations|^2 rows — pin it so the 4-way
-    # fact join runs once, not once per iteration.
-    trans = trans.localCheckpoint(eager=True)
-
-    n_nodes = n.count()  # |nation| — metadata-scale driver scalar
-    ranks = n.select(
-        F.col("n_nationkey").alias("node"), F.lit(1.0 / n_nodes).alias("p")
-    )
-    for _ in range(3):
-        contrib = (
-            trans.join(F.broadcast(ranks), trans.src == F.col("node"))
-            .groupBy("dst")
-            .agg(F.sum(F.col("p") * F.col("p_edge")).alias("c"))
-        )
-        ranks = (
-            n.join(contrib, n.n_nationkey == contrib.dst, "left")
-            .select(
-                F.col("n_nationkey").alias("node"),
-                (
-                    F.lit(0.15 / n_nodes)
-                    + F.lit(0.85) * F.coalesce(F.col("c"), F.lit(0.0))
-                ).alias("p"),
-            )
-        )
-    return ranks.select(
-        F.col("node").cast("bigint").alias("nationkey"),
-        (F.floor(F.col("p") * 1000000.0 + 0.5) / 1000000.0)
-        .cast("double")
-        .alias("pagerank"),
-    )
-
-
-@register(
-    "winsorize_robust_scale",
-    """
-    WITH b AS (
-        SELECT l_returnflag,
-               quantile_cont(l_extendedprice, 0.01) AS p01,
-               quantile_cont(l_extendedprice, 0.99) AS p99
-        FROM lineitem GROUP BY l_returnflag
-    )
-    SELECT l.l_orderkey, l.l_linenumber,
-           CAST(FLOOR(least(greatest(l.l_extendedprice, b.p01), b.p99)
-                      * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS price_winsorized,
-           CAST(l.l_extendedprice < b.p01 OR l.l_extendedprice > b.p99
-                AS INT) AS clipped
-    FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
-    """,
-    "Winsorization (robust feature scaling): clamp each value into its "
-    "group's [p01, p99] — the outlier-taming transform applied before "
-    "training on heavy-tailed features. Exact interpolated percentiles "
-    "here for oracle parity; at 100 TB swap percentile() for "
-    "approx_percentile (single-pass sketch, no per-group sort) — the "
-    "clamp join is a broadcast of one tiny bounds row per group either "
-    "way. Grid-stable 4dp flooring because the clamp boundaries are "
-    "interpolated doubles that sit on no decimal grid.",
-    tags=("agg", "ml", "stats"),
-)
-def winsorize_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    b = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.01)").alias("p01"),
-        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
-    )
-    j = li.join(F.broadcast(b), "l_returnflag")
-    clamped = F.least(F.greatest(F.col("l_extendedprice"), F.col("p01")), F.col("p99"))
-    return j.select(
-        "l_orderkey",
-        "l_linenumber",
-        (F.floor(clamped * 10000.0 + 0.5) / 10000.0)
-        .cast("double")
-        .alias("price_winsorized"),
-        (
-            (F.col("l_extendedprice") < F.col("p01"))
-            | (F.col("l_extendedprice") > F.col("p99"))
-        )
-        .cast("int")
-        .alias("clipped"),
-    )
-
-
-@register(
-    "attribution_touchpoints",
-    """
-    WITH e AS (
-        SELECT user_id, event_type, ts,
-               CAST(epoch_us(ts) AS BIGINT) // 1000000 AS t_s
-        FROM events
-    ),
-    w AS (
-        SELECT user_id, event_type, t_s,
-               min(CASE WHEN event_type = 'view' THEN t_s END) OVER (
-                   PARTITION BY user_id ORDER BY t_s
-                   RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
-               ) AS first_touch_s,
-               max(CASE WHEN event_type = 'view' THEN t_s END) OVER (
-                   PARTITION BY user_id ORDER BY t_s
-                   RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
-               ) AS last_touch_s
-        FROM e
-    )
-    SELECT user_id, t_s AS purchase_s, first_touch_s, last_touch_s
-    FROM w WHERE event_type = 'purchase'
-    """,
-    "First-touch / last-touch attribution: for every purchase, the "
-    "earliest and latest preceding 'view' of the SAME user inside a "
-    "24-hour RANGE window frame — conditional aggregates over an "
-    "event-time range frame, one shuffle on user_id. The range-frame "
-    "form never materializes candidate pairs (the interval-join "
-    "formulation of the same question does — see range_join_events), "
-    "so per-user cost is O(events in frame), the shape that survives "
-    "100 TB of events. Epoch seconds via integer division for "
-    "engine-identical bucketing.",
-    tags=("events", "window"),
-)
-def attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        F.expr("unix_micros(ts) div 1000000").alias("t_s"),
-    )
-    frame = (
-        W.partitionBy("user_id").orderBy("t_s").rangeBetween(-86400, 0)
-    )
-    view_t = F.when(F.col("event_type") == "view", F.col("t_s"))
-    w = ev.select(
-        "user_id",
-        "event_type",
-        "t_s",
-        F.min(view_t).over(frame).alias("first_touch_s"),
-        F.max(view_t).over(frame).alias("last_touch_s"),
-    )
-    return w.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("t_s").alias("purchase_s"),
-        "first_touch_s",
-        "last_touch_s",
-    )
-
-
-@register(
-    "linear_interpolation_fill",
-    """
-    WITH b AS (
-      SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
-             round(avg(value), 4) AS avg_raw
-      FROM events WHERE event_type = 'purchase'
-      GROUP BY 1
-    ), bounds AS (
-      SELECT (min(epoch_us(ts)) // 3600000000) * 3600000000 AS mn,
-             (max(epoch_us(ts)) // 3600000000) * 3600000000 AS mx
-      FROM events WHERE event_type = 'purchase'
-    ), grid AS (
-      SELECT unnest(generate_series(mn, mx, 3600000000)) AS bucket_us FROM bounds
-    ), w AS (
-      SELECT grid.bucket_us, b.avg_raw,
-             last_value(b.avg_raw IGNORE NULLS) OVER (
-               ORDER BY grid.bucket_us
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-             last_value(CASE WHEN b.avg_raw IS NOT NULL THEN grid.bucket_us END
-                        IGNORE NULLS) OVER (
-               ORDER BY grid.bucket_us
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
-             first_value(b.avg_raw IGNORE NULLS) OVER (
-               ORDER BY grid.bucket_us
-               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-             first_value(CASE WHEN b.avg_raw IS NOT NULL THEN grid.bucket_us END
-                         IGNORE NULLS) OVER (
-               ORDER BY grid.bucket_us
-               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
-      FROM grid LEFT JOIN b USING (bucket_us)
-    )
-    SELECT bucket_us,
-           CAST(avg_raw IS NULL AS INT) AS filled,
-           round(CASE
-             WHEN avg_raw IS NOT NULL THEN avg_raw
-             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
-               pv + (nv - pv) * (CAST(bucket_us - pb AS DOUBLE)
-                                 / CAST(nb - pb AS DOUBLE))
-             ELSE coalesce(pv, nv) END, 6) AS value_interp
-    FROM w
-    """,
-    "Time-series LINEAR interpolation over a dense hourly spine: gaps "
-    "between observed buckets are filled with the straight line between "
-    "the previous and next observation (IGNORE NULLS window lookups for "
-    "the bracketing values + their bucket positions), edges fall back "
-    "to nearest-observation. Complements time_bucket_gapfill's LOCF — "
-    "together they are the resample/fill pair every feature pipeline "
-    "needs. Scale shape: the bucket agg is one shuffle; the four fill "
-    "windows share ONE sort (same ordering key, Spark plans a single "
-    "Window node pair); partitioned by series key at 100 TB (here one "
-    "global series, the sf-fixture degenerate case). Identical IEEE "
-    "expression `pv + (nv-pv)*(Δ/span)` on both engines; inputs are "
-    "4dp-rounded bucket means so summation-order noise never reaches "
-    "the interpolation arithmetic.",
-    tags=("events", "window", "timeseries"),
-)
-def linear_interpolation_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    bucket = (F.expr("unix_micros(ts) div 3600000000") * 3600000000).alias(
-        "bucket_us"
-    )
-    b = ev.groupBy(bucket).agg(F.round(F.avg("value"), 4).alias("avg_raw"))
-    bounds = ev.agg(
-        (F.expr("min(unix_micros(ts)) div 3600000000") * 3600000000).alias("mn"),
-        (F.expr("max(unix_micros(ts)) div 3600000000") * 3600000000).alias("mx"),
-    )
-    grid = bounds.select(
-        F.explode(F.sequence("mn", "mx", F.lit(3600000000))).alias("bucket_us")
-    )
-    back = W.orderBy("bucket_us").rowsBetween(W.unboundedPreceding, 0)
-    fwd = W.orderBy("bucket_us").rowsBetween(0, W.unboundedFollowing)
-    obs_bucket = F.when(F.col("avg_raw").isNotNull(), F.col("bucket_us"))
-    w = (
-        grid.join(b, "bucket_us", "left")
-        .withColumn("pv", F.last("avg_raw", ignorenulls=True).over(back))
-        .withColumn("pb", F.last(obs_bucket, ignorenulls=True).over(back))
-        .withColumn("nv", F.first("avg_raw", ignorenulls=True).over(fwd))
-        .withColumn("nb", F.first(obs_bucket, ignorenulls=True).over(fwd))
-    )
-    frac = (F.col("bucket_us") - F.col("pb")).cast("double") / (
-        F.col("nb") - F.col("pb")
-    ).cast("double")
-    interp = (
-        F.when(F.col("avg_raw").isNotNull(), F.col("avg_raw"))
-        .when(
-            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
-            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
-        )
-        .otherwise(F.coalesce("pv", "nv"))
-    )
-    return w.select(
-        "bucket_us",
-        F.col("avg_raw").isNull().cast("int").alias("filled"),
-        F.round(interp, 6).alias("value_interp"),
-    )
-
-
-@register(
-    "skipgram_cooccurrence",
-    """
-    WITH toks AS (
-      SELECT d.doc_id, u.tok, u.pos
-      FROM (SELECT doc_id,
-                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS ls
-            FROM documents) d,
-           LATERAL (SELECT unnest(ls) AS tok,
-                           generate_subscripts(ls, 1) AS pos) u
-    )
-    SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_cooc
-    FROM toks a
-    JOIN toks b ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3
-    GROUP BY 1, 2
-    HAVING count(*) >= 5
-    """,
-    "Skip-gram co-occurrence counts (window 3, forward-only) — the "
-    "word2vec/GloVe training-pair extraction. Spark formulation avoids "
-    "the range self-join entirely: each token row is replicated to its "
-    "3 offsets (explode over a constant sequence) and matched with a "
-    "pure two-key EQUI-join on (doc_id, pos+k = pos'), so the join "
-    "hash-partitions perfectly and never evaluates a range predicate "
-    "against a replicated build side. Count aggregation is partial "
-    "(map-side) before its single shuffle on the (tok_a, tok_b) key. "
-    "At 100 TB the token table is the corpus ×≈55 and the pair agg "
-    "dominates — both stay linear in corpus size for a fixed window.",
-    tags=("text", "training-data", "join"),
-)
-def skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
-        ).alias("pos", "tok"),
-    )
-    left = toks.select(
-        "doc_id",
-        F.col("tok").alias("tok_a"),
-        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("off"),
-        (F.col("pos") + F.col("off")).alias("pos_b"),
-    )
-    right = toks.select(
-        "doc_id", F.col("pos").alias("pos_b"), F.col("tok").alias("tok_b")
-    )
-    return (
-        left.join(right, ["doc_id", "pos_b"])
-        .groupBy("tok_a", "tok_b")
-        .agg(F.count(F.lit(1)).alias("n_cooc"))
-        .filter(F.col("n_cooc") >= 5)
-    )
-
-
-@register(
-    "mad_robust_stats",
-    """
-    WITH med AS (
-      SELECT l_returnflag,
-             CAST(median(l_extendedprice) AS DOUBLE) AS med_price
-      FROM lineitem GROUP BY 1
-    )
-    SELECT l.l_returnflag,
-           CAST(FLOOR(any_value(m.med_price) * 10000.0 + 0.5) / 10000.0
-                AS DOUBLE) AS med_price,
-           CAST(FLOOR(CAST(median(abs(l.l_extendedprice - m.med_price))
-                           AS DOUBLE) * 10000.0 + 0.5) / 10000.0
-                AS DOUBLE) AS mad_price,
-           count(*) AS n
-    FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
-    GROUP BY 1
-    """,
-    "Median absolute deviation — the robust (outlier-immune) scale "
-    "estimator paired with the median center: two exact-median passes, "
-    "the second over |x - group_median| after a broadcast join of the "
-    "1-row-per-group centers. Exact interpolated medians for oracle "
-    "parity; at 100 TB both passes swap to approx_percentile sketches "
-    "(single-pass, mergeable, no per-group sort) with the same plan "
-    "shape. Grid-stable 4dp flooring because interpolated medians sit "
-    "on no decimal grid.",
-    tags=("agg", "stats", "ml"),
-)
-def mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    med = li.groupBy("l_returnflag").agg(
-        F.median("l_extendedprice").cast("double").alias("med_price")
-    )
-    j = li.join(F.broadcast(med), "l_returnflag")
-    grid = lambda c: (F.floor(c * 10000.0 + 0.5) / 10000.0).cast("double")  # noqa: E731
-    return j.groupBy("l_returnflag").agg(
-        grid(F.any_value("med_price")).alias("med_price"),
-        grid(
-            F.median(F.abs(F.col("l_extendedprice") - F.col("med_price"))).cast(
-                "double"
-            )
-        ).alias("mad_price"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-@register(
-    "nfc_normalization",
-    """
-    SELECT doc_id,
-           length(raw)                      AS len_raw,
-           length(nfc_normalize(raw))       AS len_nfc,
-           right(nfc_normalize(raw), 6)     AS nfc_tail
-    FROM (SELECT doc_id, substring(text, 1, 40) || 'cafe' || chr(769) AS raw
-          FROM documents WHERE doc_id % 25 = 0) s
-    """,
-    "Unicode NFC normalization — the canonicalization step before any "
-    "text dedup/fingerprint (é as e+combining-acute must hash like é "
-    "composed). Spark has no native normalizer, so this is the "
-    "documented Arrow path: a vectorized pandas UDF over "
-    "unicodedata.normalize, one Python worker round-trip per batch, "
-    "never per row. A decomposed combining acute is appended to each "
-    "prefix so the transform provably composes (len shrinks by 1). "
-    "Oracle is DuckDB's native nfc_normalize. At 100 TB this is "
-    "embarrassingly parallel map-side work; batch size is bounded by "
-    "spark.sql.execution.arrow.maxRecordsPerBatch.",
-    tags=("text", "training-data", "udf"),
-)
-def nfc_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import unicodedata
-
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    # no signature annotations: PEP-563 lazy annotations (module-wide
-    # `from __future__ import annotations`) stringify them, which the
-    # pandas_udf signature validator rejects.
-    @pandas_udf("string")
-    def nfc(s):
-        return s.map(lambda x: unicodedata.normalize("NFC", x))
-
-    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
-    raw = F.concat(F.substring("text", 1, 40), F.lit("café"))
-    base = docs.select("doc_id", raw.alias("raw")).withColumn(
-        "norm", nfc(F.col("raw"))
-    )
-    return base.select(
-        "doc_id",
-        F.length("raw").alias("len_raw"),
-        F.length("norm").alias("len_nfc"),
-        F.expr("right(norm, 6)").alias("nfc_tail"),
-    )
-
-
-@register(
-    "cohort_retention",
-    """
-    WITH ua AS (
-      SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
-      FROM events
-    ), firstwk AS (
-      SELECT user_id, min(wk) AS cohort_wk FROM ua GROUP BY 1
-    ), coh AS (
-      SELECT cohort_wk, count(*) AS cohort_n FROM firstwk GROUP BY 1
-    )
-    SELECT f.cohort_wk,
-           CAST(ua.wk - f.cohort_wk AS BIGINT)     AS weeks_since,
-           count(*)                                 AS n_active,
-           round(count(*) / CAST(any_value(c.cohort_n) AS DOUBLE), 6)
-                                                    AS retention
-    FROM ua
-    JOIN firstwk f USING (user_id)
-    JOIN coh c ON c.cohort_wk = f.cohort_wk
-    GROUP BY 1, 2
-    """,
-    "Cohort retention matrix: users grouped by first-seen week, "
-    "retention = share of each cohort active N weeks later. The "
-    "product-analytics staple. Three aggregations, all partial-combined "
-    "before their shuffles; firstwk/coh collapse to one tiny row per "
-    "cohort and broadcast back onto the user-week fact. Epoch-µs "
-    "integer division gives both engines the same week bucketing "
-    "(no session-timezone week-truncation semantics to disagree on). "
-    "At 100 TB the DISTINCT user-week projection is the only "
-    "fact-sized shuffle; everything downstream is cohort-cardinality.",
-    tags=("events", "agg", "analytics"),
-)
-def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    ua = ev.select(
-        "user_id", F.expr("unix_micros(ts) div 604800000000").alias("wk")
-    ).distinct()
-    firstwk = ua.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
-    coh = firstwk.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("cohort_n"))
-    return (
-        ua.join(firstwk, "user_id")
-        .join(F.broadcast(coh), "cohort_wk")
-        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("weeks_since"))
-        .agg(
-            F.count(F.lit(1)).alias("n_active"),
-            F.round(
-                F.count(F.lit(1)) / F.any_value("cohort_n").cast("double"), 6
-            ).alias("retention"),
-        )
-    )
-
-
-@register(
-    "rollup_cascade_daily",
-    """
-    SELECT event_type,
-           epoch_us(ts) // 86400000000 AS day_bucket,
-           count(*)                    AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
-           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                 / count(*), 6)        AS avg_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-    "Hypertable-style continuous-aggregate cascade: 15-min partials "
-    "(count, sum) merge into hourly partials, hourly into daily, and "
-    "avg is derived only at the final grain — the oracle computes the "
-    "same daily rows DIRECTLY from raw events, proving the cascade's "
-    "merge algebra is exact. This is how a 100 TB metrics store "
-    "actually serves daily queries: each refresh touches only new "
-    "15-min partials (fact-sized work happens once, at the finest "
-    "grain), and every coarser grain is cardinality-of-buckets work — "
-    "three shuffles whose sizes DROP by 4× then 24×. Mergeable "
-    "partials (count/sum, like the HLL sketches in "
-    "hll_distinct_sketch_merge) are the requirement; avg itself is "
-    "not mergeable and must be derived at read time. Partials sum "
-    "DECIMAL(18,6), not DOUBLE: decimal addition is exactly "
-    "associative, so the merged totals are bit-identical no matter how "
-    "partitioning splits the partials — float sums are order-dependent "
-    "and flip rounding boundaries between runs (observed 1-ulp flip "
-    "between local[8] and local[32] layouts).",
-    tags=("agg", "events", "timeseries"),
-)
-def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    q15 = ev.groupBy(
-        "event_type",
-        F.expr("unix_micros(ts) div 900000000").alias("b15"),
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
-    )
-    hourly = q15.groupBy(
-        "event_type", F.expr("b15 div 4").alias("bh")
-    ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
-    daily = hourly.groupBy(
-        "event_type", F.expr("bh div 24").alias("day_bucket")
-    ).agg(F.sum("n").alias("n_events"), F.sum("s").alias("s"))
-    s_dbl = F.col("s").cast("double")
-    return daily.select(
-        "event_type",
-        "day_bucket",
-        "n_events",
-        s_dbl.alias("sum_value"),
-        F.round(s_dbl / F.col("n_events"), 6).alias("avg_value"),
-    )
-
-
-@register(
-    "triangle_count_trade_graph",
-    """
-    WITH d AS (
-        SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
-        FROM lineitem l
-        JOIN orders o   ON l.l_orderkey = o.o_orderkey
-        JOIN customer c ON o.o_custkey  = c.c_custkey
-        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
-        WHERE s.s_nationkey <> c.c_nationkey
-    ), e AS (
-        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM d
-    ), tri AS (
-        SELECT e1.a, e1.b, e2.b AS c
-        FROM e e1
-        JOIN e e2 ON e2.a = e1.b
-        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
-    ), membership AS (
-        SELECT a AS node FROM tri
-        UNION ALL SELECT b FROM tri
-        UNION ALL SELECT c FROM tri
-    ), deg AS (
-        SELECT node, count(*) AS degree FROM (
-            SELECT a AS node, b FROM e UNION ALL SELECT b, a FROM e
-        ) GROUP BY 1
-    )
-    SELECT CAST(d.node AS BIGINT)  AS nationkey,
-           CAST(d.degree AS BIGINT) AS degree,
-           CAST(coalesce(m.n_tri, 0) AS BIGINT) AS n_triangles,
-           round(coalesce(m.n_tri, 0) * 2.0
-                 / (d.degree * (d.degree - 1)), 6) AS clustering_coeff
-    FROM deg d
-    LEFT JOIN (SELECT node, count(*) AS n_tri FROM membership GROUP BY 1) m
-           ON m.node = d.node
-    """,
-    "Distributed triangle counting + local clustering coefficient over "
-    "the undirected nation trade graph (nations that traded, from the "
-    "same heavy edge extraction as pagerank_nation_trade). The "
-    "canonical-orientation trick (each edge stored once as a<b, "
-    "triangles enumerated a<b<c) makes the join tree enumerate every "
-    "triangle EXACTLY once with two equi-joins and no post-hoc dedup — "
-    "the standard MapReduce triangle algorithm. At 100 TB graphs the "
-    "same plan holds with edges hash-partitioned on the join key; "
-    "orientation by degree (low-degree node first) bounds the skew of "
-    "the e1.b = e2.a shuffle, the known fix for power-law graphs. "
-    "Everything after the one-time fact-table edge extraction is "
-    "edge-cardinality work.",
-    tags=("iterative", "join", "graph"),
-)
-def triangle_count_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-
-    directed = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
-        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
-        .select(
-            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
-        )
-        .distinct()
-    )
-    e = directed.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
-    # Edge table is <= |nations|^2 — pin it so the fact join runs once
-    # across the three self-join arms (same rationale as pagerank's
-    # transition table).
-    e = e.localCheckpoint(eager=True)
-
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    tri = e1.join(e2, F.col("e2.a") == F.col("e1.b")).join(
-        e3,
-        (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
-    )
-    membership = (
-        tri.select(F.col("e1.a").alias("node"))
-        .unionAll(tri.select(F.col("e1.b").alias("node")))
-        .unionAll(tri.select(F.col("e2.b").alias("node")))
-    )
-    n_tri = membership.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
-    deg = (
-        e.select(F.col("a").alias("node"), "b")
-        .unionAll(e.select(F.col("b").alias("node"), F.col("a")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    return deg.join(n_tri, "node", "left").select(
-        F.col("node").cast("bigint").alias("nationkey"),
-        F.col("degree").cast("bigint").alias("degree"),
-        F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_triangles"),
-        F.round(
-            F.coalesce("n_tri", F.lit(0)) * 2.0
-            / (F.col("degree") * (F.col("degree") - 1)),
-            6,
-        ).alias("clustering_coeff"),
-    )
-
-
-@register(
-    "inverted_index_postings",
-    """
-    WITH toks AS (
-        SELECT DISTINCT doc_id,
-               unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
-        FROM documents
-    ), df AS (
-        SELECT term, count(*) AS doc_freq FROM toks GROUP BY 1
-    )
-    SELECT t.term,
-           CAST(d.doc_freq AS BIGINT) AS doc_freq,
-           array_to_string(list_sort(list(t.doc_id)), ',') AS postings
-    FROM toks t JOIN df d USING (term)
-    WHERE d.doc_freq BETWEEN 5 AND 40
-    GROUP BY t.term, d.doc_freq
-    """,
-    "Inverted-index construction: term -> sorted posting list of the "
-    "documents containing it (the IR primitive behind BM25/boolean "
-    "retrieval; bm25_topk scores over exactly this structure). "
-    "Posting lists serialize as comma-joined sorted strings so the "
-    "output is scalar and deterministic — collect_list order is "
-    "partition-dependent, sort_array pins it. Mid-frequency band "
-    "filter (5..40 docs) models the stoplist+hapax pruning a real "
-    "index applies. At 100 TB postings for stop-words would dwarf "
-    "executor memory — the doc_freq pre-filter drops them BEFORE "
-    "collect_list materializes anything (vocab_prune_topk is the "
-    "standalone form), and ultra-long survivors shard into "
-    "(term, bucket) segment postings.",
-    tags=("text", "training-data", "agg"),
-)
-def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
-            )
-        ).alias("term"),
-    )
-    df_counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
-    band = df_counts.filter(F.col("doc_freq").between(5, 40))
-    return (
-        toks.join(band, "term")
-        .groupBy("term", "doc_freq")
-        .agg(
-            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
-                "postings"
-            )
-        )
-        .select("term", F.col("doc_freq").cast("bigint").alias("doc_freq"), "postings")
-    )
-
-
-@register(
-    "event_transition_matrix",
-    """
-    WITH seq AS (
-        SELECT user_id, event_type,
-               lead(event_type) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
-               ) AS next_type
-        FROM events
-    ), c AS (
-        SELECT event_type, next_type, count(*) AS n
-        FROM seq WHERE next_type IS NOT NULL
-        GROUP BY 1, 2
-    )
-    SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
-           round(n / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 6)
-               AS p_transition
-    FROM c
-    """,
-    "First-order Markov transition matrix over per-user event "
-    "sequences: P(next event type | current), from a lead() window on "
-    "(ts, event_id) — the tiebreaker makes same-timestamp ordering "
-    "deterministic on both engines. The behavioral-model complement "
-    "of funnel_analysis (which fixes the path; this learns the "
-    "transition structure). One shuffle on user_id for the sequence "
-    "window, then transition-cardinality work: the count aggregate is "
-    "partial-combined and the normalizing window runs over "
-    "|event_types|^2 rows.",
-    tags=("events", "window", "analytics"),
-)
-def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    seq = ev.select(
-        "event_type",
-        F.lead("event_type")
-        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
-        .alias("next_type"),
-    )
-    c = (
-        seq.filter(F.col("next_type").isNotNull())
-        .groupBy("event_type", "next_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    return c.select(
-        "event_type",
-        "next_type",
-        F.col("n").cast("bigint").alias("n"),
-        F.round(
-            F.col("n")
-            / F.sum("n").over(W.partitionBy("event_type")).cast("double"),
-            6,
-        ).alias("p_transition"),
-    )
-
-
-@register(
-    "column_profile",
-    """
-    WITH a AS (
-        SELECT count(*) AS n,
-               count(l_orderkey)      AS nn_ok,  count(DISTINCT l_orderkey)      AS nd_ok,
-               CAST(min(l_orderkey) AS VARCHAR) AS mn_ok, CAST(max(l_orderkey) AS VARCHAR) AS mx_ok,
-               count(l_quantity)      AS nn_q,   count(DISTINCT l_quantity)      AS nd_q,
-               CAST(min(l_quantity) AS VARCHAR) AS mn_q,  CAST(max(l_quantity) AS VARCHAR) AS mx_q,
-               count(l_discount)      AS nn_d,   count(DISTINCT l_discount)      AS nd_d,
-               CAST(min(l_discount) AS VARCHAR) AS mn_d,  CAST(max(l_discount) AS VARCHAR) AS mx_d,
-               count(l_returnflag)    AS nn_rf,  count(DISTINCT l_returnflag)    AS nd_rf,
-               min(l_returnflag)      AS mn_rf,  max(l_returnflag)               AS mx_rf
-        FROM lineitem
-    )
-    SELECT 'l_orderkey' AS col_name, CAST(n - nn_ok AS BIGINT) AS n_null,
-           CAST(nd_ok AS BIGINT) AS n_distinct, mn_ok AS min_val, mx_ok AS max_val FROM a
-    UNION ALL
-    SELECT 'l_quantity', CAST(n - nn_q AS BIGINT), CAST(nd_q AS BIGINT), mn_q, mx_q FROM a
-    UNION ALL
-    SELECT 'l_discount', CAST(n - nn_d AS BIGINT), CAST(nd_d AS BIGINT), mn_d, mx_d FROM a
-    UNION ALL
-    SELECT 'l_returnflag', CAST(n - nn_rf AS BIGINT), CAST(nd_rf AS BIGINT), mn_rf, mx_rf FROM a
-    """,
-    "One-pass column profiling (the DESCRIBE-at-scale primitive run "
-    "before any pipeline touches a new table): per-column null count, "
-    "exact distinct cardinality, min and max — ALL columns' metrics in "
-    "a single aggregation over the fact table, pivoted to one row per "
-    "column by exploding a struct array over the 1-row aggregate "
-    "(metadata-scale work). Multiple exact COUNT(DISTINCT)s share one "
-    "scan via Catalyst's Expand; at 100 TB swap them for "
-    "approx_count_distinct to drop the expand factor — same plan "
-    "otherwise. Numeric min/max serialize as canonical strings so one "
-    "uniform schema profiles heterogeneous column types.",
-    tags=("agg", "quality"),
-)
-def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    cols = ["l_orderkey", "l_quantity", "l_discount", "l_returnflag"]
-    aggs = []
-    for c in cols:
-        aggs += [
-            (F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}"),
-            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
-            F.min(c).cast("string").alias(f"mn_{c}"),
-            F.max(c).cast("string").alias(f"mx_{c}"),
-        ]
-    one = li.agg(*aggs)
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("col_name"),
-                F.col(f"null_{c}").cast("bigint").alias("n_null"),
-                F.col(f"nd_{c}").cast("bigint").alias("n_distinct"),
-                F.col(f"mn_{c}").alias("min_val"),
-                F.col(f"mx_{c}").alias("max_val"),
-            )
-            for c in cols
-        ]
-    )
-    return one.select(F.explode(rows).alias("p")).select("p.*")
-
-
-@register(
-    "dedup_keep_latest",
-    """
-    SELECT user_id, event_type,
-           epoch_us(ts)  AS last_ts_us,
-           event_id      AS last_event_id,
-           round(value, 4) AS last_value
-    FROM (
-        SELECT *, row_number() OVER (
-                   PARTITION BY user_id, event_type
-                   ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events
-    ) WHERE rn = 1
-    """,
-    "Keep-latest compaction: the newest record per business key "
-    "((user, event_type) here), ties broken deterministically by "
-    "event_id — the CDC upsert-log -> current-state primitive (what a "
-    "MERGE against an append log reduces to, and the read-side of "
-    "merge_upsert's write-side). One shuffle on the key; row_number "
-    "with a rank-limit pushes a per-partition top-1 (Spark plans a "
-    "WindowGroupLimit) so each task keeps one row per key before any "
-    "data concentrates. At 100 TB this is strictly cheaper than "
-    "groupBy(max_by(...)) chains for wide rows: the payload never "
-    "enters an aggregation buffer.",
-    tags=("window", "events", "dedup"),
-)
-def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id", "event_type").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            "event_type",
-            F.expr("unix_micros(ts)").alias("last_ts_us"),
-            F.col("event_id").alias("last_event_id"),
-            F.round("value", 4).alias("last_value"),
-        )
-    )
-
-
-@register(
-    "contribution_analysis",
-    """
-    WITH rev AS (
-        SELECT r.r_name AS region, n.n_name AS nation,
-               sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                        AS DECIMAL(18,6))) AS revenue
-        FROM lineitem l
-        JOIN orders o   ON l.l_orderkey = o.o_orderkey
-        JOIN customer c ON o.o_custkey  = c.c_custkey
-        JOIN nation n   ON c.c_nationkey = n.n_nationkey
-        JOIN region r   ON n.n_regionkey = r.r_regionkey
-        GROUP BY 1, 2
-    )
-    SELECT region, nation,
-           CAST(revenue AS DOUBLE) AS revenue,
-           round(CAST(revenue AS DOUBLE)
-                 / CAST(sum(revenue) OVER (PARTITION BY region) AS DOUBLE),
-                 6) AS pct_of_region,
-           round(CAST(revenue AS DOUBLE)
-                 / CAST(sum(revenue) OVER () AS DOUBLE), 6) AS pct_of_total
-    FROM rev
-    """,
-    "Contribution analysis (share-of-group at two grains): per-nation "
-    "revenue with its share of region and share of grand total — the "
-    "BI drill-down staple. The fact-sized work is one star join + one "
-    "aggregation; both window normalizations run over the 25-row "
-    "aggregate, so the empty-frame global window is metadata-scale by "
-    "construction (the anti-pattern is windowing the FACT table). "
-    "Revenue sums DECIMAL(18,6) partials — associative, so the "
-    "round(,6) shares are bit-identical under any partition layout.",
-    tags=("agg", "window", "analytics"),
-)
-def contribution_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
-    rev = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
-        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
-        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
-        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(18,6)"
-                )
-            ).alias("rev_dec")
-        )
-    )
-    rev_d = F.col("rev_dec").cast("double")
-    by_region = F.sum("rev_dec").over(W.partitionBy("region")).cast("double")
-    total = F.sum("rev_dec").over(W.partitionBy()).cast("double")
-    return rev.select(
-        "region",
-        "nation",
-        rev_d.alias("revenue"),
-        F.round(rev_d / by_region, 6).alias("pct_of_region"),
-        F.round(rev_d / total, 6).alias("pct_of_total"),
-    )
-
-
-@register(
-    "ordered_list_agg_structs",
-    """
-    SELECT o_orderkey,
-           CAST(len(items) AS BIGINT) AS n_items,
-           items[1]                   AS top_item_linenumber,
-           array_to_string(items, ',') AS items_str
-    FROM (
-        SELECT l_orderkey AS o_orderkey,
-               list(l_linenumber ORDER BY l_quantity DESC, l_linenumber)
-                   AS items
-        FROM lineitem
-        WHERE l_orderkey % 211 = 0
-        GROUP BY 1
-    )
-    """,
-    "Ordered list aggregation over nested data: per order, the line "
-    "numbers collected INTO an array ordered by quantity (desc, "
-    "linenumber tiebreak) — the collect-sorted-detail primitive behind "
-    "order-book / clickstream-path features. collect_list order is "
-    "partition-dependent, so the engine sorts a (negated-quantity, "
-    "linenumber) struct array and projects the field out: "
-    "deterministic on any layout, all native array expressions. "
-    "DuckDB's ORDER BY-qualified list() is the oracle. At 100 TB the "
-    "per-key arrays are bounded by order width (7 items), not data "
-    "volume — the unbounded-key variant needs the posting-list "
-    "doc_freq guard (see inverted_index_postings).",
-    tags=("agg", "array", "sql"),
-)
-def ordered_list_agg_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 211 == 0)
-    sorted_structs = F.sort_array(
-        F.collect_list(
-            F.struct(
-                (-F.col("l_quantity")).alias("negq"),
-                F.col("l_linenumber").alias("ln"),
-            )
-        )
-    )
-    items = F.transform(sorted_structs, lambda s: s.getField("ln"))
-    return (
-        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
-        .agg(items.alias("items"))
-        .select(
-            "o_orderkey",
-            F.size("items").cast("bigint").alias("n_items"),
-            F.element_at("items", 1).alias("top_item_linenumber"),
-            F.array_join(F.col("items").cast("array<string>"), ",").alias(
-                "items_str"
-            ),
-        )
-    )
-
-
-_LATERAL_TOPK_SQL = """
-    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
-    FROM customer c, LATERAL (
-        SELECT o_orderkey, o_totalprice
-        FROM orders o
-        WHERE o.o_custkey = c.c_custkey
-        ORDER BY o_totalprice DESC, o_orderkey
-        LIMIT 3) t
-    WHERE c.c_custkey % 19 = 0
-"""
-
-
-@register(
-    "lateral_topk_join",
-    _LATERAL_TOPK_SQL,
-    "ANSI LATERAL correlated subquery join: each customer's top-3 "
-    "orders by price, expressed as a per-row dependent subquery with "
-    "ORDER BY/LIMIT — the SQL-standard form of top-N-per-entity "
-    "(window_topk_per_group is the window-function twin). The SAME SQL "
-    "text runs on both engines. Catalyst decorrelates the lateral into "
-    "a join + per-key WindowGroupLimit-style rank pruning rather than "
-    "executing the subquery per row — so the plan is one shuffle on "
-    "the correlation key, and at 100 TB it behaves exactly like the "
-    "window formulation (no nested-loop re-execution).",
-    tags=("join", "sql", "subquery"),
-)
-def lateral_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _views(spark, sf_dir, "customer", "orders")
-    return spark.sql(_LATERAL_TOPK_SQL)
-
-
-@register(
-    "doc_quality_filter",
-    """
-    WITH d AS (
-        SELECT doc_id,
-               list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        FROM documents
-    ), s AS (
-        SELECT doc_id,
-               CAST(len(toks) AS BIGINT) AS n_tokens,
-               len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_ratio,
-               len(list_filter(toks, x -> list_contains(
-                   ['the','a','of','and','to','in','is','that','for','it'],
-                   lower(x)))) * 1.0 / len(toks) AS stopword_ratio
-        FROM d WHERE len(toks) > 0
-    )
-    SELECT doc_id, n_tokens,
-           CAST(floor(distinct_ratio * 10000.0 + 0.5) / 10000.0 AS DOUBLE)
-               AS distinct_ratio,
-           CAST(floor(stopword_ratio * 10000.0 + 0.5) / 10000.0 AS DOUBLE)
-               AS stopword_ratio,
-           CAST(n_tokens >= 30 AND distinct_ratio >= 0.35
-                AND stopword_ratio >= 0.02 AS INT) AS keep,
-           concat_ws(',',
-               CASE WHEN n_tokens < 30           THEN 'too_short' END,
-               CASE WHEN distinct_ratio < 0.35   THEN 'repetitive' END,
-               CASE WHEN stopword_ratio < 0.02   THEN 'unnatural' END)
-               AS drop_reasons
-    FROM s
-    """,
-    "Composite training-data quality gate (Gopher/C4-style rule "
-    "filter): minimum length, lexical diversity (distinct-token "
-    "ratio), and natural-language signal (stopword ratio) evaluated "
-    "in ONE projection pass, emitting keep/drop plus machine-readable "
-    "reason codes — the auditable form every corpus-curation pipeline "
-    "needs (reasons feed the drop-rate dashboards that catch filter "
-    "drift). Thresholds split the fixture corpus non-trivially. All "
-    "per-row native expressions: at 100 TB this is embarrassingly "
-    "parallel map work with zero shuffles; the component stats have "
-    "standalone queries (text_stats, repetition_stats) and this gate "
-    "composes them without re-tokenizing per rule (one split, one "
-    "pass). Ratio outputs grid-floored at 4dp on both engines; the "
-    "keep/drop decisions compare raw doubles computed by identical "
-    "IEEE expressions, so no boundary drift.",
-    tags=("text", "training-data", "quality"),
-)
-def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
-    stop = F.array(*[F.lit(w) for w in
-                     ["the", "a", "of", "and", "to", "in", "is", "that", "for", "it"]])
-    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
-    n = F.size("toks")
-    s = d.select(
-        "doc_id",
-        n.cast("bigint").alias("n_tokens"),
-        (F.size(F.array_distinct("toks")) * F.lit(1.0) / n).alias("dr"),
-        (
-            F.size(F.filter("toks", lambda x: F.array_contains(stop, F.lower(x))))
-            * F.lit(1.0)
-            / n
-        ).alias("sr"),
-    )
-    grid = lambda c: (F.floor(c * 10000.0 + 0.5) / 10000.0).cast("double")  # noqa: E731
-    return s.select(
-        "doc_id",
-        "n_tokens",
-        grid(F.col("dr")).alias("distinct_ratio"),
-        grid(F.col("sr")).alias("stopword_ratio"),
-        (
-            (F.col("n_tokens") >= 30)
-            & (F.col("dr") >= 0.35)
-            & (F.col("sr") >= 0.02)
-        )
-        .cast("int")
-        .alias("keep"),
-        F.concat_ws(
-            ",",
-            F.when(F.col("n_tokens") < 30, F.lit("too_short")),
-            F.when(F.col("dr") < 0.35, F.lit("repetitive")),
-            F.when(F.col("sr") < 0.02, F.lit("unnatural")),
-        ).alias("drop_reasons"),
-    )
-
-
-@register(
-    "skew_diagnosis",
-    """
-    WITH per_key AS (
-        SELECT o_custkey AS key, count(*) AS n
-        FROM orders GROUP BY 1
-    )
-    SELECT CAST(count(*) AS BIGINT)          AS n_keys,
-           CAST(sum(n) AS BIGINT)            AS n_rows,
-           CAST(max(n) AS BIGINT)            AS max_per_key,
-           round(avg(n), 6)                  AS avg_per_key,
-           CAST(floor(CAST(quantile_cont(n, 0.99) AS DOUBLE) * 10000.0 + 0.5)
-                / 10000.0 AS DOUBLE)         AS p99_per_key,
-           round(max(n) / avg(n), 4)         AS skew_ratio
-    FROM per_key
-    """,
-    "Join-key skew diagnosis: per-key row counts reduced to the "
-    "distribution summary (max, p99, max/avg skew ratio) that decides "
-    "a shuffle strategy BEFORE the join runs — ratio near 1 means hash "
-    "partitioning balances, a hot ratio means salt the key or lean on "
-    "AQE skew-join splitting (skew_join_salted is the treatment; this "
-    "is the diagnostic). Two aggregations: the per-key count is the "
-    "fact-sized shuffle with map-side partials, the summary is "
-    "key-cardinality work. The exact p99 here becomes approx_percentile "
-    "at 100 TB (same single-pass shape). DuckDB quantile_cont is the "
-    "oracle twin of Spark's percentile(), both 4dp grid-floored.",
-    tags=("agg", "stats", "skew"),
-)
-def skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    per_key = o.groupBy(F.col("o_custkey").alias("key")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    return per_key.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
-        F.sum("n").cast("bigint").alias("n_rows"),
-        F.max("n").cast("bigint").alias("max_per_key"),
-        F.round(F.avg("n"), 6).alias("avg_per_key"),
-        (
-            F.floor(F.expr("percentile(n, 0.99)").cast("double") * 10000.0 + 0.5)
-            / 10000.0
-        )
-        .cast("double")
-        .alias("p99_per_key"),
-        F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
-    )
-
-
-@register(
-    "time_since_last_event",
-    """
-    SELECT event_id, user_id, event_type,
-           t_us - last_value(CASE WHEN event_type = 'purchase' THEN t_us END
-                             IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY t_us, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-               AS us_since_purchase
-    FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us
-          FROM events)
-    """,
-    "Recency feature: per event, microseconds since the SAME user's "
-    "previous purchase (NULL before the first) — the "
-    "time-since-last-X transform behind churn/propensity features, via "
-    "a conditional IGNORE NULLS window lookup with the frame ending at "
-    "1 PRECEDING so a purchase measures from the PRIOR purchase, not "
-    "itself. (ts, event_id) ordering keeps same-timestamp rows "
-    "deterministic. One shuffle on user_id; running state is one "
-    "scalar per user regardless of history length — at 100 TB this "
-    "scales with users, not events, and integer µs arithmetic means "
-    "no float drift anywhere.",
-    tags=("events", "window", "ml"),
-)
-def time_since_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        "event_type",
-        F.expr("unix_micros(ts)").alias("t_us"),
-    )
-    frame = (
-        W.partitionBy("user_id")
-        .orderBy("t_us", "event_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    prev_purchase = F.last(
-        F.when(F.col("event_type") == "purchase", F.col("t_us")), ignorenulls=True
-    ).over(frame)
-    return ev.select(
-        "event_id",
-        "user_id",
-        "event_type",
-        (F.col("t_us") - prev_purchase).alias("us_since_purchase"),
-    )
-
-
-@register(
-    "ab_test_conversion",
-    """
-    WITH u AS (
-        SELECT user_id,
-               CAST(user_id % 2 AS INT) AS arm,
-               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)     AS saw,
-               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bought
-        FROM events GROUP BY 1, 2
-    ), a AS (
-        SELECT arm,
-               CAST(sum(saw) AS BIGINT)                       AS n_exposed,
-               CAST(sum(CASE WHEN saw = 1 THEN bought ELSE 0 END) AS BIGINT)
-                                                              AS n_converted
-        FROM u GROUP BY 1
-    )
-    SELECT arm, n_exposed, n_converted,
-           round(p, 6) AS cvr,
-           round((p + 1.92199592 / nd - 1.959964 *
-                  sqrt(p * (1.0 - p) / nd + 0.96099796 / (nd * nd)))
-                 / (1.0 + 3.84399184 / nd), 6) AS wilson_lo,
-           round((p + 1.92199592 / nd + 1.959964 *
-                  sqrt(p * (1.0 - p) / nd + 0.96099796 / (nd * nd)))
-                 / (1.0 + 3.84399184 / nd), 6) AS wilson_hi
-    FROM (SELECT arm, n_exposed, n_converted,
-                 CAST(n_exposed AS DOUBLE) AS nd,
-                 n_converted / CAST(n_exposed AS DOUBLE) AS p
-          FROM a)
-    """,
-    "A/B conversion readout: deterministic arm assignment "
-    "(user_id % 2 — at 100 TB a salted hash of the user key, same "
-    "shape), per-user exposure/conversion flags collapsed by max(), "
-    "then per-arm conversion rate with the Wilson 95% score interval "
-    "computed from the counts — the analysis every experimentation "
-    "platform serves. Two aggregations, both partial-combined; the "
-    "interval arithmetic runs on 2 rows. IEEE-identical on both "
-    "engines: the inputs are exact integer counts and sqrt is "
-    "correctly rounded, so round(,6) cannot straddle engines.",
-    tags=("events", "agg", "analytics", "stats"),
-)
-def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    u = ev.groupBy(
-        "user_id", (F.col("user_id") % 2).cast("int").alias("arm")
-    ).agg(
-        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("saw"),
-        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
-            "bought"
-        ),
-    )
-    a = u.groupBy("arm").agg(
-        F.sum("saw").cast("bigint").alias("n_exposed"),
-        F.sum(F.when(F.col("saw") == 1, F.col("bought")).otherwise(0))
-        .cast("bigint")
-        .alias("n_converted"),
-    )
-    # Expression trees below mirror the oracle SQL symbol-for-symbol —
-    # same literals, same operation order — so IEEE results are
-    # bit-identical (sqrt is correctly rounded; inputs are exact
-    # integer counts).
-    nd = F.col("n_exposed").cast("double")
-    p = F.col("n_converted") / nd
-    base = a.withColumn("nd", nd).withColumn("p", p)
-    half = F.lit(1.959964) * F.sqrt(
-        F.col("p") * (F.lit(1.0) - F.col("p")) / F.col("nd")
-        + F.lit(0.96099796) / (F.col("nd") * F.col("nd"))
-    )
-    center = F.col("p") + F.lit(1.92199592) / F.col("nd")
-    denom = F.lit(1.0) + F.lit(3.84399184) / F.col("nd")
-    return base.select(
-        "arm",
-        "n_exposed",
-        "n_converted",
-        F.round("p", 6).alias("cvr"),
-        F.round((center - half) / denom, 6).alias("wilson_lo"),
-        F.round((center + half) / denom, 6).alias("wilson_hi"),
-    )
-
-
-@register(
-    "pareto_customers",
-    """
-    WITH rev AS (
-        SELECT o_custkey,
-               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
-        FROM orders GROUP BY 1
-    ), top AS (
-        SELECT o_custkey, revenue
-        FROM rev ORDER BY revenue DESC, o_custkey LIMIT 100
-    ), tot AS (SELECT sum(revenue) AS total FROM rev)
-    SELECT CAST(row_number() OVER (ORDER BY t.revenue DESC, t.o_custkey)
-                AS BIGINT)                          AS rnk,
-           t.o_custkey,
-           CAST(t.revenue AS DOUBLE)                AS revenue,
-           round(CAST(sum(t.revenue) OVER (ORDER BY t.revenue DESC, t.o_custkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                      AS DOUBLE)
-                 / CAST(tot.total AS DOUBLE), 6)    AS cum_share
-    FROM top t, tot
-    """,
-    "Pareto / concentration analysis: top-100 customers by revenue "
-    "with each one's CUMULATIVE share of TOTAL revenue (the 80/20 "
-    "readout). Fact-sized work is one aggregation; the top-100 cut is "
-    "TakeOrderedAndProject (per-partition heaps, no global sort); the "
-    "running share windows over 100 rows with a broadcast 1-row total "
-    "— at 100 TB the full-population cumulative variant uses the "
-    "two-pass per-partition-offset pattern (distributed_row_number). "
-    "Revenue sums DECIMAL(18,2) partials: associative, so ranking "
-    "ties, the top-100 cut, and the round(,6) shares are identical "
-    "under any partition layout.",
-    tags=("agg", "window", "analytics"),
-)
-def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    rev = o.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
-    )
-    top = rev.orderBy(F.desc("revenue"), F.asc("o_custkey")).limit(100)
-    total = rev.agg(F.sum("revenue").alias("total"))
-    w = W.orderBy(F.desc("revenue"), F.asc("o_custkey"))
-    run = w.rowsBetween(W.unboundedPreceding, 0)
-    return (
-        top.crossJoin(F.broadcast(total))
-        .select(
-            F.row_number().over(w).cast("bigint").alias("rnk"),
-            "o_custkey",
-            F.col("revenue").cast("double").alias("revenue"),
-            F.round(
-                F.sum("revenue").over(run).cast("double")
-                / F.col("total").cast("double"),
-                6,
-            ).alias("cum_share"),
-        )
-    )
-
-
-@register(
-    "rolling_active_users",
-    """
-    WITH ud AS (
-        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
-        FROM events
-    ), dau AS (
-        SELECT day, count(*) AS dau FROM ud GROUP BY 1
-    ), contrib AS (
-        SELECT ud.user_id, ud.day + o.off AS day_target
-        FROM ud, LATERAL (SELECT unnest(generate_series(0, 6)) AS off) o
-    ), wau AS (
-        SELECT day_target AS day, count(DISTINCT user_id) AS wau
-        FROM contrib GROUP BY 1
-    )
-    SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
-           round(d.dau / CAST(w.wau AS DOUBLE), 6) AS stickiness
-    FROM dau d JOIN wau w USING (day)
-    """,
-    "Rolling 7-day active users + DAU/WAU stickiness — the product "
-    "health metric. Distinct-count-over-sliding-window can't use a "
-    "plain window frame (COUNT DISTINCT isn't frameable), so each "
-    "user-day is exploded to the 7 target days it keeps the user "
-    "active for, and WAU is a plain distinct count per target day — "
-    "exact, one extra 7× map-side fanout, everything "
-    "partial-aggregated before its shuffle. The join back to DAU "
-    "restricts output to observed days (leading partial windows "
-    "included, same on both engines). At 100 TB the fanout factor is "
-    "the window length — for 30/90-day windows switch the distinct "
-    "count to mergeable HLL sketches per day and union the window "
-    "(hll_distinct_sketch_merge is that primitive).",
-    tags=("events", "agg", "analytics"),
-)
-def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    ud = ev.select(
-        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
-    ).distinct()
-    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
-    contrib = ud.select(
-        "user_id", "day", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off")
-    ).select("user_id", (F.col("day") + F.col("off")).alias("day_target"))
-    wau = contrib.groupBy(F.col("day_target").alias("day")).agg(
-        F.count_distinct("user_id").alias("wau")
-    )
-    return dau.join(wau, "day").select(
-        "day",
-        F.col("dau").cast("bigint").alias("dau"),
-        F.col("wau").cast("bigint").alias("wau"),
-        F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias("stickiness"),
-    )
-
-
-# =====================================================================
-# Credit-risk analytics tier — the model-evaluation readouts the
-# reference's domain (loan-default prediction) runs on every scored
-# portfolio: KS separation, WOE/IV, PSI drift, gains/lift, threshold
-# confusion sweep, banded ROC-AUC. The reference computes AUC/accuracy
-# once (spark.py:80-90 BinaryClassificationEvaluator, app.py:121-127
-# test accuracy); a production credit engine additionally monitors the
-# score DISTRIBUTION — these six queries are that surface.
-#
-# All six share one deterministic "model score" stand-in (at 100 TB
-# this column is the output of batch inference, A16): an integer in
-# [0, 99990] built from pure modular arithmetic on the order keys,
-# shifted up by 30000 for defaulted orders so good/bad distributions
-# overlap partially (uniform [0,70000) vs [30000,99991)) — a realistic
-# mid-strength scorecard. Label: o_orderstatus = 'F' (closed-default
-# proxy, ~33% bad rate). Score bands are fixed-width (score div
-# 10000, 10 bands) — fixed bands, not quantile cuts, exactly as credit
-# scorecards band FICO-style scores, and exactly reproducible on both
-# engines with zero float ops.
-#
-# Scale shape (identical across the tier): one partial-combined
-# groupBy on the 10-value band key — the only fact-sized work — then
-# windows over the ≤10-row aggregate. Every rate/share/lift divides
-# exact integer counts (one correctly-rounded IEEE division, identical
-# expression trees both engines); WOE/PSI take ln() of one
-# exact-integer-product ratio; IV/PSI totals sum MICRO-UNITS (rounded
-# contributions scaled to BIGINT) so the cross-band sum is associative
-# and layout-independent.
-# =====================================================================
-
-_SCORED_SQL = """
-        SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad,
-               ((o_orderkey % 99991) * 31 + (o_custkey % 99991) * 17)
-                 % 99991 % 70000
-                 + CASE WHEN o_orderstatus = 'F' THEN 30000 ELSE 0 END
-                 AS score
-        FROM orders
-"""
-
-_BANDS_SQL = f"""
-    WITH scored AS ({_SCORED_SQL}),
-    b AS (
-        SELECT score // 10000 AS band,
-               CAST(sum(bad) AS BIGINT)     AS n_bad,
-               CAST(sum(1 - bad) AS BIGINT) AS n_good
-        FROM scored GROUP BY 1
-    )
-"""
-
-
-def _scored_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Orders with the deterministic score/label twin of ``_SCORED_SQL``."""
-    o = t(spark, sf_dir, "orders")
-    bad = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
-    score = (
-        ((F.col("o_orderkey") % 99991) * 31 + (F.col("o_custkey") % 99991) * 17)
-        % 99991
-        % 70000
-        + F.when(F.col("o_orderstatus") == "F", 30000).otherwise(0)
-    )
-    return o.select(bad.alias("bad"), score.alias("score"))
-
-
-def _score_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-band exact bad/good counts — the tier's one fact-sized pass."""
-    return (
-        _scored_orders(spark, sf_dir)
-        .groupBy(F.expr("score div 10000").alias("band"))
-        .agg(
-            F.sum("bad").cast("bigint").alias("n_bad"),
-            F.sum(1 - F.col("bad")).cast("bigint").alias("n_good"),
-        )
-    )
-
-
-def _w_all():
-    # Whole-frame window over the ≤10-row band aggregate (NOT the fact
-    # table — metadata scale by construction).
-    return W.partitionBy()
-
-
-def _w_desc():
-    return W.orderBy(F.desc("band")).rowsBetween(W.unboundedPreceding, 0)
-
-
-@register(
-    "ks_risk_separation",
-    _BANDS_SQL
-    + """
-    , c AS (
-        SELECT band, n_bad, n_good,
-               CAST(sum(n_bad) OVER (ORDER BY band DESC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-                 / CAST(sum(n_bad) OVER () AS DOUBLE)  AS cbs,
-               CAST(sum(n_good) OVER (ORDER BY band DESC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-                 / CAST(sum(n_good) OVER () AS DOUBLE) AS cgs
-        FROM b
-    )
-    SELECT CAST(band AS BIGINT)          AS band,
-           n_bad, n_good,
-           round(cbs, 6)                 AS cum_bad_share,
-           round(cgs, 6)                 AS cum_good_share,
-           round(abs(cbs - cgs), 6)      AS ks_curve,
-           round(max(abs(cbs - cgs)) OVER (), 6) AS ks_stat
-    FROM c
-    """,
-    "Kolmogorov-Smirnov risk separation: sweep the score from riskiest "
-    "band down, tracking cumulative bad-capture vs good-capture; KS is "
-    "the max gap — the credit-scoring discrimination statistic "
-    "(reference evaluates AUC at spark.py:80-90; KS is its sworn "
-    "companion on every scorecard validation report). One "
-    "partial-combined groupBy on the 10-value band key, then windows "
-    "over 10 rows. Cumulative sums are exact BIGINT; each share is one "
-    "IEEE division of exact integers — bit-identical on both engines.",
-    tags=("agg", "window", "analytics", "credit"),
-)
-def ks_risk_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions import risk
-
-    return risk.ks_table(_score_bands(spark, sf_dir))
-
-
-@register(
-    "woe_iv_score_bands",
-    _BANDS_SQL
-    + """
-    , c AS (
-        SELECT band, n_bad, n_good,
-               CAST(sum(n_bad) OVER () AS BIGINT)  AS tot_bad,
-               CAST(sum(n_good) OVER () AS BIGINT) AS tot_good
-        FROM b
-    ), w AS (
-        SELECT band, n_bad, n_good,
-               ln(CAST((2 * n_good + 1) * tot_bad AS DOUBLE)
-                  / CAST((2 * n_bad + 1) * tot_good AS DOUBLE))    AS woe,
-               (CAST(2 * n_good + 1 AS DOUBLE) / CAST(2 * tot_good AS DOUBLE)
-                - CAST(2 * n_bad + 1 AS DOUBLE) / CAST(2 * tot_bad AS DOUBLE))
-               * ln(CAST((2 * n_good + 1) * tot_bad AS DOUBLE)
-                    / CAST((2 * n_bad + 1) * tot_good AS DOUBLE)) AS contrib
-        FROM c
-    ), m AS (
-        SELECT band, n_bad, n_good, woe,
-               CAST(round(round(contrib, 6) * 1000000.0) AS BIGINT) AS iv_micro
-        FROM w
-    )
-    SELECT CAST(band AS BIGINT) AS band, n_bad, n_good,
-           round(woe, 6)        AS woe,
-           CAST(iv_micro AS DOUBLE) / 1000000.0 AS iv_contrib,
-           CAST(CAST(sum(iv_micro) OVER () AS BIGINT) AS DOUBLE) / 1000000.0
-                                AS iv_total
-    FROM m
-    """,
-    "Weight-of-Evidence / Information-Value banding — THE classic "
-    "loan-default feature-screening readout (scorecard modelers gate "
-    "features on IV before the reference's LogisticRegression ever "
-    "sees them, spark.py:70-78). Zero-cell bands (three bands hold no "
-    "bads) get the standard Laplace 0.5 adjustment, folded into "
-    "doubled-integer products so WOE per band stays ln of one "
-    "exact-integer-product ratio (both engines take ln of the "
-    "IDENTICAL double); IV contributions are rounded to micro-units "
-    "and summed as BIGINT, so the cross-band total is associative — "
-    "exact under any partition layout. Same one-shuffle shape as the "
-    "rest of the tier.",
-    tags=("agg", "window", "analytics", "credit"),
-)
-def woe_iv_score_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions import risk
-
-    return risk.woe_iv_table(_score_bands(spark, sf_dir))
-
-
-@register(
-    "psi_score_drift",
-    f"""
-    WITH scored AS (
-        SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad,
-               ((o_orderkey % 99991) * 31 + (o_custkey % 99991) * 17)
-                 % 99991 % 70000
-                 + CASE WHEN o_orderstatus = 'F' THEN 30000 ELSE 0 END
-                 AS score,
-               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
-                    THEN 1 ELSE 0 END AS is_expected
-        FROM orders
-    ), b AS (
-        SELECT score // 10000 AS band,
-               CAST(sum(is_expected) AS BIGINT)     AS n_exp,
-               CAST(sum(1 - is_expected) AS BIGINT) AS n_act
-        FROM scored GROUP BY 1
-    ), c AS (
-        SELECT band, n_exp, n_act,
-               CAST(sum(n_exp) OVER () AS BIGINT) AS tot_exp,
-               CAST(sum(n_act) OVER () AS BIGINT) AS tot_act
-        FROM b
-    ), w AS (
-        SELECT band, n_exp, n_act,
-               (CAST(n_act AS DOUBLE) / CAST(tot_act AS DOUBLE)
-                - CAST(n_exp AS DOUBLE) / CAST(tot_exp AS DOUBLE))
-               * ln(CAST(n_act * tot_exp AS DOUBLE)
-                    / CAST(n_exp * tot_act AS DOUBLE)) AS contrib
-        FROM c
-    ), m AS (
-        SELECT band, n_exp, n_act,
-               CAST(round(round(contrib, 6) * 1000000.0) AS BIGINT) AS psi_micro
-        FROM w
-    )
-    SELECT CAST(band AS BIGINT) AS band, n_exp, n_act,
-           CAST(psi_micro AS DOUBLE) / 1000000.0 AS psi_contrib,
-           CAST(CAST(sum(psi_micro) OVER () AS BIGINT) AS DOUBLE) / 1000000.0
-                                                 AS psi_total
-    FROM m
-    """,
-    "Population Stability Index: score-distribution drift between the "
-    "development cohort (orders before 1998) and the current one — the "
-    "model-monitoring metric every deployed scorecard (reference "
-    "app.py's saved .pth model serving rows forever) must watch; "
-    "PSI > 0.25 means retrain. Per-band (population share delta) x "
-    "ln(share ratio) with the ratio formed from exact integer "
-    "products; contributions summed in micro-units for associativity. "
-    "One partial-combined groupBy; windows over 10 rows.",
-    tags=("agg", "window", "analytics", "credit"),
-)
-def psi_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    score = (
-        ((F.col("o_orderkey") % 99991) * 31 + (F.col("o_custkey") % 99991) * 17)
-        % 99991
-        % 70000
-        + F.when(F.col("o_orderstatus") == "F", 30000).otherwise(0)
-    )
-    is_exp = F.when(
-        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 1
-    ).otherwise(0)
-    scored = o.select(score.alias("score"), is_exp.alias("is_expected"))
-    b = scored.groupBy(F.expr("score div 10000").alias("band")).agg(
-        F.sum("is_expected").cast("bigint").alias("n_exp"),
-        F.sum(1 - F.col("is_expected")).cast("bigint").alias("n_act"),
-    )
-    c = b.select(
-        "band",
-        "n_exp",
-        "n_act",
-        F.sum("n_exp").over(_w_all()).cast("bigint").alias("tot_exp"),
-        F.sum("n_act").over(_w_all()).cast("bigint").alias("tot_act"),
-    )
-    contrib = (
-        F.col("n_act").cast("double") / F.col("tot_act").cast("double")
-        - F.col("n_exp").cast("double") / F.col("tot_exp").cast("double")
-    ) * F.log(
-        (F.col("n_act") * F.col("tot_exp")).cast("double")
-        / (F.col("n_exp") * F.col("tot_act")).cast("double")
-    )
-    m = c.select(
-        "band",
-        "n_exp",
-        "n_act",
-        F.round(F.round(contrib, 6) * 1000000.0, 0)
-        .cast("bigint")
-        .alias("psi_micro"),
-    )
-    return m.select(
-        F.col("band").cast("bigint").alias("band"),
-        "n_exp",
-        "n_act",
-        (F.col("psi_micro").cast("double") / 1000000.0).alias("psi_contrib"),
-        (
-            F.sum("psi_micro").over(_w_all()).cast("bigint").cast("double")
-            / 1000000.0
-        ).alias("psi_total"),
-    )
-
-
-@register(
-    "gains_lift_bands",
-    _BANDS_SQL
-    + """
-    , c AS (
-        SELECT band, n_bad, n_good, n_bad + n_good AS n,
-               CAST(sum(n_bad) OVER (ORDER BY band DESC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS cum_bad,
-               CAST(sum(n_bad + n_good) OVER (ORDER BY band DESC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS cum_n,
-               CAST(sum(n_bad) OVER () AS BIGINT)          AS tot_bad,
-               CAST(sum(n_bad + n_good) OVER () AS BIGINT) AS tot_n
-        FROM b
-    )
-    SELECT CAST(band AS BIGINT) AS band,
-           CAST(n AS BIGINT)    AS n,
-           n_bad,
-           round(CAST(cum_bad AS DOUBLE) / CAST(tot_bad AS DOUBLE), 6)
-                                AS capture_rate,
-           round((CAST(n_bad AS DOUBLE) / CAST(n AS DOUBLE))
-                 / (CAST(tot_bad AS DOUBLE) / CAST(tot_n AS DOUBLE)), 6)
-                                AS lift,
-           round((CAST(cum_bad AS DOUBLE) / CAST(cum_n AS DOUBLE))
-                 / (CAST(tot_bad AS DOUBLE) / CAST(tot_n AS DOUBLE)), 6)
-                                AS cum_lift
-    FROM c
-    """,
-    "Gains / lift table: walk score bands riskiest-first, reporting "
-    "cumulative bad-capture (gains), per-band lift, and cumulative "
-    "lift over the base rate — how collections teams decide how deep "
-    "to work a scored portfolio (the reference's batch predictions, "
-    "spark.py:79, feed exactly this readout downstream). Every rate "
-    "is a division of exact BIGINT counts; one groupBy shuffle, "
-    "windows over 10 rows.",
-    tags=("agg", "window", "analytics", "credit"),
-)
-def gains_lift_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions import risk
-
-    return risk.gains_table(_score_bands(spark, sf_dir))
-
-
-@register(
-    "threshold_confusion_sweep",
-    _BANDS_SQL
-    + """
-    , c AS (
-        SELECT band,
-               CAST(sum(n_bad) OVER (ORDER BY band DESC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS tp,
-               CAST(sum(n_good) OVER (ORDER BY band DESC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS fp,
-               CAST(sum(n_bad) OVER () AS BIGINT)  AS tot_bad,
-               CAST(sum(n_good) OVER () AS BIGINT) AS tot_good
-        FROM b
-    )
-    SELECT CAST(band * 10000 AS BIGINT) AS threshold,
-           tp, fp,
-           tot_bad - tp                 AS fn,
-           tot_good - fp                AS tn,
-           round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)   AS precision,
-           round(CAST(tp AS DOUBLE) / CAST(tot_bad AS DOUBLE), 6)   AS recall,
-           round(CAST(2 * tp AS DOUBLE)
-                 / CAST(2 * tp + fp + (tot_bad - tp) AS DOUBLE), 6) AS f1
-    FROM c
-    """,
-    "Threshold sweep: confusion matrix + precision/recall/F1 at every "
-    "score cutoff — the operating-point picker for the reference's "
-    "binary decision (app.py:151-158 renders exactly one threshold's "
-    "Approved/Rejected; this query shows the whole frontier). TP/FP "
-    "fall out of the same descending cumulative BIGINT sums as the "
-    "gains table; FN/TN by subtraction from exact totals; every "
-    "metric one exact-integer IEEE division. One shuffle, 10-row "
-    "windows.",
-    tags=("agg", "window", "analytics", "credit"),
-)
-def threshold_confusion_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions import risk
-
-    return risk.confusion_sweep(
-        _score_bands(spark, sf_dir), F.col("band") * 10000
-    )
-
-
-@register(
-    "roc_auc_banded",
-    _BANDS_SQL
-    + """
-    , c AS (
-        SELECT band,
-               CAST(sum(n_bad) OVER (ORDER BY band DESC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS cb,
-               CAST(sum(n_good) OVER (ORDER BY band DESC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS cg,
-               CAST(sum(n_bad) OVER () AS BIGINT)  AS tot_bad,
-               CAST(sum(n_good) OVER () AS BIGINT) AS tot_good
-        FROM b
-    ), seg AS (
-        SELECT tot_bad, tot_good,
-               (cg - coalesce(lag(cg) OVER (ORDER BY band DESC), 0))
-               * (cb + coalesce(lag(cb) OVER (ORDER BY band DESC), 0))
-               AS seg_area2
-        FROM c
-    )
-    SELECT round(CAST(CAST(sum(seg_area2) AS BIGINT) AS DOUBLE)
-                 / CAST(2 * max(tot_bad) * max(tot_good) AS DOUBLE), 6) AS auc,
-           CAST(max(tot_bad) AS BIGINT)  AS tot_bad,
-           CAST(max(tot_good) AS BIGINT) AS tot_good
-    FROM seg
-    """,
-    "Banded ROC-AUC by exact trapezoid integration over the 10 ROC "
-    "points — the reference's headline metric (spark.py:80-90 "
-    "BinaryClassificationEvaluator areaUnderROC) recomputed with pure "
-    "INTEGER arithmetic: each trapezoid's doubled area is a product "
-    "of exact BIGINT cumulative counts, summed exactly, divided once "
-    "at the end — bit-identical on any engine and any partition "
-    "layout, unlike float-accumulated AUC. Equals the exact "
-    "per-score-value AUC when ties are banded (here: band = score "
-    "div 10000). One groupBy shuffle; windows and lag over 10 rows.",
-    tags=("agg", "window", "analytics", "credit", "ml"),
-)
-def roc_auc_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions import risk
-
-    return risk.auc_banded(_score_bands(spark, sf_dir))
-
-
-# =====================================================================
-# Statistical analysis additions: categorical association, feature
-# encoding, and time-series diagnostics. Same determinism discipline
-# as the credit tier: fact-sized work is one partial-combined groupBy;
-# every ratio divides exact integers or DECIMAL partials; float
-# cross-row totals go through micro-unit BIGINT sums.
-# =====================================================================
-
-
-@register(
-    "target_encoding",
-    """
-    WITH j AS (
-        SELECT c.c_mktsegment AS segment,
-               CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
-        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    ), g AS (
-        SELECT segment,
-               CAST(count(*) AS BIGINT)  AS n,
-               CAST(sum(bad) AS BIGINT)  AS n_bad
-        FROM j GROUP BY 1
-    ), c AS (
-        SELECT segment, n, n_bad,
-               CAST(sum(n) OVER () AS BIGINT)     AS tot_n,
-               CAST(sum(n_bad) OVER () AS BIGINT) AS tot_bad
-        FROM g
-    )
-    SELECT segment, n, n_bad,
-           round(CAST(n_bad AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
-           round((CAST(n_bad AS DOUBLE)
-                  + 20.0 * (CAST(tot_bad AS DOUBLE) / CAST(tot_n AS DOUBLE)))
-                 / (CAST(n AS DOUBLE) + 20.0), 6)              AS encoded
-    FROM c
-    """,
-    "Smoothed target (mean) encoding of a categorical feature against "
-    "the default label — the scorecard feature-engineering step that "
-    "replaces high-cardinality categories before the reference's "
-    "LogisticRegression (spark.py:70-78; its StringIndexer/OHE "
-    "equivalent for wide categories). Empirical-Bayes shrinkage with "
-    "prior weight m=20 pulls small categories toward the global rate "
-    "(the leakage-resistant form). Dimension join broadcasts the "
-    "customer segment; counts are exact BIGINT; rate and encoding are "
-    "IEEE divisions of identical expression trees. At 100 TB the "
-    "groupBy key is the category — thousands of groups, one shuffle.",
-    tags=("agg", "join", "analytics", "ml", "credit"),
-)
-def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    cdim = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    j = o.join(F.broadcast(cdim), o.o_custkey == cdim.c_custkey).select(
-        F.col("c_mktsegment").alias("segment"),
-        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("bad"),
-    )
-    g = j.groupBy("segment").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("bad").cast("bigint").alias("n_bad"),
-    )
-    c = g.select(
-        "segment",
-        "n",
-        "n_bad",
-        F.sum("n").over(W.partitionBy()).cast("bigint").alias("tot_n"),
-        F.sum("n_bad").over(W.partitionBy()).cast("bigint").alias("tot_bad"),
-    )
-    global_rate = F.col("tot_bad").cast("double") / F.col("tot_n").cast("double")
-    return c.select(
-        "segment",
-        "n",
-        "n_bad",
-        F.round(
-            F.col("n_bad").cast("double") / F.col("n").cast("double"), 6
-        ).alias("raw_rate"),
-        F.round(
-            (F.col("n_bad").cast("double") + F.lit(20.0) * global_rate)
-            / (F.col("n").cast("double") + F.lit(20.0)),
-            6,
-        ).alias("encoded"),
-    )
-
-
-@register(
-    "chi_square_independence",
-    """
-    WITH j AS (
-        SELECT c.c_mktsegment AS segment, o.o_orderstatus AS status
-        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    ), cell AS (
-        SELECT segment, status, CAST(count(*) AS BIGINT) AS obs
-        FROM j GROUP BY 1, 2
-    ), m AS (
-        SELECT segment, status, obs,
-               CAST(sum(obs) OVER (PARTITION BY segment) AS BIGINT) AS row_tot,
-               CAST(sum(obs) OVER (PARTITION BY status) AS BIGINT)  AS col_tot,
-               CAST(sum(obs) OVER () AS BIGINT)                     AS n,
-               CAST(count(DISTINCT segment) OVER () AS BIGINT)      AS nr,
-               CAST(count(DISTINCT status) OVER () AS BIGINT)       AS ncol
-        FROM cell
-    ), w AS (
-        SELECT segment, status, obs, nr, ncol, n,
-               CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE) AS exp,
-               (CAST(obs AS DOUBLE)
-                - CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE))
-               * (CAST(obs AS DOUBLE)
-                  - CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE))
-               / (CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE))
-                                                                     AS contrib
-        FROM m
-    ), mm AS (
-        SELECT segment, status, obs, nr, ncol, n,
-               round(exp, 4) AS expected,
-               CAST(round(round(contrib, 6) * 1000000.0) AS BIGINT) AS chi_micro
-        FROM w
-    )
-    SELECT segment, status, obs, expected,
-           CAST(chi_micro AS DOUBLE) / 1000000.0 AS contrib,
-           CAST(CAST(sum(chi_micro) OVER () AS BIGINT) AS DOUBLE) / 1000000.0
-                                                 AS chi2,
-           (nr - 1) * (ncol - 1)                 AS dof,
-           round(sqrt((CAST(CAST(sum(chi_micro) OVER () AS BIGINT) AS DOUBLE)
-                       / 1000000.0)
-                      / (CAST(n AS DOUBLE)
-                         * CAST(least(nr - 1, ncol - 1) AS DOUBLE))), 6)
-                                                 AS cramers_v
-    FROM mm
-    """,
-    "Chi-square test of independence (market segment x order status) "
-    "with Cramer's V effect size — the categorical-association screen "
-    "run before encoding features into the reference's model "
-    "(spark.py:70-78). Observed counts are exact BIGINT; expected "
-    "counts and per-cell contributions are IEEE-identical expression "
-    "trees; the chi-square total sums micro-unit BIGINTs "
-    "(associative, layout-independent); V = sqrt(chi2/(N*min(r-1,"
-    "c-1))) uses only correctly-rounded ops. One fact-sized groupBy "
-    "on the 15-cell contingency key, then windows over 15 rows.",
-    tags=("agg", "join", "window", "analytics", "stats"),
-)
-def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    cdim = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    j = o.join(F.broadcast(cdim), o.o_custkey == cdim.c_custkey).select(
-        F.col("c_mktsegment").alias("segment"),
-        F.col("o_orderstatus").alias("status"),
-    )
-    cell = j.groupBy("segment", "status").agg(
-        F.count(F.lit(1)).cast("bigint").alias("obs")
-    )
-    w_all = W.partitionBy()
-    m = cell.select(
-        "segment",
-        "status",
-        "obs",
-        F.sum("obs").over(W.partitionBy("segment")).cast("bigint").alias("row_tot"),
-        F.sum("obs").over(W.partitionBy("status")).cast("bigint").alias("col_tot"),
-        F.sum("obs").over(w_all).cast("bigint").alias("n"),
-        F.size(F.collect_set("segment").over(w_all)).cast("bigint").alias("nr"),
-        F.size(F.collect_set("status").over(w_all)).cast("bigint").alias("ncol"),
-    )
-    exp = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("n").cast(
-        "double"
-    )
-    contrib = (F.col("obs").cast("double") - exp) * (
-        F.col("obs").cast("double") - exp
-    ) / exp
-    mm = m.select(
-        "segment",
-        "status",
-        "obs",
-        "nr",
-        "ncol",
-        "n",
-        F.round(exp, 4).alias("expected"),
-        F.round(F.round(contrib, 6) * 1000000.0, 0)
-        .cast("bigint")
-        .alias("chi_micro"),
-    )
-    chi2 = (
-        F.sum("chi_micro").over(w_all).cast("bigint").cast("double") / 1000000.0
-    )
-    return mm.select(
-        "segment",
-        "status",
-        "obs",
-        "expected",
-        (F.col("chi_micro").cast("double") / 1000000.0).alias("contrib"),
-        chi2.alias("chi2"),
-        ((F.col("nr") - 1) * (F.col("ncol") - 1)).alias("dof"),
-        F.round(
-            F.sqrt(
-                chi2
-                / (
-                    F.col("n").cast("double")
-                    * F.least(F.col("nr") - 1, F.col("ncol") - 1).cast("double")
-                )
-            ),
-            6,
-        ).alias("cramers_v"),
-    )
-
-
-@register(
-    "autocorrelation_daily_revenue",
-    """
-    WITH daily AS (
-        SELECT epoch_us(o_orderdate) // 86400000000 AS day,
-               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))))
-                    AS BIGINT) AS rev
-        FROM orders GROUP BY 1
-    ), lags(k) AS (SELECT unnest([1, 7])),
-    pairs AS (
-        SELECT l.k, a.rev AS x, b.rev AS y
-        FROM lags l
-        JOIN daily a ON TRUE
-        JOIN daily b ON b.day = a.day + l.k
-    ), s AS (
-        SELECT k,
-               CAST(count(*) AS DOUBLE)           AS n,
-               CAST(CAST(sum(x) AS BIGINT) AS DOUBLE)     AS sx,
-               CAST(CAST(sum(y) AS BIGINT) AS DOUBLE)     AS sy,
-               CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS sxy,
-               CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx,
-               CAST(CAST(sum(y * y) AS BIGINT) AS DOUBLE) AS syy
-        FROM pairs GROUP BY 1
-    )
-    SELECT CAST(k AS BIGINT) AS lag_days,
-           CAST(n AS BIGINT) AS n_pairs,
-           round((n * sxy - sx * sy)
-                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
-                             AS acf
-    FROM s
-    """,
-    "Autocorrelation of the daily revenue series at lag 1 and lag 7 — "
-    "the time-series diagnostic behind forecast models (is there "
-    "weekly seasonality worth modeling?). Daily revenue sums "
-    "DECIMAL(18,2) partials (associative) then floors to exact BIGINT "
-    "dollars, so ALL five Pearson sufficient statistics are integer "
-    "sums — exact under any layout; the final correlation is one "
-    "closed-form expression of those exact values (sums stay under "
-    "2^53, so the DOUBLE casts are value-preserving). Lagged pairs "
-    "come from an equi-join on day+k (never a positional window that "
-    "would misalign across calendar gaps). Fact-sized work: one "
-    "groupBy(day); everything after runs on ~2,400 rows.",
-    tags=("agg", "join", "analytics", "stats", "timeseries"),
-)
-def autocorrelation_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day")
-    ).agg(
-        F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
-        .cast("bigint")
-        .alias("rev")
-    )
-    lags = spark.range(1).select(
-        F.explode(F.array(F.lit(1), F.lit(7))).alias("k")
-    )
-    a = daily.alias("a")
-    b = daily.alias("b")
-    pairs = (
-        lags.crossJoin(a)
-        .join(b, F.col("b.day") == F.col("a.day") + F.col("k"))
-        .select("k", F.col("a.rev").alias("x"), F.col("b.rev").alias("y"))
-    )
-    s = pairs.groupBy("k").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("x").cast("bigint").cast("double").alias("sx"),
-        F.sum("y").cast("bigint").cast("double").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
-        .cast("double")
-        .alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
-        .cast("double")
-        .alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
-        .cast("double")
-        .alias("syy"),
-    )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
-        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    )
-    return s.select(
-        F.col("k").cast("bigint").alias("lag_days"),
-        F.col("n").cast("bigint").alias("n_pairs"),
-        F.round(num / den, 6).alias("acf"),
-    )
-
-
-@register(
-    "seasonality_dow_profile",
-    """
-    WITH d AS (
-        SELECT (epoch_us(o_orderdate) // 86400000000 + 4) % 7 AS dow,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS price
-        FROM orders
-    ), g AS (
-        SELECT dow,
-               CAST(count(*) AS BIGINT)              AS n_orders,
-               sum(price)                            AS revenue
-        FROM d GROUP BY 1
-    )
-    SELECT CAST(dow AS BIGINT) AS dow,
-           n_orders,
-           CAST(revenue AS DOUBLE) AS revenue,
-           round(CAST(revenue AS DOUBLE)
-                 / CAST(sum(revenue) OVER () AS DOUBLE), 6) AS revenue_share,
-           round((CAST(revenue AS DOUBLE)
-                  / CAST(sum(revenue) OVER () AS DOUBLE)) * 7.0, 6)
-                                                            AS seasonal_index
-    FROM g
-    """,
-    "Day-of-week seasonality profile: order count, revenue, revenue "
-    "share, and a seasonal index (share x 7; 1.0 = flat) — the "
-    "companion readout to autocorrelation_daily_revenue's lag-7 ACF. "
-    "Day-of-week from pure integer epoch arithmetic ((days+4) % 7, "
-    "Monday=0 — identical on both engines, no locale-dependent "
-    "dayofweek()); revenue sums DECIMAL partials. One "
-    "partial-combined groupBy on a 7-value key; windows over 7 rows.",
-    tags=("agg", "window", "analytics", "timeseries"),
-)
-def seasonality_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    d = o.select(
-        ((F.expr("unix_micros(o_orderdate) div 86400000000") + 4) % 7).alias(
-            "dow"
-        ),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
-    )
-    g = d.groupBy("dow").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.sum("price").alias("revenue"),
-    )
-    share = F.col("revenue").cast("double") / F.sum("revenue").over(
-        W.partitionBy()
-    ).cast("double")
-    return g.select(
-        F.col("dow").cast("bigint").alias("dow"),
-        "n_orders",
-        F.col("revenue").cast("double").alias("revenue"),
-        F.round(share, 6).alias("revenue_share"),
-        F.round(share * F.lit(7.0), 6).alias("seasonal_index"),
-    )
-
-
-@register(
-    "welch_t_test",
-    """
-    WITH x AS (
-        SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS grp,
-               CAST(floor(o_totalprice) AS BIGINT) AS v
-        FROM orders
-    ), s AS (
-        SELECT grp,
-               CAST(count(*) AS DOUBLE)               AS n,
-               CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)     AS sx,
-               CAST(CAST(sum(v * v) AS BIGINT) AS DOUBLE) AS sxx
-        FROM x GROUP BY 1
-    ), w AS (
-        SELECT max(CASE WHEN grp = 1 THEN n END)   AS n1,
-               max(CASE WHEN grp = 1 THEN sx END)  AS sx1,
-               max(CASE WHEN grp = 1 THEN sxx END) AS sxx1,
-               max(CASE WHEN grp = 0 THEN n END)   AS n2,
-               max(CASE WHEN grp = 0 THEN sx END)  AS sx2,
-               max(CASE WHEN grp = 0 THEN sxx END) AS sxx2
-        FROM s
-    )
-    SELECT CAST(n1 AS BIGINT) AS n_defaulted,
-           CAST(n2 AS BIGINT) AS n_other,
-           round(sx1 / n1, 6) AS mean_defaulted,
-           round(sx2 / n2, 6) AS mean_other,
-           round((sx1 / n1 - sx2 / n2)
-                 / sqrt(((sxx1 - sx1 * sx1 / n1) / (n1 - 1.0)) / n1
-                        + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1.0)) / n2), 6)
-                              AS t_stat,
-           round(
-             (((sxx1 - sx1 * sx1 / n1) / (n1 - 1.0)) / n1
-              + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1.0)) / n2)
-             * (((sxx1 - sx1 * sx1 / n1) / (n1 - 1.0)) / n1
-                + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1.0)) / n2)
-             / ((((sxx1 - sx1 * sx1 / n1) / (n1 - 1.0)) / n1)
-                * (((sxx1 - sx1 * sx1 / n1) / (n1 - 1.0)) / n1) / (n1 - 1.0)
-                + (((sxx2 - sx2 * sx2 / n2) / (n2 - 1.0)) / n2)
-                  * (((sxx2 - sx2 * sx2 / n2) / (n2 - 1.0)) / n2) / (n2 - 1.0)),
-             4)               AS welch_dof
-    FROM w
-    """,
-    "Welch's unequal-variance two-sample t-test: does order value "
-    "differ between defaulted (status F) and non-defaulted orders? — "
-    "the univariate screen run on every candidate feature before the "
-    "reference's model sees it (spark.py:45 picks six features; this "
-    "is how you rank the others). Sufficient statistics are exact "
-    "BIGINT sums of floor-dollar values (one partial-combined "
-    "aggregation, 2 groups); t and Satterthwaite dof are closed-form "
-    "IEEE expressions of those exact values, mirrored "
-    "symbol-for-symbol across engines.",
-    tags=("agg", "analytics", "stats"),
-)
-def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    x = o.select(
-        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("grp"),
-        F.floor("o_totalprice").cast("bigint").alias("v"),
-    )
-    s = x.groupBy("grp").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("v").cast("bigint").cast("double").alias("sx"),
-        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)"))
-        .cast("double")
-        .alias("sxx"),
-    )
-    w = s.agg(
-        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
-        F.max(F.when(F.col("grp") == 1, F.col("sx"))).alias("sx1"),
-        F.max(F.when(F.col("grp") == 1, F.col("sxx"))).alias("sxx1"),
-        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n2"),
-        F.max(F.when(F.col("grp") == 0, F.col("sx"))).alias("sx2"),
-        F.max(F.when(F.col("grp") == 0, F.col("sxx"))).alias("sxx2"),
-    )
-    # se_g = (sample variance)/n for each group, from exact sums.
-    se1 = ((F.col("sxx1") - F.col("sx1") * F.col("sx1") / F.col("n1"))
-           / (F.col("n1") - F.lit(1.0))) / F.col("n1")
-    se2 = ((F.col("sxx2") - F.col("sx2") * F.col("sx2") / F.col("n2"))
-           / (F.col("n2") - F.lit(1.0))) / F.col("n2")
-    return w.select(
-        F.col("n1").cast("bigint").alias("n_defaulted"),
-        F.col("n2").cast("bigint").alias("n_other"),
-        F.round(F.col("sx1") / F.col("n1"), 6).alias("mean_defaulted"),
-        F.round(F.col("sx2") / F.col("n2"), 6).alias("mean_other"),
-        F.round(
-            (F.col("sx1") / F.col("n1") - F.col("sx2") / F.col("n2"))
-            / F.sqrt(se1 + se2),
-            6,
-        ).alias("t_stat"),
-        F.round(
-            (se1 + se2) * (se1 + se2)
-            / (se1 * se1 / (F.col("n1") - F.lit(1.0))
-               + se2 * se2 / (F.col("n2") - F.lit(1.0))),
-            4,
-        ).alias("welch_dof"),
-    )
-
-
-@register(
-    "mannwhitney_amount_by_status",
-    """
-    WITH x AS (
-        SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS grp,
-               CAST(floor(o_totalprice) AS BIGINT) // 1000 AS band
-        FROM orders
-    ), b AS (
-        SELECT band,
-               CAST(sum(grp) AS BIGINT)     AS t1,
-               CAST(sum(1 - grp) AS BIGINT) AS t2
-        FROM x GROUP BY 1
-    ), c AS (
-        SELECT band, t1, t2, t1 + t2 AS tt,
-               CAST(coalesce(sum(t1 + t2) OVER (ORDER BY band
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                    AS BIGINT) AS cum_before,
-               CAST(sum(t1) OVER () AS BIGINT) AS n1,
-               CAST(sum(t2) OVER () AS BIGINT) AS n2
-        FROM b
-    ), agg AS (
-        SELECT max(n1) AS n1, max(n2) AS n2, max(n1) + max(n2) AS n,
-               CAST(sum(t1 * (2 * cum_before + tt + 1)) AS BIGINT) AS r1_dbl,
-               CAST(sum(tt * tt * tt - tt) AS BIGINT)              AS tie_sum
-        FROM c
-    )
-    SELECT CAST(n1 AS BIGINT) AS n_defaulted,
-           CAST(n2 AS BIGINT) AS n_other,
-           round((r1_dbl - n1 * (n1 + 1)) / 2.0 - CAST(n1 * n2 AS DOUBLE) / 2.0, 1)
-                              AS u_minus_mean,
-           round(((r1_dbl - n1 * (n1 + 1)) / 2.0
-                  - CAST(n1 * n2 AS DOUBLE) / 2.0)
-                 / sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
-                        * (CAST(n + 1 AS DOUBLE)
-                           - CAST(tie_sum AS DOUBLE)
-                             / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))), 6)
-                              AS z_score
-    FROM agg
-    """,
-    "Mann-Whitney U (Wilcoxon rank-sum) nonparametric location test "
-    "on order value by default status — the distribution-free "
-    "complement to welch_t_test (banded AUC = U/(n1*n2) links it to "
-    "roc_auc_banded). Values band to exact $1000 buckets; tie-aware "
-    "average ranks come from DOUBLED-rank integer arithmetic "
-    "(2*avg_rank = 2*cum_before + tiecount + 1), so the rank sum, "
-    "tie-correction term (sum of t^3 - t), and U are all exact BIGINT "
-    "before one closed-form z expression. One partial-combined "
-    "groupBy on the ~500-value band key; windows over the band "
-    "aggregate.",
-    tags=("agg", "window", "analytics", "stats"),
-)
-def mannwhitney_amount_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    x = o.select(
-        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("grp"),
-        F.expr("CAST(floor(o_totalprice) AS BIGINT) div 1000").alias("band"),
-    )
-    b = x.groupBy("band").agg(
-        F.sum("grp").cast("bigint").alias("t1"),
-        F.sum(1 - F.col("grp")).cast("bigint").alias("t2"),
-    )
-    w_before = W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
-    c = b.select(
-        "band",
-        "t1",
-        "t2",
-        (F.col("t1") + F.col("t2")).alias("tt"),
-        F.coalesce(F.sum(F.col("t1") + F.col("t2")).over(w_before), F.lit(0))
-        .cast("bigint")
-        .alias("cum_before"),
-        F.sum("t1").over(W.partitionBy()).cast("bigint").alias("n1"),
-        F.sum("t2").over(W.partitionBy()).cast("bigint").alias("n2"),
-    )
-    agg = c.agg(
-        F.max("n1").alias("n1"),
-        F.max("n2").alias("n2"),
-        (F.max("n1") + F.max("n2")).alias("n"),
-        F.sum(
-            F.col("t1") * (2 * F.col("cum_before") + F.col("tt") + 1)
-        )
-        .cast("bigint")
-        .alias("r1_dbl"),
-        F.sum(F.col("tt") * F.col("tt") * F.col("tt") - F.col("tt"))
-        .cast("bigint")
-        .alias("tie_sum"),
-    )
-    u_minus_mean = (
-        (F.col("r1_dbl") - F.col("n1") * (F.col("n1") + 1)) / F.lit(2.0)
-        - (F.col("n1") * F.col("n2")).cast("double") / F.lit(2.0)
-    )
-    sigma = F.sqrt(
-        (F.col("n1").cast("double") * F.col("n2").cast("double") / F.lit(12.0))
-        * (
-            (F.col("n") + 1).cast("double")
-            - F.col("tie_sum").cast("double")
-            / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
-        )
-    )
-    return agg.select(
-        F.col("n1").cast("bigint").alias("n_defaulted"),
-        F.col("n2").cast("bigint").alias("n_other"),
-        F.round(u_minus_mean, 1).alias("u_minus_mean"),
-        F.round(u_minus_mean / sigma, 6).alias("z_score"),
-    )
-
-
-@register(
-    "benfords_law_digits",
-    """
-    WITH d AS (
-        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
-                           1, 1) AS BIGINT) AS digit
-        FROM orders
-        WHERE o_totalprice >= 1
-    ), g AS (
-        SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1
-    ), c AS (
-        SELECT digit, n, CAST(sum(n) OVER () AS BIGINT) AS tot FROM g
-    ), w AS (
-        SELECT digit, n, tot,
-               log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS expected,
-               (CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
-                - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
-               * (CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
-                  - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
-               / log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * CAST(tot AS DOUBLE)
-                                                               AS contrib
-        FROM c
-    ), m AS (
-        SELECT digit, n, tot,
-               round(expected, 6) AS expected_share,
-               CAST(round(round(contrib, 6) * 1000000.0) AS BIGINT) AS chi_micro
-        FROM w
-    )
-    SELECT digit, n,
-           round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS observed_share,
-           expected_share,
-           CAST(CAST(sum(chi_micro) OVER () AS BIGINT) AS DOUBLE) / 1000000.0
-                                                             AS chi2_vs_benford
-    FROM m
-    """,
-    "Benford's-law first-digit audit of order amounts — the "
-    "fabricated-financial-data screen (auditors run exactly this on "
-    "loan books; synthetic uniform-ish amounts should FAIL Benford, "
-    "and the chi-square readout shows it). First digit via exact "
-    "BIGINT-to-string arithmetic; observed shares divide exact "
-    "counts; expected shares are log10 of one exact small-integer "
-    "ratio; the chi-square total sums micro-unit BIGINTs. One "
-    "fact-sized groupBy on a 9-value key.",
-    tags=("agg", "window", "analytics", "stats", "quality"),
-)
-def benfords_law_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    d = o.filter(F.col("o_totalprice") >= 1).select(
-        F.substring(
-            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
-        )
-        .cast("bigint")
-        .alias("digit")
-    )
-    g = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    c = g.select(
-        "digit", "n", F.sum("n").over(W.partitionBy()).cast("bigint").alias("tot")
-    )
-    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
-    share = F.col("n").cast("double") / F.col("tot").cast("double")
-    contrib = (share - expected) * (share - expected) / expected * F.col(
-        "tot"
-    ).cast("double")
-    m = c.select(
-        "digit",
-        "n",
-        "tot",
-        F.round(expected, 6).alias("expected_share"),
-        F.round(F.round(contrib, 6) * 1000000.0, 0)
-        .cast("bigint")
-        .alias("chi_micro"),
-    )
-    return m.select(
-        "digit",
-        "n",
-        F.round(
-            F.col("n").cast("double") / F.col("tot").cast("double"), 6
-        ).alias("observed_share"),
-        "expected_share",
-        (
-            F.sum("chi_micro").over(W.partitionBy()).cast("bigint").cast("double")
-            / 1000000.0
-        ).alias("chi2_vs_benford"),
-    )
-
-
-@register(
-    "gini_concentration",
-    """
-    WITH rev AS (
-        SELECT o_custkey,
-               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))))
-                    AS BIGINT) AS x
-        FROM orders GROUP BY 1
-    ), ranked AS (
-        SELECT x,
-               CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i,
-               CAST(count(*) OVER () AS BIGINT)                AS n,
-               CAST(sum(x) OVER () AS BIGINT)                  AS sx
-        FROM rev
-    )
-    SELECT CAST(max(n) AS BIGINT)  AS n_customers,
-           CAST(max(sx) AS BIGINT) AS total_revenue,
-           round(2.0 * CAST(CAST(sum(i * x) AS BIGINT) AS DOUBLE)
-                 / (CAST(max(n) AS DOUBLE) * CAST(max(sx) AS DOUBLE))
-                 - (CAST(max(n) AS DOUBLE) + 1.0) / CAST(max(n) AS DOUBLE), 6)
-                                   AS gini
-    FROM ranked
-    """,
-    "Gini coefficient of customer revenue concentration — the "
-    "single-number inequality summary behind pareto_customers' "
-    "cumulative curve (and the same statistic credit portfolios "
-    "report as 'Gini' = 2*AUC-1 for score power). Per-customer "
-    "revenue sums DECIMAL partials then floors to exact BIGINT "
-    "dollars; ranks are deterministic (revenue, custkey); the "
-    "weighted sum i*x stays in exact BIGINT; one closed-form "
-    "expression at the end. Fact-sized work is one groupBy(custkey); "
-    "the rank window runs over the customer aggregate (at 100 TB: "
-    "two-pass per-partition offsets, distributed_row_number).",
-    tags=("agg", "window", "analytics", "stats"),
-)
-def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    rev = o.groupBy("o_custkey").agg(
-        F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
-        .cast("bigint")
-        .alias("x")
-    )
-    w_rank = W.orderBy("x", "o_custkey")
-    ranked = rev.select(
-        "x",
-        F.row_number().over(w_rank).cast("bigint").alias("i"),
-        F.count(F.lit(1)).over(W.partitionBy()).cast("bigint").alias("n"),
-        F.sum("x").over(W.partitionBy()).cast("bigint").alias("sx"),
-    )
-    return ranked.agg(
-        F.max("n").cast("bigint").alias("n_customers"),
-        F.max("sx").cast("bigint").alias("total_revenue"),
-        F.round(
-            F.lit(2.0)
-            * F.sum((F.col("i") * F.col("x")).cast("decimal(38,0)")).cast("double")
-            / (F.max("n").cast("double") * F.max("sx").cast("double"))
-            - (F.max("n").cast("double") + F.lit(1.0)) / F.max("n").cast("double"),
-            6,
-        ).alias("gini"),
-    )
-
-
-# =====================================================================
-# Corpus-governance additions: the dataset-curation readouts a
-# 100 TB training-data pipeline runs between dedup and training —
-# domain mixture rebalancing, per-source duplication audits,
-# cross-source contamination, and drift changepoints.
-# =====================================================================
-
-
-@register(
-    "domain_mix_rebalance",
-    """
-    WITH g AS (
-        SELECT source, CAST(count(*) AS BIGINT) AS n
-        FROM documents GROUP BY 1
-    ), c AS (
-        SELECT source, n,
-               CAST(sum(n) OVER () AS BIGINT)   AS tot,
-               CAST(count(*) OVER () AS BIGINT) AS k
-        FROM g
-    )
-    SELECT source, n,
-           round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6)  AS natural_share,
-           round(1.0 / CAST(k AS DOUBLE), 6)                  AS target_share,
-           round(CAST(tot AS DOUBLE) / (CAST(k AS DOUBLE) * CAST(n AS DOUBLE)),
-                 6)                                           AS sample_weight,
-           round(least(CAST(tot AS DOUBLE)
-                       / (CAST(k AS DOUBLE) * CAST(n AS DOUBLE)), 4.0), 6)
-                                                              AS capped_weight,
-           CAST(round(least(CAST(tot AS DOUBLE)
-                            / (CAST(k AS DOUBLE) * CAST(n AS DOUBLE)), 4.0)
-                      * CAST(n AS DOUBLE)) AS BIGINT)         AS expected_docs
-    FROM c
-    """,
-    "Domain-mixture rebalancing: per-source sampling weights that move "
-    "the corpus from its natural source distribution toward a uniform "
-    "target mix, with upsampling capped at 4 epochs (the "
-    "data-curation step between dedup and training — what mixture "
-    "tuning ablations sweep). Counts are exact BIGINT; every share "
-    "and weight is one IEEE division chain of exact integers; "
-    "least() is exact. One groupBy on the source key; the weight "
-    "table then broadcast-joins back onto documents for the actual "
-    "weighted_doc_sample draw (that operator exists separately).",
-    tags=("agg", "window", "llm-data", "documents"),
-)
-def domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
-    g = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    c = g.select(
-        "source",
-        "n",
-        F.sum("n").over(W.partitionBy()).cast("bigint").alias("tot"),
-        F.count(F.lit(1)).over(W.partitionBy()).cast("bigint").alias("k"),
-    )
-    weight = F.col("tot").cast("double") / (
-        F.col("k").cast("double") * F.col("n").cast("double")
-    )
-    capped = F.least(weight, F.lit(4.0))
-    return c.select(
-        "source",
-        "n",
-        F.round(F.col("n").cast("double") / F.col("tot").cast("double"), 6).alias(
-            "natural_share"
-        ),
-        F.round(F.lit(1.0) / F.col("k").cast("double"), 6).alias("target_share"),
-        F.round(weight, 6).alias("sample_weight"),
-        F.round(capped, 6).alias("capped_weight"),
-        F.round(capped * F.col("n").cast("double"), 0)
-        .cast("bigint")
-        .alias("expected_docs"),
-    )
-
-
-@register(
-    "dedup_rate_by_source",
-    """
-    WITH h AS (
-        SELECT source, md5(text) AS h FROM documents
-    ), g AS (
-        SELECT source,
-               CAST(count(*) AS BIGINT)          AS n_docs,
-               CAST(count(DISTINCT h) AS BIGINT) AS n_unique
-        FROM h GROUP BY 1
-    )
-    SELECT source, n_docs, n_unique,
-           n_docs - n_unique AS n_dups,
-           round(CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
-                             AS dup_rate
-    FROM g
-    """,
-    "Per-source exact-duplicate audit: document counts, distinct "
-    "content hashes, and duplication rate by corpus source — the "
-    "governance readout that decides which sources need aggressive "
-    "dedup before training (exact_dedup_docs REMOVES dups; this "
-    "MEASURES them per provenance). Content identity is md5 of the "
-    "text — byte-identical across engines — so the distinct-count "
-    "shuffles 16-byte hashes, never documents; count(DISTINCT) "
-    "expands map-side per source. One shuffle on (source, hash).",
-    tags=("agg", "dedup", "llm-data", "documents", "quality"),
-)
-def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
-    h = d.select("source", F.md5("text").alias("h"))
-    g = h.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.count_distinct("h").cast("bigint").alias("n_unique"),
-    )
-    return g.select(
-        "source",
-        "n_docs",
-        "n_unique",
-        (F.col("n_docs") - F.col("n_unique")).alias("n_dups"),
-        F.round(
-            (F.col("n_docs") - F.col("n_unique")).cast("double")
-            / F.col("n_docs").cast("double"),
-            6,
-        ).alias("dup_rate"),
-    )
-
-
-@register(
-    "contamination_overlap_matrix",
-    """
-    WITH h AS (
-        SELECT DISTINCT source, md5(text) AS h FROM documents
-    )
-    SELECT a.source AS source_a, b.source AS source_b,
-           CAST(count(*) AS BIGINT) AS shared_texts
-    FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
-    GROUP BY 1, 2
-    ORDER BY 1, 2
-    """,
-    "Cross-source contamination matrix: for every source pair, how "
-    "many EXACT texts appear in both — the benchmark-leakage / "
-    "provenance-overlap audit (benchmark_decontamination strips "
-    "overlaps against one eval set; this surveys ALL pairwise "
-    "overlaps). Per-source distinct hashes first (16-byte keys), "
-    "then a self-equi-join ON the hash with a source_a < source_b "
-    "canonical orientation — candidates only where hashes collide, "
-    "never an all-pairs comparison; the join shuffles hash keys "
-    "co-partitioned on both sides. Output is the S*(S-1)/2 pair "
-    "matrix (metadata scale).",
-    tags=("agg", "join", "dedup", "llm-data", "documents"),
-)
-def contamination_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
-    h = d.select("source", F.md5("text").alias("h")).distinct()
-    a = h.alias("a")
-    b = h.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_texts"))
-        .orderBy("source_a", "source_b")
-    )
-
-
-@register(
-    "cusum_changepoint_daily",
-    """
-    WITH daily AS (
-        SELECT epoch_us(o_orderdate) // 86400000000 AS day,
-               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))))
-                    AS BIGINT) AS x
-        FROM orders GROUP BY 1
-    ), c AS (
-        SELECT day, x,
-               CAST(row_number() OVER (ORDER BY day) AS BIGINT)      AS i,
-               CAST(sum(x) OVER (ORDER BY day
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT)                                       AS cx,
-               CAST(count(*) OVER () AS BIGINT)                      AS n,
-               CAST(sum(x) OVER () AS BIGINT)                        AS sx
-        FROM daily
-    ), s AS (
-        SELECT day, n,
-               n * cx - i * sx AS s_scaled
-        FROM c
-    ), peak AS (
-        SELECT day, n, s_scaled,
-               max(abs(s_scaled)) OVER () AS peak_scaled
-        FROM s
-    )
-    SELECT CAST(min(day) AS BIGINT)        AS changepoint_day,
-           CAST(max(n) AS BIGINT)          AS n_days,
-           round(CAST(max(peak_scaled) AS DOUBLE)
-                 / CAST(max(n) AS DOUBLE), 2) AS cusum_peak_dollars
-    FROM peak WHERE abs(s_scaled) = peak_scaled
-    """,
-    "CUSUM changepoint detection on the daily revenue series: the "
-    "cumulative sum of deviations from the global mean, S_t = "
-    "sum(x_i) - t*mean, peaks at the most likely level-shift point — "
-    "the drift monitor behind psi_score_drift's verdict (PSI says IF "
-    "the population moved; CUSUM says WHEN). Computed with ZERO "
-    "float accumulation: S_t*n = n*cumsum_t - t*total is exact "
-    "BIGINT at every step (cumulative sums of floor-dollar BIGINTs), "
-    "|.| and argmax are integer ops, and the single division by n "
-    "happens once at the end. Deterministic tiebreak: min day among "
-    "peak rows. One groupBy(day); windows over the ~2,400-row daily "
-    "aggregate.",
-    tags=("agg", "window", "analytics", "timeseries", "stats"),
-)
-def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day")
-    ).agg(
-        F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
-        .cast("bigint")
-        .alias("x")
-    )
-    w_cum = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
-    w_all = W.partitionBy()
-    c = daily.select(
-        "day",
-        "x",
-        F.row_number().over(W.orderBy("day")).cast("bigint").alias("i"),
-        F.sum("x").over(w_cum).cast("bigint").alias("cx"),
-        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
-        F.sum("x").over(w_all).cast("bigint").alias("sx"),
-    )
-    s = c.select(
-        "day",
-        "n",
-        (F.col("n") * F.col("cx") - F.col("i") * F.col("sx")).alias("s_scaled"),
-    )
-    peak = s.select(
-        "day",
-        "n",
-        "s_scaled",
-        F.max(F.abs(F.col("s_scaled"))).over(w_all).alias("peak_scaled"),
-    )
-    return (
-        peak.filter(F.abs(F.col("s_scaled")) == F.col("peak_scaled"))
-        .agg(
-            F.min("day").cast("bigint").alias("changepoint_day"),
-            F.max("n").cast("bigint").alias("n_days"),
-            F.round(
-                F.max("peak_scaled").cast("double") / F.max("n").cast("double"),
-                2,
-            ).alias("cusum_peak_dollars"),
-        )
-    )
-
-
-@register(
-    "max_concurrent_sessions",
-    """
-    WITH e AS (
-        SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
-    ), marked AS (
-        SELECT user_id, ts_us,
-               CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
-                    THEN 1 ELSE 0 END AS new_s
-        FROM (SELECT user_id, ts_us, event_id,
-                     lag(ts_us) OVER (PARTITION BY user_id
-                                      ORDER BY ts_us, event_id) AS prev
-              FROM e)
-    ), g AS (
-        SELECT user_id, ts_us,
-               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
-        FROM (SELECT user_id, ts_us, new_s FROM marked)
-    ), iv AS (
-        SELECT user_id, seq,
-               CAST(min(ts_us) AS BIGINT) AS s_us,
-               CAST(max(ts_us) AS BIGINT) AS e_us
-        FROM g GROUP BY 1, 2
-    ), pts AS (
-        SELECT s_us AS t, 1 AS delta FROM iv
-        UNION ALL
-        SELECT e_us AS t, -1 AS delta FROM iv
-    ), c AS (
-        SELECT t, delta,
-               CAST(sum(delta) OVER (ORDER BY t, delta DESC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS conc
-        FROM pts
-    ), mx AS (
-        SELECT t, conc, max(conc) OVER () AS peak,
-               CAST(count(*) OVER () AS BIGINT) / 2 AS n_sessions
-        FROM c
-    )
-    SELECT CAST(max(peak) AS BIGINT)       AS peak_concurrency,
-           CAST(min(t) AS BIGINT)          AS peak_time_us,
-           CAST(max(n_sessions) AS BIGINT) AS n_sessions
-    FROM mx WHERE conc = peak
-    """,
-    "Peak concurrency via the sweep-line pattern: rebuild 30-minute-"
-    "gap sessions (same definition as `sessionization`), explode each "
-    "interval into (+1 at start, -1 at end) endpoint deltas, and take "
-    "the running sum over time — the classic 'maximum overlapping "
-    "intervals' computed as sort + prefix sum, which at 100 TB is a "
-    "range-partitioned sort plus the two-pass per-partition-offset "
-    "cumulative (distributed_row_number pattern) — never a self-join "
-    "of intervals. Inclusive-boundary tie rule is pinned (delta DESC: "
-    "starts before ends at the same microsecond) so the peak is "
-    "deterministic; all arithmetic is BIGINT.",
-    tags=("events", "window", "analytics", "sessions"),
-)
-def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.relational import global_prefix_sum
-
-    ev = t(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
-    )
-    w_user = W.partitionBy("user_id").orderBy("ts_us", "event_id")
-    marked = ev.select(
-        "user_id",
-        "ts_us",
-        F.when(
-            F.lag("ts_us").over(w_user).isNull()
-            | (F.col("ts_us") - F.lag("ts_us").over(w_user) > 1_800_000_000),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_s"),
-    )
-    w_seq = W.partitionBy("user_id").orderBy("ts_us").rowsBetween(
-        W.unboundedPreceding, 0
-    )
-    g = marked.select(
-        "user_id", "ts_us", F.sum("new_s").over(w_seq).alias("seq")
-    )
-    iv = g.groupBy("user_id", "seq").agg(
-        F.min("ts_us").cast("bigint").alias("s_us"),
-        F.max("ts_us").cast("bigint").alias("e_us"),
-    )
-    pts = iv.select(F.col("s_us").alias("t"), F.lit(1).alias("delta")).unionAll(
-        iv.select(F.col("e_us").alias("t"), F.lit(-1).alias("delta"))
-    )
-    # Sweep order (t ASC, delta DESC) == (t, -delta) ascending; the
-    # running concurrency is a DISTRIBUTED two-pass prefix sum (range
-    # repartition + per-partition cumsum + broadcast offsets), never a
-    # single-partition window over the endpoint stream.
-    swept = global_prefix_sum(
-        pts.withColumn("neg_delta", -F.col("delta")),
-        order_cols=["t", "neg_delta"],
-        value_col="delta",
-        out_col="conc",
-    )
-    stats = swept.agg(
-        F.max("conc").cast("bigint").alias("peak"),
-        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_sessions"),
-    )
-    return (
-        swept.join(F.broadcast(stats), swept.conc == stats.peak)
-        .agg(
-            F.max("peak").cast("bigint").alias("peak_concurrency"),
-            F.min("t").cast("bigint").alias("peak_time_us"),
-            F.max("n_sessions").cast("bigint").alias("n_sessions"),
-        )
-    )
-
-
-@register(
-    "event_trigram_topk",
-    """
-    WITH seqs AS (
-        SELECT event_type AS e1,
-               lead(event_type, 1) OVER (PARTITION BY user_id
-                    ORDER BY epoch_us(ts), event_id) AS e2,
-               lead(event_type, 2) OVER (PARTITION BY user_id
-                    ORDER BY epoch_us(ts), event_id) AS e3
-        FROM events
-    ), g AS (
-        SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
-        FROM seqs WHERE e2 IS NOT NULL AND e3 IS NOT NULL
-        GROUP BY 1, 2, 3
-    )
-    SELECT e1 || '>' || e2 || '>' || e3 AS trigram, n
-    FROM g ORDER BY n DESC, trigram LIMIT 10
-    """,
-    "Sequential-pattern mining: top-10 most frequent 3-step event "
-    "sequences (trigrams) across all user journeys — the exploratory "
-    "companion to event_transition_matrix's first-order Markov view "
-    "(trigrams expose second-order structure funnels miss). Per-user "
-    "lead() windows run partitioned on the natural user key with a "
-    "deterministic (ts, event_id) order; trigram counting is one "
-    "partial-combined groupBy; the top-10 cut is "
-    "TakeOrderedAndProject with a total (count DESC, trigram) order "
-    "— per-partition heaps, no global sort.",
-    tags=("events", "window", "agg", "analytics"),
-)
-def event_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    w_user = W.partitionBy("user_id").orderBy(
-        F.unix_micros("ts"), F.col("event_id")
-    )
-    seqs = ev.select(
-        F.col("event_type").alias("e1"),
-        F.lead("event_type", 1).over(w_user).alias("e2"),
-        F.lead("event_type", 2).over(w_user).alias("e3"),
-    )
-    g = (
-        seqs.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
-        .groupBy("e1", "e2", "e3")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    )
-    return (
-        g.select(
-            F.concat_ws(">", "e1", "e2", "e3").alias("trigram"), "n"
-        )
-        .orderBy(F.desc("n"), F.asc("trigram"))
-        .limit(10)
-    )
-
-
-@register(
-    "seasonal_naive_backtest",
-    """
-    WITH daily AS (
-        SELECT epoch_us(o_orderdate) // 86400000000 AS day,
-               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))))
-                    AS BIGINT) AS x
-        FROM orders GROUP BY 1
-    ), paired AS (
-        SELECT a.day, a.x, b.x AS f
-        FROM daily a JOIN daily b ON b.day = a.day - 7
-    ), err AS (
-        SELECT day, x, f,
-               abs(x - f) AS ae,
-               CAST(round(round(CAST(abs(x - f) AS DOUBLE)
-                                / CAST(x AS DOUBLE), 6) * 1000000.0)
-                    AS BIGINT) AS ape_micro,
-               CAST(round(round(2.0 * CAST(abs(x - f) AS DOUBLE)
-                                / CAST(x + f AS DOUBLE), 6) * 1000000.0)
-                    AS BIGINT) AS sape_micro
-        FROM paired WHERE x > 0
-    )
-    SELECT CAST(count(*) AS BIGINT)                       AS n_days,
-           round(CAST(CAST(sum(ae) AS BIGINT) AS DOUBLE)
-                 / CAST(count(*) AS DOUBLE), 2)           AS mae,
-           round(CAST(CAST(sum(ape_micro) AS BIGINT) AS DOUBLE)
-                 / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mape,
-           round(CAST(CAST(sum(sape_micro) AS BIGINT) AS DOUBLE)
-                 / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS smape
-    FROM err
-    """,
-    "Seasonal-naive forecast backtest: predict each day's revenue "
-    "with the value 7 days earlier and score MAE / MAPE / SMAPE — "
-    "the baseline every forecasting model (the reference domain's "
-    "loss-projection models included) must beat, and the natural "
-    "consumer of autocorrelation_daily_revenue's lag-7 signal. "
-    "Absolute errors are exact BIGINT on floor-dollar daily sums; "
-    "per-day percentage errors are exact-integer IEEE divisions "
-    "rounded to micro-units and summed as BIGINT (associative, "
-    "layout-independent); each mean is one final division. Lag "
-    "alignment is an equi-join on day-7 (calendar-correct across "
-    "gaps, unlike positional lag). One groupBy(day) is the only "
-    "fact-sized work.",
-    tags=("agg", "join", "analytics", "timeseries"),
-)
-def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day")
-    ).agg(
-        F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
-        .cast("bigint")
-        .alias("x")
-    )
-    a = daily.alias("a")
-    b = daily.alias("b")
-    paired = a.join(b, F.col("b.day") == F.col("a.day") - 7).select(
-        F.col("a.day").alias("day"), F.col("a.x").alias("x"), F.col("b.x").alias("f")
-    )
-    err = paired.filter(F.col("x") > 0).select(
-        "day",
-        "x",
-        "f",
-        F.abs(F.col("x") - F.col("f")).alias("ae"),
-        F.round(
-            F.round(
-                F.abs(F.col("x") - F.col("f")).cast("double")
-                / F.col("x").cast("double"),
-                6,
-            )
-            * 1000000.0,
-            0,
-        )
-        .cast("bigint")
-        .alias("ape_micro"),
-        F.round(
-            F.round(
-                F.lit(2.0)
-                * F.abs(F.col("x") - F.col("f")).cast("double")
-                / (F.col("x") + F.col("f")).cast("double"),
-                6,
-            )
-            * 1000000.0,
-            0,
-        )
-        .cast("bigint")
-        .alias("sape_micro"),
-    )
-    return err.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_days"),
-        F.round(
-            F.sum("ae").cast("bigint").cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            2,
-        ).alias("mae"),
-        F.round(
-            F.sum("ape_micro").cast("bigint").cast("double")
-            / (F.count(F.lit(1)).cast("double") * 1000000.0),
-            6,
-        ).alias("mape"),
-        F.round(
-            F.sum("sape_micro").cast("bigint").cast("double")
-            / (F.count(F.lit(1)).cast("double") * 1000000.0),
-            6,
-        ).alias("smape"),
-    )
-
-
-@register(
-    "robust_center_aggregates",
-    """
-    WITH pc AS (
-        SELECT o_orderstatus, o_orderpriority,
-               CAST(count(*) AS BIGINT) AS n
-        FROM orders GROUP BY 1, 2
-    ), md AS (
-        SELECT o_orderstatus,
-               min(CASE WHEN rnk = 1 THEN o_orderpriority END) AS mode_priority
-        FROM (SELECT o_orderstatus, o_orderpriority, n,
-                     rank() OVER (PARTITION BY o_orderstatus
-                                  ORDER BY n DESC) AS rnk
-              FROM pc)
-        GROUP BY 1
-    ), base AS (
-        SELECT o_orderstatus,
-               CAST(count(*) AS BIGINT)       AS n,
-               round(median(o_totalprice), 4) AS median_price,
-               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                     / CAST(count(*) AS DOUBLE), 4) AS mean_price
-        FROM orders GROUP BY 1
-    )
-    SELECT b.o_orderstatus, b.n, b.median_price, m.mode_priority, b.mean_price
-    FROM base b JOIN md m USING (o_orderstatus)
-    """,
-    "Exact median and deterministic mode per group — the robust-center "
-    "aggregates (median survives fat-tailed amounts; mode is the "
-    "categorical center). Engine-native mode() breaks count ties "
-    "arbitrarily (and the sf0.001 fixture HAS a tie), so mode is "
-    "computed by its definition with a pinned tiebreak: rank counts "
-    "per (group, value), take the MINIMUM value among tied maxima — "
-    "identical on every engine. Median uses Spark 4's native exact "
-    "median() (per-group holistic sort; approx_percentile(0.5) is the "
-    "documented 100 TB swap — percentile_stats shows both); the mean "
-    "sums DECIMAL partials so it is associative. Two partial-combined "
-    "groupBys + a broadcast join of two metadata-scale aggregates.",
-    tags=("agg", "window", "stats"),
-)
-def robust_center_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    pc = o.groupBy("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-    w_rnk = W.partitionBy("o_orderstatus").orderBy(F.desc("n"))
-    md = (
-        pc.select("o_orderstatus", "o_orderpriority", F.rank().over(w_rnk).alias("rnk"))
-        .groupBy("o_orderstatus")
-        .agg(
-            F.min(
-                F.when(F.col("rnk") == 1, F.col("o_orderpriority"))
-            ).alias("mode_priority")
-        )
-    )
-    base = o.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.round(F.median("o_totalprice"), 4).alias("median_price"),
-        F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            4,
-        ).alias("mean_price"),
-    )
-    return base.join(F.broadcast(md), "o_orderstatus").select(
-        "o_orderstatus", "n", "median_price", "mode_priority", "mean_price"
-    )
-
-
-@register(
-    "daily_revenue_var",
-    """
-    WITH daily AS (
-        SELECT epoch_us(o_orderdate) // 86400000000 AS day,
-               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))))
-                    AS BIGINT) AS x
-        FROM orders GROUP BY 1
-    ), chg AS (
-        SELECT a.day, a.x - b.x AS c
-        FROM daily a JOIN daily b ON b.day = a.day - 1
-    ), ranked AS (
-        SELECT day, c,
-               CAST(row_number() OVER (ORDER BY c, day) AS BIGINT) AS rn,
-               CAST(count(*) OVER () AS BIGINT)                    AS n
-        FROM chg
-    ), k AS (
-        SELECT *, CAST(ceil(0.05 * CAST(n AS DOUBLE)) AS BIGINT) AS kk
-        FROM ranked
-    )
-    SELECT CAST(max(n) AS BIGINT)                    AS n_days,
-           CAST(max(CASE WHEN rn = kk THEN c END) AS BIGINT) AS var95,
-           round(CAST(CAST(sum(CASE WHEN rn <= kk THEN c END) AS BIGINT)
-                      AS DOUBLE) / CAST(max(kk) AS DOUBLE), 2) AS cvar95,
-           CAST(min(CASE WHEN rn = 1 THEN day END) AS BIGINT) AS worst_day
-    FROM k
-    """,
-    "Value-at-Risk on the daily revenue series: the 95% VaR is the "
-    "5th-percentile worst day-over-day change, CVaR (expected "
-    "shortfall) the mean of the tail at or below it — the portfolio "
-    "risk readout a lender runs on cash flows. Rather than engine "
-    "percentile functions (percentile_disc rank conventions differ "
-    "across engines), the tail element is selected by an EXPLICIT "
-    "deterministic rank (row_number over (change, day), k = "
-    "ceil(0.05n)) — bit-identical everywhere; changes and the tail "
-    "sum are exact BIGINT on floor-dollar revenue. Day-over-day "
-    "alignment is a calendar equi-join (day-1), not positional lag. "
-    "Fact-sized work: one groupBy(day); ranking runs on the ~2,400-"
-    "row daily aggregate (two-pass offsets at larger grains).",
-    tags=("agg", "window", "analytics", "timeseries", "stats"),
-)
-def daily_revenue_var(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day")
-    ).agg(
-        F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
-        .cast("bigint")
-        .alias("x")
-    )
-    a = daily.alias("a")
-    b = daily.alias("b")
-    chg = a.join(b, F.col("b.day") == F.col("a.day") - 1).select(
-        F.col("a.day").alias("day"), (F.col("a.x") - F.col("b.x")).alias("c")
-    )
-    ranked = chg.select(
-        "day",
-        "c",
-        F.row_number().over(W.orderBy("c", "day")).cast("bigint").alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).cast("bigint").alias("n"),
-    )
-    k = ranked.withColumn(
-        "kk", F.ceil(F.lit(0.05) * F.col("n").cast("double")).cast("bigint")
-    )
-    return k.agg(
-        F.max("n").cast("bigint").alias("n_days"),
-        F.max(F.when(F.col("rn") == F.col("kk"), F.col("c")))
-        .cast("bigint")
-        .alias("var95"),
-        F.round(
-            F.sum(F.when(F.col("rn") <= F.col("kk"), F.col("c")))
-            .cast("bigint")
-            .cast("double")
-            / F.max("kk").cast("double"),
-            2,
-        ).alias("cvar95"),
-        F.min(F.when(F.col("rn") == 1, F.col("day")))
-        .cast("bigint")
-        .alias("worst_day"),
-    )
-
-
-@register(
-    "growth_accounting_weekly",
-    """
-    WITH uw AS (
-        SELECT DISTINCT user_id,
-               epoch_us(ts) // 86400000000 // 7 AS week
-        FROM events
-    ), marked AS (
-        SELECT user_id, week,
-               min(week) OVER (PARTITION BY user_id)           AS first_week,
-               lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week
-        FROM uw
-    ), cls AS (
-        SELECT week,
-               CAST(count(*) AS BIGINT) AS n_active,
-               CAST(sum(CASE WHEN week = first_week THEN 1 ELSE 0 END)
-                    AS BIGINT)          AS n_new,
-               CAST(sum(CASE WHEN prev_week = week - 1 THEN 1 ELSE 0 END)
-                    AS BIGINT)          AS n_retained,
-               CAST(sum(CASE WHEN week > first_week
-                             AND (prev_week IS NULL OR prev_week < week - 1)
-                             THEN 1 ELSE 0 END)
-                    AS BIGINT)          AS n_resurrected
-        FROM marked GROUP BY 1
-    )
-    SELECT c.week, c.n_active, c.n_new, c.n_retained, c.n_resurrected,
-           coalesce(p.n_active, 0) - c.n_retained AS n_churned,
-           CASE WHEN coalesce(p.n_active, 0) - c.n_retained > 0
-                THEN round(CAST(c.n_new + c.n_resurrected AS DOUBLE)
-                           / CAST(coalesce(p.n_active, 0) - c.n_retained
-                                  AS DOUBLE), 6)
-           END AS quick_ratio
-    FROM cls c LEFT JOIN cls p ON p.week = c.week - 1
-    """,
-    "Growth accounting: every week's active users decomposed into "
-    "new / retained / resurrected, churn derived as last week's "
-    "actives minus this week's retained, and the quick ratio "
-    "((new+resurrected)/churned) — the canonical product-growth "
-    "readout (Social Capital's framework). Per-user state needs only "
-    "a lag over that user's distinct active weeks (partitioned on the "
-    "natural key) and a broadcast-sized week-over-week self-join of "
-    "the 350-row weekly aggregate. All counts exact BIGINT; the one "
-    "fact-sized pass is the DISTINCT (user, week) projection.",
-    tags=("events", "window", "agg", "analytics"),
-)
-def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    uw = ev.select(
-        "user_id", F.expr("unix_micros(ts) div 86400000000 div 7").alias("week")
-    ).distinct()
-    w_user = W.partitionBy("user_id")
-    w_ord = W.partitionBy("user_id").orderBy("week")
-    marked = uw.select(
-        "user_id",
-        "week",
-        F.min("week").over(w_user).alias("first_week"),
-        F.lag("week").over(w_ord).alias("prev_week"),
-    )
-    cls = marked.groupBy("week").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_active"),
-        F.sum(F.when(F.col("week") == F.col("first_week"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_new"),
-        F.sum(F.when(F.col("prev_week") == F.col("week") - 1, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_retained"),
-        F.sum(
-            F.when(
-                (F.col("week") > F.col("first_week"))
-                & (
-                    F.col("prev_week").isNull()
-                    | (F.col("prev_week") < F.col("week") - 1)
-                ),
-                1,
-            ).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("n_resurrected"),
-    )
-    c = cls.alias("c")
-    p = cls.alias("p")
-    churned = F.coalesce(F.col("p.n_active"), F.lit(0)) - F.col("c.n_retained")
-    return c.join(
-        F.broadcast(p), F.col("p.week") == F.col("c.week") - 1, "left"
-    ).select(
-        F.col("c.week").alias("week"),
-        F.col("c.n_active").alias("n_active"),
-        F.col("c.n_new").alias("n_new"),
-        F.col("c.n_retained").alias("n_retained"),
-        F.col("c.n_resurrected").alias("n_resurrected"),
-        churned.alias("n_churned"),
-        F.when(
-            churned > 0,
-            F.round(
-                (F.col("c.n_new") + F.col("c.n_resurrected")).cast("double")
-                / churned.cast("double"),
-                6,
-            ),
-        ).alias("quick_ratio"),
-    )
-
-
-@register(
-    "cohort_ltv",
-    """
-    WITH uw AS (
-        SELECT user_id,
-               epoch_us(ts) // 86400000000 // 7 AS week,
-               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
-                   AS rev_cents
-        FROM events WHERE event_type = 'purchase'
-        GROUP BY 1, 2
-    ), fw AS (
-        SELECT user_id, min(week) AS cohort FROM uw GROUP BY 1
-    ), sized AS (
-        SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users FROM fw GROUP BY 1
-    ), aged AS (
-        SELECT f.cohort, u.week - f.cohort AS age_weeks,
-               CAST(sum(u.rev_cents) AS BIGINT) AS rev_cents
-        FROM uw u JOIN fw f ON u.user_id = f.user_id
-        GROUP BY 1, 2
-    )
-    SELECT a.cohort, a.age_weeks, s.cohort_users, a.rev_cents,
-           round(CAST(CAST(sum(a.rev_cents) OVER (PARTITION BY a.cohort
-                           ORDER BY a.age_weeks
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                      AS BIGINT) AS DOUBLE)
-                 / (CAST(s.cohort_users AS DOUBLE) * 100.0), 4)
-               AS cum_ltv_per_user
-    FROM aged a JOIN sized s USING (cohort)
-    WHERE a.cohort >= 0
-    """,
-    "Cohort LTV curves: purchasers grouped by first-purchase week, "
-    "cumulative revenue per cohort member by weeks-since-first — the "
-    "monetization companion to cohort_retention's activity matrix "
-    "(does later revenue make up for churn?). Revenue integerizes to "
-    "floor-cents BIGINT at the row level, so per-(user,week) partials, "
-    "cohort-age sums, and the running cumulative are ALL exact "
-    "integer arithmetic; the single division per output row happens "
-    "last. Fact-sized work: one groupBy(user, week) on purchases; "
-    "the LTV windows run over the cohort x age aggregate.",
-    tags=("events", "window", "agg", "analytics"),
-)
-def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    uw = ev.groupBy(
-        "user_id",
-        F.expr("unix_micros(ts) div 86400000000 div 7").alias("week"),
-    ).agg(
-        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
-        .cast("bigint")
-        .alias("rev_cents")
-    )
-    fw = uw.groupBy("user_id").agg(F.min("week").alias("cohort"))
-    sized = fw.groupBy("cohort").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cohort_users")
-    )
-    aged = (
-        uw.join(fw, "user_id")
-        .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("age_weeks"))
-        .agg(F.sum("rev_cents").cast("bigint").alias("rev_cents"))
-    )
-    w_cum = (
-        W.partitionBy("cohort")
-        .orderBy("age_weeks")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    return (
-        aged.join(F.broadcast(sized), "cohort")
-        .filter(F.col("cohort") >= 0)
-        .select(
-            "cohort",
-            "age_weeks",
-            "cohort_users",
-            "rev_cents",
-            F.round(
-                F.sum("rev_cents").over(w_cum).cast("bigint").cast("double")
-                / (F.col("cohort_users").cast("double") * F.lit(100.0)),
-                4,
-            ).alias("cum_ltv_per_user"),
-        )
-    )
-
-
-@register(
-    "market_basket_lift",
-    """
-    WITH op AS (
-        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ), tot AS (
-        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM op
-    ), pa AS (
-        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_a FROM op GROUP BY 1
-    ), pairs AS (
-        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-               CAST(count(*) AS BIGINT) AS n_ab
-        FROM op a JOIN op b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        GROUP BY 1, 2 HAVING count(*) >= 2
-    )
-    SELECT part_a, part_b, n_ab,
-           round(CAST(n_ab AS DOUBLE) / CAST(t.n AS DOUBLE), 6)     AS support,
-           round(CAST(n_ab AS DOUBLE) / CAST(x.n_a AS DOUBLE), 6)   AS confidence,
-           round(CAST(n_ab * t.n AS DOUBLE)
-                 / CAST(x.n_a * y.n_a AS DOUBLE), 6)                AS lift
-    FROM pairs
-    JOIN pa x ON part_a = x.l_partkey
-    JOIN pa y ON part_b = y.l_partkey
-    CROSS JOIN tot t
-    ORDER BY lift DESC, part_a, part_b
-    LIMIT 20
-    """,
-    "Market-basket affinity: support / confidence / lift for part "
-    "pairs co-purchased in the same order, top-20 by lift — the "
-    "association-rules readout behind every recommender baseline. "
-    "Pair generation is a self-equi-join ON the order key with a "
-    "canonical part_a < part_b orientation (pairs per order are "
-    "bounded by basket size squared — never a global cross product); "
-    "item frequencies broadcast back onto the pair aggregate; every "
-    "measure is one IEEE division of exact BIGINT counts, and the "
-    "top-20 cut is TakeOrderedAndProject on (lift, part_a, part_b) — "
-    "a total order, so the cut is deterministic.",
-    tags=("agg", "join", "analytics"),
-)
-def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    tot = op.agg(F.count_distinct("l_orderkey").cast("bigint").alias("n"))
-    pa = op.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_a")
-    )
-    a = op.alias("a")
-    b = op.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
-        .filter(F.col("n_ab") >= 2)
-    )
-    x = pa.alias("x")
-    y = pa.alias("y")
-    return (
-        pairs.join(F.broadcast(x), F.col("part_a") == F.col("x.l_partkey"))
-        .join(F.broadcast(y), F.col("part_b") == F.col("y.l_partkey"))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "part_a",
-            "part_b",
-            "n_ab",
-            F.round(
-                F.col("n_ab").cast("double") / F.col("n").cast("double"), 6
-            ).alias("support"),
-            F.round(
-                F.col("n_ab").cast("double") / F.col("x.n_a").cast("double"), 6
-            ).alias("confidence"),
-            F.round(
-                (F.col("n_ab") * F.col("n")).cast("double")
-                / (F.col("x.n_a") * F.col("y.n_a")).cast("double"),
-                6,
-            ).alias("lift"),
-        )
-        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
-        .limit(20)
-    )
-
-
-@register(
-    "rolling_trend_slope",
-    """
-    WITH daily AS (
-        SELECT epoch_us(o_orderdate) // 86400000000 AS day,
-               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))))
-                    AS BIGINT) AS x
-        FROM orders GROUP BY 1
-    ), win AS (
-        SELECT day,
-               CAST(count(*) OVER w AS BIGINT)          AS n,
-               CAST(CAST(sum(day) OVER w AS BIGINT) AS DOUBLE)     AS sx,
-               CAST(CAST(sum(x) OVER w AS BIGINT) AS DOUBLE)       AS sy,
-               CAST(CAST(sum(day * x) OVER w AS BIGINT) AS DOUBLE) AS sxy,
-               CAST(CAST(sum(day * day) OVER w AS BIGINT) AS DOUBLE) AS sxx
-        FROM daily
-        WINDOW w AS (ORDER BY day RANGE BETWEEN 27 PRECEDING AND CURRENT ROW)
-    )
-    SELECT day, n,
-           round((CAST(n AS DOUBLE) * sxy - sx * sy)
-                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 4) AS slope
-    FROM win WHERE n >= 21
-    """,
-    "Rolling 28-day revenue trend: the least-squares slope "
-    "(dollars/day) over a trailing CALENDAR window — RANGE framing on "
-    "the integer day key, so calendar gaps shrink the window instead "
-    "of silently stretching it the way a positional ROWS frame would. "
-    "All five regression sufficient statistics are windowed sums of "
-    "exact BIGINTs (floor-dollar revenue); the closed-form slope is "
-    "one IEEE expression per row. Runs over the ~2,400-row daily "
-    "aggregate (partitioned by calendar year at 100 TB with overlap "
-    "stitching, or the two-pass offset pattern).",
-    tags=("agg", "window", "analytics", "timeseries", "stats"),
-)
-def rolling_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day")
-    ).agg(
-        F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
-        .cast("bigint")
-        .alias("x")
-    )
-    w = W.orderBy("day").rangeBetween(-27, 0)
-    win = daily.select(
-        "day",
-        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
-        F.sum("day").over(w).cast("bigint").cast("double").alias("sx"),
-        F.sum("x").over(w).cast("bigint").cast("double").alias("sy"),
-        F.sum(F.col("day") * F.col("x")).over(w).cast("bigint").cast("double").alias("sxy"),
-        F.sum(F.col("day") * F.col("day")).over(w).cast("bigint").cast("double").alias("sxx"),
-    )
-    n_d = F.col("n").cast("double")
-    return win.filter(F.col("n") >= 21).select(
-        "day",
-        "n",
-        F.round(
-            (n_d * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / (n_d * F.col("sxx") - F.col("sx") * F.col("sx")),
-            4,
-        ).alias("slope"),
-    )
-
-
-@register(
-    "weighted_median_exact",
-    """
-    WITH w AS (
-        SELECT o.o_totalprice AS v, CAST(count(*) AS BIGINT) AS wt
-        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        GROUP BY o.o_orderkey, o.o_totalprice
-    ), ranked AS (
-        SELECT v, wt,
-               CAST(sum(wt) OVER (ORDER BY v
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS cum_wt,
-               CAST(sum(wt) OVER () AS BIGINT) AS tot_wt
-        FROM w
-    )
-    SELECT CAST(max(tot_wt) AS BIGINT) AS total_weight,
-           round(min(CASE WHEN 2 * cum_wt >= tot_wt THEN v END), 2)
-                                       AS weighted_median
-    FROM ranked
-    """,
-    "Exact weighted median: order value weighted by line count — the "
-    "'median dollar' (half the LINES sit in cheaper orders), a "
-    "different animal from the median ORDER robust_center_aggregates "
-    "reports. Selection by definition: cumulative weight sweep, first "
-    "element where 2*cum >= total — exact BIGINT weights, exact "
-    "element pick, no interpolation convention to disagree on. "
-    "Weights come from a count aggregate on the join key (never a "
-    "fact-widening join); the sweep runs over the order-level "
-    "aggregate (two-pass offsets at 100 TB, same as "
-    "distributed_row_number).",
-    tags=("agg", "join", "window", "stats"),
-)
-def weighted_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
-    w = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderkey", "o_totalprice")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("wt"))
-        .select(F.col("o_totalprice").alias("v"), "wt")
-    )
-    w_cum = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
-    ranked = w.select(
-        "v",
-        "wt",
-        F.sum("wt").over(w_cum).cast("bigint").alias("cum_wt"),
-        F.sum("wt").over(W.partitionBy()).cast("bigint").alias("tot_wt"),
-    )
-    return ranked.agg(
-        F.max("tot_wt").cast("bigint").alias("total_weight"),
-        F.round(
-            F.min(F.when(2 * F.col("cum_wt") >= F.col("tot_wt"), F.col("v"))),
-            2,
-        ).alias("weighted_median"),
-    )
-
-
-@register(
-    "histogram_equi_depth",
-    """
-    WITH ranked AS (
-        SELECT o_totalprice AS v,
-               CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey)
-                    AS BIGINT) AS rn,
-               CAST(count(*) OVER () AS BIGINT) AS n
-        FROM orders
-    )
-    SELECT CAST(b AS BIGINT)                       AS bucket,
-           round(min(v), 2)                        AS upper_bound,
-           CAST((b * n) // 10 - ((b - 1) * n) // 10 AS BIGINT) AS bucket_rows
-    FROM ranked
-    CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS b) bs
-    WHERE rn = (b * n) // 10
-    GROUP BY b, n
-    """,
-    "Equi-depth (quantile) histogram: 10 boundaries, each holding "
-    "n/10 rows — the statistic cost-based optimizers keep per column "
-    "(Spark's own ANALYZE ... FOR COLUMNS builds exactly this), and "
-    "the complement of histogram_width_bucket's equi-WIDTH bins. "
-    "Boundaries are picked by explicit integer rank ((b*n)/10 with a "
-    "(value, key) total order) — exact element selection on both "
-    "engines, no percentile interpolation. The rank itself is the "
-    "sort-shuffle any quantile pass pays; at 100 TB the rank comes "
-    "from the two-pass offset pattern and the boundary probe is a "
-    "10-key broadcast semi-join.",
-    tags=("agg", "window", "stats"),
-)
-def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    ranked = o.select(
-        F.col("o_totalprice").alias("v"),
-        F.row_number()
-        .over(W.orderBy("o_totalprice", "o_orderkey"))
-        .cast("bigint")
-        .alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).cast("bigint").alias("n"),
-    )
-    bs = spark.range(1, 11).select(F.col("id").alias("b"))
-    # Integer-division parity: DuckDB's // on BIGINTs == Spark's div.
-    hit = ranked.crossJoin(F.broadcast(bs)).filter(
-        F.col("rn") == F.expr("(b * n) div 10")
-    )
-    return hit.groupBy(F.col("b").cast("bigint").alias("bucket")).agg(
-        F.round(F.min("v"), 2).alias("upper_bound"),
-        F.max(
-            F.expr("(b * n) div 10") - F.expr("((b - 1) * n) div 10")
-        )
-        .cast("bigint")
-        .alias("bucket_rows"),
-    )
-
-
-@register(
-    "join_cardinality_estimate",
-    """
-    WITH s AS (
-        SELECT CAST(count(*) AS BIGINT)                    AS n_li,
-               CAST(count(DISTINCT l_orderkey) AS BIGINT)  AS ndv_li
-        FROM lineitem
-    ), o AS (
-        SELECT CAST(count(*) AS BIGINT)                    AS n_o,
-               CAST(count(DISTINCT o_orderkey) AS BIGINT)  AS ndv_o
-        FROM orders
-    ), actual AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_join
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    )
-    SELECT s.n_li, o.n_o, s.ndv_li, o.ndv_o, a.n_join AS actual_rows,
-           CAST((s.n_li * o.n_o) // greatest(s.ndv_li, o.ndv_o) AS BIGINT)
-                                             AS estimated_rows,
-           round(CAST(a.n_join AS DOUBLE)
-                 / CAST((s.n_li * o.n_o) // greatest(s.ndv_li, o.ndv_o)
-                        AS DOUBLE), 6)       AS actual_over_estimate
-    FROM s, o, actual a
-    """,
-    "Join cardinality estimation vs ground truth: the textbook "
-    "|R ⋈ S| = |R|*|S| / max(ndv_R, ndv_S) formula every cost-based "
-    "optimizer (Catalyst CBO included) uses, computed from exact "
-    "distinct counts and compared against the actual join count — "
-    "the diagnostic for WHY a plan mis-chose (ratio far from 1 means "
-    "skew or correlation the uniform-key assumption missed; at scale "
-    "the exact NDVs become HLL sketches, hll_distinct_sketch_merge). "
-    "Three aggregates + a 1x1x1-row combine; the actual-count join "
-    "shuffles only the key columns.",
-    tags=("agg", "join", "stats", "quality"),
-)
-def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders")
-    s = li.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_li"),
-        F.count_distinct("l_orderkey").cast("bigint").alias("ndv_li"),
-    )
-    od = o.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_o"),
-        F.count_distinct("o_orderkey").cast("bigint").alias("ndv_o"),
-    )
-    actual = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("actual_rows"))
-    )
-    est = F.expr("(n_li * n_o) div greatest(ndv_li, ndv_o)")
-    return (
-        s.crossJoin(F.broadcast(od))
-        .crossJoin(F.broadcast(actual))
-        .select(
-            "n_li",
-            "n_o",
-            "ndv_li",
-            "ndv_o",
-            "actual_rows",
-            est.cast("bigint").alias("estimated_rows"),
-            F.round(
-                F.col("actual_rows").cast("double")
-                / est.cast("double"),
-                6,
-            ).alias("actual_over_estimate"),
-        )
-    )
-
-
-@register(
-    "entropy_kl_event_mix",
-    """
-    WITH seg AS (
-        SELECT CAST(user_id % 4 AS BIGINT) AS segment, event_type
-        FROM events
-    ), cell AS (
-        SELECT segment, event_type, CAST(count(*) AS BIGINT) AS n
-        FROM seg GROUP BY 1, 2
-    ), m AS (
-        SELECT segment, event_type, n,
-               CAST(sum(n) OVER (PARTITION BY segment) AS BIGINT) AS seg_tot,
-               CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS glob_n,
-               CAST(sum(n) OVER () AS BIGINT)                     AS tot
-        FROM cell
-    ), w AS (
-        SELECT segment, event_type, n, seg_tot,
-               -(CAST(n AS DOUBLE) / CAST(seg_tot AS DOUBLE))
-                 * ln(CAST(n AS DOUBLE) / CAST(seg_tot AS DOUBLE)) AS h_term,
-               (CAST(n AS DOUBLE) / CAST(seg_tot AS DOUBLE))
-                 * ln(CAST(n * tot AS DOUBLE)
-                      / CAST(seg_tot * glob_n AS DOUBLE))          AS kl_term
-        FROM m
-    ), mm AS (
-        SELECT segment, event_type, n,
-               CAST(round(round(h_term, 6) * 1000000.0) AS BIGINT)  AS h_micro,
-               CAST(round(round(kl_term, 6) * 1000000.0) AS BIGINT) AS kl_micro
-        FROM w
-    )
-    SELECT segment, event_type, n,
-           CAST(CAST(sum(h_micro) OVER (PARTITION BY segment) AS BIGINT)
-                AS DOUBLE) / 1000000.0  AS segment_entropy,
-           CAST(CAST(sum(kl_micro) OVER (PARTITION BY segment) AS BIGINT)
-                AS DOUBLE) / 1000000.0  AS kl_vs_global
-    FROM mm
-    """,
-    "Information-theoretic mix audit: Shannon entropy of each user "
-    "segment's event-type distribution plus its KL divergence from "
-    "the global mix — the drift/imbalance readout feature stores run "
-    "per slice (KL is PSI's asymmetric parent; segments here are a "
-    "deterministic user_id % 4 shard stand-in). Every probability is "
-    "an exact-integer ratio (n*tot / seg_tot*glob_n keeps even the "
-    "KL log argument an exact-integer quotient); per-cell terms round "
-    "to micro-units and sum as BIGINT per segment — associative, "
-    "layout-independent. One fact-sized groupBy on (segment, type); "
-    "windows over the 16-cell aggregate.",
-    tags=("events", "agg", "window", "analytics", "stats"),
-)
-def entropy_kl_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    cell = ev.groupBy(
-        (F.col("user_id") % 4).cast("bigint").alias("segment"), "event_type"
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    m = cell.select(
-        "segment",
-        "event_type",
-        "n",
-        F.sum("n").over(W.partitionBy("segment")).cast("bigint").alias("seg_tot"),
-        F.sum("n").over(W.partitionBy("event_type")).cast("bigint").alias("glob_n"),
-        F.sum("n").over(W.partitionBy()).cast("bigint").alias("tot"),
-    )
-    p = F.col("n").cast("double") / F.col("seg_tot").cast("double")
-    h_term = -p * F.log(p)
-    kl_term = p * F.log(
-        (F.col("n") * F.col("tot")).cast("double")
-        / (F.col("seg_tot") * F.col("glob_n")).cast("double")
-    )
-    mm = m.select(
-        "segment",
-        "event_type",
-        "n",
-        F.round(F.round(h_term, 6) * 1000000.0, 0).cast("bigint").alias("h_micro"),
-        F.round(F.round(kl_term, 6) * 1000000.0, 0)
-        .cast("bigint")
-        .alias("kl_micro"),
-    )
-    w_seg = W.partitionBy("segment")
-    return mm.select(
-        "segment",
-        "event_type",
-        "n",
-        (F.sum("h_micro").over(w_seg).cast("bigint").cast("double") / 1000000.0)
-        .alias("segment_entropy"),
-        (F.sum("kl_micro").over(w_seg).cast("bigint").cast("double") / 1000000.0)
-        .alias("kl_vs_global"),
-    )
-
-
-@register(
-    "referential_integrity_audit",
-    """
-    SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
-           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS child_rows,
-           CAST((SELECT count(*) FROM lineitem l
-                 WHERE NOT EXISTS (SELECT 1 FROM orders o
-                                   WHERE o.o_orderkey = l.l_orderkey))
-                AS BIGINT) AS orphan_rows
-    UNION ALL
-    SELECT 'orders.o_custkey -> customer',
-           CAST((SELECT count(*) FROM orders) AS BIGINT),
-           CAST((SELECT count(*) FROM orders o
-                 WHERE NOT EXISTS (SELECT 1 FROM customer c
-                                   WHERE c.c_custkey = o.o_custkey))
-                AS BIGINT)
-    UNION ALL
-    SELECT 'customer.c_nationkey -> nation',
-           CAST((SELECT count(*) FROM customer) AS BIGINT),
-           CAST((SELECT count(*) FROM customer cu
-                 WHERE NOT EXISTS (SELECT 1 FROM nation n
-                                   WHERE n.n_nationkey = cu.c_nationkey))
-                AS BIGINT)
-    UNION ALL
-    SELECT 'events.user_id -> customer',
-           CAST((SELECT count(*) FROM events) AS BIGINT),
-           CAST((SELECT count(*) FROM events e
-                 WHERE NOT EXISTS (SELECT 1 FROM customer c
-                                   WHERE c.c_custkey = e.user_id))
-                AS BIGINT)
-    """,
-    "Referential-integrity audit: orphan counts along every FK edge of "
-    "the star schema (lineitem→orders, orders→customer, "
-    "customer→nation, events→customer) — the structural data-quality "
-    "check that complements data_quality_gates' column-level rules "
-    "(a broken FK silently drops rows from every inner join "
-    "downstream). Each edge is one LEFT ANTI join counting misses: "
-    "the anti join carries only the key column, broadcasts when the "
-    "parent is dimension-sized, and shuffles 8-byte keys otherwise — "
-    "at 100 TB this is how you audit a petabyte fact table against "
-    "its dimensions without moving it.",
-    tags=("join", "agg", "quality"),
-)
-def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def edge(label: str, child: DataFrame, key, parent: DataFrame, pkey):
-        total = child.agg(F.count(F.lit(1)).cast("bigint").alias("child_rows"))
-        orphans = (
-            child.select(key.alias("__k"))
-            .join(parent.select(pkey.alias("__k")), "__k", "left_anti")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("orphan_rows"))
-        )
-        return (
-            total.crossJoin(F.broadcast(orphans))
-            .select(
-                F.lit(label).alias("fk_edge"), "child_rows", "orphan_rows"
-            )
-        )
-
-    li = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer")
-    n = t(spark, sf_dir, "nation")
-    ev = t(spark, sf_dir, "events")
-    return (
-        edge("lineitem.l_orderkey -> orders", li, F.col("l_orderkey"), o, F.col("o_orderkey"))
-        .unionAll(edge("orders.o_custkey -> customer", o, F.col("o_custkey"), c, F.col("c_custkey")))
-        .unionAll(edge("customer.c_nationkey -> nation", c, F.col("c_nationkey"), n, F.col("n_nationkey")))
-        .unionAll(edge("events.user_id -> customer", ev, F.col("user_id"), c, F.col("c_custkey")))
-    )
-
-
-@register(
-    "rolling_median_28d",
-    """
-    WITH daily AS (
-        SELECT epoch_us(o_orderdate) // 86400000000 AS day,
-               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))))
-                    AS BIGINT) AS x
-        FROM orders GROUP BY 1
-    ), win AS (
-        SELECT day, x,
-               list(x) OVER (ORDER BY day
-                    RANGE BETWEEN 27 PRECEDING AND CURRENT ROW) AS vals
-        FROM daily
-    )
-    SELECT day, x AS revenue,
-           CAST(len(vals) AS BIGINT) AS n,
-           CAST(list_sort(vals)[(len(vals) + 1) // 2] AS BIGINT)
-                                     AS rolling_median
-    FROM win WHERE len(vals) >= 21
-    """,
-    "Rolling 28-day median revenue — the robust trend line that "
-    "rolling_trend_slope's least-squares fit should be compared "
-    "against when outlier days distort it. Window-holistic "
-    "aggregates have no native Spark form, so the median is computed "
-    "by DEFINITION with a pinned convention: collect the calendar "
-    "(RANGE-framed) window into an array, sort, take the LOWER "
-    "median element ((n+1)/2, 1-indexed) — exact BIGINT element "
-    "selection, no interpolation to disagree on, identical on both "
-    "engines. The 28-element arrays exist only inside the ~2,400-row "
-    "daily aggregate (window state is bounded by the frame, not the "
-    "fact table).",
-    tags=("agg", "window", "analytics", "timeseries", "stats"),
-)
-def rolling_median_28d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day")
-    ).agg(
-        F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
-        .cast("bigint")
-        .alias("x")
-    )
-    w = W.orderBy("day").rangeBetween(-27, 0)
-    win = daily.select(
-        "day", "x", F.collect_list("x").over(w).alias("vals")
-    )
-    n = F.size("vals")
-    return win.filter(n >= 21).select(
-        "day",
-        F.col("x").alias("revenue"),
-        n.cast("bigint").alias("n"),
-        F.element_at(
-            F.sort_array("vals"), ((F.size("vals") + 1) / 2).cast("int")
-        )
-        .cast("bigint")
-        .alias("rolling_median"),
-    )
-
-
-@register(
-    "scd2_asof_fact_join",
-    """
-    WITH dim AS (
-        SELECT c_custkey, c_mktsegment AS segment,
-               TIMESTAMP '1990-01-01' AS valid_from,
-               TIMESTAMP '1998-01-01' AS valid_to
-        FROM customer
-        UNION ALL
-        SELECT c_custkey,
-               CASE WHEN c_custkey % 3 = 0
-                    THEN 'MIGRATED-' || c_mktsegment
-                    ELSE c_mktsegment END,
-               TIMESTAMP '1998-01-01',
-               TIMESTAMP '2999-01-01'
-        FROM customer
-    )
-    SELECT d.segment,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
-                                    AS revenue
-    FROM orders o
-    JOIN dim d
-      ON d.c_custkey = o.o_custkey
-     AND o.o_orderdate >= d.valid_from
-     AND o.o_orderdate < d.valid_to
-    GROUP BY 1
-    """,
-    "Temporal (SCD2 as-of) dimension join: each fact row joins the "
-    "dimension VERSION that was valid at the fact's event time — the "
-    "point-in-time-correct attribution every warehouse needs once "
-    "dimensions change (operators/upsert.py builds these validity "
-    "windows; here a deterministic two-version dimension is "
-    "synthesized identically on both engines so the oracle can check "
-    "the join). Plan shape: equi-join ON the surrogate key with the "
-    "validity-range predicate as a post-join filter — Catalyst keeps "
-    "the hash join on c_custkey (never a range-only join), the "
-    "dimension broadcasts, and each fact row matches exactly one "
-    "version. Revenue sums DECIMAL partials.",
-    tags=("join", "agg", "timeseries"),
-)
-def scd2_asof_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = t(spark, sf_dir, "customer")
-    v1 = c.select(
-        "c_custkey",
-        F.col("c_mktsegment").alias("segment"),
-        F.lit("1990-01-01").cast("timestamp").alias("valid_from"),
-        F.lit("1998-01-01").cast("timestamp").alias("valid_to"),
-    )
-    v2 = c.select(
-        "c_custkey",
-        F.when(
-            F.col("c_custkey") % 3 == 0,
-            F.concat(F.lit("MIGRATED-"), F.col("c_mktsegment")),
-        )
-        .otherwise(F.col("c_mktsegment"))
-        .alias("segment"),
-        F.lit("1998-01-01").cast("timestamp").alias("valid_from"),
-        F.lit("2999-01-01").cast("timestamp").alias("valid_to"),
-    )
-    dim = v1.unionAll(v2)
-    o = t(spark, sf_dir, "orders")
-    return (
-        o.join(
-            F.broadcast(dim),
-            (dim.c_custkey == o.o_custkey)
-            & (o.o_orderdate >= dim.valid_from)
-            & (o.o_orderdate < dim.valid_to),
-        )
-        .groupBy("segment")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
-                    "double"
-                ),
-                2,
-            ).alias("revenue"),
-        )
-    )
-
-
-@register(
-    "streaming_checkpointed_file_sink",
-    """
-    WITH mx AS (SELECT max(ts) AS m FROM events)
-    SELECT CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT)
-               AS window_start_us,
-           event_type,
-           CAST(count(*) AS BIGINT) AS n_events
-    FROM events, mx
-    WHERE time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 2 HOUR <= m
-    GROUP BY 1, 2
-    """,
-    "Production-shaped streaming sink: append-mode 1-hour windows "
-    "written to a PARQUET file sink with a checkpoint directory — "
-    "the exactly-once pattern (file-sink commit log + offset "
-    "checkpoint) every real deployment uses instead of the test "
-    "harness's memory sink. Append emits only watermark-CLOSED "
-    "windows, so the batch oracle applies the same cutoff "
-    "(window_end <= max(ts) - 1h); the runner restarts the stream "
-    "from its checkpoint a second time and the commit log emits "
-    "ZERO duplicate rows — exactly-once proven, not asserted.",
-    tags=("streaming", "agg"),
-)
-def streaming_checkpointed_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.windows import run_checkpointed_parquet_sink
-
-    return run_checkpointed_parquet_sink(spark, sf_dir)
-
-
-@register(
-    "rfm_segmentation",
-    """
-    WITH base AS (
-        SELECT o_custkey,
-               CAST((SELECT max(epoch_us(o_orderdate)) FROM orders)
-                    // 86400000000
-                    - max(epoch_us(o_orderdate)) // 86400000000 AS BIGINT)
-                   AS recency_days,
-               CAST(count(*) AS BIGINT) AS frequency,
-               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))))
-                    AS BIGINT)          AS monetary
-        FROM orders GROUP BY 1
-    ), scored AS (
-        SELECT *,
-               CASE WHEN recency_days <= 180 THEN 3
-                    WHEN recency_days <= 540 THEN 2 ELSE 1 END AS r_score,
-               CASE WHEN frequency >= 15 THEN 3
-                    WHEN frequency >= 8 THEN 2 ELSE 1 END      AS f_score,
-               CASE WHEN monetary >= 2000000 THEN 3
-                    WHEN monetary >= 1000000 THEN 2 ELSE 1 END AS m_score
-        FROM base
-    )
-    SELECT CAST(r_score AS BIGINT) AS r_score,
-           CAST(f_score AS BIGINT) AS f_score,
-           CAST(m_score AS BIGINT) AS m_score,
-           CAST(count(*) AS BIGINT) AS n_customers,
-           CAST(sum(monetary) AS BIGINT) AS segment_revenue,
-           round(CAST(sum(monetary) AS DOUBLE)
-                 / CAST(sum(sum(monetary)) OVER () AS DOUBLE), 6)
-                                    AS revenue_share
-    FROM scored GROUP BY 1, 2, 3
-    """,
-    "RFM segmentation: every customer scored on Recency (days since "
-    "last order, vs the dataset's anchor date), Frequency (order "
-    "count), and Monetary (floor-dollar lifetime revenue), bucketed "
-    "into fixed 3x3x3 policy bands and rolled up to segment sizes "
-    "and revenue share — the CRM workhorse for collections and "
-    "cross-sell targeting in a lending book. Fixed band edges (not "
-    "quantile cuts) are how production RFM policies are actually "
-    "written, and they keep every boundary exact-integer. One "
-    "groupBy(custkey) is the fact-sized pass; the anchor date is a "
-    "broadcast scalar subquery; segment rollup runs on ~1,500 rows.",
-    tags=("agg", "window", "analytics"),
-)
-def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    anchor = o.agg(
-        F.expr("max(unix_micros(o_orderdate)) div 86400000000").alias("anchor")
-    )
-    base = (
-        o.groupBy("o_custkey")
-        .agg(
-            F.expr("max(unix_micros(o_orderdate)) div 86400000000").alias(
-                "last_day"
-            ),
-            F.count(F.lit(1)).cast("bigint").alias("frequency"),
-            F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
-            .cast("bigint")
-            .alias("monetary"),
-        )
-        .crossJoin(F.broadcast(anchor))
-        .select(
-            (F.col("anchor") - F.col("last_day"))
-            .cast("bigint")
-            .alias("recency_days"),
-            "frequency",
-            "monetary",
-        )
-    )
-    scored = base.select(
-        "monetary",
-        F.when(F.col("recency_days") <= 180, 3)
-        .when(F.col("recency_days") <= 540, 2)
-        .otherwise(1)
-        .alias("r_score"),
-        F.when(F.col("frequency") >= 15, 3)
-        .when(F.col("frequency") >= 8, 2)
-        .otherwise(1)
-        .alias("f_score"),
-        F.when(F.col("monetary") >= 2_000_000, 3)
-        .when(F.col("monetary") >= 1_000_000, 2)
-        .otherwise(1)
-        .alias("m_score"),
-    )
-    seg = scored.groupBy("r_score", "f_score", "m_score").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-        F.sum("monetary").cast("bigint").alias("segment_revenue"),
-    )
-    return seg.select(
-        F.col("r_score").cast("bigint").alias("r_score"),
-        F.col("f_score").cast("bigint").alias("f_score"),
-        F.col("m_score").cast("bigint").alias("m_score"),
-        "n_customers",
-        "segment_revenue",
-        F.round(
-            F.col("segment_revenue").cast("double")
-            / F.sum("segment_revenue").over(W.partitionBy()).cast("double"),
-            6,
-        ).alias("revenue_share"),
-    )
-
-
-@register(
-    "data_freshness_slo",
-    """
-    WITH anchor AS (
-        SELECT greatest(
-                 (SELECT max(epoch_us(o_orderdate)) FROM orders),
-                 (SELECT max(epoch_us(l_shipdate)) FROM lineitem),
-                 (SELECT max(epoch_us(ts)) FROM events)) AS now_us
-    )
-    SELECT t.table_name, t.n_rows, t.max_event_us,
-           CAST((a.now_us - t.max_event_us) // 86400000000 AS BIGINT)
-               AS staleness_days,
-           CAST((a.now_us - t.max_event_us) // 86400000000 <= t.slo_days
-                AS BOOLEAN) AS within_slo
-    FROM (
-        SELECT 'orders' AS table_name,
-               CAST(count(*) AS BIGINT) AS n_rows,
-               CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS max_event_us,
-               90 AS slo_days
-        FROM orders
-        UNION ALL
-        SELECT 'lineitem', CAST(count(*) AS BIGINT),
-               CAST(max(epoch_us(l_shipdate)) AS BIGINT), 120
-        FROM lineitem
-        UNION ALL
-        SELECT 'events', CAST(count(*) AS BIGINT),
-               CAST(max(epoch_us(ts)) AS BIGINT), 7
-        FROM events
-    ) t CROSS JOIN anchor a
-    """,
-    "Data-freshness SLO audit: per-table row count, max event time, "
-    "staleness vs the newest timestamp anywhere in the warehouse, "
-    "and a per-table SLO verdict (orders 90d, lineitem 120d, events "
-    "7d policies) — the pipeline-health check that pages before "
-    "downstream aggregates silently go stale. Each branch is one "
-    "metadata-cheap max/count aggregate (at 100 TB these come "
-    "straight from partition-pruned tails or catalog stats); the "
-    "anchor is a broadcast 1-row scalar. Pure integer epoch "
-    "arithmetic end to end.",
-    tags=("agg", "quality"),
-)
-def data_freshness_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
-    ev = t(spark, sf_dir, "events")
-
-    def branch(df: DataFrame, name: str, col: str, slo: int) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("table_name"),
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.max(F.unix_micros(F.col(col))).cast("bigint").alias("max_event_us"),
-            F.lit(slo).alias("slo_days"),
-        )
-
-    parts = (
-        branch(o, "orders", "o_orderdate", 90)
-        .unionAll(branch(li, "lineitem", "l_shipdate", 120))
-        .unionAll(branch(ev, "events", "ts", 7))
-    )
-    anchor = parts.agg(F.max("max_event_us").alias("now_us"))
-    stale = F.expr("(now_us - max_event_us) div 86400000000")
-    return parts.crossJoin(F.broadcast(anchor)).select(
-        "table_name",
-        "n_rows",
-        "max_event_us",
-        stale.cast("bigint").alias("staleness_days"),
-        (stale <= F.col("slo_days")).alias("within_slo"),
-    )
-
-
-@register(
-    "power_analysis_ab",
-    """
-    WITH u AS (
-        SELECT user_id,
-               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)     AS saw,
-               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bought
-        FROM events GROUP BY 1
-    ), s AS (
-        SELECT CAST(sum(saw) AS BIGINT) AS n_exposed,
-               CAST(sum(CASE WHEN saw = 1 THEN bought ELSE 0 END) AS BIGINT)
-                                        AS n_converted
-        FROM u
-    )
-    SELECT n_exposed, n_converted,
-           round(p, 6) AS base_rate,
-           round((1.959964 + 0.841621) * sqrt(2.0 * p * (1.0 - p) / narm), 6)
-                        AS mde_abs,
-           round((1.959964 + 0.841621) * sqrt(2.0 * p * (1.0 - p) / narm)
-                 / p, 6) AS mde_rel
-    FROM (SELECT n_exposed, n_converted,
-                 CAST(n_converted AS DOUBLE) / CAST(n_exposed AS DOUBLE) AS p,
-                 CAST(n_exposed AS DOUBLE) / 2.0 AS narm
-          FROM s)
-    """,
-    "A/B power analysis: the minimum detectable effect (absolute and "
-    "relative) for a 50/50 split of the CURRENT exposed population at "
-    "alpha=0.05 (two-sided, z=1.959964) and 80% power (z=0.841621) — "
-    "the question every experimenter asks BEFORE launching "
-    "(ab_test_conversion reads the result out afterwards). Inputs "
-    "are exact integer exposure/conversion counts from one per-user "
-    "collapse + one global aggregate; MDE is a closed-form "
-    "expression of those exact values (sqrt is correctly rounded), "
-    "mirrored symbol-for-symbol on both engines.",
-    tags=("events", "agg", "analytics", "stats"),
-)
-def power_analysis_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    u = ev.groupBy("user_id").agg(
-        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("saw"),
-        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
-            "bought"
-        ),
-    )
-    s = u.agg(
-        F.sum("saw").cast("bigint").alias("n_exposed"),
-        F.sum(F.when(F.col("saw") == 1, F.col("bought")).otherwise(0))
-        .cast("bigint")
-        .alias("n_converted"),
-    )
-    p = F.col("n_converted").cast("double") / F.col("n_exposed").cast("double")
-    narm = F.col("n_exposed").cast("double") / F.lit(2.0)
-    base = s.select("n_exposed", "n_converted", p.alias("p"), narm.alias("narm"))
-    mde = (F.lit(1.959964) + F.lit(0.841621)) * F.sqrt(
-        F.lit(2.0) * F.col("p") * (F.lit(1.0) - F.col("p")) / F.col("narm")
-    )
-    return base.select(
-        "n_exposed",
-        "n_converted",
-        F.round("p", 6).alias("base_rate"),
-        F.round(mde, 6).alias("mde_abs"),
-        F.round(mde / F.col("p"), 6).alias("mde_rel"),
-    )
-
-
-@register(
-    "anomaly_zscore_days",
-    """
-    WITH daily AS (
-        SELECT epoch_us(o_orderdate) // 86400000000 AS day,
-               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))))
-                    AS BIGINT) AS x
-        FROM orders GROUP BY 1
-    ), win AS (
-        SELECT day, x,
-               CAST(count(*) OVER w AS BIGINT)                       AS n,
-               CAST(CAST(sum(x) OVER w AS BIGINT) AS DOUBLE)         AS sx,
-               CAST(CAST(sum(x * x) OVER w AS BIGINT) AS DOUBLE)     AS sxx
-        FROM daily
-        WINDOW w AS (ORDER BY day
-                     RANGE BETWEEN 27 PRECEDING AND 1 PRECEDING)
-    )
-    SELECT day, x AS revenue, n AS window_days,
-           round((CAST(x AS DOUBLE) - sx / CAST(n AS DOUBLE))
-                 / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
-                        / (CAST(n AS DOUBLE) - 1.0)), 4) AS z_score
-    FROM win
-    WHERE n >= 21
-      AND abs((CAST(x AS DOUBLE) - sx / CAST(n AS DOUBLE))
-              / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
-                     / (CAST(n AS DOUBLE) - 1.0))) > 2.5
-    """,
-    "Revenue anomaly detection: each day scored against the "
-    "TRAILING-window mean/stddev (RANGE 27 PRECEDING to 1 PRECEDING "
-    "— the day under test is excluded from its own baseline, the "
-    "classic leakage mistake avoided), flagging |z| > 2.5 days. "
-    "Both moments come from exact BIGINT windowed sums of "
-    "floor-dollar revenue, so the z expression is IEEE-identical "
-    "everywhere; mad_robust_stats is the robust-baseline alternative "
-    "when the window itself contains anomalies. Windows run over the "
-    "~2,400-row daily aggregate.",
-    tags=("agg", "window", "analytics", "timeseries", "stats", "quality"),
-)
-def anomaly_zscore_days(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day")
-    ).agg(
-        F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
-        .cast("bigint")
-        .alias("x")
-    )
-    w = W.orderBy("day").rangeBetween(-27, -1)
-    win = daily.select(
-        "day",
-        "x",
-        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
-        F.sum("x").over(w).cast("bigint").cast("double").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").cast("double").alias("sxx"),
-    )
-    n_d = F.col("n").cast("double")
-    mean = F.col("sx") / n_d
-    sd = F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / n_d) / (n_d - F.lit(1.0)))
-    z = (F.col("x").cast("double") - mean) / sd
-    return win.filter((F.col("n") >= 21) & (F.abs(z) > 2.5)).select(
-        "day",
-        F.col("x").alias("revenue"),
-        F.col("n").alias("window_days"),
-        F.round(z, 4).alias("z_score"),
-    )
-
-
-@register(
-    "basket_size_distribution",
-    """
-    WITH b AS (
-        SELECT l_orderkey, CAST(count(*) AS BIGINT) AS items
-        FROM lineitem GROUP BY 1
-    ), g AS (
-        SELECT items, CAST(count(*) AS BIGINT) AS n_orders FROM b GROUP BY 1
-    )
-    SELECT items, n_orders,
-           round(CAST(n_orders AS DOUBLE)
-                 / CAST(sum(n_orders) OVER () AS DOUBLE), 6) AS share,
-           round(CAST(sum(n_orders) OVER (ORDER BY items
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                      AS DOUBLE)
-                 / CAST(sum(n_orders) OVER () AS DOUBLE), 6) AS cum_share
-    FROM g
-    """,
-    "Basket-size distribution: how many line items per order, with "
-    "per-size share and cumulative share — the order-shape profile "
-    "that sizes market_basket_lift's pair blow-up (pairs per order "
-    "grow with basket² — this query is the denominator evidence "
-    "that the self-join stays bounded). Two partial-combined "
-    "groupBys (orderkey, then the ≤7-value size key); every share "
-    "divides exact BIGINT counts; windows run over the size "
-    "histogram.",
-    tags=("agg", "window", "analytics"),
-)
-def basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    b = li.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("items")
-    )
-    g = b.groupBy("items").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_orders")
-    )
-    w_all = W.partitionBy()
-    w_cum = W.orderBy("items").rowsBetween(W.unboundedPreceding, 0)
-    return g.select(
-        "items",
-        "n_orders",
-        F.round(
-            F.col("n_orders").cast("double")
-            / F.sum("n_orders").over(w_all).cast("double"),
-            6,
-        ).alias("share"),
-        F.round(
-            F.sum("n_orders").over(w_cum).cast("double")
-            / F.sum("n_orders").over(w_all).cast("double"),
-            6,
-        ).alias("cum_share"),
-    )
-
-
-@register(
-    "score_migration_matrix",
-    """
-    WITH scored AS (
-        SELECT o_custkey, o_orderkey,
-               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
-                    THEN 0 ELSE 1 END AS period,
-               (((o_orderkey % 99991) * 31 + (o_custkey % 99991) * 17)
-                 % 99991 % 70000
-                + CASE WHEN o_orderstatus = 'F' THEN 30000 ELSE 0 END)
-               // 20000 AS band
-        FROM orders
-    ), latest AS (
-        SELECT o_custkey, period, band
-        FROM (SELECT o_custkey, period, band,
-                     row_number() OVER (PARTITION BY o_custkey, period
-                                        ORDER BY o_orderkey DESC) AS rn
-              FROM scored)
-        WHERE rn = 1
-    ), paired AS (
-        SELECT a.o_custkey, a.band AS band_from, b.band AS band_to
-        FROM latest a JOIN latest b
-          ON a.o_custkey = b.o_custkey AND a.period = 0 AND b.period = 1
-    )
-    , g AS (
-        SELECT band_from, band_to, CAST(count(*) AS BIGINT) AS n_customers
-        FROM paired GROUP BY 1, 2
-    )
-    SELECT CAST(band_from AS BIGINT) AS band_from,
-           CAST(band_to AS BIGINT)   AS band_to,
-           n_customers,
-           round(CAST(n_customers AS DOUBLE)
-                 / CAST(sum(n_customers) OVER (PARTITION BY band_from)
-                        AS DOUBLE), 6) AS row_share
-    FROM g
-    """,
-    "Credit-band migration matrix: each customer's risk band in the "
-    "development period (pre-1998, via their latest scored order) "
-    "crossed with their band in the current period — row-normalized "
-    "into the transition-probability matrix that drives PD term "
-    "structures and IFRS9 staging (the dynamic counterpart of "
-    "psi_score_drift's static histogram shift). Latest-order-per-"
-    "period selection is a deterministic per-key window "
-    "(row_number over orderkey DESC); the matrix is one "
-    "partial-combined groupBy over the ~25-cell band-pair key; row "
-    "shares divide exact BIGINT counts within a 5-row window "
-    "partition.",
-    tags=("agg", "window", "join", "analytics", "credit"),
-)
-def score_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    score = (
-        ((F.col("o_orderkey") % 99991) * 31 + (F.col("o_custkey") % 99991) * 17)
-        % 99991
-        % 70000
-        + F.when(F.col("o_orderstatus") == "F", 30000).otherwise(0)
-    )
-    scored = o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.when(
-            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 0
-        )
-        .otherwise(1)
-        .alias("period"),
-        F.expr(
-            "((((o_orderkey % 99991) * 31 + (o_custkey % 99991) * 17)"
-            " % 99991 % 70000"
-            " + CASE WHEN o_orderstatus = 'F' THEN 30000 ELSE 0 END)"
-            ") div 20000"
-        ).alias("band"),
-    )
-    w_latest = W.partitionBy("o_custkey", "period").orderBy(
-        F.desc("o_orderkey")
-    )
-    latest = (
-        scored.withColumn("rn", F.row_number().over(w_latest))
-        .filter(F.col("rn") == 1)
-        .select("o_custkey", "period", "band")
-    )
-    a = latest.filter(F.col("period") == 0).select(
-        "o_custkey", F.col("band").alias("band_from")
-    )
-    b = latest.filter(F.col("period") == 1).select(
-        "o_custkey", F.col("band").alias("band_to")
-    )
-    paired = a.join(b, "o_custkey")
-    g = paired.groupBy("band_from", "band_to").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_customers")
-    )
-    w_row = W.partitionBy("band_from")
-    return g.select(
-        F.col("band_from").cast("bigint").alias("band_from"),
-        F.col("band_to").cast("bigint").alias("band_to"),
-        "n_customers",
-        F.round(
-            F.col("n_customers").cast("double")
-            / F.sum("n_customers").over(w_row).cast("double"),
-            6,
-        ).alias("row_share"),
-    )
-
-
-@register(
-    "skyline_price_size",
-    """
-    WITH p AS (
-        SELECT p_partkey, p_size,
-               CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents
-        FROM part
-    ), swept AS (
-        SELECT p_partkey, p_size, price_cents,
-               max(p_size) OVER (ORDER BY price_cents
-                    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                   AS best_cheaper,
-               max(p_size) OVER (PARTITION BY price_cents) AS best_same
-        FROM p
-    )
-    SELECT p_partkey,
-           CAST(p_size AS BIGINT) AS p_size,
-           price_cents
-    FROM swept
-    WHERE (best_cheaper IS NULL OR p_size > best_cheaper)
-      AND p_size = best_same
-    ORDER BY price_cents, p_partkey
-    """,
-    "Skyline (Pareto-frontier) query: parts not dominated on "
-    "(cheaper-or-equal price, larger-or-equal size, strict "
-    "somewhere) — the preference-query operator class (the "
-    "sort-filter-skyline algorithm) without the naive O(n^2) "
-    "dominance self-join: one sort by exact integer cents, a "
-    "running max over the STRICTLY-cheaper prefix (RANGE frame "
-    "excludes price peers), and a per-price-group max for the "
-    "equal-price dominance case. Floor-cents pricing makes sort and "
-    "maxima integer-deterministic. At 100 TB: range-partition by "
-    "price + per-partition sweep + broadcast partition maxima — the "
-    "global_prefix_sum shape with max as the monoid.",
-    tags=("window", "analytics"),
-)
-def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = t(spark, sf_dir, "part").select(
-        "p_partkey",
-        "p_size",
-        F.floor(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
-    )
-    w_cheaper = W.orderBy("price_cents").rangeBetween(W.unboundedPreceding, -1)
-    swept = p.select(
-        "p_partkey",
-        "p_size",
-        "price_cents",
-        F.max("p_size").over(w_cheaper).alias("best_cheaper"),
-        F.max("p_size").over(W.partitionBy("price_cents")).alias("best_same"),
-    )
-    return (
-        swept.filter(
-            (
-                F.col("best_cheaper").isNull()
-                | (F.col("p_size") > F.col("best_cheaper"))
-            )
-            & (F.col("p_size") == F.col("best_same"))
-        )
-        .select(
-            "p_partkey",
-            F.col("p_size").cast("bigint").alias("p_size"),
-            "price_cents",
-        )
-        .orderBy("price_cents", "p_partkey")
-    )
-
-
-@register(
-    "cdf_transform_vs_reference",
-    """
-    WITH px AS (
-        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS price,
-               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
-                    THEN 1 ELSE 0 END AS is_ref
-        FROM orders
-    ), sw AS (
-        SELECT price, is_ref,
-               CAST(sum(is_ref) OVER (ORDER BY price, is_ref DESC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS cum_ref,
-               CAST(sum(is_ref) OVER () AS BIGINT) AS n_ref
-        FROM px
-    ), cur AS (
-        SELECT least(CAST((cum_ref * 10) // n_ref AS BIGINT), 9) AS decile
-        FROM sw WHERE is_ref = 0
-    ), b AS (
-        SELECT decile, CAST(count(*) AS BIGINT) AS n FROM cur GROUP BY 1
-    )
-    , w AS (
-        SELECT decile, n,
-               CAST(sum(n) OVER () AS BIGINT) AS tot,
-               CAST(sum(n) OVER (ORDER BY decile
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS cum
-        FROM b
-    )
-    SELECT decile, n,
-           round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
-           round(max(abs(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
-                         - CAST(decile + 1 AS DOUBLE) / 10.0)) OVER (), 6)
-                                                             AS ks_vs_uniform
-    FROM w
-    """,
-    "CDF / quantile-normalization transform: every current-period "
-    "order amount mapped to its percentile under the 1995-1997 "
-    "REFERENCE distribution (the feature-preprocessing step that "
-    "makes scores comparable across vintages), then the decile "
-    "histogram of those percentiles plus a decile-level KS against "
-    "uniform — if the distribution hadn't drifted, the transform "
-    "would be uniform by construction. The rank lookup is a "
-    "sweep-line: union both periods, sort by exact cents (reference "
-    "rows first within a tie so the CDF is <=), cumulative count of "
-    "reference rows — on the Spark side this runs through "
-    "global_prefix_sum (range-partitioned two-pass), never a "
-    "single-partition window over the fact union. Deciles and "
-    "shares are exact-integer arithmetic.",
-    tags=("agg", "window", "analytics", "stats", "ml"),
-)
-def cdf_transform_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.relational import global_prefix_sum
-
-    o = t(spark, sf_dir, "orders")
-    px = o.select(
-        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("price"),
-        F.when(
-            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 1
-        )
-        .otherwise(0)
-        .alias("is_ref"),
-    )
-    swept = global_prefix_sum(
-        px.withColumn("neg_ref", -F.col("is_ref")),
-        order_cols=["price", "neg_ref"],
-        value_col="is_ref",
-        out_col="cum_ref",
-    )
-    n_ref = px.agg(F.sum("is_ref").cast("bigint").alias("n_ref"))
-    cur = (
-        swept.filter(F.col("is_ref") == 0)
-        .crossJoin(F.broadcast(n_ref))
-        .select(
-            F.least(
-                F.expr("(cum_ref * 10) div n_ref").cast("bigint"), F.lit(9)
-            ).alias("decile")
-        )
-    )
-    b = cur.groupBy("decile").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    w_all = W.partitionBy()
-    w_cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
-    ecdf_gap = F.abs(
-        F.sum("n").over(w_cum).cast("double")
-        / F.sum("n").over(w_all).cast("double")
-        - (F.col("decile") + 1).cast("double") / F.lit(10.0)
-    )
-    return b.select(
-        "decile",
-        "n",
-        F.round(
-            F.col("n").cast("double") / F.sum("n").over(w_all).cast("double"), 6
-        ).alias("share"),
-        F.round(F.max(ecdf_gap).over(w_all), 6).alias("ks_vs_uniform"),
-    )
-
-
-@register(
-    "fulfillment_lag_distribution",
-    """
-    WITH lag_days AS (
-        SELECT (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
-               // 86400000000 AS d
-        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    ), banded AS (
-        SELECT CASE WHEN d < 0 THEN 'pre-dated'
-                    WHEN d <= 7 THEN '0-7d'
-                    WHEN d <= 30 THEN '8-30d'
-                    WHEN d <= 90 THEN '31-90d'
-                    ELSE '90d+' END AS sla_band,
-               d
-        FROM lag_days
-    )
-    SELECT sla_band,
-           CAST(count(*) AS BIGINT)        AS n_lines,
-           CAST(min(d) AS BIGINT)          AS min_days,
-           CAST(max(d) AS BIGINT)          AS max_days,
-           round(CAST(count(*) AS DOUBLE)
-                 / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
-    FROM banded GROUP BY 1
-    """,
-    "Order-fulfillment SLA distribution: ship-date minus order-date "
-    "lag for every line item, banded into operational SLA buckets "
-    "with shares — the logistics health readout (and a referential "
-    "sanity check: a 'pre-dated' band would mean shipments before "
-    "their order, the time-travel data bug). Lag is pure integer "
-    "epoch arithmetic; the join shuffles only the two key+date "
-    "columns; one partial-combined groupBy on a 5-value band key.",
-    tags=("join", "agg", "analytics", "quality", "timeseries"),
-)
-def fulfillment_lag_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    lag_days = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        F.expr(
-            "(unix_micros(l_shipdate) - unix_micros(o_orderdate))"
-            " div 86400000000"
-        ).alias("d")
-    )
-    banded = lag_days.select(
-        F.when(F.col("d") < 0, "pre-dated")
-        .when(F.col("d") <= 7, "0-7d")
-        .when(F.col("d") <= 30, "8-30d")
-        .when(F.col("d") <= 90, "31-90d")
-        .otherwise("90d+")
-        .alias("sla_band"),
-        "d",
-    )
-    g = banded.groupBy("sla_band").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-        F.min("d").cast("bigint").alias("min_days"),
-        F.max("d").cast("bigint").alias("max_days"),
-    )
-    return g.select(
-        "sla_band",
-        "n_lines",
-        "min_days",
-        "max_days",
-        F.round(
-            F.col("n_lines").cast("double")
-            / F.sum("n_lines").over(W.partitionBy()).cast("double"),
-            6,
-        ).alias("share"),
-    )
-
-
-@register(
-    "duplicate_transaction_detection",
-    """
-    WITH keyed AS (
-        SELECT o_custkey,
-               CAST(floor(o_totalprice * 100) AS BIGINT) AS amount_cents,
-               epoch_us(o_orderdate) // 86400000000      AS day,
-               o_orderkey
-        FROM orders
-    ), dupes AS (
-        SELECT o_custkey, amount_cents, day,
-               CAST(count(*) AS BIGINT)      AS n_orders,
-               CAST(min(o_orderkey) AS BIGINT) AS first_orderkey,
-               CAST(max(o_orderkey) AS BIGINT) AS last_orderkey
-        FROM keyed
-        GROUP BY 1, 2, 3
-        HAVING count(*) > 1
-    )
-    SELECT * FROM dupes ORDER BY o_custkey, amount_cents, day
-    """,
-    "Duplicate-transaction detection: orders sharing (customer, "
-    "exact cent amount, same day) — the double-charge / replay "
-    "screen every payments and lending ledger runs (same shape as "
-    "exact_dedup_docs but on a composite business key instead of a "
-    "content hash). One partial-combined groupBy on the composite "
-    "key; HAVING keeps only collision groups, so the output is the "
-    "exception list, not the ledger. All key components are exact "
-    "integers (floor-cents, epoch days).",
-    tags=("agg", "quality", "dedup", "analytics"),
-)
-def duplicate_transaction_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    keyed = o.select(
-        "o_custkey",
-        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("amount_cents"),
-        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
-        "o_orderkey",
-    )
-    return (
-        keyed.groupBy("o_custkey", "amount_cents", "day")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.min("o_orderkey").cast("bigint").alias("first_orderkey"),
-            F.max("o_orderkey").cast("bigint").alias("last_orderkey"),
-        )
-        .filter(F.col("n_orders") > 1)
-        .orderBy("o_custkey", "amount_cents", "day")
-    )
-
-
-@register(
-    "survival_kaplan_meier",
-    """
-    WITH days AS (
-        SELECT o_custkey,
-               epoch_us(o_orderdate) // 86400000000 AS day
-        FROM orders
-    ), bounds AS (
-        SELECT max(day) AS obs_end FROM days
-    ), cust AS (
-        SELECT o_custkey, min(day) AS first_day, max(day) AS last_day
-        FROM days GROUP BY 1
-    ), labeled AS (
-        SELECT (last_day - first_day) // 90 AS band,
-               CASE WHEN last_day <= (SELECT obs_end FROM bounds) - 90
-                    THEN 1 ELSE 0 END AS event
-        FROM cust
-    ), banded AS (
-        SELECT band,
-               CAST(sum(event) AS BIGINT)            AS n_churned,
-               CAST(count(*) - sum(event) AS BIGINT) AS n_censored
-        FROM labeled GROUP BY 1
-    ), risk AS (
-        SELECT band, n_churned, n_censored,
-               CAST(sum(n_churned + n_censored) OVER ()
-                    - coalesce(sum(n_churned + n_censored) OVER (
-                          ORDER BY band
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                    AS BIGINT) AS n_at_risk
-        FROM banded
-    ), km AS (
-        SELECT band, n_churned, n_censored, n_at_risk,
-               CAST(sum(CASE WHEN n_at_risk = n_churned THEN NULL
-                        ELSE CAST(round(ln(CAST(n_at_risk - n_churned AS DOUBLE)
-                                          / CAST(n_at_risk AS DOUBLE)) * 1e9)
-                                  AS BIGINT) END)
-                    OVER (ORDER BY band
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS log_surv_nano,
-               max(CASE WHEN n_at_risk = n_churned THEN 1 ELSE 0 END)
-                   OVER (ORDER BY band
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS hit_zero
-        FROM risk
-    )
-    SELECT CAST(band AS BIGINT)      AS tenure_band,
-           CAST(band * 90 AS BIGINT) AS band_start_day,
-           n_churned, n_censored, n_at_risk,
-           CASE WHEN hit_zero = 1 THEN NULL ELSE log_surv_nano END AS log_surv_nano,
-           CASE WHEN hit_zero = 1 THEN 0.0
-                ELSE round(exp(CAST(log_surv_nano AS DOUBLE) / 1e9), 6)
-           END AS survival
-    FROM km ORDER BY tenure_band
-    """,
-    "Kaplan-Meier survival estimator over customer tenure: per "
-    "customer, tenure = days between first and last order banded to "
-    "90-day intervals; churn event if the last order predates the "
-    "observation end by >90 days, else right-censored (still active "
-    "at cutoff — exactly what naive churn rates get wrong). "
-    "S(t) = prod_{u<=t} (n_u - d_u)/n_u with the standard "
-    "deaths-before-censorings-at-equal-time convention. Determinism: "
-    "d/c/n are exact BIGINTs; each band's log-hazard contribution is "
-    "rounded to integer nano-units and cumulated as BIGINT "
-    "(associative), so the only cross-engine float ops are one ln "
-    "and one exp per band over identical exact inputs. Scale: one "
-    "fact-sized groupBy(custkey), then all windows run on the "
-    "~30-row band frame; the observation-end scalar is a broadcast "
-    "1-row aggregate, not a driver collect.",
-    tags=("agg", "window", "analytics", "stats", "timeseries"),
-)
-def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    days = o.select(
-        "o_custkey",
-        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
-    )
-    bounds = days.agg(F.max("day").alias("obs_end"))
-    cust = days.groupBy("o_custkey").agg(
-        F.min("day").alias("first_day"), F.max("day").alias("last_day")
-    )
-    labeled = cust.crossJoin(F.broadcast(bounds)).select(
-        F.expr("(last_day - first_day) div 90").alias("band"),
-        F.when(F.col("last_day") <= F.col("obs_end") - 90, 1)
-        .otherwise(0)
-        .alias("event"),
-    )
-    banded = labeled.groupBy("band").agg(
-        F.sum("event").cast("bigint").alias("n_churned"),
-        (F.count(F.lit(1)) - F.sum("event")).cast("bigint").alias("n_censored"),
-    )
-    exits = F.col("n_churned") + F.col("n_censored")
-    w_all = W.partitionBy()
-    w_prior = W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
-    w_cum = W.orderBy("band").rowsBetween(W.unboundedPreceding, 0)
-    risk = banded.select(
-        "band",
-        "n_churned",
-        "n_censored",
-        (
-            F.sum(exits).over(w_all)
-            - F.coalesce(F.sum(exits).over(w_prior), F.lit(0))
-        )
-        .cast("bigint")
-        .alias("n_at_risk"),
-    )
-    contrib = F.when(F.col("n_at_risk") == F.col("n_churned"), F.lit(None)).otherwise(
-        F.round(
-            F.log(
-                (F.col("n_at_risk") - F.col("n_churned")).cast("double")
-                / F.col("n_at_risk").cast("double")
-            )
-            * 1e9
-        ).cast("bigint")
-    )
-    km = risk.select(
-        "band",
-        "n_churned",
-        "n_censored",
-        "n_at_risk",
-        F.sum(contrib).over(w_cum).cast("bigint").alias("log_surv_nano"),
-        F.max(
-            F.when(F.col("n_at_risk") == F.col("n_churned"), 1).otherwise(0)
-        )
-        .over(w_cum)
-        .alias("hit_zero"),
-    )
-    return (
-        km.select(
-            F.col("band").cast("bigint").alias("tenure_band"),
-            (F.col("band") * 90).cast("bigint").alias("band_start_day"),
-            "n_churned",
-            "n_censored",
-            "n_at_risk",
-            F.when(F.col("hit_zero") == 1, F.lit(None).cast("bigint"))
-            .otherwise(F.col("log_surv_nano"))
-            .alias("log_surv_nano"),
-            F.when(F.col("hit_zero") == 1, F.lit(0.0))
-            .otherwise(
-                F.round(F.exp(F.col("log_surv_nano").cast("double") / 1e9), 6)
-            )
-            .alias("survival"),
-        )
-        .orderBy("tenure_band")
-    )
-
-
-_JOURNEY_PATTERNS: list[tuple[str, str]] = [
-    # (name, regex) — intersection of Java-regex and RE2 semantics
-    # only (literals, classes, anchors, ?, *, |), so Spark RLIKE and
-    # DuckDB regexp_matches agree by construction.
-    ("converted", "p"),
-    ("direct_view_purchase", "vc?p"),
-    ("error_before_purchase", "e[^p]*p"),
-    ("signup_first_event", "^s"),
-    ("clicked_never_purchased", "^[^p]*c[^p]*$"),
-    ("single_event_bounce", "^.$"),
-]
-
-
-@register(
-    "journey_pattern_match",
-    """
-    WITH j AS (
-        SELECT user_id,
-               string_agg(CASE event_type WHEN 'signup' THEN 's'
-                                          WHEN 'view' THEN 'v'
-                                          WHEN 'click' THEN 'c'
-                                          WHEN 'purchase' THEN 'p'
-                                          ELSE 'e' END,
-                          '' ORDER BY ts, event_id) AS journey
-        FROM events GROUP BY 1
-    ), agg AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_total,
-               CAST(sum(CASE WHEN regexp_matches(journey, 'p') THEN 1 ELSE 0 END) AS BIGINT) AS m0,
-               CAST(sum(CASE WHEN regexp_matches(journey, 'vc?p') THEN 1 ELSE 0 END) AS BIGINT) AS m1,
-               CAST(sum(CASE WHEN regexp_matches(journey, 'e[^p]*p') THEN 1 ELSE 0 END) AS BIGINT) AS m2,
-               CAST(sum(CASE WHEN regexp_matches(journey, '^s') THEN 1 ELSE 0 END) AS BIGINT) AS m3,
-               CAST(sum(CASE WHEN regexp_matches(journey, '^[^p]*c[^p]*$') THEN 1 ELSE 0 END) AS BIGINT) AS m4,
-               CAST(sum(CASE WHEN regexp_matches(journey, '^.$') THEN 1 ELSE 0 END) AS BIGINT) AS m5
-        FROM j
-    )
-    SELECT p.pattern, p.n_users, a.n_total,
-           round(CAST(p.n_users AS DOUBLE) / CAST(a.n_total AS DOUBLE), 6) AS share
-    FROM agg a, (
-        SELECT 'converted' AS pattern, m0 AS n_users FROM agg
-        UNION ALL SELECT 'direct_view_purchase', m1 FROM agg
-        UNION ALL SELECT 'error_before_purchase', m2 FROM agg
-        UNION ALL SELECT 'signup_first_event', m3 FROM agg
-        UNION ALL SELECT 'clicked_never_purchased', m4 FROM agg
-        UNION ALL SELECT 'single_event_bounce', m5 FROM agg
-    ) p
-    ORDER BY p.pattern
-    """,
-    "MATCH_RECOGNIZE-style sequence pattern matching: each user's "
-    "event history becomes an ordered journey string (one char per "
-    "event, tie-broken by event_id), and regular expressions over "
-    "journeys count behavioral cohorts — conversion, direct "
-    "view-to-purchase, error-before-purchase recovery, abandonment. "
-    "The regex subset is the Java-regex / RE2 intersection so both "
-    "engines match identically. Scale: one groupBy(user_id) builds "
-    "journeys (bounded per-user state, the sessionization shape); "
-    "all six patterns evaluate in the same projection pass (one "
-    "scan, no per-pattern re-aggregation); the final unpivot runs "
-    "on a 1-row aggregate.",
-    tags=("window", "analytics", "text", "funnel"),
-)
-def journey_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    ch = (
-        F.when(F.col("event_type") == "signup", "s")
-        .when(F.col("event_type") == "view", "v")
-        .when(F.col("event_type") == "click", "c")
-        .when(F.col("event_type") == "purchase", "p")
-        .otherwise("e")
-    )
-    j = (
-        ev.select("user_id", F.struct("ts", "event_id", ch.alias("ch")).alias("s"))
-        .groupBy("user_id")
-        .agg(
-            F.array_join(
-                F.transform(F.array_sort(F.collect_list("s")), lambda x: x["ch"]),
-                "",
-            ).alias("journey")
-        )
-    )
-    flags = [
-        F.sum(F.when(F.col("journey").rlike(rx), 1).otherwise(0))
-        .cast("bigint")
-        .alias(f"m{i}")
-        for i, (_, rx) in enumerate(_JOURNEY_PATTERNS)
-    ]
-    agg = j.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"), *flags)
-    stack_args = ", ".join(
-        f"'{name}', m{i}" for i, (name, _) in enumerate(_JOURNEY_PATTERNS)
-    )
-    return (
-        agg.select(
-            F.expr(
-                f"stack({len(_JOURNEY_PATTERNS)}, {stack_args}) AS (pattern, n_users)"
-            ),
-            "n_total",
-        )
-        .select(
-            "pattern",
-            "n_users",
-            "n_total",
-            F.round(
-                F.col("n_users").cast("double") / F.col("n_total").cast("double"), 6
-            ).alias("share"),
-        )
-        .orderBy("pattern")
-    )
-
-
-@register(
-    "collated_aggregation",
-    """
-    WITH noisy AS (
-        SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
-                    ELSE lower(c_mktsegment) END AS seg_noisy,
-               c_acctbal
-        FROM customer
-    )
-    SELECT lower(seg_noisy)                                   AS segment,
-           CAST(count(*) AS BIGINT)                           AS n_customers,
-           CAST(count(DISTINCT seg_noisy) AS BIGINT)          AS n_spellings,
-           round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2)    AS sum_acctbal
-    FROM noisy GROUP BY lower(seg_noisy) ORDER BY segment
-    """,
-    "Case-insensitive grouping via engine-native collation: the keys "
-    "carry mixed-case noise (synthesized deterministically from the "
-    "key parity — the dirty-CRM reality), and Spark groups on "
-    "collate(key, 'UTF8_LCASE') — Spark 4's collation type system — "
-    "rather than wrapping keys in lower(). At scale the collated "
-    "column keeps its column identity through the aggregation "
-    "(collation-aware hash/codegen), where an expression-wrapped key "
-    "defeats per-column statistics; the oracle proves the semantics "
-    "equal the lower() rewrite. n_spellings witnesses real folding "
-    "(2 spellings collapse per group). DECIMAL partial sums keep the "
-    "money total layout-stable.",
-    tags=("agg", "functions", "sql"),
-)
-def collated_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = t(spark, sf_dir, "customer")
-    noisy = c.select(
-        F.when(F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment"))
-        .otherwise(F.lower("c_mktsegment"))
-        .alias("seg_noisy"),
-        "c_acctbal",
-    )
-    return (
-        noisy.groupBy(F.collate(F.col("seg_noisy"), "UTF8_LCASE").alias("k"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-            F.count_distinct(
-                # count distinct RAW spellings inside the collated group
-                F.collate(F.col("seg_noisy"), "UTF8_BINARY")
-            )
-            .cast("bigint")
-            .alias("n_spellings"),
-            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2).alias(
-                "sum_acctbal"
-            ),
-        )
-        .select(
-            # canonical output key: collation-free lowercase string
-            F.collate(F.lower(F.col("k")), "UTF8_BINARY").alias("segment"),
-            "n_customers",
-            "n_spellings",
-            "sum_acctbal",
-        )
-        .orderBy("segment")
-    )
-
-
-@register(
-    "shortest_path_trade_cost",
-    """
-    WITH d AS (
-        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
-               count(*) AS n_trades
-        FROM lineitem l
-        JOIN orders o   ON l.l_orderkey = o.o_orderkey
-        JOIN customer c ON o.o_custkey  = c.c_custkey
-        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
-        WHERE s.s_nationkey <> c.c_nationkey
-        GROUP BY 1, 2
-    ), e AS (
-        SELECT src, dst, 1 + (n_trades % 3) AS w FROM d
-    ), r AS (
-        WITH RECURSIVE reach(node, dist) AS (
-            SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
-            UNION
-            SELECT CAST(e.dst AS BIGINT), CAST(reach.dist + e.w AS BIGINT)
-            FROM reach JOIN e ON e.src = reach.node
-            WHERE reach.dist + e.w <= 30
-        )
-        SELECT node, min(dist) AS min_cost FROM reach GROUP BY 1
-    )
-    SELECT n.n_name                    AS nation,
-           CAST(r.node AS BIGINT)      AS nationkey,
-           CAST(r.min_cost AS BIGINT)  AS min_cost
-    FROM r JOIN nation n ON n.n_nationkey = r.node
-    ORDER BY min_cost, nationkey
-    """,
-    "Weighted single-source shortest path (Bellman-Ford) over the "
-    "directed nation trade graph: edge weight derived from trade "
-    "volume (small exact integers, so min-plus relaxation is exact "
-    "arithmetic with no float ties), source = nation 0. The Spark "
-    "side runs distributed Bellman-Ford — per iteration one "
-    "edges-join + groupBy(node).min relaxation, lineage truncated "
-    "per round, early exit when an iteration improves nothing (the "
-    "same iterate-to-fixpoint harness as neardup_clusters' connected "
-    "components). Iterations are bounded by path diameter, not edge "
-    "count; the fact-sized work is the one-time edge extraction, "
-    "after which relaxations run on the node-scale frontier. The "
-    "oracle's bounded recursive CTE enumerates (node, dist) pairs "
-    "distinctly with a cost cap, which terminates on cyclic graphs.",
-    tags=("graph", "join", "iterative"),
-)
-def shortest_path_trade_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nation = t(spark, sf_dir, "nation")
-
-    edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
-        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
-        .groupBy(
-            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("n_trades"))
-        .select("src", "dst", (1 + F.col("n_trades") % 3).alias("w"))
-        .localCheckpoint(eager=True)  # edge extraction runs once, not per iteration
-    )
-
-    dist = edges.sparkSession.createDataFrame(
-        [(0, 0)], "node bigint, dist bigint"
-    )
-    for _ in range(24):  # |V| - 1 relaxation rounds max; early exit below
-        relaxed = (
-            dist.join(edges, dist.node == edges.src)
-            .select(
-                F.col("dst").cast("bigint").alias("node"),
-                (F.col("dist") + F.col("w")).cast("bigint").alias("dist"),
-            )
-            .unionByName(dist)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
-        )
-        improved = (
-            relaxed.alias("r")
-            .join(dist.alias("d"), F.col("r.node") == F.col("d.node"), "left")
-            .filter(
-                F.col("d.dist").isNull() | (F.col("r.dist") < F.col("d.dist"))
-            )
-            .count()
-        )
-        dist = relaxed
-        if improved == 0:
-            break
-
-    return (
-        dist.filter(F.col("dist") <= 30)
-        .join(F.broadcast(nation), F.col("node") == F.col("n_nationkey"))
-        .select(
-            F.col("n_name").alias("nation"),
-            F.col("node").cast("bigint").alias("nationkey"),
-            F.col("dist").cast("bigint").alias("min_cost"),
-        )
-        .orderBy("min_cost", "nationkey")
-    )
-
-
-@register(
-    "video_frame_sample_plan",
-    """
-    WITH meta AS (
-        SELECT doc_id, 1000 + (n_chars * 37) % 59000 AS duration_ms
-        FROM documents WHERE doc_id % 20 = 0
-    )
-    SELECT m.doc_id,
-           CAST(f.frame_idx AS INT)                              AS frame_idx,
-           CAST((f.frame_idx * m.duration_ms) // 8 AS BIGINT)    AS t_ms,
-           substr(md5(CAST(m.doc_id AS VARCHAR) || ':' ||
-                      CAST(CAST((f.frame_idx * m.duration_ms) // 8 AS BIGINT)
-                           AS VARCHAR)), 1, 16) AS frame_key
-    FROM meta m, LATERAL (
-        SELECT unnest(generate_series(0, 7)) AS frame_idx
-    ) f
-    ORDER BY m.doc_id, frame_idx
-    """,
-    "Multimodal video pipeline front half: uniform 8-frame sampling "
-    "plan per clip from duration metadata (deterministically "
-    "synthesized here — the container has no codecs, so payloads are "
-    "stand-ins; the metadata path is the real contract). The plan is "
-    "pure native sequence+explode: at 100 TB the decode (stubbed in "
-    "operators/multimodal.py decode_frames_stub, exercised in tests) "
-    "fans out over exactly the sampled frames — 8 rows per clip — "
-    "never whole clips, and each frame row carries a content-address "
-    "key (md5) for the downstream feature store. No Python in this "
-    "plan; the stub decoder is Arrow-batched mapInPandas.",
-    tags=("multimodal", "generator"),
-)
-def video_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.multimodal import frame_sample_plan
-
-    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
-    meta = docs.select(
-        "doc_id", (1000 + (F.col("n_chars") * 37) % 59000).alias("duration_ms")
-    )
-    plan = frame_sample_plan(meta, n_frames=8)
-    return plan.select(
-        "doc_id",
-        "frame_idx",
-        "t_ms",
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    ":",
-                    F.col("doc_id").cast("string"),
-                    F.col("t_ms").cast("string"),
-                )
-            ),
-            1,
-            16,
-        ).alias("frame_key"),
-    ).orderBy("doc_id", "frame_idx")
-
-
-@register(
-    "als_recommendations",
-    None,  # iterative stochastic factorization — engine-specific, rows-only
-    "Collaborative-filtering recommendations via MLlib ALS on the "
-    "implicit customer x part purchase matrix (quantity-weighted). "
-    "Distributed alternating least squares: both factor matrices are "
-    "block-partitioned, each iteration solves per-block normal "
-    "equations — the standard 100 TB-scale recommender shape (no "
-    "driver-side matrix ever materializes). Seeded and "
-    "coldStartStrategy=drop; output is top-3 parts for the 10 "
-    "lowest-key customers. Rows-only check: the factorization is "
-    "engine-specific (init + partition order), so no cross-engine "
-    "oracle exists; invariant tests pin recommendation count, "
-    "catalog membership, and score finiteness.",
-    tags=("ml", "recommendation", "iterative"),
-)
-def als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.recommendation import ALS
-
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    ratings = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy(
-            F.col("o_custkey").cast("int").alias("user"),
-            F.col("l_partkey").cast("int").alias("item"),
-        )
-        .agg(F.sum("l_quantity").cast("float").alias("rating"))
-    )
-    als = ALS(
-        rank=8,
-        maxIter=5,
-        regParam=0.1,
-        implicitPrefs=True,
-        alpha=1.0,
-        seed=42,
-        userCol="user",
-        itemCol="item",
-        ratingCol="rating",
-        coldStartStrategy="drop",
-    )
-    model = als.fit(ratings)
-    users = ratings.select("user").distinct().filter(F.col("user") <= 10)
-    recs = model.recommendForUserSubset(users, 3)
-    return recs.select(
-        F.col("user").cast("bigint").alias("custkey"),
-        F.posexplode("recommendations").alias("rec_rank", "rec"),
-    ).select(
-        "custkey",
-        (F.col("rec_rank") + 1).cast("int").alias("rec_rank"),
-        F.col("rec.item").cast("bigint").alias("partkey"),
-    )
-
-
-@register(
-    "fpgrowth_frequent_itemsets",
-    """
-    WITH b AS (
-        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
-    ), nb AS (
-        SELECT count(DISTINCT l_orderkey) AS n FROM b
-    ), thresh AS (
-        SELECT CAST(ceil(0.0023 * n) AS BIGINT) AS m FROM nb
-    ), singles AS (
-        SELECT CAST(l_suppkey AS VARCHAR) AS itemset,
-               1 AS set_size,
-               CAST(count(*) AS BIGINT) AS support
-        FROM b GROUP BY l_suppkey
-        HAVING count(*) >= (SELECT m FROM thresh)
-    ), pairs AS (
-        SELECT CAST(x.l_suppkey AS VARCHAR) || ',' ||
-               CAST(y.l_suppkey AS VARCHAR) AS itemset,
-               2 AS set_size,
-               CAST(count(*) AS BIGINT) AS support
-        FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
-                         AND x.l_suppkey < y.l_suppkey
-        GROUP BY x.l_suppkey, y.l_suppkey
-        HAVING count(*) >= (SELECT m FROM thresh)
-    )
-    SELECT itemset, CAST(set_size AS INT) AS set_size, support
-    FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
-    ORDER BY set_size, itemset
-    """,
-    "Frequent-itemset mining via MLlib's distributed FP-Growth "
-    "(PFP: parallel FP-trees over group-dependent shards, "
-    "SIGKDD'08 algorithm) on supplier co-purchase baskets, "
-    "minSupport 0.23% of baskets. The oracle enumerates the size<=2 "
-    "lattice exactly (distinct-pair self-join with the identical "
-    "ceil-threshold rule), so the miner's counts are hash-checked "
-    "against ground truth — output filtered to size<=2 to keep the "
-    "oracle exact at any scale factor (larger itemsets, when they "
-    "clear support, are validated by the monotonicity test instead). "
-    "Scale: baskets shuffle once on orderkey; FP-trees never "
-    "materialize the pair lattice, which is why FP-Growth beats the "
-    "self-join at 100 TB while the self-join stays the perfect "
-    "small-scale oracle.",
-    tags=("ml", "mining", "agg"),
-)
-def fpgrowth_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.fpm import FPGrowth
-
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    baskets = (
-        li.groupBy("l_orderkey")
-        .agg(F.collect_set("l_suppkey").alias("items"))
-        .select("items")
-        .cache()  # PFP iterates the baskets; uncached it re-aggregates per pass
-    )
-    model = FPGrowth(
-        itemsCol="items", minSupport=0.0023, minConfidence=0.5
-    ).fit(baskets)
-    return (
-        model.freqItemsets.filter(F.size("items") <= 2)
-        .select(
-            F.array_join(F.array_sort("items"), ",").alias("itemset"),
-            F.size("items").cast("int").alias("set_size"),
-            F.col("freq").cast("bigint").alias("support"),
-        )
-        .orderBy("set_size", "itemset")
-    )
-
-
-@register(
-    "bitmap_distinct_count",
-    """
-    SELECT l_returnflag, l_linestatus,
-           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct_parts,
-           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_distinct_supps
-    FROM lineitem
-    GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-    "Exact distinct counting through bitmap indexes (Spark "
-    "bitmap_construct_agg / bitmap_or_agg / bitmap_count): keys hash "
-    "to (bucket, bit-position), per-bucket bitmaps build map-side, "
-    "and the final count is the sum of per-bucket popcounts. This is "
-    "the re-aggregatable exact-distinct pattern for 100 TB: partial "
-    "bitmap OR is associative and bounded (one ~4 KB bitmap per "
-    "bucket) where count(DISTINCT) expands every key through the "
-    "shuffle, and the bitmaps can persist as an incremental-refresh "
-    "distinct sketch with NO approximation (vs HLL's error bound). "
-    "The oracle is plain count(DISTINCT) — the bitmap path must be "
-    "exactly equal, not approximately.",
-    tags=("agg", "sketch", "functions"),
-)
-def bitmap_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-
-    def two_level(key: str, out: str) -> DataFrame:
-        # level 1: one bitmap per (group, bucket) — map-side partials OR
-        # together; level 2: popcount-sum over buckets. Each key needs
-        # its OWN bucket grouping (sharing one would split a key's
-        # bitmap across the other key's buckets and double-count).
-        per_bucket = li.groupBy(
-            "l_returnflag",
-            "l_linestatus",
-            F.expr(f"bitmap_bucket_number({key})").alias("bkt"),
-        ).agg(
-            F.expr(f"bitmap_construct_agg(bitmap_bit_position({key}))").alias("bm")
-        )
-        return per_bucket.groupBy("l_returnflag", "l_linestatus").agg(
-            F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias(out)
-        )
-
-    parts = two_level("l_partkey", "n_distinct_parts")
-    supps = two_level("l_suppkey", "n_distinct_supps")
-    return (
-        parts.join(supps, ["l_returnflag", "l_linestatus"])
-        .select(
-            "l_returnflag",
-            "l_linestatus",
-            "n_distinct_parts",
-            "n_distinct_supps",
-        )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
-
-
-@register(
-    "prefixspan_sequential_patterns",
-    """
-    WITH keyed AS (
-        -- one orderable key per event; ties broken by event_id exactly
-        -- as the Spark sequence construction sorts (ts, event_id)
-        SELECT user_id, event_type,
-               CAST(epoch_us(ts) AS HUGEINT) * 10000000 + event_id AS k
-        FROM events
-    ), spans AS (
-        SELECT user_id, event_type, min(k) AS first_k, max(k) AS last_k
-        FROM keyed GROUP BY 1, 2
-    ), n_seq AS (
-        SELECT count(DISTINCT user_id) AS n FROM keyed
-    ), singles AS (
-        SELECT event_type AS pattern, CAST(count(*) AS BIGINT) AS support
-        FROM spans GROUP BY 1
-    ), pairs AS (
-        -- <a then b> supported by a user iff their FIRST a precedes
-        -- their LAST b (strictly, in the tie-broken order)
-        SELECT a.event_type || '->' || b.event_type AS pattern,
-               CAST(count(*) AS BIGINT) AS support
-        FROM spans a JOIN spans b ON a.user_id = b.user_id
-        WHERE a.first_k < b.last_k
-        GROUP BY 1
-    )
-    SELECT pattern, support
-    FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
-    WHERE support >= CAST(ceil(0.3 * (SELECT n FROM n_seq)) AS BIGINT)
-    ORDER BY pattern
-    """,
-    "Sequential-pattern mining via MLlib PrefixSpan (the PrefixSpan "
-    "algorithm: pattern-growth over projected databases, distributed "
-    "per prefix) on per-user event sequences, maxPatternLength 2, "
-    "minSupport 30%. The oracle reproduces length<=2 sequential "
-    "support EXACTLY without enumerating sequences: a user supports "
-    "<a then b> iff their first a precedes their last b, so one "
-    "groupBy(user, type) min/max and a per-user type-pair join — no "
-    "sequence scan — yields ground-truth counts at any scale. "
-    "Sequence order is (ts, event_id)-tie-broken on both sides, so "
-    "simultaneous events can't flip support between engines. Spark "
-    "side: one fact-sized groupBy(user) to build ordered sequences, "
-    "then PrefixSpan's prefix-sharded projection (per-prefix shards "
-    "shuffle only suffix pointers, the 100 TB-safe shape).",
-    tags=("ml", "mining", "window"),
-)
-def prefixspan_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.fpm import PrefixSpan
-
-    ev = t(spark, sf_dir, "events")
-    seqs = (
-        ev.select(
-            "user_id",
-            F.struct("ts", "event_id", F.col("event_type").alias("et")).alias("s"),
-        )
-        .groupBy("user_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list("s")), lambda x: F.array(x["et"])
-            ).alias("sequence")
-        )
-        .select("sequence")
-        .cache()  # projected-database passes re-read the sequences
-    )
-    ps = PrefixSpan(
-        minSupport=0.3, maxPatternLength=2, maxLocalProjDBSize=32000000
-    )
-    freq = ps.findFrequentSequentialPatterns(seqs)
-    return (
-        freq.select(
-            F.array_join(
-                F.transform(F.col("sequence"), lambda it: F.array_join(it, ",")),
-                "->",
-            ).alias("pattern"),
-            F.col("freq").cast("bigint").alias("support"),
-        )
-        .orderBy("pattern")
-    )
-
-
-@register(
-    "spatial_blocked_join",
-    """
-    WITH pts AS (
-        SELECT c_custkey AS id,
-               (c_custkey * 7919)   % 180000 - 90000  AS lat_md,
-               (c_custkey * 104729) % 360000 - 180000 AS lon_md
-        FROM customer
-    )
-    SELECT a.id AS id_a, b.id AS id_b,
-           CAST((a.lat_md - b.lat_md) * (a.lat_md - b.lat_md)
-              + (a.lon_md - b.lon_md) * (a.lon_md - b.lon_md) AS BIGINT)
-               AS dist_sq_md
-    FROM pts a JOIN pts b
-      ON a.id < b.id
-     AND (a.lat_md - b.lat_md) * (a.lat_md - b.lat_md)
-       + (a.lon_md - b.lon_md) * (a.lon_md - b.lon_md) <= 2000 * 2000
-    ORDER BY id_a, id_b
-    """,
-    "Spatial proximity self-join (all point pairs within radius) via "
-    "grid-cell blocking: each point lands in a (lat, lon) cell sized "
-    "to the radius, one side replicates into its 3x3 cell "
-    "neighborhood, and the exact distance predicate runs only inside "
-    "equi-joined cells — candidate count follows local density, "
-    "never n^2 (the geohash/H3-bucketed join pattern; cells are the "
-    "spatial analog of LSH buckets). Coordinates are deterministic "
-    "synthetic millidegrees (fixtures carry no geography) and the "
-    "metric is planar integer squared-distance — every comparison is "
-    "exact BIGINT arithmetic, no trig to drift cross-engine. The "
-    "oracle is the O(n^2) self-join, correct at driver scale and "
-    "deliberately NOT the Spark plan: the blocked join must produce "
-    "identical pairs.",
-    tags=("join", "spatial", "dedup"),
-)
-def spatial_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    R = 2000  # radius in millidegrees == cell edge
-    c = t(spark, sf_dir, "customer")
-    pts = c.select(
-        F.col("c_custkey").alias("id"),
-        ((F.col("c_custkey") * 7919) % 180000 - 90000).alias("lat_md"),
-        ((F.col("c_custkey") * 104729) % 360000 - 180000).alias("lon_md"),
-    )
-    cell = lambda col, name: F.floor(F.col(col) / R).cast("bigint").alias(name)  # noqa: E731
-    left = pts.select(
-        "id",
-        "lat_md",
-        "lon_md",
-        cell("lat_md", "cy"),
-        cell("lon_md", "cx"),
-    )
-    # replicate the RIGHT side into its 3x3 neighborhood: any pair within
-    # R has cell deltas in {-1,0,1} on both axes, so it meets in the
-    # left point's home cell exactly once per neighbor copy; distinct
-    # pairs dedupe the (up to 9) meetings.
-    offsets = F.expr("explode(arrays_zip(array(-1,-1,-1,0,0,0,1,1,1), array(-1,0,1,-1,0,1,-1,0,1)))")
-    right = pts.select(
-        F.col("id").alias("id_r"),
-        F.col("lat_md").alias("lat_r"),
-        F.col("lon_md").alias("lon_r"),
-        cell("lat_md", "cy_r"),
-        cell("lon_md", "cx_r"),
-    ).select(
-        "id_r",
-        "lat_r",
-        "lon_r",
-        "cy_r",
-        "cx_r",
-        offsets.alias("o"),
-    ).select(
-        "id_r",
-        "lat_r",
-        "lon_r",
-        (F.col("cy_r") + F.col("o.0")).alias("cy"),
-        (F.col("cx_r") + F.col("o.1")).alias("cx"),
-    )
-    dlat = F.col("lat_md") - F.col("lat_r")
-    dlon = F.col("lon_md") - F.col("lon_r")
-    dist_sq = dlat * dlat + dlon * dlon
-    return (
-        left.join(right, ["cy", "cx"])
-        .filter((F.col("id") < F.col("id_r")) & (dist_sq <= R * R))
-        .select(
-            F.col("id").alias("id_a"),
-            F.col("id_r").alias("id_b"),
-            dist_sq.cast("bigint").alias("dist_sq_md"),
-        )
-        .distinct()
-        .orderBy("id_a", "id_b")
-    )
-
-
-@register(
-    "funnel_within_window",
-    """
-    WITH e AS (
-        SELECT user_id, event_type, epoch_us(ts) AS t FROM events
-    ), q1 AS (
-        SELECT user_id, event_type, t,
-               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY user_id ORDER BY t
-                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-                   AS has_view_1h
-        FROM e
-    ), q2 AS (
-        SELECT user_id, event_type, t, has_view_1h,
-               max(CASE WHEN event_type = 'click' AND has_view_1h = 1
-                        THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY user_id ORDER BY t
-                         RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
-                   AS has_qc_24h
-        FROM q1
-    ), per_user AS (
-        SELECT user_id,
-               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
-               max(CASE WHEN event_type = 'click' AND has_view_1h = 1
-                        THEN 1 ELSE 0 END) AS s2,
-               max(CASE WHEN event_type = 'purchase' AND has_qc_24h = 1
-                        THEN 1 ELSE 0 END) AS s3
-        FROM q2 GROUP BY 1
-    )
-    SELECT CAST(sum(s1) AS BIGINT) AS n_viewed,
-           CAST(sum(s2) AS BIGINT) AS n_clicked_within_1h,
-           CAST(sum(s3) AS BIGINT) AS n_purchased_within_24h,
-           round(CAST(sum(s2) AS DOUBLE) / CAST(sum(s1) AS DOUBLE), 6)
-               AS click_conv,
-           round(CAST(sum(s3) AS DOUBLE) / CAST(sum(s1) AS DOUBLE), 6)
-               AS purchase_conv
-    FROM per_user
-    """,
-    "Time-constrained funnel (view -> click within 1 h of a view -> "
-    "purchase within 24 h of a qualified click): the CEP shape "
-    "first-occurrence funnels can't express, since the first click "
-    "after the first view may miss the window while a later "
-    "view-click pair qualifies. Computed with per-user event-time "
-    "RANGE-frame windows — 'a qualifying predecessor exists within "
-    "Delta' is max(flag) over RANGE Delta PRECEDING — so there is NO "
-    "events self-join: two windowed passes over user-partitioned "
-    "event time (one shuffle), per-user state bounded by the frame, "
-    "exact integer epoch arithmetic throughout. Equal-timestamp "
-    "peers are in-frame under RANGE semantics on both engines, so "
-    "zero-gap chains count identically.",
-    tags=("window", "funnel", "analytics", "timeseries"),
-)
-def funnel_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    e = ev.select(
-        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("t")
-    )
-    w1 = (
-        W.partitionBy("user_id")
-        .orderBy("t")
-        .rangeBetween(-3_600_000_000, 0)
-    )
-    q1 = e.select(
-        "user_id",
-        "event_type",
-        "t",
-        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
-        .over(w1)
-        .alias("has_view_1h"),
-    )
-    w2 = (
-        W.partitionBy("user_id")
-        .orderBy("t")
-        .rangeBetween(-86_400_000_000, 0)
-    )
-    q2 = q1.select(
-        "user_id",
-        "event_type",
-        "t",
-        "has_view_1h",
-        F.max(
-            F.when(
-                (F.col("event_type") == "click") & (F.col("has_view_1h") == 1), 1
-            ).otherwise(0)
-        )
-        .over(w2)
-        .alias("has_qc_24h"),
-    )
-    per_user = q2.groupBy("user_id").agg(
-        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("s1"),
-        F.max(
-            F.when(
-                (F.col("event_type") == "click") & (F.col("has_view_1h") == 1), 1
-            ).otherwise(0)
-        ).alias("s2"),
-        F.max(
-            F.when(
-                (F.col("event_type") == "purchase") & (F.col("has_qc_24h") == 1),
-                1,
-            ).otherwise(0)
-        ).alias("s3"),
-    )
-    return per_user.agg(
-        F.sum("s1").cast("bigint").alias("n_viewed"),
-        F.sum("s2").cast("bigint").alias("n_clicked_within_1h"),
-        F.sum("s3").cast("bigint").alias("n_purchased_within_24h"),
-        F.round(
-            F.sum("s2").cast("double") / F.sum("s1").cast("double"), 6
-        ).alias("click_conv"),
-        F.round(
-            F.sum("s3").cast("double") / F.sum("s1").cast("double"), 6
-        ).alias("purchase_conv"),
-    )
-
-
-@register(
-    "lm_bigram_surprisal",
-    """
-    WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-    ), bi AS (
-        SELECT doc_id, unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS bg
-        FROM toks WHERE len(ws) >= 2
-    ), bigrams AS (
-        SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM bi
-    ), c1 AS (
-        SELECT w1, CAST(count(*) AS BIGINT) AS n1 FROM bigrams GROUP BY 1
-    ), c12 AS (
-        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12
-        FROM bigrams GROUP BY 1, 2
-    ), scored AS (
-        SELECT b.doc_id,
-               CAST(round(-ln(CAST(c12.n12 AS DOUBLE) / CAST(c1.n1 AS DOUBLE))
-                          * 1e6) AS BIGINT) AS nll_micro
-        FROM bigrams b
-        JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
-        JOIN c1  ON b.w1 = c1.w1
-    ), per_doc AS (
-        SELECT doc_id,
-               CAST(sum(nll_micro) AS BIGINT) AS sum_nll_micro,
-               CAST(count(*) AS BIGINT)       AS n_bigrams
-        FROM scored GROUP BY 1
-    )
-    SELECT doc_id, sum_nll_micro, n_bigrams,
-           round(CAST(sum_nll_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
-                 / 1e6, 6) AS avg_surprisal
-    FROM per_doc
-    ORDER BY avg_surprisal DESC, doc_id LIMIT 20
-    """,
-    "Language-model quality scoring for training-data curation: a "
-    "bigram MLE model is fit on the corpus itself (count tables, one "
-    "groupBy each) and every document is scored by its average "
-    "per-bigram surprisal -ln p(w2|w1) — the distributed analog of "
-    "the perplexity filters LLM pipelines run (high-surprisal docs "
-    "are the off-distribution / noisy candidates for review). "
-    "Bigrams come from slice+zip over the token array (no "
-    "position self-join); the unigram table joins back broadcast "
-    "(vocabulary-bounded) while the bigram table — corpus-bounded, "
-    "~O(vocab^2) distinct keys — joins via a co-keyed shuffle join "
-    "on (w1, w2). Determinism: counts are exact BIGINTs; "
-    "each bigram's nll is rounded to micro-units then summed as "
-    "BIGINT (associative), so no float accumulation crosses rows. "
-    "Top-20 most-surprising docs, doc_id tie-broken.",
-    tags=("text", "quality", "llm-pipeline", "agg"),
-)
-def lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("ws"))
-    n = F.size("ws")
-    bigrams = (
-        toks.filter(n >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.arrays_zip(
-                    F.slice(F.col("ws"), 1, n - 1),
-                    F.slice(F.col("ws"), 2, n - 1),
-                )
-            ).alias("bg"),
-        )
-        .select("doc_id", F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
-    )
-    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
-    c12 = bigrams.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n12")
-    )
-    # c1 (unigram table) is vocabulary-bounded — safe to broadcast.
-    # c12 (bigram table) scales ~O(vocab^2)/corpus-bounded, so at the
-    # 100 TB posture it must NOT be broadcast: it joins shuffle-side,
-    # co-keyed with the probe (both hash on (w1, w2)), so the join is
-    # one key shuffle, not a driver-crushing broadcast (ADVICE r3).
-    scored = (
-        bigrams.join(c12, ["w1", "w2"])
-        .join(F.broadcast(c1), ["w1"])
-        .select(
-            "doc_id",
-            F.round(
-                -F.log(F.col("n12").cast("double") / F.col("n1").cast("double"))
-                * 1e6
-            )
-            .cast("bigint")
-            .alias("nll_micro"),
-        )
-    )
-    per_doc = scored.groupBy("doc_id").agg(
-        F.sum("nll_micro").cast("bigint").alias("sum_nll_micro"),
-        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-    )
-    return (
-        per_doc.select(
-            "doc_id",
-            "sum_nll_micro",
-            "n_bigrams",
-            F.round(
-                F.col("sum_nll_micro").cast("double")
-                / F.col("n_bigrams").cast("double")
-                / 1e6,
-                6,
-            ).alias("avg_surprisal"),
-        )
-        .orderBy(F.desc("avg_surprisal"), "doc_id")
-        .limit(20)
-    )
-
-
-@register(
-    "permutation_test_segment",
-    """
-    WITH o AS (
-        SELECT o_orderkey,
-               CAST(floor(o_totalprice) AS BIGINT) AS cents,
-               c_mktsegment = 'BUILDING' AS is_b
-        FROM orders JOIN customer ON c_custkey = o_custkey
-    ), obs AS (
-        SELECT CAST(sum(CASE WHEN is_b THEN cents ELSE 0 END) AS BIGINT) AS s1,
-               CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT)     AS n1,
-               CAST(sum(CASE WHEN is_b THEN 0 ELSE cents END) AS BIGINT) AS s2,
-               CAST(sum(CASE WHEN is_b THEN 0 ELSE 1 END) AS BIGINT)     AS n2
-        FROM o
-    ), perms AS (
-        SELECT b.b,
-               CAST(sum(CASE WHEN (o.o_orderkey * (2654435761 + b.b * 40503))
-                                  % 2147483648 < 429496730
-                             THEN o.cents ELSE 0 END) AS BIGINT) AS s1,
-               CAST(sum(CASE WHEN (o.o_orderkey * (2654435761 + b.b * 40503))
-                                  % 2147483648 < 429496730
-                             THEN 1 ELSE 0 END) AS BIGINT)       AS n1,
-               CAST(sum(o.cents) AS BIGINT)                      AS st,
-               CAST(count(*) AS BIGINT)                          AS nt
-        FROM o, (SELECT unnest(generate_series(0, 63)) AS b) b
-        GROUP BY 1
-    ), stats AS (
-        SELECT b,
-               abs(s1 * (nt - n1) - (st - s1) * n1) AS num,
-               n1 * (nt - n1)                       AS den
-        FROM perms WHERE n1 > 0 AND n1 < nt
-    ), obs_stat AS (
-        SELECT abs(s1 * n2 - s2 * n1) AS num, n1 * n2 AS den FROM obs
-    )
-    SELECT (SELECT n1 FROM obs)                         AS n_building,
-           (SELECT n2 FROM obs)                         AS n_other,
-           round((SELECT CAST(num AS DOUBLE) / den FROM obs_stat), 4)
-               AS observed_diff_dollars,
-           CAST((SELECT count(*) FROM stats, obs_stat
-                  WHERE CAST(stats.num AS HUGEINT) * obs_stat.den
-                        >= CAST(obs_stat.num AS HUGEINT) * stats.den) AS BIGINT) AS n_extreme,
-           CAST((SELECT count(*) FROM stats) AS BIGINT) AS n_perms,
-           round((SELECT count(*) FROM stats, obs_stat
-                   WHERE CAST(stats.num AS HUGEINT) * obs_stat.den
-                         >= CAST(obs_stat.num AS HUGEINT) * stats.den)
-                 / (SELECT CAST(count(*) AS DOUBLE) FROM stats), 6) AS p_value
-    """,
-    "Monte-Carlo permutation (randomization) test: is the BUILDING "
-    "segment's mean order value different from the rest? 64 "
-    "deterministic pseudo-random re-assignments (portable "
-    "multiplicative-hash congruence on the order key — identical "
-    "integer math on both engines, no engine RNG) rebuild the null "
-    "distribution of |mean difference|; the p-value is the fraction "
-    "of permutations at least as extreme as observed. EVERY "
-    "comparison is exact integer arithmetic: mean differences "
-    "compare as cross-multiplied BIGINT rationals (|s1*n2 - s2*n1| "
-    "vs den), never as divided floats, so the count of extreme "
-    "permutations cannot drift by a ulp. Scale: the 64 replicas "
-    "explode map-side and partial-combine into 64 rows before the "
-    "shuffle — replica count x bounded key, not x fact size.",
-    tags=("stats", "agg", "analytics"),
-)
-def permutation_test_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    base = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .select(
-            "o_orderkey",
-            F.floor(F.col("o_totalprice")).cast("bigint").alias("cents"),
-            (F.col("c_mktsegment") == "BUILDING").alias("is_b"),
-        )
-    )
-    obs = base.agg(
-        F.sum(F.when(F.col("is_b"), F.col("cents")).otherwise(0))
-        .cast("bigint")
-        .alias("s1"),
-        F.sum(F.when(F.col("is_b"), 1).otherwise(0)).cast("bigint").alias("n1"),
-        F.sum(F.when(F.col("is_b"), 0).otherwise(F.col("cents")))
-        .cast("bigint")
-        .alias("s2"),
-        F.sum(F.when(F.col("is_b"), 0).otherwise(1)).cast("bigint").alias("n2"),
-    )
-    replicated = base.select(
-        "o_orderkey",
-        "cents",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
-    )
-    assign = (
-        (F.col("o_orderkey") * (F.lit(2654435761) + F.col("b") * 40503))
-        % 2147483648
-    ) < F.lit(429496730)
-    perms = replicated.groupBy("b").agg(
-        F.sum(F.when(assign, F.col("cents")).otherwise(0))
-        .cast("bigint")
-        .alias("s1"),
-        F.sum(F.when(assign, 1).otherwise(0)).cast("bigint").alias("n1"),
-        F.sum("cents").cast("bigint").alias("st"),
-        F.count(F.lit(1)).cast("bigint").alias("nt"),
-    )
-    stats = perms.filter((F.col("n1") > 0) & (F.col("n1") < F.col("nt"))).select(
-        F.abs(
-            F.col("s1") * (F.col("nt") - F.col("n1"))
-            - (F.col("st") - F.col("s1")) * F.col("n1")
-        ).alias("num"),
-        (F.col("n1") * (F.col("nt") - F.col("n1"))).alias("den"),
-    )
-    joined = stats.crossJoin(
-        F.broadcast(
-            obs.select(
-                "n1",
-                "n2",
-                F.abs(F.col("s1") * F.col("n2") - F.col("s2") * F.col("n1")).alias(
-                    "obs_num"
-                ),
-                (F.col("n1") * F.col("n2")).alias("obs_den"),
-            )
-        )
-    )
-    return joined.agg(
-        F.first("n1").cast("bigint").alias("n_building"),
-        F.first("n2").cast("bigint").alias("n_other"),
-        F.round(
-            F.first(F.col("obs_num").cast("double") / F.col("obs_den")), 4
-        ).alias("observed_diff_dollars"),
-        F.sum(
-            F.when(
-                F.col("num").cast("decimal(38,0)") * F.col("obs_den")
-                >= F.col("obs_num").cast("decimal(38,0)") * F.col("den"),
-                1,
-            ).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("n_extreme"),
-        F.count(F.lit(1)).cast("bigint").alias("n_perms"),
-        F.round(
-            F.sum(
-                F.when(
-                    F.col("num").cast("decimal(38,0)") * F.col("obs_den")
-                    >= F.col("obs_num").cast("decimal(38,0)") * F.col("den"),
-                    1,
-                ).otherwise(0)
-            )
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("p_value"),
-    )
-
-
-@register(
-    "k_anonymity_audit",
-    """
-    WITH qi AS (
-        SELECT c_nationkey, c_mktsegment,
-               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
-               count(*) AS grp_n
-        FROM customer GROUP BY 1, 2, 3
-    ), ks AS (SELECT unnest([2, 5, 10]) AS k)
-    SELECT CAST(ks.k AS INT) AS k,
-           CAST(count(*) FILTER (qi.grp_n < ks.k) AS BIGINT)
-               AS violating_groups,
-           CAST(coalesce(sum(qi.grp_n) FILTER (qi.grp_n < ks.k), 0) AS BIGINT)
-               AS affected_rows,
-           round(CAST(coalesce(sum(qi.grp_n) FILTER (qi.grp_n < ks.k), 0)
-                      AS DOUBLE)
-                 / CAST(sum(qi.grp_n) AS DOUBLE), 6) AS affected_share
-    FROM qi, ks GROUP BY ks.k ORDER BY k
-    """,
-    "k-anonymity audit over the quasi-identifier tuple (nation, "
-    "market segment, account-balance band): for each policy k, how "
-    "many equivalence classes have fewer than k members and what "
-    "row share a release would have to suppress or generalize — the "
-    "re-identification risk gate privacy governance runs before "
-    "sharing derived data. One fact-sized groupBy on the "
-    "quasi-identifier; the per-k sweep runs on the metadata-scale "
-    "class histogram (classes x 3 policy rows). All counts exact "
-    "BIGINTs; the share divides exact integers once.",
-    tags=("quality", "governance", "agg"),
-)
-def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = t(spark, sf_dir, "customer")
-    qi = c.groupBy(
-        "c_nationkey",
-        "c_mktsegment",
-        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
-    ).agg(F.count(F.lit(1)).alias("grp_n"))
-    ks = qi.sparkSession.createDataFrame([(2,), (5,), (10,)], "k int")
-    joined = qi.crossJoin(F.broadcast(ks))
-    viol = F.when(F.col("grp_n") < F.col("k"), F.col("grp_n"))
-    return (
-        joined.groupBy("k")
-        .agg(
-            F.count(viol).cast("bigint").alias("violating_groups"),
-            F.coalesce(F.sum(viol), F.lit(0)).cast("bigint").alias("affected_rows"),
-            F.round(
-                F.coalesce(F.sum(viol), F.lit(0)).cast("double")
-                / F.sum("grp_n").cast("double"),
-                6,
-            ).alias("affected_share"),
-        )
-        .orderBy("k")
-    )
-
-
-@register(
-    "decayed_leaderboard",
-    """
-    WITH bounds AS (
-        SELECT max(epoch_us(o_orderdate) // 86400000000) AS now_day FROM orders
-    ), scored AS (
-        SELECT l_partkey,
-               CAST(round(power(0.5,
-                        CAST((SELECT now_day FROM bounds)
-                             - epoch_us(o_orderdate) // 86400000000 AS DOUBLE)
-                        / 365.0)
-                    * l_quantity * 1e6) AS BIGINT) AS decayed_micro
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    )
-    SELECT l_partkey AS partkey,
-           CAST(sum(decayed_micro) AS BIGINT) AS score_micro,
-           round(CAST(sum(decayed_micro) AS DOUBLE) / 1e6, 4) AS decayed_qty
-    FROM scored GROUP BY 1
-    ORDER BY score_micro DESC, partkey LIMIT 25
-    """,
-    "Exponential time-decay leaderboard: each line item contributes "
-    "quantity x 0.5^(age_years) (one-year half-life anchored at the "
-    "data's own max date, so the query is reproducible), summed per "
-    "part, top-25. The trending-products / decayed-popularity "
-    "primitive. Determinism across engines and layouts: the decay "
-    "factor is one power() on exact integer day-age, each row's "
-    "contribution rounds to micro-units BIGINT, and the cross-row "
-    "sum is associative integer addition. Top-k ties break on "
-    "partkey. Scale: one broadcast-scalar anchor, one fact-sized "
-    "partial-combined groupBy, TakeOrdered for the limit.",
-    tags=("agg", "window", "analytics", "timeseries"),
-)
-def decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    bounds = o.agg(
-        F.max(F.expr("unix_micros(o_orderdate) div 86400000000")).alias("now_day")
-    )
-    scored = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "l_partkey",
-            F.round(
-                F.pow(
-                    F.lit(0.5),
-                    (
-                        F.col("now_day")
-                        - F.expr("unix_micros(o_orderdate) div 86400000000")
-                    ).cast("double")
-                    / 365.0,
-                )
-                * F.col("l_quantity")
-                * 1e6
-            )
-            .cast("bigint")
-            .alias("decayed_micro"),
-        )
-    )
-    return (
-        scored.groupBy(F.col("l_partkey").alias("partkey"))
-        .agg(F.sum("decayed_micro").cast("bigint").alias("score_micro"))
-        .select(
-            "partkey",
-            "score_micro",
-            F.round(F.col("score_micro").cast("double") / 1e6, 4).alias(
-                "decayed_qty"
-            ),
-        )
-        .orderBy(F.desc("score_micro"), "partkey")
-        .limit(25)
-    )
-
-
-@register(
-    "seasonal_decomposition_daily",
-    """
-    WITH daily AS (
-        SELECT epoch_us(o_orderdate) // 86400000000 AS day,
-               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))))
-                    AS BIGINT) AS x
-        FROM orders GROUP BY 1
-    ), trended AS (
-        SELECT day, x,
-               CAST(count(*) OVER w7 AS BIGINT) AS w_n,
-               CAST(sum(x) OVER w7 AS BIGINT)   AS w_s
-        FROM daily
-        WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
-    ), det AS (
-        SELECT day, x,
-               CAST(round(CAST(w_s AS DOUBLE) / w_n, 4) AS DECIMAL(18,4))
-                   AS trend,
-               CAST(x AS DECIMAL(18,4))
-                 - CAST(round(CAST(w_s AS DOUBLE) / w_n, 4) AS DECIMAL(18,4))
-                   AS detrended
-        FROM trended WHERE w_n = 7
-    ), seas AS (
-        SELECT day % 7 AS dow,
-               CAST(round(CAST(sum(detrended) AS DOUBLE) / count(*), 4)
-                    AS DECIMAL(18,4)) AS seasonal
-        FROM det GROUP BY 1
-    )
-    SELECT d.day, d.x AS revenue,
-           CAST(d.trend AS DOUBLE)                 AS trend,
-           CAST(s.seasonal AS DOUBLE)              AS seasonal,
-           CAST(d.detrended - s.seasonal AS DOUBLE) AS residual
-    FROM det d JOIN seas s ON d.day % 7 = s.dow
-    ORDER BY d.day LIMIT 100
-    """,
-    "Additive seasonal decomposition of the daily revenue series "
-    "(classical decompose: 7-day centered moving-average trend, "
-    "day-of-week seasonal from the detrended mean, residual = "
-    "x - trend - seasonal). Determinism engineering: the daily series "
-    "floors to BIGINT dollars after DECIMAL partials; the trend "
-    "window sums BIGINTs over a FIXED 7-row frame (exact) with one "
-    "rounded division; detrended values live as DECIMAL(18,4) so the "
-    "day-of-week means sum associatively (no float-order drift "
-    "across layouts) — every float op is a single division or final "
-    "cast. Scale: the fact-sized work is one groupBy(day); all "
-    "windows run on the ~2,400-row daily frame. Edge days without a "
-    "full 7-day frame are excluded (w_n = 7), the textbook "
-    "centered-MA convention.",
-    tags=("timeseries", "window", "agg", "stats", "analytics"),
-)
-def seasonal_decomposition_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day")
-    ).agg(
-        F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
-        .cast("bigint")
-        .alias("x")
-    )
-    w7 = W.orderBy("day").rowsBetween(-3, 3)
-    trended = daily.select(
-        "day",
-        "x",
-        F.count(F.lit(1)).over(w7).cast("bigint").alias("w_n"),
-        F.sum("x").over(w7).cast("bigint").alias("w_s"),
-    )
-    trend = F.round(F.col("w_s").cast("double") / F.col("w_n"), 4).cast(
-        "decimal(18,4)"
-    )
-    det = trended.filter(F.col("w_n") == 7).select(
-        "day",
-        "x",
-        trend.alias("trend"),
-        (F.col("x").cast("decimal(18,4)") - trend).alias("detrended"),
-    )
-    seas = det.groupBy((F.col("day") % 7).alias("dow")).agg(
-        F.round(
-            F.sum("detrended").cast("double") / F.count(F.lit(1)), 4
-        )
-        .cast("decimal(18,4)")
-        .alias("seasonal")
-    )
-    return (
-        det.join(F.broadcast(seas), det.day % 7 == seas.dow)
-        .select(
-            "day",
-            F.col("x").alias("revenue"),
-            F.col("trend").cast("double").alias("trend"),
-            F.col("seasonal").cast("double").alias("seasonal"),
-            (F.col("detrended") - F.col("seasonal"))
-            .cast("double")
-            .alias("residual"),
-        )
-        .orderBy("day")
-        .limit(100)
-    )
-
-
-@register(
-    "pca_embeddings",
-    None,  # eigendecomposition signs/ulps are engine- and layout-specific
-    "Distributed PCA over the embedding corpus (MLlib: covariance "
-    "accumulated via treeAggregate — one pass over partitions, a "
-    "d x d Gramian at the driver where d = embedding width, never "
-    "n x n) projecting to 4 components. The dimensionality-reduction "
-    "stage of embedding pipelines (IVF coarse quantizers, "
-    "visualization, whitening). Rows-only: eigenvector sign and "
-    "float accumulation order are engine-specific, so correctness is "
-    "pinned by invariant tests instead — orthonormal loadings, "
-    "non-increasing explained variance, projection norms bounded by "
-    "input norms.",
-    tags=("ml", "similarity", "iterative"),
-)
-def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.feature import PCA
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    emb = t(spark, sf_dir, "embeddings")
-    vecs = emb.select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
-    )
-    model = PCA(k=4, inputCol="v", outputCol="pc").fit(vecs)
-    out = model.transform(vecs)
-    return out.select(
-        "vec_id",
-        vector_to_array(F.col("pc")).alias("components"),
-    ).select(
-        "vec_id",
-        F.round(F.col("components")[0], 6).alias("pc1"),
-        F.round(F.col("components")[1], 6).alias("pc2"),
-        F.round(F.col("components")[2], 6).alias("pc3"),
-        F.round(F.col("components")[3], 6).alias("pc4"),
-    ).orderBy("vec_id")
-
-
-@register(
-    "span_corruption_plan",
-    """
-    WITH toks AS (
-        SELECT doc_id, len(string_split(text, ' ')) AS n_tok
-        FROM documents WHERE doc_id % 10 = 0
-    ), planned AS (
-        SELECT doc_id, n_tok,
-               greatest(1, CAST(floor(n_tok * 0.15 / 3) AS BIGINT)) AS n_spans
-        FROM toks WHERE n_tok >= 8
-    ), spans AS (
-        SELECT p.doc_id, p.n_tok, p.n_spans, s.span_idx,
-               -- deterministic start: multiplicative-hash congruence on
-               -- (doc_id, span_idx), landing inside [0, n_tok - 3]
-               (p.doc_id * 2654435761 + s.span_idx * 40503)
-                   % (p.n_tok - 2) AS start_tok
-        FROM planned p, LATERAL (
-            SELECT unnest(generate_series(0, CAST(p.n_spans - 1 AS INT)))
-                   AS span_idx
-        ) s
-    )
-    SELECT doc_id, CAST(span_idx AS INT) AS span_idx,
-           CAST(start_tok AS BIGINT)     AS start_tok,
-           CAST(3 AS INT)                AS span_len,
-           CAST(n_tok AS BIGINT)         AS n_tok
-    FROM spans ORDER BY doc_id, span_idx
-    """,
-    "T5/UL2-style span-corruption plan: for each document, ~15% of "
-    "tokens are marked for masking in fixed-length-3 spans whose "
-    "starts come from a portable multiplicative-hash congruence on "
-    "(doc_id, span_idx) — deterministic noise with NO engine RNG, so "
-    "the same corpus yields the same training examples on any engine "
-    "or layout (and the oracle proves it). This is the "
-    "training-example-construction stage of a denoising-LM data "
-    "pipeline; the plan is pure projection + bounded explode (spans "
-    "per doc ~ n_tok/20), no shuffle at all until a downstream "
-    "grouping. Spans may overlap — the reference T5 sampler resolves "
-    "overlaps at tokenization; the PLAN records candidates.",
-    tags=("text", "llm-pipeline", "generator"),
-)
-def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    toks = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
-    planned = toks.filter(F.col("n_tok") >= 8).select(
-        "doc_id",
-        "n_tok",
-        F.greatest(
-            F.lit(1), F.floor(F.col("n_tok") * 0.15 / 3).cast("bigint")
-        ).alias("n_spans"),
-    )
-    spans = planned.select(
-        "doc_id",
-        "n_tok",
-        F.explode(
-            F.sequence(F.lit(0), (F.col("n_spans") - 1).cast("int"))
-        ).alias("span_idx"),
-    )
-    return spans.select(
-        "doc_id",
-        F.col("span_idx").cast("int").alias("span_idx"),
-        (
-            (F.col("doc_id") * 2654435761 + F.col("span_idx") * 40503)
-            % (F.col("n_tok") - 2)
-        )
-        .cast("bigint")
-        .alias("start_tok"),
-        F.lit(3).cast("int").alias("span_len"),
-        F.col("n_tok").cast("bigint").alias("n_tok"),
-    ).orderBy("doc_id", "span_idx")
-
-
-@register(
-    "embedding_int8_quantization",
-    """
-    WITH d AS (
-        SELECT vec_id,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-        FROM embeddings
-    ), q AS (
-        SELECT vec_id, emb,
-               list_max(list_transform(emb, x -> abs(x))) AS scale
-        FROM d
-    ), coded AS (
-        SELECT vec_id, scale,
-               list_transform(emb,
-                              x -> CAST(round(x / scale * 127) AS BIGINT))
-                   AS code
-        FROM q WHERE scale > 0
-    )
-    SELECT vec_id,
-           round(CAST(scale AS DOUBLE), 6)       AS scale,
-           CAST(list_max(code) AS BIGINT)        AS max_code,
-           CAST(list_min(code) AS BIGINT)        AS min_code,
-           CAST(list_sum(list_transform(code, c -> abs(c))) AS BIGINT)
-               AS l1_code
-    FROM coded ORDER BY vec_id LIMIT 200
-    """,
-    "Int8 symmetric quantization of the embedding corpus — the "
-    "vector-store compression step (4x over float32; the scalar- "
-    "quantization sibling of ivf_pq_ann_topk's product quantizer): "
-    "per-vector absmax scale, codes round(x/scale*127) in [-127, "
-    "127]. Pure array lambdas (transform/aggregate) on both engines "
-    "— per-element work, zero shuffles before the final order. The "
-    "driver-checkable output summarizes each vector's code block "
-    "(scale, min/max code, L1 mass) so the hash pins every code "
-    "without serializing 64-element arrays through the comparator; "
-    "the reconstruction-error bound lives in the invariant test.",
-    tags=("similarity", "functions", "llm-pipeline"),
-)
-def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    q = emb.select(
-        "vec_id",
-        "embedding",
-        F.array_max(F.transform("embedding", lambda x: F.abs(x))).alias("scale"),
-    ).filter(F.col("scale") > 0)
-    coded = q.select(
-        "vec_id",
-        "scale",
-        F.transform(
-            "embedding",
-            lambda x: F.round(x / F.col("scale") * 127).cast("bigint"),
-        ).alias("code"),
-    )
-    return (
-        coded.select(
-            "vec_id",
-            F.round(F.col("scale").cast("double"), 6).alias("scale"),
-            F.array_max("code").cast("bigint").alias("max_code"),
-            F.array_min("code").cast("bigint").alias("min_code"),
-            F.aggregate(
-                F.transform("code", lambda c: F.abs(c)),
-                F.lit(0).cast("bigint"),
-                lambda acc, c: acc + c,
-            )
-            .cast("bigint")
-            .alias("l1_code"),
-        )
-        .orderBy("vec_id")
-        .limit(200)
-    )
-
-
-@register(
-    "streaming_incremental_backfill",
-    TUMBLING_ORACLE,
-    "Backfill/catch-up streaming pattern: the bounded event history "
-    "replays through Trigger.AvailableNow with maxFilesPerTrigger "
-    "rate limiting, so the engine processes the archive in several "
-    "micro-batches and self-terminates — the production shape for "
-    "recovering after downtime without one giant batch. Window state "
-    "must merge correctly ACROSS micro-batches; the final "
-    "complete-mode answer is hash-checked against the SAME DuckDB "
-    "oracle as the batch tumbling aggregate, proving the incremental "
-    "state algebra exact. The multi-batch property itself (>= 3 "
-    "rate-limited triggers) is pinned in the test.",
-    tags=("streaming",),
-)
-def streaming_incremental_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.windows import run_incremental_backfill
-
-    out, _ = run_incremental_backfill(spark, sf_dir)
-    return out
-
-
-@register(
-    "window_topk_with_ties",
-    """
-    WITH per_part AS (
-        SELECT l_suppkey, CAST(sum(l_quantity) AS BIGINT) // 10 AS qty
-        FROM lineitem GROUP BY l_suppkey, l_partkey
-    ), ranked AS (
-        SELECT l_suppkey, qty,
-               rank() OVER (PARTITION BY l_suppkey ORDER BY qty DESC) AS rk
-        FROM per_part
-    )
-    SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_rows_kept,
-           CAST(max(rk) AS BIGINT) AS deepest_rank,
-           CAST(min(qty) AS BIGINT) AS min_kept_qty
-    FROM ranked WHERE rk <= 3
-    GROUP BY 1 ORDER BY 1
-    """,
-    "ANSI FETCH FIRST ... WITH TIES semantics per group: rank() <= k "
-    "keeps every row tied at the boundary (row_number-based top-k — "
-    "window_topk_per_group — silently drops ties, a correctness "
-    "difference auditors care about; ranking on banded quantity "
-    "makes boundary ties common). The output aggregates per "
-    "group so the hash pins exactly how many rows WITH TIES retains "
-    "beyond k — n_rows_kept > 3 wherever boundary ties exist. Plan: "
-    "partial-combined groupBy then one rank window per supplier "
-    "partition; at scale WindowGroupLimit pushes the rank cutoff "
-    "map-side before the shuffle (same optimization row_number "
-    "top-k gets).",
-    tags=("window", "sql", "agg"),
-)
-def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    per_part = li.groupBy("l_suppkey", "l_partkey").agg(
-        F.expr("CAST(sum(l_quantity) AS BIGINT) div 10").alias("qty")
-    )
-    ranked = per_part.select(
-        "l_suppkey",
-        "qty",
-        F.rank().over(W.partitionBy("l_suppkey").orderBy(F.desc("qty"))).alias(
-            "rk"
-        ),
-    )
-    return (
-        ranked.filter(F.col("rk") <= 3)
-        .groupBy("l_suppkey")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows_kept"),
-            F.max("rk").cast("bigint").alias("deepest_rank"),
-            F.min("qty").cast("bigint").alias("min_kept_qty"),
-        )
-        .orderBy("l_suppkey")
-    )
-
-
-@register(
-    "pandas_grouped_agg_trimmed_mean",
-    """
-    WITH cents AS (
-        SELECT c_mktsegment,
-               CAST(floor(c_acctbal * 100) AS BIGINT) AS v
-        FROM customer
-    ), ranked AS (
-        SELECT c_mktsegment, v,
-               row_number() OVER (PARTITION BY c_mktsegment ORDER BY v) AS rn,
-               count(*) OVER (PARTITION BY c_mktsegment) AS n
-        FROM cents
-    )
-    SELECT c_mktsegment,
-           CAST(count(*) AS BIGINT) AS n_kept,
-           round(CAST(sum(v) AS DOUBLE) / count(*) / 100.0, 4)
-               AS trimmed_mean
-    FROM ranked
-    WHERE rn > CAST(floor(n * 0.1) AS BIGINT)
-      AND rn <= n - CAST(floor(n * 0.1) AS BIGINT)
-    GROUP BY 1 ORDER BY 1
-    """,
-    "Pandas GROUPED_AGG UDF (the third Arrow UDF flavor next to the "
-    "registered SCALAR and GROUPED_MAP ops): per-segment 10% trimmed "
-    "mean of account balances, computed inside an Arrow-batched "
-    "vectorized aggregate — one numpy sort per group, no Python "
-    "per-row loop. Values are floor-cents BIGINTs so the trim "
-    "boundary and the kept-set sum are exact integers on both "
-    "engines (ties inside the trim window don't matter: a trimmed "
-    "mean is order-statistic-defined, any tie order keeps the same "
-    "multiset); the single float division happens once per group. "
-    "Oracle: window-rank trim in pure SQL.",
-    tags=("udf", "agg", "stats"),
-)
-def pandas_grouped_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
-
-    # functionType spelled explicitly: registry.py uses PEP-563 string
-    # annotations, which the type-hint inference path can't resolve for
-    # function-local imports.
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def trimmed_mean_cents(v):
-        s = v.sort_values().to_numpy()
-        k = int(len(s) * 0.1)
-        kept = s[k : len(s) - k]
-        return float(kept.sum()) / len(kept) / 100.0
-
-    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
-    def trimmed_count(v):
-        n = len(v)
-        return n - 2 * int(n * 0.1)
-
-    c = t(spark, sf_dir, "customer").select(
-        "c_mktsegment",
-        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("v"),
-    )
-    return (
-        c.groupBy("c_mktsegment")
-        .agg(
-            trimmed_count(F.col("v")).alias("n_kept"),
-            F.round(trimmed_mean_cents(F.col("v")), 4).alias("trimmed_mean"),
-        )
-        .orderBy("c_mktsegment")
-    )
-
-
-@register(
-    "table_diff_summary",
-    """
-    WITH changed AS (
-        SELECT o_orderkey,
-               CASE WHEN o_orderkey % 97 = 0
-                    THEN o_totalprice * 1.05 ELSE o_totalprice END AS p2,
-               CASE WHEN o_orderkey % 131 = 0
-                    THEN 'P' ELSE o_orderstatus END AS s2,
-               o_totalprice, o_orderstatus
-        FROM orders
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(CASE WHEN p2 <> o_totalprice THEN 1 ELSE 0 END) AS BIGINT)
-               AS changed_totalprice,
-           CAST(sum(CASE WHEN s2 <> o_orderstatus THEN 1 ELSE 0 END) AS BIGINT)
-               AS changed_status,
-           CAST(sum(CASE WHEN p2 <> o_totalprice OR s2 <> o_orderstatus
-                         THEN 1 ELSE 0 END) AS BIGINT) AS changed_rows,
-           round(sum(CASE WHEN p2 <> o_totalprice
-                          THEN CAST(floor(p2 * 100) - floor(o_totalprice * 100)
-                                    AS BIGINT)
-                          ELSE 0 END) / 100.0, 2) AS totalprice_drift_dollars
-    FROM changed
-    """,
-    "Table-diff reconciliation: compare a table against its next "
-    "pipeline version (here a deterministically perturbed twin — 1/97 "
-    "of prices bumped 5%, 1/131 of statuses rewritten — standing in "
-    "for 'v2 of the job') and report per-column changed-cell counts "
-    "plus net numeric drift in exact floor-cents. The "
-    "regression-diff gate run before promoting a rewritten pipeline: "
-    "at 100 TB this joins the two versions on the primary key "
-    "(co-partitioned, one shuffle) and aggregates per-column "
-    "inequality flags map-side; here the twin derives in-plan so the "
-    "whole diff is one scan, zero joins. All counts and drift sums "
-    "are exact integers.",
-    tags=("quality", "agg", "governance"),
-)
-def table_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    changed = o.select(
-        "o_orderkey",
-        "o_totalprice",
-        "o_orderstatus",
-        F.when(
-            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") * 1.05
-        )
-        .otherwise(F.col("o_totalprice"))
-        .alias("p2"),
-        F.when(F.col("o_orderkey") % 131 == 0, F.lit("P"))
-        .otherwise(F.col("o_orderstatus"))
-        .alias("s2"),
-    )
-    return changed.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum(F.when(F.col("p2") != F.col("o_totalprice"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("changed_totalprice"),
-        F.sum(F.when(F.col("s2") != F.col("o_orderstatus"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("changed_status"),
-        F.sum(
-            F.when(
-                (F.col("p2") != F.col("o_totalprice"))
-                | (F.col("s2") != F.col("o_orderstatus")),
-                1,
-            ).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("changed_rows"),
-        F.round(
-            F.sum(
-                F.when(
-                    F.col("p2") != F.col("o_totalprice"),
-                    (
-                        F.floor(F.col("p2") * 100)
-                        - F.floor(F.col("o_totalprice") * 100)
-                    ).cast("bigint"),
-                ).otherwise(0)
-            )
-            / 100.0,
-            2,
-        ).alias("totalprice_drift_dollars"),
-    )
-
-
-@register(
-    "run_length_encoding",
-    """
-    WITH e AS (
-        SELECT user_id, event_type,
-               CAST(epoch_us(ts) AS HUGEINT) * 10000000 + event_id AS k
-        FROM events
-    ), flagged AS (
-        SELECT user_id, event_type, k,
-               CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
-                    THEN 1 ELSE 0 END AS is_start
-        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY k)
-    ), runs AS (
-        SELECT user_id, event_type,
-               sum(is_start) OVER (PARTITION BY user_id ORDER BY k
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS run_id
-        FROM flagged
-    ), lens AS (
-        SELECT event_type, count(*) AS run_len
-        FROM runs GROUP BY user_id, event_type, run_id
-    )
-    SELECT event_type, CAST(run_len AS BIGINT) AS run_len,
-           CAST(count(*) AS BIGINT) AS n_runs
-    FROM lens GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-    "Run-length encoding of event streams (value-change "
-    "gaps-and-islands): consecutive same-type events per user "
-    "collapse into runs via the lag-flag + running-sum island id, "
-    "then the run-length distribution per type — the stream- "
-    "compression / stuck-sensor diagnostic (a long 'error' run is an "
-    "incident, not traffic). Ordering ties break on event_id through "
-    "one composite sort key. One shuffle on user_id; both window "
-    "passes share the same partitioning; run ids never leave their "
-    "partition. Counts exact.",
-    tags=("window", "events", "timeseries", "analytics"),
-)
-def run_length_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    e = ev.select(
-        "user_id",
-        "event_type",
-        (
-            F.unix_micros(F.col("ts")).cast("decimal(38,0)") * 10000000
-            + F.col("event_id")
-        ).alias("k"),
-    )
-    w = W.partitionBy("user_id").orderBy("k")
-    flagged = e.select(
-        "user_id",
-        "event_type",
-        F.when(
-            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
-        )
-        .otherwise(0)
-        .alias("is_start"),
-        "k",
-    )
-    runs = flagged.select(
-        "user_id",
-        "event_type",
-        F.sum("is_start")
-        .over(W.partitionBy("user_id").orderBy("k").rowsBetween(W.unboundedPreceding, 0))
-        .alias("run_id"),
-    )
-    lens = runs.groupBy("user_id", "event_type", "run_id").agg(
-        F.count(F.lit(1)).alias("run_len")
-    )
-    return (
-        lens.groupBy("event_type", F.col("run_len").cast("bigint").alias("run_len"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_runs"))
-        .orderBy("event_type", "run_len")
-    )
-
-
-@register(
-    "table_checksum",
-    """
-    WITH o AS (
-        SELECT bit_xor(CAST('0x' || substr(md5(
-                   CAST(o_orderkey AS VARCHAR) || '|' ||
-                   CAST(o_custkey AS VARCHAR) || '|' ||
-                   o_orderstatus || '|' ||
-                   CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)
-               ), 1, 15) AS BIGINT)) AS checksum,
-               CAST(count(*) AS BIGINT) AS n_rows
-        FROM orders
-    ), c AS (
-        SELECT bit_xor(CAST('0x' || substr(md5(
-                   CAST(c_custkey AS VARCHAR) || '|' ||
-                   CAST(c_nationkey AS VARCHAR) || '|' ||
-                   c_mktsegment || '|' ||
-                   CAST(CAST(floor(c_acctbal * 100) AS BIGINT) AS VARCHAR)
-               ), 1, 15) AS BIGINT)) AS checksum,
-               CAST(count(*) AS BIGINT) AS n_rows
-        FROM customer
-    )
-    SELECT 'orders' AS table_name, n_rows, checksum FROM o
-    UNION ALL
-    SELECT 'customer', n_rows, checksum FROM c
-    ORDER BY table_name
-    """,
-    "Content-addressed table checksum: every row serializes its "
-    "business columns canonically (money as floor-cents BIGINT so no "
-    "float formatting crosses engines), hashes through md5, and the "
-    "table fingerprint is the XOR-fold of 60-bit hash prefixes — "
-    "order-insensitive and partition-associative, so a 100 TB "
-    "table's checksum computes map-side with a 16-byte merge state "
-    "and NO shuffle of row data (the anti-entropy / "
-    "replica-reconciliation primitive; two replicas disagree iff "
-    "any row differs, detected without moving either table). "
-    "Counts + checksums are exact integers.",
-    tags=("quality", "agg", "governance", "functions"),
-)
-def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def cksum(df: DataFrame, label: str, row_str: F.Column) -> DataFrame:
-        h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("bigint")
-        return df.agg(
-            F.lit(label).alias("table_name"),
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.bit_xor(h).alias("checksum"),
-        )
-
-    o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer")
-    orders_ck = cksum(
-        o,
-        "orders",
-        F.concat_ws(
-            "|",
-            F.col("o_orderkey").cast("string"),
-            F.col("o_custkey").cast("string"),
-            F.col("o_orderstatus"),
-            F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
-        ),
-    )
-    cust_ck = cksum(
-        c,
-        "customer",
-        F.concat_ws(
-            "|",
-            F.col("c_custkey").cast("string"),
-            F.col("c_nationkey").cast("string"),
-            F.col("c_mktsegment"),
-            F.floor(F.col("c_acctbal") * 100).cast("bigint").cast("string"),
-        ),
-    )
-    return orders_ck.unionByName(cust_ck).orderBy("table_name")
-
-
-@register(
-    "embedding_dimension_stats",
-    """
-    WITH raw AS (
-        -- parallel unnest zips element and index in lockstep
-        SELECT unnest(range(0, len(embedding))) AS dim,
-               CAST(unnest(embedding) AS DOUBLE) AS x
-        FROM embeddings
-    ), exploded AS (
-        SELECT dim,
-               CAST(x AS DECIMAL(28,10))     AS xd,
-               CAST(x * x AS DECIMAL(28,12)) AS xsq,
-               x
-        FROM raw
-    )
-    SELECT CAST(dim AS INT) AS dim,
-           CAST(count(*) AS BIGINT) AS n,
-           round(CAST(sum(xd) AS DOUBLE) / count(*), 6) AS mean,
-           round(CAST(sum(xsq) AS DOUBLE) / count(*)
-                 - (CAST(sum(xd) AS DOUBLE) / count(*))
-                 * (CAST(sum(xd) AS DOUBLE) / count(*)), 6) AS variance,
-           round(min(x), 6) AS min_val,
-           round(max(x), 6) AS max_val
-    FROM exploded GROUP BY 1 ORDER BY 1
-    """,
-    "Per-dimension embedding statistics (mean/variance/min/max per "
-    "coordinate) — the normalization/whitening precursor every "
-    "embedding pipeline computes before PCA, quantization, or "
-    "standardized ANN. posexplode fans each vector into (dim, value) "
-    "rows that partial-combine per dimension — d accumulators per "
-    "task, one bounded-key shuffle. Determinism: each element (and "
-    "its square, computed in double) casts to DECIMAL before "
-    "summation, so cross-row accumulation is associative and "
-    "layout-stable; the only floats are per-row casts and the final "
-    "divisions. Population variance via E[x^2] - E[x]^2 on the "
-    "decimal sums.",
-    tags=("similarity", "agg", "stats", "llm-pipeline"),
-)
-def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
-    exploded = emb.select(
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
-    ).select(
-        "dim",
-        F.col("x").cast("decimal(28,10)").alias("xd"),
-        (F.col("x") * F.col("x")).cast("decimal(28,12)").alias("xsq"),
-        "x",
-    )
-    mean = F.sum("xd").cast("double") / F.count(F.lit(1))
-    return (
-        exploded.groupBy("dim")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(mean, 6).alias("mean"),
-            F.round(
-                F.sum("xsq").cast("double") / F.count(F.lit(1)) - mean * mean, 6
-            ).alias("variance"),
-            F.round(F.min("x"), 6).alias("min_val"),
-            F.round(F.max("x"), 6).alias("max_val"),
-        )
-        .orderBy("dim")
-    )
-
-
-@register(
-    "timezone_local_day_agg",
-    """
-    WITH localized AS (
-        SELECT CAST(epoch_us(to_timestamp(epoch_us(ts) / 1000000.0)
-                             AT TIME ZONE 'America/New_York')
-                    // 86400000000 AS BIGINT) AS ny_day,
-               CAST(epoch_us(to_timestamp(epoch_us(ts) / 1000000.0)
-                             AT TIME ZONE 'Asia/Kolkata')
-                    // 86400000000 AS BIGINT) AS kolkata_day,
-               value
-        FROM events
-    )
-    SELECT ny_day,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(count(DISTINCT kolkata_day) AS BIGINT) AS n_kolkata_days,
-           CAST(floor(sum(CAST(value AS DECIMAL(18,6)))) AS BIGINT)
-               AS value_floor
-    FROM localized GROUP BY 1 ORDER BY 1 LIMIT 100
-    """,
-    "Timezone-aware calendar aggregation: UTC event instants bucket "
-    "into America/New_York local days (DST-shifting offset) and "
-    "Asia/Kolkata days (fractional +05:30 offset) through each "
-    "engine's IANA tzdata — the 'daily report in the customer's "
-    "timezone' requirement naive epoch-day bucketing gets wrong "
-    "twice a year. Both sides convert instant -> named-zone wall "
-    "time (from_utc_timestamp / AT TIME ZONE on an epoch-anchored "
-    "TIMESTAMPTZ, so neither depends on session timezone), then "
-    "integer-epoch day math. n_kolkata_days witnesses the offset "
-    "split: a NY day spans parts of two Kolkata days. DECIMAL "
-    "partials keep the value sum layout-stable.",
-    tags=("timeseries", "functions", "agg"),
-)
-def timezone_local_day_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    localized = ev.select(
-        F.expr(
-            "unix_micros(from_utc_timestamp(ts, 'America/New_York'))"
-            " div 86400000000"
-        ).alias("ny_day"),
-        F.expr(
-            "unix_micros(from_utc_timestamp(ts, 'Asia/Kolkata'))"
-            " div 86400000000"
-        ).alias("kolkata_day"),
-        "value",
-    )
-    return (
-        localized.groupBy("ny_day")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.count_distinct("kolkata_day").cast("bigint").alias(
-                "n_kolkata_days"
-            ),
-            F.floor(F.sum(F.col("value").cast("decimal(18,6)")))
-            .cast("bigint")
-            .alias("value_floor"),
-        )
-        .orderBy("ny_day")
-        .limit(100)
-    )
-
-
-@register(
-    "hll_rolling_wau",
-    """
-    WITH ud AS (
-        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
-        FROM events
-    ), span AS (
-        SELECT min(day) AS d0 FROM ud
-    ), contrib AS (
-        SELECT ud.user_id, ud.day + o.off AS target
-        FROM ud, LATERAL (SELECT unnest(generate_series(0, 6)) AS off) o
-    ), wau AS (
-        SELECT target AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau_exact
-        FROM contrib GROUP BY 1
-    )
-    SELECT day, wau_exact, TRUE AS estimate_within_bound
-    FROM wau
-    WHERE day >= (SELECT d0 FROM span) + 6
-      AND day <= (SELECT max(day) FROM ud)
-    ORDER BY day LIMIT 60
-    """,
-    "Rolling 7-day distinct users via MERGEABLE HLL sketches "
-    "(DataSketches hll_sketch_agg per day, hll_union_agg across the "
-    "window): the 100 TB form of sliding-window distinct counting — "
-    "daily sketches build map-side once, every window is a cheap "
-    "union of 7 compact sketches (kilobytes), where the exact "
-    "rolling form re-shuffles user ids per window. Driver-checkable "
-    "via the approx_aggregates convention: the oracle computes EXACT "
-    "rolling WAU and a literal TRUE bound column; the Spark side "
-    "emits its bound check |HLL - exact| <= 3*rsd*exact, so a hash "
-    "match PROVES every window's sketch union landed inside its "
-    "published error bound. Window days with full 7-day history "
-    "only.",
-    tags=("sketch", "agg", "timeseries", "streaming"),
-)
-def hll_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    ud = (
-        ev.select(
-            "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
-        )
-        .distinct()
-    )
-    daily = ud.groupBy("day").agg(
-        F.expr("hll_sketch_agg(user_id, 12)").alias("sk")
-    )
-    offsets = F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off")
-    fanned = daily.select("day", "sk", offsets).select(
-        (F.col("day") + F.col("off")).alias("target"), "sk"
-    )
-    unioned = fanned.groupBy(F.col("target").alias("day")).agg(
-        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
-    )
-    exact = (
-        ud.select("user_id", offsets, "day")
-        .select("user_id", (F.col("day") + F.col("off")).alias("target"))
-        .groupBy(F.col("target").alias("day"))
-        .agg(F.count_distinct("user_id").cast("bigint").alias("wau_exact"))
-    )
-    bounds = ud.agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
-    )
-    # lgConfigK=12 -> relative standard error ~= 1.04/sqrt(2^12) = 1.625%
-    rsd = 1.04 / (2 ** 6)
-    return (
-        exact.join(unioned, "day")
-        .crossJoin(F.broadcast(bounds))
-        .filter((F.col("day") >= F.col("d0") + 6) & (F.col("day") <= F.col("d1")))
-        .select(
-            "day",
-            "wau_exact",
-            (
-                F.abs(F.col("est") - F.col("wau_exact"))
-                <= 3 * rsd * F.col("wau_exact")
-            ).alias("estimate_within_bound"),
-        )
-        .orderBy("day")
-        .limit(60)
-    )
-
-
-@register(
-    "pivot_multi_agg",
-    """
-    SELECT l_returnflag,
-           CAST(sum(l_quantity) FILTER (l_linestatus = 'O') AS BIGINT) AS O_qty,
-           CAST(count(*)        FILTER (l_linestatus = 'O') AS BIGINT) AS O_n,
-           round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-                 FILTER (l_linestatus = 'O'), 2)                       AS O_rev,
-           CAST(sum(l_quantity) FILTER (l_linestatus = 'F') AS BIGINT) AS F_qty,
-           CAST(count(*)        FILTER (l_linestatus = 'F') AS BIGINT) AS F_n,
-           round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-                 FILTER (l_linestatus = 'F'), 2)                       AS F_rev
-    FROM lineitem GROUP BY 1 ORDER BY 1
-    """,
-    "Pivot with MULTIPLE aggregations per pivoted value (sum + count "
-    "+ decimal revenue per line status): Catalyst compiles the "
-    "explicit-values multi-measure pivot into one PivotFirst pass — "
-    "one scan, one shuffle, measure columns materialized per pivot "
-    "value — where naive per-measure pivots would scan three times. "
-    "Explicit value list keeps the single-pass property "
-    "(value-discovery pivots need a collect first); DECIMAL partials "
-    "keep revenue layout-stable. The multi-measure shape is what "
-    "reporting workloads actually emit.",
-    tags=("agg", "sql"),
-)
-def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    out = (
-        li.groupBy("l_returnflag")
-        .pivot("l_linestatus", ["O", "F"])
-        .agg(
-            F.sum("l_quantity").cast("bigint").alias("qty"),
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2).alias(
-                "rev"
-            ),
-        )
-    )
-    return out.select(
-        "l_returnflag",
-        *[F.col(f"{v}_{m}") for v in ("O", "F") for m in ("qty", "n", "rev")],
-    ).orderBy("l_returnflag")
-
-
-@register(
-    "correlation_matrix_exact",
-    """
-    WITH v AS (
-        SELECT CAST(l_quantity AS BIGINT)                      AS q,
-               CAST(floor(l_extendedprice * 100) AS BIGINT)    AS p,
-               CAST(round(l_discount * 100) AS BIGINT)         AS d,
-               CAST(round(l_tax * 100) AS BIGINT)              AS tx
-        FROM lineitem
-    ), sums AS (
-        SELECT CAST(count(*) AS HUGEINT) AS n,
-               CAST(sum(q)  AS HUGEINT) AS sq,  CAST(sum(p)  AS HUGEINT) AS sp,
-               CAST(sum(d)  AS HUGEINT) AS sd,  CAST(sum(tx) AS HUGEINT) AS st,
-               CAST(sum(q*q)   AS HUGEINT) AS sqq, CAST(sum(p*p) AS HUGEINT) AS spp,
-               CAST(sum(d*d)   AS HUGEINT) AS sdd, CAST(sum(tx*tx) AS HUGEINT) AS stt,
-               CAST(sum(q*p)   AS HUGEINT) AS sqp, CAST(sum(q*d) AS HUGEINT) AS sqd,
-               CAST(sum(q*tx)  AS HUGEINT) AS sqt, CAST(sum(p*d) AS HUGEINT) AS spd,
-               CAST(sum(p*tx)  AS HUGEINT) AS spt, CAST(sum(d*tx) AS HUGEINT) AS sdt
-        FROM v
-    )
-    SELECT pair, round(CAST(num AS DOUBLE)
-                 / sqrt(CAST(den1 AS DOUBLE) * CAST(den2 AS DOUBLE)), 6)
-               AS corr
-    FROM (
-        SELECT 'quantity~price' AS pair, n*sqp - sq*sp AS num,
-               n*sqq - sq*sq AS den1, n*spp - sp*sp AS den2 FROM sums
-        UNION ALL SELECT 'quantity~discount', n*sqd - sq*sd,
-               n*sqq - sq*sq, n*sdd - sd*sd FROM sums
-        UNION ALL SELECT 'quantity~tax', n*sqt - sq*st,
-               n*sqq - sq*sq, n*stt - st*st FROM sums
-        UNION ALL SELECT 'price~discount', n*spd - sp*sd,
-               n*spp - sp*sp, n*sdd - sd*sd FROM sums
-        UNION ALL SELECT 'price~tax', n*spt - sp*st,
-               n*spp - sp*sp, n*stt - st*st FROM sums
-        UNION ALL SELECT 'discount~tax', n*sdt - sd*st,
-               n*sdd - sd*sd, n*stt - st*st FROM sums
-    ) ORDER BY pair
-    """,
-    "All-pairs Pearson correlation matrix over the line-item "
-    "measures in ONE aggregation pass: every moment (4 sums, 4 "
-    "square-sums, 6 cross-products) accumulates as an EXACT integer "
-    "(floor-cents / hundredths inputs; DECIMAL(38,0)/HUGEINT "
-    "accumulators, associative at any layout), and each correlation "
-    "is one closed-form IEEE expression over exact moments — the "
-    "feature-EDA primitive with zero float-order drift, vs "
-    "corr()-per-pair which re-scans per pair and sums doubles in "
-    "partition order. At 100 TB this is a single partial-combined "
-    "scan producing a 14-number state.",
-    tags=("stats", "agg", "analytics"),
-)
-def correlation_matrix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    v = li.select(
-        F.col("l_quantity").cast("bigint").alias("q"),
-        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("p"),
-        F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
-        F.round(F.col("l_tax") * 100).cast("bigint").alias("tx"),
-    )
-    D = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    # DECIMAL partials INSIDE every sum: a BIGINT accumulator of p^2
-    # (1e14/row) overflows past ~90k rows — found by the sf0.1 bench,
-    # invisible at the sf0.01 oracle scale.
-    sums = v.agg(
-        D(F.count(F.lit(1))).alias("n"),
-        F.sum(D(F.col("q"))).alias("sq"),
-        F.sum(D(F.col("p"))).alias("sp"),
-        F.sum(D(F.col("d"))).alias("sd"),
-        F.sum(D(F.col("tx"))).alias("st"),
-        F.sum(D(F.col("q") * F.col("q"))).alias("sqq"),
-        F.sum(D(F.col("p")) * D(F.col("p"))).alias("spp"),
-        F.sum(D(F.col("d") * F.col("d"))).alias("sdd"),
-        F.sum(D(F.col("tx") * F.col("tx"))).alias("stt"),
-        F.sum(D(F.col("q")) * D(F.col("p"))).alias("sqp"),
-        F.sum(D(F.col("q") * F.col("d"))).alias("sqd"),
-        F.sum(D(F.col("q") * F.col("tx"))).alias("sqt"),
-        F.sum(D(F.col("p")) * D(F.col("d"))).alias("spd"),
-        F.sum(D(F.col("p")) * D(F.col("tx"))).alias("spt"),
-        F.sum(D(F.col("d") * F.col("tx"))).alias("sdt"),
-    )
-    pairs = [
-        ("quantity~price", "sqp", "sq", "sp", "sqq", "spp"),
-        ("quantity~discount", "sqd", "sq", "sd", "sqq", "sdd"),
-        ("quantity~tax", "sqt", "sq", "st", "sqq", "stt"),
-        ("price~discount", "spd", "sp", "sd", "spp", "sdd"),
-        ("price~tax", "spt", "sp", "st", "spp", "stt"),
-        ("discount~tax", "sdt", "sd", "st", "sdd", "stt"),
-    ]
-    # One stack() unpivot over the single 1-row aggregate: the
-    # 15-moment agg (and the lineitem scan under it) appears ONCE in
-    # the plan (2 exchanges), where the previous six-leg unionByName
-    # duplicated it 6x (12 exchanges; VERDICT r3 "what's wrong" #1).
-    stack_args: list = [F.lit(len(pairs))]
-    for name, sxy, sx, sy, sxx, syy in pairs:
-        num = F.col("n") * F.col(sxy) - F.col(sx) * F.col(sy)
-        den1 = F.col("n") * F.col(sxx) - F.col(sx) * F.col(sx)
-        den2 = F.col("n") * F.col(syy) - F.col(sy) * F.col(sy)
-        stack_args.append(F.lit(name))
-        stack_args.append(
-            F.round(
-                num.cast("double")
-                / F.sqrt(den1.cast("double") * den2.cast("double")),
-                6,
-            )
-        )
-    return sums.select(
-        F.stack(*stack_args).alias("pair", "corr")
-    ).orderBy("pair")
-
-
-@register(
-    "csv_corrupt_record_audit",
-    """
-    SELECT CAST(count(*) AS BIGINT) AS n_good,
-           CAST(sum(CASE WHEN o_orderkey % 50 = 0 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_corrupt,
-           CAST(count(*) + sum(CASE WHEN o_orderkey % 50 = 0
-                                    THEN 1 ELSE 0 END) AS BIGINT)
-               AS permissive_rows,
-           CAST(count(*) AS BIGINT) AS dropmalformed_rows
-    FROM orders
-    """,
-    "Malformed-input handling at the CSV source: a feed with one "
-    "corrupt line per 50 keys (non-numeric in a DOUBLE column) is "
-    "read twice — PERMISSIVE mode quarantines bad lines into "
-    "_corrupt_record (row preserved, columns null) and DROPMALFORMED "
-    "discards them — and the audit reconciles all four counts. The "
-    "oracle derives the expected counts analytically from the clean "
-    "original, so a hash match proves the parser neither dropped "
-    "good rows nor passed corrupt ones — the ingest-contract test "
-    "every production feed needs (silent row loss is the classic "
-    "CSV failure). Both read legs are parallel vectorized parses "
-    "with explicit schema (no inference pass).",
-    tags=("source", "quality"),
-)
-def csv_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os as _os
-
-    repo = _os.path.dirname(
-        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    )
-    path = _os.path.join(repo, ".tmp_io", "corrupt_feed")
-    o = t(spark, sf_dir, "orders")
-    good = o.select(
-        F.concat_ws(
-            ",",
-            F.col("o_orderkey").cast("string"),
-            F.col("o_orderstatus"),
-            F.col("o_totalprice").cast("string"),
-        ).alias("value")
-    )
-    bad = o.filter(F.col("o_orderkey") % 50 == 0).select(
-        F.concat_ws(
-            ",",
-            F.col("o_orderkey").cast("string"),
-            F.col("o_orderstatus"),
-            F.lit("NOT_A_NUMBER"),
-        ).alias("value")
-    )
-    good.unionByName(bad).write.mode("overwrite").text(path)
-
-    schema = (
-        "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE,"
-        " _corrupt_record STRING"
-    )
-    permissive = (
-        spark.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .csv(path)
-        .cache()
-    )
-    n_perm = permissive.count()
-    n_corrupt = permissive.filter(F.col("_corrupt_record").isNotNull()).count()
-    # The classic DROPMALFORMED gotcha: a bare count() prunes every
-    # column, the parser never converts the DOUBLE field, and NOTHING
-    # drops (verified: count()=15300 here). Malformed detection fires
-    # only for columns the plan parses — so the count must reference
-    # the fallible column. count(p) + nulls(p) forces the parse while
-    # still counting every surviving row.
-    dropped = (
-        spark.read.schema(
-            "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
-        )
-        .option("mode", "DROPMALFORMED")
-        .csv(path)
-    )
-    n_drop = dropped.agg(
-        (
-            F.count("o_totalprice")
-            + F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0))
-        ).alias("n")
-    ).collect()[0][0]
-    return spark.createDataFrame(
-        [(n_perm - n_corrupt, n_corrupt, n_perm, n_drop)],
-        "n_good bigint, n_corrupt bigint, permissive_rows bigint,"
-        " dropmalformed_rows bigint",
-    )
-
-
-@register(
-    "balanced_shard_plan",
-    """
-    WITH ranked AS (
-        SELECT doc_id, n_chars,
-               row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
-        FROM documents
-    ), sharded AS (
-        SELECT (rn - 1) % 8 AS shard, n_chars FROM ranked
-    ), per_shard AS (
-        SELECT shard,
-               CAST(count(*) AS BIGINT)     AS n_docs,
-               CAST(sum(n_chars) AS BIGINT) AS total_chars
-        FROM sharded GROUP BY 1
-    )
-    SELECT CAST(shard AS BIGINT) AS shard, n_docs, total_chars,
-           round(CAST(total_chars AS DOUBLE)
-                 / (CAST(sum(total_chars) OVER () AS DOUBLE) / 8), 6)
-               AS balance_ratio
-    FROM per_shard ORDER BY shard
-    """,
-    "Balanced output-shard planner for training-data releases: "
-    "documents rank by size (desc, id tie-broken) and deal "
-    "round-robin into 8 shards — the size-ranked round-robin "
-    "approximation of bin packing, which bounds shard skew by one "
-    "max-document per shard (balance_ratio stays within ~1% of 1.0 "
-    "here, vs the >2x skew naive hash sharding gives a heavy-tailed "
-    "corpus). At scale the global rank uses the engine's "
-    "distributed_row_number primitive (range repartition + "
-    "per-partition offsets — no single-partition window); at "
-    "fixture scale the plan IS that primitive's oracle twin. "
-    "Downstream writers then partitionBy(shard) for equal-size "
-    "output files.",
-    tags=("llm-pipeline", "window", "layout", "agg"),
-)
-def balanced_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.relational import global_row_number
-
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        "n_chars",
-        # one sortable unique key encoding (size DESC, doc_id ASC).
-        # DECIMAL(38,0) with a 1e12 multiplier keeps the primary
-        # ordering exact for any doc_id < 1e12 (TPC-H sf ~160k, past
-        # the 100 TB posture) — a BIGINT 1e7 pack corrupts past 10M ids.
-        (
-            (-F.col("n_chars")).cast("decimal(38,0)") * F.lit(10**12)
-            + F.col("doc_id")
-        ).alias("rank_key"),
-    )
-    ranked = global_row_number(docs, "rank_key")
-    per_shard = (
-        ranked.select(((F.col("rn") - 1) % 8).alias("shard"), "n_chars")
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_chars").cast("bigint").alias("total_chars"),
-        )
-    )
-    return per_shard.select(
-        F.col("shard").cast("bigint").alias("shard"),
-        "n_docs",
-        "total_chars",
-        F.round(
-            F.col("total_chars").cast("double")
-            / (F.sum("total_chars").over(W.partitionBy()).cast("double") / 8),
-            6,
-        ).alias("balance_ratio"),
-    ).orderBy("shard")
-
-
-@register(
-    "negative_sampling_plan",
-    """
-    WITH n AS (SELECT count(*) AS total FROM embeddings),
-        anchors AS (
-        SELECT vec_id, label FROM embeddings WHERE vec_id % 100 = 0
-    ), cand AS (
-        SELECT a.vec_id AS anchor_id, a.label AS anchor_label, s.i,
-               (a.vec_id * 2654435761 + s.i * 97003) % (SELECT total FROM n)
-                   AS neg_id
-        FROM anchors a, (SELECT unnest(generate_series(0, 7)) AS i) s
-    ), joined AS (
-        SELECT c.anchor_id, c.i, c.neg_id, e.label AS neg_label
-        FROM cand c JOIN embeddings e ON e.vec_id = c.neg_id
-        WHERE e.label <> c.anchor_label AND c.neg_id <> c.anchor_id
-    ), ranked AS (
-        SELECT anchor_id, neg_id,
-               row_number() OVER (PARTITION BY anchor_id ORDER BY i) AS rk
-        FROM joined
-    )
-    SELECT anchor_id, CAST(rk AS INT) AS neg_rank, CAST(neg_id AS BIGINT) AS neg_id
-    FROM ranked WHERE rk <= 4
-    ORDER BY anchor_id, neg_rank
-    """,
-    "Negative-sampling plan for contrastive / word2vec-style "
-    "training: each anchor draws 8 pseudo-random candidate ids via a "
-    "portable multiplicative-hash congruence (NO engine RNG — the "
-    "same corpus yields the same training pairs on any engine, which "
-    "is what makes distributed training runs reproducible), keeps "
-    "candidates whose label differs from the anchor's, and takes the "
-    "first 4 per anchor in draw order. The candidate join is a "
-    "broadcast id-lookup (keys only — embeddings never move); draw "
-    "order, not similarity, ranks the negatives, so no O(n^2) "
-    "scoring happens at plan time. The hard-negative variant "
-    "(hard_negative_mining) is the similarity-ranked sibling.",
-    tags=("llm-pipeline", "similarity", "generator"),
-)
-def negative_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "label")
-    total = emb.agg(F.count(F.lit(1)).alias("total"))
-    anchors = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("anchor_id"), F.col("label").alias("anchor_label")
-    )
-    cand = (
-        anchors.crossJoin(F.broadcast(total))
-        .select(
-            "anchor_id",
-            "anchor_label",
-            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("i"),
-            "total",
-        )
-        .select(
-            "anchor_id",
-            "anchor_label",
-            "i",
-            (
-                (F.col("anchor_id") * 2654435761 + F.col("i") * 97003)
-                % F.col("total")
-            ).alias("neg_id"),
-        )
-    )
-    joined = (
-        cand.join(
-            F.broadcast(emb.select(F.col("vec_id").alias("neg_id"), "label")),
-            "neg_id",
-        )
-        .filter(
-            (F.col("label") != F.col("anchor_label"))
-            & (F.col("neg_id") != F.col("anchor_id"))
-        )
-    )
-    ranked = joined.select(
-        "anchor_id",
-        "neg_id",
-        F.row_number()
-        .over(W.partitionBy("anchor_id").orderBy("i"))
-        .alias("rk"),
-    )
-    return (
-        ranked.filter(F.col("rk") <= 4)
-        .select(
-            "anchor_id",
-            F.col("rk").cast("int").alias("neg_rank"),
-            F.col("neg_id").cast("bigint").alias("neg_id"),
-        )
-        .orderBy("anchor_id", "neg_rank")
-    )
-
-
-@register(
-    "hard_negative_mining",
-    """
-    WITH anchors AS (
-        SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 20
-    ), scored AS (
-        SELECT a.vec_id AS anchor_id, e.vec_id AS neg_id,
-               list_cosine_similarity(e.embedding::DOUBLE[],
-                                      a.embedding::DOUBLE[]) AS sim
-        FROM anchors a JOIN embeddings e ON e.label <> a.label
-    ), ranked AS (
-        SELECT anchor_id, neg_id, sim,
-               row_number() OVER (PARTITION BY anchor_id
-                                  ORDER BY sim DESC, neg_id) AS rk
-        FROM scored
-    )
-    SELECT anchor_id, CAST(rk AS INT) AS neg_rank, neg_id,
-           round(sim, 6) AS cos_sim
-    FROM ranked WHERE rk <= 3
-    ORDER BY anchor_id, neg_rank
-    """,
-    "Hard-negative mining: for each anchor, the 3 most-similar "
-    "vectors with a DIFFERENT label by exact cosine — the negatives "
-    "that actually move a contrastive loss (random negatives are "
-    "trivially separable). Exactness baseline shape: score-all + "
-    "per-anchor top-k (window over the anchor partition); at corpus "
-    "scale the candidate set comes from the IVF/LSH bucket probes "
-    "(ann_lsh_topk / ivf_ann_topk) and this exact scorer runs only "
-    "within buckets — the same two-tier pattern as the embedding "
-    "near-dup tier. Cosine evaluates in one deterministic "
-    "left-to-right fold on both engines; ties break on vec_id.",
-    tags=("similarity", "llm-pipeline", "window"),
-)
-def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    anchors = emb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("label").alias("anchor_label"),
-        F.col("emb").alias("anchor_emb"),
-    )
-    scored = (
-        emb.crossJoin(F.broadcast(anchors))
-        .filter(F.col("label") != F.col("anchor_label"))
-        .select(
-            "anchor_id",
-            F.col("vec_id").alias("neg_id"),
-            S.cosine(F.col("emb"), F.col("anchor_emb")).alias("sim"),
-        )
-    )
-    ranked = scored.select(
-        "anchor_id",
-        "neg_id",
-        "sim",
-        F.row_number()
-        .over(W.partitionBy("anchor_id").orderBy(F.desc("sim"), "neg_id"))
-        .alias("rk"),
-    )
-    return (
-        ranked.filter(F.col("rk") <= 3)
-        .select(
-            "anchor_id",
-            F.col("rk").cast("int").alias("neg_rank"),
-            "neg_id",
-            F.round("sim", 6).alias("cos_sim"),
-        )
-        .orderBy("anchor_id", "neg_rank")
-    )
-
-
-def _bpe_oracle(n_merges: int = 5) -> str:
-    """Generate the n-stage BPE oracle: each stage counts adjacent
-    token pairs, picks the (count DESC, w1, w2) argmax, and rewrites
-    the corpus with the pair merged — identical string semantics to
-    the Spark loop (see bpe_merge_training)."""
-    stages = ["WITH t0 AS MATERIALIZED (SELECT doc_id, text FROM documents)"]
-    selects = []
-    for i in range(n_merges):
-        stages.append(f"""
-    p{i} AS MATERIALIZED (
-        SELECT bg[1] AS w1, bg[2] AS w2, count(*) AS cnt
-        FROM (
-            SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS bg
-            FROM (SELECT string_split(text, ' ') AS ws FROM t{i})
-            WHERE len(ws) >= 2
-        ) GROUP BY 1, 2
-    ),
-    m{i} AS MATERIALIZED (
-        SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt FROM p{i}
-        ORDER BY cnt DESC, w1, w2 LIMIT 1
-    ),
-    t{i + 1} AS MATERIALIZED (
-        SELECT doc_id,
-               trim(replace(replace(
-                   ' ' || replace(text, ' ', '  ') || ' ',
-                   ' ' || (SELECT w1 FROM m{i}) || '  '
-                       || (SELECT w2 FROM m{i}) || ' ',
-                   ' ' || (SELECT w1 FROM m{i}) || '@@'
-                       || (SELECT w2 FROM m{i}) || ' '),
-                   '  ', ' ')) AS text
-        FROM t{i}
-    )""")
-        selects.append(
-            f"SELECT {i + 1} AS merge_order, w1, w2, cnt FROM m{i}"
-        )
-    union = "\n    UNION ALL ".join(selects)
-    return (
-        ",".join(stages).replace("WITH t0 AS", "WITH t0 AS", 1)
-        + f"\n    SELECT CAST(merge_order AS INT) AS merge_order, w1, w2,"
-        f" cnt AS pair_count FROM ({union}) ORDER BY merge_order"
-    )
-
-
-@register(
-    "bpe_merge_training",
-    _bpe_oracle(5),
-    "BPE (byte-pair-encoding) merge-rule training, the vocabulary- "
-    "learning stage of every modern tokenizer, run distributed: each "
-    "round counts ALL adjacent token pairs across the corpus (one "
-    "slice+zip explode, partial-combined groupBy), picks the "
-    "argmax pair with a total deterministic tie-break (count DESC, "
-    "then lexicographic), and rewrites the corpus with that pair "
-    "merged ('@@'-joined). Corpus rewrite semantics are pinned "
-    "cross-engine by the double-space trick: doubling separators "
-    "gives every adjacent pair its own delimiters, so left-to-right "
-    "non-overlapping replace() — identical in both engines — merges "
-    "greedily without consuming a neighbor's boundary (canonical "
-    "single-spacing restored per round). Per round the driver "
-    "receives exactly ONE row (the argmax) — corpus text never "
-    "leaves the executors; 5 rounds = the merge table output. The "
-    "real-tokenizer scale notes: rounds are embarrassingly parallel "
-    "in the count phase, and production BPE runs this exact loop "
-    "~30-50k times with the same plan per round.",
-    tags=("text", "llm-pipeline", "iterative", "agg"),
-)
-def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # a handful of partitions is plenty: the corpus leg of every round
-    # is two cheap string jobs, and fewer tasks beats scheduler overhead
-    docs = (
-        t(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(8)
-        .localCheckpoint(eager=True)
-    )
-    merges = []
-    for i in range(5):
-        toks = docs.select(F.split("text", " ").alias("ws"))
-        n = F.size("ws")
-        pairs = (
-            toks.filter(n >= 2)
-            .select(
-                F.explode(
-                    F.arrays_zip(
-                        F.slice(F.col("ws"), 1, n - 1),
-                        F.slice(F.col("ws"), 2, n - 1),
-                    )
-                ).alias("bg")
-            )
-            .groupBy(F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        )
-        top = pairs.orderBy(F.desc("cnt"), "w1", "w2").limit(1).collect()[0]
-        merges.append((i + 1, top.w1, top.w2, top.cnt))
-        pat = f" {top.w1}  {top.w2} "
-        rep = f" {top.w1}@@{top.w2} "
-        docs = docs.select(
-            "doc_id",
-            F.trim(
-                F.replace(
-                    F.replace(
-                        F.concat(
-                            F.lit(" "),
-                            F.replace(F.col("text"), F.lit(" "), F.lit("  ")),
-                            F.lit(" "),
-                        ),
-                        F.lit(pat),
-                        F.lit(rep),
-                    ),
-                    F.lit("  "),
-                    F.lit(" "),
-                )
-            ).alias("text"),
-        ).localCheckpoint(eager=True)  # truncate: round k+1 must not replay rounds 1..k
-    return docs.sparkSession.createDataFrame(
-        merges, "merge_order int, w1 string, w2 string, pair_count bigint"
-    ).orderBy("merge_order")
-
-
-def _bpe_apply_oracle(n_merges: int = 5) -> str:
-    """Oracle for bpe_tokenize_apply: the same n merge stages as
-    _bpe_oracle, then per-doc token counts before/after."""
-    base = _bpe_oracle(n_merges)
-    # reuse the stage CTEs, swap the final SELECT for the apply readout
-    cut = base.rindex("\n    SELECT CAST(merge_order AS INT)")
-    return (
-        base[:cut]
-        + f"""
-    SELECT a.doc_id,
-           CAST(len(string_split(a.text, ' ')) AS BIGINT) AS n_tok_raw,
-           CAST(len(string_split(b.text, ' ')) AS BIGINT) AS n_tok_bpe,
-           round(1.0 - CAST(len(string_split(b.text, ' ')) AS DOUBLE)
-                     / CAST(len(string_split(a.text, ' ')) AS DOUBLE), 6)
-               AS compression
-    FROM t0 a JOIN t{n_merges} b ON a.doc_id = b.doc_id
-    WHERE a.doc_id % 25 = 0
-    ORDER BY a.doc_id"""
-    )
-
-
-@register(
-    "bpe_tokenize_apply",
-    _bpe_apply_oracle(5),
-    "BPE merge application (the encode side of bpe_merge_training): "
-    "the learned merge table rewrites every document in rank order — "
-    "the same greedy double-space replace semantics as training, so "
-    "encode(train_corpus) is exactly the training loop's final "
-    "state — and the readout is per-document token counts before and "
-    "after plus the compression each document gets from the 5-rule "
-    "vocabulary. The pipeline-shape point: tokenization cost at "
-    "100 TB is per-row string work with a BROADCAST merge table, "
-    "zero shuffles; the training loop is where the aggregations "
-    "live. Sampled every-25th doc for a bounded readout.",
-    tags=("text", "llm-pipeline", "functions"),
-)
-def bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    merges = bpe_merge_training(spark, sf_dir).collect()
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    encoded = docs
-    for m in sorted(merges, key=lambda r: r.merge_order):
-        pat = f" {m.w1}  {m.w2} "
-        rep = f" {m.w1}@@{m.w2} "
-        encoded = encoded.select(
-            "doc_id",
-            F.trim(
-                F.replace(
-                    F.replace(
-                        F.concat(
-                            F.lit(" "),
-                            F.replace(F.col("text"), F.lit(" "), F.lit("  ")),
-                            F.lit(" "),
-                        ),
-                        F.lit(pat),
-                        F.lit(rep),
-                    ),
-                    F.lit("  "),
-                    F.lit(" "),
-                )
-            ).alias("text"),
-        )
-    n_raw = F.size(F.split(F.col("a.text"), " ")).cast("bigint")
-    n_bpe = F.size(F.split(F.col("b.text"), " ")).cast("bigint")
-    return (
-        docs.alias("a")
-        .join(encoded.alias("b"), "doc_id")
-        .filter(F.col("doc_id") % 25 == 0)
-        .select(
-            "doc_id",
-            n_raw.alias("n_tok_raw"),
-            n_bpe.alias("n_tok_bpe"),
-            F.round(
-                1.0 - n_bpe.cast("double") / n_raw.cast("double"), 6
-            ).alias("compression"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-@register(
-    "streaming_append_mode_windows",
-    """
-    WITH wm AS (
-        SELECT max(epoch_us(ts)) - 3600000000 AS watermark_us FROM events
-    )
-    SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT)
-               AS window_start,
-           event_type,
-           count(*)              AS n_events,
-           round(sum(value), 4)  AS total_value
-    FROM events
-    GROUP BY 1, 2
-    HAVING CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) * 1000000
-           + 3600000000 <= (SELECT watermark_us FROM wm)
-    """,
-    "APPEND-mode streaming windows: each window row emits exactly "
-    "once, only after the watermark (max event time - 1 h) passes "
-    "its end — the contract file/queue sinks require (complete mode "
-    "re-emits the whole state every trigger; append is the "
-    "write-once form). On the bounded replay the final watermark "
-    "withholds the newest still-open windows, and the oracle applies "
-    "the SAME cutoff analytically: windows with end <= max(ts) - 1 h. "
-    "A hash match therefore proves both the aggregation AND the "
-    "emission policy (no early emit, no missing closed window).",
-    tags=("streaming",),
-)
-def streaming_append_mode_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.windows import run_append_mode_windows
-
-    return run_append_mode_windows(spark, sf_dir)
-
-
-@register(
-    "parquet_schema_evolution",
-    """
-    WITH old AS (
-        SELECT count(*) AS n FROM orders WHERE o_orderkey % 2 = 0
-    ), new AS (
-        SELECT count(*) AS n,
-               CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS s
-        FROM orders WHERE o_orderkey % 2 = 1
-    )
-    SELECT CAST((SELECT n FROM old) + (SELECT n FROM new) AS BIGINT)
-               AS n_total,
-           CAST((SELECT n FROM old) AS BIGINT) AS n_null_priority,
-           CAST((SELECT n FROM new) AS BIGINT) AS n_with_priority,
-           CAST((SELECT s FROM new) AS BIGINT) AS dollars_v2_only
-    """,
-    "Schema evolution on the parquet path: batch v1 writes (key, "
-    "status), batch v2 adds a dollars column; a mergeSchema read "
-    "unions the file schemas, null-filling v1 rows — the "
-    "add-a-column migration every long-lived table performs, proven "
-    "lossless by reconciling row counts and the v2-only column "
-    "aggregate against the analytic oracle. At 100 TB the footer "
-    "merge is metadata work; scans of pre-migration files stay "
-    "column-pruned (the absent column materializes as null without "
-    "reading anything).",
-    tags=("source", "sink", "quality"),
-)
-def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os as _os
-
-    repo = _os.path.dirname(
-        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    )
-    path = _os.path.join(repo, ".tmp_io", "schema_evolution")
-    o = t(spark, sf_dir, "orders")
-    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_orderstatus")
-    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.floor("o_totalprice").cast("bigint").alias("dollars"),
-    )
-    v1.write.mode("overwrite").parquet(_os.path.join(path, "batch=v1"))
-    v2.write.mode("overwrite").parquet(_os.path.join(path, "batch=v2"))
-    merged = spark.read.option("mergeSchema", "true").parquet(
-        _os.path.join(path, "batch=v1"), _os.path.join(path, "batch=v2")
-    )
-    return merged.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_total"),
-        F.sum(F.when(F.col("dollars").isNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_null_priority"),
-        F.count("dollars").cast("bigint").alias("n_with_priority"),
-        F.sum("dollars").cast("bigint").alias("dollars_v2_only"),
-    )
-
-
-@register(
-    "dynamic_partition_overwrite",
-    """
-    WITH counts AS (
-        SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1
-    )
-    SELECT o_orderstatus,
-           CAST(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE n END AS BIGINT)
-               AS n_rows
-    FROM counts ORDER BY o_orderstatus
-    """,
-    "Dynamic partition overwrite (partitionOverwriteMode=dynamic): a "
-    "status-partitioned table is rewritten with a batch touching "
-    "ONLY partition 'O' (a single sentinel row); dynamic mode "
-    "replaces exactly the partitions present in the new batch and "
-    "leaves every other partition byte-identical — vs static mode, "
-    "which would truncate the whole table. This is the idempotent "
-    "daily-reload primitive for partitioned 100 TB tables (reload "
-    "one day, never touch the rest). The oracle states the law "
-    "analytically: every partition keeps its count except the "
-    "overwritten one, which holds the new batch's single row.",
-    tags=("sink", "layout", "quality"),
-)
-def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os as _os
-
-    repo = _os.path.dirname(
-        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    )
-    path = _os.path.join(repo, ".tmp_io", "dyn_overwrite")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        one = spark.createDataFrame(
-            [(-1, "O")], "o_orderkey bigint, o_orderstatus string"
-        )
-        one.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return (
-        spark.read.parquet(path)
-        .groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
-        .orderBy("o_orderstatus")
-    )
-
-
-@register(
-    "functional_dependency_audit",
-    """
-    WITH fd1 AS (  -- c_custkey -> c_nationkey must hold (key FD)
-        SELECT count(*) AS viol FROM (
-            SELECT c_custkey FROM customer
-            GROUP BY 1 HAVING count(DISTINCT c_nationkey) > 1)
-    ), fd2 AS (    -- o_custkey -> o_orderstatus should NOT hold
-        SELECT count(*) AS viol FROM (
-            SELECT o_custkey FROM orders
-            GROUP BY 1 HAVING count(DISTINCT o_orderstatus) > 1)
-    ), fd3 AS (    -- n_nationkey -> n_regionkey must hold
-        SELECT count(*) AS viol FROM (
-            SELECT n_nationkey FROM nation
-            GROUP BY 1 HAVING count(DISTINCT n_regionkey) > 1)
-    ), fd4 AS (    -- l_orderkey -> o_orderdate through the join (FK FD)
-        SELECT count(*) AS viol FROM (
-            SELECT l.l_orderkey FROM lineitem l
-            JOIN orders o ON l.l_orderkey = o.o_orderkey
-            GROUP BY 1 HAVING count(DISTINCT o.o_orderdate) > 1)
-    )
-    SELECT fd, CAST(viol AS BIGINT) AS violating_keys, holds FROM (
-        SELECT 'custkey->nationkey' AS fd, viol, viol = 0 AS holds FROM fd1
-        UNION ALL SELECT 'custkey->orderstatus', viol, viol = 0 FROM fd2
-        UNION ALL SELECT 'nationkey->regionkey', viol, viol = 0 FROM fd3
-        UNION ALL SELECT 'orderkey->orderdate', viol, viol = 0 FROM fd4
-    ) ORDER BY fd
-    """,
-    "Functional-dependency audit (Metanome-style data profiling): "
-    "for each candidate FD X -> Y, count determinant values mapping "
-    "to more than one dependent value — zero violations means the "
-    "dependency holds and can back a constraint, a normalization, or "
-    "a join-cardinality assumption. The suite checks two FDs that "
-    "must hold (key and FK-derived), one that must NOT (behavioral "
-    "column), so the audit itself is regression-tested by the hash. "
-    "Each FD is one partial-combined groupBy with a count-distinct "
-    "HAVING — at 100 TB, candidate FDs batch into one pass per "
-    "determinant via multi-aggregate grouping.",
-    tags=("quality", "governance", "agg"),
-)
-def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
-    n = t(spark, sf_dir, "nation")
-    li = t(spark, sf_dir, "lineitem")
-
-    def fd(df: DataFrame, det: str, dep, name: str) -> DataFrame:
-        viol = (
-            df.groupBy(det)
-            .agg(F.count_distinct(dep).alias("nd"))
-            .filter(F.col("nd") > 1)
-            .agg(F.count(F.lit(1)).cast("bigint").alias("violating_keys"))
-        )
-        return viol.select(
-            F.lit(name).alias("fd"),
-            "violating_keys",
-            (F.col("violating_keys") == 0).alias("holds"),
-        )
-
-    joined = li.select("l_orderkey").join(
-        o.select("o_orderkey", "o_orderdate"),
-        F.col("l_orderkey") == F.col("o_orderkey"),
-    )
-    out = (
-        fd(c, "c_custkey", F.col("c_nationkey"), "custkey->nationkey")
-        .unionByName(fd(o, "o_custkey", F.col("o_orderstatus"), "custkey->orderstatus"))
-        .unionByName(fd(n, "n_nationkey", F.col("n_regionkey"), "nationkey->regionkey"))
-        .unionByName(fd(joined, "l_orderkey", F.col("o_orderdate"), "orderkey->orderdate"))
-    )
-    return out.orderBy("fd")
-
-
-@register(
-    "argmax_aggregates",
-    """
-    WITH keyed AS (
-        SELECT o_custkey, o_orderkey,
-               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
-               CAST(floor(o_totalprice * 100) AS HUGEINT) * 1000000000000
-                 + o_orderkey AS price_key,
-               c_mktsegment
-        FROM orders JOIN customer ON c_custkey = o_custkey
-    )
-    SELECT c_mktsegment,
-           CAST(arg_max(o_orderkey, price_key) AS BIGINT) AS biggest_order,
-           CAST(arg_min(o_orderkey, price_key) AS BIGINT) AS smallest_order,
-           CAST(max(cents) AS BIGINT)                     AS max_price_cents
-    FROM keyed GROUP BY 1 ORDER BY 1
-    """,
-    "Argmax/argmin aggregates (Spark max_by/min_by ≡ DuckDB "
-    "arg_max/arg_min): the id of the extreme-valued row per group "
-    "WITHOUT a rank window or self-join — one partial-combined "
-    "aggregate carrying (key, value) state, the cheapest "
-    "'which row was the max' form at scale. Tie-safety engineered "
-    "in: the ordering key is (floor-cents, orderkey) packed into one "
-    "DECIMAL(38,0)/HUGEINT with a 1e12 multiplier — exact for any "
-    "orderkey < 1e12 (TPC-H sf ~160k, past the 100 TB posture; a "
-    "BIGINT 1e7 pack corrupts once orderkey passes 10M, ~sf3) — so "
-    "the extremum is unique and both engines' otherwise unspecified "
-    "tie-breaking never fires.",
-    tags=("agg", "functions", "sql"),
-)
-def argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer")
-    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
-    keyed = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .select(
-            "c_mktsegment",
-            "o_orderkey",
-            cents.alias("cents"),
-            (
-                cents.cast("decimal(38,0)") * F.lit(10**12) + F.col("o_orderkey")
-            ).alias("price_key"),
-        )
-    )
-    return (
-        keyed.groupBy("c_mktsegment")
-        .agg(
-            F.max_by("o_orderkey", "price_key").cast("bigint").alias("biggest_order"),
-            F.min_by("o_orderkey", "price_key").cast("bigint").alias("smallest_order"),
-            F.max("cents").cast("bigint").alias("max_price_cents"),
-        )
-        .orderBy("c_mktsegment")
-    )
-
-
-@register(
-    "incremental_aggregate_maintenance",
-    """
-    SELECT epoch_us(date_trunc('month', o_orderdate)) // 86400000000
-               AS month_day,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
-               AS revenue
-    FROM orders GROUP BY 1 ORDER BY 1
-    """,
-    "Incremental view maintenance: the monthly revenue rollup is "
-    "maintained as agg(base) MERGE agg(delta) — counts add, DECIMAL "
-    "sums add — and the hash-compare against the oracle's direct "
-    "full-table aggregation proves the merge algebra exact (not "
-    "approximately right: bit-equal). This is the refresh path for "
-    "materialized aggregates at 100 TB — the nightly delta "
-    "aggregates alone (its partition), then a metadata-scale merge "
-    "touches one row per (month x measure), never the base fact "
-    "table. The split point derives from the data (median order "
-    "key), so both 'versions' are non-trivial.",
-    tags=("agg", "timeseries", "quality", "sink"),
-)
-def incremental_aggregate_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_totalprice")
-    month = F.expr(
-        "unix_micros(date_trunc('month', o_orderdate)) div 86400000000"
-    ).alias("month_day")
-
-    def rollup(df: DataFrame) -> DataFrame:
-        return df.groupBy(month).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
-        )
-
-    split = o.agg(
-        F.expr("percentile_approx(o_orderkey, 0.5)").alias("mid")
-    )
-    with_split = o.crossJoin(F.broadcast(split))
-    base = rollup(with_split.filter(F.col("o_orderkey") <= F.col("mid")))
-    delta = rollup(with_split.filter(F.col("o_orderkey") > F.col("mid")))
-    merged = (
-        base.unionByName(delta)
-        .groupBy("month_day")
-        .agg(
-            F.sum("n_orders").cast("bigint").alias("n_orders"),
-            F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
-        )
-    )
-    return merged.orderBy("month_day")
-
-
-@register(
-    "theil_sen_mann_kendall",
-    """
-    WITH daily AS (
-        SELECT epoch_us(o_orderdate) // 86400000000 AS x,
-               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))))
-                    AS BIGINT) AS y
-        FROM orders GROUP BY 1
-    ), pairs AS (
-        SELECT b.y - a.y AS dy, b.x - a.x AS dx
-        FROM daily a JOIN daily b ON a.x < b.x
-    ), stats AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-               CAST(sum(CASE WHEN dy > 0 THEN 1
-                             WHEN dy < 0 THEN -1 ELSE 0 END) AS BIGINT)
-                   AS s_stat
-        FROM pairs
-    ), ranked AS (
-        SELECT dy, dx,
-               row_number() OVER (
-                   ORDER BY CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE), dy, dx)
-                   AS rn
-        FROM pairs
-    ), med AS (
-        SELECT dy, dx FROM ranked, stats
-        WHERE rn = (n_pairs + 1) // 2
-    )
-    SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily)       AS n_days,
-           s.n_pairs,
-           s.s_stat,
-           round(CAST(s.s_stat AS DOUBLE) / s.n_pairs, 6)     AS kendall_tau,
-           (SELECT dy FROM med)                               AS med_dy,
-           (SELECT dx FROM med)                               AS med_dx,
-           round((SELECT CAST(dy AS DOUBLE) / dx FROM med), 6)
-               AS theil_sen_slope
-    FROM stats s
-    """,
-    "Robust trend analysis on the daily revenue series: the "
-    "Mann-Kendall S statistic (sum of pairwise signs — the "
-    "non-parametric is-there-a-trend test, exact integer) with "
-    "Kendall's tau, plus the Theil-Sen estimator (median of all "
-    "pairwise slopes — 29% breakdown point vs OLS's zero; "
-    "rolling_trend_slope is the OLS sibling). Every pair statistic "
-    "is exact integer arithmetic on (floor-dollar, day) deltas; the "
-    "median slope is selected by explicit rank with a total "
-    "(slope, dy, dx) ordering so engines can't disagree on ties, "
-    "and the selected pair is output as exact integers alongside "
-    "the rounded slope. Scale: pairs form over the metadata-scale "
-    "daily aggregate (~n_days^2/2 rows of two BIGINTs), never the "
-    "fact table; at larger histories Theil-Sen subsamples pairs — "
-    "the plan shape is unchanged.",
-    tags=("stats", "timeseries", "analytics", "window"),
-)
-def theil_sen_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.expr("unix_micros(o_orderdate) div 86400000000").alias("x")
-    ).agg(
-        F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
-        .cast("bigint")
-        .alias("y")
-    )
-    a = daily.alias("a")
-    b = daily.alias("b")
-    pairs = a.join(b, F.col("a.x") < F.col("b.x")).select(
-        (F.col("b.y") - F.col("a.y")).alias("dy"),
-        (F.col("b.x") - F.col("a.x")).alias("dx"),
-    )
-    pairs = pairs.localCheckpoint(eager=True)  # reused by stats + ranking
-    stats = pairs.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.sum(
-            F.when(F.col("dy") > 0, 1).when(F.col("dy") < 0, -1).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("s_stat"),
-    )
-    ranked = pairs.select(
-        "dy",
-        "dx",
-        F.row_number()
-        .over(
-            W.orderBy(
-                F.col("dy").cast("double") / F.col("dx").cast("double"),
-                "dy",
-                "dx",
-            )
-        )
-        .alias("rn"),
-    )
-    med = (
-        ranked.crossJoin(F.broadcast(stats))
-        .filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
-        .select(F.col("dy").alias("med_dy"), F.col("dx").alias("med_dx"))
-    )
-    n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
-    return (
-        stats.crossJoin(F.broadcast(med))
-        .crossJoin(F.broadcast(n_days))
-        .select(
-            "n_days",
-            "n_pairs",
-            "s_stat",
-            F.round(F.col("s_stat").cast("double") / F.col("n_pairs"), 6).alias(
-                "kendall_tau"
-            ),
-            "med_dy",
-            "med_dx",
-            F.round(
-                F.col("med_dy").cast("double") / F.col("med_dx"), 6
-            ).alias("theil_sen_slope"),
-        )
-    )
-
-
-@register(
-    "logrank_test_segments",
-    """
-    WITH days AS (
-        SELECT o.o_custkey,
-               c.c_mktsegment = 'BUILDING' AS g1,
-               epoch_us(o.o_orderdate) // 86400000000 AS day
-        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
-    ), bounds AS (
-        SELECT max(day) AS obs_end FROM days
-    ), cust AS (
-        SELECT o_custkey, g1, min(day) AS first_day, max(day) AS last_day
-        FROM days GROUP BY 1, 2
-    ), labeled AS (
-        SELECT g1, (last_day - first_day) // 90 AS band,
-               CASE WHEN last_day <= (SELECT obs_end FROM bounds) - 90
-                    THEN 1 ELSE 0 END AS event
-        FROM cust
-    ), banded AS (
-        SELECT band,
-               CAST(sum(CASE WHEN g1 THEN event ELSE 0 END) AS BIGINT) AS d1,
-               CAST(sum(CASE WHEN g1 THEN 0 ELSE event END) AS BIGINT) AS d2,
-               CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT)     AS x1,
-               CAST(count(*) AS BIGINT)                                AS xt
-        FROM labeled GROUP BY 1
-    ), risk AS (
-        SELECT band, d1, d2,
-               CAST(sum(x1) OVER () - coalesce(sum(x1) OVER w, 0) AS BIGINT)
-                   AS n1,
-               CAST(sum(xt) OVER () - coalesce(sum(xt) OVER w, 0) AS BIGINT)
-                   AS nt
-        FROM banded
-        WINDOW w AS (ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING
-                     AND 1 PRECEDING)
-    ), terms AS (
-        SELECT d1, d2, n1, nt,
-               CAST(round(CAST((d1 + d2) * n1 AS DOUBLE) / nt * 1e6)
-                    AS BIGINT) AS e1_micro,
-               CASE WHEN nt > 1 THEN
-                   CAST(round(CAST((d1 + d2) * n1 AS DOUBLE) / nt
-                        * (1.0 - CAST(n1 AS DOUBLE) / nt)
-                        * (nt - d1 - d2) / (nt - 1) * 1e6) AS BIGINT)
-               ELSE 0 END AS v_micro
-        FROM risk WHERE nt > 0
-    )
-    SELECT CAST(sum(d1) AS BIGINT)        AS observed_g1,
-           CAST(sum(d2) AS BIGINT)        AS observed_g2,
-           CAST(sum(e1_micro) AS BIGINT)  AS expected_g1_micro,
-           round(pow(CAST(sum(d1) AS DOUBLE)
-                     - CAST(sum(e1_micro) AS DOUBLE) / 1e6, 2)
-                 / (CAST(sum(v_micro) AS DOUBLE) / 1e6), 4) AS logrank_chi2
-    FROM terms
-    """,
-    "Log-rank test: do BUILDING-segment customers churn on a "
-    "different survival curve than everyone else? Per tenure band, "
-    "observed group-1 events compare against the expectation under "
-    "the pooled-hazard null (d_total * n1/n_total), with the "
-    "hypergeometric variance; the statistic is (O-E)^2/V ~ chi2(1). "
-    "Completes the survival tier: survival_kaplan_meier estimates "
-    "each curve, this tests their difference. Determinism: counts "
-    "and at-risk sets are exact BIGINTs via the same "
-    "suffix-cumulative recurrence as the KM query; each band's E and "
-    "V terms round to micro-units and sum associatively, so only "
-    "the final chi-square expression is IEEE. One fact-sized "
-    "groupBy(custkey); all band math on the ~30-row frame.",
-    tags=("stats", "analytics", "window", "agg"),
-)
-def logrank_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    days = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .select(
-            "o_custkey",
-            (F.col("c_mktsegment") == "BUILDING").alias("g1"),
-            F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
-        )
-    )
-    bounds = days.agg(F.max("day").alias("obs_end"))
-    cust = days.groupBy("o_custkey", "g1").agg(
-        F.min("day").alias("first_day"), F.max("day").alias("last_day")
-    )
-    labeled = cust.crossJoin(F.broadcast(bounds)).select(
-        "g1",
-        F.expr("(last_day - first_day) div 90").alias("band"),
-        F.when(F.col("last_day") <= F.col("obs_end") - 90, 1)
-        .otherwise(0)
-        .alias("event"),
-    )
-    banded = labeled.groupBy("band").agg(
-        F.sum(F.when(F.col("g1"), F.col("event")).otherwise(0))
-        .cast("bigint")
-        .alias("d1"),
-        F.sum(F.when(F.col("g1"), 0).otherwise(F.col("event")))
-        .cast("bigint")
-        .alias("d2"),
-        F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("bigint").alias("x1"),
-        F.count(F.lit(1)).cast("bigint").alias("xt"),
-    )
-    w_all = W.partitionBy()
-    w_prior = W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
-    risk = banded.select(
-        "band",
-        "d1",
-        "d2",
-        (F.sum("x1").over(w_all) - F.coalesce(F.sum("x1").over(w_prior), F.lit(0)))
-        .cast("bigint")
-        .alias("n1"),
-        (F.sum("xt").over(w_all) - F.coalesce(F.sum("xt").over(w_prior), F.lit(0)))
-        .cast("bigint")
-        .alias("nt"),
-    ).filter(F.col("nt") > 0)
-    dt = F.col("d1") + F.col("d2")
-    e1 = dt.cast("double") * F.col("n1") / F.col("nt")
-    v = F.when(
-        F.col("nt") > 1,
-        F.round(
-            dt.cast("double")
-            * F.col("n1")
-            / F.col("nt")
-            * (1.0 - F.col("n1").cast("double") / F.col("nt"))
-            * (F.col("nt") - dt)
-            / (F.col("nt") - 1)
-            * 1e6
-        ).cast("bigint"),
-    ).otherwise(0)
-    terms = risk.select(
-        "d1",
-        "d2",
-        F.round(dt.cast("double") * F.col("n1") / F.col("nt") * 1e6)
-        .cast("bigint")
-        .alias("e1_micro"),
-        v.alias("v_micro"),
-    )
-    return terms.agg(
-        F.sum("d1").cast("bigint").alias("observed_g1"),
-        F.sum("d2").cast("bigint").alias("observed_g2"),
-        F.sum("e1_micro").cast("bigint").alias("expected_g1_micro"),
-        F.round(
-            F.pow(
-                F.sum("d1").cast("double")
-                - F.sum("e1_micro").cast("double") / 1e6,
-                2,
-            )
-            / (F.sum("v_micro").cast("double") / 1e6),
-            4,
-        ).alias("logrank_chi2"),
-    )
-
-
-@register(
-    "cuped_variance_reduction",
-    """
-    WITH cust AS (
-        SELECT o_custkey,
-               CAST(sum(CASE WHEN epoch_us(o_orderdate) // 86400000000
-                                  < 10000 THEN
-                   CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END) AS BIGINT)
-                   AS pre,
-               CAST(sum(CASE WHEN epoch_us(o_orderdate) // 86400000000
-                                  >= 10000 THEN
-                   CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END) AS BIGINT)
-                   AS post
-        FROM orders GROUP BY 1
-    ), m AS (
-        SELECT CAST(count(*) AS HUGEINT)        AS n,
-               CAST(sum(pre)  AS HUGEINT)       AS sx,
-               CAST(sum(post) AS HUGEINT)       AS sy,
-               CAST(sum(pre * pre)   AS HUGEINT) AS sxx,
-               CAST(sum(post * post) AS HUGEINT) AS syy,
-               CAST(sum(pre * post)  AS HUGEINT) AS sxy
-        FROM cust
-    )
-    SELECT CAST(n AS BIGINT) AS n_customers,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 6)      AS theta,
-           round(1.0 - (1.0 - pow(CAST(n * sxy - sx * sy AS DOUBLE), 2)
-                 / (CAST(n * sxx - sx * sx AS DOUBLE)
-                    * CAST(n * syy - sy * sy AS DOUBLE))), 6) AS variance_reduction
-    FROM m
-    """,
-    "CUPED (Controlled-experiment Using Pre-Existing Data): the "
-    "variance-reduction adjustment every experimentation platform "
-    "applies — post-period customer spend adjusted by "
-    "theta * pre-period spend, theta = cov(pre,post)/var(pre), "
-    "cutting metric variance by exactly rho^2. All five moments "
-    "accumulate as EXACT integers (floor-dollar spends, "
-    "HUGEINT/DECIMAL accumulators) in one pass over the per-customer "
-    "frame; theta and the variance-reduction fraction are single "
-    "closed-form IEEE expressions over exact moments — the same "
-    "determinism contract as correlation_matrix_exact. Pre/post "
-    "split at a fixed epoch-day boundary.",
-    tags=("stats", "analytics", "agg"),
-)
-def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    day = F.expr("unix_micros(o_orderdate) div 86400000000")
-    dollars = F.floor("o_totalprice").cast("bigint")
-    cust = o.groupBy("o_custkey").agg(
-        F.sum(F.when(day < 10000, dollars).otherwise(0)).cast("bigint").alias("pre"),
-        F.sum(F.when(day >= 10000, dollars).otherwise(0))
-        .cast("bigint")
-        .alias("post"),
-    )
-    D = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    m = cust.agg(
-        D(F.count(F.lit(1))).alias("n"),
-        F.sum(D(F.col("pre"))).alias("sx"),
-        F.sum(D(F.col("post"))).alias("sy"),
-        F.sum(D(F.col("pre")) * D(F.col("pre"))).alias("sxx"),
-        F.sum(D(F.col("post")) * D(F.col("post"))).alias("syy"),
-        F.sum(D(F.col("pre")) * D(F.col("post"))).alias("sxy"),
-    )
-    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    return m.select(
-        F.col("n").cast("bigint").alias("n_customers"),
-        F.round(cov.cast("double") / varx.cast("double"), 6).alias("theta"),
-        F.round(
-            1.0
-            - (
-                1.0
-                - F.pow(cov.cast("double"), 2)
-                / (varx.cast("double") * vary.cast("double"))
-            ),
-            6,
-        ).alias("variance_reduction"),
-    )
-
-
-@register(
-    "hll_sketch_rollup_cube",
-    """
-    WITH base AS (
-        SELECT c.c_nationkey AS nation, c.c_mktsegment AS segment,
-               o.o_custkey
-        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
-    ), by_nation AS (
-        SELECT 'nation' AS grain, CAST(nation AS VARCHAR) AS key,
-               CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers
-        FROM base GROUP BY 2
-    ), by_segment AS (
-        SELECT 'segment', segment,
-               CAST(count(DISTINCT o_custkey) AS BIGINT)
-        FROM base GROUP BY 2
-    ), total AS (
-        SELECT 'total', 'all',
-               CAST(count(DISTINCT o_custkey) AS BIGINT)
-        FROM base
-    )
-    SELECT grain, key, exact_customers, TRUE AS estimate_within_bound
-    FROM (SELECT * FROM by_nation UNION ALL SELECT * FROM by_segment
-          UNION ALL SELECT * FROM total)
-    ORDER BY grain, key
-    """,
-    "Sketch rollup cube: per-(nation, segment) HLL sketches of "
-    "active customers build ONCE from the fact join, then every "
-    "coarser grain — per nation, per segment, grand total — derives "
-    "by merging the SAME stored sketches (hll_union_agg), never "
-    "re-scanning the fact table. This is the materialized-sketch "
-    "pattern that makes distinct-count cubes tractable at 100 TB: "
-    "one fact pass + kilobyte merges per rollup cell, where exact "
-    "DISTINCT cubes re-shuffle keys per grain. Driver-checkable via "
-    "the approx_aggregates convention: every grain's estimate is "
-    "bound-checked |HLL - exact| <= 3*rsd*exact against the exact "
-    "count computed alongside, and the oracle emits the exact counts "
-    "with literal TRUEs — the hash proves all ~35 rollup cells "
-    "landed in bound.",
-    tags=("sketch", "agg", "analytics"),
-)
-def hll_sketch_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders").select("o_custkey")
-    c = t(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey", "c_mktsegment"
-    )
-    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
-        F.col("c_nationkey").alias("nation"),
-        F.col("c_mktsegment").alias("segment"),
-        "o_custkey",
-    )
-    sketches = base.groupBy("nation", "segment").agg(
-        F.expr("hll_sketch_agg(o_custkey, 12)").alias("sk"),
-        F.count_distinct("o_custkey").cast("bigint").alias("exact_cell"),
-    ).localCheckpoint(eager=True)  # the materialized sketch table
-
-    rsd = 1.04 / (2 ** 6)
-
-    def grain(df: DataFrame, label: str, key_col) -> DataFrame:
-        g = df.groupBy(key_col.alias("key")).agg(
-            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
-            F.sum("exact_cell").cast("bigint").alias("naive_sum"),
-        )
-        return g.select(
-            F.lit(label).alias("grain"),
-            F.col("key").cast("string").alias("key"),
-            "est",
-            "naive_sum",
-        )
-
-    # exact per-grain counts need the base (cells may share customers
-    # only within a cell here: a customer has ONE nation+segment, so
-    # cell exacts are additive across grains — still recompute exactly)
-    exact_nation = base.groupBy(F.col("nation").cast("string").alias("key")).agg(
-        F.count_distinct("o_custkey").cast("bigint").alias("exact_customers")
-    )
-    exact_segment = base.groupBy(F.col("segment").alias("key")).agg(
-        F.count_distinct("o_custkey").cast("bigint").alias("exact_customers")
-    )
-    exact_total = base.agg(
-        F.count_distinct("o_custkey").cast("bigint").alias("exact_customers")
-    ).select(F.lit("all").alias("key"), "exact_customers")
-
-    rollups = (
-        grain(sketches, "nation", F.col("nation").cast("string"))
-        .join(exact_nation, "key")
-        .unionByName(
-            grain(sketches, "segment", F.col("segment")).join(exact_segment, "key")
-        )
-        .unionByName(
-            grain(
-                sketches.withColumn("__all", F.lit("all")), "total", F.col("__all")
-            ).join(exact_total, "key")
-        )
-    )
-    return rollups.select(
-        "grain",
-        "key",
-        "exact_customers",
-        (
-            F.abs(F.col("est") - F.col("exact_customers"))
-            <= 3 * rsd * F.col("exact_customers")
-        ).alias("estimate_within_bound"),
-    ).orderBy("grain", "key")
-
-
-@register(
-    "three_way_reconciliation",
-    """
-    WITH a AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 11 <> 0),
-         b AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 13 <> 0),
-         c AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 17 <> 0),
-         u AS (
-        SELECT coalesce(a.k, b.k, c.k) AS k,
-               a.k IS NOT NULL AS in_a,
-               b.k IS NOT NULL AS in_b,
-               c.k IS NOT NULL AS in_c
-        FROM a FULL JOIN b ON a.k = b.k FULL JOIN c ON coalesce(a.k, b.k) = c.k
-    )
-    SELECT CAST(in_a AS INT) AS in_source,
-           CAST(in_b AS INT) AS in_staging,
-           CAST(in_c AS INT) AS in_prod,
-           CAST(count(*) AS BIGINT) AS n_keys
-    FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
-    """,
-    "Three-way reconciliation (source vs staging vs prod): one "
-    "full-outer join chain on the business key yields every Venn "
-    "region's key count — which rows each environment is missing and "
-    "where they diverge, the promotion gate for multi-environment "
-    "pipelines (three deterministic drop patterns stand in for the "
-    "three environments). At 100 TB all three legs co-partition on "
-    "the key, so the chain is one shuffle-stage of key-only rows; "
-    "region counts partial-combine. Every region count is exact.",
-    tags=("join", "quality", "governance", "agg"),
-)
-def three_way_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
-    a = o.filter(F.col("k") % 11 != 0).select(F.col("k").alias("ka"))
-    b = o.filter(F.col("k") % 13 != 0).select(F.col("k").alias("kb"))
-    c = o.filter(F.col("k") % 17 != 0).select(F.col("k").alias("kc"))
-    u = (
-        a.join(b, a.ka == b.kb, "full")
-        .join(c, F.coalesce(F.col("ka"), F.col("kb")) == c.kc, "full")
-        .select(
-            F.col("ka").isNotNull().cast("int").alias("in_source"),
-            F.col("kb").isNotNull().cast("int").alias("in_staging"),
-            F.col("kc").isNotNull().cast("int").alias("in_prod"),
-        )
-    )
-    return (
-        u.groupBy("in_source", "in_staging", "in_prod")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
-        .orderBy("in_source", "in_staging", "in_prod")
-    )
-
-
-@register(
-    "graph_assortativity",
-    """
-    WITH d AS (
-        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
-               count(*) AS n_trades
-        FROM lineitem l
-        JOIN orders o   ON l.l_orderkey = o.o_orderkey
-        JOIN customer c ON o.o_custkey  = c.c_custkey
-        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
-        WHERE s.s_nationkey <> c.c_nationkey
-        GROUP BY 1, 2
-    ), agg AS (
-        SELECT CAST(count(*) AS BIGINT) AS np,
-               CAST(sum(n_trades) AS BIGINT) AS tt FROM d
-    ), e AS (
-        -- heavy edges only (above-average trade volume, exact integer
-        -- cross-multiplied compare) — the complete graph has constant
-        -- degree and undefined assortativity
-        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        FROM d, agg WHERE n_trades * np > tt
-    ), deg AS (
-        SELECT node, CAST(count(*) AS BIGINT) AS k FROM (
-            SELECT a AS node FROM e UNION ALL SELECT b FROM e
-        ) GROUP BY 1
-    ), ends AS (
-        -- each undirected edge contributes both orientations
-        SELECT da.k AS x, db.k AS y FROM e
-        JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
-        UNION ALL
-        SELECT db.k, da.k FROM e
-        JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
-    ), m AS (
-        SELECT CAST(count(*) AS HUGEINT) AS n,
-               CAST(sum(x) AS HUGEINT)   AS sx,
-               CAST(sum(y) AS HUGEINT)   AS sy,
-               CAST(sum(x*x) AS HUGEINT) AS sxx,
-               CAST(sum(y*y) AS HUGEINT) AS syy,
-               CAST(sum(x*y) AS HUGEINT) AS sxy
-        FROM ends
-    )
-    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
-               AS assortativity
-    FROM m
-    """,
-    "Degree assortativity of the nation trade graph (Newman's r): "
-    "the Pearson correlation of endpoint degrees over all edge "
-    "orientations — positive means hubs trade with hubs, negative "
-    "a hub-and-spoke economy. Completes the graph-metric tier "
-    "(pagerank, triangles/clustering, components, BFS, SSSP). Both "
-    "orientations of each undirected edge enter symmetrically "
-    "(standard definition), all five moments are exact integers "
-    "over BIGINT degrees, and the final r is one closed-form IEEE "
-    "expression — the correlation_matrix_exact determinism contract "
-    "applied to graph structure. Degrees join back via two "
-    "broadcast lookups; nothing exceeds edge-table scale.",
-    tags=("graph", "stats", "agg"),
-)
-def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    d = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
-        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
-        .groupBy(
-            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("n_trades"))
-    )
-    agg = d.agg(
-        F.count(F.lit(1)).cast("bigint").alias("np"),
-        F.sum("n_trades").cast("bigint").alias("tt"),
-    )
-    e = (
-        d.crossJoin(F.broadcast(agg))
-        .filter(F.col("n_trades") * F.col("np") > F.col("tt"))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-    )
-    deg = (
-        e.select(F.col("a").alias("node"))
-        .unionAll(e.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
-    )
-    da = deg.select(F.col("node").alias("a"), F.col("k").alias("ka"))
-    db = deg.select(F.col("node").alias("b"), F.col("k").alias("kb"))
-    joined = e.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
-    ends = joined.select(F.col("ka").alias("x"), F.col("kb").alias("y")).unionAll(
-        joined.select(F.col("kb").alias("x"), F.col("ka").alias("y"))
-    )
-    D = lambda col: col.cast("decimal(38,0)")  # noqa: E731
-    m = ends.agg(
-        D(F.count(F.lit(1))).alias("n"),
-        F.sum(D(F.col("x"))).alias("sx"),
-        F.sum(D(F.col("y"))).alias("sy"),
-        F.sum(D(F.col("x") * F.col("x"))).alias("sxx"),
-        F.sum(D(F.col("y") * F.col("y"))).alias("syy"),
-        F.sum(D(F.col("x") * F.col("y"))).alias("sxy"),
-    )
-    return m.select(
-        (F.col("n") / 2).cast("bigint").alias("n_edges"),
-        F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-            / F.sqrt(
-                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-                    "double"
-                )
-                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
-                    "double"
-                )
-            ),
-            6,
-        ).alias("assortativity"),
-    )
-
-
-@register(
-    "distinctive_terms_by_source",
-    """
-    WITH toks AS (
-        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
-    ), cnt AS (
-        SELECT source, w, CAST(count(*) AS BIGINT) AS n
-        FROM toks GROUP BY 1, 2
-    ), tot AS (
-        SELECT source, CAST(sum(n) AS BIGINT) AS nt FROM cnt GROUP BY 1
-    ), gl AS (
-        SELECT w, CAST(sum(n) AS BIGINT) AS g FROM cnt GROUP BY 1
-    ), gt AS (
-        SELECT CAST(sum(n) AS BIGINT) AS gtot FROM cnt
-    ), scored AS (
-        SELECT c.source, c.w,
-               CAST(round(
-                   (ln((CAST(c.n AS DOUBLE) + 1.0)
-                       / (CAST(t.nt AS DOUBLE) + 1.0))
-                  - ln((CAST(g.g AS DOUBLE) + 1.0)
-                       / (CAST((SELECT gtot FROM gt) AS DOUBLE) + 1.0)))
-                   * 1e6) AS BIGINT) AS lift_micro,
-               c.n
-        FROM cnt c JOIN tot t ON t.source = c.source
-        JOIN gl g ON g.w = c.w
-        WHERE c.n >= 20
-    ), ranked AS (
-        SELECT source, w, lift_micro, n,
-               row_number() OVER (PARTITION BY source
-                                  ORDER BY lift_micro DESC, w) AS rk
-        FROM scored
-    )
-    SELECT source, CAST(rk AS INT) AS rank, w AS term, n AS term_count,
-           round(CAST(lift_micro AS DOUBLE) / 1e6, 6) AS log_lift
-    FROM ranked WHERE rk <= 5 ORDER BY source, rank
-    """,
-    "Distinctive vocabulary per source (add-one-smoothed log-lift of "
-    "a term's in-source rate over its corpus-wide rate): the "
-    "corpus-slice characterization tool — what makes each source "
-    "read differently — behind domain-mix debugging and "
-    "contamination triage; the per-source complement of "
-    "tfidf_top_terms' per-document scores. Count tables are exact "
-    "BIGINTs; each term's log-lift rounds to micro-units BEFORE the "
-    "per-source ranking so ordering can't flip on a ulp; top-5 per "
-    "source, term tie-broken. One tokenize pass, two bounded-key "
-    "groupBys, broadcast joins of vocabulary-scale tables.",
-    tags=("text", "llm-pipeline", "agg", "window"),
-)
-def distinctive_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    toks = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
-    cnt = toks.groupBy("source", "w").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-    tot = cnt.groupBy("source").agg(F.sum("n").cast("bigint").alias("nt"))
-    glob = cnt.groupBy("w").agg(F.sum("n").cast("bigint").alias("g"))
-    gtot = cnt.agg(F.sum("n").cast("bigint").alias("gtot"))
-    scored = (
-        cnt.filter(F.col("n") >= 20)
-        .join(F.broadcast(tot), "source")
-        .join(F.broadcast(glob), "w")
-        .crossJoin(F.broadcast(gtot))
-        .select(
-            "source",
-            "w",
-            "n",
-            F.round(
-                (
-                    F.log(
-                        (F.col("n").cast("double") + 1.0)
-                        / (F.col("nt").cast("double") + 1.0)
-                    )
-                    - F.log(
-                        (F.col("g").cast("double") + 1.0)
-                        / (F.col("gtot").cast("double") + 1.0)
-                    )
-                )
-                * 1e6
-            )
-            .cast("bigint")
-            .alias("lift_micro"),
-        )
-    )
-    ranked = scored.select(
-        "source",
-        "w",
-        "n",
-        "lift_micro",
-        F.row_number()
-        .over(W.partitionBy("source").orderBy(F.desc("lift_micro"), "w"))
-        .alias("rk"),
-    )
-    return (
-        ranked.filter(F.col("rk") <= 5)
-        .select(
-            "source",
-            F.col("rk").cast("int").alias("rank"),
-            F.col("w").alias("term"),
-            F.col("n").alias("term_count"),
-            F.round(F.col("lift_micro").cast("double") / 1e6, 6).alias(
-                "log_lift"
-            ),
-        )
-        .orderBy("source", "rank")
-    )
-
-
-@register(
-    "fiscal_calendar_rollup",
-    """
-    WITH f AS (
-        SELECT CASE WHEN month(o_orderdate) >= 7 THEN year(o_orderdate) + 1
-                    ELSE year(o_orderdate) END AS fy,
-               ((month(o_orderdate) + 5) % 12) // 3 + 1 AS fq,
-               o_totalprice
-        FROM orders
-    )
-    SELECT CAST(fy AS INT) AS fiscal_year,
-           CAST(fq AS INT) AS fiscal_quarter,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2)))) AS BIGINT)
-               AS revenue_floor
-    FROM f GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-    "Fiscal-calendar rollup (FY starting July 1): revenue by fiscal "
-    "year and quarter, the offset-calendar arithmetic every "
-    "enterprise warehouse needs and naive year()/quarter() gets "
-    "wrong — FQ1 = Jul-Sep of the PRIOR calendar year's tail. The "
-    "fiscal mapping is pure integer month arithmetic (identical on "
-    "both engines), revenue floors to BIGINT after DECIMAL partials. "
-    "One partial-combined groupBy on a ~30-value composite key; the "
-    "mapping expression pushes into the scan projection, so a "
-    "fiscal-period predicate still prunes on the underlying date "
-    "column.",
-    tags=("agg", "timeseries", "sql", "functions"),
-)
-def fiscal_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    fy = F.when(
-        F.month("o_orderdate") >= 7, F.year("o_orderdate") + 1
-    ).otherwise(F.year("o_orderdate"))
-    fq = F.expr("((month(o_orderdate) + 5) % 12) div 3 + 1")
-    return (
-        o.groupBy(
-            fy.cast("int").alias("fiscal_year"),
-            fq.cast("int").alias("fiscal_quarter"),
-        )
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
-            .cast("bigint")
-            .alias("revenue_floor"),
-        )
-        .orderBy("fiscal_year", "fiscal_quarter")
-    )
-
-
-@register(
-    "business_days_lag",
-    """
-    WITH lags AS (
-        SELECT epoch_us(o.o_orderdate) // 86400000000 AS d0,
-               epoch_us(l.l_shipdate)  // 86400000000 AS d1
-        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        WHERE epoch_us(l.l_shipdate) >= epoch_us(o.o_orderdate)
-    ), bd AS (
-        -- NETWORKDAYS-style: epoch day 0 = Thu 1970-01-01, so a week
-        -- starting at day k*7 runs Thu..Wed with Sat/Sun at remainder
-        -- positions 2 and 3. Weekdays in [0, d):
-        --   f(d) = 5*(d/7) + (d%7) - clamp(d%7 - 2, 0, 2)
-        -- (validated against a day-by-day calendar walk 0..29).
-        SELECT (d1 - d0) AS cal_days,
-               ( (d1 // 7) * 5 + d1 % 7 - least(greatest(d1 % 7 - 2, 0), 2)
-               - ((d0 // 7) * 5 + d0 % 7 - least(greatest(d0 % 7 - 2, 0), 2)) )
-                   AS business_days
-        FROM lags
-    )
-    SELECT CAST(business_days AS BIGINT) AS business_days,
-           CAST(count(*) AS BIGINT)      AS n_lines,
-           CAST(min(cal_days) AS BIGINT) AS min_cal_days,
-           CAST(max(cal_days) AS BIGINT) AS max_cal_days
-    FROM bd GROUP BY 1 ORDER BY 1 LIMIT 60
-    """,
-    "Business-day fulfillment lag (NETWORKDAYS semantics): "
-    "ship-minus-order elapsed WEEKDAYS, excluding Saturdays and "
-    "Sundays — what an ops SLA actually promises; calendar-day lag "
-    "(fulfillment_lag_distribution) over-counts every weekend "
-    "crossed, and the min/max calendar columns witness the spread "
-    "(the same business lag spans different calendar lags depending "
-    "on weekend crossings). The weekday count uses the closed-form "
-    "prefix 'weekdays before epoch-day d' evaluated at both ends — "
-    "pure integer arithmetic from the epoch-day anchor (day 0 = "
-    "Thursday), no calendar UDF, identical on both engines. One "
-    "join shuffling two date columns; groupBy on the bounded lag "
-    "key.",
-    tags=("timeseries", "analytics", "agg", "functions"),
-)
-def business_days_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    lags = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
-        .select(
-            F.expr("unix_micros(o_orderdate) div 86400000000").alias("d0"),
-            F.expr("unix_micros(l_shipdate) div 86400000000").alias("d1"),
-        )
-    )
-
-    def weekdays_before(day: str) -> F.Column:
-        # f(d) = 5*(d div 7) + d%7 - clamp(d%7 - 2, 0, 2); epoch day 0
-        # is a Thursday, putting Sat/Sun at remainder positions 2, 3
-        return F.expr(
-            f"({day} div 7) * 5 + {day} % 7"
-            f" - least(greatest({day} % 7 - 2, 0), 2)"
-        )
-
-    bd = lags.select(
-        (F.col("d1") - F.col("d0")).alias("cal_days"),
-        (weekdays_before("d1") - weekdays_before("d0")).alias("business_days"),
-    )
-    return (
-        bd.groupBy(F.col("business_days").cast("bigint").alias("business_days"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-            F.min("cal_days").cast("bigint").alias("min_cal_days"),
-            F.max("cal_days").cast("bigint").alias("max_cal_days"),
-        )
-        .orderBy("business_days")
-        .limit(60)
-    )
-
-
-@register(
-    "graph_edge_churn",
-    """
-    WITH e AS (
-        SELECT DISTINCT year(o.o_orderdate) AS yr,
-               least(s.s_nationkey, c.c_nationkey)    AS a,
-               greatest(s.s_nationkey, c.c_nationkey) AS b
-        FROM lineitem l
-        JOIN orders o   ON l.l_orderkey = o.o_orderkey
-        JOIN customer c ON o.o_custkey  = c.c_custkey
-        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
-        WHERE s.s_nationkey <> c.c_nationkey
-          AND year(o.o_orderdate) IN (1996, 1997)
-    ), u AS (
-        SELECT coalesce(p.a, q.a) AS a, coalesce(p.b, q.b) AS b,
-               p.a IS NOT NULL AS in_96, q.a IS NOT NULL AS in_97
-        FROM (SELECT a, b FROM e WHERE yr = 1996) p
-        FULL JOIN (SELECT a, b FROM e WHERE yr = 1997) q
-          ON p.a = q.a AND p.b = q.b
-    )
-    SELECT CAST(sum(CASE WHEN in_96 AND in_97 THEN 1 ELSE 0 END) AS BIGINT)
-               AS persisted,
-           CAST(sum(CASE WHEN in_96 AND NOT in_97 THEN 1 ELSE 0 END) AS BIGINT)
-               AS removed,
-           CAST(sum(CASE WHEN in_97 AND NOT in_96 THEN 1 ELSE 0 END) AS BIGINT)
-               AS added,
-           round(CAST(sum(CASE WHEN in_96 AND in_97 THEN 1 ELSE 0 END)
-                      AS DOUBLE) / count(*), 6) AS jaccard_stability
-    FROM u
-    """,
-    "Temporal graph churn: the nation trade graph's edge set in 1996 "
-    "vs 1997 — persisted / removed / added edges and the Jaccard "
-    "stability of the structure, the year-over-year supply-network "
-    "health readout (a collapsing stability score means the trading "
-    "topology is being rebuilt, not grown). One fact-sized edge "
-    "extraction with the year carried through the distinct, then a "
-    "full-outer join of two metadata-scale edge sets. All counts "
-    "exact.",
-    tags=("graph", "timeseries", "join", "agg"),
-)
-def graph_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
-    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    e = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
-        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
-        .filter(F.year("o_orderdate").isin(1996, 1997))
-        .select(
-            F.year("o_orderdate").alias("yr"),
-            F.least("s_nationkey", "c_nationkey").alias("a"),
-            F.greatest("s_nationkey", "c_nationkey").alias("b"),
-        )
-        .distinct()
-    )
-    p = e.filter(F.col("yr") == 1996).select("a", "b")
-    q = e.filter(F.col("yr") == 1997).select(
-        F.col("a").alias("qa"), F.col("b").alias("qb")
-    )
-    u = p.join(
-        q, (p.a == q.qa) & (p.b == q.qb), "full"
-    ).select(
-        F.col("a").isNotNull().alias("in_96"),
-        F.col("qa").isNotNull().alias("in_97"),
-    )
-    both = F.sum(F.when(F.col("in_96") & F.col("in_97"), 1).otherwise(0))
-    return u.agg(
-        both.cast("bigint").alias("persisted"),
-        F.sum(F.when(F.col("in_96") & ~F.col("in_97"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("removed"),
-        F.sum(F.when(F.col("in_97") & ~F.col("in_96"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("added"),
-        F.round(both.cast("double") / F.count(F.lit(1)), 6).alias(
-            "jaccard_stability"
-        ),
-    )
-
-
-@register(
-    "containment_detection",
-    """
-    WITH sh AS (
-        SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                   AS shingle
-        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-             LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g
-        WHERE len(ws) >= 3
-    ), sizes AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
-    ), inter AS (
-        SELECT x.doc_id AS id_a, y.doc_id AS id_b,
-               CAST(count(*) AS BIGINT) AS n_common
-        FROM sh x JOIN sh y ON x.shingle = y.shingle
-                           AND x.doc_id < y.doc_id
-        GROUP BY 1, 2
-    )
-    SELECT i.id_a, i.id_b, i.n_common,
-           sa.n_sh AS n_sh_a, sb.n_sh AS n_sh_b,
-           round(CAST(i.n_common AS DOUBLE)
-                 / least(sa.n_sh, sb.n_sh), 6) AS containment,
-           round(CAST(i.n_common AS DOUBLE)
-                 / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.id_a
-    JOIN sizes sb ON sb.doc_id = i.id_b
-    WHERE i.n_common * 10 >= least(sa.n_sh, sb.n_sh) * 7
-    ORDER BY id_a, id_b
-    """,
-    "Asymmetric containment detection: document pairs where the "
-    "smaller side's shingle set is >= 70% contained in the other — "
-    "the quote-inclusion / boilerplate-wrapping duplicates that "
-    "symmetric Jaccard thresholds MISS (a short doc embedded in a "
-    "long one has high containment but low Jaccard; the output "
-    "carries both so the gap is visible). Same set-similarity-join "
-    "shape as ngram_jaccard_pairs: explode shingles once, equi-join "
-    "on the shingle (work scales with shared shingles, never n^2), "
-    "sizes join back broadcast. The threshold compares as "
-    "cross-multiplied integers — no float cut ambiguity. At corpus "
-    "scale the shingle key becomes the LSH band bucket, same as the "
-    "dedup tier.",
-    tags=("dedup", "text", "join", "llm-pipeline"),
-)
-def containment_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
-    sh = (
-        docs.select("doc_id", ws.alias("ws"))
-        .filter(F.size("ws") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(ws) - 2),"
-                    " i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_sh")
-    )
-    x = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    y = sh.select(F.col("doc_id").alias("id_b"), "shingle")
-    inter = (
-        x.join(y, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_sh_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_sh_b"))
-    out = (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .filter(
-            F.col("n_common") * 10 >= F.least("n_sh_a", "n_sh_b") * 7
-        )
-    )
-    return out.select(
-        "id_a",
-        "id_b",
-        "n_common",
-        "n_sh_a",
-        "n_sh_b",
-        F.round(
-            F.col("n_common").cast("double") / F.least("n_sh_a", "n_sh_b"), 6
-        ).alias("containment"),
-        F.round(
-            F.col("n_common").cast("double")
-            / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")),
-            6,
-        ).alias("jaccard"),
-    ).orderBy("id_a", "id_b")
-
-
-@register(
-    "forecast_reconciliation",
-    """
-    WITH monthly AS (
-        SELECT c.c_mktsegment AS segment,
-               epoch_us(date_trunc('month', o.o_orderdate)) // 86400000000
-                   AS m,
-               CAST(floor(sum(CAST(o.o_totalprice AS DECIMAL(18,2))))
-                    AS BIGINT) AS rev
-        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
-        GROUP BY 1, 2
-    ), last3 AS (
-        SELECT segment, m, rev,
-               row_number() OVER (PARTITION BY segment ORDER BY m DESC) AS rn
-        FROM monthly
-    ), seg_fc AS (
-        -- bottom-up naive forecast: mean of each segment's last 3 months
-        SELECT segment,
-               CAST(sum(rev) AS BIGINT) AS s3,
-               CAST(count(*) AS BIGINT) AS k
-        FROM last3 WHERE rn <= 3 GROUP BY 1
-    ), tot_fc AS (
-        -- independent top-level forecast: mean of the last 3 TOTAL months
-        SELECT CAST(sum(mrev) AS BIGINT) AS t3, CAST(count(*) AS BIGINT) AS tk
-        FROM (
-            SELECT m, sum(rev) AS mrev FROM monthly GROUP BY 1
-            ORDER BY m DESC LIMIT 3
-        )
-    )
-    SELECT f.segment,
-           round(CAST(f.s3 AS DOUBLE) / f.k, 2) AS bottom_up_forecast,
-           round(CAST(f.s3 AS DOUBLE) / f.k
-                 * ((SELECT CAST(t3 AS DOUBLE) / tk FROM tot_fc)
-                    / (SELECT sum(CAST(s3 AS DOUBLE) / k) FROM seg_fc)), 2)
-               AS reconciled_forecast
-    FROM seg_fc f ORDER BY f.segment
-    """,
-    "Hierarchical forecast reconciliation (proportional top-down): "
-    "per-segment naive forecasts (mean of the segment's last 3 "
-    "months) are scaled so they sum EXACTLY to the independently "
-    "computed total forecast — the coherence property dashboards "
-    "require (unreconciled bottom-up forecasts never add up to the "
-    "top-line forecast made from total history, because month "
-    "boundaries and mixes differ). Monthly partials are floor-dollar "
-    "BIGINTs; the scale factor is one ratio of exact-integer means "
-    "applied uniformly, and the coherence test verifies "
-    "sum(reconciled) == total forecast to the cent. Everything "
-    "after the one fact-sized groupBy runs on the ~40-row "
-    "segment-month frame.",
-    tags=("timeseries", "analytics", "agg", "stats"),
-)
-def forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    monthly = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy(
-            F.col("c_mktsegment").alias("segment"),
-            F.expr(
-                "unix_micros(date_trunc('month', o_orderdate)) div 86400000000"
-            ).alias("m"),
-        )
-        .agg(
-            F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
-            .cast("bigint")
-            .alias("rev")
-        )
-    )
-    last3 = monthly.select(
-        "segment",
-        "m",
-        "rev",
-        F.row_number()
-        .over(W.partitionBy("segment").orderBy(F.desc("m")))
-        .alias("rn"),
-    )
-    seg_fc = (
-        last3.filter(F.col("rn") <= 3)
-        .groupBy("segment")
-        .agg(
-            F.sum("rev").cast("bigint").alias("s3"),
-            F.count(F.lit(1)).cast("bigint").alias("k"),
-        )
-    )
-    tot_fc = (
-        monthly.groupBy("m")
-        .agg(F.sum("rev").alias("mrev"))
-        .orderBy(F.desc("m"))
-        .limit(3)
-        .agg(
-            F.sum("mrev").cast("bigint").alias("t3"),
-            F.count(F.lit(1)).cast("bigint").alias("tk"),
-        )
-    )
-    seg_sum = seg_fc.agg(
-        F.sum(F.col("s3").cast("double") / F.col("k")).alias("bu_total")
-    )
-    return (
-        seg_fc.crossJoin(F.broadcast(tot_fc))
-        .crossJoin(F.broadcast(seg_sum))
-        .select(
-            "segment",
-            F.round(F.col("s3").cast("double") / F.col("k"), 2).alias(
-                "bottom_up_forecast"
-            ),
-            F.round(
-                F.col("s3").cast("double")
-                / F.col("k")
-                * (
-                    (F.col("t3").cast("double") / F.col("tk"))
-                    / F.col("bu_total")
-                ),
-                2,
-            ).alias("reconciled_forecast"),
-        )
-        .orderBy("segment")
-    )
-
-
-@register(
-    "ml_learning_curve",
-    None,  # LBFGS partial-aggregation order is layout-specific
-    "Learning-curve evaluation: the loan LR pipeline fits on "
-    "deterministic-hash 25% / 50% / 100% subsets of the training "
-    "split and reports holdout AUC per fraction — the "
-    "data-efficiency readout that justifies (or kills) further data "
-    "collection; a flat curve says collect features, not rows. "
-    "Subsets nest (25% ⊂ 50% ⊂ 100% by hash threshold) so the "
-    "curve measures data volume, not sampling luck. (Absolute AUC is "
-    "inflated on this fixture: zero-imputation encodes missingness, "
-    "which correlates with default status in the Loan_Default data — "
-    "the curve SHAPE is the deliverable.) Rows-only: "
-    "LBFGS coefficient bits follow treeAggregate order, so no "
-    "cross-engine oracle; the invariant test pins fraction count, "
-    "AUC range, and that 100% training beats 25% on AUC (allowing "
-    "noise at fixture scale).",
-    tags=("ml", "analytics", "iterative"),
-)
-def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os as _os
-
-    from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.evaluation import BinaryClassificationEvaluator
-    from pyspark.ml.feature import VectorAssembler
-
-    repo = _os.path.dirname(
-        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    )
-    from ..schema import LOAN_FEATURES
-    from ..sources.readers import read_loan_csv
-
-    loan = read_loan_csv(spark, _os.path.join(repo, "data", "Loan_Default.csv"))
-    base = loan.select(
-        "ID", F.col("Status").cast("double").alias("label"), *LOAN_FEATURES
-    ).na.fill(0.0, subset=LOAN_FEATURES)
-    assembled = VectorAssembler(
-        inputCols=LOAN_FEATURES, outputCol="features"
-    ).transform(base)
-    # deterministic 80/20 split by id hash; nested fractions inside train
-    bucket = F.abs(F.xxhash64(F.col("ID").cast("string"))) % 100
-    train = assembled.filter(bucket < 80).withColumn(
-        "frac_bucket", F.abs(F.xxhash64(F.concat(F.lit("f"), F.col("ID").cast("string")))) % 100
-    )
-    test = assembled.filter(bucket >= 80).cache()
-    rows = []
-    for pct in (25, 50, 100):
-        sub = train.filter(F.col("frac_bucket") < pct)
-        n = sub.count()
-        model = LogisticRegression(maxIter=20, regParam=0.01).fit(sub)
-        auc = BinaryClassificationEvaluator().evaluate(model.transform(test))
-        rows.append((pct, n, round(auc, 4)))
-    return spark.createDataFrame(
-        rows, "train_pct int, n_rows bigint, holdout_auc double"
-    ).orderBy("train_pct")
-
-
-@register(
-    "cluster_canonical_keeper",
-    """
-    WITH sh AS (
-        SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                   AS shingle
-        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-             LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g
-        WHERE len(ws) >= 3
-    ), sizes AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
-    ), inter AS (
-        SELECT x.doc_id AS id_a, y.doc_id AS id_b,
-               CAST(count(*) AS BIGINT) AS nc
-        FROM sh x JOIN sh y ON x.shingle = y.shingle
-                           AND x.doc_id < y.doc_id
-        GROUP BY 1, 2
-    ), pairs AS (
-        SELECT i.id_a, i.id_b FROM inter i
-        JOIN sizes sa ON sa.doc_id = i.id_a
-        JOIN sizes sb ON sb.doc_id = i.id_b
-        WHERE 3 * i.nc >= sa.n_sh + sb.n_sh  -- jaccard >= 0.5, exact ints
-    ), edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION ALL SELECT id_b, id_a FROM pairs
-    ), labels AS (
-        WITH RECURSIVE reach(a, b) AS (
-            SELECT src, src FROM edges
-            UNION
-            SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
-        )
-        SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster
-        FROM reach GROUP BY 1
-    ), members AS (
-        SELECT l.cluster, l.doc_id, d.n_chars
-        FROM labels l JOIN documents d ON d.doc_id = l.doc_id
-    ), ranked AS (
-        SELECT cluster, doc_id, n_chars,
-               row_number() OVER (PARTITION BY cluster
-                                  ORDER BY n_chars DESC, doc_id) AS rk
-        FROM members
-    )
-    SELECT m.cluster,
-           CAST(count(*) AS BIGINT)  AS n_members,
-           CAST(max(CASE WHEN r.rk = 1 THEN r.doc_id END) AS BIGINT)
-               AS keeper_id,
-           CAST(max(CASE WHEN r.rk = 1 THEN r.n_chars END) AS BIGINT)
-               AS keeper_chars
-    FROM members m JOIN ranked r
-      ON r.cluster = m.cluster AND r.doc_id = m.doc_id
-    GROUP BY 1 ORDER BY 1
-    """,
-    "Near-dup cluster resolution WITH an exact oracle: similarity "
-    "edges are exact 3-shingle Jaccard >= 0.5 (integer-cross-"
-    "multiplied threshold over the set-similarity join — "
-    "deterministic, unlike hash-seeded LSH candidates), transitive "
-    "closure assigns each member its minimum reachable id as the "
-    "cluster label, and each cluster elects a canonical keeper by "
-    "the curation policy (longest document, id tie-break) — the "
-    "decision step that turns near-dup DETECTION into an actionable "
-    "drop list. The Spark side runs the engine's iterative min-label "
-    "propagation (the 100 TB shape: join + groupBy-min per round, "
-    "diameter-bounded); the oracle reproduces the closure with a "
-    "bounded recursive CTE — making this the registry's "
-    "ORACLE-VERIFIED connected components (neardup_clusters' LSH "
-    "pipeline stays rows-only by necessity).",
-    tags=("dedup", "graph", "iterative", "llm-pipeline"),
-)
-def cluster_canonical_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import connected_components
-
-    docs = t(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
-    sh = (
-        docs.select("doc_id", ws.alias("ws"))
-        .filter(F.size("ws") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(ws) - 2),"
-                    " i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
-    x = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    y = sh.select(F.col("doc_id").alias("id_b"), "shingle")
-    inter = (
-        x.join(y, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("nc"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    pairs = (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .filter(3 * F.col("nc") >= F.col("n_a") + F.col("n_b"))
-        .select("id_a", "id_b")
-    )
-    labels = connected_components(pairs).select(
-        F.col("node_id").alias("doc_id"), F.col("cluster_id").alias("cluster")
-    )
-    members = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
-    # keeper: longest doc, lowest id on ties — packed into one max_by
-    # key. DECIMAL(38,0) * 1e12 keeps the primary ordering exact for
-    # any doc_id < 1e12 (past the 100 TB posture); a BIGINT 1e7 pack
-    # corrupts past 10M ids.
-    key = F.col("n_chars").cast("decimal(38,0)") * F.lit(10**12) - F.col("doc_id")
-    return (
-        members.groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_members"),
-            F.max_by("doc_id", key).cast("bigint").alias("keeper_id"),
-            F.max("n_chars").cast("bigint").alias("keeper_chars"),
-        )
-        .orderBy("cluster")
-    )
-
-
-@register(
-    "quantized_code_collisions",
-    """
-    WITH d AS (
-        SELECT vec_id,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-        FROM embeddings
-    ), q AS (
-        SELECT vec_id,
-               list_max(list_transform(emb, x -> abs(x))) AS scale, emb
-        FROM d
-    ), coded AS (
-        SELECT vec_id,
-               array_to_string(list_transform(emb,
-                   x -> CAST(CAST(round(x / scale * 7) AS BIGINT) AS VARCHAR)),
-                   ',') AS code
-        FROM q WHERE scale > 0
-    ), groups AS (
-        SELECT code, CAST(count(*) AS BIGINT) AS n_vectors,
-               CAST(min(vec_id) AS BIGINT) AS first_vec
-        FROM coded GROUP BY 1 HAVING count(*) > 1
-    )
-    SELECT CAST(count(*) AS BIGINT)          AS n_collision_groups,
-           CAST(coalesce(sum(n_vectors), 0) AS BIGINT) AS n_colliding_vectors,
-           CAST(coalesce(max(n_vectors), 0) AS BIGINT) AS largest_group,
-           CAST(coalesce(min(first_vec), -1) AS BIGINT) AS min_first_vec
-    FROM groups
-    """,
-    "Quantization as a near-dup blocking key: embeddings coarsely "
-    "quantized to 4-bit symmetric codes (absmax scale, levels "
-    "-7..7), and vectors sharing an IDENTICAL code string are "
-    "collision candidates — the zero-join blocking stage a vector "
-    "store runs before exact re-scoring (the coarse sibling of "
-    "embedding_int8_quantization; collisions at 4 bits are the "
-    "candidate set the 8-bit codes then verify). One per-element "
-    "lambda pass + one groupBy on the code string; at corpus scale "
-    "the code IS the shuffle key, exactly like a SimHash signature. "
-    "Summary counts keep the output driver-hashable at any "
-    "collision density.",
-    tags=("similarity", "dedup", "sketch", "llm-pipeline"),
-)
-def quantized_code_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    q = emb.select(
-        "vec_id",
-        "emb",
-        F.array_max(F.transform("emb", lambda x: F.abs(x))).alias("scale"),
-    ).filter(F.col("scale") > 0)
-    coded = q.select(
-        "vec_id",
-        F.array_join(
-            F.transform(
-                "emb",
-                lambda x: F.round(x / F.col("scale") * 7)
-                .cast("bigint")
-                .cast("string"),
-            ),
-            ",",
-        ).alias("code"),
-    )
-    groups = (
-        coded.groupBy("code")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
-            F.min("vec_id").cast("bigint").alias("first_vec"),
-        )
-        .filter(F.col("n_vectors") > 1)
-    )
-    return groups.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_collision_groups"),
-        F.coalesce(F.sum("n_vectors"), F.lit(0))
-        .cast("bigint")
-        .alias("n_colliding_vectors"),
-        F.coalesce(F.max("n_vectors"), F.lit(0))
-        .cast("bigint")
-        .alias("largest_group"),
-        F.coalesce(F.min("first_vec"), F.lit(-1))
-        .cast("bigint")
-        .alias("min_first_vec"),
-    )
-
-
-@register(
-    "class_reweighting_plan",
-    """
-    WITH counts AS (
-        SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY 1
-    ), tot AS (
-        SELECT CAST(sum(n) AS BIGINT) AS nt,
-               CAST(count(*) AS BIGINT) AS k FROM counts
-    )
-    SELECT c.label,
-           c.n,
-           round(CAST(t.nt AS DOUBLE) / (t.k * c.n), 6) AS class_weight,
-           round(CAST(c.n AS DOUBLE) * CAST(t.nt AS DOUBLE)
-                 / (t.k * c.n), 2) AS effective_rows
-    FROM counts c, tot t ORDER BY c.label
-    """,
-    "Inverse-frequency class reweighting plan (sklearn's 'balanced' "
-    "formula, n_total / (k * n_class)): the weights an imbalanced "
-    "classifier fit attaches per class so every class contributes "
-    "equal effective mass — effective_rows = n * weight is constant "
-    "across classes by construction, which the test pins. One "
-    "bounded-key groupBy; weights divide exact integers once. The "
-    "ML-prep counterpart of domain_mix_rebalance (corpora) applied "
-    "to label space.",
-    tags=("ml", "agg", "sampling"),
-)
-def class_reweighting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
-    counts = emb.groupBy("label").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-    tot = counts.agg(
-        F.sum("n").cast("bigint").alias("nt"),
-        F.count(F.lit(1)).cast("bigint").alias("k"),
-    )
-    return (
-        counts.crossJoin(F.broadcast(tot))
-        .select(
-            "label",
-            "n",
-            F.round(
-                F.col("nt").cast("double") / (F.col("k") * F.col("n")), 6
-            ).alias("class_weight"),
-            F.round(
-                F.col("n").cast("double")
-                * F.col("nt").cast("double")
-                / (F.col("k") * F.col("n")),
-                2,
-            ).alias("effective_rows"),
-        )
-        .orderBy("label")
-    )
-
-
-@register(
-    "revenue_bridge_waterfall",
-    """
-    WITH monthly AS (
-        SELECT epoch_us(date_trunc('month', o_orderdate)) // 86400000000 AS m,
-               CAST(count(*) AS BIGINT) AS vol,
-               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))))
-                    AS BIGINT) AS rev
-        FROM orders GROUP BY 1
-    ), seq AS (
-        SELECT m, vol, rev,
-               lag(vol) OVER (ORDER BY m) AS pvol,
-               lag(rev) OVER (ORDER BY m) AS prev
-        FROM monthly
-    )
-    SELECT m AS month_day,
-           CAST(rev - prev AS BIGINT) AS delta_revenue,
-           round((vol - pvol) * (CAST(prev AS DOUBLE) / pvol), 2) + 0.0
-               AS volume_effect,
-           round(pvol * (CAST(rev AS DOUBLE) / vol
-                         - CAST(prev AS DOUBLE) / pvol), 2) + 0.0
-               AS price_effect,
-           -- + 0.0 normalizes IEEE negative zero (engines disagree on
-           -- round(-eps) producing -0.0 vs 0.0)
-           round((vol - pvol) * (CAST(rev AS DOUBLE) / vol
-                                 - CAST(prev AS DOUBLE) / pvol), 2) + 0.0
-               AS mix_effect
-    FROM seq WHERE pvol IS NOT NULL AND pvol > 0 AND vol > 0
-    ORDER BY m LIMIT 60
-    """,
-    "Revenue-bridge waterfall (the FP&A month-over-month "
-    "decomposition): delta revenue splits into volume effect "
-    "(delta_vol x prior avg price), price effect (prior volume x "
-    "delta avg price), and the interaction/mix term — the three sum "
-    "to delta revenue identically (checked by the test against the "
-    "exact integer delta). Inputs are exact BIGINTs (floor-dollar "
-    "monthly revenue, order counts); each effect is one IEEE "
-    "expression over them. Windows run on the ~80-row monthly "
-    "frame after one fact-sized groupBy.",
-    tags=("analytics", "timeseries", "window", "agg"),
-)
-def revenue_bridge_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    monthly = o.groupBy(
-        F.expr(
-            "unix_micros(date_trunc('month', o_orderdate)) div 86400000000"
-        ).alias("m")
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("vol"),
-        F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
-        .cast("bigint")
-        .alias("rev"),
-    )
-    w = W.orderBy("m")
-    seq = monthly.select(
-        "m",
-        "vol",
-        "rev",
-        F.lag("vol").over(w).alias("pvol"),
-        F.lag("rev").over(w).alias("prev"),
-    ).filter(F.col("pvol").isNotNull() & (F.col("pvol") > 0) & (F.col("vol") > 0))
-    p_new = F.col("rev").cast("double") / F.col("vol")
-    p_old = F.col("prev").cast("double") / F.col("pvol")
-    return (
-        seq.select(
-            F.col("m").alias("month_day"),
-            (F.col("rev") - F.col("prev")).cast("bigint").alias("delta_revenue"),
-            (F.round((F.col("vol") - F.col("pvol")) * p_old, 2) + 0.0).alias(
-                "volume_effect"
-            ),
-            (F.round(F.col("pvol") * (p_new - p_old), 2) + 0.0).alias(
-                "price_effect"
-            ),
-            (
-                F.round((F.col("vol") - F.col("pvol")) * (p_new - p_old), 2)
-                + 0.0  # normalize IEEE -0.0
-            ).alias("mix_effect"),
-        )
-        .orderBy("month_day")
-        .limit(60)
-    )
-
-
-@register(
-    "stratified_kfold_assignment",
-    """
-    WITH ranked AS (
-        SELECT vec_id, label,
-               row_number() OVER (PARTITION BY label
-                                  ORDER BY (vec_id * 2654435761) % 1000003,
-                                           vec_id) AS rnk
-        FROM embeddings
-    ), folded AS (
-        SELECT label, (rnk - 1) % 5 AS fold FROM ranked
-    )
-    SELECT CAST(fold AS INT) AS fold, label,
-           CAST(count(*) AS BIGINT) AS n_rows
-    FROM folded GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-    "Stratified k-fold assignment (k=5): within each label, rows "
-    "shuffle by a multiplicative-hash order (deterministic — no "
-    "engine RNG, so every engine and every rerun builds the SAME "
-    "folds) and deal round-robin, so every fold's label distribution "
-    "matches the population within one row per class — the "
-    "leakage-free CV splitter for imbalanced labels (plain random "
-    "folds can starve a rare class from a fold entirely). The "
-    "per-label rank is one window over label partitions; at 100 TB "
-    "the same construction runs through the distributed row-number "
-    "primitive per label shard. Output is the fold x label census "
-    "the balance test checks.",
-    tags=("ml", "sampling", "window"),
-)
-def stratified_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "label")
-    ranked = emb.select(
-        "label",
-        F.row_number()
-        .over(
-            W.partitionBy("label").orderBy(
-                (F.col("vec_id") * 2654435761) % 1000003, "vec_id"
-            )
-        )
-        .alias("rnk"),
-    )
-    return (
-        ranked.select("label", ((F.col("rnk") - 1) % 5).alias("fold"))
-        .groupBy(F.col("fold").cast("int").alias("fold"), "label")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
-        .orderBy("fold", "label")
-    )
-
-
-@register(
-    "supplier_concentration_hhi",
-    """
-    WITH vol AS (
-        SELECT p.p_brand AS brand, l.l_suppkey,
-               CAST(sum(l.l_quantity) AS BIGINT) AS q
-        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-        GROUP BY 1, 2
-    ), tot AS (
-        SELECT brand, CAST(sum(q) AS BIGINT) AS qt,
-               CAST(count(*) AS BIGINT) AS n_suppliers
-        FROM vol GROUP BY 1
-    )
-    SELECT v.brand, t.n_suppliers,
-           round(CAST(sum(CAST(v.q AS HUGEINT) * v.q) AS DOUBLE)
-                 / (CAST(t.qt AS DOUBLE) * t.qt) * 10000, 2) AS hhi,
-           round(CAST(max(v.q) AS DOUBLE) / t.qt, 6) AS top_share
-    FROM vol v JOIN tot t ON t.brand = v.brand
-    GROUP BY v.brand, t.n_suppliers, t.qt ORDER BY hhi DESC, v.brand LIMIT 15
-    """,
-    "Supplier-concentration risk via the Herfindahl-Hirschman index "
-    "per brand: HHI = 10000 * sum(share^2) over each brand's supplier "
-    "volume mix (the antitrust/procurement concentration metric; "
-    ">2500 is 'highly concentrated' — single-supplier brands are the "
-    "supply-chain fragility list). Exact arithmetic: per-supplier "
-    "volumes and their squares accumulate as integers "
-    "(HUGEINT/DECIMAL partials), so HHI is one closed-form division "
-    "of exact sums — and sum(q^2)/qt^2 never loses a share to "
-    "rounding before the square. Top-15 most-concentrated brands, "
-    "deterministic tie-break. Two partial-combined groupBys on "
-    "(brand, supplier) then brand.",
-    tags=("agg", "analytics", "stats"),
-)
-def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
-    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    vol = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy(F.col("p_brand").alias("brand"), "l_suppkey")
-        .agg(F.sum("l_quantity").cast("bigint").alias("q"))
-    )
-    tot = vol.groupBy("brand").agg(
-        F.sum("q").cast("bigint").alias("qt"),
-        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
-    )
-    return (
-        vol.join(tot, "brand")
-        .groupBy("brand", "n_suppliers", "qt")
-        .agg(
-            F.round(
-                F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).cast(
-                    "double"
-                )
-                / (F.col("qt").cast("double") * F.col("qt"))
-                * 10000,
-                2,
-            ).alias("hhi"),
-            F.round(F.max("q").cast("double") / F.col("qt"), 6).alias(
-                "top_share"
-            ),
-        )
-        .drop("qt")
-        .orderBy(F.desc("hhi"), "brand")
-        .limit(15)
-    )
-
-
-@register(
-    "interval_range_window",
-    """
-    WITH daily AS (
-        SELECT o_orderdate AS d,
-               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))))
-                    AS BIGINT) AS rev
-        FROM orders GROUP BY 1
-    )
-    SELECT CAST(epoch_us(d) // 86400000000 AS BIGINT) AS day,
-           rev,
-           CAST(sum(rev) OVER (ORDER BY d
-                RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
-                AS BIGINT) AS trailing_7d_rev,
-           CAST(count(*) OVER (ORDER BY d
-                RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
-                AS BIGINT) AS days_in_window
-    FROM daily ORDER BY day LIMIT 120
-    """,
-    "Interval-typed RANGE window frames: trailing 7-day revenue per "
-    "day computed with RANGE BETWEEN INTERVAL 6 DAY PRECEDING on the "
-    "timestamp ordering itself — the frame follows EVENT TIME, so "
-    "calendar gaps shrink the window (days_in_window < 7 exposes "
-    "them), where a ROWS frame would silently span gaps and "
-    "overcount. The ANSI interval-frame surface next to the "
-    "engine's long-typed RANGE frames (funnel_within_window) and "
-    "ROWS frames; sums are exact BIGINTs over the metadata-scale "
-    "daily aggregate.",
-    tags=("window", "sql", "timeseries"),
-)
-def interval_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
-        F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
-        .cast("bigint")
-        .alias("rev")
-    )
-    daily.createOrReplaceTempView("__daily_iv")
-    return daily.sparkSession.sql(
-        """
-        SELECT CAST(unix_micros(d) div 86400000000 AS BIGINT) AS day,
-               rev,
-               CAST(sum(rev) OVER (ORDER BY d
-                    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS trailing_7d_rev,
-               CAST(count(*) OVER (ORDER BY d
-                    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS days_in_window
-        FROM __daily_iv ORDER BY day LIMIT 120
-        """
-    )
-
-
-@register(
-    "open_backlog_aging",
-    """
-    WITH anchor AS (
-        SELECT max(epoch_us(o_orderdate)) // 86400000000 AS today FROM orders
-    ), open_orders AS (
-        SELECT (SELECT today FROM anchor)
-                 - epoch_us(o_orderdate) // 86400000000 AS age_days,
-               o_totalprice
-        FROM orders WHERE o_orderstatus = 'O'
-    )
-    SELECT CASE WHEN age_days <= 30 THEN '0-30d'
-                WHEN age_days <= 90 THEN '31-90d'
-                WHEN age_days <= 365 THEN '91-365d'
-                ELSE '365d+' END AS age_band,
-           CAST(count(*) AS BIGINT) AS n_open,
-           CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2)))) AS BIGINT)
-               AS open_value_floor,
-           CAST(max(age_days) AS BIGINT) AS oldest_days
-    FROM open_orders GROUP BY 1 ORDER BY 1
-    """,
-    "Open-order backlog aging: unfulfilled ('O') orders bucketed by "
-    "age against the data's own anchor date, with open value per "
-    "band — the AR-aging-style operations report (a growing 365d+ "
-    "band is stuck demand or a dead status pipeline; this fixture's "
-    "perpetually-open old orders land there by construction, which "
-    "the quality narrative flags). Integer epoch-day ages, DECIMAL "
-    "value partials floored to BIGINT, broadcast scalar anchor; one "
-    "filtered fact scan with a 4-value band key.",
-    tags=("agg", "analytics", "quality", "timeseries"),
-)
-def open_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    anchor = o.agg(
-        F.expr("max(unix_micros(o_orderdate)) div 86400000000").alias("today")
-    )
-    open_orders = (
-        o.filter(F.col("o_orderstatus") == "O")
-        .crossJoin(F.broadcast(anchor))
-        .select(
-            (
-                F.col("today")
-                - F.expr("unix_micros(o_orderdate) div 86400000000")
-            ).alias("age_days"),
-            "o_totalprice",
-        )
-    )
-    band = (
-        F.when(F.col("age_days") <= 30, "0-30d")
-        .when(F.col("age_days") <= 90, "31-90d")
-        .when(F.col("age_days") <= 365, "91-365d")
-        .otherwise("365d+")
-    )
-    return (
-        open_orders.groupBy(band.alias("age_band"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_open"),
-            F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
-            .cast("bigint")
-            .alias("open_value_floor"),
-            F.max("age_days").cast("bigint").alias("oldest_days"),
-        )
-        .orderBy("age_band")
-    )
-
-
-@register(
-    "vocab_growth_curve",
-    """
-    WITH toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
-    ), births AS (
-        SELECT w, CAST(min(doc_id) AS BIGINT) AS first_doc FROM toks GROUP BY 1
-    ), doc_tokens AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
-        FROM toks GROUP BY 1
-    ), milestones AS (
-        SELECT unnest([50, 100, 200, 300, 400, 500]) AS m
-    )
-    SELECT CAST(ms.m AS BIGINT) AS docs_processed,
-           (SELECT CAST(coalesce(sum(n_tok), 0) AS BIGINT)
-              FROM doc_tokens WHERE doc_id <= ms.m) AS tokens_processed,
-           (SELECT CAST(count(*) AS BIGINT)
-              FROM births WHERE first_doc <= ms.m) AS distinct_terms
-    FROM milestones ms ORDER BY docs_processed
-    """,
-    "Vocabulary growth curve (the Heaps'-law diagnostic every corpus "
-    "scaling study plots): distinct terms seen vs tokens processed "
-    "at document milestones, computed WITHOUT any sequential scan — "
-    "each term's 'birth' is min(doc_id) over its occurrences (one "
-    "groupBy), and every milestone's vocabulary is a count of births "
-    "at or before it. Saturating growth says the corpus is "
-    "exhausting its domain (more data adds tokens, not words — the "
-    "dedup/diversity signal); power-law growth says keep "
-    "collecting. All counts exact; milestones are a 6-row literal "
-    "table joined against two bounded aggregates.",
-    tags=("text", "llm-pipeline", "agg", "analytics"),
-)
-def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    births = toks.groupBy("w").agg(
-        F.min("doc_id").cast("bigint").alias("first_doc")
-    )
-    doc_tokens = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tok")
-    )
-    # one conditional-sum pass per side — no inequality join (which
-    # would nested-loop milestones x docs at scale)
-    MS = [50, 100, 200, 300, 400, 500]
-    tok_row = doc_tokens.agg(
-        *[
-            F.coalesce(
-                F.sum(F.when(F.col("doc_id") <= m, F.col("n_tok"))), F.lit(0)
-            )
-            .cast("bigint")
-            .alias(f"t{m}")
-            for m in MS
-        ]
-    )
-    voc_row = births.agg(
-        *[
-            F.sum(F.when(F.col("first_doc") <= m, 1).otherwise(0))
-            .cast("bigint")
-            .alias(f"v{m}")
-            for m in MS
-        ]
-    )
-    stack_t = ", ".join(f"{m}L, t{m}" for m in MS)
-    stack_v = ", ".join(f"{m}L, v{m}" for m in MS)
-    t_long = tok_row.select(
-        F.expr(f"stack({len(MS)}, {stack_t}) AS (docs_processed, tokens_processed)")
-    )
-    v_long = voc_row.select(
-        F.expr(f"stack({len(MS)}, {stack_v}) AS (docs_processed, distinct_terms)")
-    )
-    return (
-        t_long.join(v_long, "docs_processed")
-        .select(
-            F.col("docs_processed").cast("bigint").alias("docs_processed"),
-            "tokens_processed",
-            "distinct_terms",
-        )
-        .orderBy("docs_processed")
-    )
-
-
-@register(
-    "traffic_heatmap_dow_hour",
-    """
-    WITH g AS (
-        SELECT (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
-               (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
-               value
-        FROM events
-    )
-    SELECT CAST(dow AS INT) AS dow, CAST(hour AS INT) AS hour,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(floor(sum(CAST(value AS DECIMAL(18,6)))) AS BIGINT)
-               AS value_floor
-    FROM g GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-    "Day-of-week x hour-of-day traffic heatmap (UTC; epoch day 0 is "
-    "a Thursday, so dow = (epoch_day + 3) % 7 with Monday = 0): the "
-    "capacity-planning / on-call-staffing grid behind every ops "
-    "dashboard. Pure integer epoch arithmetic for both axes — no "
-    "calendar functions to disagree on locale week starts — one "
-    "partial-combined groupBy on a 168-cell key, DECIMAL value "
-    "partials floored to BIGINT.",
-    tags=("events", "agg", "timeseries", "analytics"),
-)
-def traffic_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    g = ev.select(
-        F.expr("(unix_micros(ts) div 86400000000 + 3) % 7").alias("dow"),
-        F.expr("(unix_micros(ts) % 86400000000) div 3600000000").alias("hour"),
-        "value",
-    )
-    return (
-        g.groupBy(
-            F.col("dow").cast("int").alias("dow"),
-            F.col("hour").cast("int").alias("hour"),
-        )
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.floor(F.sum(F.col("value").cast("decimal(18,6)")))
-            .cast("bigint")
-            .alias("value_floor"),
-        )
-        .orderBy("dow", "hour")
-    )
-
-
-@register(
-    "role_playing_date_rollup",
-    """
-    WITH li AS (
-        SELECT epoch_us(date_trunc('month', o.o_orderdate)) // 86400000000
-                   AS order_month,
-               epoch_us(date_trunc('month', l.l_shipdate)) // 86400000000
-                   AS ship_month,
-               CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS cents
-        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    ), by_order AS (
-        SELECT order_month AS m, CAST(sum(cents) AS BIGINT) AS booked_cents
-        FROM li GROUP BY 1
-    ), by_ship AS (
-        SELECT ship_month AS m, CAST(sum(cents) AS BIGINT) AS shipped_cents
-        FROM li GROUP BY 1
-    ), shifted AS (
-        SELECT CAST(sum(CASE WHEN order_month <> ship_month
-                             THEN cents ELSE 0 END) AS BIGINT) AS cross_cents,
-               CAST(sum(cents) AS BIGINT) AS total_cents
-        FROM li
-    )
-    SELECT coalesce(o.m, s.m) AS month_day,
-           coalesce(o.booked_cents, 0)  AS booked_cents,
-           coalesce(s.shipped_cents, 0) AS shipped_cents,
-           round((SELECT CAST(cross_cents AS DOUBLE) / total_cents
-                  FROM shifted), 6) AS global_cross_month_share
-    FROM by_order o FULL JOIN by_ship s ON o.m = s.m
-    ORDER BY month_day LIMIT 90
-    """,
-    "Role-playing date dimension: the SAME line items roll up "
-    "through two date roles — booked revenue by ORDER month vs "
-    "shipped revenue by SHIP month — the recognition-vs-fulfillment "
-    "split every finance/BI model needs when one fact row carries "
-    "multiple dates (naive single-calendar models silently conflate "
-    "them; the cross-month share quantifies how much revenue "
-    "changes month depending on the role). One scan produces both "
-    "role keys; two bounded groupBys full-join on month. "
-    "Floor-cents exact everywhere; one global ratio.",
-    tags=("agg", "timeseries", "join", "sql", "analytics"),
-)
-def role_playing_date_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_shipdate", "l_extendedprice"
-    )
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        F.expr(
-            "unix_micros(date_trunc('month', o_orderdate)) div 86400000000"
-        ).alias("order_month"),
-        F.expr(
-            "unix_micros(date_trunc('month', l_shipdate)) div 86400000000"
-        ).alias("ship_month"),
-        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
-    )
-    by_order = base.groupBy(F.col("order_month").alias("m")).agg(
-        F.sum("cents").cast("bigint").alias("booked_cents")
-    )
-    by_ship = base.groupBy(F.col("ship_month").alias("ms")).agg(
-        F.sum("cents").cast("bigint").alias("shipped_cents")
-    )
-    shifted = base.agg(
-        F.sum(
-            F.when(F.col("order_month") != F.col("ship_month"), F.col("cents"))
-            .otherwise(0)
-        )
-        .cast("bigint")
-        .alias("cross_cents"),
-        F.sum("cents").cast("bigint").alias("total_cents"),
-    )
-    return (
-        by_order.join(by_ship, by_order.m == by_ship.ms, "full")
-        .crossJoin(F.broadcast(shifted))
-        .select(
-            F.coalesce(F.col("m"), F.col("ms")).alias("month_day"),
-            F.coalesce(F.col("booked_cents"), F.lit(0)).alias("booked_cents"),
-            F.coalesce(F.col("shipped_cents"), F.lit(0)).alias("shipped_cents"),
-            F.round(
-                F.col("cross_cents").cast("double") / F.col("total_cents"), 6
-            ).alias("global_cross_month_share"),
-        )
-        .orderBy("month_day")
-        .limit(90)
-    )
-
-
-_DRIVER_PRIORITY: list[str] = [
-    # Round-4 slots (VERDICT r3 "next round" item 1). 1-3: the three
-    # stale event-time rows — driver-greened in r1 against the old
-    # ns-long fixtures, never re-certified after the TIMESTAMP_NTZ
-    # reader fix (sessionization is BENCH_r02's crash site).
-    "sessionization",
-    "range_join_events",
-    "streaming_tumbling_window",
-    # 4-9: the ANN/LSH tier, newly DRIVER-FALSIFIABLE (VERDICT r3 item
-    # 3): exact-twin top-1 ids + recall-bound booleans (ANN) and
-    # exact-integer pair/cluster equality against O(n^2) oracles
-    # (dedup). These leave the no_oracle bucket this round.
-    "ann_lsh_topk",
-    "ivf_ann_topk",
-    "ivf_pq_ann_topk",
-    "minhash_native_dedup",
-    "minhash_lsh_dedup",
-    "neardup_clusters",
-    # 10: re-certify after the 6x-duplicated-aggregate fix (same hash,
-    # new 1-exchange plan — VERDICT r3 "what's wrong" item 1).
-    "correlation_matrix_exact",
-    # 11-12: remaining file-format connectors (csv twin is r2-green).
-    "json_source_roundtrip",
-    "orc_source_roundtrip",
-    # 13-18: credit-risk tier (ties to reference spark.py:71-73
-    # evaluator surface) — entirely driver-unchecked until now.
-    "roc_auc_banded",
-    "ks_risk_separation",
-    "woe_iv_score_bands",
-    "psi_score_drift",
-    "gains_lift_bands",
-    "threshold_confusion_sweep",
-    # 19-26: statistics tier.
-    "welch_t_test",
-    "target_encoding",
-    "chi_square_independence",
-    "autocorrelation_daily_revenue",
-    "seasonality_dow_profile",
-    "mannwhitney_amount_by_status",
-    "benfords_law_digits",
-    "gini_concentration",
-    # 27-31: corpus-governance tier.
-    "domain_mix_rebalance",
-    "dedup_rate_by_source",
-    "contamination_overlap_matrix",
-    "cusum_changepoint_daily",
-    "referential_integrity_audit",
-    # 32-37: product-analytics / sequence tier.
-    "max_concurrent_sessions",
-    "event_trigram_topk",
-    "seasonal_naive_backtest",
-    "growth_accounting_weekly",
-    "cohort_ltv",
-    "market_basket_lift",
-    # 38-42: exact-quantile / distribution tier.
-    "scd2_asof_fact_join",
-    "weighted_median_exact",
-    "histogram_equi_depth",
-    "entropy_kl_event_mix",
-    "rolling_median_28d",
-    # 43-50: highest-information remainder of the r3 queue.
-    "lateral_topk_join",
-    "inverted_index_postings",
-    "dedup_keep_latest",
-    "containment_detection",
-    "cluster_canonical_keeper",
-    "lm_bigram_surprisal",
-    "window_topk_with_ties",
-    "survival_kaplan_meier",
-    # Round-5 rotation queue (strict-local-verified, still without a
-    # driver row after this round): skipgram_cooccurrence,
-    # ewma_daily_value, rollup_cascade_daily, tranche_expand,
-    # triangle_count_trade_graph, event_transition_matrix,
-    # column_profile, contribution_analysis, ordered_list_agg_structs,
-    # doc_quality_filter, skew_diagnosis, time_since_last_event,
-    # ab_test_conversion, pareto_customers, rolling_active_users,
-    # rfm_segmentation, data_freshness_slo, power_analysis_ab,
-    # anomaly_zscore_days, basket_size_distribution,
-    # score_migration_matrix, skyline_price_size,
-    # cdf_transform_vs_reference, fulfillment_lag_distribution,
-    # duplicate_transaction_detection, survival analytics follow-ups
-    # (journey_pattern_match, funnel_within_window), collated_aggregation,
-    # shortest_path_trade_cost, fpgrowth_frequent_itemsets,
-    # prefixspan_sequential_patterns, bitmap_distinct_count,
-    # spatial_blocked_join, permutation_test_segment, k_anonymity_audit,
-    # decayed_leaderboard, seasonal_decomposition_daily,
-    # span_corruption_plan, embedding_int8_quantization,
-    # streaming_incremental_backfill, pandas_grouped_agg_trimmed_mean,
-    # table_diff_summary, run_length_encoding, table_checksum,
-    # embedding_dimension_stats, timezone_local_day_agg,
-    # hll_rolling_wau, pivot_multi_agg, csv_corrupt_record_audit,
-    # balanced_shard_plan, negative_sampling_plan, hard_negative_mining,
-    # bpe_merge_training, bpe_tokenize_apply,
-    # streaming_append_mode_windows, parquet_schema_evolution,
-    # dynamic_partition_overwrite, functional_dependency_audit,
-    # argmax_aggregates, incremental_aggregate_maintenance,
-    # theil_sen_mann_kendall, logrank_test_segments,
-    # cuped_variance_reduction, hll_sketch_rollup_cube,
-    # three_way_reconciliation, graph_assortativity,
-    # distinctive_terms_by_source, fiscal_calendar_rollup,
-    # business_days_lag, graph_edge_churn, forecast_reconciliation,
-    # quantized_code_collisions, class_reweighting_plan,
-    # revenue_bridge_waterfall, stratified_kfold_assignment,
-    # supplier_concentration_hhi, interval_range_window,
-    # open_backlog_aging, vocab_growth_curve, traffic_heatmap_dow_hour,
-    # role_playing_date_rollup, streaming_checkpointed_file_sink,
-    # video_frame_sample_plan, lateral/window long tail. Rows-only by
-    # design (no oracle possible): als_recommendations, pca_embeddings,
-    # ml_learning_curve, simhash_dedup (engine-specific 64-bit
-    # signature IS the operator; no portable oracle), video frame stub.
-]
-
+from ._core import (  # noqa: F401
+    REGISTRY,
+    QuerySpec,
+    _DRIVER_PRIORITY,
+    _ordered_names,
+    oracle_sql,
+    queries,
+    register,
+    t,
+)
+
+# Importing each segment registers its queries as a side effect.
+# Registration ORDER is part of the driver contract (the unprioritized
+# tail of queries() follows registration order) — do NOT reorder these
+# imports. Star-imports re-export the query callables so existing
+# ``registry.<query_name>`` references keep working.
+from ._q01_relational import *  # noqa: F401,F403,E402
+from ._q02_extension import *  # noqa: F401,F403,E402
+from ._q03_tpch_shapes import *  # noqa: F401,F403,E402
+from ._q04_evaluators_slots import *  # noqa: F401,F403,E402
+from ._q05_io_text_slots import *  # noqa: F401,F403,E402
+from ._q06_credit_stats import *  # noqa: F401,F403,E402
+from ._q07_governance_analytics import *  # noqa: F401,F403,E402
+from ._q08_sequences_session2 import *  # noqa: F401,F403,E402
+from ._q09_round3_ops import *  # noqa: F401,F403,E402
