@@ -2,12 +2,17 @@
 typed metadata, processed by Arrow-batched pandas functions.
 
 Spark-side plumbing is REAL and tested: BinaryType columns, pinned
-output schemas, ``mapInPandas`` batch iteration, partition sizing. The
-actual media decode (image/audio/video) is STUBBED — the container has
-no codec libraries — behind ``decode_stub``, which produces
-deterministic fake "features" from the bytes so the pipeline is fully
-exercisable end-to-end. Swap ``decode_stub`` for a real decoder (PIL /
-torchaudio / pyav) without touching any Spark code.
+output schemas, ``mapInPandas`` batch iteration, partition sizing.
+
+Decode is REAL for one self-describing format per modality (no codec
+libraries exist in the container, so the pure-Python-decodable ones):
+images — 24-bpp BMP and binary PPM; audio — RIFF WAV 16-bit PCM;
+video — YUV4MPEG2 (.y4m) C420 planar. Each has an oracle-checked
+registered query (image/audio/video_decode_stats). Compressed formats
+(JPEG/MP3/H.264) remain behind ``decode_stub``, which produces
+deterministic fake "features" from the bytes so that pipeline shape is
+still exercisable end-to-end — swap it for PIL / torchaudio / pyav
+bindings without touching any Spark code.
 """
 
 from __future__ import annotations
@@ -341,3 +346,287 @@ def decode_frames_stub(frames: DataFrame) -> DataFrame:
             )
 
     return frames.mapInPandas(op, schema=FRAME_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# REAL audio codec: WAV (RIFF, 16-bit PCM) — like BMP/PPM above, a
+# self-describing format decodable in pure Python. The decoder walks
+# the actual RIFF chunk list (fmt / data, skipping unknown chunks),
+# validates PCM format tag and bit depth, and de-interleaves channels;
+# any of those wrong breaks the oracle hash of audio_decode_stats.
+# ---------------------------------------------------------------------
+
+
+def encode_wav_pcm16(
+    sample_rate: int, n_channels: int, samples: list[int]
+) -> bytes:
+    """Encode interleaved signed 16-bit samples as a canonical RIFF
+    WAVE file (PCM format tag 1): RIFF header, 16-byte fmt chunk,
+    data chunk."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    block_align = n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block_align,
+        block_align, 16,
+    )
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+
+
+def decode_wav(payload: bytes):
+    """Decode a RIFF WAVE file with 16-bit PCM audio: returns
+    (sample_rate, n_channels, interleaved sample list). Walks the real
+    chunk list — tolerates extra chunks (LIST/INFO metadata, odd-length
+    padding) between fmt and data, as real-world encoders emit."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
+    return sample_rate, n_channels, samples
+
+
+#: Output schema of the real audio decode query.
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), False),
+        T.StructField("n_channels", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("duration_us", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("sum_ch0", T.LongType(), False),
+        T.StructField("sum_abs", T.LongType(), False),
+        T.StructField("first_sample", T.LongType(), False),
+    ]
+)
+
+
+def synth_audio_payloads(df: DataFrame) -> DataFrame:
+    """Deterministic synthetic WAV clips, one per doc_id: interleaved
+    sample k is ``((doc_id*2654435761 + k*40503) % 65536) - 32768`` —
+    analytically computable by the DuckDB oracle. Input columns:
+    doc_id, rate, n_ch, n_frames. Emits (doc_id, wav binary)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            wavs = []
+            for row in pdf.itertuples(index=False):
+                d = int(row.doc_id)
+                n = int(row.n_frames) * int(row.n_ch)
+                samples = [
+                    ((d * 2654435761 + k * 40503) % 65536) - 32768
+                    for k in range(n)
+                ]
+                wavs.append(
+                    encode_wav_pcm16(int(row.rate), int(row.n_ch), samples)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "wav": wavs}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("wav", T.BinaryType(), False),
+        ]
+    )
+    return df.select("doc_id", "rate", "n_ch", "n_frames").mapInPandas(
+        op, schema=schema
+    )
+
+
+def decode_audio_stats(clips: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode of WAV payloads: parses the RIFF
+    chunk list per row and emits header-derived rate/channels, frame
+    count, integer-exact duration, and exact integer sample sums
+    (BIGINT — hash-stable, no floats)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, wav in zip(pdf["doc_id"], pdf["wav"]):
+                rate, n_ch, samples = decode_wav(bytes(wav))
+                n_frames = len(samples) // n_ch
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "sample_rate": rate,
+                        "n_channels": n_ch,
+                        "n_frames": n_frames,
+                        "duration_us": n_frames * 1_000_000 // rate,
+                        "n_bytes": len(wav),
+                        "sum_ch0": sum(samples[::n_ch]),
+                        "sum_abs": sum(abs(s) for s in samples),
+                        "first_sample": samples[0] if samples else 0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return clips.mapInPandas(op, schema=AUDIO_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# REAL video codec: YUV4MPEG2 (.y4m) — the uncompressed interchange
+# format ffmpeg/mplayer use. Self-describing ASCII stream header
+# (width/height/framerate/colourspace tags), then per-frame FRAME
+# markers followed by raw planar YUV. Decodable in pure Python; C420
+# subsampling means the U/V planes are quarter-size, so a decoder that
+# gets plane boundaries wrong fails the oracle.
+# ---------------------------------------------------------------------
+
+
+def encode_y4m(
+    width: int, height: int, fps_num: int, fps_den: int, frames: list[bytes]
+) -> bytes:
+    """Encode raw C420 planar frames (each w*h + 2*(w//2)*(h//2)
+    bytes) as a YUV4MPEG2 stream."""
+    head = f"YUV4MPEG2 W{width} H{height} F{fps_num}:{fps_den} Ip A1:1 C420jpeg\n"
+    body = b"".join(b"FRAME\n" + f for f in frames)
+    return head.encode() + body
+
+
+def decode_y4m(payload: bytes):
+    """Decode a YUV4MPEG2 stream (C420 family): parses the tagged
+    stream header, then splits each FRAME into Y/U/V planes. Returns
+    (width, height, fps_num, fps_den, [(y, u, v) bytes triples])."""
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode("ascii")
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = None
+    fps_num, fps_den = 25, 1
+    colorspace = "C420jpeg"
+    for tag in header.split()[1:]:
+        if tag[0] == "W":
+            width = int(tag[1:])
+        elif tag[0] == "H":
+            height = int(tag[1:])
+        elif tag[0] == "F":
+            fps_num, fps_den = (int(x) for x in tag[1:].split(":"))
+        elif tag[0] == "C":
+            colorspace = tag
+    if width is None or height is None:
+        raise ValueError("missing W/H stream tags")
+    if not colorspace.startswith("C420"):
+        raise ValueError(f"unsupported colourspace {colorspace}")
+    y_size, c_size = width * height, (width // 2) * (height // 2)
+    frame_size = y_size + 2 * c_size
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("missing FRAME marker")
+        start = fnl + 1
+        raw = payload[start : start + frame_size]
+        if len(raw) < frame_size:
+            raise ValueError("truncated frame")
+        frames.append(
+            (raw[:y_size], raw[y_size : y_size + c_size], raw[y_size + c_size :])
+        )
+        pos = start + frame_size
+    return width, height, fps_num, fps_den, frames
+
+
+#: Output schema of the real video decode query.
+VIDEO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("fps_num", T.LongType(), False),
+        T.StructField("fps_den", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("sum_y", T.LongType(), False),
+        T.StructField("sum_u", T.LongType(), False),
+        T.StructField("sum_v", T.LongType(), False),
+        T.StructField("first_luma", T.LongType(), False),
+    ]
+)
+
+
+def synth_video_payloads(df: DataFrame) -> DataFrame:
+    """Deterministic synthetic .y4m clips, one per doc_id: byte k of
+    the concatenated frame payloads (planar YUV, frames in order) is
+    ``(doc_id*2654435761 + k*40503) % 256``. Input columns: doc_id,
+    w, h, n_frames (w and h even — C420). Emits (doc_id, y4m)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            clips = []
+            for row in pdf.itertuples(index=False):
+                d, w, h = int(row.doc_id), int(row.w), int(row.h)
+                frame_size = w * h + 2 * (w // 2) * (h // 2)
+                frames = []
+                for f in range(int(row.n_frames)):
+                    base = f * frame_size
+                    frames.append(
+                        bytes(
+                            (d * 2654435761 + (base + i) * 40503) % 256
+                            for i in range(frame_size)
+                        )
+                    )
+                clips.append(encode_y4m(w, h, 30000, 1001, frames))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "y4m": clips}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("y4m", T.BinaryType(), False),
+        ]
+    )
+    return df.select("doc_id", "w", "h", "n_frames").mapInPandas(op, schema=schema)
+
+
+def decode_video_stats(clips: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode of YUV4MPEG2 payloads: parses stream
+    header and per-frame planes, emits header-derived geometry /
+    framerate and exact integer plane sums (BIGINT)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, y4m in zip(pdf["doc_id"], pdf["y4m"]):
+                w, h, fn, fd, frames = decode_y4m(bytes(y4m))
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": w,
+                        "height": h,
+                        "fps_num": fn,
+                        "fps_den": fd,
+                        "n_frames": len(frames),
+                        "n_bytes": len(y4m),
+                        "sum_y": sum(sum(y) for y, _, _ in frames),
+                        "sum_u": sum(sum(u) for _, u, _ in frames),
+                        "sum_v": sum(sum(v) for _, _, v in frames),
+                        "first_luma": frames[0][0][0] if frames else 0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return clips.mapInPandas(op, schema=VIDEO_STATS_SCHEMA)

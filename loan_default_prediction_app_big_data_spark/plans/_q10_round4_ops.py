@@ -73,3 +73,152 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     images = synth_image_payloads(docs)
     return decode_image_stats(images).orderBy("doc_id")
+
+
+_AUDIO_DECODE_ORACLE = """
+    -- Analytic twin of the REAL WAV decode: interleaved sample k is
+    -- ((doc_id*2654435761 + k*40503) % 65536) - 32768, so header
+    -- fields (44-byte canonical RIFF+fmt+data layout), integer-exact
+    -- duration, and per-channel / absolute sample sums are computable
+    -- without parsing a byte.
+    WITH ids AS (
+        SELECT doc_id,
+               8000 + 4000 * (doc_id % 3) AS rate,
+               1 + doc_id % 2 AS n_ch,
+               40 + doc_id % 17 AS n_frames
+        FROM documents WHERE doc_id % 5 = 2
+    ),
+    sample AS (
+        SELECT doc_id, rate, n_ch, n_frames,
+               unnest(range(n_frames * n_ch)) AS k
+        FROM ids
+    ),
+    vals AS (
+        SELECT doc_id, rate, n_ch, n_frames, k,
+               ((doc_id * 2654435761 + k * 40503) % 65536) - 32768 AS v
+        FROM sample
+    )
+    SELECT doc_id,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(n_ch AS BIGINT) AS n_channels,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(n_frames * 1000000 // rate AS BIGINT) AS duration_us,
+           CAST(44 + 2 * n_frames * n_ch AS BIGINT) AS n_bytes,
+           CAST(SUM(CASE WHEN k % n_ch = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_ch0,
+           CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+           CAST((doc_id * 2654435761) % 65536 - 32768 AS BIGINT) AS first_sample
+    FROM vals
+    GROUP BY doc_id, rate, n_ch, n_frames
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "audio_decode_stats",
+    _AUDIO_DECODE_ORACLE,
+    "REAL audio decode over binary payloads: synthesize per-document "
+    "RIFF/WAVE clips (16-bit PCM; rate, channel count, and length all "
+    "vary per doc), then mapInPandas-decode the actual on-disk bytes "
+    "— RIFF chunk walk, fmt validation, channel de-interleave — and "
+    "emit header rate/channels, frame count, integer-exact duration, "
+    "and exact integer sample sums. The oracle recomputes every value "
+    "analytically from the synthesis congruence, so any decode slip "
+    "(chunk offsets, byte order, channel stride) hash-fails. Scale "
+    "shape: Arrow-batched mapInPandas, one pass, no shuffle before "
+    "the bounded final sort.",
+    tags=("multimodal", "round4"),
+)
+def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 2)
+        .select(
+            "doc_id",
+            (F.lit(8000) + F.lit(4000) * (F.col("doc_id") % 3)).cast("int").alias("rate"),
+            (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("n_ch"),
+            (F.lit(40) + F.col("doc_id") % 17).cast("int").alias("n_frames"),
+        )
+    )
+    from ..operators.multimodal import decode_audio_stats, synth_audio_payloads
+
+    return decode_audio_stats(synth_audio_payloads(docs)).orderBy("doc_id")
+
+
+_VIDEO_DECODE_ORACLE = """
+    -- Analytic twin of the REAL YUV4MPEG2 decode: byte k of the
+    -- concatenated C420 frame payloads is
+    -- (doc_id*2654435761 + k*40503) % 256; within a frame the first
+    -- w*h bytes are the Y plane, then two quarter-size chroma planes.
+    WITH ids AS (
+        SELECT doc_id,
+               6 + 2 * (doc_id % 3) AS w,
+               4 + 2 * (doc_id % 2) AS h,
+               2 + doc_id % 3 AS n_frames
+        FROM documents WHERE doc_id % 9 = 4
+    ),
+    geo AS (
+        SELECT *, w * h AS y_size, (w // 2) * (h // 2) AS c_size,
+               w * h + 2 * (w // 2) * (h // 2) AS frame_size
+        FROM ids
+    ),
+    byte AS (
+        SELECT doc_id, w, h, n_frames, y_size, c_size, frame_size,
+               unnest(range(n_frames * frame_size)) AS k
+        FROM geo
+    ),
+    vals AS (
+        SELECT doc_id, w, h, n_frames, frame_size,
+               k % frame_size AS p, y_size, c_size,
+               (doc_id * 2654435761 + k * 40503) % 256 AS v
+        FROM byte
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(30000 AS BIGINT) AS fps_num,
+           CAST(1001 AS BIGINT) AS fps_den,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(length('YUV4MPEG2 W' || CAST(w AS VARCHAR) || ' H'
+                       || CAST(h AS VARCHAR)
+                       || ' F30000:1001 Ip A1:1 C420jpeg') + 1
+                + n_frames * (6 + frame_size) AS BIGINT) AS n_bytes,
+           CAST(SUM(CASE WHEN p < y_size THEN v ELSE 0 END) AS BIGINT) AS sum_y,
+           CAST(SUM(CASE WHEN p >= y_size AND p < y_size + c_size THEN v ELSE 0 END) AS BIGINT) AS sum_u,
+           CAST(SUM(CASE WHEN p >= y_size + c_size THEN v ELSE 0 END) AS BIGINT) AS sum_v,
+           CAST((doc_id * 2654435761) % 256 AS BIGINT) AS first_luma
+    FROM vals
+    GROUP BY doc_id, w, h, n_frames, frame_size
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "video_decode_stats",
+    _VIDEO_DECODE_ORACLE,
+    "REAL video decode over binary payloads: synthesize per-document "
+    "YUV4MPEG2 (.y4m) clips — the uncompressed interchange format "
+    "ffmpeg emits — with per-doc geometry and frame counts, then "
+    "mapInPandas-decode the actual stream bytes: tagged ASCII header, "
+    "FRAME markers, C420 planar Y/U/V splits. Emits header geometry / "
+    "framerate and exact integer per-plane sums; the oracle "
+    "recomputes all of it analytically, so plane-boundary or header "
+    "errors hash-fail. With image_decode_stats and "
+    "audio_decode_stats this makes the multimodal tier "
+    "capability-complete for one real format in each modality. Scale "
+    "shape: Arrow-batched mapInPandas, one pass.",
+    tags=("multimodal", "round4"),
+)
+def video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 9 == 4)
+        .select(
+            "doc_id",
+            (F.lit(6) + F.lit(2) * (F.col("doc_id") % 3)).cast("int").alias("w"),
+            (F.lit(4) + F.lit(2) * (F.col("doc_id") % 2)).cast("int").alias("h"),
+            (F.lit(2) + F.col("doc_id") % 3).cast("int").alias("n_frames"),
+        )
+    )
+    from ..operators.multimodal import decode_video_stats, synth_video_payloads
+
+    return decode_video_stats(synth_video_payloads(docs)).orderBy("doc_id")

@@ -120,3 +120,154 @@ def test_decode_image_stats_distributed(spark):
         assert row["sum_b"] == sum(p[2] for p in rgb)
         assert row["first_px_r"] == rgb[0][0]
         assert row["formats_agree"]
+
+
+# ---------------------------------------------------------------------
+# WAV (RIFF 16-bit PCM) — the audio modality's real codec
+# ---------------------------------------------------------------------
+
+
+def _samples(n: int, seed: int = 7) -> list[int]:
+    return [((seed * 2654435761 + k * 40503) % 65536) - 32768 for k in range(n)]
+
+
+@pytest.mark.parametrize("rate,n_ch,n_frames", [(8000, 1, 40), (16000, 2, 33), (44100, 2, 1)])
+def test_wav_roundtrip(rate, n_ch, n_frames):
+    from loan_default_prediction_app_big_data_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    samples = _samples(n_frames * n_ch)
+    payload = encode_wav_pcm16(rate, n_ch, samples)
+    assert len(payload) == 44 + 2 * len(samples)
+    assert decode_wav(payload) == (rate, n_ch, samples)
+
+
+def test_wav_tolerates_extra_chunks_and_padding():
+    # real-world encoders put LIST/INFO chunks between fmt and data,
+    # and odd-size chunks get a pad byte — the chunk walk must skip both
+    import struct
+
+    from loan_default_prediction_app_big_data_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    samples = _samples(10)
+    payload = encode_wav_pcm16(8000, 1, samples)
+    fmt_chunk = payload[12:36]
+    data_chunk = payload[36:]
+    extra = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"  # odd size + pad
+    doctored = payload[:12] + fmt_chunk + extra + data_chunk
+    assert decode_wav(doctored) == (8000, 1, samples)
+
+
+def test_wav_rejects_unsupported():
+    from loan_default_prediction_app_big_data_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS not a riff")
+    payload = bytearray(encode_wav_pcm16(8000, 1, _samples(4)))
+    payload[20] = 3  # IEEE-float format tag
+    with pytest.raises(ValueError):
+        decode_wav(bytes(payload))
+
+
+# ---------------------------------------------------------------------
+# YUV4MPEG2 (.y4m C420) — the video modality's real codec
+# ---------------------------------------------------------------------
+
+
+def _y4m_frames(w: int, h: int, n: int, seed: int = 7) -> list[bytes]:
+    frame_size = w * h + 2 * (w // 2) * (h // 2)
+    return [
+        bytes(
+            (seed * 2654435761 + (f * frame_size + i) * 40503) % 256
+            for i in range(frame_size)
+        )
+        for f in range(n)
+    ]
+
+
+@pytest.mark.parametrize("w,h,n", [(6, 4, 2), (8, 6, 3), (10, 4, 4), (2, 2, 1)])
+def test_y4m_roundtrip(w, h, n):
+    from loan_default_prediction_app_big_data_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    frames = _y4m_frames(w, h, n)
+    payload = encode_y4m(w, h, 30000, 1001, frames)
+    dw, dh, fn, fd, decoded = decode_y4m(payload)
+    assert (dw, dh, fn, fd) == (w, h, 30000, 1001)
+    assert len(decoded) == n
+    y_size, c_size = w * h, (w // 2) * (h // 2)
+    for f, (y, u, v) in zip(frames, decoded):
+        assert y + u + v == f
+        assert (len(y), len(u), len(v)) == (y_size, c_size, c_size)
+
+
+def test_y4m_rejects_unsupported():
+    from loan_default_prediction_app_big_data_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    with pytest.raises(ValueError):
+        decode_y4m(b"RIFF....WAVE\n")
+    c444 = b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C444\n" + b"FRAME\n" + b"\x00" * 48
+    with pytest.raises(ValueError):
+        decode_y4m(c444)
+    truncated = encode_y4m(4, 4, 25, 1, _y4m_frames(4, 4, 1))[:-5]
+    with pytest.raises(ValueError):
+        decode_y4m(truncated)
+
+
+def test_audio_video_decode_distributed(spark):
+    from pyspark.sql import functions as F
+
+    from loan_default_prediction_app_big_data_spark.operators.multimodal import (
+        decode_audio_stats,
+        decode_video_stats,
+        synth_audio_payloads,
+        synth_video_payloads,
+    )
+
+    docs = spark.range(0, 18).select(
+        F.col("id").alias("doc_id"),
+        (F.lit(8000) + F.lit(4000) * (F.col("id") % 3)).cast("int").alias("rate"),
+        (F.lit(1) + F.col("id") % 2).cast("int").alias("n_ch"),
+        (F.lit(5) + F.col("id") % 4).cast("int").alias("n_frames"),
+    )
+    audio = {r["doc_id"]: r for r in decode_audio_stats(synth_audio_payloads(docs)).collect()}
+    assert len(audio) == 18
+    for d in range(18):
+        rate, n_ch, n_frames = 8000 + 4000 * (d % 3), 1 + d % 2, 5 + d % 4
+        s = _samples(n_frames * n_ch, seed=d)
+        row = audio[d]
+        assert (row["sample_rate"], row["n_channels"], row["n_frames"]) == (rate, n_ch, n_frames)
+        assert row["duration_us"] == n_frames * 1_000_000 // rate
+        assert row["sum_ch0"] == sum(s[::n_ch])
+        assert row["sum_abs"] == sum(abs(x) for x in s)
+
+    vdocs = spark.range(0, 12).select(
+        F.col("id").alias("doc_id"),
+        (F.lit(6) + F.lit(2) * (F.col("id") % 3)).cast("int").alias("w"),
+        (F.lit(4) + F.lit(2) * (F.col("id") % 2)).cast("int").alias("h"),
+        (F.lit(2) + F.col("id") % 3).cast("int").alias("n_frames"),
+    )
+    video = {r["doc_id"]: r for r in decode_video_stats(synth_video_payloads(vdocs)).collect()}
+    assert len(video) == 12
+    for d in range(12):
+        w, h, n = 6 + 2 * (d % 3), 4 + 2 * (d % 2), 2 + d % 3
+        frames = _y4m_frames(w, h, n, seed=d)
+        row = video[d]
+        y_size, c_size = w * h, (w // 2) * (h // 2)
+        assert (row["width"], row["height"], row["n_frames"]) == (w, h, n)
+        assert row["sum_y"] == sum(sum(f[:y_size]) for f in frames)
+        assert row["sum_u"] == sum(sum(f[y_size : y_size + c_size]) for f in frames)
+        assert row["sum_v"] == sum(sum(f[y_size + c_size :]) for f in frames)
