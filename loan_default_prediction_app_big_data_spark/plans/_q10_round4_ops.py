@@ -222,3 +222,97 @@ def video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import decode_video_stats, synth_video_payloads
 
     return decode_video_stats(synth_video_payloads(docs)).orderBy("doc_id")
+
+
+_AVRO_ROUNDTRIP_ORACLE = """
+    -- Aggregates the parquet ORIGINAL with the same null-injection the
+    -- Spark side applies before the Avro write, so a hash match proves
+    -- the pure-Python Avro container connector is value-lossless
+    -- (zigzag longs, IEEE doubles, UTF-8 strings, null unions,
+    -- timestamp-micros) across a write+read round trip.
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                          ELSE o_totalprice END), 2) AS total_price,
+           CAST(sum(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_price_null,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key,
+           CAST(min(epoch_us(o_orderdate)) AS BIGINT) AS min_date_us
+    FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "avro_source_roundtrip",
+    _AVRO_ROUNDTRIP_ORACLE,
+    "Avro Object Container File connector, implemented from the public "
+    "spec in pure Python (sources/avro_py.py — the spark-avro jar is "
+    "not in this image): orders are written DISTRIBUTED (each Spark "
+    "partition serializes its own container file with deflate blocks "
+    "inside mapInPandas; rows never visit the driver), then read back "
+    "through a Spark 4 Python DataSource that plans one input "
+    "partition per file and infers the schema from the embedded "
+    "avro.schema JSON. A nullable union column (price NULLed on "
+    "orderkey % 97 = 0) exercises union branch indices; order dates "
+    "ride timestamp-micros longs. The aggregate of the read-back must "
+    "hash-match the oracle's aggregate of the parquet original — the "
+    "same lossless-roundtrip contract as the csv/json/orc twins. "
+    "Scale: both legs parallel; per-block sync markers would support "
+    "finer-than-file splits.",
+    tags=("source", "sink", "round4"),
+)
+def avro_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..sources.avro_py import register_avro_source, write_avro_partitions
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    out_dir = os.path.join(repo, ".tmp_io", "roundtrip_avro")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    src = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.when(F.col("o_orderkey") % 97 == 0, F.lit(None))
+            .otherwise(F.col("o_totalprice"))
+            .alias("price"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "odate_us"
+            ),
+        )
+        .repartition(8)
+    )
+    avro_schema = {
+        "type": "record",
+        "name": "order",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "status", "type": "string"},
+            {"name": "price", "type": ["null", "double"]},
+            {
+                "name": "odate_us",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+            },
+        ],
+    }
+    # Materialize the distributed write (bounded per-file metadata).
+    write_avro_partitions(src, out_dir, avro_schema, codec="deflate").collect()
+
+    register_avro_source(spark)
+    back = spark.read.format("avro_py").load(out_dir)
+    return back.groupBy(F.col("status").alias("o_orderstatus")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("price"), 2).alias("total_price"),
+        F.sum(F.when(F.col("price").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_price_null"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+        F.min("odate_us").alias("min_date_us"),
+    )

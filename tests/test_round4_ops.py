@@ -271,3 +271,105 @@ def test_audio_video_decode_distributed(spark):
         assert row["sum_y"] == sum(sum(f[:y_size]) for f in frames)
         assert row["sum_u"] == sum(sum(f[y_size : y_size + c_size]) for f in frames)
         assert row["sum_v"] == sum(sum(f[y_size + c_size :]) for f in frames)
+
+
+# ---------------------------------------------------------------------
+# Pure-Python Avro Object Container File connector
+# ---------------------------------------------------------------------
+
+
+AVRO_SCHEMA = {
+    "type": "record",
+    "name": "r",
+    "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "s", "type": "string"},
+        {"name": "d", "type": ["null", "double"]},
+        {"name": "flag", "type": "boolean"},
+        {"name": "payload", "type": "bytes"},
+        {"name": "emb", "type": {"type": "array", "items": "float"}},
+        {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+    ],
+}
+
+AVRO_ROWS = [
+    (1, "héllo wörld", 3.25, True, b"\x00\x01\xff", [1.5, -2.25], 1_700_000_000_000_000),
+    (-42, "", None, False, b"", [], -5),
+    (2**62, "x" * 300, -0.0, True, bytes(range(256)), [0.5] * 7, 0),
+    (-(2**62), "tab\there", 1e-300, False, b"\x80", [3.0], 2**61),
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_avro_container_roundtrip(tmp_path, codec):
+    from loan_default_prediction_app_big_data_spark.sources.avro_py import (
+        read_container,
+        write_container,
+    )
+
+    p = str(tmp_path / f"t_{codec}.avro")
+    # block_rows=2 forces multiple sync-marked blocks
+    assert write_container(p, AVRO_SCHEMA, AVRO_ROWS, codec=codec, block_rows=2) == 4
+    schema, back = read_container(p)
+    assert schema == AVRO_SCHEMA
+    assert back == AVRO_ROWS
+
+
+def test_avro_detects_corruption(tmp_path):
+    from loan_default_prediction_app_big_data_spark.sources.avro_py import (
+        read_container,
+        write_container,
+    )
+
+    p = str(tmp_path / "c.avro")
+    write_container(p, AVRO_SCHEMA, AVRO_ROWS, codec="null", block_rows=2)
+    data = bytearray(open(p, "rb").read())
+    data[-3] ^= 0xFF  # flip a byte inside the trailing sync marker
+    open(p, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="sync marker"):
+        read_container(p)
+    with pytest.raises(ValueError, match="not an Avro"):
+        read_container(__file__)
+
+
+def test_avro_spark_datasource_multi_file(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from loan_default_prediction_app_big_data_spark.sources.avro_py import (
+        register_avro_source,
+        write_avro_partitions,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "v", "type": ["null", "double"]},
+            {"name": "name", "type": "string"},
+        ],
+    }
+    src = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("id") * 1.5)
+        .alias("v"),
+        F.concat(F.lit("row-"), F.col("id")).alias("name"),
+    ).repartition(5)
+    out = str(tmp_path / "avro_ds")
+    meta = write_avro_partitions(src, out, schema, codec="deflate").collect()
+    assert len(meta) == 5 and sum(r["n_rows"] for r in meta) == 1000
+
+    register_avro_source(spark)
+    back = spark.read.format("avro_py").load(out)
+    # schema inferred from the embedded avro.schema JSON
+    assert [f.simpleString() for f in back.schema.fields] == [
+        "k:bigint", "v:double", "name:string",
+    ]
+    rows = {r["k"]: r for r in back.collect()}
+    assert len(rows) == 1000
+    for k in (0, 7, 693):
+        assert rows[k]["v"] is None
+    for k in (1, 500, 999):
+        assert rows[k]["v"] == k * 1.5
+        assert rows[k]["name"] == f"row-{k}"
