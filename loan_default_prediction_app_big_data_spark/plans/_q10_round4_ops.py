@@ -316,3 +316,80 @@ def avro_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("max_key"),
         F.min("odate_us").alias("min_date_us"),
     )
+
+
+_HEAVY_HITTERS_ORACLE = """
+    -- The Misra-Gries guarantee is layout-independent: for ANY
+    -- partitioning, est <= true <= est + N/(k+1) and every item with
+    -- true > N/(k+1) is in the merged summary. The oracle therefore
+    -- pins the deterministic candidate set (exact counts above the
+    -- threshold, cross-multiplied integers) and TRUE containment /
+    -- bound booleans that any correct sketch must reproduce.
+    WITH items AS (
+        SELECT CASE WHEN l_orderkey % 3 = 0
+                    THEN 'hot-' || CAST(l_orderkey % 5 AS VARCHAR)
+                    ELSE 'cold-' || CAST(l_orderkey AS VARCHAR) END AS item
+        FROM lineitem
+    ),
+    tot AS (SELECT count(*) AS n_total FROM items),
+    exact AS (SELECT item, count(*) AS exact_cnt FROM items GROUP BY item)
+    SELECT item,
+           CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           TRUE AS in_sketch,
+           TRUE AS est_within_bound
+    FROM exact, tot
+    WHERE exact_cnt * 32 > n_total
+    ORDER BY item
+"""
+
+
+@register(
+    "heavy_hitters_sketch",
+    _HEAVY_HITTERS_ORACLE,
+    "Distributed Misra-Gries heavy hitters with the PROVEN mergeable "
+    "bound (Agarwal et al., Mergeable Summaries): per-partition "
+    "summaries of k=31 counters via mapInPandas (at most k rows leave "
+    "each partition — the shuffle moves sketches, never data rows), "
+    "merged by entry-wise sum, which preserves est <= true <= est + "
+    "N/(k+1) for the combined stream. The skewed item column (5 hot "
+    "items at ~6.7 percent over a uniform cold tail) is derived "
+    "deterministically from orderkeys; the query emits every "
+    "above-threshold item with its exact count plus containment and "
+    "bound booleans the sketch must satisfy under ANY partition "
+    "layout - the driver hash falsifies the guarantee itself, the "
+    "same pattern as approx_aggregates. The exact-count twin is the "
+    "validation harness; the product path at 100 TB is the sketch "
+    "alone (one narrow pass + a P*k-row shuffle).",
+    tags=("sketch", "aggregation", "round4"),
+)
+def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import heavy_hitters
+
+    k = 31
+    items = t(spark, sf_dir, "lineitem").select(
+        F.when(
+            F.col("l_orderkey") % 3 == 0,
+            F.concat(F.lit("hot-"), (F.col("l_orderkey") % 5).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("cold-"), F.col("l_orderkey").cast("string")))
+        .alias("item")
+    )
+    sketch = heavy_hitters(items, "item", k)
+    exact = items.groupBy("item").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    total = items.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("exact_cnt") * (k + 1) > F.col("n_total"))
+        .join(sketch, "item", "left")
+        .select(
+            "item",
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            F.col("est").isNotNull().alias("in_sketch"),
+            (
+                F.col("est").isNotNull()
+                & (F.col("est") <= F.col("exact_cnt"))
+                & ((F.col("exact_cnt") - F.col("est")) * (k + 1) <= F.col("n_total"))
+            ).alias("est_within_bound"),
+        )
+        .orderBy("item")
+    )

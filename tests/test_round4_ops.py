@@ -373,3 +373,88 @@ def test_avro_spark_datasource_multi_file(spark, tmp_path):
     for k in (1, 500, 999):
         assert rows[k]["v"] == k * 1.5
         assert rows[k]["name"] == f"row-{k}"
+
+
+# ---------------------------------------------------------------------
+# Misra-Gries mergeable heavy-hitters sketch
+# ---------------------------------------------------------------------
+
+
+def test_misra_gries_bound_single_pass():
+    from collections import Counter
+
+    from loan_default_prediction_app_big_data_spark.operators.sketches import (
+        misra_gries_partition,
+    )
+
+    # adversarial interleaving: heavy items buried in a distinct tail
+    stream = []
+    for i in range(3000):
+        stream.append(f"tail-{i}")
+        if i % 3 == 0:
+            stream.append("A")
+        if i % 5 == 0:
+            stream.append("B")
+    truth = Counter(stream)
+    for k in (9, 31, 101):
+        est = misra_gries_partition(iter(stream), k)
+        n = len(stream)
+        assert len(est) <= k
+        for item, e in est.items():
+            assert e <= truth[item]
+            assert truth[item] - e <= n // (k + 1) + 1
+        # containment: every true heavy hitter must surface
+        for item, c in truth.items():
+            if c * (k + 1) > n:
+                assert item in est, (k, item)
+
+
+def test_misra_gries_merge_preserves_bound():
+    from collections import Counter
+
+    from loan_default_prediction_app_big_data_spark.operators.sketches import (
+        misra_gries_partition,
+    )
+
+    k = 15
+    parts = [
+        ["X"] * 200 + [f"p0-{i}" for i in range(900)],
+        ["X"] * 150 + ["Y"] * 300 + [f"p1-{i}" for i in range(700)],
+        [f"p2-{i}" for i in range(500)] + ["Y"] * 100,
+    ]
+    merged: Counter = Counter()
+    for p in parts:
+        merged.update(misra_gries_partition(iter(p), k))
+    truth = Counter(x for p in parts for x in p)
+    n = sum(len(p) for p in parts)
+    for item, c in truth.items():
+        est = merged.get(item, 0)
+        assert est <= c
+        assert c - est <= n // (k + 1) + 1
+        if c * (k + 1) > n:
+            assert item in merged
+
+
+def test_heavy_hitters_distributed(spark):
+    from pyspark.sql import functions as F
+
+    from loan_default_prediction_app_big_data_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    k = 20
+    df = spark.range(0, 30_000).select(
+        F.when(F.col("id") % 2 == 0, F.concat(F.lit("hot-"), (F.col("id") % 3).cast("string")))
+        .otherwise(F.concat(F.lit("cold-"), F.col("id").cast("string")))
+        .alias("item")
+    ).repartition(16)
+    est = {r["item"]: r["est"] for r in heavy_hitters(df, "item", k).collect()}
+    n = 30_000
+    # three hot items at ~16.7% each must all surface with est <= true
+    # and undercount <= N/(k+1)
+    for h in range(3):
+        item = f"hot-{h}"
+        true = 5000
+        assert item in est
+        assert est[item] <= true
+        assert true - est[item] <= n // (k + 1)
