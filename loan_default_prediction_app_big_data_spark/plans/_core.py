@@ -164,8 +164,13 @@ _DRIVER_PRIORITY: list[str] = [
     "window_topk_with_ties",
     "survival_kaplan_meier",
     # Round-5 rotation queue (strict-local-verified, still without a
-    # driver row after this round): image_decode_stats (NEW in r4 —
-    # real BMP/PPM codecs; lead with it), skipgram_cooccurrence,
+    # driver row after this round). Lead with the round-4 additions —
+    # image_decode_stats / audio_decode_stats / video_decode_stats
+    # (real BMP+PPM / WAV / Y4M codecs), avro_source_roundtrip
+    # (pure-Python Avro container connector), heavy_hitters_sketch
+    # (Misra-Gries with proven mergeable bound),
+    # edit_distance_threshold_join (lossless bigram-filtered fuzzy
+    # join) — then: skipgram_cooccurrence,
     # ewma_daily_value, rollup_cascade_daily, tranche_expand,
     # triangle_count_trade_graph, event_transition_matrix,
     # column_profile, contribution_analysis, ordered_list_agg_structs,

@@ -458,3 +458,48 @@ def test_heavy_hitters_distributed(spark):
         assert item in est
         assert est[item] <= true
         assert true - est[item] <= n // (k + 1)
+
+
+def test_edit_distance_join_matches_bruteforce(spark, tmp_path):
+    # Planted vocabulary stressing the candidate filter: repeated
+    # bigrams, edits at both ends, just-inside/just-outside pairs.
+    import itertools
+    import os
+
+    vocab = [
+        "banana", "bananas", "bandana", "cabana",  # clustered edits
+        "aaaaaaa", "aaabaaa", "aabbaaa",           # repeated grams
+        "windmill", "windmilk", "windmills",
+        "quartz", "quaritz", "wombat",             # insert middle / unrelated
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vocab)], "p_partkey long, p_name string"
+    ).write.parquet(os.path.join(sf, "part.parquet"))
+
+    from loan_default_prediction_app_big_data_spark.plans.registry import (
+        edit_distance_threshold_join,
+    )
+
+    got = {
+        (r["key_a"], r["key_b"]): r["edit_dist"]
+        for r in edit_distance_threshold_join(spark, sf).collect()
+    }
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (i, j): lev(vocab[i], vocab[j])
+        for i, j in itertools.combinations(range(len(vocab)), 2)
+        if lev(vocab[i], vocab[j]) <= 2
+    }
+    assert got == want
+    assert len(want) >= 5  # the planted clusters actually exercise it
