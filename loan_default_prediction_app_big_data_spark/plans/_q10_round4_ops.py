@@ -6,7 +6,7 @@ imported by the facade in fixed sequence; do not reorder.
 
 from __future__ import annotations
 
-from ._core import F, SparkSession, DataFrame, register, t
+from ._core import F, SparkSession, DataFrame, W, register, t
 
 from ..operators.multimodal import decode_image_stats, synth_image_payloads
 
@@ -472,3 +472,91 @@ def edit_distance_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key_a", "key_b", "edit_dist")
         .orderBy("key_a", "key_b")
     )
+
+
+_TEMPERATURE_MIX_ORACLE = """
+    -- alpha=1/2 temperature resampling: w_s = sqrt(chars_s). sqrt is
+    -- correctly-rounded IEEE on both engines, and the normalizing
+    -- total is taken as the MAX of a source-ordered running sum, which
+    -- both engines evaluate sequentially in the same order — so every
+    -- double here is bit-identical across engines and layouts.
+    WITH s AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT *, sqrt(CAST(chars AS DOUBLE)) AS wt,
+               CAST((SELECT sum(chars) FROM s) AS BIGINT) AS total_chars
+        FROM s
+    ),
+    r AS (
+        SELECT *, sum(wt) OVER (ORDER BY source
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS run
+        FROM w
+    )
+    SELECT source, n_docs, chars,
+           round(CAST(chars AS DOUBLE) / total_chars, 6) AS natural_share,
+           round(wt / (SELECT max(run) FROM r), 6) AS adj_share,
+           round((wt / (SELECT max(run) FROM r))
+                 / (CAST(chars AS DOUBLE) / total_chars), 6) AS boost
+    FROM r ORDER BY source
+"""
+
+
+@register(
+    "temperature_sampling_mix",
+    _TEMPERATURE_MIX_ORACLE,
+    "Temperature-based corpus mixing (the multilingual/multi-source "
+    "alpha-sampling every large-scale LM data pipeline applies): "
+    "per-source sampling shares proportional to chars^alpha with "
+    "alpha=1/2, flattening the natural distribution so small sources "
+    "are upsampled (boost > 1) and large ones down-weighted. Exact "
+    "cross-engine floats by construction: sqrt is correctly-rounded "
+    "IEEE, and the normalizer is the max of a source-ORDERED running "
+    "sum so both engines add in the same sequence — no layout "
+    "dependence. Scale shape: one partial-combined groupBy to "
+    "metadata scale (one row per source), windows over that tiny "
+    "frame only.",
+    tags=("textprep", "governance", "round4"),
+)
+def temperature_sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )
+    w = src.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("chars").cast("long").alias("chars"),
+        F.sqrt(F.col("chars").cast("double")).alias("wt"),
+    )
+    run_win = (
+        W.orderBy("source").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    r = w.withColumn("run", F.sum("wt").over(run_win))
+    full = W.orderBy("source").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    r = r.withColumn("total_w", F.max("run").over(full)).withColumn(
+        "total_chars", F.sum("chars").over(full)
+    )
+    return r.select(
+        "source",
+        "n_docs",
+        "chars",
+        F.round(F.col("chars").cast("double") / F.col("total_chars"), 6).alias(
+            "natural_share"
+        ),
+        F.round(F.col("wt") / F.col("total_w"), 6).alias("adj_share"),
+        F.round(
+            (F.col("wt") / F.col("total_w"))
+            / (F.col("chars").cast("double") / F.col("total_chars")),
+            6,
+        ).alias("boost"),
+    ).orderBy("source")

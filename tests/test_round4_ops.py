@@ -503,3 +503,27 @@ def test_edit_distance_join_matches_bruteforce(spark, tmp_path):
     }
     assert got == want
     assert len(want) >= 5  # the planted clusters actually exercise it
+
+
+def test_temperature_sampling_mix_properties(spark):
+    import math
+
+    from loan_default_prediction_app_big_data_spark.plans.registry import (
+        temperature_sampling_mix,
+    )
+
+    rows = temperature_sampling_mix(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 1
+    nat = sum(r["natural_share"] for r in rows)
+    adj = sum(r["adj_share"] for r in rows)
+    assert math.isclose(nat, 1.0, abs_tol=1e-4)
+    assert math.isclose(adj, 1.0, abs_tol=1e-4)
+    # temperature flattening: smallest source boosted, largest damped
+    smallest = min(rows, key=lambda r: r["chars"])
+    largest = max(rows, key=lambda r: r["chars"])
+    assert smallest["boost"] > 1.0
+    assert largest["boost"] < 1.0
+    # order statistics preserved: adj shares are monotone in chars
+    by_chars = sorted(rows, key=lambda r: r["chars"])
+    shares = [r["adj_share"] for r in by_chars]
+    assert shares == sorted(shares)
