@@ -527,3 +527,82 @@ def test_temperature_sampling_mix_properties(spark):
     by_chars = sorted(rows, key=lambda r: r["chars"])
     shares = [r["adj_share"] for r in by_chars]
     assert shares == sorted(shares)
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Star-join DPP: a selective filter on the dim side must prune the
+    date-partitioned fact's partitions AT RUNTIME (dynamicpruning
+    subquery in the scan), not scan all partitions. This is the
+    mechanism that makes dim-filtered 100 TB star joins read only the
+    matching fact partitions."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    fact_dir = str(tmp_path / "fact")
+    fact = spark.range(0, 20_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 40).cast("string").alias("day"),
+        (F.col("id") * 3 % 1000).alias("v"),
+    )
+    fact.write.partitionBy("day").mode("overwrite").parquet(fact_dir)
+
+    dim = spark.createDataFrame(
+        [(str(d), "keep" if d < 4 else "drop") for d in range(40)],
+        "day string, tag string",
+    )
+    scan = spark.read.parquet(fact_dir)
+    joined = (
+        scan.join(F.broadcast(dim), "day")
+        .filter(F.col("tag") == "keep")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    row = joined.first()
+    # days 0..3 -> ids with id % 40 in {0,1,2,3}: 500 ids each
+    assert row["n"] == 2000
+    expected = sum(i * 3 % 1000 for i in range(20_000) if i % 40 < 4)
+    assert row["sv"] == expected
+
+
+def test_record_linkage_planted_duplicates(spark, tmp_path):
+    """Planted twin records must score as matches; unrelated records in
+    the same block must not."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rows = [
+        # twins: same segment, same balance band, same name suffix, same parity
+        (100, "Customer#000000100", 1, 500.00, "BUILDING"),
+        (200, "Customer#000000100", 1, 512.34, "BUILDING"),
+        # same block, nothing in common beyond it
+        (101, "Customer#000000101", 1, 9100.77, "MACHINERY"),
+        (303, "Customer#000000303", 1, 150.00, "FURNITURE"),
+        # different block entirely — must never pair with the above
+        (400, "Customer#000000400", 2, 500.00, "BUILDING"),
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).write.parquet(os.path.join(sf, "customer.parquet"))
+
+    from loan_default_prediction_app_big_data_spark.plans.registry import (
+        record_linkage_fellegi_sunter,
+    )
+
+    out = {(r["key_a"], r["key_b"]): r for r in record_linkage_fellegi_sunter(spark, sf).collect()}
+    assert (100, 200) in out
+    twin = out[(100, 200)]
+    assert twin["is_match"]
+    assert twin["seg_agree"] and twin["bal_agree"] and twin["suffix_agree"] and twin["parity_agree"]
+    assert twin["lr_num"] == 90 * 85 * 95 * 98
+    assert twin["lr_den"] == 20 * 2 * 1 * 50
+    # cross-block pairs are never candidates
+    assert not any(400 in k for k in out)
+    # the unrelated same-block pair fails even the LR>10 review filter
+    assert (101, 303) not in out
