@@ -809,3 +809,150 @@ def conformal_prediction_intervals(spark: SparkSession, sf_dir: str) -> DataFram
         "q_value",
         (F.col("covered") * 100 >= F.col("n_test") * 88).alias("coverage_ok"),
     )
+
+
+_SHAPLEY_ORACLE = """
+    -- Exact Shapley attribution over n=4 channels: the factorial
+    -- weights |S|!(n-1-|S|)!/n! have denominator n!=24, so phi*24 is
+    -- a pure integer — no floats anywhere. v(S) = converted users
+    -- reachable through some channel in S; the 2^4-subset lattice and
+    -- the marginal-contribution sum are metadata-scale.
+    WITH um AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'click'  AND event_id % 50 < 3 THEN 1 ELSE 0 END)
+             + 2 * max(CASE WHEN event_type = 'error'  AND event_id % 50 < 4 THEN 1 ELSE 0 END)
+             + 4 * max(CASE WHEN event_type = 'signup' AND event_id % 50 < 5 THEN 1 ELSE 0 END)
+             + 8 * max(CASE WHEN event_type = 'view'   AND event_id % 50 < 6 THEN 1 ELSE 0 END)
+                 AS mask,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ),
+    mc AS (
+        SELECT mask, CAST(count(*) AS BIGINT) AS n_conv
+        FROM um WHERE conv = 1 GROUP BY mask
+    ),
+    subsets AS (SELECT unnest(range(16)) AS s),
+    v AS (
+        SELECT s, CAST(coalesce(sum(CASE WHEN (mask & s) <> 0 THEN n_conv END), 0)
+                       AS BIGINT) AS val
+        FROM subsets LEFT JOIN mc ON TRUE GROUP BY s
+    ),
+    ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+                                 ('signup', 4), ('view', 8)) AS t(channel, bit)),
+    contrib AS (
+        SELECT ch.channel,
+               CASE bit_count(CAST(v0.s AS BIGINT))
+                    WHEN 0 THEN 6 WHEN 1 THEN 2
+                    WHEN 2 THEN 2 WHEN 3 THEN 6 END
+                 * (v1.val - v0.val) AS term
+        FROM ch
+        JOIN v v0 ON (v0.s & ch.bit) = 0
+        JOIN v v1 ON v1.s = (v0.s | ch.bit)
+    ),
+    grand AS (SELECT val AS v_full FROM v WHERE s = 15)
+    SELECT channel,
+           CAST(sum(term) AS BIGINT) AS phi_x24,
+           round(CAST(sum(term) AS DOUBLE) / (24.0 * (SELECT v_full FROM grand)), 6)
+               AS share
+    FROM contrib GROUP BY channel ORDER BY channel
+"""
+
+
+@register(
+    "shapley_channel_attribution",
+    _SHAPLEY_ORACLE,
+    "EXACT Shapley-value marketing attribution over the four "
+    "non-purchase event channels: per-user reachable-channel masks "
+    "(touches thinned by a deterministic event-id congruence so masks "
+    "vary), characteristic function v(S) = converted users reachable "
+    "via S, and the full Shapley sum over the 2^4 subset lattice. "
+    "With n=4 the factorial weights share denominator n!=24, so "
+    "phi*24 is carried as a pure BIGINT — the unique "
+    "efficiency/symmetry/dummy-consistent credit split, computed "
+    "without floats (the share column divides two exact integers "
+    "once, at the end). Scale shape: one groupBy(user) to masks, one "
+    "groupBy(mask) to at most 16 counts, then all lattice work on "
+    "metadata-scale frames (16x16 joins); the 2^n lattice is "
+    "tractable because channels, not users, set n.",
+    tags=("analytics", "stats", "round4"),
+)
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+
+    def _touch(typ: str, lim: int):
+        return F.max(
+            F.when(
+                (F.col("event_type") == typ) & (F.col("event_id") % 50 < lim), 1
+            ).otherwise(0)
+        )
+
+    um = ev.groupBy("user_id").agg(
+        (
+            _touch("click", 3)
+            + 2 * _touch("error", 4)
+            + 4 * _touch("signup", 5)
+            + 8 * _touch("view", 6)
+        ).alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    mc = (
+        um.filter(F.col("conv") == 1)
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_conv"))
+    )
+    subsets = spark.range(16).select(F.col("id").alias("s"))
+    v = (
+        subsets.crossJoin(F.broadcast(mc))
+        .groupBy("s")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("mask").bitwiseAND(F.col("s")) != 0,
+                        F.col("n_conv"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("val")
+        )
+    )
+    ch = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        "channel string, bit int",
+    )
+    v0, v1 = v.alias("v0"), v.alias("v1")
+    weight = (
+        F.when(F.bit_count(F.col("v0.s")) == 0, 6)
+        .when(F.bit_count(F.col("v0.s")) == 1, 2)
+        .when(F.bit_count(F.col("v0.s")) == 2, 2)
+        .otherwise(6)
+    )
+    contrib = (
+        ch.crossJoin(v0)
+        .filter(F.col("v0.s").bitwiseAND(F.col("bit")) == 0)
+        .join(v1, F.col("v1.s") == F.col("v0.s").bitwiseOR(F.col("bit")))
+        .select(
+            "channel",
+            (weight * (F.col("v1.val") - F.col("v0.val"))).alias("term"),
+        )
+    )
+    grand = v.filter(F.col("s") == 15).select(
+        F.col("val").alias("v_full")
+    )
+    return (
+        contrib.groupBy("channel")
+        .agg(F.sum("term").cast("long").alias("phi_x24"))
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "channel",
+            "phi_x24",
+            F.round(
+                F.col("phi_x24").cast("double") / (24.0 * F.col("v_full")), 6
+            ).alias("share"),
+        )
+        .orderBy("channel")
+    )

@@ -606,3 +606,53 @@ def test_record_linkage_planted_duplicates(spark, tmp_path):
     assert not any(400 in k for k in out)
     # the unrelated same-block pair fails even the LR>10 review filter
     assert (101, 303) not in out
+
+
+def test_shapley_attribution_axioms(spark, tmp_path):
+    """Planted funnel: efficiency (shares sum to v(N)), dummy (a
+    channel reaching no converted user gets zero credit), and
+    symmetry (interchangeable channels get equal credit)."""
+    import os
+    from datetime import datetime
+
+    rows = []
+    eid = 0
+
+    def add(user, typ):
+        nonlocal eid
+        # event_id % 50 == 0 keeps every touch eligible for all
+        # channels' thinning thresholds (< 3/4/5/6)
+        rows.append((eid * 50, datetime(2024, 1, 1), user, typ, 1.0, "{}"))
+        eid += 1
+
+    # users 1,2: click+error touched, converted (symmetric channels)
+    for u in (1, 2):
+        add(u, "click"); add(u, "error"); add(u, "purchase")
+    # user 3: view only, converted
+    add(3, "view"); add(3, "purchase")
+    # user 4: signup touched but NOT converted -> signup is a dummy
+    add(4, "signup")
+    # user 5: converted but untouched (no channels) -> unreachable
+    add(5, "purchase")
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(os.path.join(sf, "events.parquet"))
+
+    from loan_default_prediction_app_big_data_spark.plans.registry import (
+        shapley_channel_attribution,
+    )
+
+    out = {r["channel"]: r for r in shapley_channel_attribution(spark, sf).collect()}
+    # efficiency: total credit = 24 * v(N) = 24 * 3 reachable conversions
+    assert sum(r["phi_x24"] for r in out.values()) == 24 * 3
+    # dummy: signup reached no converted user
+    assert out["signup"]["phi_x24"] == 0
+    # symmetry: click and error are interchangeable for users 1,2
+    assert out["click"]["phi_x24"] == out["error"]["phi_x24"]
+    # view alone credits user 3's conversion fully
+    assert out["view"]["phi_x24"] == 24
