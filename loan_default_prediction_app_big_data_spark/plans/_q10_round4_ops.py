@@ -1136,3 +1136,91 @@ def quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_DELTA_ORACLE = """
+    -- Mirrors the three-commit Delta history: v0 = append of the
+    -- even-key half, v1 = append of the odd-key half (so v1 sees the
+    -- whole table), v2 = overwrite with the keys%10=0 subset. A hash
+    -- match proves snapshot isolation and time travel: each version's
+    -- aggregate equals the composition of the commits up to it.
+    WITH agg AS (
+        SELECT 0 AS version,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS total_cents,
+               min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT 1,
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT),
+               min(o_orderkey), max(o_orderkey)
+        FROM orders
+        UNION ALL
+        SELECT 2,
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT),
+               min(o_orderkey), max(o_orderkey)
+        FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT CAST(version AS BIGINT) AS version, n_orders, total_cents,
+           min_key, max_key
+    FROM agg ORDER BY version
+"""
+
+
+@register(
+    "delta_time_travel_roundtrip",
+    _DELTA_ORACLE,
+    "Delta Lake tables WITHOUT the delta-spark jars: the transaction "
+    "log protocol (parquet data files + ordered JSON actions under "
+    "_delta_log/) implemented from the public spec in "
+    "sources/delta_py.py. The query builds a three-commit history — "
+    "append even keys, append odd keys, OVERWRITE with a subset "
+    "(remove-marking the old files, which stay readable: MVCC) — "
+    "then reads all three versions back via add-minus-remove log "
+    "replay and aggregates each. Data files are written and scanned "
+    "by the NATIVE parquet path (pushdown/pruning/codegen intact); "
+    "only snapshot resolution is Python, touching one small JSON per "
+    "commit. A hash match against the oracle's per-version "
+    "composition proves snapshot isolation and versionAsOf time "
+    "travel.",
+    tags=("source", "sink", "round4"),
+)
+def delta_time_travel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..sources.delta_py import commit_append, commit_overwrite, read_delta
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    path = os.path.join(repo, ".tmp_io", "delta_roundtrip")
+    shutil.rmtree(path, ignore_errors=True)
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    commit_append(path, orders.filter(F.col("o_orderkey") % 2 == 0))
+    commit_append(path, orders.filter(F.col("o_orderkey") % 2 == 1))
+    commit_overwrite(path, orders.filter(F.col("o_orderkey") % 10 == 0))
+
+    def _agg(df: DataFrame, version: int) -> DataFrame:
+        return df.agg(
+            F.lit(version).cast("long").alias("version"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        ).select("version", "n_orders", "total_cents", "min_key", "max_key")
+
+    return (
+        _agg(read_delta(spark, path, version=0), 0)
+        .unionByName(_agg(read_delta(spark, path, version=1), 1))
+        .unionByName(_agg(read_delta(spark, path), 2))
+        .orderBy("version")
+    )

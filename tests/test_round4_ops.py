@@ -678,3 +678,70 @@ def test_quantile_normalization_equalizes_marginals(spark):
     # normalization preserves within-source ordering
     for r in rows:
         assert r["normalized_value"] >= 0
+
+
+# ---------------------------------------------------------------------
+# Minimal Delta Lake protocol (sources/delta_py.py)
+# ---------------------------------------------------------------------
+
+
+def test_delta_log_replay_and_time_travel(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from loan_default_prediction_app_big_data_spark.sources.delta_py import (
+        commit_append,
+        commit_overwrite,
+        read_delta,
+        snapshot_files,
+        table_versions,
+    )
+
+    path = str(tmp_path / "dt")
+    assert commit_append(path, spark.range(0, 100).select(F.col("id").alias("k"))) == 0
+    assert commit_append(path, spark.range(100, 250).select(F.col("id").alias("k"))) == 1
+    assert commit_overwrite(path, spark.range(0, 7).select(F.col("id").alias("k"))) == 2
+    assert table_versions(path) == [0, 1, 2]
+
+    assert read_delta(spark, path, version=0).count() == 100
+    assert read_delta(spark, path, version=1).count() == 250  # append composes
+    assert read_delta(spark, path).count() == 7  # overwrite replaces
+    # MVCC: the overwrite remove-marked v1's files but did not delete
+    # them — old snapshots stay readable and disjoint from the new one
+    v1_files = set(snapshot_files(path, 1))
+    v2_files = set(snapshot_files(path, 2))
+    assert v1_files and v2_files and not (v1_files & v2_files)
+    assert all(__import__("os").path.exists(f) for f in v1_files)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        snapshot_files(path, 99)
+    with _pytest.raises(FileNotFoundError):
+        snapshot_files(str(tmp_path / "not_a_table"))
+
+
+def test_delta_commit_race_detected(spark, tmp_path, monkeypatch):
+    import os
+
+    from loan_default_prediction_app_big_data_spark.sources import delta_py as dp
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "dt")
+    dp.commit_append(path, spark.range(0, 10).select(F.col("id").alias("k")))
+
+    # A writer that lands AFTER our log read but BEFORE our publish is
+    # the OCC window: freeze this writer's view at [0], then let an
+    # interloper take version 1 — the atomic publish must refuse.
+    race = dp._version_file(path, 1)
+    with open(race, "w") as fh:
+        fh.write('{"commitInfo": {"operation": "APPEND"}}\n')
+    monkeypatch.setattr(dp, "table_versions", lambda p: [0])
+    with pytest.raises(FileExistsError):
+        dp.commit_append(path, spark.range(10, 20).select(F.col("id").alias("k")))
+    monkeypatch.undo()
+
+    # a writer with a FRESH view serializes after the interloper
+    assert dp.commit_append(
+        path, spark.range(10, 20).select(F.col("id").alias("k"))
+    ) == 2
+    assert dp.table_versions(path) == [0, 1, 2]
