@@ -165,14 +165,17 @@ def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame
 
 
 def read_delta(spark: SparkSession, path: str) -> DataFrame:
-    """Delta Lake source — needs delta-spark jars; clear error if absent."""
+    """Delta Lake source via the native connector when the delta-spark
+    jars are present, else via the pure-Python transaction-log reader
+    (sources/delta_py.py — log replay in Python, data on the native
+    parquet scan; see delta_time_travel_roundtrip for the oracle-proven
+    snapshot/time-travel semantics)."""
     try:
         return spark.read.format("delta").load(path)
-    except Exception as exc:  # pragma: no cover - jar-dependent
-        raise ImportError(
-            "Delta Lake requires the delta-spark package and jars on the "
-            "classpath; they are not bundled in this image."
-        ) from exc
+    except Exception:  # jars absent in this image — protocol fallback
+        from .delta_py import read_delta as _read_delta_py
+
+        return _read_delta_py(spark, path)
 
 
 def file_roundtrip(
