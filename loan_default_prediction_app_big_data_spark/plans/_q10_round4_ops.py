@@ -1224,3 +1224,112 @@ def delta_time_travel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_agg(read_delta(spark, path), 2))
         .orderBy("version")
     )
+
+
+_BOOTSTRAP_ORACLE = """
+    -- Percentile bootstrap with ENGINE-FREE resampling: draw j of
+    -- resample b picks day index (b*2654435761 + j*40503) % n_days —
+    -- a multiplicative-hash congruence, not an RNG — so both engines
+    -- construct byte-identical resamples. Resample means are exact
+    -- cents rationals; the CI bounds are tie-broken order statistics.
+    WITH daily AS (
+        SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents,
+               row_number() OVER (ORDER BY CAST(o_orderdate AS DATE)) - 1 AS j
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+    draws AS (
+        SELECT b.b, ((b.b * 2654435761 + d.j * 40503) % n_days) AS pick
+        FROM (SELECT unnest(range(200)) AS b) b, daily d, n
+    ),
+    means AS (
+        SELECT dr.b, sum(dd.cents) / (100.0 * max(n.n_days)) AS m
+        FROM draws dr JOIN daily dd ON dd.j = dr.pick, n
+        GROUP BY dr.b
+    ),
+    ranked AS (
+        SELECT m, row_number() OVER (ORDER BY m, b) AS r FROM means
+    ),
+    point AS (
+        SELECT sum(cents) / (100.0 * max(n.n_days)) AS pt FROM daily, n
+    )
+    SELECT CAST(200 AS BIGINT) AS n_boot,
+           CAST((SELECT n_days FROM n) AS BIGINT) AS n_days,
+           round((SELECT pt FROM point), 4) AS point_estimate,
+           round((SELECT m FROM ranked WHERE r = 5), 4) AS ci_lo,
+           round((SELECT m FROM ranked WHERE r = 196), 4) AS ci_hi,
+           (SELECT m FROM ranked WHERE r = 5)
+             <= (SELECT m FROM ranked WHERE r = 196) AS ci_ordered
+"""
+
+
+@register(
+    "bootstrap_ci_daily_revenue",
+    _BOOTSTRAP_ORACLE,
+    "Percentile-bootstrap confidence interval for mean daily revenue "
+    "(B=200 resamples, 2.5/97.5 order statistics): resampling uses a "
+    "multiplicative-hash congruence over (resample, draw) instead of "
+    "an engine RNG, so both engines construct byte-identical "
+    "resamples — the repo's standard trick for making randomized "
+    "procedures oracle-exact. Resample means are exact-cents integer "
+    "rationals; CI bounds are tie-broken order statistics over the "
+    "200-row means frame. Scale shape: the daily aggregate is "
+    "partial-combined to metadata scale; the B x n_days draw lattice "
+    "is an integer cross-range joined back on the day index (never "
+    "touching fact rows), and everything after is a 200-row window.",
+    tags=("stats", "round4"),
+)
+def bootstrap_ci_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B = 200
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .withColumn("j", F.row_number().over(W.orderBy("day")) - 1)
+        .select("j", "cents")
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    draws = (
+        spark.range(B)
+        .select(F.col("id").alias("b"))
+        .crossJoin(F.broadcast(n))
+        .join(daily.select(F.col("j").alias("dj")), how="cross")
+        .select(
+            "b",
+            "n_days",
+            ((F.col("b") * 2654435761 + F.col("dj") * 40503) % F.col("n_days")).alias(
+                "pick"
+            ),
+        )
+    )
+    means = (
+        draws.join(daily, daily.j == draws.pick)
+        .groupBy("b")
+        .agg(
+            (F.sum("cents") / (100.0 * F.max("n_days"))).alias("m")
+        )
+    )
+    ranked = means.withColumn("r", F.row_number().over(W.orderBy("m", "b")))
+    lo = ranked.filter(F.col("r") == 5).select(F.col("m").alias("lo"))
+    hi = ranked.filter(F.col("r") == 196).select(F.col("m").alias("hi"))
+    point = daily.crossJoin(F.broadcast(n)).agg(
+        (F.sum("cents") / (100.0 * F.max("n_days"))).alias("pt"),
+        F.max("n_days").alias("n_days"),
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.lit(B).cast("long").alias("n_boot"),
+            F.col("n_days").cast("long").alias("n_days"),
+            F.round("pt", 4).alias("point_estimate"),
+            F.round("lo", 4).alias("ci_lo"),
+            F.round("hi", 4).alias("ci_hi"),
+            (F.col("lo") <= F.col("hi")).alias("ci_ordered"),
+        )
+    )
