@@ -1333,3 +1333,98 @@ def bootstrap_ci_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lo") <= F.col("hi")).alias("ci_ordered"),
         )
     )
+
+
+_DELTA_MERGE_ORACLE = """
+    -- Mirrors MERGE-on-Delta: v0 = orders with key % 3 <> 0 (base),
+    -- then upsert of the key % 2 = 0 slice with cents incremented and
+    -- status rewritten; v1 = updates take precedence for shared keys,
+    -- unmatched base rows survive, new even keys (key % 3 = 0) insert.
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    updates AS (
+        SELECT o_orderkey AS k, 'U' AS status,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 1 AS cents
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+        SELECT * FROM updates
+        UNION ALL
+        SELECT * FROM base WHERE k NOT IN (SELECT k FROM updates)
+    ),
+    agg AS (
+        SELECT 0 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(sum(CASE WHEN status = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_updated
+        FROM base
+        UNION ALL
+        SELECT 1, CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT),
+               CAST(sum(CASE WHEN status = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+        FROM merged
+    )
+    SELECT CAST(version AS BIGINT) AS version, n_rows, total_cents, n_updated
+    FROM agg ORDER BY version
+"""
+
+
+@register(
+    "delta_merge_upsert",
+    _DELTA_MERGE_ORACLE,
+    "MERGE INTO on the versioned Delta table — the production "
+    "write-path the foreach-batch upsert docstring points at: the "
+    "engine's upsert operator (update-matched + insert-new by key, "
+    "operators/upsert.py) computes the merged state against the "
+    "current snapshot, and commit_overwrite publishes it as the next "
+    "version while the pre-merge version stays readable (MVCC). "
+    "Reading BOTH versions back through the transaction log and "
+    "hash-matching their aggregates against the oracle's relational "
+    "merge algebra proves the upsert semantics AND the versioned "
+    "write path together. Scale shape: one key-hash shuffle for the "
+    "anti-join, distributed parquet write, one small JSON commit.",
+    tags=("sink", "upsert", "round4"),
+)
+def delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..operators.upsert import upsert
+    from ..sources.delta_py import commit_append, commit_overwrite, read_delta
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    path = os.path.join(repo, ".tmp_io", "delta_merge")
+    shutil.rmtree(path, ignore_errors=True)
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    base = orders.filter(F.col("k") % 3 != 0)
+    updates = orders.filter(F.col("k") % 2 == 0).select(
+        "k", F.lit("U").alias("status"), (F.col("cents") + 1).alias("cents")
+    )
+    commit_append(path, base)
+    merged = upsert(read_delta(spark, path), updates, "k")
+    commit_overwrite(path, merged)
+
+    def _agg(df: DataFrame, version: int) -> DataFrame:
+        return df.agg(
+            F.lit(version).cast("long").alias("version"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.sum(F.when(F.col("status") == "U", 1).otherwise(0))
+            .cast("long")
+            .alias("n_updated"),
+        ).select("version", "n_rows", "total_cents", "n_updated")
+
+    return (
+        _agg(read_delta(spark, path, version=0), 0)
+        .unionByName(_agg(read_delta(spark, path, version=1), 1))
+        .orderBy("version")
+    )
