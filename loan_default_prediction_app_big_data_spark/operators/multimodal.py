@@ -630,3 +630,66 @@ def decode_video_stats(clips: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return clips.mapInPandas(op, schema=VIDEO_STATS_SCHEMA)
+
+
+def resize_nearest(
+    width: int, height: int, pixels: list, out_w: int, out_h: int
+) -> list:
+    """Nearest-neighbor image resize with pure integer source mapping:
+    destination (x, y) samples source ((x*W) // out_w, (y*H) // out_h)
+    — the standard floor mapping, exactly reproducible by an oracle."""
+    out = []
+    for y in range(out_h):
+        sy = (y * height) // out_h
+        base = sy * width
+        for x in range(out_w):
+            out.append(pixels[base + (x * width) // out_w])
+    return out
+
+
+#: Output schema of the decode→resize query.
+RESIZE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("src_w", T.LongType(), False),
+        T.StructField("src_h", T.LongType(), False),
+        T.StructField("dst_w", T.LongType(), False),
+        T.StructField("dst_h", T.LongType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+        T.StructField("corner_tl_r", T.LongType(), False),
+        T.StructField("corner_br_r", T.LongType(), False),
+    ]
+)
+
+
+def decode_resize_stats(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL decode (BMP bytes) followed by REAL nearest-neighbor
+    resize, emitting exact integer channel sums of the RESIZED raster
+    plus corner samples — the thumbnail/preprocess step of an image
+    training pipeline, Arrow-batched per partition."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, bmp in zip(pdf["doc_id"], pdf["bmp"]):
+                w, h, px = decode_bmp(bytes(bmp))
+                rp = resize_nearest(w, h, px, out_w, out_h)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "src_w": w,
+                        "src_h": h,
+                        "dst_w": out_w,
+                        "dst_h": out_h,
+                        "sum_r": sum(p[0] for p in rp),
+                        "sum_g": sum(p[1] for p in rp),
+                        "sum_b": sum(p[2] for p in rp),
+                        "corner_tl_r": rp[0][0],
+                        "corner_br_r": rp[-1][0],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return images.mapInPandas(op, schema=RESIZE_STATS_SCHEMA)

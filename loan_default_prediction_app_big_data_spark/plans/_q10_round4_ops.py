@@ -1428,3 +1428,75 @@ def delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_agg(read_delta(spark, path, version=1), 1))
         .orderBy("version")
     )
+
+
+_RESIZE_ORACLE = """
+    -- Analytic twin of decode+nearest-neighbor resize: destination
+    -- pixel (x, y) of the 4x3 thumbnail samples source pixel
+    -- p = ((y*h) // 3) * w + (x*w) // 4 of the congruence-synthesized
+    -- BMP, so resized channel sums are computable without touching a
+    -- byte. Any slip in the decode OR the resize mapping hash-fails.
+    WITH ids AS (
+        SELECT doc_id, 5 + doc_id % 4 AS w, 3 + doc_id % 3 AS h
+        FROM documents WHERE doc_id % 6 = 1
+    ),
+    dst AS (
+        SELECT doc_id, w, h,
+               unnest(range(12)) AS d      -- 4x3 destination raster
+        FROM ids
+    ),
+    src AS (
+        SELECT doc_id, w, h, d,
+               (((d // 4) * h) // 3) * w + ((d % 4) * w) // 4 AS p
+        FROM dst
+    ),
+    vals AS (
+        SELECT doc_id, w, h, d, p,
+               (doc_id * 2654435761 + (3 * p + 0) * 40503) % 256 AS r,
+               (doc_id * 2654435761 + (3 * p + 1) * 40503) % 256 AS g,
+               (doc_id * 2654435761 + (3 * p + 2) * 40503) % 256 AS b
+        FROM src
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS src_w, CAST(h AS BIGINT) AS src_h,
+           CAST(4 AS BIGINT) AS dst_w, CAST(3 AS BIGINT) AS dst_h,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(MAX(CASE WHEN d = 0 THEN r END) AS BIGINT) AS corner_tl_r,
+           CAST(MAX(CASE WHEN d = 11 THEN r END) AS BIGINT) AS corner_br_r
+    FROM vals
+    GROUP BY doc_id, w, h
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "image_resize_stats",
+    _RESIZE_ORACLE,
+    "REAL image thumbnailing (the charter's resize step): decode the "
+    "actual BMP bytes, nearest-neighbor resize to a 4x3 raster with "
+    "the pure-integer floor mapping (x*W)//W', and emit exact integer "
+    "channel sums plus corner samples of the RESIZED image. The "
+    "oracle recomputes every destination pixel analytically from the "
+    "synthesis congruence through the same mapping, so decode slips "
+    "and resize off-by-ones both hash-fail. Completes the charter's "
+    "multimodal verb set — decode, feature-extract, resize, "
+    "frame-sample — with real semantics for each. Scale shape: "
+    "Arrow-batched mapInPandas, one pass.",
+    tags=("multimodal", "round4"),
+)
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_resize_stats
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 6 == 1)
+        .select(
+            "doc_id",
+            (F.lit(5) + F.col("doc_id") % 4).cast("int").alias("w"),
+            (F.lit(3) + F.col("doc_id") % 3).cast("int").alias("h"),
+        )
+    )
+    images = synth_image_payloads(docs).select("doc_id", "bmp")
+    return decode_resize_stats(images, 4, 3).orderBy("doc_id")

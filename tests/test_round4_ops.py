@@ -745,3 +745,22 @@ def test_delta_commit_race_detected(spark, tmp_path, monkeypatch):
         path, spark.range(10, 20).select(F.col("id").alias("k"))
     ) == 2
     assert dp.table_versions(path) == [0, 1, 2]
+
+
+def test_resize_nearest_identity_and_downsample():
+    from loan_default_prediction_app_big_data_spark.operators.multimodal import (
+        resize_nearest,
+    )
+
+    px = _pattern(6, 4)
+    # identity resize returns the raster unchanged
+    assert resize_nearest(6, 4, px, 6, 4) == px
+    # 2x downsample picks every other pixel of every other row
+    small = resize_nearest(6, 4, px, 3, 2)
+    assert len(small) == 6
+    expect = [px[y * 2 * 6 + x * 2] for y in range(2) for x in range(3)]
+    assert small == expect
+    # upsample replicates neighbors — corners preserved
+    big = resize_nearest(6, 4, px, 12, 8)
+    assert big[0] == px[0] and big[-1] == px[-1]
+    assert len(big) == 96
