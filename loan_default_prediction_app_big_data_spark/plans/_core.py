@@ -165,12 +165,18 @@ _DRIVER_PRIORITY: list[str] = [
     "survival_kaplan_meier",
     # Round-5 rotation queue (strict-local-verified, still without a
     # driver row after this round). Lead with the round-4 additions —
-    # image_decode_stats / audio_decode_stats / video_decode_stats
-    # (real BMP+PPM / WAV / Y4M codecs), avro_source_roundtrip
-    # (pure-Python Avro container connector), heavy_hitters_sketch
-    # (Misra-Gries with proven mergeable bound),
+    # image_decode_stats / audio_decode_stats / video_decode_stats /
+    # image_resize_stats (real BMP+PPM / WAV / Y4M codecs + integer
+    # nearest-neighbor resize), avro_source_roundtrip (pure-Python
+    # Avro container connector), delta_time_travel_roundtrip +
+    # delta_merge_upsert (Delta transaction-log protocol),
+    # heavy_hitters_sketch (Misra-Gries with proven mergeable bound),
     # edit_distance_threshold_join (lossless bigram-filtered fuzzy
-    # join) — then: skipgram_cooccurrence,
+    # join), record_linkage_fellegi_sunter,
+    # conformal_prediction_intervals, shapley_channel_attribution,
+    # difference_in_differences, quantile_normalization,
+    # temperature_sampling_mix, bootstrap_ci_daily_revenue — then:
+    # skipgram_cooccurrence,
     # ewma_daily_value, rollup_cascade_daily, tranche_expand,
     # triangle_count_trade_graph, event_transition_matrix,
     # column_profile, contribution_analysis, ordered_list_agg_structs,
