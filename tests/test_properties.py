@@ -200,3 +200,120 @@ def test_decimal_partials_layout_invariant(spark, vals, parts):
         )
         sums.add(str(s))
     assert len(sums) == 1, sums
+
+
+# ---------------------------------------------------------------------
+# Round-4 codec + sketch properties (pure Python — no Spark jobs)
+# ---------------------------------------------------------------------
+
+CODEC_SETTINGS = settings(max_examples=25, deadline=None)
+
+
+@CODEC_SETTINGS
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_bmp_ppm_roundtrip_property(w, h, seed):
+    from loan_default_prediction_app_big_data_spark.operators import multimodal as M
+
+    rgb = [
+        tuple((seed + 7 * p + j) % 256 for j in range(3)) for p in range(w * h)
+    ]
+    assert M.decode_bmp(M.encode_bmp_rgb(w, h, rgb)) == (w, h, rgb)
+    assert M.decode_ppm(M.encode_ppm_rgb(w, h, rgb)) == (w, h, rgb)
+
+
+@CODEC_SETTINGS
+@given(
+    rate=st.sampled_from([8000, 16000, 44100, 48000]),
+    n_ch=st.integers(min_value=1, max_value=4),
+    n_frames=st.integers(min_value=0, max_value=300),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_wav_roundtrip_property(rate, n_ch, n_frames, seed):
+    from loan_default_prediction_app_big_data_spark.operators import multimodal as M
+
+    samples = [((seed + 97 * k) % 65536) - 32768 for k in range(n_frames * n_ch)]
+    assert M.decode_wav(M.encode_wav_pcm16(rate, n_ch, samples)) == (
+        rate,
+        n_ch,
+        samples,
+    )
+
+
+@CODEC_SETTINGS
+@given(
+    w=st.sampled_from([2, 4, 6, 8, 10]),
+    h=st.sampled_from([2, 4, 6]),
+    n=st.integers(min_value=0, max_value=5),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_y4m_roundtrip_property(w, h, n, seed):
+    from loan_default_prediction_app_big_data_spark.operators import multimodal as M
+
+    frame_size = w * h + 2 * (w // 2) * (h // 2)
+    frames = [
+        bytes((seed + f * frame_size + i) % 256 for i in range(frame_size))
+        for f in range(n)
+    ]
+    dw, dh, fn, fd, decoded = M.decode_y4m(M.encode_y4m(w, h, 25, 1, frames))
+    assert (dw, dh, fn, fd) == (w, h, 25, 1)
+    assert [y + u + v for y, u, v in decoded] == frames
+
+
+@CODEC_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.text(max_size=40),
+            st.one_of(st.none(), st.floats(allow_nan=False, width=64)),
+        ),
+        max_size=30,
+    ),
+    codec=st.sampled_from(["null", "deflate"]),
+    block_rows=st.integers(min_value=1, max_value=7),
+)
+def test_avro_roundtrip_property(tmp_path_factory, rows, codec, block_rows):
+    from loan_default_prediction_app_big_data_spark.sources.avro_py import (
+        read_container,
+        write_container,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "d", "type": ["null", "double"]},
+        ],
+    }
+    path = str(tmp_path_factory.mktemp("avro") / "t.avro")
+    write_container(path, schema, rows, codec=codec, block_rows=block_rows)
+    _, back = read_container(path)
+    assert back == rows
+
+
+@CODEC_SETTINGS
+@given(
+    stream=st.lists(st.integers(min_value=0, max_value=30), max_size=400),
+    k=st.integers(min_value=1, max_value=20),
+)
+def test_misra_gries_bound_property(stream, k):
+    from collections import Counter
+
+    from loan_default_prediction_app_big_data_spark.operators.sketches import (
+        misra_gries_partition,
+    )
+
+    est = misra_gries_partition(iter(map(str, stream)), k)
+    truth = Counter(map(str, stream))
+    n = len(stream)
+    assert len(est) <= k
+    for item, e in est.items():
+        assert 0 < e <= truth[item]
+    for item, c in truth.items():
+        assert c - est.get(item, 0) <= n // (k + 1)
