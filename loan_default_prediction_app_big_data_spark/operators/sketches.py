@@ -89,3 +89,48 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
         .groupBy("item")
         .agg(F.sum("est").alias("est"))
     )
+
+
+def kmv_k_smallest(
+    df: DataFrame,
+    label_col: str,
+    hash_col: str,
+    k: int,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Per-label KMV (k-minimum-values / theta) sketch support: the k
+    smallest DISTINCT hash values of each label's set, with all other
+    columns preserved and a final ``rn`` rank (1 = smallest).
+
+    KMV (Bar-Yossef et al., "Counting Distinct Elements in a Data
+    Stream", RANDOM'02; Beyer et al., SIGMOD'07 for the unbiased
+    estimator) keeps the k smallest values of a uniform hash over the
+    set; the k-th smallest ``h_k`` estimates distinct cardinality as
+    ``(k-1) * H / h_k`` for hash range ``H``. Because "k smallest of a
+    union = k smallest of the merged k-smallest summaries", the sketch
+    is MERGEABLE, and set union/intersection estimates come from one
+    combined sketch (the theta-sketch construction).
+
+    100 TB shape: phase 1 takes the k smallest per (label, salt)
+    bucket — a partial, partition-local-sized window that caps what
+    the final shuffle moves at ``salt_buckets * k`` rows per label —
+    and phase 2 ranks only those candidates. The full set never
+    gathers on one reducer. Caller guarantees hash distinctness per
+    label (use an injective per-key hash, e.g. odd-multiplier modular
+    over distinct keys).
+    """
+    from pyspark.sql import Window as W
+
+    salted = df.withColumn(
+        "_salt", F.pmod(F.col(hash_col), F.lit(salt_buckets))
+    )
+    w1 = W.partitionBy(label_col, "_salt").orderBy(hash_col)
+    cand = (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_salt")
+    )
+    w2 = W.partitionBy(label_col).orderBy(hash_col)
+    return cand.withColumn("rn", F.row_number().over(w2)).filter(
+        F.col("rn") <= k
+    )

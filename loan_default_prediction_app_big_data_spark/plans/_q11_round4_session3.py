@@ -115,3 +115,437 @@ def sqlite_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# =====================================================================
+# KMV / theta sketch: distinct cardinality + set algebra
+# =====================================================================
+
+_THETA_SKETCH_ORACLE = """
+    -- KMV/theta sketches are DETERMINISTIC given the hash: the k
+    -- smallest values of an injective modular hash do not depend on
+    -- partition layout or visit order, so the oracle recomputes the
+    -- identical sketch (row_number over the hash) and the identical
+    -- integer-division estimates - the driver hash checks the whole
+    -- estimator, not just a bound.
+    WITH cust AS MATERIALIZED (
+        SELECT o_custkey AS ck,
+               max(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS in_b
+        FROM orders GROUP BY o_custkey
+    ),
+    hashed AS MATERIALIZED (
+        SELECT (ck * 2654435761) % 4294967296 AS h, in_a, in_b FROM cust
+    ),
+    labeled AS MATERIALIZED (
+        SELECT 'A' AS s, h, in_a, in_b FROM hashed WHERE in_a = 1
+        UNION ALL
+        SELECT 'B' AS s, h, in_a, in_b FROM hashed WHERE in_b = 1
+        UNION ALL
+        SELECT 'U' AS s, h, in_a, in_b FROM hashed
+        WHERE in_a = 1 OR in_b = 1
+    ),
+    ranked AS (
+        SELECT s, h, in_a, in_b,
+               row_number() OVER (PARTITION BY s ORDER BY h) AS rn
+        FROM labeled
+    ),
+    sk AS MATERIALIZED (
+        SELECT s, count(*) AS n_in, max(h) AS hk,
+               sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                   AS n_both
+        FROM ranked WHERE rn <= 256 GROUP BY s
+    ),
+    exact AS MATERIALIZED (
+        SELECT s, count(*) AS exact_cnt FROM labeled GROUP BY s
+    ),
+    est AS MATERIALIZED (
+        SELECT sk.s, exact_cnt,
+               CASE WHEN n_in < 256 THEN n_in
+                    ELSE (255 * 4294967296) // hk END AS kmv_est,
+               n_both, n_in
+        FROM sk JOIN exact ON sk.s = exact.s
+    ),
+    inter AS (
+        -- theta intersection: rho / (retained count) of the union
+        -- sketch scales its estimate; the denominator is n_in, not k,
+        -- so under full retention (n_in < k) the estimate degrades
+        -- gracefully to the EXACT intersection.
+        SELECT 'I' AS s,
+               (SELECT sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                FROM cust) AS exact_cnt,
+               (SELECT (n_both * kmv_est) // n_in FROM est WHERE s = 'U')
+                   AS kmv_est
+    )
+    SELECT s AS set_name,
+           CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(kmv_est AS BIGINT) AS kmv_est,
+           abs(kmv_est - exact_cnt) * 4 <= exact_cnt AS est_within_25pct
+    FROM (SELECT s, exact_cnt, kmv_est FROM est
+          UNION ALL
+          SELECT s, exact_cnt, kmv_est FROM inter)
+    ORDER BY set_name
+"""
+
+
+@register(
+    "theta_sketch_distinct_ops",
+    _THETA_SKETCH_ORACLE,
+    "KMV / theta sketch with SET ALGEBRA (Bar-Yossef et al. RANDOM'02; "
+    "Beyer et al. SIGMOD'07): distinct-customer cardinality for two "
+    "order predicates (A: open status, B: totalprice > 150000), their "
+    "union, and their theta-style intersection estimate rho*est_U/k "
+    "from ONE combined k=256 sketch - the set operation HLL cannot do. "
+    "The k-smallest-of-an-injective-modular-hash summary is mergeable "
+    "(k smallest of a union = k smallest of merged summaries) and "
+    "fully deterministic, so the oracle reproduces the estimator "
+    "value-for-value: estimates are integer divisions "
+    "(k-1)*2^32 div h_k, never floats. Scale shape: one groupBy pass "
+    "builds membership flags; the sketch is a two-phase salted top-k "
+    "(operators/sketches.py kmv_k_smallest) that shuffles at most "
+    "salt*k rows per set, never the data; exact twins validate at "
+    "fixture scale while the sketch alone is the 100 TB product path. "
+    "The within-25pct booleans pin estimator quality under ANY "
+    "layout (k=256 -> sigma ~ 6 percent).",
+    tags=("sketch", "aggregation", "round4"),
+)
+def theta_sketch_distinct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_k_smallest
+
+    k = 256
+    cust = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("o_totalprice") > 150000, 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    hashed = cust.select(
+        ((F.col("o_custkey") * F.lit(2654435761)) % F.lit(4294967296)).alias(
+            "h"
+        ),
+        "in_a",
+        "in_b",
+    )
+    labeled = hashed.select(
+        "h",
+        "in_a",
+        "in_b",
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.when(F.col("in_a") == 1, F.lit("A")),
+                    F.when(F.col("in_b") == 1, F.lit("B")),
+                    F.when(
+                        (F.col("in_a") == 1) | (F.col("in_b") == 1),
+                        F.lit("U"),
+                    ),
+                )
+            )
+        ).alias("s"),
+    )
+    sk = (
+        kmv_k_smallest(labeled, "s", "h", k)
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.max("h").alias("hk"),
+            F.sum(
+                F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1)
+                .otherwise(0)
+            ).alias("n_both"),
+        )
+    )
+    exact = labeled.groupBy("s").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = sk.join(exact, "s").select(
+        "s",
+        "exact_cnt",
+        F.when(F.col("n_in") < k, F.col("n_in"))
+        .otherwise(F.expr(f"({k - 1} * 4294967296) div hk"))
+        .alias("kmv_est"),
+        "n_both",
+        "n_in",
+    )
+    inter = (
+        est.filter(F.col("s") == "U")
+        .crossJoin(
+            F.broadcast(
+                cust.agg(
+                    F.sum(F.col("in_a") * F.col("in_b")).alias("exact_i")
+                )
+            )
+        )
+        .select(
+            F.lit("I").alias("s"),
+            F.col("exact_i").alias("exact_cnt"),
+            # theta intersection: denominator is the RETAINED count
+            # n_in (= k at capacity), so full retention degrades
+            # gracefully to the exact intersection.
+            F.expr("(n_both * kmv_est) div n_in").alias("kmv_est"),
+        )
+    )
+    return (
+        est.select("s", "exact_cnt", "kmv_est")
+        .unionByName(inter)
+        .select(
+            F.col("s").alias("set_name"),
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            F.col("kmv_est").cast("long").alias("kmv_est"),
+            (
+                F.abs(F.col("kmv_est") - F.col("exact_cnt")) * 4
+                <= F.col("exact_cnt")
+            ).alias("est_within_25pct"),
+        )
+        .orderBy("set_name")
+    )
+
+
+# =====================================================================
+# Count-Min sketch: point frequency queries with one-sided guarantee
+# =====================================================================
+
+_CM_HASH_SQL = (
+    "((item_id * (CASE j WHEN 0 THEN 131 WHEN 1 THEN 137 ELSE 139 END)"
+    " + (CASE j WHEN 0 THEN 17 WHEN 1 THEN 29 ELSE 41 END))"
+    " % 1000003) % 512"
+)
+
+_COUNT_MIN_ORACLE = f"""
+    -- Count-Min is DETERMINISTIC given its d=3 hash rows: cell
+    -- (j, bucket) holds the exact sum of counts of all items
+    -- colliding there, independent of partition layout, so the oracle
+    -- rebuilds the identical sketch and the identical point
+    -- estimates. overcount_ok pins the structural one-sided
+    -- guarantee est >= true that must hold under ANY layout.
+    WITH items AS MATERIALIZED (
+        SELECT CASE WHEN l_orderkey % 3 = 0 THEN l_orderkey % 5
+                    ELSE 100 + l_orderkey END AS item_id
+        FROM lineitem
+    ),
+    qitems AS MATERIALIZED (
+        SELECT DISTINCT item_id FROM items ORDER BY item_id LIMIT 8
+    ),
+    expanded AS (
+        SELECT item_id, unnest(range(3)) AS j FROM items
+    ),
+    sketch AS MATERIALIZED (
+        SELECT j, {_CM_HASH_SQL} AS bucket, count(*) AS cnt
+        FROM expanded GROUP BY 1, 2
+    ),
+    qpos AS (
+        SELECT item_id, j, {_CM_HASH_SQL} AS bucket
+        FROM (SELECT item_id, unnest(range(3)) AS j FROM qitems)
+    ),
+    est AS (
+        SELECT qpos.item_id, min(cnt) AS cm_est
+        FROM qpos JOIN sketch USING (j, bucket) GROUP BY qpos.item_id
+    ),
+    exact AS (
+        SELECT item_id, count(*) AS exact_cnt
+        FROM items SEMI JOIN qitems USING (item_id)
+        GROUP BY item_id
+    )
+    SELECT est.item_id AS item_id,
+           CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(cm_est AS BIGINT) AS cm_est,
+           cm_est >= exact_cnt AS overcount_ok
+    FROM est JOIN exact ON est.item_id = exact.item_id
+    ORDER BY item_id
+"""
+
+
+@register(
+    "count_min_point_queries",
+    _COUNT_MIN_ORACLE,
+    "Count-Min sketch (Cormode & Muthukrishnan '05) point frequency "
+    "queries, built entirely from native expressions: a d=3 x w=512 "
+    "counter matrix materializes as a (j, bucket) groupBy - the "
+    "map-side partial sums ARE the sketch merge, so the pass shuffles "
+    "at most d*w counter rows however the data is partitioned. Point "
+    "estimates min_j cm[j][h_j(x)] come from an equi-join of the 8 "
+    "query items' (j, bucket) coordinates (5 planted hot items + the "
+    "3 smallest cold ids, all data-derived) against the sketch. "
+    "Everything is deterministic modular arithmetic, so the oracle "
+    "rebuilds the identical estimates; overcount_ok pins the sketch's "
+    "one-sided est >= true guarantee, which no partition layout can "
+    "break. Complements Misra-Gries (heavy_hitters_sketch: which "
+    "items are frequent) with point lookups on CHOSEN items, and the "
+    "exact twin is the fixture-scale validation harness while the "
+    "d*w-cell sketch alone is the 100 TB product path.",
+    tags=("sketch", "aggregation", "round4"),
+)
+def count_min_point_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 3 == 0, F.col("l_orderkey") % 5)
+        .otherwise(F.lit(100) + F.col("l_orderkey"))
+        .alias("item_id")
+    )
+    js = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j")
+    bucket = F.expr(_CM_HASH_SQL).alias("bucket")
+    sketch = (
+        items.select("item_id", js)
+        .select("j", bucket)
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    qitems = items.distinct().orderBy("item_id").limit(8)
+    qpos = qitems.select("item_id", js).select("item_id", "j", bucket)
+    est = (
+        qpos.join(sketch, ["j", "bucket"])
+        .groupBy("item_id")
+        .agg(F.min("cnt").alias("cm_est"))
+    )
+    exact = (
+        items.join(F.broadcast(qitems), "item_id", "left_semi")
+        .groupBy("item_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return (
+        est.join(exact, "item_id")
+        .select(
+            "item_id",
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            F.col("cm_est").cast("long").alias("cm_est"),
+            (F.col("cm_est") >= F.col("exact_cnt")).alias("overcount_ok"),
+        )
+        .orderBy("item_id")
+    )
+
+
+# =====================================================================
+# Bloom-filter join pruning: shuffle-avoiding probe-side filter
+# =====================================================================
+
+def _bloom_pos_sql(expr: str, j: int) -> str:
+    a = (131, 137, 139)[j]
+    b = (17, 29, 41)[j]
+    return f"(({expr} * {a} + {b}) % 1000003) % 4096"
+
+
+_BLOOM_PRUNE_ORACLE = f"""
+    -- A Bloom filter over a fixed key set with fixed hash functions
+    -- is a DETERMINISTIC bit set: the oracle rebuilds the identical
+    -- m=4096 / d=3 filter and replays the identical membership test
+    -- per probe row, so candidate and false-positive counts are
+    -- hash-checked exactly; no_false_negatives pins the structural
+    -- guarantee that no true match is ever pruned.
+    WITH gkeys AS MATERIALIZED (
+        SELECT c_custkey AS k
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_name = 'GERMANY'
+    ),
+    bits AS MATERIALIZED (
+        SELECT DISTINCT
+               CASE j WHEN 0 THEN {_bloom_pos_sql('k', 0)}
+                      WHEN 1 THEN {_bloom_pos_sql('k', 1)}
+                      ELSE {_bloom_pos_sql('k', 2)} END AS pos
+        FROM (SELECT k, unnest(range(3)) AS j FROM gkeys)
+    ),
+    probe AS (
+        SELECT o_custkey,
+               EXISTS(SELECT 1 FROM bits
+                      WHERE pos = {_bloom_pos_sql('o_custkey', 0)})
+               AND EXISTS(SELECT 1 FROM bits
+                          WHERE pos = {_bloom_pos_sql('o_custkey', 1)})
+               AND EXISTS(SELECT 1 FROM bits
+                          WHERE pos = {_bloom_pos_sql('o_custkey', 2)})
+                   AS is_cand,
+               EXISTS(SELECT 1 FROM gkeys WHERE k = o_custkey) AS is_true
+        FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probe,
+           CAST(sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_candidates,
+           CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_matches,
+           CAST(sum(CASE WHEN is_cand AND NOT is_true THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positives,
+           sum(CASE WHEN is_true AND NOT is_cand THEN 1 ELSE 0 END) = 0
+               AS no_false_negatives
+    FROM probe
+"""
+
+
+@register(
+    "bloom_filter_join_prune",
+    _BLOOM_PRUNE_ORACLE,
+    "Bloom-filter join pruning (Bloom '70; the runtime-filter "
+    "technique behind Spark AQE's injectRuntimeFilter, built here "
+    "explicitly so its guarantee is provable): the build side "
+    "(German customers) folds into an m=4096-bit / d=3-hash filter "
+    "as a DISTINCT set of bit positions - bounded metadata that "
+    "broadcasts as a single array row, one integer per set bit - and "
+    "the probe side (orders) tests all three of its positions with "
+    "array_contains BEFORE any shuffle or join, so at 100 TB the "
+    "expensive exchange moves only candidates (true matches + "
+    "measured false positives), never the full fact table. The "
+    "filter is deterministic, so the oracle rebuilds it bit-for-bit "
+    "and replays the membership test; no_false_negatives pins the "
+    "never-prunes-a-match guarantee under ANY layout. The exact "
+    "semi-join twin quantifies the pruning quality it validates.",
+    tags=("join", "sketch", "round4"),
+)
+def bloom_filter_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = t(spark, sf_dir, "nation").filter(F.col("n_name") == "GERMANY")
+    gkeys = (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("c_custkey").alias("k"))
+    )
+    positions = gkeys.select(
+        F.explode(
+            F.array(
+                *[F.expr(_bloom_pos_sql("k", j)) for j in range(3)]
+            )
+        ).alias("pos")
+    )
+    bloom = positions.agg(
+        F.sort_array(F.collect_set("pos")).alias("bits")
+    )
+    probe = (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .crossJoin(F.broadcast(bloom))
+        .join(
+            F.broadcast(gkeys.withColumn("is_true", F.lit(True))),
+            F.col("o_custkey") == F.col("k"),
+            "left",
+        )
+        .select(
+            F.coalesce(F.col("is_true"), F.lit(False)).alias("is_true"),
+            (
+                F.array_contains(
+                    "bits", F.expr(_bloom_pos_sql("o_custkey", 0))
+                )
+                & F.array_contains(
+                    "bits", F.expr(_bloom_pos_sql("o_custkey", 1))
+                )
+                & F.array_contains(
+                    "bits", F.expr(_bloom_pos_sql("o_custkey", 2))
+                )
+            ).alias("is_cand"),
+        )
+    )
+    return probe.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.when(F.col("is_cand"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_candidates"),
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_matches"),
+        F.sum(F.when(F.col("is_cand") & ~F.col("is_true"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_positives"),
+        (
+            F.sum(
+                F.when(F.col("is_true") & ~F.col("is_cand"), 1).otherwise(0)
+            )
+            == 0
+        ).alias("no_false_negatives"),
+    )

@@ -1,0 +1,143 @@
+"""Round-4 session-3 operators: KMV/theta sketch, Count-Min, Bloom
+join pruning, SQLite connector query (connector internals are in
+test_sqlite_source.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from loan_default_prediction_app_big_data_spark.operators.sketches import kmv_k_smallest
+from loan_default_prediction_app_big_data_spark.plans import registry
+
+
+def _run(spark, name, sf):
+    return registry.REGISTRY[name].fn(spark, sf)
+
+
+# ------------------------------------------------------------------ KMV
+
+
+def test_kmv_k_smallest_is_layout_invariant(spark):
+    base = spark.range(0, 1000).select(
+        (F.col("id") % 2).cast("string").alias("s"),
+        ((F.col("id") * 2654435761) % 4294967296).alias("h"),
+    )
+    k = 10
+    ref = sorted(
+        r.h
+        for r in base.filter(F.col("s") == "0")
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    for parts in (1, 7, 32):
+        got = (
+            kmv_k_smallest(base.repartition(parts), "s", "h", k)
+            .filter(F.col("s") == "0")
+            .orderBy("rn")
+            .collect()
+        )
+        assert [r.h for r in got] == ref
+        assert [r.rn for r in got] == list(range(1, k + 1))
+
+
+def test_kmv_exact_when_set_smaller_than_k(spark):
+    base = spark.range(0, 5).select(
+        F.lit("x").alias("s"), (F.col("id") * 97 + 13).alias("h")
+    )
+    got = kmv_k_smallest(base, "s", "h", 256).collect()
+    assert len(got) == 5  # whole set retained -> exact cardinality
+
+
+def test_theta_sketch_small_scale_exact_fallback(spark, sf_smoke):
+    # sf0.001 has < k=256 distinct customers per set: the sketch
+    # retains every hash, so every estimate must equal its exact twin.
+    rows = _run(spark, "theta_sketch_distinct_ops", sf_smoke).collect()
+    assert {r.set_name for r in rows} == {"A", "B", "U", "I"}
+    for r in rows:
+        assert r.kmv_est == r.exact_cnt
+        assert r.est_within_25pct
+
+
+def test_theta_sketch_union_bounds(spark, sf_smoke):
+    by = {
+        r.set_name: r
+        for r in _run(spark, "theta_sketch_distinct_ops", sf_smoke).collect()
+    }
+    # inclusion-exclusion on the exact twins
+    assert (
+        by["A"].exact_cnt + by["B"].exact_cnt
+        == by["U"].exact_cnt + by["I"].exact_cnt
+    )
+    assert by["U"].exact_cnt >= max(by["A"].exact_cnt, by["B"].exact_cnt)
+
+
+# ------------------------------------------------------------ Count-Min
+
+
+def test_count_min_one_sided_guarantee(spark, sf_smoke):
+    rows = _run(spark, "count_min_point_queries", sf_smoke).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r.overcount_ok
+        assert r.cm_est >= r.exact_cnt  # never undercounts
+
+
+def test_count_min_hot_items_dominate(spark, sf_smoke):
+    rows = _run(spark, "count_min_point_queries", sf_smoke).collect()
+    hot = [r for r in rows if r.item_id < 5]
+    cold = [r for r in rows if r.item_id >= 100]
+    assert len(hot) == 5 and len(cold) == 3
+    assert min(r.exact_cnt for r in hot) > max(r.exact_cnt for r in cold)
+
+
+# ------------------------------------------------------- Bloom pruning
+
+
+def test_bloom_filter_never_prunes_a_match(spark, sf_smoke):
+    row = _run(spark, "bloom_filter_join_prune", sf_smoke).collect()[0]
+    assert row.no_false_negatives
+    assert row.n_candidates >= row.n_true_matches
+    assert row.n_false_positives == row.n_candidates - row.n_true_matches
+    # the filter must actually prune (candidates well under the probe)
+    assert row.n_candidates < row.n_probe
+
+
+def test_bloom_prunes_most_nonmatching_rows(spark, sf_smoke):
+    row = _run(spark, "bloom_filter_join_prune", sf_smoke).collect()[0]
+    nonmatch = row.n_probe - row.n_true_matches
+    if nonmatch:
+        # with ~180 set bits of 4096 and 3 probes, fp rate << 10%
+        assert row.n_false_positives * 10 <= nonmatch
+
+
+# ------------------------------------------------------- SQLite query
+
+
+def test_sqlite_roundtrip_query_matches_direct_aggregate(spark, sf_smoke):
+    got = {
+        r.o_orderstatus: r
+        for r in _run(spark, "sqlite_source_roundtrip", sf_smoke).collect()
+    }
+    direct = {
+        r.o_orderstatus: r
+        for r in (
+            spark.read.parquet(f"{sf_smoke}/orders.parquet")
+            .filter(F.col("o_orderkey") > 7500)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(
+                    F.when(F.col("o_orderkey") % 97 == 0, 0).otherwise(
+                        F.round(F.col("o_totalprice") * 100).cast("long")
+                    )
+                ).alias("sum_price_cents"),
+            )
+            .collect()
+        )
+    }
+    assert set(got) == set(direct)
+    for s, r in got.items():
+        assert r.n_orders == direct[s].n_orders
+        assert r.sum_price_cents == direct[s].sum_price_cents
