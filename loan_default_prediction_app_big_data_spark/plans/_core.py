@@ -164,7 +164,14 @@ _DRIVER_PRIORITY: list[str] = [
     "window_topk_with_ties",
     "survival_kaplan_meier",
     # Round-5 rotation queue (strict-local-verified, still without a
-    # driver row after this round). Lead with the round-4 additions —
+    # driver row after this round). Lead with the round-4 session-3
+    # additions — sqlite_source_roundtrip (JDBC-tier embedded-SQL
+    # connector: rowid-range partitioned reads + WHERE pushdown),
+    # theta_sketch_distinct_ops (KMV set algebra, oracle reproduces
+    # the whole estimator), count_min_point_queries,
+    # bloom_filter_join_prune, session_window_dynamic_gap (per-event
+    # gap expression), streaming_left_outer_join (watermark-gated
+    # NULL extension) — then the earlier round-4 additions —
     # image_decode_stats / audio_decode_stats / video_decode_stats /
     # image_resize_stats (real BMP+PPM / WAV / Y4M codecs + integer
     # nearest-neighbor resize), avro_source_roundtrip (pure-Python

@@ -549,3 +549,184 @@ def bloom_filter_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         ).alias("no_false_negatives"),
     )
+
+
+# =====================================================================
+# Dynamic-gap session windows
+# =====================================================================
+
+_DYNAMIC_SESSION_ORACLE = """
+    -- Per-event gap sessionization (the session_window(ts, gap_expr)
+    -- operator): event e extends its session to ts_e + gap_e, where
+    -- gap_e = (10 + (event_id % 3) * 10) minutes. The relational twin
+    -- is interval merging: an event opens a NEW session iff it starts
+    -- at/after the running max end of every earlier event of the same
+    -- user. Pure integer microseconds end to end.
+    WITH e AS MATERIALIZED (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS ts_us,
+               epoch_us(ts) + (10 + (event_id % 3) * 10) * 60000000
+                   AS end_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts_us, end_us,
+               CASE WHEN max(end_us) OVER (
+                        PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR ts_us >= max(end_us) OVER (
+                        PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e
+    ),
+    numbered AS (
+        SELECT user_id, ts_us, end_us,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, end_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(min(ts_us) AS BIGINT) AS session_start_us,
+           CAST(max(end_us) AS BIGINT) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start_us
+"""
+
+
+@register(
+    "session_window_dynamic_gap",
+    _DYNAMIC_SESSION_ORACLE,
+    "DYNAMIC-gap session windows: Spark's session_window(ts, "
+    "gap_expression) with a per-event timeout - 10/20/30 minutes "
+    "depending on event_id % 3 - which fixed-gap sessionization "
+    "(session_window_native) cannot express: a heavyweight event "
+    "holds its session open longer than a lightweight one. The "
+    "oracle is the relational interval-merge twin: an event opens a "
+    "new session iff it starts at/after the running max end over all "
+    "earlier same-user events (ROWS window + cumulative-sum "
+    "numbering), all in integer microseconds so the session "
+    "boundaries hash exactly. Scale shape: one shuffle on user_id "
+    "for both the native operator and the twin; the same expression "
+    "drives the streaming form with a watermark bounding state.",
+    tags=("window", "sessionization", "round4"),
+)
+def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.lit(10) + (F.col("event_id") % 3) * 10).alias("gap_min"),
+    )
+    sess = (
+        ev.groupBy(
+            "user_id",
+            F.session_window(
+                F.col("ts"),
+                # gap must be CalendarIntervalType, not day-time interval
+                F.expr("make_interval(0, 0, 0, 0, 0, gap_min, 0)"),
+            ).alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+    return sess
+
+
+# =====================================================================
+# Stream-stream LEFT OUTER join (watermark-gated NULL extension)
+# =====================================================================
+
+_SS_LEFT_OUTER_ORACLE = """
+    -- The outer stream-stream join's NULL-extended rows are a
+    -- NEGATIVE claim ("no view can still arrive"), so Spark emits
+    -- them only after the global watermark passes the purchase's
+    -- latest possible match time. On a finite replay that behavior is
+    -- deterministic: final watermark = min(max view_ts, max
+    -- purchase_ts) - 1 hour, millisecond-floored exactly like
+    -- EventTimeWatermark; unmatched purchases older than it ARE in
+    -- the result, newer ones are still pending and are NOT.
+    WITH ev AS MATERIALIZED (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    views AS MATERIALIZED (
+        SELECT user_id, ts_us FROM ev WHERE event_type = 'view'
+    ),
+    purch AS MATERIALIZED (
+        SELECT user_id, ts_us FROM ev WHERE event_type = 'purchase'
+    ),
+    wm AS (
+        SELECT least((SELECT max(ts_us) FROM views) // 1000,
+                     (SELECT max(ts_us) FROM purch) // 1000)
+               - 3600000 AS w_ms
+    ),
+    matched AS (
+        SELECT p.user_id,
+               p.ts_us AS purchase_ts_us,
+               v.ts_us AS view_ts_us
+        FROM purch p JOIN views v
+          ON p.user_id = v.user_id
+         AND v.ts_us BETWEEN p.ts_us - 86400000000 AND p.ts_us
+    ),
+    null_extended AS (
+        SELECT p.user_id, p.ts_us AS purchase_ts_us,
+               CAST(-1 AS BIGINT) AS view_ts_us
+        FROM purch p, wm
+        WHERE NOT EXISTS (
+                SELECT 1 FROM views v
+                WHERE v.user_id = p.user_id
+                  AND v.ts_us BETWEEN p.ts_us - 86400000000 AND p.ts_us)
+          AND p.ts_us // 1000 < wm.w_ms
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(purchase_ts_us AS BIGINT) AS purchase_ts_us,
+           CAST(view_ts_us AS BIGINT) AS view_ts_us,
+           view_ts_us >= 0 AS is_matched
+    FROM (SELECT * FROM matched UNION ALL SELECT * FROM null_extended)
+    ORDER BY user_id, purchase_ts_us, view_ts_us
+"""
+
+
+@register(
+    "streaming_left_outer_join",
+    _SS_LEFT_OUTER_ORACLE,
+    "Stream-stream LEFT OUTER interval join with watermarks "
+    "(streaming/windows.py run_stream_stream_left_outer_join): every "
+    "purchase attributed to same-user views in the trailing 24 h, and "
+    "view-less purchases still emitted with a NULL view side - the "
+    "outer form the inner streaming_stream_stream_join cannot "
+    "express, because a NULL-extended row asserts no match can still "
+    "arrive and must wait for watermark proof. The replay's final "
+    "no-data micro-batch flushes exactly the unmatched purchases "
+    "older than the ms-floored final watermark; the oracle encodes "
+    "that eviction rule relationally (NULL view ts surfaces as -1 on "
+    "both sides for a hash-stable representation). State at 100 "
+    "TB/day = horizon x per-key rate per side plus the watermark-"
+    "evicted unmatched-left buffer, keyed by user_id.",
+    tags=("streaming", "join", "round4"),
+)
+def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import run_stream_stream_left_outer_join
+
+    out = run_stream_stream_left_outer_join(spark, sf_dir)
+    return (
+        out.select(
+            "user_id",
+            "purchase_ts_us",
+            F.coalesce(F.col("view_ts_us"), F.lit(-1)).alias("view_ts_us"),
+            F.col("view_ts_us").isNotNull().alias("is_matched"),
+        )
+        .orderBy("user_id", "purchase_ts_us", "view_ts_us")
+    )

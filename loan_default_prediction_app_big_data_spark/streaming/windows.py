@@ -522,3 +522,72 @@ def run_append_mode_windows(spark: SparkSession, sf_dir: str):
     out.count()
     spark.catalog.dropTempView(name)
     return out
+
+
+def run_stream_stream_left_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join: every
+    purchase joined to same-user views from the preceding 24 hours,
+    and purchases with NO such view still emitted (NULL view columns)
+    — but only once the global watermark proves no matching view can
+    still arrive.
+
+    That proof obligation is what makes outer stream-stream joins
+    harder than inner ones: a NULL-extended row is a *negative* claim,
+    so Spark holds the unmatched left row in state until the watermark
+    passes its latest possible match time, then emits it in a
+    subsequent (possibly no-data) micro-batch. On a finite replay the
+    consequence is DETERMINISTIC and the oracle encodes it: unmatched
+    purchases with ``purchase_ts`` at/after the final watermark
+    ``min(max view_ts, max purchase_ts) - 1 hour`` are still pending
+    at stream end and are NOT in the result; older unmatched
+    purchases are. Watermark arithmetic is millisecond-floored,
+    matching Spark's EventTimeWatermark.
+
+    At 100 TB/day state sizing is identical to the inner join
+    (horizon x per-key rate per side, keyed by user_id) plus the
+    unmatched-left buffer the watermark evicts.
+    """
+    name = f"ssloj_{uuid.uuid4().hex[:8]}"
+    ev = streaming_events(spark, sf_dir)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            """
+            user_id = v_user AND
+            view_ts BETWEEN purchase_ts - INTERVAL 24 HOURS AND purchase_ts
+            """
+        ),
+        "leftOuter",
+    ).select(
+        "user_id",
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        F.unix_micros("view_ts").alias("view_ts_us"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = spark.table(name).cache()
+    out.count()
+    return out

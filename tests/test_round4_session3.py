@@ -141,3 +141,88 @@ def test_sqlite_roundtrip_query_matches_direct_aggregate(spark, sf_smoke):
     for s, r in got.items():
         assert r.n_orders == direct[s].n_orders
         assert r.sum_price_cents == direct[s].sum_price_cents
+
+
+# ---------------------------------------------- dynamic-gap sessions
+
+
+def test_dynamic_gap_sessions_match_manual_merge(spark, sf_smoke):
+    rows = _run(spark, "session_window_dynamic_gap", sf_smoke).collect()
+    assert rows
+    # session invariants: positive extent, ordered, non-overlapping
+    # per user under the merge rule (next start >= previous end)
+    by_user: dict = {}
+    for r in rows:
+        assert r.session_end_us > r.session_start_us
+        assert r.n_events >= 1
+        by_user.setdefault(r.user_id, []).append(r)
+    for sess in by_user.values():
+        for a, b in zip(sess, sess[1:]):
+            assert b.session_start_us >= a.session_end_us
+
+
+def test_dynamic_gap_differs_from_fixed_gap(spark, sf_smoke):
+    # with per-event 10/20/30-min gaps the session count must differ
+    # from a fixed 10-min sessionization (otherwise the gap expression
+    # is not actually dynamic)
+    from pyspark.sql import functions as FF
+
+    dyn = _run(spark, "session_window_dynamic_gap", sf_smoke).count()
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    fixed = (
+        ev.groupBy(
+            "user_id", FF.session_window(FF.col("ts").cast("timestamp"), "10 minutes")
+        )
+        .count()
+        .count()
+    )
+    assert dyn != fixed
+
+
+# ------------------------------------------- stream-stream left outer
+
+
+def test_streaming_left_outer_contains_inner_plus_null_rows(spark, sf_smoke):
+    rows = _run(spark, "streaming_left_outer_join", sf_smoke).collect()
+    matched = [r for r in rows if r.is_matched]
+    nulls = [r for r in rows if not r.is_matched]
+    assert all(r.view_ts_us >= 0 for r in matched)
+    assert all(r.view_ts_us == -1 for r in nulls)
+    # matched set must equal the batch inner interval join
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    from pyspark.sql import functions as FF
+
+    e = ev.select(
+        "user_id", "event_type", FF.unix_micros(FF.col("ts").cast("timestamp")).alias("us")
+    )
+    v = e.filter(FF.col("event_type") == "view").select(
+        FF.col("user_id").alias("vu"), FF.col("us").alias("vus")
+    )
+    p = e.filter(FF.col("event_type") == "purchase").select("user_id", "us")
+    inner = p.join(
+        v,
+        (FF.col("user_id") == FF.col("vu"))
+        & FF.col("vus").between(FF.col("us") - 86400000000, FF.col("us")),
+    ).count()
+    assert len(matched) == inner
+
+
+def test_streaming_left_outer_null_rows_respect_watermark(spark, sf_smoke):
+    from pyspark.sql import functions as FF
+
+    rows = _run(spark, "streaming_left_outer_join", sf_smoke).collect()
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet").select(
+        "event_type", FF.unix_micros(FF.col("ts").cast("timestamp")).alias("us")
+    )
+    maxes = {
+        r.event_type: r.mx
+        for r in ev.groupBy("event_type").agg(FF.max("us").alias("mx")).collect()
+    }
+    w_ms = min(maxes["view"], maxes["purchase"]) // 1000 - 3600000
+    # every null-extended purchase is strictly older than the final
+    # watermark (newer unmatched purchases are still pending at stream
+    # end and must NOT appear)
+    nulls = [r for r in rows if not r.is_matched]
+    assert nulls, "replay should produce null-extended rows"
+    for r in nulls:
+        assert r.purchase_ts_us // 1000 < w_ms
