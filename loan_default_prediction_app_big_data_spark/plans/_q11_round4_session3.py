@@ -210,8 +210,6 @@ _THETA_SKETCH_ORACLE = """
     tags=("sketch", "aggregation", "round4"),
 )
 def theta_sketch_distinct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sketches import kmv_k_smallest
-
     k = 256
     cust = (
         t(spark, sf_dir, "orders")
@@ -249,20 +247,40 @@ def theta_sketch_distinct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     )
-    sk = (
-        kmv_k_smallest(labeled, "s", "h", k)
-        .groupBy("s")
-        .agg(
-            F.count(F.lit(1)).alias("n_in"),
-            F.max("h").alias("hk"),
-            F.sum(
-                F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1)
-                .otherwise(0)
-            ).alias("n_both"),
-        )
+    # ONE linear pipeline (plan-audit lesson from correlation_matrix:
+    # self-joins on shared frames re-plan the whole subtree). The
+    # kmv_k_smallest two-phase top-k is inlined with per-salt-bucket
+    # totals carried alongside, so the exact twins, the sketch stats,
+    # and the intersection row all fall out of a single aggregation —
+    # no second scan, no self-join.
+    salted = labeled.withColumn("_salt", F.pmod(F.col("h"), F.lit(32)))
+    w_rank = W.partitionBy("s", "_salt").orderBy("h")
+    w_tot = W.partitionBy("s", "_salt")
+    both = ((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")
+    cand = salted.select(
+        "s",
+        "h",
+        "in_a",
+        "in_b",
+        F.row_number().over(w_rank).alias("rn1"),
+        F.count(F.lit(1)).over(w_tot).alias("bucket_cnt"),
+        F.sum(both).over(w_tot).alias("bucket_both"),
+    ).filter(F.col("rn1") <= k)
+    ranked = cand.withColumn(
+        "rn", F.row_number().over(W.partitionBy("s").orderBy("h"))
     )
-    exact = labeled.groupBy("s").agg(F.count(F.lit(1)).alias("exact_cnt"))
-    est = sk.join(exact, "s").select(
+    in_k = F.col("rn") <= k
+    agg = ranked.groupBy("s").agg(
+        F.sum(F.when(in_k, 1).otherwise(0)).alias("n_in"),
+        F.max(F.when(in_k, F.col("h"))).alias("hk"),
+        F.sum(F.when(in_k, both).otherwise(0)).alias("n_both"),
+        # each salt bucket's totals ride its rank-1 row exactly once
+        F.sum(F.when(F.col("rn1") == 1, F.col("bucket_cnt")).otherwise(0))
+        .alias("exact_cnt"),
+        F.sum(F.when(F.col("rn1") == 1, F.col("bucket_both")).otherwise(0))
+        .alias("exact_both"),
+    )
+    est = agg.select(
         "s",
         "exact_cnt",
         F.when(F.col("n_in") < k, F.col("n_in"))
@@ -270,39 +288,46 @@ def theta_sketch_distinct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kmv_est"),
         "n_both",
         "n_in",
+        "exact_both",
     )
-    inter = (
-        est.filter(F.col("s") == "U")
-        .crossJoin(
-            F.broadcast(
-                cust.agg(
-                    F.sum(F.col("in_a") * F.col("in_b")).alias("exact_i")
+    # Emit the label's own row, plus — from the U row only — the
+    # theta-intersection row. The denominator is the RETAINED count
+    # n_in (= k at capacity), so full retention degrades gracefully
+    # to the exact intersection.
+    rows = est.select(
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.struct(
+                        F.col("s").alias("set_name"),
+                        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+                        F.col("kmv_est").cast("long").alias("kmv_est"),
+                    ),
+                    F.when(
+                        F.col("s") == "U",
+                        F.struct(
+                            F.lit("I").alias("set_name"),
+                            F.col("exact_both")
+                            .cast("long")
+                            .alias("exact_cnt"),
+                            F.expr("(n_both * kmv_est) div n_in")
+                            .cast("long")
+                            .alias("kmv_est"),
+                        ),
+                    ),
                 )
             )
-        )
-        .select(
-            F.lit("I").alias("s"),
-            F.col("exact_i").alias("exact_cnt"),
-            # theta intersection: denominator is the RETAINED count
-            # n_in (= k at capacity), so full retention degrades
-            # gracefully to the exact intersection.
-            F.expr("(n_both * kmv_est) div n_in").alias("kmv_est"),
-        )
-    )
-    return (
-        est.select("s", "exact_cnt", "kmv_est")
-        .unionByName(inter)
-        .select(
-            F.col("s").alias("set_name"),
-            F.col("exact_cnt").cast("long").alias("exact_cnt"),
-            F.col("kmv_est").cast("long").alias("kmv_est"),
-            (
-                F.abs(F.col("kmv_est") - F.col("exact_cnt")) * 4
-                <= F.col("exact_cnt")
-            ).alias("est_within_25pct"),
-        )
-        .orderBy("set_name")
-    )
+        ).alias("r")
+    ).select("r.*")
+    return rows.select(
+        "set_name",
+        "exact_cnt",
+        "kmv_est",
+        (
+            F.abs(F.col("kmv_est") - F.col("exact_cnt")) * 4
+            <= F.col("exact_cnt")
+        ).alias("est_within_25pct"),
+    ).orderBy("set_name")
 
 
 # =====================================================================
