@@ -92,7 +92,10 @@ def sqlite_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("sqlite_py")
         .option("path", out_dir)
         .option("table", "orders")
-        .option("rows_per_partition", 1000)
+        # the JDBC-numPartitions-style knob: ~4k-row ranges keep
+        # task count sane from sf0.01 (6 shards x 1 range) through the
+        # 10x probe (375 ranges) - 1k ranges cost 1500 tasks there
+        .option("rows_per_partition", 4000)
         .load()
         .filter(F.col("k") > 7500)  # pushed into the sqlite WHERE
     )
