@@ -758,3 +758,107 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "purchase_ts_us", "view_ts_us")
     )
+
+
+# =====================================================================
+# Streaming CDC tail through the Python DataSource stream reader
+# =====================================================================
+
+_SQLITE_CDC_ORACLE = """
+    -- The incremental tail must be exactly-once: draining the shard
+    -- directory batch-by-batch (rowid high-water-mark offsets, 1000
+    -- rows/shard/batch) and aggregating the union of all micro-batches
+    -- must equal the batch aggregate of the parquet original - no
+    -- dropped ranges, no double reads at batch boundaries. The
+    -- multi_batch_replay flag pins that the replay really was
+    -- incremental (>= 2 non-empty micro-batches), not one big read.
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           TRUE AS multi_batch_replay
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "sqlite_cdc_streaming_tail",
+    _SQLITE_CDC_ORACLE,
+    "CDC-style STREAMING source through Spark 4's Python DataSource "
+    "stream-reader API (sources/sqlite_py.py _SQLiteStreamReader): "
+    "the SQLite shard directory is tailed incrementally - the offset "
+    "is a {shard -> last rowid} high-water-mark dict (the "
+    "JDBC/Debezium incremental contract, checkpointable by Spark), "
+    "each micro-batch plans one executor-side InputPartition per "
+    "shard for the newly appended rowid range, and a 1000-row/shard "
+    "rate limit forces a genuinely multi-batch replay. The appended "
+    "union of every micro-batch must aggregate EXACTLY to the batch "
+    "parquet twin (exactly-once: no dropped ranges, no boundary "
+    "double-reads), and multi_batch_replay pins >= 2 non-empty "
+    "batches from the query progress. Completes the connector "
+    "matrix: sqlite batch read/write + pushdown + now a streaming "
+    "reader; at scale the same reader tails any append-only "
+    "single-writer SQL store.",
+    tags=("streaming", "source", "round4"),
+)
+def sqlite_cdc_streaming_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import uuid
+
+    from ..sources.sqlite_py import register_sqlite_source, write_sqlite_shards
+
+    out_dir = os.path.join(_repo_root(), ".tmp_io", "cdc_sqlite")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    src = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+        .repartition(4)
+    )
+    write_sqlite_shards(src, out_dir, "orders").collect()
+
+    register_sqlite_source(spark)
+    name = f"cdc_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("sqlite_py_cdc")
+        .option("path", out_dir)
+        .option("table", "orders")
+        .option("rows_per_batch", 1000)
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = sum(
+            1 for p in q.recentProgress if p["numInputRows"] > 0
+        )
+    finally:
+        q.stop()
+    out = spark.table(name).cache()
+    out.count()
+    return (
+        out.groupBy(F.col("status").alias("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("price") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_price_cents"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+        .withColumn("multi_batch_replay", F.lit(n_batches >= 2))
+        .orderBy("o_orderstatus")
+    )

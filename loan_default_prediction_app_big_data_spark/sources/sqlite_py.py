@@ -221,6 +221,100 @@ try:  # pyspark.sql.datasource needs Spark 4; guard for bare tooling
         def reader(self, schema) -> DataSourceReader:
             return _SQLiteReader(schema, self.options)
 
+    from pyspark.sql.datasource import DataSourceStreamReader
+
+    class _CdcRange(InputPartition):
+        def __init__(self, path: str, lo: int, hi: int):
+            self.path = path
+            self.lo = lo  # exclusive
+            self.hi = hi  # inclusive
+
+    class _SQLiteStreamReader(DataSourceStreamReader):
+        """CDC-style incremental tail over the shard directory: each
+        micro-batch reads the rowid range newly appended since the
+        last offset, at most ``rows_per_batch`` rows per shard per
+        batch (the rate limit that forces multi-batch replays). The
+        offset is a JSON dict {shard file -> last rowid processed} —
+        the same high-water-mark contract a JDBC/Debezium-style
+        incremental source keeps, checkpointable by Spark."""
+
+        def __init__(self, schema, options):
+            self.path = options.get("path")
+            self.table = options.get("table")
+            self.rows_per_batch = int(options.get("rows_per_batch", 10_000))
+            self.columns = [f.name for f in schema.fields]
+            self._advanced: dict[str, int] | None = None
+
+        def initialOffset(self) -> dict:  # noqa: N802
+            return {
+                os.path.basename(p): 0 for p in list_shard_files(self.path)
+            }
+
+        def _max_rowids(self) -> dict:
+            out = {}
+            for p in list_shard_files(self.path):
+                with _ro_connect(p) as conn:
+                    (mx,) = conn.execute(
+                        f'SELECT coalesce(max(rowid), 0) FROM "{self.table}"'
+                    ).fetchone()
+                out[os.path.basename(p)] = mx
+            return out
+
+        def latestOffset(self) -> dict:  # noqa: N802
+            # Advance each shard's high-water mark by at most
+            # rows_per_batch per call — the planner turns each
+            # advance into one micro-batch, so a bounded table drains
+            # in ceil(rows/rows_per_batch) batches instead of one.
+            actual = self._max_rowids()
+            prev = self._advanced or {k: 0 for k in actual}
+            self._advanced = {
+                k: min(mx, prev.get(k, 0) + self.rows_per_batch)
+                for k, mx in actual.items()
+            }
+            return self._advanced
+
+        def partitions(self, start: dict, end: dict):
+            parts = []
+            for name, hi in end.items():
+                lo = start.get(name, 0)
+                if hi > lo:
+                    parts.append(
+                        _CdcRange(os.path.join(self.path, name), lo, hi)
+                    )
+            # a batch with no new rows still needs >= 1 (empty) split
+            return parts or [_CdcRange(list_shard_files(self.path)[0], 0, 0)]
+
+        def read(self, partition: _CdcRange) -> Iterator[tuple]:
+            if partition.hi <= partition.lo:
+                return
+            cols = ", ".join(f'"{c}"' for c in self.columns)
+            with _ro_connect(partition.path) as conn:
+                yield from conn.execute(
+                    f'SELECT {cols} FROM "{self.table}" '
+                    f"WHERE rowid > ? AND rowid <= ?",
+                    [partition.lo, partition.hi],
+                )
+
+        def commit(self, end: dict) -> None:
+            pass
+
+    class SQLiteStreamDataSource(DataSource):
+        """``spark.readStream.format("sqlite_py_cdc")`` — incremental
+        tail of a SQLite shard directory (batch schema introspection,
+        streaming rowid high-water-mark offsets)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "sqlite_py_cdc"
+
+        def schema(self) -> str:
+            return table_schema_ddl(
+                self.options.get("path"), self.options.get("table")
+            )
+
+        def streamReader(self, schema) -> DataSourceStreamReader:  # noqa: N802
+            return _SQLiteStreamReader(schema, self.options)
+
     HAVE_DATASOURCE_API = True
 except ImportError:  # pragma: no cover
     HAVE_DATASOURCE_API = False
@@ -232,6 +326,7 @@ def register_sqlite_source(spark) -> None:
     if HAVE_DATASOURCE_API:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
         spark.dataSource.register(SQLiteDataSource)
+        spark.dataSource.register(SQLiteStreamDataSource)
 
 
 def write_sqlite_shards(df, out_dir: str, table: str):

@@ -148,3 +148,103 @@ def test_writer_rejects_unsupported_types(spark):
 
 def test_datasource_api_available():
     assert HAVE_DATASOURCE_API
+
+
+# ------------------------------------------------------ streaming CDC
+
+
+def test_stream_reader_offset_advances_by_rate_limit(shard_dir):
+    from pyspark.sql.types import StructType
+
+    from loan_default_prediction_app_big_data_spark.sources.sqlite_py import (
+        _SQLiteStreamReader,
+    )
+
+    schema = StructType.fromDDL(table_schema_ddl(shard_dir, "t"))
+    r = _SQLiteStreamReader(
+        schema, {"path": shard_dir, "table": "t", "rows_per_batch": 50}
+    )
+    start = r.initialOffset()
+    assert set(start.values()) == {0}
+    o1 = r.latestOffset()
+    assert all(v <= 50 for v in o1.values())  # rate limit respected
+    o2 = r.latestOffset()
+    assert all(o2[k] >= o1[k] for k in o1)  # monotone high-water marks
+    # draining: offsets eventually reach the true max and stop moving
+    for _ in range(10):
+        last = r.latestOffset()
+    assert r.latestOffset() == last
+
+
+def test_stream_reader_ranges_are_exactly_once(shard_dir):
+    from pyspark.sql.types import StructType
+
+    from loan_default_prediction_app_big_data_spark.sources.sqlite_py import (
+        _SQLiteStreamReader,
+    )
+
+    schema = StructType.fromDDL(table_schema_ddl(shard_dir, "t"))
+    r = _SQLiteStreamReader(
+        schema, {"path": shard_dir, "table": "t", "rows_per_batch": 40}
+    )
+    seen: list[int] = []
+    prev = r.initialOffset()
+    for _ in range(20):
+        nxt = r.latestOffset()
+        for p in r.partitions(prev, nxt):
+            seen.extend(row[0] for row in r.read(p))
+        prev = nxt
+    # every key exactly once across all micro-batches
+    assert sorted(seen) == list(range(500))
+
+
+def test_stream_picks_up_rows_appended_after_first_drain(spark, tmp_path):
+    import uuid
+
+    from pyspark.sql import functions as FF
+
+    from loan_default_prediction_app_big_data_spark.sources.sqlite_py import (
+        write_sqlite_shards,
+    )
+
+    out = str(tmp_path / "cdc")
+    df = spark.range(0, 100, 1, 2).select(
+        F.col("id").alias("k"), (F.col("id") * 2).cast("double").alias("v")
+    )
+    write_sqlite_shards(df, out, "t").collect()
+
+    register_sqlite_source(spark)
+    name = f"cdctest_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("sqlite_py_cdc")
+        .option("path", out)
+        .option("table", "t")
+        .option("rows_per_batch", 30)
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table(name).count() == 100
+        # live append: new rows written AFTER the first drain are
+        # picked up by the tail - the CDC contract
+        shard = sorted(
+            f for f in os.listdir(out) if f.endswith(".db")
+        )[0]
+        with sqlite3.connect(os.path.join(out, shard)) as conn:
+            conn.executemany(
+                "INSERT INTO t VALUES (?, ?)",
+                [(1000 + i, float(i)) for i in range(25)],
+            )
+            conn.commit()
+        q.processAllAvailable()
+        got = spark.table(name)
+        assert got.count() == 125
+        assert (
+            got.filter(FF.col("k") >= 1000).count() == 25
+        )
+    finally:
+        q.stop()
