@@ -862,3 +862,117 @@ def sqlite_cdc_streaming_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("multi_batch_replay", F.lit(n_batches >= 2))
         .orderBy("o_orderstatus")
     )
+
+
+# =====================================================================
+# Streaming sink: exactly-once transactional shard commits
+# =====================================================================
+
+_SQLITE_SINK_ORACLE = """
+    -- Four connector legs chained: distributed batch write ->
+    -- CDC streaming read (multi-batch) -> transactional streaming
+    -- sink (stage + rename-on-commit per batchId) -> batch pushdown
+    -- read. The final aggregate must equal the parquet original under
+    -- the same predicate: any dropped/duplicated micro-batch, staged
+    -- file leak, or boundary error breaks the hash.
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    WHERE o_orderkey > 3000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "sqlite_streaming_sink_roundtrip",
+    _SQLITE_SINK_ORACLE,
+    "Transactional STREAMING SINK through Spark 4's Python "
+    "DataSourceStreamWriter (sources/sqlite_py.py "
+    "_SQLiteStreamWriter): every task stages its micro-batch "
+    "partition as a .db.tmp file and the driver-side commit renames "
+    "the batch's files into place after clearing any prior attempt "
+    "of the same batchId - the stage/rename-on-commit, "
+    "delete-on-abort protocol of a transactional file sink, giving "
+    "exactly-once output under retries. The query chains the FULL "
+    "connector matrix: distributed batch write -> CDC streaming "
+    "read (rate-limited to multiple micro-batches) -> streaming "
+    "sink -> batch pushdown read (o_orderkey > 3000 into the sqlite "
+    "WHERE) -> aggregate, which must hash-equal the parquet "
+    "original. Checkpointed like any production sink; temp IO under "
+    ".tmp_io.",
+    tags=("streaming", "sink", "source", "round4"),
+)
+def sqlite_streaming_sink_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from ..sources.sqlite_py import register_sqlite_source, write_sqlite_shards
+
+    base = os.path.join(_repo_root(), ".tmp_io")
+    src_dir = os.path.join(base, "cdc_sink_src")
+    out_dir = os.path.join(base, "cdc_sink_out")
+    ckpt = os.path.join(base, "cdc_sink_ckpt")
+    for d in (src_dir, out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    src = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+        .repartition(4)
+    )
+    write_sqlite_shards(src, src_dir, "orders").collect()
+
+    register_sqlite_source(spark)
+    q = (
+        spark.readStream.format("sqlite_py_cdc")
+        .option("path", src_dir)
+        .option("table", "orders")
+        .option("rows_per_batch", 1500)
+        .load()
+        .writeStream.format("sqlite_py_sink")
+        .option("path", out_dir)
+        .option("table", "orders")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    back = (
+        spark.read.format("sqlite_py")
+        .option("path", out_dir)
+        .option("table", "orders")
+        .option("rows_per_partition", 4000)
+        .load()
+        .filter(F.col("k") > 3000)  # pushed into the sqlite WHERE
+    )
+    result = (
+        back.groupBy(F.col("status").alias("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("price") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_price_cents"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    # materialize before the checkpoint dir is torn down by reruns
+    result = result.cache()
+    result.count()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result

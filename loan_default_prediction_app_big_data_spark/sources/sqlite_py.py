@@ -315,6 +315,104 @@ try:  # pyspark.sql.datasource needs Spark 4; guard for bare tooling
         def streamReader(self, schema) -> DataSourceStreamReader:  # noqa: N802
             return _SQLiteStreamReader(schema, self.options)
 
+    from pyspark.sql.datasource import (
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    class _ShardCommit(WriterCommitMessage):
+        def __init__(self, tmp_name, n_rows):
+            self.tmp_name = tmp_name
+            self.n_rows = n_rows
+
+    class _SQLiteStreamWriter(DataSourceStreamWriter):
+        """EXACTLY-ONCE streaming sink: each task stages its
+        micro-batch partition into a ``.db.tmp`` file; the driver-side
+        ``commit`` renames the batch's staged files to
+        ``batch<id>-<seq>.db`` after first deleting any files a prior
+        attempt of the SAME batchId left behind, so a replayed batch
+        overwrites rather than duplicates — the rename-on-commit /
+        delete-on-abort protocol every transactional file sink uses."""
+
+        def __init__(self, schema, options):
+            self.path = options["path"]
+            self.table = options.get("table", "t")
+            self.fields = [
+                (f.name, f.dataType.simpleString()) for f in schema.fields
+            ]
+            for name, typ in self.fields:
+                if typ not in _SPARK_TO_SQLITE:
+                    raise ValueError(
+                        f"sqlite_py sink: unsupported column type {typ} "
+                        f"for {name}"
+                    )
+
+        def write(self, iterator) -> "_ShardCommit":
+            import uuid as _uuid
+
+            from pyspark import TaskContext
+
+            os.makedirs(self.path, exist_ok=True)
+            pid = TaskContext.get().partitionId()
+            rows = [tuple(row) for row in iterator]
+            if not rows:
+                return _ShardCommit(None, 0)
+            tmp = os.path.join(
+                self.path,
+                f"stage-{_uuid.uuid4().hex[:12]}-p{pid:05d}.db.tmp",
+            )
+            decls = ", ".join(
+                f'"{n}" {_SPARK_TO_SQLITE[t]}' for n, t in self.fields
+            )
+            conn = sqlite3.connect(tmp)
+            try:
+                conn.execute(f'CREATE TABLE "{self.table}" ({decls})')
+                conn.executemany(
+                    f'INSERT INTO "{self.table}" VALUES '
+                    f'({", ".join("?" * len(self.fields))})',
+                    rows,
+                )
+                conn.commit()
+            finally:
+                conn.close()
+            return _ShardCommit(os.path.basename(tmp), len(rows))
+
+        def commit(self, messages, batchId) -> None:  # noqa: N802
+            # idempotent re-commit: clear any prior attempt's output
+            prefix = f"batch{batchId:010d}-"
+            for f in os.listdir(self.path):
+                if f.startswith(prefix) and f.endswith(".db"):
+                    os.remove(os.path.join(self.path, f))
+            seq = 0
+            for m in messages:
+                if m is None or m.tmp_name is None:
+                    continue
+                os.rename(
+                    os.path.join(self.path, m.tmp_name),
+                    os.path.join(self.path, f"{prefix}{seq:05d}.db"),
+                )
+                seq += 1
+
+        def abort(self, messages, batchId) -> None:
+            for m in messages:
+                if m is not None and m.tmp_name is not None:
+                    try:
+                        os.remove(os.path.join(self.path, m.tmp_name))
+                    except FileNotFoundError:
+                        pass
+
+    class SQLiteSinkDataSource(DataSource):
+        """``df.writeStream.format("sqlite_py_sink").option("path", d)
+        .option("table", t)`` — transactional SQLite shard sink; read
+        the directory back with the batch ``sqlite_py`` source."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "sqlite_py_sink"
+
+        def streamWriter(self, schema, overwrite):  # noqa: N802
+            return _SQLiteStreamWriter(schema, self.options)
+
     HAVE_DATASOURCE_API = True
 except ImportError:  # pragma: no cover
     HAVE_DATASOURCE_API = False
@@ -327,6 +425,7 @@ def register_sqlite_source(spark) -> None:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
         spark.dataSource.register(SQLiteDataSource)
         spark.dataSource.register(SQLiteStreamDataSource)
+        spark.dataSource.register(SQLiteSinkDataSource)
 
 
 def write_sqlite_shards(df, out_dir: str, table: str):

@@ -248,3 +248,76 @@ def test_stream_picks_up_rows_appended_after_first_drain(spark, tmp_path):
         )
     finally:
         q.stop()
+
+
+# ------------------------------------------------- streaming sink
+
+
+def test_sink_commit_is_idempotent_per_batch(spark, tmp_path):
+    """A replayed batchId must overwrite, not duplicate (the
+    exactly-once contract of the rename-on-commit protocol)."""
+    from pyspark.sql.types import StructType
+
+    from loan_default_prediction_app_big_data_spark.sources.sqlite_py import (
+        _ShardCommit,
+        _SQLiteStreamWriter,
+    )
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    schema = StructType.fromDDL("k bigint, v double")
+    w = _SQLiteStreamWriter(schema, {"path": out, "table": "t"})
+
+    def stage(n):
+        p = os.path.join(out, f"stage-test-{n}.db.tmp")
+        with sqlite3.connect(p) as conn:
+            conn.execute("CREATE TABLE t (k BIGINT, v DOUBLE)")
+            conn.executemany(
+                "INSERT INTO t VALUES (?, ?)", [(i, 0.0) for i in range(n)]
+            )
+            conn.commit()
+        return _ShardCommit(os.path.basename(p), n)
+
+    w.commit([stage(5), stage(7)], batchId=3)
+    first = sorted(f for f in os.listdir(out) if f.endswith(".db"))
+    assert first == ["batch0000000003-00000.db", "batch0000000003-00001.db"]
+    # replay of the same batch with different content: old files gone
+    w.commit([stage(9)], batchId=3)
+    again = sorted(f for f in os.listdir(out) if f.endswith(".db"))
+    assert again == ["batch0000000003-00000.db"]
+    with sqlite3.connect(os.path.join(out, again[0])) as conn:
+        (n,) = conn.execute("SELECT count(*) FROM t").fetchone()
+    assert n == 9
+    # no staged leftovers
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+
+def test_sink_abort_removes_staged_files(spark, tmp_path):
+    from pyspark.sql.types import StructType
+
+    from loan_default_prediction_app_big_data_spark.sources.sqlite_py import (
+        _ShardCommit,
+        _SQLiteStreamWriter,
+    )
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    schema = StructType.fromDDL("k bigint")
+    w = _SQLiteStreamWriter(schema, {"path": out, "table": "t"})
+    p = os.path.join(out, "stage-x.db.tmp")
+    open(p, "wb").close()
+    w.abort([_ShardCommit("stage-x.db.tmp", 1), None], batchId=0)
+    assert not os.listdir(out)
+
+
+def test_sink_rejects_unsupported_types(spark, tmp_path):
+    from pyspark.sql.types import StructType
+
+    from loan_default_prediction_app_big_data_spark.sources.sqlite_py import (
+        _SQLiteStreamWriter,
+    )
+
+    with pytest.raises(ValueError, match="unsupported column type"):
+        _SQLiteStreamWriter(
+            StructType.fromDDL("ts timestamp"), {"path": str(tmp_path)}
+        )
