@@ -401,10 +401,46 @@ try:  # pyspark.sql.datasource needs Spark 4; guard for bare tooling
                     except FileNotFoundError:
                         pass
 
+    from pyspark.sql.datasource import DataSourceWriter
+
+    class _SQLiteBatchWriter(DataSourceWriter):
+        """Batch form of the same transactional protocol: stage per
+        task, rename on the driver-side commit. ``mode("overwrite")``
+        clears previously committed shards atomically at commit time;
+        append adds a new commit generation."""
+
+        def __init__(self, schema, options, overwrite: bool):
+            self._stream = _SQLiteStreamWriter(schema, options)
+            self.path = self._stream.path
+            self.overwrite = overwrite
+
+        def write(self, iterator):
+            return self._stream.write(iterator)
+
+        def commit(self, messages) -> None:
+            gens = [
+                int(f.split("-")[0][5:])
+                for f in os.listdir(self.path)
+                if f.startswith("batch") and f.endswith(".db")
+            ]
+            if self.overwrite:
+                for f in list(os.listdir(self.path)):
+                    if f.startswith("batch") and f.endswith(".db"):
+                        os.remove(os.path.join(self.path, f))
+                gen = 0
+            else:
+                gen = max(gens, default=-1) + 1
+            self._stream.commit(messages, batchId=gen)
+
+        def abort(self, messages) -> None:
+            self._stream.abort(messages, batchId=0)
+
     class SQLiteSinkDataSource(DataSource):
         """``df.writeStream.format("sqlite_py_sink").option("path", d)
-        .option("table", t)`` — transactional SQLite shard sink; read
-        the directory back with the batch ``sqlite_py`` source."""
+        .option("table", t)`` — transactional SQLite shard sink (also
+        implements the BATCH writer, so ``df.write.format(
+        "sqlite_py_sink").mode("overwrite").save()`` works); read the
+        directory back with the batch ``sqlite_py`` source."""
 
         @classmethod
         def name(cls) -> str:
@@ -412,6 +448,9 @@ try:  # pyspark.sql.datasource needs Spark 4; guard for bare tooling
 
         def streamWriter(self, schema, overwrite):  # noqa: N802
             return _SQLiteStreamWriter(schema, self.options)
+
+        def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+            return _SQLiteBatchWriter(schema, self.options, overwrite)
 
     HAVE_DATASOURCE_API = True
 except ImportError:  # pragma: no cover

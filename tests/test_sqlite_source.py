@@ -321,3 +321,47 @@ def test_sink_rejects_unsupported_types(spark, tmp_path):
         _SQLiteStreamWriter(
             StructType.fromDDL("ts timestamp"), {"path": str(tmp_path)}
         )
+
+
+def test_batch_writer_roundtrip_and_overwrite(spark, tmp_path):
+    out = str(tmp_path / "bw")
+    register_sqlite_source(spark)
+    df = spark.range(0, 200, 1, 3).select(
+        F.col("id").alias("k"), (F.col("id") % 9).cast("double").alias("v")
+    )
+    (
+        df.write.format("sqlite_py_sink")
+        .option("path", out)
+        .option("table", "t")
+        .mode("append")
+        .save()
+    )
+    def back():
+        # file listing is plan-time metadata (like a parquet listing):
+        # re-load after each write
+        return (
+            spark.read.format("sqlite_py")
+            .option("path", out)
+            .option("table", "t")
+            .load()
+        )
+
+    assert back().count() == 200
+    # append mode adds a second commit generation
+    df.limit(0).union(spark.range(200, 250).select(
+        F.col("id").alias("k"), F.lit(0.0).alias("v")
+    )).write.format("sqlite_py_sink").option("path", out).option(
+        "table", "t"
+    ).mode("append").save()
+    assert back().count() == 250
+    # overwrite clears every committed generation
+    (
+        spark.range(0, 10)
+        .select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+        .write.format("sqlite_py_sink")
+        .option("path", out)
+        .option("table", "t")
+        .mode("overwrite")
+        .save()
+    )
+    assert back().count() == 10
