@@ -976,3 +976,107 @@ def sqlite_streaming_sink_roundtrip(
     result.count()
     shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+# =====================================================================
+# Local differential privacy: randomized response
+# =====================================================================
+
+_DP_RR_ORACLE = """
+    -- Warner's randomized response (1965), the canonical local-DP
+    -- mechanism at epsilon = ln 3: each record reports its true bit
+    -- with prob 3/4 and the flipped bit with prob 1/4, so the curator
+    -- never holds an individual's true value, yet the de-biased
+    -- aggregate S_hat = (4R - n)/2 is unbiased. The coin is the
+    -- engine-independent congruence (ck * 2654435761) % 4 = 0 (the
+    -- same derandomized-mechanism pattern as the codec/bootstrap
+    -- queries), so the oracle replays every flip and the driver hash
+    -- checks mechanism, estimator, and realized error exactly.
+    WITH c AS MATERIALIZED (
+        SELECT n_name,
+               CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END AS b,
+               CASE WHEN (c_custkey * 2654435761) % 4 = 0 THEN 1 ELSE 0 END
+                   AS flip
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ),
+    rr AS (
+        SELECT n_name, b,
+               CASE WHEN flip = 1 THEN 1 - b ELSE b END AS r
+        FROM c
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(b) AS BIGINT) AS true_cnt,
+           CAST(sum(r) AS BIGINT) AS reported_cnt,
+           round((4.0 * sum(r) - count(*)) / 2.0, 1) AS debiased_est,
+           CAST(abs(4 * sum(r) - count(*) - 2 * sum(b)) AS BIGINT)
+               AS abs_err_x2,
+           round(ln(3), 6) AS epsilon
+    FROM rr
+    GROUP BY n_name
+    ORDER BY n_name
+"""
+
+
+@register(
+    "dp_randomized_response",
+    _DP_RR_ORACLE,
+    "LOCAL differential privacy via Warner's randomized response "
+    "(epsilon = ln 3): the high-balance bit of every customer is "
+    "flipped with probability 1/4 BEFORE aggregation - the "
+    "per-record privatization a trusted-curator Laplace mechanism "
+    "cannot give - then the per-nation count is de-biased with the "
+    "exact rational estimator S_hat = (4R - n)/2 (halves are exact "
+    "doubles, so the hash is safe). The coin is a deterministic "
+    "congruence, making the whole mechanism replayable by the "
+    "oracle: flips, reported counts, estimator, and realized "
+    "absolute error (x2, integer) all hash-match. Scale shape: the "
+    "flip is a map-side expression, the nation dim broadcasts, one "
+    "partial-combined groupBy - indistinguishable from any other "
+    "aggregate at 100 TB. Completes the governance tier "
+    "(k-anonymity audit, PII redaction) with a release mechanism.",
+    tags=("governance", "privacy", "aggregation", "round4"),
+)
+def dp_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    c = cust.join(
+        F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select(
+        "n_name",
+        F.when(F.col("c_acctbal") > 5000, 1).otherwise(0).alias("b"),
+        F.when((F.col("c_custkey") * 2654435761) % 4 == 0, 1)
+        .otherwise(0)
+        .alias("flip"),
+    )
+    rr = c.select(
+        "n_name",
+        "b",
+        F.when(F.col("flip") == 1, 1 - F.col("b"))
+        .otherwise(F.col("b"))
+        .alias("r"),
+    )
+    return (
+        rr.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("b").cast("long").alias("true_cnt"),
+            F.sum("r").cast("long").alias("reported_cnt"),
+        )
+        .select(
+            "n_name",
+            "n",
+            "true_cnt",
+            "reported_cnt",
+            F.round(
+                (4.0 * F.col("reported_cnt") - F.col("n")) / 2.0, 1
+            ).alias("debiased_est"),
+            F.abs(
+                4 * F.col("reported_cnt") - F.col("n") - 2 * F.col("true_cnt")
+            )
+            .cast("long")
+            .alias("abs_err_x2"),
+            F.round(F.log(F.lit(3.0)), 6).alias("epsilon"),
+        )
+        .orderBy("n_name")
+    )

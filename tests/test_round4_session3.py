@@ -226,3 +226,33 @@ def test_streaming_left_outer_null_rows_respect_watermark(spark, sf_smoke):
     assert nulls, "replay should produce null-extended rows"
     for r in nulls:
         assert r.purchase_ts_us // 1000 < w_ms
+
+
+# ---------------------------------------------------------- local DP
+
+
+def test_dp_randomized_response_estimator_unbiased_shape(spark, sf_smoke):
+    rows = _run(spark, "dp_randomized_response", sf_smoke).collect()
+    assert rows
+    for r in rows:
+        # estimator identity: debiased = (4R - n) / 2 exactly
+        assert r.debiased_est == (4 * r.reported_cnt - r.n) / 2.0
+        assert r.abs_err_x2 == abs(
+            4 * r.reported_cnt - r.n - 2 * r.true_cnt
+        )
+        assert abs(r.epsilon - 1.098612) < 1e-9
+    # flips actually happened somewhere (reported != true overall)
+    assert any(r.reported_cnt != r.true_cnt for r in rows)
+
+
+def test_dp_randomized_response_error_concentrates(spark, sf_dir):
+    import math
+
+    rows = _run(spark, "dp_randomized_response", sf_dir).collect()
+    # RR noise per group has std ~ sqrt(n): the realized (and, with the
+    # congruence coin, deterministic) per-nation error must sit inside
+    # a 2*sqrt(n) envelope summed over nations - tiny fixture groups
+    # make a relative bound meaningless, the sqrt scale is the claim
+    cap = sum(2 * math.sqrt(r.n) for r in rows)
+    tot_err = sum(r.abs_err_x2 for r in rows) / 2
+    assert tot_err <= cap
