@@ -1080,3 +1080,90 @@ def dp_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# =====================================================================
+# SQL procedural scripting: iterative bisection in pure SQL
+# =====================================================================
+
+_SCRIPTING_MEDIAN_ORACLE = """
+    -- The script's loop bisects the VALUE domain: the lower median is
+    -- the smallest cents value whose cumulative count reaches
+    -- ceil(n/2). The oracle computes the same order statistic by rank.
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    r AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents) AS rn,
+               count(*) OVER () AS n
+        FROM c
+    )
+    SELECT CAST(cents AS BIGINT) AS median_cents,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST((n + 1) // 2 AS BIGINT) AS target_rank
+    FROM r WHERE rn = (n + 1) // 2
+"""
+
+
+@register(
+    "sql_scripting_median_bisection",
+    _SCRIPTING_MEDIAN_ORACLE,
+    "SQL PROCEDURAL SCRIPTING (Spark 4 BEGIN/DECLARE/WHILE/IF, "
+    "spark.sql.scripting.enabled): the exact lower median of order "
+    "totals in cents found by bisecting the VALUE domain - each loop "
+    "iteration is one narrow count(*) WHERE cents <= mid aggregate, "
+    "so the pass count is log2(value range) (~26 here) INDEPENDENT "
+    "of row count, and no sort/rank shuffle ever materializes the "
+    "full ordering. That is the scripting trade-off at 100 TB: "
+    "log(V) cheap scans (each pushdown-friendly and "
+    "partial-aggregated) versus one rank shuffle of every row; for "
+    "a fixed-precision domain the scans win whenever the sort would "
+    "spill. The oracle computes the same order statistic by rank; "
+    "driver-hash equality proves the script's loop, conditionals, "
+    "and session-variable updates execute correctly.",
+    tags=("scripting", "aggregation", "round4"),
+)
+def sql_scripting_median_bisection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    prev = spark.conf.get("spark.sql.scripting.enabled", "false")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents")
+    ).createOrReplaceTempView("_script_cents")
+    script = """
+    BEGIN
+      DECLARE lo BIGINT;
+      DECLARE hi BIGINT;
+      DECLARE mid BIGINT;
+      DECLARE n BIGINT;
+      DECLARE target BIGINT;
+      DECLARE c BIGINT;
+      SET lo = (SELECT min(cents) - 1 FROM _script_cents);
+      SET hi = (SELECT max(cents) FROM _script_cents);
+      SET n = (SELECT count(*) FROM _script_cents);
+      SET target = (n + 1) DIV 2;
+      WHILE hi - lo > 1 DO
+        SET mid = (lo + hi) DIV 2;
+        SET c = (SELECT count(*) FROM _script_cents WHERE cents <= mid);
+        IF c >= target THEN
+          SET hi = mid;
+        ELSE
+          SET lo = mid;
+        END IF;
+      END WHILE;
+      SELECT hi AS median_cents, n AS n_rows, target AS target_rank;
+    END
+    """
+    try:
+        out = spark.sql(script)
+        # materialize inside the enabled-config scope
+        out = out.cache()
+        out.count()
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", prev)
+    return out

@@ -256,3 +256,18 @@ def test_dp_randomized_response_error_concentrates(spark, sf_dir):
     cap = sum(2 * math.sqrt(r.n) for r in rows)
     tot_err = sum(r.abs_err_x2 for r in rows) / 2
     assert tot_err <= cap
+
+
+# ------------------------------------------------------ SQL scripting
+
+
+def test_sql_scripting_median_equals_sorted_median(spark, sf_smoke):
+    row = _run(spark, "sql_scripting_median_bisection", sf_smoke).collect()[0]
+    cents = sorted(
+        r.c
+        for r in spark.read.parquet(f"{sf_smoke}/orders.parquet")
+        .select(F.round(F.col("o_totalprice") * 100).cast("long").alias("c"))
+        .collect()
+    )
+    assert row.n_rows == len(cents)
+    assert row.median_cents == cents[(len(cents) + 1) // 2 - 1]
