@@ -171,7 +171,12 @@ _DRIVER_PRIORITY: list[str] = [
     # the whole estimator), count_min_point_queries,
     # bloom_filter_join_prune, session_window_dynamic_gap (per-event
     # gap expression), streaming_left_outer_join (watermark-gated
-    # NULL extension) — then the earlier round-4 additions —
+    # NULL extension), sqlite_cdc_streaming_tail (Python DataSource
+    # stream reader, high-water-mark offsets),
+    # sqlite_streaming_sink_roundtrip (transactional stream sink,
+    # full connector matrix), dp_randomized_response (local-DP
+    # release, congruence-replayable), sql_scripting_median_bisection
+    # (Spark 4 procedural SQL) — then the earlier round-4 additions —
     # image_decode_stats / audio_decode_stats / video_decode_stats /
     # image_resize_stats (real BMP+PPM / WAV / Y4M codecs + integer
     # nearest-neighbor resize), avro_source_roundtrip (pure-Python
