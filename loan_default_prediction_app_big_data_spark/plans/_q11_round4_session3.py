@@ -823,15 +823,22 @@ def sqlite_cdc_streaming_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(4)
     )
+    n_src = src.count()
     write_sqlite_shards(src, out_dir, "orders").collect()
 
     register_sqlite_source(spark)
     name = f"cdc_{uuid.uuid4().hex[:8]}"
+    # Rate-limit scaled to the input so the replay is ~6 micro-batches
+    # at ANY sf. A fixed 1000/shard was wrong at both ends: 38 batches
+    # at sf0.1 (each paying Python DataSource planning overhead) and a
+    # SINGLE batch at sf0.001 (375 rows/shard < 1000), which broke the
+    # multi_batch_replay=TRUE oracle contract at the smallest sf.
+    rate = max(1, n_src // (4 * 6))
     stream = (
         spark.readStream.format("sqlite_py_cdc")
         .option("path", out_dir)
         .option("table", "orders")
-        .option("rows_per_batch", 1000)
+        .option("rows_per_batch", rate)
         .load()
     )
     q = (
@@ -930,14 +937,19 @@ def sqlite_streaming_sink_roundtrip(
         )
         .repartition(4)
     )
+    n_src = src.count()
     write_sqlite_shards(src, src_dir, "orders").collect()
 
     register_sqlite_source(spark)
+    # Size-scaled rate limit (see sqlite_cdc_streaming_tail): ~6
+    # micro-batches per shard at any sf instead of 25+ at sf0.1 or a
+    # replay-defeating single batch at sf0.001.
+    rate = max(1, n_src // (4 * 6))
     q = (
         spark.readStream.format("sqlite_py_cdc")
         .option("path", src_dir)
         .option("table", "orders")
-        .option("rows_per_batch", 1500)
+        .option("rows_per_batch", rate)
         .load()
         .writeStream.format("sqlite_py_sink")
         .option("path", out_dir)
