@@ -1,0 +1,605 @@
+"""Round-4 session-4 additions: storage-layout, geospatial, and
+sequential time-series tiers.
+
+Registration ORDER is part of the driver contract - segments are
+imported by the facade in fixed sequence; do not reorder.
+"""
+
+from __future__ import annotations
+
+import os
+
+from ._core import F, SparkSession, DataFrame, register, t
+
+
+def _repo_root() -> str:
+    return os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+
+# =====================================================================
+# Storage layout: Z-order clustering, engine-independent prune math
+# =====================================================================
+
+def _morton16(p: str, s: str) -> str:
+    """16-bit Morton interleave of two 8-bit columns — identical text
+    in Spark SQL and DuckDB (only >> << & +)."""
+    terms = [f"((({p} >> {i}) & 1) << {2 * i + 1})" for i in range(8)]
+    terms += [f"((({s} >> {i}) & 1) << {2 * i})" for i in range(8)]
+    return "(" + " + ".join(terms) + ")"
+
+
+_ZORDER_ORACLE = f"""
+    -- Replays the engine's Z-order layout math end to end: normalize
+    -- l_partkey/l_suppkey to 8-bit grids (pure integer multiply +
+    -- floor-divide; floats never appear), Morton-interleave to the
+    -- 16-bit z key, and map rows to 64 "files" by the top 6 z bits
+    -- (z >> 10) vs the row-major linear layout ((pn << 8) + sn) >> 10.
+    -- The structural claims the hash then falsifies: a box predicate
+    -- fixing the top 3 bits of BOTH dims touches at most as many
+    -- z-files as linear files, and a band on the NON-leading dim
+    -- touches <= 8 z-files (its 3 high bits are pinned; only the other
+    -- dim's 3 interleaved bits roam) while the linear layout can touch
+    -- all 64. That inequality is the whole reason Z-order exists.
+    WITH st AS MATERIALIZED (
+        SELECT min(l_partkey) AS plo, max(l_partkey) AS phi,
+               min(l_suppkey) AS slo, max(l_suppkey) AS shi
+        FROM lineitem
+    ),
+    n AS MATERIALIZED (
+        SELECT ((l_partkey - plo) * 255) // GREATEST(phi - plo, 1) AS pn,
+               ((l_suppkey - slo) * 255) // GREATEST(shi - slo, 1) AS sn,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem, st
+    ),
+    z AS MATERIALIZED (
+        SELECT pn, sn, cents,
+               {_morton16('pn', 'sn')} AS z,
+               ((pn << 8) + sn) AS lin
+        FROM n
+    ),
+    a AS (
+        SELECT
+          count(*) FILTER (pn BETWEEN 96 AND 111
+                           AND sn BETWEEN 96 AND 111) AS n_box,
+          coalesce(sum(cents) FILTER (pn BETWEEN 96 AND 111
+                                      AND sn BETWEEN 96 AND 111), 0)
+              AS sum_cents_box,
+          count(DISTINCT CASE WHEN pn BETWEEN 96 AND 111
+                               AND sn BETWEEN 96 AND 111
+                              THEN z >> 10 END) AS z_files_box,
+          count(DISTINCT CASE WHEN pn BETWEEN 96 AND 111
+                               AND sn BETWEEN 96 AND 111
+                              THEN lin >> 10 END) AS lin_files_box,
+          count(DISTINCT (z >> 10)) AS files_total_z,
+          count(DISTINCT CASE WHEN sn BETWEEN 96 AND 111
+                              THEN z >> 10 END) AS z_files_band,
+          count(DISTINCT CASE WHEN sn BETWEEN 96 AND 111
+                              THEN lin >> 10 END) AS lin_files_band
+        FROM z
+    )
+    SELECT CAST(n_box AS BIGINT) AS n_box,
+           CAST(sum_cents_box AS BIGINT) AS sum_cents_box,
+           CAST(z_files_box AS BIGINT) AS z_files_box,
+           CAST(lin_files_box AS BIGINT) AS lin_files_box,
+           CAST(files_total_z AS BIGINT) AS files_total_z,
+           CAST(z_files_band AS BIGINT) AS z_files_band,
+           CAST(lin_files_band AS BIGINT) AS lin_files_band,
+           z_files_box <= lin_files_box AS box_z_at_most_lin,
+           z_files_band <= 8 AS band_z_at_most_8
+    FROM a
+"""
+
+
+@register(
+    "zorder_pruning_stats",
+    _ZORDER_ORACLE,
+    "Z-order (Morton) clustering effectiveness, measured in an engine-"
+    "independent way (sources/layout.py zorder_key / write_zordered is "
+    "the physical write path; tests/test_layout.py pins the real "
+    "directory-pruned scan). Each lineitem row is normalized to an "
+    "8-bit grid per dimension with PURE INTEGER math ((v-lo)*255 div "
+    "span - no floats anywhere), Morton-interleaved to a 16-bit z key, "
+    "and assigned to one of 64 files by its top 6 z bits; the same "
+    "rows are also assigned row-major linear files ((pn<<8)+sn)>>10. "
+    "A 16/256 box predicate on both dims then touches exactly 1 "
+    "z-octant but ~4 linear files, and a band on the NON-leading dim "
+    "touches <= 8 z-files (structural: its 3 high bits are pinned in "
+    "the interleave) vs up to all 64 linear files - the min/max-stats "
+    "pruning asymmetry that justifies Z-order at 100 TB. The driver "
+    "hash checks the full math: grid normalization, interleave, file "
+    "assignment, matched-row cents, and both structural booleans.",
+    tags=("layout", "round4"),
+)
+def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    st = li.agg(
+        F.min("l_partkey").alias("plo"), F.max("l_partkey").alias("phi"),
+        F.min("l_suppkey").alias("slo"), F.max("l_suppkey").alias("shi"),
+    ).first()
+    pspan = max(st["phi"] - st["plo"], 1)
+    sspan = max(st["shi"] - st["slo"], 1)
+    z = li.select(
+        F.expr(f"((l_partkey - {st['plo']}) * 255) div {pspan}").alias("pn"),
+        F.expr(f"((l_suppkey - {st['slo']}) * 255) div {sspan}").alias("sn"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    ).select(
+        "pn", "sn", "cents",
+        F.expr(_morton16("pn", "sn")).alias("z"),
+        F.expr("(pn << 8) + sn").alias("lin"),
+    )
+    box = (F.col("pn").between(96, 111)) & (F.col("sn").between(96, 111))
+    band = F.col("sn").between(96, 111)
+    a = z.agg(
+        F.count(F.when(box, 1)).alias("n_box"),
+        F.coalesce(F.sum(F.when(box, F.col("cents"))), F.lit(0))
+        .cast("long").alias("sum_cents_box"),
+        F.countDistinct(F.when(box, F.expr("z >> 10"))).alias("z_files_box"),
+        F.countDistinct(F.when(box, F.expr("lin >> 10"))).alias("lin_files_box"),
+        F.countDistinct(F.expr("z >> 10")).alias("files_total_z"),
+        F.countDistinct(F.when(band, F.expr("z >> 10"))).alias("z_files_band"),
+        F.countDistinct(F.when(band, F.expr("lin >> 10"))).alias("lin_files_band"),
+    )
+    return a.select(
+        F.col("n_box").cast("long"),
+        "sum_cents_box",
+        F.col("z_files_box").cast("long"),
+        F.col("lin_files_box").cast("long"),
+        F.col("files_total_z").cast("long"),
+        F.col("z_files_band").cast("long"),
+        F.col("lin_files_band").cast("long"),
+        (F.col("z_files_box") <= F.col("lin_files_box")).alias("box_z_at_most_lin"),
+        (F.col("z_files_band") <= F.lit(8)).alias("band_z_at_most_8"),
+    )
+
+
+# =====================================================================
+# Storage layout: co-bucketed tables join with NO exchange
+# =====================================================================
+
+_BUCKETED_JOIN_ORACLE = """
+    -- The VALUES of a bucketed join are just the join's values - what
+    -- the layout changes is the PLAN (no Exchange on either side;
+    -- tests/test_layout.py asserts that on the physical plan). The
+    -- oracle pins the values so the layout path can never drift from
+    -- plain join semantics: per market segment, order count, exact
+    -- cents revenue, and distinct ordering customers.
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
+def build_bucketed_join(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[str]]:
+    """Write orders+customer as co-bucketed catalog tables (8 buckets
+    on the join key) and return the bucket-local join, plus the table
+    names for cleanup. Split out so tests can assert the physical plan
+    has ZERO Exchange nodes."""
+    import uuid
+
+    from ..sources.layout import write_bucketed_table
+
+    uid = uuid.uuid4().hex[:8]
+    names = [f"bkt_orders_{uid}", f"bkt_customer_{uid}"]
+    write_bucketed_table(
+        t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        names[0], ["o_custkey"], n_buckets=8, sort_cols=["o_custkey"],
+    )
+    write_bucketed_table(
+        t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        names[1], ["c_custkey"], n_buckets=8, sort_cols=["c_custkey"],
+    )
+    o = spark.table(names[0]).hint("merge")
+    c = spark.table(names[1]).hint("merge")
+    joined = o.join(c, o["o_custkey"] == c["c_custkey"])
+    result = (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("long").alias("sum_price_cents"),
+            F.countDistinct("c_custkey").cast("long").alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+    return result, names
+
+
+@register(
+    "bucketed_join_no_shuffle",
+    _BUCKETED_JOIN_ORACLE,
+    "Co-bucketed catalog tables joined with ZERO exchanges "
+    "(sources/layout.py write_bucketed_table): orders and customer are "
+    "persisted bucketBy(8, join-key) + sortBy, so both scans report "
+    "HashPartitioning(8) and the sort-merge join (merge hint - a "
+    "broadcast would trivialize the demonstration) runs bucket-local; "
+    "tests/test_layout.py asserts the physical plan contains no "
+    "Exchange node on either side. This is the canonical 100 TB "
+    "answer to repeated fact-to-fact joins: pay the partitioning once "
+    "at ingest, then every subsequent join/aggregation on the bucket "
+    "key is shuffle-free. The driver hash pins the join's values "
+    "(per-segment order counts, exact cents, distinct customers) so "
+    "the layout path can never drift from plain join semantics; "
+    "managed tables are dropped after materialization.",
+    tags=("layout", "join", "round4"),
+)
+def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    result, names = build_bucketed_join(spark, sf_dir)
+    # Materialize to a LocalRelation (5 segment rows - bounded) BEFORE
+    # dropping the managed tables: a .cache() can re-plan the file scan
+    # after the drop deletes the bucket files.
+    rows = result.collect()
+    out = result.sparkSession.createDataFrame(rows, result.schema)
+    for n in names:
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+    return out
+
+
+# =====================================================================
+# Geospatial: grid-blocked radius-bounded nearest neighbor
+# =====================================================================
+
+# Deterministic integer-microdegree coordinates synthesized from keys
+# with the repo's congruence pattern (identical text in both engines;
+# intermediates stay < 2^59). Customers span +-60 deg lat, suppliers
+# are offset so co-location is non-trivial.
+_LATC = "(((c_custkey * 2654435761) % 120000000) - 60000000)"
+_LONC = ("(((((c_custkey * 2654435761 + 40503) % 360000000) * 961748927)"
+         " % 360000000) - 180000000)")
+_LATS = "(((s_suppkey * 2654435761 + 1048573) % 120000000) - 60000000)"
+_LONS = ("(((((s_suppkey * 2654435761 + 8191) % 360000000) * 961748927)"
+         " % 360000000) - 180000000)")
+
+_GEO_CELL = 10_000_000  # 10 deg in microdegrees = the search radius R
+_GEO_R2 = _GEO_CELL * _GEO_CELL
+
+_GEO_KNN_ORACLE = f"""
+    -- Brute-force O(n*m) twin of the grid-blocked nearest-neighbor
+    -- join: every customer x supplier pair within Euclidean radius
+    -- R = 10 deg (planar microdegree metric, integer d2), argmin by
+    -- (d2, s_suppkey). The engine's registered path never builds
+    -- all pairs - suppliers explode to their 9 neighbor cells of an
+    -- R-sized grid and join customers on the exact cell, which is
+    -- LOSSLESS: any point within Euclidean R is within +-1 cell in
+    -- each axis. Hash equality against this oracle proves the
+    -- blocking loses no pair.
+    WITH cu AS MATERIALIZED (
+        SELECT c_custkey, c_nationkey,
+               {_LATC} AS lat, {_LONC} AS lon
+        FROM customer
+    ),
+    su AS MATERIALIZED (
+        SELECT s_suppkey, {_LATS} AS lat, {_LONS} AS lon
+        FROM supplier
+    ),
+    cand AS MATERIALIZED (
+        SELECT cu.c_custkey, cu.c_nationkey, su.s_suppkey,
+               (cu.lat - su.lat) * (cu.lat - su.lat)
+             + (cu.lon - su.lon) * (cu.lon - su.lon) AS d2
+        FROM cu CROSS JOIN su
+        WHERE (cu.lat - su.lat) * (cu.lat - su.lat)
+            + (cu.lon - su.lon) * (cu.lon - su.lon) <= {_GEO_R2}
+    ),
+    best AS (
+        SELECT c_custkey, s_suppkey, d2,
+               row_number() OVER (PARTITION BY c_custkey
+                                  ORDER BY d2, s_suppkey) AS rn
+        FROM cand
+    )
+    SELECT cu.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(count(b.s_suppkey) AS BIGINT) AS n_matched,
+           CAST(coalesce(sum(b.s_suppkey), 0) AS BIGINT)
+               AS sum_nearest_suppkey,
+           CAST(coalesce(sum(b.d2), 0) AS BIGINT) AS sum_min_d2
+    FROM cu
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (c_custkey)
+    GROUP BY cu.c_nationkey
+    ORDER BY cu.c_nationkey
+"""
+
+
+@register(
+    "geo_grid_knn_join",
+    _GEO_KNN_ORACLE,
+    "Radius-bounded nearest-neighbor geospatial join via fixed-grid "
+    "blocking (operators/geo.py): supplier points (small side) explode "
+    "to their 9 neighbor cells of a grid whose cell size equals the "
+    "search radius R, customers join on the EXACT cell (broadcast "
+    "hash join - no all-pairs product ever materializes), then d2 <= "
+    "R^2 filters and min(struct(d2, s_suppkey)) picks the nearest. "
+    "Cell-size-equals-radius makes the blocking LOSSLESS (|dlat| <= R "
+    "and |dlon| <= R imply +-1 cell), which the driver hash PROVES by "
+    "matching the O(n*m) brute-force oracle exactly: per nation, "
+    "matched-customer counts, the sum of nearest supplier keys, and "
+    "the exact integer sum of min squared distances. Coordinates are "
+    "integer microdegrees from key congruences; the metric is planar "
+    "equirectangular (doc'd simplification - real geo scales dlon by "
+    "cos(lat)). At 100 TB: cells shuffle, points never cross-join - "
+    "the same bucketed guarantee family as the banded-MinHash dedup.",
+    tags=("geo", "join", "round4"),
+)
+def geo_grid_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.geo import explode_neighbor_cells
+
+    cu = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        F.expr(_LATC).alias("lat"), F.expr(_LONC).alias("lon"),
+    ).withColumn(
+        "cell_lat", F.expr(f"(lat + 90000000) div {_GEO_CELL}")
+    ).withColumn(
+        "cell_lon", F.expr(f"(lon + 180000000) div {_GEO_CELL}")
+    )
+    su = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.expr(_LATS).alias("s_lat"), F.expr(_LONS).alias("s_lon"),
+    ).withColumn(
+        "cell_lat", F.expr(f"(s_lat + 90000000) div {_GEO_CELL}")
+    ).withColumn(
+        "cell_lon", F.expr(f"(s_lon + 180000000) div {_GEO_CELL}")
+    )
+    su9 = explode_neighbor_cells(su, "cell_lat", "cell_lon")
+    cand = (
+        cu.join(F.broadcast(su9), ["cell_lat", "cell_lon"])
+        .withColumn(
+            "d2",
+            (F.col("lat") - F.col("s_lat")) * (F.col("lat") - F.col("s_lat"))
+            + (F.col("lon") - F.col("s_lon")) * (F.col("lon") - F.col("s_lon")),
+        )
+        .filter(F.col("d2") <= F.lit(_GEO_R2))
+    )
+    best = cand.groupBy("c_custkey").agg(
+        F.min(F.struct("d2", "s_suppkey")).alias("b")
+    ).select("c_custkey", F.col("b.d2").alias("d2"),
+             F.col("b.s_suppkey").alias("nearest"))
+    return (
+        cu.join(best, "c_custkey", "left")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.count("nearest").alias("n_matched"),
+            F.coalesce(F.sum("nearest"), F.lit(0)).cast("long")
+            .alias("sum_nearest_suppkey"),
+            F.coalesce(F.sum("d2"), F.lit(0)).cast("long").alias("sum_min_d2"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# =====================================================================
+# Geospatial: closed-form geohash encoding
+# =====================================================================
+
+def _geohash_oracle() -> str:
+    from ..operators.geo import geohash_sql
+
+    gh = geohash_sql("lat", "lon", "//")
+    return f"""
+    -- Recomputes the engine's closed-form geohash bit for bit: the k
+    -- leading geohash bits of a dimension are the top-k bits of
+    -- floor((v - lo) * 2^k / span) (pure integer), interleaved lon-
+    -- first into a 25-bit code and base32-mapped - collapsing the
+    -- textbook 25-step bisection into two multiply-divides. Top-15
+    -- cells by (count DESC, geohash) with a deterministic total order.
+    WITH cu AS MATERIALIZED (
+        SELECT c_custkey, {_LATC} AS lat, {_LONC} AS lon FROM customer
+    ),
+    g AS MATERIALIZED (
+        SELECT c_custkey, {gh} AS geohash5 FROM cu
+    ),
+    agg AS (
+        SELECT geohash5,
+               CAST(count(*) AS BIGINT) AS n_cust,
+               CAST(sum(c_custkey) AS BIGINT) AS sum_custkey
+        FROM g GROUP BY geohash5
+    )
+    SELECT geohash5, n_cust, sum_custkey
+    FROM (SELECT *, row_number() OVER (ORDER BY n_cust DESC, geohash5) AS rn
+          FROM agg)
+    WHERE rn <= 15
+    ORDER BY n_cust DESC, geohash5
+    """
+
+
+@register(
+    "geohash_encode_topk",
+    _geohash_oracle(),
+    "Standard 5-character geohash encoding as a CLOSED FORM instead of "
+    "the textbook 25-step range bisection (operators/geo.py "
+    "geohash_sql): the leading k geohash bits of each dimension equal "
+    "the top-k bits of the scaled integer floor((v-lo)*2^k/span), so "
+    "encoding is two integer multiply-divides plus a 13+12-bit "
+    "lon-first interleave and a base32 lookup - all native integer/"
+    "string expressions inside whole-stage codegen, no UDF, no floats. "
+    "Groups customers into cells and returns the top-15 by count with "
+    "a deterministic total order. The oracle evaluates the SAME "
+    "generated expression text (only the integer-division token "
+    "differs), so the driver hash pins every bit of the encoding. "
+    "Geohash prefixes are the classic multi-resolution spatial "
+    "index/shuffle key at 100 TB scale.",
+    tags=("geo", "round4"),
+)
+def geohash_encode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.geo import geohash_sql
+    from pyspark.sql import Window
+
+    cu = t(spark, sf_dir, "customer").select(
+        "c_custkey", F.expr(_LATC).alias("lat"), F.expr(_LONC).alias("lon")
+    )
+    g = cu.select(
+        "c_custkey", F.expr(geohash_sql("lat", "lon", "div")).alias("geohash5")
+    )
+    agg = g.groupBy("geohash5").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("c_custkey").cast("long").alias("sum_custkey"),
+    )
+    w = Window.orderBy(F.col("n_cust").desc(), F.col("geohash5"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 15)
+        .drop("rn")
+        .orderBy(F.col("n_cust").desc(), F.col("geohash5"))
+    )
+
+
+# =====================================================================
+# Geospatial: exact integer ray-casting point-in-polygon
+# =====================================================================
+
+_POLYGON = [
+    (-120_000_000, -30_000_000),
+    (-40_000_000, 50_000_000),
+    (20_000_000, 10_000_000),
+    (80_000_000, 55_000_000),
+    (140_000_000, -20_000_000),
+    (0, -55_000_000),
+]
+
+
+def _pip_oracle() -> str:
+    from ..operators.geo import point_in_polygon_sql
+
+    pip = point_in_polygon_sql("lon", "lat", _POLYGON)
+    return f"""
+    -- Even-odd ray casting against a fixed non-convex hexagon with
+    -- the float division cross-multiplied away: for edge dy > 0,
+    -- px < x1 + (x2-x1)(py-y1)/dy  <=>  (px-x1)*dy - (x2-x1)*(py-y1)
+    -- < 0 (comparator flips for dy < 0), so membership is pure
+    -- integer comparisons - exact on both engines by construction.
+    WITH cu AS MATERIALIZED (
+        SELECT c_custkey, c_nationkey,
+               {_LATC} AS lat, {_LONC} AS lon
+        FROM customer
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN {pip} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inside,
+           CAST(coalesce(sum(CASE WHEN {pip} THEN c_custkey END), 0)
+                AS BIGINT) AS sum_custkey_inside
+    FROM cu
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """
+
+
+@register(
+    "point_in_polygon_ray_cast",
+    _pip_oracle(),
+    "Point-in-polygon classification by even-odd ray casting against a "
+    "fixed non-convex polygon, with EXACT integer arithmetic "
+    "(operators/geo.py point_in_polygon_sql): the textbook float "
+    "division per edge is eliminated by cross-multiplication, so "
+    "membership is a fixed unrolled chain of integer multiplies and "
+    "comparisons (< 2^62 for microdegree inputs) evaluated as native "
+    "expressions inside whole-stage codegen. Both engines run the "
+    "SAME generated text, so the driver hash pins every point's "
+    "classification - no epsilon, no boundary ambiguity drift. Per "
+    "nation: totals, members, and the member key-sum. The 100 TB "
+    "shape is a map-side-only scan (zero shuffles before the final "
+    "25-group aggregate); polygon sets in practice would broadcast.",
+    tags=("geo", "round4"),
+)
+def point_in_polygon_ray_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.geo import point_in_polygon_sql
+
+    pip = point_in_polygon_sql("lon", "lat", _POLYGON)
+    cu = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        F.expr(_LATC).alias("lat"), F.expr(_LONC).alias("lon"),
+    )
+    return (
+        cu.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.expr(f"CASE WHEN {pip} THEN 1 ELSE 0 END"))
+            .cast("long").alias("n_inside"),
+            F.coalesce(
+                F.sum(F.expr(f"CASE WHEN {pip} THEN c_custkey END")), F.lit(0)
+            ).cast("long").alias("sum_custkey_inside"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# =====================================================================
+# Sequential time series: Holt linear smoothing, bit-exact recursion
+# =====================================================================
+
+_HOLT_ORACLE = """
+    -- Recursive-CTE twin of the applyInPandas Holt recursion. With
+    -- alpha = beta = 1/2 every update is IEEE adds plus an exact *0.5,
+    -- and the op ORDER is pinned identically on both sides
+    -- ((x + (l + b)) * 0.5 then ((l' - l) + b) * 0.5), so level/trend
+    -- trajectories are bit-identical - the driver hash compares the
+    -- final doubles with zero tolerance.
+    WITH RECURSIVE s AS MATERIALIZED (
+        SELECT pri, row_number() OVER (PARTITION BY pri ORDER BY d) AS i, x
+        FROM (SELECT o_orderpriority AS pri, o_orderdate AS d,
+                     CAST(count(*) AS DOUBLE) AS x
+              FROM orders GROUP BY 1, 2)
+    ),
+    r AS (
+        -- trend anchor must be an explicit DOUBLE: a bare 0.0 types as
+        -- DECIMAL(1,1) in DuckDB and the UNION would round every
+        -- subsequent trend to one decimal place.
+        SELECT pri, 1 AS i, x AS level, CAST(0.0 AS DOUBLE) AS trend
+        FROM s WHERE i = 1
+        UNION ALL
+        SELECT s.pri, s.i,
+               (s.x + (r.level + r.trend)) * 0.5,
+               (((s.x + (r.level + r.trend)) * 0.5 - r.level) + r.trend) * 0.5
+        FROM r JOIN s ON s.pri = r.pri AND s.i = r.i + 1
+    ),
+    last AS (SELECT pri, max(i) AS n FROM r GROUP BY pri)
+    SELECT r.pri AS o_orderpriority,
+           CAST(last.n AS BIGINT) AS n_points,
+           r.level, r.trend,
+           r.level + 7 * r.trend AS forecast
+    FROM r JOIN last ON r.pri = last.pri AND r.i = last.n
+    ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "holt_linear_forecast_daily",
+    _HOLT_ORACLE,
+    "Holt linear (double-exponential) smoothing of the daily order "
+    "count per order priority, alpha = beta = 1/2, plus a 7-step-ahead "
+    "forecast (operators/timeseries.py holt_linear_smooth). The "
+    "recursion is sequential IN TIME but parallel ACROSS series - "
+    "applyInPandas shuffles once on the series key then scans each "
+    "series in one Arrow batch (the 100 TB shape: millions of "
+    "entity-keyed series, none of which ever visits the driver). "
+    "Bit-reproducibility without integers: halving is exact in binary "
+    "floating point and every other step is a single correctly-rounded "
+    "IEEE add, so pinning the operation ORDER on both engines makes "
+    "the level/trend trajectories bit-identical - the DuckDB "
+    "recursive-CTE oracle replays the exact update expressions and "
+    "the driver hash compares final doubles with zero tolerance.",
+    tags=("timeseries", "pandas-udf", "round4"),
+)
+def holt_linear_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import holt_linear_smooth
+
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderdate").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    out = holt_linear_smooth(daily, ["pri"], "d", "x", horizon=7)
+    return out.select(
+        F.col("pri").alias("o_orderpriority"),
+        "n_points", "level", "trend", "forecast",
+    ).orderBy("o_orderpriority")

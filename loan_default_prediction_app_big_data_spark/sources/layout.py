@@ -129,6 +129,30 @@ def write_zordered(
     out.write.mode(mode).parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a hash-BUCKETED catalog table: rows are routed to
+    ``n_buckets`` files by ``hash(bucket_cols)`` at WRITE time, and the
+    scan reports that HashPartitioning to the planner — so a
+    join/aggregation on the bucket columns between co-bucketed tables
+    needs NO Exchange at read time. This is the layout answer to the
+    biggest 100 TB shuffle: pay the partition-shuffle once at ingest,
+    then every daily fact-to-fact join on the same key runs
+    shuffle-free. ``sort_cols`` additionally sorts within each bucket
+    file (eliminates the SMJ sort when Spark can prove one file per
+    bucket). Parquet format, managed table in the session warehouse."""
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def compact_small_files(
     spark: SparkSession,
     path: str,
