@@ -693,3 +693,113 @@ def decode_resize_stats(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return images.mapInPandas(op, schema=RESIZE_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# Spectral analysis: real FFT over decoded PCM. The synthesized signal
+# is a SQUARE wave (integer-exact samples the oracle replays with
+# unnest(range(N))), so the spectrum has an analytically-known peak at
+# the fundamental bin — the oracle pins the FFT's output without being
+# able to run an FFT itself (the bound-boolean pattern).
+# ---------------------------------------------------------------------
+
+#: Output schema of the spectral-peak query.
+SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("amp", T.LongType(), False),
+        T.StructField("expected_bin", T.LongType(), False),
+        T.StructField("peak_bin", T.LongType(), False),
+        T.StructField("energy", T.LongType(), False),
+        T.StructField("dc_sum", T.LongType(), False),
+        T.StructField("peak_matches", T.BooleanType(), False),
+        T.StructField("parseval_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def square_wave_samples(doc_id: int, n: int, k: int, amp: int) -> list[int]:
+    """Square wave at k cycles per n samples: +amp while the phase
+    (i*k mod n) is in the first half period, else -amp. Pure integer —
+    the DuckDB oracle replays it sample for sample."""
+    half = n // 2
+    return [amp if (i * k) % n < half else -amp for i in range(n)]
+
+
+def synth_square_wave_payloads(df: DataFrame, n: int = 256) -> DataFrame:
+    """One mono WAV clip per doc_id containing a square wave whose
+    frequency bin ``k`` and amplitude come from the row. Input columns:
+    doc_id, k, amp. Emits (doc_id, k, amp, wav binary)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            wavs = [
+                encode_wav_pcm16(
+                    8000, 1,
+                    square_wave_samples(int(r.doc_id), n, int(r.k), int(r.amp)),
+                )
+                for r in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "k": pdf["k"].astype("int64"),
+                    "amp": pdf["amp"].astype("int64"),
+                    "wav": wavs,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("k", T.LongType(), False),
+            T.StructField("amp", T.LongType(), False),
+            T.StructField("wav", T.BinaryType(), False),
+        ]
+    )
+    return df.select("doc_id", "k", "amp").mapInPandas(op, schema=schema)
+
+
+def spectral_peak_stats(clips: DataFrame) -> DataFrame:
+    """REAL spectral analysis: decode each WAV payload, run a numpy
+    real FFT, and report the dominant non-DC bin plus a Parseval
+    energy check. For a square wave the fundamental strictly dominates
+    every (possibly aliased) odd harmonic, so ``peak_bin`` must equal
+    the synthesis bin ``k`` — any FFT/decode slip (off-by-one framing,
+    dropped samples, byte-order) moves the peak and hash-fails the
+    oracle. Integer columns only; the two booleans assert properties
+    that hold for ANY partition layout."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                rate, n_ch, samples = decode_wav(bytes(r.wav))
+                x = np.asarray(samples, dtype=np.float64)
+                n = len(x)
+                spec = np.fft.rfft(x)
+                mag2 = (spec.real ** 2 + spec.imag ** 2)
+                peak = 1 + int(np.argmax(mag2[1:]))
+                energy = int((x.astype(np.int64) ** 2).sum())
+                # Parseval: sum|X|^2 / N == sum x^2 (rfft halves need
+                # doubling except DC and Nyquist)
+                full = mag2[0] + mag2[-1] + 2.0 * mag2[1:-1].sum()
+                parseval = abs(full / n - energy) <= 1e-6 * max(energy, 1)
+                rows.append(
+                    {
+                        "doc_id": int(r.doc_id),
+                        "n_frames": n,
+                        "amp": int(r.amp),
+                        "expected_bin": int(r.k),
+                        "peak_bin": peak,
+                        "energy": energy,
+                        "dc_sum": int(x.astype(np.int64).sum()),
+                        "peak_matches": peak == int(r.k),
+                        "parseval_ok": bool(parseval),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return clips.mapInPandas(op, schema=SPECTRAL_SCHEMA)

@@ -603,3 +603,225 @@ def holt_linear_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pri").alias("o_orderpriority"),
         "n_points", "level", "trend", "forecast",
     ).orderBy("o_orderpriority")
+
+
+# =====================================================================
+# Multimodal DSP: real FFT spectral peaks over decoded PCM
+# =====================================================================
+
+_SPECTRAL_ORACLE = """
+    -- The oracle cannot run an FFT, so it pins the spectrum's
+    -- analytically-known facts instead (the bound-boolean pattern the
+    -- sketch tier uses): the synthesized signal is an integer square
+    -- wave at bin k, whose fundamental strictly dominates every
+    -- (aliased) odd harmonic (|c_m| ~ 1/m), so the REAL numpy rFFT on
+    -- the REAL decoded WAV bytes must report peak_bin = k; energy and
+    -- DC are replayed sample-for-sample with unnest(range(256)); and
+    -- Parseval (sum|X|^2/N = sum x^2) must hold to 1e-6 relative on
+    -- any layout. A framing/byte-order/FFT slip moves the peak or
+    -- breaks Parseval and hash-fails.
+    WITH ids AS (
+        SELECT doc_id,
+               5 + (doc_id * 2654435761) % 96 AS k,
+               1000 * (1 + doc_id % 7) AS amp
+        FROM documents WHERE doc_id % 11 = 5
+    ),
+    phase AS (
+        SELECT doc_id, k, amp, unnest(range(256)) AS i
+        FROM ids
+    ),
+    s AS (
+        SELECT doc_id, k, amp,
+               CASE WHEN (i * k) % 256 < 128 THEN amp ELSE -amp END AS v
+        FROM phase
+    )
+    SELECT doc_id,
+           CAST(256 AS BIGINT) AS n_frames,
+           CAST(amp AS BIGINT) AS amp,
+           CAST(k AS BIGINT) AS expected_bin,
+           CAST(k AS BIGINT) AS peak_bin,
+           CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS energy,
+           CAST(SUM(v) AS BIGINT) AS dc_sum,
+           TRUE AS peak_matches,
+           TRUE AS parseval_ok
+    FROM s
+    GROUP BY doc_id, k, amp
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "audio_spectral_peaks",
+    _SPECTRAL_ORACLE,
+    "REAL spectral analysis over binary audio: synthesize per-document "
+    "WAV clips containing integer square waves at a congruence-chosen "
+    "bin k (5..100 of 256), decode the actual RIFF bytes, run a numpy "
+    "real FFT (operators/multimodal.py spectral_peak_stats), and "
+    "report the dominant non-DC bin + a Parseval energy identity "
+    "check. A square wave's fundamental strictly dominates every "
+    "aliased odd harmonic (verified exhaustively for all 96 reachable "
+    "k in tests), so the oracle pins peak_bin analytically WITHOUT "
+    "running an FFT - the driver hash falsifies the whole decode->FFT "
+    "pipeline; energy/DC replay sample-for-sample in SQL. Scale "
+    "shape: Arrow-batched mapInPandas, one pass, no shuffle before "
+    "the bounded sort; this is the signals counterpart of the codec "
+    "tier's image/video decode queries.",
+    tags=("multimodal", "round4"),
+)
+def audio_spectral_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        spectral_peak_stats,
+        synth_square_wave_payloads,
+    )
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 5)
+        .select(
+            "doc_id",
+            (F.lit(5) + (F.col("doc_id") * 2654435761) % 96).alias("k"),
+            (F.lit(1000) * (F.lit(1) + F.col("doc_id") % 7)).alias("amp"),
+        )
+    )
+    return spectral_peak_stats(synth_square_wave_payloads(docs)).orderBy(
+        "doc_id"
+    )
+
+
+# =====================================================================
+# LLM-data pipeline: SemDeDup-style embedding-cluster pruning
+# =====================================================================
+
+_SEMDEDUP_ORACLE = """
+    -- Replays the full SemDeDup pipeline (Abbas et al. 2023, public):
+    -- assign every vector to its nearest of 8 fixed centroids by
+    -- 6dp-rounded cosine (rounding collapses last-ulp summation
+    -- differences between engines; ties break on centroid id), then
+    -- inside each cluster prune any vector with a LOWER-id neighbor
+    -- at rounded cosine >= 0.4 (keep-min-id, the same deterministic
+    -- rule as dedup_keep_latest). The oracle runs the quadratic
+    -- within-cluster compare; the engine path is the one that scales.
+    WITH c AS MATERIALIZED (
+        SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8
+    ),
+    v AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8
+    ),
+    a AS MATERIALIZED (
+        SELECT vec_id, cid, embedding FROM (
+            SELECT v.vec_id, c.cid, v.embedding,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                           v.embedding::DOUBLE[], c.cvec::DOUBLE[]), 6) DESC,
+                           c.cid
+                   ) AS rn
+            FROM v, c
+        ) WHERE rn = 1
+    ),
+    p AS MATERIALIZED (
+        SELECT DISTINCT b.vec_id AS pruned
+        FROM a x JOIN a b ON x.cid = b.cid AND x.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(
+            x.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+    )
+    SELECT cid,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           CAST(count(p.pruned) AS BIGINT) AS n_pruned,
+           CAST(count(*) - count(p.pruned) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(CASE WHEN p.pruned IS NULL
+                                  THEN a.vec_id END), 0) AS BIGINT)
+               AS sum_kept_vec_id
+    FROM a LEFT JOIN p ON a.vec_id = p.pruned
+    GROUP BY cid
+    ORDER BY cid
+"""
+
+
+@register(
+    "semdedup_cluster_prune",
+    _SEMDEDUP_ORACLE,
+    "SemDeDup-style semantic deduplication (public: Abbas et al. 2023 "
+    "arXiv:2303.09540): cluster the embedding corpus, then drop near-"
+    "duplicate vectors WITHIN each cluster so the quadratic compare "
+    "never crosses cluster boundaries - the trick that makes semantic "
+    "dedup tractable at corpus scale. Here the 8 centroids are fixed "
+    "vectors (deterministic stand-in for k-means||, which is the only "
+    "non-scale-relevant stage), assignment is a broadcast argmax over "
+    "6dp-rounded native-expression cosines (map-side only), and the "
+    "within-cluster prune keeps the min-id representative of every "
+    "near-dup pair at cosine >= 0.4. The driver hash matches the "
+    "O(sum c_i^2) oracle exactly, proving the clustered prune loses "
+    "nothing vs the quadratic reference; at 100 TB clusters shuffle "
+    "and the blocked-GEMM kernel (embedding_neardup_pairs) runs "
+    "inside each.",
+    tags=("dedup", "similarity", "round4"),
+)
+def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..operators.similarity import cosine
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    scored = (
+        emb.filter(F.col("vec_id") >= 8)
+        .crossJoin(cents)
+        .select(
+            "vec_id", "embedding", "cid",
+            F.round(
+                cosine(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("cvec").cast("array<double>"),
+                ),
+                6,
+            ).alias("cos6"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos6"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "embedding")
+    )
+    x = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+    )
+    pruned = (
+        x.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(
+                cosine(
+                    F.col("ea").cast("array<double>"),
+                    F.col("eb").cast("array<double>"),
+                ),
+                6,
+            )
+            >= 0.4
+        )
+        .select(F.col("id_b").alias("pruned"))
+        .distinct()
+    )
+    return (
+        assigned.join(pruned, assigned["vec_id"] == pruned["pruned"], "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.count("pruned").alias("n_pruned"),
+            (F.count(F.lit(1)) - F.count("pruned")).alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("pruned").isNull(), F.col("vec_id"))),
+                F.lit(0),
+            ).cast("long").alias("sum_kept_vec_id"),
+        )
+        .orderBy("cid")
+    )
