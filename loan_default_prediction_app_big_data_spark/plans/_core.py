@@ -164,8 +164,18 @@ _DRIVER_PRIORITY: list[str] = [
     "window_topk_with_ties",
     "survival_kaplan_meier",
     # Round-5 rotation queue (strict-local-verified, still without a
-    # driver row after this round). Lead with the round-4 session-3
-    # additions — sqlite_source_roundtrip (JDBC-tier embedded-SQL
+    # driver row after this round). Lead with the round-4 session-4
+    # additions — zorder_pruning_stats (integer Morton layout math,
+    # structural prune booleans), bucketed_join_no_shuffle (co-bucketed
+    # catalog tables, zero-Exchange SMJ), geo_grid_knn_join (lossless
+    # radius-bounded NN blocking vs brute-force oracle),
+    # geohash_encode_topk (closed-form integer geohash),
+    # point_in_polygon_ray_cast (division-free integer ray casting),
+    # holt_linear_forecast_daily (bit-exact applyInPandas recursion vs
+    # recursive-CTE oracle), audio_spectral_peaks (real numpy FFT,
+    # analytically-pinned peak bin), semdedup_cluster_prune (SemDeDup
+    # clustered prune hash-equal to the quadratic oracle) — then the
+    # session-3 additions — sqlite_source_roundtrip (JDBC-tier embedded-SQL
     # connector: rowid-range partitioned reads + WHERE pushdown),
     # theta_sketch_distinct_ops (KMV set algebra, oracle reproduces
     # the whole estimator), count_min_point_queries,
