@@ -825,3 +825,149 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# =====================================================================
+# Iterative ML: exact distributed Lloyd (k-means) iterations
+# =====================================================================
+
+_KMEANS_ORACLE = f"""
+    -- Replays TWO full Lloyd iterations exactly. Points are the
+    -- integer-microdegree customer coordinates; round 1 assigns to 4
+    -- fixed integer quadrant seeds (distances are exact BIGINTs);
+    -- round 2 assigns to the round-1 mean centroids, where the only
+    -- floats are sx/n divisions and the d2 polynomial - written with
+    -- IDENTICAL expression text on both engines, so every point's
+    -- (correctly-rounded) d2 doubles are bit-equal and the argmin is
+    -- engine-independent (ties break on centroid id). Reported sums
+    -- and counts are exact integers; centroids are floor-divided.
+    WITH pts AS MATERIALIZED (
+        SELECT c_custkey, {_LATC} AS x, {_LONC} AS y FROM customer
+    ),
+    seeds AS (
+        SELECT * FROM (VALUES (1, 30000000, 90000000),
+                              (2, 30000000, -90000000),
+                              (3, -30000000, 90000000),
+                              (4, -30000000, -90000000)) s(cid, cx, cy)
+    ),
+    a1 AS MATERIALIZED (
+        SELECT c_custkey, x, y, cid FROM (
+            SELECT p.c_custkey, p.x, p.y, s.cid,
+                   row_number() OVER (
+                       PARTITION BY p.c_custkey
+                       ORDER BY (p.x - s.cx) * (p.x - s.cx)
+                              + (p.y - s.cy) * (p.y - s.cy), s.cid
+                   ) AS rn
+            FROM pts p, seeds s
+        ) WHERE rn = 1
+    ),
+    c1 AS MATERIALIZED (
+        SELECT cid, CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(count(*) AS BIGINT) AS n
+        FROM a1 GROUP BY cid
+    ),
+    a2 AS MATERIALIZED (
+        SELECT c_custkey, x, y, cid FROM (
+            SELECT p.c_custkey, p.x, p.y, c.cid,
+                   row_number() OVER (
+                       PARTITION BY p.c_custkey
+                       ORDER BY (p.x - (c.sx / c.n)) * (p.x - (c.sx / c.n))
+                              + (p.y - (c.sy / c.n)) * (p.y - (c.sy / c.n)),
+                              c.cid
+                   ) AS rn
+            FROM pts p, c1 c
+        ) WHERE rn = 1
+    )
+    SELECT cid,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(x) AS BIGINT) AS sum_lat,
+           CAST(sum(y) AS BIGINT) AS sum_lon,
+           -- explicit floor on a double quotient: Spark's integer div
+           -- truncates toward zero while // floors, and these sums CAN
+           -- be negative - floor(double) is the semantics both engines
+           -- share (sums < 2^53, so the quotient is exact enough)
+           CAST(floor(CAST(sum(x) AS BIGINT) / count(*)) AS BIGINT)
+               AS cent_lat,
+           CAST(floor(CAST(sum(y) AS BIGINT) / count(*)) AS BIGINT)
+               AS cent_lon
+    FROM a2
+    GROUP BY cid
+    ORDER BY cid
+"""
+
+
+@register(
+    "kmeans_lloyd_exact",
+    _KMEANS_ORACLE,
+    "Distributed k-means: two FULL Lloyd iterations, hash-exact - the "
+    "iterative-algorithm capability (MLlib KMeans is seeded/rows-only; "
+    "this is the falsifiable twin). Fully declarative: each round "
+    "cross-joins the 4-row centroid table (broadcast - points never "
+    "shuffle for assignment), ranks by squared distance with "
+    "row_number, and re-aggregates exact integer sums; NOTHING visits "
+    "the driver, so rounds chain as plain DataFrame ops (at 100 TB: "
+    "per-round shuffle is the k-row centroid aggregate only). "
+    "Exactness: round-1 seeds are integer literals (BIGINT "
+    "distances); round-2 centroids are rationals whose sx/n division "
+    "and d2 polynomial are written with identical expression text on "
+    "both engines, so the correctly-rounded doubles are bit-equal "
+    "point-by-point and the argmin cannot drift (ties break on cid). "
+    "Output: exact member counts/coordinate sums and floor-divided "
+    "centroids per cluster.",
+    tags=("ml", "iterative", "round4"),
+)
+def kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pts = t(spark, sf_dir, "customer").select(
+        "c_custkey", F.expr(_LATC).alias("x"), F.expr(_LONC).alias("y")
+    )
+    seeds = spark.createDataFrame(
+        [(1, 30_000_000, 90_000_000), (2, 30_000_000, -90_000_000),
+         (3, -30_000_000, 90_000_000), (4, -30_000_000, -90_000_000)],
+        "cid long, cx long, cy long",
+    )
+
+    def assign(points: DataFrame, cents: DataFrame, d2_expr: str) -> DataFrame:
+        w = Window.partitionBy("c_custkey").orderBy(
+            F.expr(d2_expr), F.col("cid")
+        )
+        return (
+            points.crossJoin(F.broadcast(cents))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("c_custkey", "x", "y", "cid")
+        )
+
+    a1 = assign(
+        pts, seeds,
+        "(x - cx) * (x - cx) + (y - cy) * (y - cy)",
+    )
+    c1 = a1.groupBy("cid").agg(
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a2 = assign(
+        pts, c1,
+        "(x - (sx / n)) * (x - (sx / n)) + (y - (sy / n)) * (y - (sy / n))",
+    )
+    return (
+        a2.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum("x").cast("long").alias("sum_lat"),
+            F.sum("y").cast("long").alias("sum_lon"),
+        )
+        .select(
+            "cid", "n_points", "sum_lat", "sum_lon",
+            # floor of the double quotient, NOT `div`: Spark div
+            # truncates toward zero and sums can be negative
+            F.floor(F.col("sum_lat") / F.col("n_points"))
+            .cast("long").alias("cent_lat"),
+            F.floor(F.col("sum_lon") / F.col("n_points"))
+            .cast("long").alias("cent_lon"),
+        )
+        .orderBy("cid")
+    )

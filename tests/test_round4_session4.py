@@ -95,3 +95,25 @@ def test_semdedup_prune_keeps_min_id_of_planted_pair(spark):
         assert out[1]["n_assigned"] == 1 and out[1]["n_pruned"] == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_kmeans_covers_all_points_and_recovers_quadrants(spark, sf_dir):
+    """Every customer lands in exactly one cluster, and after two Lloyd
+    rounds each centroid stays in its seed's lat hemisphere (the
+    congruence coords are ~uniform, so quadrant seeds cannot migrate
+    across the equator)."""
+    from pyspark.sql import functions as F
+
+    from loan_default_prediction_app_big_data_spark.plans._core import t
+    from loan_default_prediction_app_big_data_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["kmeans_lloyd_exact"].fn(spark, sf_dir).collect()
+    assert {r["cid"] for r in rows} == {1, 2, 3, 4}
+    n_cust = t(spark, sf_dir, "customer").count()
+    assert sum(r["n_points"] for r in rows) == n_cust
+    for r in rows:
+        assert r["cent_lat"] == r["sum_lat"] // r["n_points"]  # floor div
+        if r["cid"] in (1, 2):
+            assert r["cent_lat"] > 0
+        else:
+            assert r["cent_lat"] < 0
