@@ -971,3 +971,126 @@ def kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# =====================================================================
+# Dedup: SimHash with a PORTABLE hash (closes the rows-only gap)
+# =====================================================================
+
+_SH_MASK = (1 << 56) - 1  # fold mod 2^56: acc*31 stays under 2^63
+_SH_BITS = 32
+
+
+def _simhash_token_hash(engine: str) -> str:
+    """Per-token polynomial rolling hash, identical math on both
+    engines: fold (acc*31 + ascii(char)) & (2^56-1) over the token's
+    characters from acc=7. Only the list-function NAMES differ."""
+    if engine == "spark":
+        return (
+            "aggregate(filter(split(tok, ''), x -> x != ''), 7L, "
+            f"(acc, c) -> (acc * 31 + ascii(c)) & {_SH_MASK})"
+        )
+    return (
+        "list_reduce(list_prepend(CAST(7 AS BIGINT), "
+        "list_transform(list_filter(string_split_regex(tok, ''), "
+        "x -> x <> ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * 31 + c) & {_SH_MASK})"
+    )
+
+
+def _simhash_sig_expr() -> str:
+    """Signature from the 32 per-bit vote sums v0..v31 (same text both
+    engines): bit b set iff the +-1 vote total is positive."""
+    terms = [
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(_SH_BITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _simhash_vote_sql(b: int) -> str:
+    return f"SUM(2 * ((h >> {b}) & 1) - 1) AS v{b}"
+
+
+_SIMHASH_PORTABLE_ORACLE = f"""
+    -- Full replay of the portable SimHash: whitespace tokens (empties
+    -- filtered, the repo-wide convention), a polynomial rolling hash
+    -- per token folded with IDENTICAL integer ops on both engines
+    -- (the engine twin simhash_dedup uses xxhash64, which DuckDB
+    -- lacks - THIS query is the falsifiable variant), +-1 bit votes
+    -- over 32 signature bits per token occurrence, majority -> bit.
+    -- Groups with >= 2 members are the near-dup candidate classes.
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS tok
+        FROM documents
+    ),
+    h AS MATERIALIZED (
+        SELECT doc_id, {_simhash_token_hash('duckdb')} AS h FROM tok
+    ),
+    votes AS MATERIALIZED (
+        SELECT doc_id, {', '.join(_simhash_vote_sql(b) for b in range(_SH_BITS))}
+        FROM h GROUP BY doc_id
+    ),
+    sig AS MATERIALIZED (
+        SELECT doc_id, {_simhash_sig_expr()} AS signature FROM votes
+    )
+    SELECT CAST(signature AS BIGINT) AS signature,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           array_to_string(list_sort(list(doc_id)), ',') AS member_ids
+    FROM sig
+    GROUP BY signature
+    HAVING count(*) >= 2
+    ORDER BY signature
+"""
+
+
+@register(
+    "simhash_portable_dedup",
+    _SIMHASH_PORTABLE_ORACLE,
+    "SimHash near-dup grouping with a PORTABLE hash, making the "
+    "SimHash family driver-falsifiable (the xxhash64 twin "
+    "simhash_dedup stays rows-only because no independent engine can "
+    "replay xxhash64; this variant swaps in a polynomial rolling hash "
+    "- fold (acc*31 + ascii(c)) & (2^56-1) - that Spark evaluates as "
+    "a native aggregate() lambda and DuckDB as list_reduce, bit-for-"
+    "bit identical). 32 signature bits from +-1 majority votes per "
+    "token occurrence; docs grouped by exact signature; classes with "
+    ">= 2 members emitted with sorted member lists. Whole pipeline is "
+    "native expressions (no UDF): explode tokens -> fold -> 32 "
+    "conditional sums -> signature groupBy. Scale: signatures (8 "
+    "bytes) shuffle, documents never pairwise-compare - same posture "
+    "as the banded-MinHash tier.",
+    tags=("dedup", "round4"),
+)
+def simhash_portable_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    h = tok.select(
+        "doc_id", F.expr(_simhash_token_hash("spark")).alias("h")
+    )
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"2 * ((h >> {b}) & 1) - 1")).alias(f"v{b}")
+            for b in range(_SH_BITS)
+        ]
+    )
+    sig = votes.select(
+        "doc_id", F.expr(_simhash_sig_expr()).cast("long").alias("signature")
+    )
+    return (
+        sig.groupBy("signature")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(
+                F.array_sort(F.collect_list("doc_id")).cast("array<string>"),
+                ",",
+            ).alias("member_ids"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("signature")
+    )
