@@ -1094,3 +1094,145 @@ def simhash_portable_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy("signature")
     )
+
+
+# =====================================================================
+# Sequence alignment: dynamic time warping, DP unrolled into codegen
+# =====================================================================
+
+def _dtw_alias_chain(elem_fn: str) -> str:
+    """The 7x7 DTW dynamic program fully unrolled as a lateral-alias
+    chain (both engines resolve backward column aliases in one
+    SELECT): d_i_j = |a_i - b_j| + least(d_{i-1}_j, d_i_{j-1},
+    d_{i-1}_{j-1}). Row-major emission order guarantees every
+    reference points backward. ``elem_fn`` is the engine's 1-based
+    array accessor (element_at / list_extract); everything else is
+    identical text, all integer."""
+    lines = []
+    for i in range(7):
+        for j in range(7):
+            c = f"abs({elem_fn}(va, {i + 1}) - {elem_fn}(vb, {j + 1}))"
+            if i == 0 and j == 0:
+                e = c
+            elif i == 0:
+                e = f"{c} + d_0_{j - 1}"
+            elif j == 0:
+                e = f"{c} + d_{i - 1}_0"
+            else:
+                e = (f"{c} + least(d_{i - 1}_{j}, d_{i}_{j - 1}, "
+                     f"d_{i - 1}_{j - 1})")
+            lines.append(f"{e} AS d_{i}_{j}")
+    return lines
+
+
+def _dtw_l1(elem_fn: str) -> str:
+    return "(" + " + ".join(
+        f"abs({elem_fn}(va, {k}) - {elem_fn}(vb, {k}))" for k in range(1, 8)
+    ) + ")"
+
+
+_DTW_ORACLE = f"""
+    -- Replays the unrolled DTW exactly: per-nation ISO-weekday revenue
+    -- profiles (7 exact cents sums, gap-filled with 0 so every vector
+    -- has length 7), then for every nation pair the 49-cell dynamic
+    -- program as a backward-referencing alias chain - pure integer
+    -- abs/least arithmetic, bit-identical on both engines. The
+    -- dtw_le_l1 boolean pins DTW's defining optimality property: the
+    -- diagonal path costs exactly L1, so the optimum can never exceed
+    -- it (structural, layout-independent).
+    WITH grid AS MATERIALIZED (
+        SELECT n.n_nationkey AS nk, g.dow
+        FROM nation n, (SELECT unnest(range(1, 8)) AS dow) g
+    ),
+    rev AS MATERIALIZED (
+        SELECT c.c_nationkey AS nk, isodow(o.o_orderdate) AS dow,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    prof AS MATERIALIZED (
+        SELECT g.nk,
+               list(coalesce(r.cents, 0) ORDER BY g.dow) AS v
+        FROM grid g LEFT JOIN rev r ON g.nk = r.nk AND g.dow = r.dow
+        GROUP BY g.nk
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.nk AS nk_a, b.nk AS nk_b, a.v AS va, b.v AS vb
+        FROM prof a JOIN prof b ON a.nk < b.nk
+    ),
+    dp AS (
+        SELECT nk_a, nk_b, va, vb, {', '.join(_dtw_alias_chain('list_extract'))}
+        FROM pairs
+    )
+    SELECT CAST(nk_a AS BIGINT) AS nk_a,
+           CAST(nk_b AS BIGINT) AS nk_b,
+           CAST(d_6_6 AS BIGINT) AS dtw_cents,
+           CAST({_dtw_l1('list_extract')} AS BIGINT) AS l1_cents,
+           d_6_6 <= {_dtw_l1('list_extract')} AS dtw_le_l1
+    FROM dp
+    ORDER BY nk_a, nk_b
+"""
+
+
+@register(
+    "dtw_weekday_profile_pairs",
+    _DTW_ORACLE,
+    "Dynamic time warping between every pair of per-nation ISO-weekday "
+    "revenue profiles, with the 7x7 dynamic program FULLY UNROLLED "
+    "into a backward-referencing lateral-alias chain - 49 chained "
+    "integer abs/least expressions that stay inside whole-stage "
+    "codegen (no UDF, no recursion, no driver). Profiles are exact "
+    "cents sums gap-filled to length 7; costs, the DP table, and the "
+    "optimum are all BIGINTs, so the driver hash pins every cell of "
+    "every alignment. The dtw_le_l1 boolean asserts DTW's defining "
+    "optimality bound (diagonal path = L1 cost). The fixed-length "
+    "unroll is the codegen-friendly scale shape for profile/template "
+    "matching: pairs shuffle as 7-element vectors, the DP is "
+    "map-side; unbounded-length series route to the applyInPandas "
+    "recursion family (holt_linear_forecast_daily) instead.",
+    tags=("timeseries", "analytics", "round4"),
+)
+def dtw_weekday_profile_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            (F.weekday("o_orderdate") + 1).alias("dow"),  # = isodow
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("long").alias("cents")
+        )
+    )
+    grid = (
+        t(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").alias("nk"))
+        .select("nk", F.explode(F.sequence(F.lit(1), F.lit(7))).alias("dow"))
+    )
+    prof = (
+        grid.join(rev, ["nk", "dow"], "left")
+        .withColumn("cents", F.coalesce(F.col("cents"), F.lit(0)))
+        .groupBy("nk")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dow", "cents"))),
+                lambda s: s["cents"],
+            ).alias("v")
+        )
+    )
+    a = prof.select(F.col("nk").alias("nk_a"), F.col("v").alias("va"))
+    b = prof.select(F.col("nk").alias("nk_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("nk_a") < F.col("nk_b"))
+    dp = pairs.selectExpr(
+        "nk_a", "nk_b", "va", "vb", *_dtw_alias_chain("element_at")
+    )
+    return dp.select(
+        F.col("nk_a").cast("long"),
+        F.col("nk_b").cast("long"),
+        F.col("d_6_6").cast("long").alias("dtw_cents"),
+        F.expr(_dtw_l1("element_at")).cast("long").alias("l1_cents"),
+        F.expr(f"d_6_6 <= {_dtw_l1('element_at')}").alias("dtw_le_l1"),
+    ).orderBy("nk_a", "nk_b")
