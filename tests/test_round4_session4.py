@@ -117,3 +117,44 @@ def test_kmeans_covers_all_points_and_recovers_quadrants(spark, sf_dir):
             assert r["cent_lat"] > 0
         else:
             assert r["cent_lat"] < 0
+
+
+def test_dtw_identity_and_reference(spark):
+    """DTW(x,x) = 0, and the unrolled alias chain must equal an
+    independent Python DP on random integer profiles."""
+    import random
+
+    from loan_default_prediction_app_big_data_spark.plans._q12_round4_session4 import (
+        _dtw_alias_chain,
+    )
+
+    rng = random.Random(7)
+    profs = [[rng.randrange(0, 1000) for _ in range(7)] for _ in range(6)]
+
+    def ref_dtw(a, b):
+        import math
+        D = [[math.inf] * 7 for _ in range(7)]
+        for i in range(7):
+            for j in range(7):
+                c = abs(a[i] - b[j])
+                if i == 0 and j == 0:
+                    D[i][j] = c
+                elif i == 0:
+                    D[i][j] = c + D[0][j - 1]
+                elif j == 0:
+                    D[i][j] = c + D[i - 1][0]
+                else:
+                    D[i][j] = c + min(D[i - 1][j], D[i][j - 1], D[i - 1][j - 1])
+        return D[6][6]
+
+    rows = [(i, j, profs[i], profs[j]) for i in range(6) for j in range(6)]
+    df = spark.createDataFrame(
+        rows, "ia long, ib long, va array<long>, vb array<long>"
+    )
+    dp = df.selectExpr("ia", "ib", *_dtw_alias_chain("element_at"))
+    got = {(r["ia"], r["ib"]): r["d_6_6"] for r in dp.collect()}
+    for i in range(6):
+        assert got[(i, i)] == 0  # identity
+        for j in range(6):
+            assert got[(i, j)] == ref_dtw(profs[i], profs[j])
+            assert got[(i, j)] == got[(j, i)]  # symmetric costs
