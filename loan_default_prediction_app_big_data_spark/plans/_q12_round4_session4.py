@@ -1236,3 +1236,100 @@ def dtw_weekday_profile_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_dtw_l1("element_at")).cast("long").alias("l1_cents"),
         F.expr(f"d_6_6 <= {_dtw_l1('element_at')}").alias("dtw_le_l1"),
     ).orderBy("nk_a", "nk_b")
+
+
+# =====================================================================
+# Intervals: sweep-line union coverage with overlap merge
+# =====================================================================
+
+_INTERVAL_UNION_ORACLE = """
+    -- Sweep-line interval union, the one-window formulation: order a
+    -- user's intervals by start, carry the running max of PRIOR ends,
+    -- and each interval contributes max(0, end - max(start, prior_max))
+    -- - overlaps never double-count, contained intervals contribute 0,
+    -- and a new block starts whenever start > prior_max. Durations are
+    -- congruence-synthesized (1us..10min) so everything is exact
+    -- integer microseconds on both engines.
+    WITH iv AS MATERIALIZED (
+        SELECT user_id,
+               CAST(epoch_us(ts) AS BIGINT) AS s,
+               CAST(epoch_us(ts) AS BIGINT)
+                 + ((event_id * 2654435761) % 600000000) + 1 AS e,
+               event_id
+        FROM events
+    ),
+    sw AS MATERIALIZED (
+        SELECT user_id, s, e,
+               max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS pmax
+        FROM iv
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(CASE WHEN pmax IS NULL OR s > pmax
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
+           CAST(sum(GREATEST(e - GREATEST(s, coalesce(pmax, s)), 0))
+                AS BIGINT) AS union_us,
+           CAST(max(e) - min(s) AS BIGINT) AS span_us
+    FROM sw
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
+@register(
+    "interval_union_coverage",
+    _INTERVAL_UNION_ORACLE,
+    "Interval-union coverage (total busy time with overlaps merged) "
+    "via the single-window sweep-line: per user, sort intervals by "
+    "start, carry max(end) over the UNBOUNDED-PRECEDING-to-1-PRECEDING "
+    "frame, and sum each interval's clamped marginal contribution "
+    "max(0, end - max(start, prior_max)) - the classic O(n log n) "
+    "union-length algorithm expressed as one window + one aggregate, "
+    "no self-join, no explode-to-minutes blowup. Block count falls "
+    "out of the same window (start > prior_max opens a gap). "
+    "Durations synthesize by congruence so every quantity is exact "
+    "integer microseconds. Scale: one shuffle on user_id, windows "
+    "sort within partition - the same posture as sessionization; "
+    "complements max_concurrent_sessions (sweep-line counting) with "
+    "sweep-line MEASURE.",
+    tags=("window", "sequence", "round4"),
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (
+            F.unix_micros(F.col("ts"))
+            + (F.col("event_id") * 2654435761) % 600000000 + 1
+        ).alias("e"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sw = ev.withColumn("pmax", F.max("e").over(w))
+    return (
+        sw.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(
+                F.when(
+                    F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_blocks"),
+            F.sum(
+                F.greatest(
+                    F.col("e")
+                    - F.greatest(F.col("s"), F.coalesce(F.col("pmax"), F.col("s"))),
+                    F.lit(0),
+                )
+            ).cast("long").alias("union_us"),
+            (F.max("e") - F.min("s")).cast("long").alias("span_us"),
+        )
+        .orderBy("user_id")
+    )
