@@ -62,3 +62,56 @@ def holt_linear_smooth(
         return pd.DataFrame([row])
 
     return df.groupBy(*[F.col(c) for c in key_cols]).applyInPandas(smooth, schema)
+
+
+def viterbi_two_state(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    obs_col: str,
+    emit0: dict,
+    emit1: dict,
+    trans: tuple[int, int, int, int] = (1, -2, -2, 1),
+    init: tuple[int, int] = (0, -1),
+) -> DataFrame:
+    """Two-state Viterbi decoding with INTEGER log-odds scores —
+    sequential in time, parallel across keys (same applyInPandas
+    posture as :func:`holt_linear_smooth`, and exact: every update is
+    integer add/max, so the DuckDB recursive-CTE oracle replays the
+    trajectory bit-for-bit).
+
+        v_1(s)   = init_s + emit_s(obs_1)
+        v_t(s)   = emit_s(obs_t) + max(v_{t-1}(0) + t_{0s},
+                                       v_{t-1}(1) + t_{1s})
+
+    Returns per key: n_obs, final v0/v1, the best score and the argmax
+    state (ties -> state 0).
+    """
+    t00, t01, t10, t11 = trans
+
+    schema = ", ".join(
+        [f"{c} bigint" for c in key_cols]
+        + ["n_obs bigint", "v0 bigint", "v1 bigint",
+           "best_score bigint", "best_state bigint"]
+    )
+
+    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        obs = pdf[obs_col].tolist()
+        v0 = init[0] + emit0[obs[0]]
+        v1 = init[1] + emit1[obs[0]]
+        for o in obs[1:]:
+            n0 = emit0[o] + max(v0 + t00, v1 + t10)
+            n1 = emit1[o] + max(v0 + t01, v1 + t11)
+            v0, v1 = n0, n1
+        row = {c: pdf[c].iloc[0] for c in key_cols}
+        row.update(
+            n_obs=len(obs), v0=v0, v1=v1,
+            best_score=max(v0, v1),
+            best_state=0 if v0 >= v1 else 1,
+        )
+        return pd.DataFrame([row])
+
+    return df.groupBy(*[F.col(c) for c in key_cols]).applyInPandas(
+        decode, schema
+    )

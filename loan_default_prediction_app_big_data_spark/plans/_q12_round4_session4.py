@@ -1333,3 +1333,83 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# =====================================================================
+# State machines: two-state Viterbi decoding, exact integer DP
+# =====================================================================
+
+_VITERBI_ORACLE = """
+    -- Recursive-CTE twin of the applyInPandas Viterbi: the two state
+    -- values ride as columns through the recursion, every update is
+    -- integer add/greatest, and the observation order (ts, event_id)
+    -- is total - so the trajectory is exact on both engines.
+    -- Emission scores: browse(view 2, click 1, error 0, signup -1,
+    -- purchase -3), intent(view -1, click 1, error -2, signup 2,
+    -- purchase 4); transitions (0->0 +1, 0->1 -2, 1->0 -2, 1->1 +1);
+    -- init (0, -1).
+    WITH RECURSIVE s AS MATERIALIZED (
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS i,
+               CASE event_type WHEN 'view' THEN 2 WHEN 'click' THEN 1
+                    WHEN 'error' THEN 0 WHEN 'signup' THEN -1
+                    ELSE -3 END AS e0,
+               CASE event_type WHEN 'view' THEN -1 WHEN 'click' THEN 1
+                    WHEN 'error' THEN -2 WHEN 'signup' THEN 2
+                    ELSE 4 END AS e1
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, 1 AS i,
+               CAST(0 + e0 AS BIGINT) AS v0,
+               CAST(-1 + e1 AS BIGINT) AS v1
+        FROM s WHERE i = 1
+        UNION ALL
+        SELECT s.user_id, s.i,
+               s.e0 + GREATEST(r.v0 + 1, r.v1 + (-2)),
+               s.e1 + GREATEST(r.v0 + (-2), r.v1 + 1)
+        FROM r JOIN s ON s.user_id = r.user_id AND s.i = r.i + 1
+    ),
+    last AS (SELECT user_id, max(i) AS n FROM r GROUP BY user_id)
+    SELECT r.user_id,
+           CAST(last.n AS BIGINT) AS n_obs,
+           r.v0, r.v1,
+           GREATEST(r.v0, r.v1) AS best_score,
+           CAST(CASE WHEN r.v0 >= r.v1 THEN 0 ELSE 1 END AS BIGINT)
+               AS best_state
+    FROM r JOIN last ON r.user_id = last.user_id AND r.i = last.n
+    ORDER BY r.user_id
+"""
+
+
+@register(
+    "viterbi_state_decode",
+    _VITERBI_ORACLE,
+    "Two-state Viterbi decoding of each user's event stream "
+    "(operators/timeseries.py viterbi_two_state): integer log-odds "
+    "emission/transition scores, so the dynamic program is pure "
+    "integer add/max and the DuckDB recursive-CTE oracle replays the "
+    "state trajectory EXACTLY - the driver hash pins final state "
+    "values, best score, and argmax state per user. Sequential in "
+    "time / parallel across users via applyInPandas (the 100 TB HMM "
+    "shape: one shuffle on the entity key, per-entity scan; state "
+    "count is a constant, so the per-step cost is O(|S|^2) integer "
+    "ops). Complements the sequence tier: journey_pattern_match is "
+    "regex-style matching, THIS is optimal hidden-state inference.",
+    tags=("sequence", "pandas-udf", "round4"),
+)
+def viterbi_state_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import viterbi_two_state
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    out = viterbi_two_state(
+        ev, ["user_id"], ["ts", "event_id"], "event_type",
+        emit0={"view": 2, "click": 1, "error": 0, "signup": -1,
+               "purchase": -3},
+        emit1={"view": -1, "click": 1, "error": -2, "signup": 2,
+               "purchase": 4},
+    )
+    return out.orderBy("user_id")

@@ -158,3 +158,27 @@ def test_dtw_identity_and_reference(spark):
         for j in range(6):
             assert got[(i, j)] == ref_dtw(profs[i], profs[j])
             assert got[(i, j)] == got[(j, i)]  # symmetric costs
+
+
+def test_viterbi_matches_hand_dp(spark):
+    """Viterbi operator vs a hand-rolled DP on a tiny sequence."""
+    from loan_default_prediction_app_big_data_spark.operators.timeseries import (
+        viterbi_two_state,
+    )
+
+    e0 = {"a": 2, "b": -3}
+    e1 = {"a": -1, "b": 4}
+    obs = ["a", "a", "b", "b", "a"]
+    rows = [(1, i, o) for i, o in enumerate(obs)]
+    df = spark.createDataFrame(rows, "user_id long, i long, obs string")
+    got = viterbi_two_state(
+        df, ["user_id"], ["i"], "obs", e0, e1,
+        trans=(1, -2, -2, 1), init=(0, -1),
+    ).collect()[0]
+
+    v0, v1 = 0 + e0[obs[0]], -1 + e1[obs[0]]
+    for o in obs[1:]:
+        v0, v1 = (e0[o] + max(v0 + 1, v1 - 2), e1[o] + max(v0 - 2, v1 + 1))
+    assert (got["v0"], got["v1"]) == (v0, v1)
+    assert got["best_score"] == max(v0, v1)
+    assert got["n_obs"] == 5
