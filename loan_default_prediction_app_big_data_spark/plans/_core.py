@@ -165,7 +165,13 @@ _DRIVER_PRIORITY: list[str] = [
     "survival_kaplan_meier",
     # Round-5 rotation queue (strict-local-verified, still without a
     # driver row after this round). Lead with the round-4 session-4
-    # additions — zorder_pruning_stats (integer Morton layout math,
+    # additions — kmeans_lloyd_exact (two exact Lloyd iterations),
+    # simhash_portable_dedup (portable rolling hash, full oracle),
+    # dtw_weekday_profile_pairs (unrolled 7x7 DP alias chain),
+    # interval_union_coverage (single-window sweep-line union),
+    # viterbi_state_decode (integer HMM decode vs recursive CTE),
+    # audio_spectral_peaks + semdedup_cluster_prune (below),
+    # zorder_pruning_stats (integer Morton layout math,
     # structural prune booleans), bucketed_join_no_shuffle (co-bucketed
     # catalog tables, zero-Exchange SMJ), geo_grid_knn_join (lossless
     # radius-bounded NN blocking vs brute-force oracle),
