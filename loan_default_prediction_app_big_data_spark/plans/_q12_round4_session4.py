@@ -1225,7 +1225,10 @@ def dtw_weekday_profile_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = prof.select(F.col("nk").alias("nk_a"), F.col("v").alias("va"))
     b = prof.select(F.col("nk").alias("nk_b"), F.col("v").alias("vb"))
-    pairs = a.join(b, F.col("nk_a") < F.col("nk_b"))
+    # broadcast the (dimension-scale) profile table: the inequality
+    # pair join plans as BroadcastNestedLoopJoin, not a shuffled
+    # CartesianProduct - profiles are k-row aggregates, never facts
+    pairs = a.join(F.broadcast(b), F.col("nk_a") < F.col("nk_b"))
     dp = pairs.selectExpr(
         "nk_a", "nk_b", "va", "vb", *_dtw_alias_chain("element_at")
     )
