@@ -651,3 +651,407 @@ def reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_micro"), "doc_id")
         .limit(25)
     )
+
+
+# =====================================================================
+# Multinomial Naive Bayes language ID: train AND inference fully
+# declarative, exact to the micro-nat on both engines.
+# =====================================================================
+
+_NB_ORACLE = """
+    -- Multinomial NB with Laplace smoothing, trained on the 80%
+    -- doc_id%5!=0 split and scored on the 20% holdout. Every ln term
+    -- is rounded to micro-nats THEN summed as BIGINT (associative ->
+    -- layout-independent), the lm_bigram_surprisal discipline. The
+    -- candidate class table is the (test-token x 5 langs) cross join;
+    -- unseen (lang, token) pairs fall back to the +1 smoothing mass
+    -- via the LEFT JOIN's coalesce(cnt, 0).
+    WITH tr AS MATERIALIZED (
+        SELECT lang, doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents WHERE doc_id % 5 <> 0
+    ),
+    te AS MATERIALIZED (
+        SELECT lang, doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    trtok AS MATERIALIZED (
+        SELECT lang, unnest(ws) AS tok FROM tr
+    ),
+    clt AS MATERIALIZED (
+        SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM trtok GROUP BY 1, 2
+    ),
+    tl AS MATERIALIZED (
+        SELECT lang, CAST(count(*) AS BIGINT) AS tot FROM trtok GROUP BY 1
+    ),
+    v AS MATERIALIZED (
+        SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab FROM trtok
+    ),
+    pri AS MATERIALIZED (
+        SELECT lang, CAST(count(*) AS BIGINT) AS nd FROM tr GROUP BY 1
+    ),
+    d AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nd_all FROM tr),
+    tetok AS MATERIALIZED (
+        SELECT doc_id, unnest(ws) AS tok FROM te
+    ),
+    cand AS (
+        SELECT tt.doc_id, tt.tok, tl.lang, tl.tot
+        FROM tetok tt CROSS JOIN tl
+    ),
+    terms AS (
+        SELECT c.doc_id, c.lang,
+               CAST(round(-ln(CAST(coalesce(k.cnt, 0) + 1 AS DOUBLE)
+                              / CAST(c.tot + v.vocab AS DOUBLE)) * 1e6)
+                    AS BIGINT) AS nll_micro
+        FROM cand c
+        LEFT JOIN clt k ON k.lang = c.lang AND k.tok = c.tok
+        CROSS JOIN v
+    ),
+    doc_lang AS (
+        SELECT t.doc_id, t.lang,
+               CAST(sum(t.nll_micro) AS BIGINT)
+               + any_value(CAST(round(-ln(CAST(pri.nd AS DOUBLE)
+                                          / CAST(d.nd_all AS DOUBLE)) * 1e6)
+                                AS BIGINT)) AS total_nll_micro
+        FROM terms t
+        JOIN pri ON pri.lang = t.lang
+        CROSS JOIN d
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT doc_id, lang, total_nll_micro,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY total_nll_micro, lang) AS rn,
+               lead(total_nll_micro) OVER (PARTITION BY doc_id
+                                  ORDER BY total_nll_micro, lang) AS second
+        FROM doc_lang
+    )
+    SELECT r.doc_id, te.lang AS true_lang, r.lang AS pred_lang,
+           r.total_nll_micro AS nll_micro,
+           CAST(r.second - r.total_nll_micro AS BIGINT) AS margin_micro,
+           (r.lang = te.lang) AS correct
+    FROM ranked r JOIN te ON te.doc_id = r.doc_id
+    WHERE r.rn = 1
+    ORDER BY r.doc_id
+"""
+
+
+@register(
+    "naive_bayes_lang_classify",
+    _NB_ORACLE,
+    "Multinomial Naive Bayes language-ID: TRAINING (per-class token "
+    "counts, Laplace +1 smoothing, class priors on the doc_id%5!=0 "
+    "split) and INFERENCE (argmax class per holdout doc with the "
+    "runner-up margin) as ONE declarative plan - the engine's "
+    "demonstration that a full fit+predict ML cycle runs inside "
+    "Catalyst with an exact cross-engine oracle, beyond the MLlib "
+    "pipeline twins (reference spark.py:76-90 trains LR; this shows "
+    "the train step itself can be a groupBy). Determinism: every "
+    "-ln(p) is micro-nat-rounded per (token, class) THEN summed as "
+    "BIGINT (associative, layout-independent); argmax tie-breaks by "
+    "(nll, lang). Scale: the count model is vocabulary-bounded per "
+    "class (broadcast of the 5-row totals; the (lang,token) table "
+    "joins co-keyed shuffle-side like the bigram LM); test tokens "
+    "fan out x5 classes map-side - no driver, no UDF, no iteration.",
+    tags=("ml", "text", "llm-pipeline", "agg", "round4"),
+)
+def naive_bayes_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tr = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "lang", "doc_id", tokens("text").alias("ws")
+    )
+    te = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "lang", "doc_id", tokens("text").alias("ws")
+    )
+    trtok = tr.select("lang", F.explode("ws").alias("tok"))
+    clt = trtok.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tl = trtok.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("tot"))
+    v = trtok.agg(F.count_distinct("tok").cast("bigint").alias("vocab"))
+    pri = tr.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    d = tr.agg(F.count(F.lit(1)).cast("bigint").alias("nd_all"))
+    tetok = te.select("doc_id", F.explode("ws").alias("tok"))
+    cand = tetok.crossJoin(F.broadcast(tl))
+    terms = (
+        cand.join(clt, ["lang", "tok"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                -F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tot") + F.col("vocab")).cast("double")
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("nll_micro"),
+        )
+    )
+    prior_micro = (
+        pri.crossJoin(F.broadcast(d))
+        .select(
+            "lang",
+            F.round(
+                -F.log(F.col("nd").cast("double") / F.col("nd_all").cast("double"))
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("prior_micro"),
+        )
+    )
+    doc_lang = (
+        terms.groupBy("doc_id", "lang")
+        .agg(F.sum("nll_micro").cast("bigint").alias("sum_micro"))
+        .join(F.broadcast(prior_micro), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("sum_micro") + F.col("prior_micro")).alias("total_nll_micro"),
+        )
+    )
+    wdoc = W.partitionBy("doc_id").orderBy("total_nll_micro", "lang")
+    ranked = doc_lang.select(
+        "doc_id",
+        "lang",
+        "total_nll_micro",
+        F.row_number().over(wdoc).alias("rn"),
+        F.lead("total_nll_micro").over(wdoc).alias("second"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .join(te.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("lang").alias("pred_lang"),
+            F.col("total_nll_micro").alias("nll_micro"),
+            (F.col("second") - F.col("total_nll_micro"))
+            .cast("bigint")
+            .alias("margin_micro"),
+            (F.col("lang") == F.col("true_lang")).alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# =====================================================================
+# Brier score decomposition (Murphy 1973): reliability / resolution /
+# uncertainty over the credit-score bands.
+# =====================================================================
+
+_BRIER_ORACLE = """
+    WITH scored AS (
+        SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad,
+               ((o_orderkey % 99991) * 31 + (o_custkey % 99991) * 17)
+                   % 99991 % 70000
+                   + CASE WHEN o_orderstatus = 'F' THEN 30000 ELSE 0 END
+                   AS score
+        FROM orders
+    ),
+    b AS MATERIALIZED (
+        SELECT score // 2000 AS band,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(bad) AS BIGINT) AS n_bad
+        FROM scored GROUP BY 1
+    ),
+    tot AS MATERIALIZED (
+        SELECT CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum(n_bad) AS BIGINT) AS nbad
+        FROM b
+    ),
+    terms AS (
+        SELECT
+            CAST(sum(n * (2 * band + 1) * (2 * band + 1)
+                     - 200 * (2 * band + 1) * n_bad
+                     + 10000 * n_bad) AS BIGINT) AS bs_num,
+            CAST(sum(CAST(round(
+                (CAST(n AS DOUBLE) / CAST(tot.nn AS DOUBLE))
+                * (CAST(2 * band + 1 AS DOUBLE) / 100
+                   - CAST(n_bad AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(2 * band + 1 AS DOUBLE) / 100
+                   - CAST(n_bad AS DOUBLE) / CAST(n AS DOUBLE))
+                * 1e9) AS BIGINT)) AS BIGINT) AS rel_nano,
+            CAST(sum(CAST(round(
+                (CAST(n AS DOUBLE) / CAST(tot.nn AS DOUBLE))
+                * (CAST(n_bad AS DOUBLE) / CAST(n AS DOUBLE)
+                   - CAST(tot.nbad AS DOUBLE) / CAST(tot.nn AS DOUBLE))
+                * (CAST(n_bad AS DOUBLE) / CAST(n AS DOUBLE)
+                   - CAST(tot.nbad AS DOUBLE) / CAST(tot.nn AS DOUBLE))
+                * 1e9) AS BIGINT)) AS BIGINT) AS res_nano,
+            any_value(tot.nn) AS nn, any_value(tot.nbad) AS nbad
+        FROM b CROSS JOIN tot
+    )
+    SELECT round(CAST(bs_num AS DOUBLE) / (10000 * CAST(nn AS DOUBLE)), 6)
+               AS brier,
+           rel_nano, res_nano,
+           CAST(round((CAST(nbad AS DOUBLE) / CAST(nn AS DOUBLE))
+                      * (1 - CAST(nbad AS DOUBLE) / CAST(nn AS DOUBLE))
+                      * 1e9) AS BIGINT) AS unc_nano,
+           abs(CAST(round(CAST(bs_num AS DOUBLE) * 1e9
+                          / (10000 * CAST(nn AS DOUBLE))) AS BIGINT)
+               - (rel_nano - res_nano
+                  + CAST(round((CAST(nbad AS DOUBLE) / CAST(nn AS DOUBLE))
+                               * (1 - CAST(nbad AS DOUBLE)
+                                      / CAST(nn AS DOUBLE))
+                               * 1e9) AS BIGINT))) <= 100 AS murphy_ok
+    FROM terms
+"""
+
+
+@register(
+    "brier_decomposition_bands",
+    _BRIER_ORACLE,
+    "Brier score with the Murphy (1973) decomposition BS = REL - RES "
+    "+ UNC over the 50 credit-score bands (predicted probability = "
+    "band midpoint (2b+1)/100): calibration quality (reliability), "
+    "discrimination (resolution), and base-rate entropy "
+    "(uncertainty) - the probability-forecast audit that pairs with "
+    "isotonic_calibration_pava for the reference's scored outputs. "
+    "Exactness: the Brier numerator is a PURE-INTEGER identity "
+    "sum(n*(2b+1)^2 - 200*(2b+1)*bad + 10000*bad) (y^2 = y), divided "
+    "once at the end; REL/RES terms are nano-rounded per band from "
+    "identical IEEE expression text then BIGINT-summed; the "
+    "murphy_ok boolean asserts the decomposition identity holds "
+    "within 100 nano (50 bands x rounding half-ulps - "
+    "bound-boolean oracle, approx_aggregates pattern). Scale: one "
+    "fact pass (50-band groupBy); everything after runs on 50 rows.",
+    tags=("ml", "credit", "analytics", "agg", "round4"),
+)
+def brier_decomposition_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._q06_credit_stats import _scored_orders
+
+    b = (
+        _scored_orders(spark, sf_dir)
+        .groupBy(F.expr("score div 2000").alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("bad").cast("bigint").alias("n_bad"),
+        )
+    )
+    tot = b.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("n_bad").cast("bigint").alias("nbad"),
+    )
+    j = b.crossJoin(F.broadcast(tot))
+    p_hat = "CAST(2 * band + 1 AS DOUBLE) / 100"
+    r_b = "CAST(n_bad AS DOUBLE) / CAST(n AS DOUBLE)"
+    pbar = "CAST(nbad AS DOUBLE) / CAST(nn AS DOUBLE)"
+    w = "CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)"
+    terms = j.agg(
+        F.expr(
+            "CAST(sum(n * (2 * band + 1) * (2 * band + 1) "
+            "- 200 * (2 * band + 1) * n_bad + 10000 * n_bad) AS BIGINT)"
+        ).alias("bs_num"),
+        F.expr(
+            f"CAST(sum(CAST(round({w} * ({p_hat} - {r_b}) * ({p_hat} - {r_b}) "
+            "* 1e9) AS BIGINT)) AS BIGINT)"
+        ).alias("rel_nano"),
+        F.expr(
+            f"CAST(sum(CAST(round({w} * ({r_b} - {pbar}) * ({r_b} - {pbar}) "
+            "* 1e9) AS BIGINT)) AS BIGINT)"
+        ).alias("res_nano"),
+        F.expr("any_value(nn)").alias("nn"),
+        F.expr("any_value(nbad)").alias("nbad"),
+    )
+    unc = (
+        "CAST(round((CAST(nbad AS DOUBLE) / CAST(nn AS DOUBLE)) "
+        "* (1 - CAST(nbad AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e9) AS BIGINT)"
+    )
+    return terms.select(
+        F.expr(
+            "round(CAST(bs_num AS DOUBLE) / (10000 * CAST(nn AS DOUBLE)), 6)"
+        ).alias("brier"),
+        "rel_nano",
+        "res_nano",
+        F.expr(unc).alias("unc_nano"),
+        F.expr(
+            "abs(CAST(round(CAST(bs_num AS DOUBLE) * 1e9 "
+            "/ (10000 * CAST(nn AS DOUBLE))) AS BIGINT) "
+            f"- (rel_nano - res_nano + {unc})) <= 100"
+        ).alias("murphy_ok"),
+    )
+
+
+# =====================================================================
+# l-diversity audit: the sensitive-attribute complement of
+# k_anonymity_audit.
+# =====================================================================
+
+_LDIV_ORACLE = """
+    WITH j AS (
+        SELECT c.c_nationkey AS nation, c.c_mktsegment AS segment,
+               o.o_orderstatus AS sensitive
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS MATERIALIZED (
+        SELECT nation, segment,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT sensitive) AS BIGINT) AS diversity
+        FROM j GROUP BY 1, 2
+    ),
+    ls AS (SELECT unnest([2, 3]) AS l)
+    SELECT CAST(ls.l AS INT) AS l,
+           CAST(count(*) AS BIGINT) AS groups_total,
+           CAST(sum(CASE WHEN g.diversity >= ls.l THEN 1 ELSE 0 END)
+                AS BIGINT) AS groups_ok,
+           CAST(sum(CASE WHEN g.diversity < ls.l THEN g.n_rows ELSE 0 END)
+                AS BIGINT) AS rows_at_risk,
+           CAST(min(g.diversity) AS BIGINT) AS min_diversity
+    FROM g, ls GROUP BY ls.l ORDER BY l
+"""
+
+
+@register(
+    "l_diversity_audit",
+    _LDIV_ORACLE,
+    "l-diversity audit (Machanavajjhala et al. 2007), the "
+    "sensitive-attribute complement of k_anonymity_audit: for each "
+    "quasi-identifier group (nation, segment) count DISTINCT values "
+    "of the sensitive attribute (order status); a group is l-diverse "
+    "iff it carries >= l distinct sensitive values, else its rows "
+    "are vulnerable to homogeneity attacks even when k-anonymous. "
+    "Per-l sweep (l in 2, 3) over the metadata-scale group table: "
+    "groups passing, rows at risk, minimum diversity. One "
+    "fact-sized groupBy (count + count distinct per QI tuple); "
+    "the l sweep is a 2-row broadcast cross join.",
+    tags=("governance", "privacy", "agg", "round4"),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderstatus").alias("sensitive"),
+    )
+    g = j.groupBy("nation", "segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_distinct("sensitive").cast("bigint").alias("diversity"),
+    )
+    ls = spark.range(2, 4).select(F.col("id").cast("int").alias("l"))
+    return (
+        g.crossJoin(F.broadcast(ls))
+        .groupBy("l")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("groups_total"),
+            F.sum(F.when(F.col("diversity") >= F.col("l"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("groups_ok"),
+            F.sum(
+                F.when(F.col("diversity") < F.col("l"), F.col("n_rows")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rows_at_risk"),
+            F.min("diversity").cast("bigint").alias("min_diversity"),
+        )
+        .orderBy("l")
+    )

@@ -198,3 +198,81 @@ def test_new_queries_have_oracles_and_plans(spark, sf_dir):
         plan = spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, n
         assert "CartesianProduct" not in plan, n
+
+
+def test_naive_bayes_planted_vocab_is_perfectly_separable(spark, tmp_path):
+    """Plant two classes with disjoint vocabularies: every holdout doc
+    must classify correctly with a positive margin."""
+    aa = "apple avocado apricot almond anise apple avocado apricot"
+    bb = "banana berry broccoli bean basil banana berry broccoli"
+    rows, langs = [], {}
+    for i in range(20):
+        lang = "aa" if i % 2 == 0 else "bb"
+        txt = aa if lang == "aa" else bb
+        rows.append((i, txt, lang, "test", len(txt)))
+        langs[i] = lang
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    out = REGISTRY["naive_bayes_lang_classify"].fn(spark, d).collect()
+    # holdout = doc_id % 5 == 0 -> ids 0,5,10,15
+    assert {r["doc_id"] for r in out} == {0, 5, 10, 15}
+    for r in out:
+        assert r["correct"] is True
+        assert r["pred_lang"] == langs[r["doc_id"]]
+        assert r["margin_micro"] > 0
+
+
+def test_naive_bayes_fixture_determinism_and_coverage(spark, sf_dir):
+    rows = REGISTRY["naive_bayes_lang_classify"].fn(spark, sf_dir).collect()
+    from loan_default_prediction_app_big_data_spark.plans._core import t
+
+    n_test = (
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0).count()
+    )
+    assert len(rows) == n_test  # every holdout doc gets exactly one row
+    for r in rows:
+        assert r["margin_micro"] >= 0  # runner-up is never better
+
+
+def test_brier_decomposition_identity_and_ranges(spark, sf_dir):
+    r = REGISTRY["brier_decomposition_bands"].fn(spark, sf_dir).collect()[0]
+    assert r["murphy_ok"] is True
+    assert 0.0 <= r["brier"] <= 1.0
+    assert r["rel_nano"] >= 0 and r["res_nano"] >= 0
+    assert 0 <= r["unc_nano"] <= 250_000_000  # p(1-p) <= 1/4
+
+
+def test_brier_matches_python_recompute(spark, sf_dir):
+    """bs_num identity vs a direct per-row Python Brier on the scored
+    orders (exact integers on both sides)."""
+    from loan_default_prediction_app_big_data_spark.plans._q06_credit_stats import (
+        _scored_orders,
+    )
+
+    rows = _scored_orders(spark, sf_dir).collect()
+    n = len(rows)
+    bs_num = 0
+    for row in rows:
+        band = row["score"] // 2000
+        p100 = 2 * band + 1  # p_hat * 100
+        y = row["bad"]
+        bs_num += p100 * p100 - 200 * p100 * y + 10000 * y
+    expect = round(bs_num / (10000.0 * n), 6)
+    got = REGISTRY["brier_decomposition_bands"].fn(spark, sf_dir).collect()[0]
+    assert got["brier"] == expect
+
+
+def test_l_diversity_counts_are_consistent(spark, sf_dir):
+    rows = {r["l"]: r for r in REGISTRY["l_diversity_audit"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {2, 3}
+    for l, r in rows.items():
+        assert 0 <= r["groups_ok"] <= r["groups_total"]
+        assert r["min_diversity"] >= 1
+    # monotone: raising l can only shrink the passing set
+    assert rows[3]["groups_ok"] <= rows[2]["groups_ok"]
+    assert rows[3]["rows_at_risk"] >= rows[2]["rows_at_risk"]
