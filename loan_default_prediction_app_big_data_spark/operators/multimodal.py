@@ -287,6 +287,54 @@ def decode_image_stats(images: DataFrame) -> DataFrame:
     return images.mapInPandas(op, schema=IMAGE_STATS_SCHEMA)
 
 
+#: Output schema of the perceptual-hash decoder.
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("seed", T.LongType(), False),
+        T.StructField("ahash", T.LongType(), False),
+        T.StructField("n_px", T.LongType(), False),
+        T.StructField("gray_total", T.LongType(), False),
+    ]
+)
+
+
+def decode_bmp_ahash(images: DataFrame) -> DataFrame:
+    """Arrow-batched REAL BMP decode followed by the average-hash
+    (aHash) perceptual fingerprint: integer grayscale (r+g+b)//3 per
+    pixel, one bit per pixel set iff gray*n_px > total (strict
+    cross-multiplied mean threshold - no float division anywhere), the
+    bits packed little-endian by pixel index into one BIGINT. Capped
+    at 56 pixels so the hash never touches the sign bit. The input
+    frame's ``doc_id`` column is treated as the image SEED (the
+    content address); callers join the hash back to the documents
+    that share the seed."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, bmp in zip(pdf["doc_id"], pdf["bmp"]):
+                w, h, px = decode_bmp(bytes(bmp))
+                if w * h > 56:
+                    raise ValueError("aHash capped at 56 px (sign bit)")
+                grays = [(r + g + b) // 3 for (r, g, b) in px]
+                total, n = sum(grays), len(grays)
+                bits = 0
+                for p, gval in enumerate(grays):
+                    if gval * n > total:
+                        bits |= 1 << p
+                rows.append(
+                    {
+                        "seed": int(doc_id),
+                        "ahash": bits,
+                        "n_px": n,
+                        "gray_total": total,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return images.mapInPandas(op, schema=AHASH_SCHEMA)
+
+
 #: Output schema of the frame-feature stub decoder.
 FRAME_FEATURE_SCHEMA = T.StructType(
     [

@@ -1055,3 +1055,300 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l")
     )
+
+
+# =====================================================================
+# Image perceptual-hash dedup: REAL BMP decode -> integer aHash ->
+# content-addressed near-dup groups.
+# =====================================================================
+
+_AHASH_ORACLE = """
+    -- Analytic twin of the decode->aHash pipeline: image seed =
+    -- doc_id % 16, channel j of pixel p is the synthesis congruence
+    -- (seed*2654435761 + (3p+j)*40503) % 256, grayscale is the
+    -- integer mean (r+g+b)//3, and bit p of the hash is set iff
+    -- gray*56 > sum(gray) (strict cross-multiplied mean - no float
+    -- division). Docs sharing a seed share the image, so they MUST
+    -- land in the same aHash group; any decode slip (BMP pad bytes,
+    -- bottom-up row order, BGR channel order) changes the grays and
+    -- hash-fails against this replay.
+    WITH ids AS MATERIALIZED (
+        SELECT doc_id, doc_id % 16 AS seed
+        FROM documents WHERE doc_id % 3 = 1
+    ),
+    seeds AS MATERIALIZED (SELECT DISTINCT seed FROM ids),
+    px AS MATERIALIZED (
+        SELECT seed, unnest(range(56)) AS p FROM seeds
+    ),
+    gray AS MATERIALIZED (
+        SELECT seed, p,
+               (((seed * 2654435761 + (3 * p) * 40503) % 256)
+                + ((seed * 2654435761 + (3 * p + 1) * 40503) % 256)
+                + ((seed * 2654435761 + (3 * p + 2) * 40503) % 256)) // 3
+                   AS g
+        FROM px
+    ),
+    tot AS MATERIALIZED (
+        SELECT seed, CAST(sum(g) AS BIGINT) AS total FROM gray GROUP BY 1
+    ),
+    ah AS MATERIALIZED (
+        SELECT g.seed,
+               CAST(sum(CASE WHEN g.g * 56 > t.total
+                             THEN (CAST(1 AS BIGINT) << g.p)
+                             ELSE 0 END) AS BIGINT) AS ahash
+        FROM gray g JOIN tot t ON g.seed = t.seed
+        GROUP BY 1
+    ),
+    members AS (
+        SELECT ah.ahash, i.doc_id
+        FROM ids i JOIN ah ON ah.seed = i.seed
+    )
+    SELECT ahash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           array_to_string(list_sort(list(doc_id)), ',') AS member_ids
+    FROM members GROUP BY ahash
+    HAVING count(*) >= 2
+    ORDER BY ahash
+"""
+
+
+@register(
+    "image_ahash_dedup",
+    _AHASH_ORACLE,
+    "Image near-duplicate detection via the average perceptual hash: "
+    "REAL 24-bpp BMP payloads (7x8, 3-byte row pad - the hard decode "
+    "case) are decoded by the Arrow-batched mapInPandas codec, "
+    "grayscaled with integer (r+g+b)//3, and fingerprinted one bit "
+    "per pixel (set iff gray*n > total, the strict cross-multiplied "
+    "mean - float-free, so the 56-bit hash is engine-exact). The "
+    "decode runs once per DISTINCT image (content-addressed by "
+    "seed), and the 16-row hash table broadcasts back onto the "
+    "documents - the decode-dedup join every multimodal pipeline "
+    "needs at 100 TB (never decode the same bytes twice; payload "
+    "bytes never shuffle). Groups of docs sharing a perceptual hash "
+    "are the near-dup classes, sorted member lists pinned by the "
+    "analytic congruence oracle.",
+    tags=("multimodal", "dedup", "llm-pipeline", "round4"),
+)
+def image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_bmp_ahash, synth_image_payloads
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id", (F.col("doc_id") % 16).alias("seed"))
+    )
+    seeds = docs.select("seed").distinct().select(F.col("seed").alias("doc_id"))
+    images = synth_image_payloads(seeds, width=7, height=8)
+    ah = decode_bmp_ahash(images)
+    joined = docs.join(F.broadcast(ah.select("seed", "ahash")), "seed")
+    return (
+        joined.groupBy("ahash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.array_join(
+                F.array_sort(F.collect_list("doc_id")).cast("array<string>"),
+                ",",
+            ).alias("member_ids"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("ahash")
+    )
+
+
+# =====================================================================
+# GROUPING SETS with an explicit grouping_id - the last uncovered
+# multi-level aggregation shape (rollup/cube/pivot are certified).
+# =====================================================================
+
+_GSETS_ORACLE = """
+    WITH j AS (
+        SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT CAST(grouping(nation) * 2 + grouping(segment) AS BIGINT) AS gid,
+           coalesce(nation, 'ALL')  AS nation,
+           coalesce(segment, 'ALL') AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM j
+    GROUP BY GROUPING SETS ((nation, segment), (nation), (segment), ())
+    ORDER BY gid, nation, segment
+"""
+
+
+@register(
+    "grouping_sets_report",
+    _GSETS_ORACLE,
+    "Explicit GROUPING SETS ((nation, segment), (nation), (segment), "
+    "()) with a portable grouping_id built as grouping(a)*2 + "
+    "grouping(b) - the four aggregation levels computed in ONE "
+    "shuffle (Spark expands the sets map-side, partials combine per "
+    "level) instead of four scans + union, and the gid column "
+    "disambiguates real NULL keys from subtotal rows (here aliased "
+    "to 'ALL'). Completes the multi-level aggregation family next "
+    "to the certified rollup/cube/pivot queries. Dims broadcast; "
+    "the fact table is read once.",
+    tags=("agg", "sql", "round4"),
+)
+def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    j.createOrReplaceTempView("q13_gsets_j")
+    return spark.sql(
+        """
+        SELECT CAST(grouping(nation) * 2 + grouping(segment) AS BIGINT) AS gid,
+               coalesce(nation, 'ALL')  AS nation,
+               coalesce(segment, 'ALL') AS segment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM q13_gsets_j
+        GROUP BY GROUPING SETS ((nation, segment), (nation), (segment), ())
+        ORDER BY gid, nation, segment
+        """
+    )
+
+
+# =====================================================================
+# Exact higher central moments: skewness and excess kurtosis from
+# DECIMAL/HUGEINT power sums, one identical formula text both engines.
+# =====================================================================
+
+# The formula text is SHARED between engines (only the exact-integer
+# power-sum CTE differs), so every IEEE operation runs in the same
+# order on the same exactly-cast inputs.
+_MOMENT_SUBS = dict(
+    n="CAST(n AS DOUBLE)",
+    s1="CAST(s1 AS DOUBLE)",
+    s2="CAST(s2 AS DOUBLE)",
+    s3="CAST(s3 AS DOUBLE)",
+    s4="CAST(s4 AS DOUBLE)",
+)
+_MOMENT_EXPRS = [
+    e.format(**_MOMENT_SUBS)
+    for e in (
+        "round({s1} / {n}, 6) AS mean_price",
+        "round({s2} / {n} - ({s1} / {n}) * ({s1} / {n}), 6) AS variance",
+        "round(({s3} / {n} - 3 * ({s1} / {n}) * ({s2} / {n})"
+        " + 2 * ({s1} / {n}) * ({s1} / {n}) * ({s1} / {n}))"
+        " / sqrt(({s2} / {n} - ({s1} / {n}) * ({s1} / {n}))"
+        "      * ({s2} / {n} - ({s1} / {n}) * ({s1} / {n}))"
+        "      * ({s2} / {n} - ({s1} / {n}) * ({s1} / {n}))), 6) AS skewness",
+        "round(({s4} / {n} - 4 * ({s1} / {n}) * ({s3} / {n})"
+        " + 6 * ({s1} / {n}) * ({s1} / {n}) * ({s2} / {n})"
+        " - 3 * ({s1} / {n}) * ({s1} / {n}) * ({s1} / {n}) * ({s1} / {n}))"
+        " / (({s2} / {n} - ({s1} / {n}) * ({s1} / {n}))"
+        "  * ({s2} / {n} - ({s1} / {n}) * ({s1} / {n}))) - 3, 6)"
+        " AS kurtosis_excess",
+    )
+]
+_MOMENT_FORMULA = ", ".join(_MOMENT_EXPRS)
+
+_MOMENTS_ORACLE = f"""
+    WITH d AS (
+        SELECT o_orderpriority AS priority,
+               CAST(floor(o_totalprice) AS HUGEINT) AS v
+        FROM orders
+    ),
+    sums AS MATERIALIZED (
+        SELECT priority,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(v)             AS s1,
+               sum(v * v)         AS s2,
+               sum(v * v * v)     AS s3,
+               sum(v * v * v * v) AS s4
+        FROM d GROUP BY 1
+    )
+    SELECT priority, n, {_MOMENT_FORMULA}
+    FROM sums ORDER BY priority
+"""
+
+
+@register(
+    "moment_stats_skew_kurtosis",
+    _MOMENTS_ORACLE,
+    "Population skewness and excess kurtosis per order priority from "
+    "EXACT integer power sums: dollar values are summed to the 4th "
+    "power in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) partials - "
+    "associative, overflow-checked (6e5^4 * 1.5e8 rows ~ 2e31 << "
+    "1e38, headroom to sf100k) - then the central-moment formulas "
+    "run ONCE per group on doubles cast from those exact integers, "
+    "with byte-identical formula text on both engines, so the 6dp "
+    "rounding can never be layout- or engine-dependent. Completes "
+    "the moment family above the certified mean/variance/correlation "
+    "/regression aggregates. One partial-combined groupBy; the "
+    "formula runs on 5 rows.",
+    tags=("agg", "stats", "round4"),
+)
+def moment_stats_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    v = F.floor("o_totalprice").cast("decimal(38,0)")
+    sums = (
+        o.select(F.col("o_orderpriority").alias("priority"), v.alias("v"))
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").alias("s1"),
+            F.sum(F.col("v") * F.col("v")).alias("s2"),
+            F.sum(F.col("v") * F.col("v") * F.col("v")).alias("s3"),
+            F.sum(F.col("v") * F.col("v") * F.col("v") * F.col("v")).alias("s4"),
+        )
+    )
+    return sums.selectExpr("priority", "n", *_MOMENT_EXPRS).orderBy("priority")
+
+
+# =====================================================================
+# Bitwise and boolean aggregates - the last uncovered aggregate
+# function family.
+# =====================================================================
+
+_BITAGG_ORACLE = """
+    SELECT o_orderpriority AS priority,
+           CAST(bit_and(o_orderkey) AS BIGINT) AS key_bit_and,
+           CAST(bit_or(o_orderkey)  AS BIGINT) AS key_bit_or,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS key_bit_xor,
+           bool_and(o_totalprice > 900)  AS all_above_900,
+           bool_or(o_orderstatus = 'P')  AS any_pending
+    FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "bitwise_bool_aggregates",
+    _BITAGG_ORACLE,
+    "Bitwise AND/OR/XOR and boolean ALL/ANY aggregates per order "
+    "priority - the aggregate-function family (bit_and/bit_or/"
+    "bit_xor/bool_and/bool_or) not exercised by any other query; "
+    "bit_xor is the workhorse of order-independent table checksums, "
+    "bit_and/bit_or recover shared/possible flag masks. All five "
+    "are partial-combinable (associative + commutative), so the "
+    "plan is one map-side-combined groupBy, layout-independent by "
+    "algebra (no rounding anywhere).",
+    tags=("agg", "functions", "round4"),
+)
+def bitwise_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.expr("bit_and(o_orderkey)").cast("bigint").alias("key_bit_and"),
+            F.expr("bit_or(o_orderkey)").cast("bigint").alias("key_bit_or"),
+            F.expr("bit_xor(o_orderkey)").cast("bigint").alias("key_bit_xor"),
+            F.expr("bool_and(o_totalprice > 900)").alias("all_above_900"),
+            F.expr("bool_or(o_orderstatus = 'P')").alias("any_pending"),
+        )
+        .orderBy("priority")
+    )

@@ -276,3 +276,122 @@ def test_l_diversity_counts_are_consistent(spark, sf_dir):
     # monotone: raising l can only shrink the passing set
     assert rows[3]["groups_ok"] <= rows[2]["groups_ok"]
     assert rows[3]["rows_at_risk"] >= rows[2]["rows_at_risk"]
+
+
+def test_ahash_decode_matches_congruence(spark):
+    """The real BMP decode -> aHash must equal the analytic congruence
+    recompute for every seed 0..15."""
+    from loan_default_prediction_app_big_data_spark.operators.multimodal import (
+        decode_bmp_ahash,
+        synth_image_payloads,
+    )
+
+    seeds = spark.range(16).select(F.col("id").alias("doc_id"))
+    got = {
+        r["seed"]: (r["ahash"], r["n_px"], r["gray_total"])
+        for r in decode_bmp_ahash(
+            synth_image_payloads(seeds, width=7, height=8)
+        ).collect()
+    }
+    for seed in range(16):
+        grays = [
+            sum((seed * 2654435761 + (3 * p + j) * 40503) % 256 for j in range(3))
+            // 3
+            for p in range(56)
+        ]
+        total = sum(grays)
+        bits = 0
+        for p, gv in enumerate(grays):
+            if gv * 56 > total:
+                bits |= 1 << p
+        assert got[seed] == (bits, 56, total), seed
+
+
+def test_ahash_groups_cover_all_selected_docs(spark, sf_dir):
+    from loan_default_prediction_app_big_data_spark.plans._core import t
+
+    rows = REGISTRY["image_ahash_dedup"].fn(spark, sf_dir).collect()
+    member_total = sum(r["n_docs"] for r in rows)
+    singles = 0
+    # docs in singleton hash groups are excluded by the >= 2 filter
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .count()
+    )
+    assert member_total <= docs
+    for r in rows:
+        ids = [int(x) for x in r["member_ids"].split(",")]
+        assert len(ids) == r["n_docs"]
+        assert ids == sorted(ids)
+        # same aHash group -> (here) same seed congruence class unless
+        # two seeds collide; either way ids %3==1 holds
+        assert all(i % 3 == 1 for i in ids)
+
+
+def test_grouping_sets_levels_reconcile(spark, sf_dir):
+    rows = REGISTRY["grouping_sets_report"].fn(spark, sf_dir).collect()
+    by_gid: dict[int, list] = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    assert set(by_gid) == {0, 1, 2, 3}
+    grand = by_gid[3][0]
+    for gid in (0, 1, 2):
+        assert sum(r["n_orders"] for r in by_gid[gid]) == grand["n_orders"]
+        assert sum(r["revenue_cents"] for r in by_gid[gid]) == grand["revenue_cents"]
+    # subtotal rows use the ALL alias exactly where grouping() fired
+    for r in by_gid[1]:
+        assert r["segment"] == "ALL" and r["nation"] != "ALL"
+    for r in by_gid[2]:
+        assert r["nation"] == "ALL" and r["segment"] != "ALL"
+
+
+def test_moments_match_python_floats(spark, sf_dir):
+    import math
+
+    from loan_default_prediction_app_big_data_spark.plans._core import t
+
+    vals: dict[str, list[int]] = {}
+    for r in t(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.floor("o_totalprice").alias("v")
+    ).collect():
+        vals.setdefault(r["o_orderpriority"], []).append(r["v"])
+    got = {r["priority"]: r for r in REGISTRY["moment_stats_skew_kurtosis"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(vals)
+    for pri, xs in vals.items():
+        n = len(xs)
+        m = sum(xs) / n
+        m2 = sum((x - m) ** 2 for x in xs) / n
+        m3 = sum((x - m) ** 3 for x in xs) / n
+        m4 = sum((x - m) ** 4 for x in xs) / n
+        r = got[pri]
+        assert r["n"] == n
+        assert abs(r["mean_price"] - m) < 1e-4
+        assert abs(r["variance"] - m2) < max(1e-4 * m2, 1e-3)
+        assert abs(r["skewness"] - m3 / math.sqrt(m2**3)) < 1e-4
+        assert abs(r["kurtosis_excess"] - (m4 / m2**2 - 3)) < 1e-4
+
+
+def test_bitwise_aggregates_match_python(spark, sf_dir):
+    from loan_default_prediction_app_big_data_spark.plans._core import t
+
+    acc: dict[str, list] = {}
+    for r in t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).collect():
+        acc.setdefault(r["o_orderpriority"], []).append(r)
+    got = {r["priority"]: r for r in REGISTRY["bitwise_bool_aggregates"].fn(spark, sf_dir).collect()}
+    for pri, rows in acc.items():
+        band = bor = 0
+        bxor = 0
+        band = rows[0]["o_orderkey"]
+        for r in rows:
+            band &= r["o_orderkey"]
+            bor |= r["o_orderkey"]
+            bxor ^= r["o_orderkey"]
+        g = got[pri]
+        assert g["key_bit_and"] == band
+        assert g["key_bit_or"] == bor
+        assert g["key_bit_xor"] == bxor
+        assert g["all_above_900"] == all(r["o_totalprice"] > 900 for r in rows)
+        assert g["any_pending"] == any(r["o_orderstatus"] == "P" for r in rows)
