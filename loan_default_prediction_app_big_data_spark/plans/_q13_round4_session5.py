@@ -1352,3 +1352,262 @@ def bitwise_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# =====================================================================
+# Positional-index phrase search: posting-list adjacency join, with an
+# algorithmically INDEPENDENT per-document scan oracle.
+# =====================================================================
+
+_PHRASE_ORACLE = """
+    -- Independent formulation on purpose: the engine answers the
+    -- phrase query by JOINING the 'slow' and 'join' posting lists of
+    -- a positional inverted index on (doc_id, pos+1 = pos); this
+    -- oracle instead scans each document's token list directly and
+    -- counts adjacent pairs. Same answer from two different
+    -- algorithms is stronger evidence than a replay.
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(generate_series(1, len(ws) - 1),
+                                i -> ws[i] = 'slow' AND ws[i + 1] = 'join'))
+                AS BIGINT) AS n_occurrences
+    FROM toks
+    WHERE len(ws) >= 2
+      AND len(list_filter(generate_series(1, len(ws) - 1),
+                          i -> ws[i] = 'slow' AND ws[i + 1] = 'join')) > 0
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "phrase_query_positional_index",
+    _PHRASE_ORACLE,
+    "Exact phrase search ('slow join') via POSITIONAL inverted-index "
+    "intersection - the engine materializes per-term posting lists "
+    "(doc_id, position) and equi-joins them on (doc_id, pos_b = "
+    "pos_a + 1), the classic IR phrase algorithm: only the two "
+    "queried terms' postings ever move, never the corpus. The "
+    "oracle is deliberately a DIFFERENT algorithm (per-document "
+    "adjacent-pair scan), so agreement validates the index "
+    "construction itself rather than replaying it. Extends the "
+    "inverted_index_postings capability from term lookup to "
+    "position-aware phrase semantics. Scale: posting lists are "
+    "term-selective (two map-side filters on the token explode); "
+    "the adjacency join keys on doc_id - co-partitioned, "
+    "match-bounded; per-doc counts partial-aggregate.",
+    tags=("text", "analytics", "llm-pipeline", "round4"),
+)
+def phrase_query_positional_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokens("text")).alias("i", "tok"),
+    ).select("doc_id", (F.col("i") + 1).alias("pos"), "tok")
+    p1 = toks.filter(F.col("tok") == "slow").select("doc_id", "pos")
+    p2 = toks.filter(F.col("tok") == "join").select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        p1.join(p2, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .orderBy("doc_id")
+    )
+
+
+# =====================================================================
+# Dynamic partition pruning: the runtime analog of the static
+# partition-pruned scan.
+# =====================================================================
+
+_DPP_ORACLE = """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders
+    WHERE year(o_orderdate) % 2 = 1
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "dynamic_partition_pruning_join",
+    _DPP_ORACLE,
+    "DYNAMIC partition pruning - the runtime complement of "
+    "partitioned_pruned_scan's static pruning: orders land in a "
+    "Hive-partitioned layout by year, and the filter arrives only "
+    "through a JOIN with a filtered dimension table (odd years), so "
+    "no static predicate touches the fact scan. Spark broadcasts "
+    "the dim, REUSES the broadcast result as a runtime IN-subquery "
+    "partition filter (plan shows PartitionFilters: "
+    "[dynamicpruning#...]), and never lists the even-year "
+    "partitions - at 100 TB this halves the scan with zero query "
+    "rewrite, exactly how star-schema date-dim filters prune fact "
+    "tables. The oracle filters the unpartitioned original, so the "
+    "hash match also proves the partitioned round-trip is lossless. "
+    "tests/test_round4_session5.py asserts the dynamicpruning "
+    "expression is present in the physical plan. Heuristic found "
+    "while building: Spark's isLikelySelective() does NOT treat a "
+    "bare boolean dim attribute as a pruning filter - the dim "
+    "predicate must be a literal comparison (parity = 1 here) or "
+    "the PartitionPruning rule never fires.",
+    tags=("source", "layout", "pruning", "joins", "round4"),
+)
+def dynamic_partition_pruning_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    path = os.path.join(repo, ".tmp_io", "orders_by_year_dpp")
+    dim_path = os.path.join(repo, ".tmp_io", "orders_year_dim_dpp")
+    src = t(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year(F.col("o_orderdate"))
+    )
+    src.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    # The year dim is a real (parquet-backed) star-schema dimension;
+    # its selective predicate is an integer literal comparison so the
+    # PartitionPruning heuristic accepts it.
+    (
+        src.select("o_year")
+        .distinct()
+        .select("o_year", (F.col("o_year") % 2).alias("parity"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(dim_path)
+    )
+    fact = spark.read.parquet(path)
+    dim = (
+        spark.read.parquet(dim_path)
+        .filter(F.col("parity") == 1)
+        .select(F.col("o_year").alias("y"))
+    )
+    joined = fact.join(F.broadcast(dim), fact.o_year == F.col("y"))
+    return (
+        joined.groupBy(F.col("o_year").cast("bigint").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# =====================================================================
+# Zipf slope of the token-frequency head: power-law corpus diagnostic.
+# =====================================================================
+
+_ZIPF_TOPK = 1000
+
+_ZIPF_ORACLE = f"""
+    -- OLS fit of ln(freq) ~ ln(rank) over the top-{_ZIPF_TOPK} tokens
+    -- (the Zipf head; slope ~ -1 for natural corpora). Each ln is
+    -- micro-rounded to BIGINT, the OLS moment sums accumulate in
+    -- HUGEINT/DECIMAL (exact, associative), and the closed-form
+    -- slope/intercept divide once at the end - same discipline as
+    -- regression_aggregates.
+    WITH tc AS MATERIALIZED (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS tok
+              FROM documents)
+        GROUP BY tok
+    ),
+    ranked AS MATERIALIZED (
+        SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
+        FROM tc QUALIFY r <= {_ZIPF_TOPK}
+    ),
+    pts AS MATERIALIZED (
+        SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+               CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS y
+        FROM ranked
+    ),
+    sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT)            AS sx,
+               CAST(sum(y) AS BIGINT)            AS sy,
+               CAST(sum(x::HUGEINT * y) AS DOUBLE) AS sxy,
+               CAST(sum(x::HUGEINT * x) AS DOUBLE) AS sxx
+        FROM pts
+    )
+    SELECT n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 , 6) AS zipf_slope,
+           round((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * 1e6), 6)
+               AS zipf_intercept
+    FROM sums
+"""
+
+
+@register(
+    "zipf_slope_token_frequency",
+    _ZIPF_ORACLE,
+    "Zipf power-law diagnostic of the corpus: OLS slope of ln(freq) "
+    "on ln(rank) over the top-1000 token head (natural text sits "
+    "near -1; synthetic/templated corpora flatten - a standard "
+    "pretraining-data health check next to vocab_growth_curve). "
+    "Rank extraction is TakeOrderedAndProject (top-k, never a "
+    "global sort of the vocabulary); each ln is micro-rounded to "
+    "BIGINT; the OLS moment sums are exact DECIMAL/HUGEINT "
+    "partials; slope and intercept divide once in identical "
+    "formula text (regression_aggregates discipline, so the 6dp "
+    "round is layout-independent). One token-count shuffle + a "
+    "1000-row window.",
+    tags=("text", "stats", "llm-pipeline", "round4"),
+)
+def zipf_slope_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tc = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    topk = tc.orderBy(F.desc("c"), "tok").limit(_ZIPF_TOPK)
+    ranked = topk.select(
+        "c", F.row_number().over(W.orderBy(F.desc("c"), "tok")).alias("r")
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("r").cast("double")) * 1e6).cast("bigint").alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * 1e6).cast("bigint").alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    slope = (
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    return sums.selectExpr(
+        "n",
+        f"round({slope}, 6) AS zipf_slope",
+        f"round((CAST(sy AS DOUBLE) - {slope} * CAST(sx AS DOUBLE)) "
+        "/ (CAST(n AS DOUBLE) * 1e6), 6) AS zipf_intercept",
+    )

@@ -395,3 +395,72 @@ def test_bitwise_aggregates_match_python(spark, sf_dir):
         assert g["key_bit_xor"] == bxor
         assert g["all_above_900"] == all(r["o_totalprice"] > 900 for r in rows)
         assert g["any_pending"] == any(r["o_orderstatus"] == "P" for r in rows)
+
+
+def test_phrase_query_matches_python_scan(spark, sf_dir):
+    from loan_default_prediction_app_big_data_spark.plans._core import t
+
+    expect = {}
+    for r in t(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        ws = [w for w in r["text"].split(" ") if w]
+        n = sum(
+            1
+            for i in range(len(ws) - 1)
+            if ws[i] == "slow" and ws[i + 1] == "join"
+        )
+        if n:
+            expect[r["doc_id"]] = n
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in REGISTRY["phrase_query_positional_index"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert len(got) > 0  # the phrase actually occurs in the corpus
+
+
+def test_phrase_adjacent_occurrences_counted(spark, tmp_path):
+    """'slow join slow join' = 2 occurrences; 'slow slow join' = 1."""
+    rows = [
+        (1, "slow join slow join pad pad pad pad"),
+        (2, "slow slow join pad pad pad pad pad"),
+        (3, "join slow pad pad pad pad pad pad"),
+    ]
+    d = _write_documents(spark, tmp_path, rows)
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in REGISTRY["phrase_query_positional_index"].fn(spark, d).collect()
+    }
+    assert got == {1: 2, 2: 1}
+
+
+def test_dpp_plan_contains_dynamic_pruning(spark, sf_dir):
+    df = REGISTRY["dynamic_partition_pruning_join"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the result covers exactly the odd years
+    years = [r["o_year"] for r in df.collect()]
+    assert years and all(y % 2 == 1 for y in years)
+
+
+def test_zipf_slope_is_negative_and_matches_python(spark, sf_dir):
+    import math
+
+    from loan_default_prediction_app_big_data_spark.plans._core import t
+
+    counts: dict[str, int] = {}
+    for r in t(spark, sf_dir, "documents").select("text").collect():
+        for w in r["text"].split(" "):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    head = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    xs = [round(math.log(i + 1) * 1e6) for i in range(len(head))]
+    ys = [round(math.log(c) * 1e6) for _, c in head]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r = REGISTRY["zipf_slope_token_frequency"].fn(spark, sf_dir).collect()[0]
+    assert r["n"] == n
+    assert r["zipf_slope"] == round(slope, 6)
+    assert r["zipf_slope"] < 0  # frequency decreases with rank
