@@ -164,8 +164,20 @@ _DRIVER_PRIORITY: list[str] = [
     "window_topk_with_ties",
     "survival_kaplan_meier",
     # Round-5 rotation queue (strict-local-verified, still without a
-    # driver row after this round). Lead with the round-4 session-4
-    # additions — kmeans_lloyd_exact (two exact Lloyd iterations),
+    # driver row after this round). Lead with the round-4 session-5
+    # additions — winnowing_fingerprint_overlap (MOSS fingerprints,
+    # packed-key rightmost-min), duplicated_ngram_span_fraction
+    # (Lee-et-al exact substring spans, sweep-line union),
+    # isotonic_calibration_pava (max-min PAVA on exact scaled
+    # integers), brier_decomposition_bands (integer Brier + Murphy
+    # identity boolean), naive_bayes_lang_classify (declarative NB
+    # train+infer), reciprocal_rank_fusion,
+    # phrase_query_positional_index (independent-algorithm oracle),
+    # image_ahash_dedup (real BMP decode -> perceptual hash),
+    # grouping_sets_report, moment_stats_skew_kurtosis,
+    # bitwise_bool_aggregates, dynamic_partition_pruning_join
+    # (dynamicpruning plan-pinned), zipf_slope_token_frequency —
+    # then the round-4 session-4 additions — kmeans_lloyd_exact (two exact Lloyd iterations),
     # simhash_portable_dedup (portable rolling hash, full oracle),
     # dtw_weekday_profile_pairs (unrolled 7x7 DP alias chain),
     # interval_union_coverage (single-window sweep-line union),
