@@ -464,3 +464,30 @@ def test_zipf_slope_is_negative_and_matches_python(spark, sf_dir):
     assert r["n"] == n
     assert r["zipf_slope"] == round(slope, 6)
     assert r["zipf_slope"] < 0  # frequency decreases with rank
+
+
+def test_transform_with_state_runner(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas runner - requires
+    google.protobuf for the TWS state-server protocol (absent in this
+    sandbox; gate documented in the runner docstring)."""
+    pytest.importorskip("google.protobuf")
+    from loan_default_prediction_app_big_data_spark.streaming.windows import (
+        run_transform_with_state,
+    )
+    from loan_default_prediction_app_big_data_spark.plans._core import t
+
+    out = {
+        r["user_id"]: (r["n_events"], r["total_cents"])
+        for r in run_transform_with_state(spark, sf_dir).collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents"),
+        )
+        .collect()
+    }
+    assert out == batch
