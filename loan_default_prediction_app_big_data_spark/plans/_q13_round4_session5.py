@@ -1611,3 +1611,222 @@ def zipf_slope_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round((CAST(sy AS DOUBLE) - {slope} * CAST(sx AS DOUBLE)) "
         "/ (CAST(n AS DOUBLE) * 1e6), 6) AS zipf_intercept",
     )
+
+
+# =====================================================================
+# SQL-defined UDFs (Spark 4 CREATE FUNCTION ... RETURN) - the UDF tier
+# that costs NOTHING because it inlines into Catalyst.
+# =====================================================================
+
+_SQLUDF_ORACLE = """
+    SELECT CASE WHEN o_totalprice > 250000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS tier,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "sql_udf_price_tiers",
+    _SQLUDF_ORACLE,
+    "SQL-defined scalar UDF (Spark 4 CREATE TEMPORARY FUNCTION ... "
+    "RETURNS ... RETURN expr): the price-tier function is declared "
+    "ONCE in SQL and reused by name, and unlike a Python UDF it "
+    "INLINES into the Catalyst plan - the aggregate runs with the "
+    "CASE expression inside whole-stage codegen, zero serialization "
+    "boundary (the plan test asserts no BatchEvalPython/ArrowEval "
+    "node exists). This is the UDF tier users should reach for "
+    "before any Python: shared logic without the 10-100x "
+    "row-transfer cost. Oracle inlines the same expression text.",
+    tags=("functions", "sql", "udf", "round4"),
+)
+def sql_udf_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION q13_price_tier(p DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN p > 250000 THEN 'high' "
+        "WHEN p > 100000 THEN 'mid' ELSE 'low' END"
+    )
+    t(spark, sf_dir, "orders").createOrReplaceTempView("q13_sqludf_orders")
+    return spark.sql(
+        """
+        SELECT q13_price_tier(o_totalprice) AS tier,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM q13_sqludf_orders GROUP BY 1 ORDER BY 1
+        """
+    )
+
+
+# =====================================================================
+# Parameterized SQL (named parameter markers) - injection-safe query
+# templates, Spark 4 surface.
+# =====================================================================
+
+_PARAM_ORACLE = """
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS max_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice >= 150000 AND o_orderstatus = 'O'
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "parameterized_query_markers",
+    _PARAM_ORACLE,
+    "Parameterized SQL with NAMED parameter markers (spark.sql(query, "
+    "args={...}), Spark 4 surface): thresholds and status arrive as "
+    "typed literal parameters (:min_price, :status), never string-"
+    "spliced - the injection-safe template form every query service "
+    "should emit, and the literals still constant-fold and push down "
+    "to the scan exactly like inline constants (PushedFilters shows "
+    "GreaterThanOrEqual/EqualTo). The oracle inlines the same "
+    "parameter values.",
+    tags=("sql", "functions", "round4"),
+)
+def parameterized_query_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "orders").createOrReplaceTempView("q13_param_orders")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("q13_param_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS max_cents
+        FROM q13_param_orders JOIN q13_param_customer ON o_custkey = c_custkey
+        WHERE o_totalprice >= :min_price AND o_orderstatus = :status
+        GROUP BY 1 ORDER BY 1
+        """,
+        args={"min_price": 150000, "status": "O"},
+    )
+
+
+# =====================================================================
+# Nearest-event temporal join: bidirectional as-of via ONE union-sort
+# window pass, no join operator at all.
+# =====================================================================
+
+_NEAREST_ORACLE = """
+    -- Same union-sort-window formulation as the engine: purchases and
+    -- views interleave in one per-user timeline; the last view at or
+    -- before each purchase (backward as-of) and the first view after
+    -- it (forward as-of) come from one IGNORE NULLS window pair, and
+    -- the nearer of the two (tie -> earlier view) wins if within 30
+    -- minutes. No inequality join anywhere.
+    WITH ev AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    tl AS (
+        SELECT user_id, event_id, event_type, us,
+               last_value(CASE WHEN event_type = 'view' THEN us END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_view_us,
+               first_value(CASE WHEN event_type = 'view' THEN us END
+                           IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_view_us
+        FROM ev
+    ),
+    p AS (
+        SELECT user_id, event_id, us, prev_view_us, next_view_us,
+               CASE
+                 WHEN prev_view_us IS NULL THEN next_view_us
+                 WHEN next_view_us IS NULL THEN prev_view_us
+                 WHEN us - prev_view_us <= next_view_us - us
+                   THEN prev_view_us
+                 ELSE next_view_us
+               END AS nearest_us
+        FROM tl WHERE event_type = 'purchase'
+    )
+    SELECT user_id, event_id AS purchase_id,
+           CAST(nearest_us AS BIGINT) AS view_us,
+           CAST(abs(us - nearest_us) AS BIGINT) AS gap_us
+    FROM p
+    WHERE nearest_us IS NOT NULL AND abs(us - nearest_us) <= 1800000000
+    ORDER BY user_id, purchase_id
+"""
+
+
+@register(
+    "nearest_event_join",
+    _NEAREST_ORACLE,
+    "NEAREST-event temporal join (+-30 min tolerance): each purchase "
+    "pairs with its closest view in EITHER direction - the "
+    "generalization of the backward-only as-of join "
+    "(asof_join_events) that attribution and sensor-fusion pipelines "
+    "need. Zero join operators: both event types union into one "
+    "per-user timeline and a single sort window yields the backward "
+    "candidate (last_value IGNORE NULLS over the preceding frame) "
+    "and the forward candidate (first_value over the following "
+    "frame); the nearer wins, ties to the earlier view by the "
+    "integer comparison's <=. Scale: one shuffle on user_id, "
+    "partition-parallel windows, the event filter pushes to the "
+    "scan - no inequality-range join blowup at any sf.",
+    tags=("joins", "window", "analytics", "round4"),
+)
+def nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+        )
+    )
+    wp = W.partitionBy("user_id").orderBy("us", "event_id")
+    view_us = F.when(F.col("event_type") == "view", F.col("us"))
+    tl = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "us",
+        F.last(view_us, ignorenulls=True)
+        .over(wp.rowsBetween(W.unboundedPreceding, -1))
+        .alias("prev_view_us"),
+        F.first(view_us, ignorenulls=True)
+        .over(wp.rowsBetween(1, W.unboundedFollowing))
+        .alias("next_view_us"),
+    )
+    p = tl.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        "us",
+        F.when(F.col("prev_view_us").isNull(), F.col("next_view_us"))
+        .when(F.col("next_view_us").isNull(), F.col("prev_view_us"))
+        .when(
+            F.col("us") - F.col("prev_view_us")
+            <= F.col("next_view_us") - F.col("us"),
+            F.col("prev_view_us"),
+        )
+        .otherwise(F.col("next_view_us"))
+        .alias("nearest_us"),
+    )
+    return (
+        p.filter(
+            F.col("nearest_us").isNotNull()
+            & (F.abs(F.col("us") - F.col("nearest_us")) <= 1_800_000_000)
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("nearest_us").cast("bigint").alias("view_us"),
+            F.abs(F.col("us") - F.col("nearest_us"))
+            .cast("bigint")
+            .alias("gap_us"),
+        )
+        .orderBy("user_id", "purchase_id")
+    )

@@ -491,3 +491,58 @@ def test_transform_with_state_runner(spark, sf_dir):
         .collect()
     }
     assert out == batch
+
+
+def test_sql_udf_inlines_no_python_eval(spark, sf_dir):
+    df = REGISTRY["sql_udf_price_tiers"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    rows = {r["tier"]: r["n_orders"] for r in df.collect()}
+    assert set(rows) == {"high", "mid", "low"}
+
+
+def test_parameterized_query_pushes_literals_to_scan(spark, sf_dir):
+    df = REGISTRY["parameterized_query_markers"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(o_totalprice,150000" in plan, plan[:1500]
+    assert all(r["n_orders"] > 0 for r in df.collect())
+
+
+def test_nearest_event_join_matches_python(spark, sf_dir):
+    """Brute-force per-user nearest-view recompute (the O(n*m)
+    algorithm the window formulation replaces)."""
+    from loan_default_prediction_app_big_data_spark.plans._core import t
+
+    evs: dict[int, dict[str, list]] = {}
+    for r in (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("us"))
+        .collect()
+    ):
+        d = evs.setdefault(r["user_id"], {"purchase": [], "view": []})
+        d[r["event_type"]].append((r["us"], r["event_id"]))
+    expect = {}
+    for uid, d in evs.items():
+        # replicate the timeline tie-break: views ordered by (us, id);
+        # a view at the SAME us as the purchase but with later event_id
+        # falls in the FOLLOWING frame, earlier id in the preceding one
+        for pus, pid in d["purchase"]:
+            prev = [v for v in d["view"] if (v[0], v[1]) < (pus, pid)]
+            nxt = [v for v in d["view"] if (v[0], v[1]) > (pus, pid)]
+            cand = []
+            if prev:
+                cand.append(max(prev))
+            if nxt:
+                cand.append(min(nxt))
+            if not cand:
+                continue
+            best = min(cand, key=lambda v: (abs(pus - v[0]), v[0]))
+            if abs(pus - best[0]) <= 1_800_000_000:
+                expect[(uid, pid)] = (best[0], abs(pus - best[0]))
+    got = {
+        (r["user_id"], r["purchase_id"]): (r["view_us"], r["gap_us"])
+        for r in REGISTRY["nearest_event_join"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert len(got) > 0
