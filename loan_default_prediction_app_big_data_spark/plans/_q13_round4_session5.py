@@ -1830,3 +1830,115 @@ def nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "purchase_id")
     )
+
+
+# =====================================================================
+# Exact k-NN classification over embeddings: the supervised complement
+# of the ANN retrieval tier.
+# =====================================================================
+
+_KNN_ORACLE = """
+    -- Exact 5-NN majority-vote classification: queries are every
+    -- 100th vector, the gallery is the rest; neighbors rank by
+    -- 6dp-rounded cosine (rounding collapses last-ulp summation
+    -- differences; ties break on gallery id), votes tie-break to the
+    -- smaller label. Every step is deterministic, so the full
+    -- prediction table hash-matches.
+    WITH q AS MATERIALIZED (
+        SELECT vec_id AS qid, embedding AS qvec, label AS true_label
+        FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    g AS MATERIALIZED (
+        SELECT vec_id AS gid, embedding AS gvec, label
+        FROM embeddings WHERE vec_id % 100 <> 0
+    ),
+    nn AS MATERIALIZED (
+        SELECT qid, true_label, gid, label,
+               row_number() OVER (
+                   PARTITION BY qid
+                   ORDER BY round(list_cosine_similarity(
+                       qvec::DOUBLE[], gvec::DOUBLE[]), 6) DESC, gid
+               ) AS rn
+        FROM q, g
+        QUALIFY rn <= 5
+    ),
+    votes AS (
+        SELECT qid, true_label, label,
+               CAST(count(*) AS BIGINT) AS n_votes,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY count(*) DESC, label
+               ) AS vr
+        FROM nn GROUP BY qid, true_label, label
+    )
+    SELECT qid AS query_id,
+           CAST(true_label AS BIGINT) AS true_label,
+           CAST(label AS BIGINT)      AS pred_label,
+           n_votes,
+           (label = true_label)       AS correct
+    FROM votes WHERE vr = 1
+    ORDER BY query_id
+"""
+
+
+@register(
+    "knn_classify_exact",
+    _KNN_ORACLE,
+    "Exact k-NN classification (k=5, cosine) over the embedding "
+    "table - the supervised complement of the ANN retrieval tier "
+    "(ann_lsh_topk / ivf_*): every 100th vector is a query, the "
+    "rest are the labeled gallery, neighbors rank by 6dp-rounded "
+    "native-expression cosine with gallery-id tie-breaks, and the "
+    "majority vote tie-breaks to the smaller label, so the whole "
+    "prediction table is deterministic and hash-exact. Scale: the "
+    "bounded query set BROADCASTS against the gallery scan "
+    "(map-side scoring, the brute-force baseline every ANN recall "
+    "certification needs); per-query top-5 extraction shuffles "
+    "only (query x 5) rows after partial rank pruning; at larger "
+    "query sets the IVF-bucketed path takes over.",
+    tags=("similarity", "ml", "llm-pipeline", "round4"),
+)
+def knn_classify_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import cosine
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("true_label"),
+    )
+    g = emb.filter(F.col("vec_id") % 100 != 0).select(
+        F.col("vec_id").alias("gid"),
+        F.col("embedding").alias("gvec"),
+        "label",
+    )
+    scored = g.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "true_label",
+        "gid",
+        "label",
+        F.round(
+            cosine(
+                F.col("qvec").cast("array<double>"),
+                F.col("gvec").cast("array<double>"),
+            ),
+            6,
+        ).alias("cos6"),
+    )
+    wq = W.partitionBy("qid").orderBy(F.desc("cos6"), "gid")
+    nn = scored.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= 5)
+    wv = W.partitionBy("qid").orderBy(F.desc("n_votes"), "label")
+    votes = (
+        nn.groupBy("qid", "true_label", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_votes"))
+        .withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+    )
+    return votes.select(
+        F.col("qid").alias("query_id"),
+        F.col("true_label").cast("bigint").alias("true_label"),
+        F.col("label").cast("bigint").alias("pred_label"),
+        "n_votes",
+        (F.col("label") == F.col("true_label")).alias("correct"),
+    ).orderBy("query_id")

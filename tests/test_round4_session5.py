@@ -546,3 +546,39 @@ def test_nearest_event_join_matches_python(spark, sf_dir):
     }
     assert got == expect
     assert len(got) > 0
+
+
+def test_knn_classify_planted_clusters(spark, tmp_path):
+    """Plant two tight clusters with distinct labels: every query must
+    classify with a unanimous 5-0 vote."""
+    import os as _os
+
+    rows = []
+    # labels: 0 -> around (1, 0, 0, 0), 1 -> around (0, 1, 0, 0)
+    for i in range(120):
+        lab = i % 2
+        base = [0.0, 0.0, 0.0, 0.0]
+        base[lab] = 1.0
+        base[2] = 0.001 * (i % 7)  # tiny jitter, never flips the cluster
+        rows.append((i, base, lab))
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(d, "embeddings.parquet")
+    )
+    out = REGISTRY["knn_classify_exact"].fn(spark, d).collect()
+    assert {r["query_id"] for r in out} == {0, 100}
+    for r in out:
+        assert r["correct"] is True
+        assert r["n_votes"] == 5
+
+
+def test_knn_classify_fixture_complete(spark, sf_dir):
+    from loan_default_prediction_app_big_data_spark.plans._core import t
+
+    n_q = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 100 == 0).count()
+    rows = REGISTRY["knn_classify_exact"].fn(spark, sf_dir).collect()
+    assert len(rows) == n_q
+    for r in rows:
+        assert 1 <= r["n_votes"] <= 5
