@@ -1942,3 +1942,246 @@ def knn_classify_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_votes",
         (F.col("label") == F.col("true_label")).alias("correct"),
     ).orderBy("query_id")
+
+
+# =====================================================================
+# Multivariate OLS by normal equations (Cramer 3x3) - exact moment
+# sums, one shared closed-form text.
+# =====================================================================
+
+# 3x3 Cramer solution of the normal equations. The determinant texts
+# are SHARED between engines; the moment-sum CTE supplies
+# exactly-summed integers cast to DOUBLE once.
+_D = {
+    "n": "CAST(n AS DOUBLE)", "s1": "CAST(s1 AS DOUBLE)",
+    "s2": "CAST(s2 AS DOUBLE)", "sy": "CAST(sy AS DOUBLE)",
+    "s11": "CAST(s11 AS DOUBLE)", "s12": "CAST(s12 AS DOUBLE)",
+    "s22": "CAST(s22 AS DOUBLE)", "s1y": "CAST(s1y AS DOUBLE)",
+    "s2y": "CAST(s2y AS DOUBLE)", "syy": "CAST(syy AS DOUBLE)",
+}
+
+
+def _det3(a, b, c, d, e, f, g, h, i):
+    """Text of a 3x3 determinant |a b c; d e f; g h i| with pinned
+    association order."""
+    return (f"({a} * ({e} * {i} - {f} * {h}) "
+            f"- {b} * ({d} * {i} - {f} * {g}) "
+            f"+ {c} * ({d} * {h} - {e} * {g}))")
+
+
+_OLS_DET = _det3(_D["n"], _D["s1"], _D["s2"],
+                 _D["s1"], _D["s11"], _D["s12"],
+                 _D["s2"], _D["s12"], _D["s22"])
+_OLS_B0 = _det3(_D["sy"], _D["s1"], _D["s2"],
+                _D["s1y"], _D["s11"], _D["s12"],
+                _D["s2y"], _D["s12"], _D["s22"])
+_OLS_B1 = _det3(_D["n"], _D["sy"], _D["s2"],
+                _D["s1"], _D["s1y"], _D["s12"],
+                _D["s2"], _D["s2y"], _D["s22"])
+_OLS_B2 = _det3(_D["n"], _D["s1"], _D["sy"],
+                _D["s1"], _D["s11"], _D["s1y"],
+                _D["s2"], _D["s12"], _D["s2y"])
+
+_OLS_EXPRS = [
+    f"round({_OLS_B0} / {_OLS_DET}, 6) AS b0",
+    f"round({_OLS_B1} / {_OLS_DET}, 6) AS b1",
+    f"round({_OLS_B2} / {_OLS_DET}, 6) AS b2",
+    # R^2 = 1 - SSE/SST with SSE = Syy - b.rhs (exact-moment identity)
+    f"round(1 - ({_D['syy']} - ({_OLS_B0} / {_OLS_DET}) * {_D['sy']} "
+    f"- ({_OLS_B1} / {_OLS_DET}) * {_D['s1y']} "
+    f"- ({_OLS_B2} / {_OLS_DET}) * {_D['s2y']}) "
+    f"/ ({_D['syy']} - {_D['sy']} * {_D['sy']} / {_D['n']}), 6) AS r2",
+]
+
+_OLS_ORACLE = f"""
+    WITH per_order AS MATERIALIZED (
+        SELECT l_orderkey,
+               CAST(count(*) AS HUGEINT) AS x1,
+               CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS HUGEINT) AS x2,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS HUGEINT) AS y
+        FROM lineitem GROUP BY 1
+    ),
+    sums AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+               sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+               sum(x2 * x2) AS s22, sum(x1 * y) AS s1y,
+               sum(x2 * y) AS s2y, sum(y * y) AS syy
+        FROM per_order
+    )
+    SELECT n, {', '.join(_OLS_EXPRS)}
+    FROM sums
+"""
+
+
+@register(
+    "multivariate_ols_normal_eq",
+    _OLS_ORACLE,
+    "Multivariate OLS (order revenue ~ item count + total quantity, "
+    "with intercept) solved by the 3x3 normal equations through "
+    "Cramer's rule: ten moment sums accumulate EXACTLY in "
+    "DECIMAL(38,0)/HUGEINT partials over one per-order aggregate, "
+    "then the closed-form determinants run once on doubles cast "
+    "from those integers with byte-identical formula text on both "
+    "engines - the multivariate extension of the certified "
+    "regression_aggregates (slope/intercept) and "
+    "correlation_matrix_exact moment discipline. R^2 comes from "
+    "the SSE = Syy - b.rhs identity, no second data pass. Scale: "
+    "two partial-combined aggregates (per-order, then moments); "
+    "the solve is a 1-row expression.",
+    tags=("ml", "stats", "agg", "round4"),
+)
+def multivariate_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("x1"),
+        F.sum(F.floor("l_quantity").cast("bigint"))
+        .cast("decimal(38,0)")
+        .alias("x2"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    sums = per_order.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return sums.selectExpr("n", *_OLS_EXPRS)
+
+
+# =====================================================================
+# Exact decision stump (CART root split) - tree learning as prefix
+# sums + an exact rational argmin.
+# =====================================================================
+
+_STUMP_ORACLE = """
+    WITH scored AS (
+        SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad,
+               ((o_orderkey % 99991) * 31 + (o_custkey % 99991) * 17)
+                   % 99991 % 70000
+                   + CASE WHEN o_orderstatus = 'F' THEN 30000 ELSE 0 END
+                   AS score
+        FROM orders
+    ),
+    b AS MATERIALIZED (
+        SELECT score // 2000 AS band,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(bad) AS BIGINT) AS n_bad
+        FROM scored GROUP BY 1
+    ),
+    c AS MATERIALIZED (
+        SELECT band,
+               CAST(sum(n) OVER (ORDER BY band) AS BIGINT)     AS nl,
+               CAST(sum(n_bad) OVER (ORDER BY band) AS BIGINT) AS badl,
+               CAST(sum(n) OVER () AS BIGINT)     AS nt,
+               CAST(sum(n_bad) OVER () AS BIGINT) AS badt
+        FROM b
+    ),
+    cand AS (
+        -- Gini argmin over candidate splits: maximize
+        -- f = (bad_l^2+good_l^2)/n_l + (bad_r^2+good_r^2)/n_r,
+        -- floor-scaled to the 1e-12 grid over the common denominator
+        -- n_l*n_r so the comparison never touches a float.
+        SELECT band, nl, badl, nt - nl AS nr, badt - badl AS badr,
+               CAST((((badl::HUGEINT * badl + (nl - badl)::HUGEINT * (nl - badl))
+                       * (nt - nl)
+                     + ((badt - badl)::HUGEINT * (badt - badl)
+                        + ((nt - nl) - (badt - badl))::HUGEINT
+                          * ((nt - nl) - (badt - badl)))
+                       * nl) * 1000000000000)
+                    // (nl::HUGEINT * (nt - nl)) AS BIGINT) AS purity_q
+        FROM c WHERE nl > 0 AND nt - nl > 0
+    ),
+    best AS (
+        SELECT *, row_number() OVER (ORDER BY purity_q DESC, band) AS rn
+        FROM cand
+    )
+    SELECT CAST((band + 1) * 2000 AS BIGINT) AS split_threshold,
+           purity_q,
+           nl AS n_left, badl AS bad_left,
+           nr AS n_right, badr AS bad_right,
+           round(CAST(badl AS DOUBLE) / CAST(nl AS DOUBLE), 6) AS left_rate,
+           round(CAST(badr AS DOUBLE) / CAST(nr AS DOUBLE), 6) AS right_rate
+    FROM best WHERE rn = 1
+"""
+
+
+@register(
+    "decision_stump_exact",
+    _STUMP_ORACLE,
+    "Exact decision-stump learning (the CART root split) as prefix "
+    "sums plus an exact rational argmin: candidate thresholds are "
+    "the 50 score-band boundaries, each split's Gini objective "
+    "f = (bad_l^2+good_l^2)/n_l + (bad_r^2+good_r^2)/n_r is "
+    "floor-scaled over the common denominator n_l*n_r to the 1e-12 "
+    "grid (HUGEINT/DECIMAL - no float ever enters the comparison), "
+    "and the argmax tie-breaks to the smaller threshold. This is "
+    "the primitive a distributed tree learner evaluates per node - "
+    "histogram counts, prefix sums, one argmin - expressed "
+    "declaratively; iterating it per tree level is the XGBoost/"
+    "LightGBM histogram algorithm. One fact pass (50-band groupBy); "
+    "everything after runs on 50 rows.",
+    tags=("ml", "credit", "agg", "round4"),
+)
+def decision_stump_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ._q06_credit_stats import _scored_orders
+
+    b = (
+        _scored_orders(spark, sf_dir)
+        .groupBy(F.expr("score div 2000").alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("bad").cast("bigint").alias("n_bad"),
+        )
+    )
+    wcum = W.orderBy("band").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy()
+    c = b.select(
+        "band",
+        F.sum("n").over(wcum).cast("bigint").alias("nl"),
+        F.sum("n_bad").over(wcum).cast("bigint").alias("badl"),
+        F.sum("n").over(wall).cast("bigint").alias("nt"),
+        F.sum("n_bad").over(wall).cast("bigint").alias("badt"),
+    )
+    cand = c.filter((F.col("nl") > 0) & (F.col("nt") - F.col("nl") > 0)).selectExpr(
+        "band",
+        "nl",
+        "badl",
+        "nt - nl AS nr",
+        "badt - badl AS badr",
+        "CAST((((CAST(badl AS DECIMAL(38,0)) * badl "
+        "+ CAST(nl - badl AS DECIMAL(38,0)) * (nl - badl)) * (nt - nl) "
+        "+ (CAST(badt - badl AS DECIMAL(38,0)) * (badt - badl) "
+        "+ CAST((nt - nl) - (badt - badl) AS DECIMAL(38,0)) "
+        "* ((nt - nl) - (badt - badl))) * nl) * 1000000000000) "
+        "div (CAST(nl AS DECIMAL(38,0)) * (nt - nl)) AS BIGINT) AS purity_q",
+    )
+    best = cand.withColumn(
+        "rn",
+        F.row_number().over(W.orderBy(F.desc("purity_q"), "band")),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        ((F.col("band") + 1) * 2000).cast("bigint").alias("split_threshold"),
+        F.col("purity_q").cast("bigint").alias("purity_q"),
+        F.col("nl").alias("n_left"),
+        F.col("badl").alias("bad_left"),
+        F.col("nr").alias("n_right"),
+        F.col("badr").alias("bad_right"),
+        F.round(F.col("badl").cast("double") / F.col("nl").cast("double"), 6).alias(
+            "left_rate"
+        ),
+        F.round(F.col("badr").cast("double") / F.col("nr").cast("double"), 6).alias(
+            "right_rate"
+        ),
+    )

@@ -582,3 +582,76 @@ def test_knn_classify_fixture_complete(spark, sf_dir):
     assert len(rows) == n_q
     for r in rows:
         assert 1 <= r["n_votes"] <= 5
+
+
+def test_multivariate_ols_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from loan_default_prediction_app_big_data_spark.plans._core import t
+
+    per_order = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("x1"),
+            F.sum(F.floor("l_quantity").cast("bigint")).alias("x2"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("y"),
+        )
+        .collect()
+    )
+    X = np.array([[1.0, r["x1"], r["x2"]] for r in per_order])
+    y = np.array([float(r["y"]) for r in per_order])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    pred = X @ beta
+    r2 = 1 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    got = REGISTRY["multivariate_ols_normal_eq"].fn(spark, sf_dir).collect()[0]
+    assert got["n"] == len(per_order)
+    assert abs(got["b0"] - beta[0]) < max(1e-3 * abs(beta[0]), 1e-2)
+    assert abs(got["b1"] - beta[1]) < max(1e-3 * abs(beta[1]), 1e-2)
+    assert abs(got["b2"] - beta[2]) < max(1e-3 * abs(beta[2]), 1e-2)
+    assert abs(got["r2"] - r2) < 1e-5
+    assert 0.0 <= got["r2"] <= 1.0
+
+
+def test_decision_stump_matches_python_sweep(spark, sf_dir):
+    from fractions import Fraction
+
+    from loan_default_prediction_app_big_data_spark.plans._q06_credit_stats import (
+        _scored_orders,
+    )
+
+    bands: dict[int, list[int]] = {}
+    for r in _scored_orders(spark, sf_dir).collect():
+        b = r["score"] // 2000
+        acc = bands.setdefault(b, [0, 0])
+        acc[0] += 1
+        acc[1] += r["bad"]
+    ordered = sorted(bands)
+    nt = sum(v[0] for v in bands.values())
+    badt = sum(v[1] for v in bands.values())
+    nl = badl = 0
+    best = None
+    for b in ordered:
+        nl += bands[b][0]
+        badl += bands[b][1]
+        nr, badr = nt - nl, badt - badl
+        if nl == 0 or nr == 0:
+            continue
+        f = Fraction(badl * badl + (nl - badl) ** 2, nl) + Fraction(
+            badr * badr + (nr - badr) ** 2, nr
+        )
+        if best is None or f > best[0]:
+            best = (f, b, nl, badl, nr, badr)
+    got = REGISTRY["decision_stump_exact"].fn(spark, sf_dir).collect()[0]
+    f, b, nl, badl, nr, badr = best
+    assert got["split_threshold"] == (b + 1) * 2000
+    assert (got["n_left"], got["bad_left"]) == (nl, badl)
+    assert (got["n_right"], got["bad_right"]) == (nr, badr)
+    # purity_q is the floor-scaled objective at the argmax
+    scaled = (
+        (badl * badl + (nl - badl) ** 2) * nr
+        + (badr * badr + (nr - badr) ** 2) * nl
+    ) * 10**12 // (nl * nr)
+    assert got["purity_q"] == scaled
+    # the split must actually separate: left rate < right rate
+    assert got["left_rate"] < got["right_rate"]
