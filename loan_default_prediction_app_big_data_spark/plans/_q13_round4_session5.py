@@ -2185,3 +2185,126 @@ def decision_stump_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "right_rate"
         ),
     )
+
+
+# =====================================================================
+# Item-item collaborative filtering: the oracle-exact neighborhood
+# model next to the (rows-only) MLlib ALS.
+# =====================================================================
+
+_ITEMCF_ORACLE = """
+    -- Item-item cosine over binary basket vectors: co-occurrence
+    -- counts from one within-order pair join, cosine =
+    -- co / sqrt(n_a * n_b) on exact integers rounded to 6dp, top-3
+    -- neighbors for the 20 most-popular anchor items. Deterministic
+    -- end to end (anchor and neighbor ranks tie-break on part id) -
+    -- the hash-exact collaborative-filtering twin of the seed-bound
+    -- MLlib ALS factorization (als_recommendations, rows-only).
+    WITH baskets AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    ni AS MATERIALIZED (
+        SELECT pk, CAST(count(*) AS BIGINT) AS n FROM baskets GROUP BY pk
+    ),
+    anchors AS MATERIALIZED (
+        SELECT pk, n, row_number() OVER (ORDER BY n DESC, pk) AS ar
+        FROM ni QUALIFY ar <= 20
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS co
+        FROM baskets a
+        JOIN anchors an ON an.pk = a.pk
+        JOIN baskets b ON a.ok = b.ok AND b.pk <> a.pk
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ),
+    scored AS (
+        SELECT p.pa, p.pb, p.co,
+               round(CAST(p.co AS DOUBLE)
+                     / sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)), 6)
+                   AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY p.pa
+                   ORDER BY round(CAST(p.co AS DOUBLE)
+                     / sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)), 6)
+                     DESC, p.pb
+               ) AS rk
+        FROM pairs p
+        JOIN ni na ON na.pk = p.pa
+        JOIN ni nb ON nb.pk = p.pb
+    )
+    SELECT pa AS item, CAST(rk AS BIGINT) AS rank, pb AS neighbor,
+           co AS co_orders, cos_sim
+    FROM scored WHERE rk <= 3
+    ORDER BY item, rank
+"""
+
+
+@register(
+    "item_item_collaborative_topk",
+    _ITEMCF_ORACLE,
+    "Item-item collaborative filtering (the neighborhood model of "
+    "Sarwar et al. 2001): binary basket vectors per part, "
+    "co-occurrence via ONE within-order self-join restricted to the "
+    "20 most-popular anchor items, cosine co/sqrt(n_a*n_b) on exact "
+    "BIGINT counts rounded at 6dp, top-3 neighbors per anchor with "
+    "part-id tie-breaks - fully deterministic and hash-exact, the "
+    "oracle-checkable complement to the seed-bound MLlib ALS "
+    "(als_recommendations stays rows-only because factorization has "
+    "no portable oracle). Scale: the pair join fans out only from "
+    "anchor rows (anchor filter BEFORE the join, so pair volume is "
+    "anchors x basket-width, not catalog^2); counts partial-"
+    "aggregate; the min-support HAVING prunes the tail.",
+    tags=("analytics", "ml", "similarity", "round4"),
+)
+def item_item_collaborative_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    ni = baskets.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    anchors = (
+        ni.orderBy(F.desc("n"), "pk")
+        .limit(20)
+        .select("pk")
+    )
+    a = baskets.join(F.broadcast(anchors), "pk").select(
+        F.col("ok"), F.col("pk").alias("pa")
+    )
+    b = baskets.select(F.col("ok"), F.col("pk").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pb") != F.col("pa"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+        .filter(F.col("co") >= 2)
+    )
+    na = ni.select(F.col("pk").alias("pa"), F.col("n").alias("n_a"))
+    nb = ni.select(F.col("pk").alias("pb"), F.col("n").alias("n_b"))
+    cos = F.round(
+        F.col("co").cast("double")
+        / F.sqrt(F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+        6,
+    )
+    scored = (
+        pairs.join(F.broadcast(na), "pa")
+        .join(nb, "pb")
+        .select("pa", "pb", "co", cos.alias("cos_sim"))
+    )
+    wk = W.partitionBy("pa").orderBy(F.desc("cos_sim"), "pb")
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("pa").alias("item"),
+            F.col("rk").cast("bigint").alias("rank"),
+            F.col("pb").alias("neighbor"),
+            F.col("co").alias("co_orders"),
+            "cos_sim",
+        )
+        .orderBy("item", "rank")
+    )

@@ -655,3 +655,42 @@ def test_decision_stump_matches_python_sweep(spark, sf_dir):
     assert got["purity_q"] == scaled
     # the split must actually separate: left rate < right rate
     assert got["left_rate"] < got["right_rate"]
+
+
+def test_item_cf_matches_python_recompute(spark, sf_dir):
+    from loan_default_prediction_app_big_data_spark.plans._core import t
+
+    baskets: dict[int, set] = {}
+    for r in t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect():
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    ni: dict[int, int] = {}
+    for items in baskets.values():
+        for p in items:
+            ni[p] = ni.get(p, 0) + 1
+    anchors = [p for p, _ in sorted(ni.items(), key=lambda kv: (-kv[1], kv[0]))[:20]]
+    co: dict[tuple, int] = {}
+    aset = set(anchors)
+    for items in baskets.values():
+        for pa in items & aset:
+            for pb in items:
+                if pb != pa:
+                    co[(pa, pb)] = co.get((pa, pb), 0) + 1
+    import math
+
+    expect = []
+    for pa in anchors:
+        cands = [
+            (round(c / math.sqrt(ni[pa] * ni[pb]), 6), pb, c)
+            for (a, pb), c in co.items()
+            if a == pa and c >= 2
+        ]
+        for rk, (cs, pb, c) in enumerate(
+            sorted(cands, key=lambda x: (-x[0], x[1]))[:3], start=1
+        ):
+            expect.append((pa, rk, pb, c, cs))
+    got = [
+        (r["item"], r["rank"], r["neighbor"], r["co_orders"], r["cos_sim"])
+        for r in REGISTRY["item_item_collaborative_topk"].fn(spark, sf_dir).collect()
+    ]
+    assert sorted(got) == sorted(expect)
+    assert len(got) > 0
