@@ -694,3 +694,33 @@ def test_item_cf_matches_python_recompute(spark, sf_dir):
     ]
     assert sorted(got) == sorted(expect)
     assert len(got) > 0
+
+
+def test_sprt_decision_state_machine(spark, sf_dir):
+    """Replay Wald's SPRT in Python and check the sticky decision
+    column plus the boundary semantics."""
+    import math
+
+    rows = REGISTRY["sprt_sequential_test"].fn(spark, sf_dir).collect()
+    assert rows == sorted(rows, key=lambda r: r["day"])
+    up = round(math.log(0.26 / 0.24) * 1e6)
+    dn = round(math.log(0.74 / 0.76) * 1e6)
+    bound = round(math.log(19.0) * 1e6)
+    cum = 0
+    first_hi = first_lo = None
+    for r in rows:
+        inc = r["x"] * up + (r["n"] - r["x"]) * dn
+        assert r["llr_micro"] == inc
+        cum += inc
+        assert r["cum_llr_micro"] == cum
+        if first_hi is None and cum >= bound:
+            first_hi = r["day"]
+        if first_lo is None and cum <= -bound:
+            first_lo = r["day"]
+        if first_hi is not None and (first_lo is None or first_hi <= first_lo) and r["day"] >= first_hi:
+            expect = "accept_h1"
+        elif first_lo is not None and (first_hi is None or first_lo < first_hi) and r["day"] >= first_lo:
+            expect = "accept_h0"
+        else:
+            expect = "continue"
+        assert r["decision"] == expect, r["day"]
