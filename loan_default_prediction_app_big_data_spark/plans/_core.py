@@ -176,7 +176,14 @@ _DRIVER_PRIORITY: list[str] = [
     # image_ahash_dedup (real BMP decode -> perceptual hash),
     # grouping_sets_report, moment_stats_skew_kurtosis,
     # bitwise_bool_aggregates, dynamic_partition_pruning_join
-    # (dynamicpruning plan-pinned), zipf_slope_token_frequency —
+    # (dynamicpruning plan-pinned), zipf_slope_token_frequency,
+    # sql_udf_price_tiers (SQL UDF inlined to codegen),
+    # parameterized_query_markers, nearest_event_join (bidirectional
+    # as-of, zero joins), knn_classify_exact,
+    # multivariate_ols_normal_eq (Cramer 3x3 on exact moments),
+    # decision_stump_exact (rational Gini argmax),
+    # item_item_collaborative_topk (oracle-exact CF twin of ALS),
+    # sprt_sequential_test (anytime-valid Wald monitor) —
     # then the round-4 session-4 additions — kmeans_lloyd_exact (two exact Lloyd iterations),
     # simhash_portable_dedup (portable rolling hash, full oracle),
     # dtw_weekday_profile_pairs (unrolled 7x7 DP alias chain),
