@@ -2456,3 +2456,224 @@ def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_llr_micro",
         decision.alias("decision"),
     ).orderBy("day")
+
+
+# =====================================================================
+# t-closeness audit: the distributional member of the privacy trio
+# (k-anonymity, l-diversity, t-closeness).
+# =====================================================================
+
+_TCLOSE_ORACLE = """
+    -- Earth-mover distance between each QI group's sensitive-value
+    -- distribution (order status, ordered F < O < P) and the global
+    -- one, computed EXACTLY: with cumulative counts cum_g over n_g
+    -- rows and CUM over N rows, EMD = sum_j |cum_g_j*N - CUM_j*n_g|
+    -- / ((k-1) * n_g * N) - one common denominator, so the 1e-12
+    -- floor-scaled value is a pure integer and the t <= 0.2 flag is
+    -- an integer comparison.
+    WITH j AS (
+        SELECT c.c_nationkey AS nation, c.c_mktsegment AS segment,
+               o.o_orderstatus AS s
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS MATERIALIZED (
+        SELECT nation, segment,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN s = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS le_f,
+               CAST(sum(CASE WHEN s IN ('F', 'O') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS le_o
+        FROM j GROUP BY 1, 2
+    ),
+    tot AS MATERIALIZED (
+        SELECT CAST(sum(n_rows) AS BIGINT) AS nn,
+               CAST(sum(le_f) AS BIGINT)   AS tle_f,
+               CAST(sum(le_o) AS BIGINT)   AS tle_o
+        FROM g
+    )
+    SELECT g.nation, g.segment, g.n_rows,
+           CAST(((abs(g.le_f::HUGEINT * tot.nn - tot.tle_f::HUGEINT * g.n_rows)
+                  + abs(g.le_o::HUGEINT * tot.nn - tot.tle_o::HUGEINT * g.n_rows))
+                 * 1000000000000)
+                // (2::HUGEINT * g.n_rows * tot.nn) AS BIGINT) AS emd_q,
+           (((abs(g.le_f::HUGEINT * tot.nn - tot.tle_f::HUGEINT * g.n_rows)
+              + abs(g.le_o::HUGEINT * tot.nn - tot.tle_o::HUGEINT * g.n_rows))
+             * 1000000000000)
+            // (2::HUGEINT * g.n_rows * tot.nn) <= 200000000000) AS t_close_02
+    FROM g CROSS JOIN tot
+    ORDER BY nation, segment
+"""
+
+
+@register(
+    "t_closeness_audit",
+    _TCLOSE_ORACLE,
+    "t-closeness audit (Li, Li, Venkatasubramanian 2007), completing "
+    "the privacy trio next to k_anonymity_audit and "
+    "l_diversity_audit: a QI group leaks through its sensitive-value "
+    "DISTRIBUTION even when it is k-anonymous and l-diverse, so each "
+    "(nation, segment) group's order-status distribution is compared "
+    "to the global one by ordered earth-mover distance. Exactness: "
+    "cumulative counts share the single common denominator "
+    "(k-1)*n_g*N, so the EMD floor-scales to a pure 1e-12-grid "
+    "integer (DECIMAL/HUGEINT - floats never enter) and the "
+    "t <= 0.2 flag is an integer comparison. One fact-sized groupBy; "
+    "the global totals broadcast from the group table itself.",
+    tags=("governance", "privacy", "agg", "round4"),
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderstatus").alias("s"),
+    )
+    g = j.groupBy("nation", "segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("s") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("le_f"),
+        F.sum(F.when(F.col("s").isin("F", "O"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("le_o"),
+    )
+    tot = g.agg(
+        F.sum("n_rows").cast("bigint").alias("nn"),
+        F.sum("le_f").cast("bigint").alias("tle_f"),
+        F.sum("le_o").cast("bigint").alias("tle_o"),
+    )
+    emd_q = (
+        "CAST(((abs(CAST(le_f AS DECIMAL(38,0)) * nn "
+        "- CAST(tle_f AS DECIMAL(38,0)) * n_rows) "
+        "+ abs(CAST(le_o AS DECIMAL(38,0)) * nn "
+        "- CAST(tle_o AS DECIMAL(38,0)) * n_rows)) * 1000000000000) "
+        "div (CAST(2 AS DECIMAL(38,0)) * n_rows * nn) AS BIGINT)"
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "nation",
+            "segment",
+            "n_rows",
+            f"{emd_q} AS emd_q",
+            f"({emd_q} <= 200000000000) AS t_close_02",
+        )
+        .orderBy("nation", "segment")
+    )
+
+
+# =====================================================================
+# nDCG@10 ranking evaluation: the graded-relevance IR metric next to
+# the RRF fusion and recall certifications.
+# =====================================================================
+
+import math as _math
+
+_NDCG_K = 10
+#: discount constants round(1e9 / log2(i+1)) for positions 1..10 -
+#: fixed integers, identical on both engines by construction.
+_NDCG_C = [int(round(1e9 / _math.log2(i + 1))) for i in range(1, _NDCG_K + 1)]
+
+_NDCG_ORACLE = f"""
+    -- nDCG@10 of the term-frequency retriever against graded labels
+    -- (en=3, de/fr=2, else=1 - independent of the ranking signal):
+    -- DCG = sum rel_i * c_i with c_i = round(1e9/log2(i+1)) pinned
+    -- INTEGER constants, so both DCG and the ideal DCG are exact
+    -- BIGINTs and only the final ratio divides.
+    WITH scored AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    x -> x = 'data')) AS BIGINT) AS tf,
+               CASE WHEN lang = 'en' THEN 3
+                    WHEN lang IN ('de', 'fr') THEN 2
+                    ELSE 1 END AS rel
+        FROM documents
+    ),
+    ranked AS (
+        SELECT rel, row_number() OVER (ORDER BY tf DESC, doc_id) AS r
+        FROM scored QUALIFY r <= {_NDCG_K}
+    ),
+    ideal AS (
+        SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS r
+        FROM scored QUALIFY r <= {_NDCG_K}
+    ),
+    c AS (
+        SELECT unnest(generate_series(1, {_NDCG_K})) AS r,
+               CAST(unnest({_NDCG_C}) AS BIGINT) AS disc
+    ),
+    dcg AS (
+        SELECT CAST(sum(ranked.rel * c.disc) AS BIGINT) AS dcg_nano
+        FROM ranked JOIN c ON ranked.r = c.r
+    ),
+    idcg AS (
+        SELECT CAST(sum(ideal.rel * c.disc) AS BIGINT) AS idcg_nano
+        FROM ideal JOIN c ON ideal.r = c.r
+    )
+    SELECT dcg_nano, idcg_nano,
+           round(CAST(dcg_nano AS DOUBLE) / CAST(idcg_nano AS DOUBLE), 6)
+               AS ndcg
+    FROM dcg CROSS JOIN idcg
+"""
+
+
+@register(
+    "ranking_ndcg_eval",
+    _NDCG_ORACLE,
+    "nDCG@10 evaluation of a retriever against graded relevance "
+    "labels - the standard ranking metric (Jarvelin-Kekalainen "
+    "2002) completing the IR-eval surface next to "
+    "reciprocal_rank_fusion and the ANN recall certifications. "
+    "Exactness trick: the position discounts 1/log2(i+1) are "
+    "PRECOMPUTED integer constants round(1e9/log2(i+1)) baked into "
+    "both plans, so DCG and ideal-DCG are exact BIGINT dot products "
+    "(relevance x discount) and only the final ndcg ratio divides. "
+    "The ideal ranking ties on doc_id, making every step "
+    "deterministic. Scale: two TakeOrderedAndProject top-10s; the "
+    "discount join touches 10 rows.",
+    tags=("text", "analytics", "llm-pipeline", "round4"),
+)
+def ranking_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.size(F.filter(tokens("text"), lambda x: x == "data"))
+        .cast("bigint")
+        .alias("tf"),
+        F.when(F.col("lang") == "en", 3)
+        .when(F.col("lang").isin("de", "fr"), 2)
+        .otherwise(1)
+        .alias("rel"),
+    )
+
+    disc = spark.createDataFrame(
+        [(i + 1, _NDCG_C[i]) for i in range(_NDCG_K)], "r int, disc long"
+    )
+
+    def topk(order_cols):
+        top = scored.orderBy(*order_cols).limit(_NDCG_K)
+        return top.select(
+            "rel", F.row_number().over(W.orderBy(*order_cols)).alias("r")
+        )
+
+    ranked = topk([F.desc("tf"), F.col("doc_id")])
+    ideal = topk([F.desc("rel"), F.col("doc_id")])
+    dcg = (
+        ranked.join(F.broadcast(disc), "r")
+        .agg(F.sum(F.col("rel") * F.col("disc")).cast("bigint").alias("dcg_nano"))
+    )
+    idcg = (
+        ideal.join(F.broadcast(disc), "r")
+        .agg(F.sum(F.col("rel") * F.col("disc")).cast("bigint").alias("idcg_nano"))
+    )
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        "dcg_nano",
+        "idcg_nano",
+        F.round(
+            F.col("dcg_nano").cast("double") / F.col("idcg_nano").cast("double"),
+            6,
+        ).alias("ndcg"),
+    )

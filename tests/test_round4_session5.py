@@ -724,3 +724,63 @@ def test_sprt_decision_state_machine(spark, sf_dir):
         else:
             expect = "continue"
         assert r["decision"] == expect, r["day"]
+
+
+def test_t_closeness_matches_fraction_emd(spark, sf_dir):
+    from fractions import Fraction
+
+    from loan_default_prediction_app_big_data_spark.plans._core import t
+
+    groups: dict[tuple, list[int]] = {}
+    for r in (
+        t(spark, sf_dir, "orders")
+        .join(t(spark, sf_dir, "customer"), F.expr("o_custkey = c_custkey"))
+        .select("c_nationkey", "c_mktsegment", "o_orderstatus")
+        .collect()
+    ):
+        key = (r["c_nationkey"], r["c_mktsegment"])
+        acc = groups.setdefault(key, [0, 0, 0])  # n, le_f, le_o
+        acc[0] += 1
+        if r["o_orderstatus"] == "F":
+            acc[1] += 1
+        if r["o_orderstatus"] in ("F", "O"):
+            acc[2] += 1
+    nn = sum(v[0] for v in groups.values())
+    tf = sum(v[1] for v in groups.values())
+    to = sum(v[2] for v in groups.values())
+    got = {
+        (r["nation"], r["segment"]): r
+        for r in REGISTRY["t_closeness_audit"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(groups)
+    for key, (n, lef, leo) in groups.items():
+        emd = (
+            abs(Fraction(lef, n) - Fraction(tf, nn))
+            + abs(Fraction(leo, n) - Fraction(to, nn))
+        ) / 2
+        scaled = (emd.numerator * 10**12) // emd.denominator
+        r = got[key]
+        assert r["emd_q"] == scaled, key
+        assert r["t_close_02"] == (scaled <= 2 * 10**11)
+
+
+def test_ndcg_matches_python_recompute(spark, sf_dir):
+    import math
+
+    from loan_default_prediction_app_big_data_spark.plans._core import t
+
+    scored = []
+    for r in t(spark, sf_dir, "documents").select("doc_id", "text", "lang").collect():
+        ws = [w for w in r["text"].split(" ") if w]
+        rel = 3 if r["lang"] == "en" else (2 if r["lang"] in ("de", "fr") else 1)
+        scored.append((r["doc_id"], ws.count("data"), rel))
+    disc = [round(1e9 / math.log2(i + 1)) for i in range(1, 11)]
+    ranked = sorted(scored, key=lambda x: (-x[1], x[0]))[:10]
+    ideal = sorted(scored, key=lambda x: (-x[2], x[0]))[:10]
+    dcg = sum(r[2] * c for r, c in zip(ranked, disc))
+    idcg = sum(r[2] * c for r, c in zip(ideal, disc))
+    got = REGISTRY["ranking_ndcg_eval"].fn(spark, sf_dir).collect()[0]
+    assert got["dcg_nano"] == dcg
+    assert got["idcg_nano"] == idcg
+    assert got["ndcg"] == round(dcg / idcg, 6)
+    assert 0.0 < got["ndcg"] <= 1.0
