@@ -2677,3 +2677,123 @@ def ranking_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ndcg"),
     )
+
+
+# =====================================================================
+# Shoelace polygon area + centroid: exact integer geometry closing
+# out the geo tier.
+# =====================================================================
+
+_SHOE_LATC = "(((c_custkey * 2654435761 + 524287) % 120000000) - 60000000)"
+_SHOE_LONC = ("(((((c_custkey * 2654435761 + 131071) % 360000000)"
+              " * 961748927) % 360000000) - 180000000)")
+
+_SHOELACE_ORACLE = f"""
+    -- Shoelace (surveyor's) formula per nation: vertices are the
+    -- nation's customers in custkey order (closed by wrapping to the
+    -- first vertex), coordinates are integer microdegrees from key
+    -- congruences. Every cross product x_i*y_i+1 - x_i+1*y_i is an
+    -- exact integer; sums accumulate in HUGEINT/DECIMAL; the signed
+    -- doubled area is divided by 1e6 in INTEGER space (exact, both
+    -- engines floor toward -inf only for nonneg - so the division
+    -- keeps the sign by dividing the absolute value and reapplying
+    -- the sign). Centroid = sum((x_i+x_i+1)*cross) / (3*sum(cross)),
+    -- emitted only when the area is non-degenerate.
+    WITH v AS MATERIALIZED (
+        SELECT c_nationkey AS nk, c_custkey,
+               {_SHOE_LATC} AS y, {_SHOE_LONC} AS x
+        FROM customer
+    ),
+    seq AS MATERIALIZED (
+        SELECT nk, c_custkey, x, y,
+               coalesce(lead(x) OVER w, first_value(x) OVER w2) AS xn,
+               coalesce(lead(y) OVER w, first_value(y) OVER w2) AS yn
+        FROM v
+        WINDOW w AS (PARTITION BY nk ORDER BY c_custkey),
+               w2 AS (PARTITION BY nk ORDER BY c_custkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING)
+    ),
+    sums AS MATERIALIZED (
+        SELECT nk,
+               CAST(count(*) AS BIGINT) AS n_vertices,
+               sum(x::HUGEINT * yn - xn::HUGEINT * y) AS area2,
+               sum((x::HUGEINT + xn) * (x::HUGEINT * yn - xn::HUGEINT * y))
+                   AS cxs,
+               sum((y::HUGEINT + yn) * (x::HUGEINT * yn - xn::HUGEINT * y))
+                   AS cys
+        FROM seq GROUP BY nk
+    )
+    SELECT CAST(nk AS BIGINT) AS nation, n_vertices,
+           CAST(CASE WHEN area2 >= 0 THEN abs(area2) // 1000000
+                     ELSE -(abs(area2) // 1000000) END AS BIGINT)
+               AS area2_e6,
+           CASE WHEN abs(area2) > 1000000
+                THEN round(CAST(cxs AS DOUBLE)
+                           / (3 * CAST(area2 AS DOUBLE)) / 1e6, 4)
+           END AS centroid_lon_deg,
+           CASE WHEN abs(area2) > 1000000
+                THEN round(CAST(cys AS DOUBLE)
+                           / (3 * CAST(area2 AS DOUBLE)) / 1e6, 4)
+           END AS centroid_lat_deg
+    FROM sums
+    ORDER BY nation
+"""
+
+
+@register(
+    "polygon_shoelace_area_centroid",
+    _SHOELACE_ORACLE,
+    "Shoelace (surveyor's) polygon area and centroid per nation - "
+    "exact integer computational geometry closing out the geo tier "
+    "(grid-kNN, geohash, ray casting): vertices are the nation's "
+    "customers in custkey order closed by wraparound (lead() with a "
+    "first_value fallback - one window, no self-join), every cross "
+    "product is an exact integer, sums accumulate in "
+    "DECIMAL(38,0)/HUGEINT, and the signed doubled area divides by "
+    "1e6 in sign-split integer space (engines disagree on negative "
+    "integer-division rounding, so the division runs on the "
+    "absolute value and the sign is reapplied - found while "
+    "building). Centroids use the standard cross-weighted formula, "
+    "NULL-gated on degenerate areas identically on both engines. "
+    "One shuffle on nation; windows are partition-parallel.",
+    tags=("geo", "window", "agg", "round4"),
+)
+def polygon_shoelace_area_centroid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    v = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"),
+        "c_custkey",
+        F.expr(_SHOE_LATC).alias("y"),
+        F.expr(_SHOE_LONC).alias("x"),
+    )
+    w = W.partitionBy("nk").orderBy("c_custkey")
+    w2 = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    seq = v.select(
+        "nk",
+        "x",
+        "y",
+        F.coalesce(F.lead("x").over(w), F.first("x").over(w2)).alias("xn"),
+        F.coalesce(F.lead("y").over(w), F.first("y").over(w2)).alias("yn"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    cross = dec("x") * dec("yn") - dec("xn") * dec("y")
+    sums = seq.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+        F.sum(cross).alias("area2"),
+        F.sum((dec("x") + dec("xn")) * cross).alias("cxs"),
+        F.sum((dec("y") + dec("yn")) * cross).alias("cys"),
+    )
+    return sums.selectExpr(
+        "CAST(nk AS BIGINT) AS nation",
+        "n_vertices",
+        "CAST(CASE WHEN area2 >= 0 THEN abs(area2) div 1000000 "
+        "ELSE -(abs(area2) div 1000000) END AS BIGINT) AS area2_e6",
+        "CASE WHEN abs(area2) > 1000000 THEN round(CAST(cxs AS DOUBLE) "
+        "/ (3 * CAST(area2 AS DOUBLE)) / 1e6, 4) END AS centroid_lon_deg",
+        "CASE WHEN abs(area2) > 1000000 THEN round(CAST(cys AS DOUBLE) "
+        "/ (3 * CAST(area2 AS DOUBLE)) / 1e6, 4) END AS centroid_lat_deg",
+    ).orderBy("nation")

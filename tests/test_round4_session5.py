@@ -784,3 +784,35 @@ def test_ndcg_matches_python_recompute(spark, sf_dir):
     assert got["idcg_nano"] == idcg
     assert got["ndcg"] == round(dcg / idcg, 6)
     assert 0.0 < got["ndcg"] <= 1.0
+
+
+def test_shoelace_matches_python_geometry(spark, sf_dir):
+    from loan_default_prediction_app_big_data_spark.plans._core import t
+
+    KN, C1, C2 = 2654435761, 524287, 131071
+    pts: dict[int, list] = {}
+    for r in t(spark, sf_dir, "customer").select("c_nationkey", "c_custkey").collect():
+        ck = r["c_custkey"]
+        y = ((ck * KN + C1) % 120000000) - 60000000
+        x = ((((ck * KN + C2) % 360000000) * 961748927) % 360000000) - 180000000
+        pts.setdefault(r["c_nationkey"], []).append((ck, x, y))
+    got = {r["nation"]: r for r in REGISTRY["polygon_shoelace_area_centroid"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(pts)
+    for nk, vs in pts.items():
+        vs.sort()
+        area2 = cxs = cys = 0
+        n = len(vs)
+        for i in range(n):
+            _, x, y = vs[i]
+            _, xn, yn = vs[(i + 1) % n]
+            cr = x * yn - xn * y
+            area2 += cr
+            cxs += (x + xn) * cr
+            cys += (y + yn) * cr
+        r = got[nk]
+        assert r["n_vertices"] == n
+        sign = 1 if area2 >= 0 else -1
+        assert r["area2_e6"] == sign * (abs(area2) // 1000000)
+        if abs(area2) > 1000000:
+            assert r["centroid_lon_deg"] == round(cxs / (3 * area2) / 1e6, 4)
+            assert r["centroid_lat_deg"] == round(cys / (3 * area2) / 1e6, 4)
