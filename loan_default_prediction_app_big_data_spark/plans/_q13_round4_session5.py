@@ -2797,3 +2797,117 @@ def polygon_shoelace_area_centroid(
         "CASE WHEN abs(area2) > 1000000 THEN round(CAST(cys AS DOUBLE) "
         "/ (3 * CAST(area2 AS DOUBLE)) / 1e6, 4) END AS centroid_lat_deg",
     ).orderBy("nation")
+
+
+# =====================================================================
+# Loan amortization schedules: pure-integer banking arithmetic,
+# sequential per loan, parallel across loans.
+# =====================================================================
+
+_AMORT_ORACLE = """
+    -- Recursive-CTE replay of the amortization run: principal =
+    -- order price in cents, monthly interest = round-half-up 1%
+    -- ((bal+50)//100 - PURE integer, no floats anywhere), fixed
+    -- payment = principal//10, iterate until the balance crosses
+    -- zero (the final payment absorbs the remainder). Recursion is
+    -- bounded (~11 months at these rates; hard cap 600 on both
+    -- engines).
+    WITH RECURSIVE loans AS (
+        SELECT o_orderkey AS loan_id,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS principal
+        FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    sched AS (
+        SELECT loan_id, principal, principal // 10 AS payment,
+               0 AS m, principal AS bal,
+               CAST(0 AS BIGINT) AS interest_paid
+        FROM loans
+        UNION ALL
+        SELECT loan_id, principal, payment,
+               m + 1,
+               bal + (bal + 50) // 100 - payment,
+               interest_paid + (bal + 50) // 100
+        FROM sched
+        WHERE bal > 0 AND m < 600
+    )
+    SELECT loan_id, principal AS principal_cents,
+           CAST(m AS BIGINT) AS months,
+           interest_paid AS total_interest_cents,
+           CAST(payment + bal AS BIGINT) AS final_payment_cents
+    FROM sched
+    WHERE bal <= 0
+    ORDER BY loan_id
+"""
+
+
+@register(
+    "loan_amortization_schedule",
+    _AMORT_ORACLE,
+    "Loan amortization run-off - the reference app's own domain "
+    "(loan default risk) done with BANKING arithmetic: monthly "
+    "interest is round-half-up 1% computed as (balance+50) div 100 "
+    "in pure BIGINT cents (floats never exist, so there is nothing "
+    "to drift), fixed payment = principal div 10, iterate until "
+    "payoff; the final payment absorbs the remainder. The recursion "
+    "is inherently sequential PER LOAN and embarrassingly parallel "
+    "ACROSS loans, so the engine runs it as an Arrow-batched "
+    "mapInPandas integer loop (bounded ~11 iterations/loan) while "
+    "the oracle replays it as a recursive CTE - the "
+    "holt_linear_forecast discipline, strengthened to exact "
+    "integers. Emits months-to-payoff, total interest, and the "
+    "final short payment per loan. Scale: per-partition compute, "
+    "zero shuffle before the bounded output sort.",
+    tags=("ml", "credit", "analytics", "udf", "round4"),
+)
+def loan_amortization_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    loans = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            F.col("o_orderkey").alias("loan_id"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("principal"),
+        )
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("loan_id", T.LongType(), False),
+            T.StructField("principal_cents", T.LongType(), False),
+            T.StructField("months", T.LongType(), False),
+            T.StructField("total_interest_cents", T.LongType(), False),
+            T.StructField("final_payment_cents", T.LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for loan_id, principal in zip(pdf["loan_id"], pdf["principal"]):
+                principal = int(principal)
+                payment = principal // 10
+                bal, m, interest_paid = principal, 0, 0
+                while bal > 0 and m < 600:
+                    intr = (bal + 50) // 100
+                    bal = bal + intr - payment
+                    interest_paid += intr
+                    m += 1
+                out.append(
+                    (int(loan_id), principal, m, interest_paid, payment + bal)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "loan_id",
+                    "principal_cents",
+                    "months",
+                    "total_interest_cents",
+                    "final_payment_cents",
+                ],
+            )
+
+    return loans.mapInPandas(run, schema=schema).orderBy("loan_id")

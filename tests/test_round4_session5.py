@@ -816,3 +816,17 @@ def test_shoelace_matches_python_geometry(spark, sf_dir):
         if abs(area2) > 1000000:
             assert r["centroid_lon_deg"] == round(cxs / (3 * area2) / 1e6, 4)
             assert r["centroid_lat_deg"] == round(cys / (3 * area2) / 1e6, 4)
+
+
+def test_amortization_invariants(spark, sf_dir):
+    """Cash-flow conservation: principal + total interest ==
+    (months-1)*payment + final_payment, and the final payment is never
+    larger than the regular one."""
+    rows = REGISTRY["loan_amortization_schedule"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        payment = r["principal_cents"] // 10
+        paid = (r["months"] - 1) * payment + r["final_payment_cents"]
+        assert paid == r["principal_cents"] + r["total_interest_cents"], r
+        assert 0 <= r["final_payment_cents"] <= payment
+        assert 10 <= r["months"] <= 13  # 10% payment vs 1% interest
