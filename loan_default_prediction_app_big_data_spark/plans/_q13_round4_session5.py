@@ -2911,3 +2911,63 @@ def loan_amortization_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return loans.mapInPandas(run, schema=schema).orderBy("loan_id")
+
+
+# =====================================================================
+# Exchange reuse: AQE deduplicates identical shuffle subtrees.
+# =====================================================================
+
+_REUSE_ORACLE = """
+    WITH seg AS (
+        SELECT o_orderpriority,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev
+        FROM orders GROUP BY 1
+    ),
+    top1 AS (
+        SELECT o_orderpriority, rev, 'top' AS which FROM seg
+        ORDER BY rev DESC, o_orderpriority LIMIT 1
+    ),
+    bot1 AS (
+        SELECT o_orderpriority, rev, 'bottom' AS which FROM seg
+        ORDER BY rev ASC, o_orderpriority LIMIT 1
+    )
+    SELECT * FROM top1 UNION ALL SELECT * FROM bot1
+    ORDER BY which DESC
+"""
+
+
+@register(
+    "exchange_reuse_extremes",
+    _REUSE_ORACLE,
+    "Exchange reuse under AQE: the best- and worst-revenue priority "
+    "classes come from TWO branches consuming the SAME aggregate - "
+    "Spark plans both TakeOrderedAndProject branches over one "
+    "shuffle stage (the final adaptive plan shows ReusedExchange "
+    "pointing at the first branch's Exchange), so the fact table is "
+    "scanned and shuffled ONCE even though the query logically reads "
+    "it twice. This is the optimizer behavior that makes "
+    "WITH-clause-heavy reporting queries affordable at 100 TB, and "
+    "the same machinery the correlation_matrix_exact fix (r3 item 1) "
+    "relies on. tests assert the ReusedExchange node in the "
+    "post-execution adaptive plan.",
+    tags=("sql", "agg", "optimizer", "round4"),
+)
+def exchange_reuse_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    seg = o.groupBy("o_orderpriority").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    top = (
+        seg.orderBy(F.desc("rev"), "o_orderpriority")
+        .limit(1)
+        .withColumn("which", F.lit("top"))
+    )
+    bot = (
+        seg.orderBy(F.asc("rev"), "o_orderpriority")
+        .limit(1)
+        .withColumn("which", F.lit("bottom"))
+    )
+    return top.unionAll(bot).orderBy(F.desc("which"))

@@ -830,3 +830,12 @@ def test_amortization_invariants(spark, sf_dir):
         assert paid == r["principal_cents"] + r["total_interest_cents"], r
         assert 0 <= r["final_payment_cents"] <= payment
         assert 10 <= r["months"] <= 13  # 10% payment vs 1% interest
+
+
+def test_exchange_reuse_in_adaptive_plan(spark, sf_dir):
+    df = REGISTRY["exchange_reuse_extremes"].fn(spark, sf_dir)
+    rows = df.collect()  # AQE finalizes the plan during execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan[:1500]
+    assert [r["which"] for r in rows] == ["top", "bottom"]
+    assert rows[0]["rev"] >= rows[1]["rev"]
