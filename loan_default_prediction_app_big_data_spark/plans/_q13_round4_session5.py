@@ -2971,3 +2971,85 @@ def exchange_reuse_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("which", F.lit("bottom"))
     )
     return top.unionAll(bot).orderBy(F.desc("which"))
+
+
+# =====================================================================
+# Nested data modeling: collect line items into ordered struct arrays
+# and compute with higher-order functions - no re-explode.
+# =====================================================================
+
+_NESTED_ORACLE = """
+    -- Denormalize each order's line items into an ORDERED array of
+    -- structs, then compute entirely with list functions: total via
+    -- list_reduce, adjacent-price gaps via an index transform, the
+    -- head element by subscript. This is the log-record shape
+    -- (order -> items) processed WITHOUT exploding back to rows -
+    -- integer cents everywhere.
+    WITH items AS MATERIALIZED (
+        SELECT l_orderkey AS ok,
+               list(struct_pack(ln := l_linenumber,
+                                cents := CAST(round(l_extendedprice * 100)
+                                              AS BIGINT))
+                    ORDER BY l_linenumber,
+                             CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS items
+        FROM lineitem
+        WHERE l_orderkey % 101 = 0
+        GROUP BY 1
+    )
+    SELECT ok AS o_orderkey,
+           CAST(len(items) AS BIGINT) AS n_items,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(items, x -> x.cents)),
+                    (acc, c) -> acc + c) AS BIGINT) AS total_cents,
+           CAST(CASE WHEN len(items) >= 2 THEN
+                    list_max(list_transform(generate_series(2, len(items)),
+                        i -> abs(items[i].cents - items[i - 1].cents)))
+                ELSE 0 END AS BIGINT) AS max_adjacent_gap_cents,
+           CAST(items[1].cents AS BIGINT) AS first_line_cents
+    FROM items
+    ORDER BY o_orderkey
+"""
+
+
+@register(
+    "nested_order_lines_hof",
+    _NESTED_ORACLE,
+    "Nested data modeling: line items collect into an ORDERED "
+    "array<struct> per order (array_sort on a (linenumber, cents) struct; the fixture linenumber is NOT unique per order, so the struct itself is the "
+    "struct - deterministic without a window), and every metric is "
+    "computed by higher-order functions ON the array - aggregate() "
+    "for the total, transform(sequence(...)) for adjacent-price "
+    "gaps, element_at for the head - never re-exploding to rows. "
+    "This is the shape event-log and API-payload pipelines keep "
+    "records in; the HOFs run inside codegen on the nested column, "
+    "one record per order, no extra shuffle after the collect. "
+    "Integer cents everywhere, so the array fold is exact on both "
+    "engines.",
+    tags=("functions", "sql", "agg", "round4"),
+)
+def nested_order_lines_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 101 == 0)
+    items = li.groupBy(F.col("l_orderkey")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("ln"),
+                    F.round(F.col("l_extendedprice") * 100)
+                    .cast("bigint")
+                    .alias("cents"),
+                )
+            )
+        ).alias("items")
+    )
+    return items.selectExpr(
+        "l_orderkey AS o_orderkey",
+        "CAST(size(items) AS BIGINT) AS n_items",
+        "aggregate(items, 0L, (acc, x) -> acc + x.cents) AS total_cents",
+        "CAST(CASE WHEN size(items) >= 2 THEN "
+        "array_max(transform(sequence(2, size(items)), "
+        "i -> abs(element_at(items, i).cents "
+        "- element_at(items, i - 1).cents))) "
+        "ELSE 0L END AS BIGINT) AS max_adjacent_gap_cents",
+        "element_at(items, 1).cents AS first_line_cents",
+    ).orderBy("o_orderkey")

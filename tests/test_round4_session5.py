@@ -839,3 +839,28 @@ def test_exchange_reuse_in_adaptive_plan(spark, sf_dir):
     assert "ReusedExchange" in plan, plan[:1500]
     assert [r["which"] for r in rows] == ["top", "bottom"]
     assert rows[0]["rev"] >= rows[1]["rev"]
+
+
+def test_nested_hof_matches_python(spark, sf_dir):
+    from loan_default_prediction_app_big_data_spark.plans._core import t
+
+    orders: dict[int, list] = {}
+    for r in (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 101 == 0)
+        .select("l_orderkey", "l_linenumber",
+                F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"))
+        .collect()
+    ):
+        orders.setdefault(r["l_orderkey"], []).append((r["l_linenumber"], r["cents"]))
+    got = {r["o_orderkey"]: r for r in REGISTRY["nested_order_lines_hof"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(orders)
+    for ok, items in orders.items():
+        items.sort()
+        cents = [c for _, c in items]
+        r = got[ok]
+        assert r["n_items"] == len(cents)
+        assert r["total_cents"] == sum(cents)
+        assert r["first_line_cents"] == cents[0]
+        gaps = [abs(b - a) for a, b in zip(cents, cents[1:])]
+        assert r["max_adjacent_gap_cents"] == (max(gaps) if gaps else 0)
