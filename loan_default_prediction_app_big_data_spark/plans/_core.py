@@ -183,7 +183,12 @@ _DRIVER_PRIORITY: list[str] = [
     # multivariate_ols_normal_eq (Cramer 3x3 on exact moments),
     # decision_stump_exact (rational Gini argmax),
     # item_item_collaborative_topk (oracle-exact CF twin of ALS),
-    # sprt_sequential_test (anytime-valid Wald monitor) —
+    # sprt_sequential_test (anytime-valid Wald monitor),
+    # t_closeness_audit (privacy trio complete), ranking_ndcg_eval,
+    # polygon_shoelace_area_centroid, loan_amortization_schedule
+    # (pure-integer banking recursion, recursive-CTE oracle),
+    # exchange_reuse_extremes (ReusedExchange plan-pinned),
+    # nested_order_lines_hof —
     # then the round-4 session-4 additions — kmeans_lloyd_exact (two exact Lloyd iterations),
     # simhash_portable_dedup (portable rolling hash, full oracle),
     # dtw_weekday_profile_pairs (unrolled 7x7 DP alias chain),
