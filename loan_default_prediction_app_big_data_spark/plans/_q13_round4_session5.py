@@ -214,11 +214,15 @@ def winnowing_fingerprint_overlap(
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
         .filter(F.col("shared_fps") >= 2)
     )
+    # `sizes` is one row per DOCUMENT — corpus-sized, so it must NOT
+    # broadcast at the 100 TB posture (the ADVICE-r3 bigram-broadcast
+    # class). Both joins are doc-keyed shuffle joins; AQE will still
+    # choose broadcast at fixture scale on its own size estimate.
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("fp_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("fp_b"))
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -2283,7 +2287,14 @@ def item_item_collaborative_topk(
         .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
         .filter(F.col("co") >= 2)
     )
-    na = ni.select(F.col("pk").alias("pa"), F.col("n").alias("n_a"))
+    # Anchor-side counts: semi-restrict the catalog-sized `ni` to the
+    # 20 anchors BEFORE broadcasting (broadcasting full `ni` would be
+    # the ADVICE-r3 scale bug — part counts are catalog-bounded, not
+    # small). The neighbor-side counts join shuffle-side, co-keyed.
+    na = (
+        ni.join(F.broadcast(anchors), "pk")
+        .select(F.col("pk").alias("pa"), F.col("n").alias("n_a"))
+    )
     nb = ni.select(F.col("pk").alias("pb"), F.col("n").alias("n_b"))
     cos = F.round(
         F.col("co").cast("double")
