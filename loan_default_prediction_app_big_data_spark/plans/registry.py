@@ -50,3 +50,4 @@ from ._q10_round4_ops import *  # noqa: F401,F403,E402
 from ._q11_round4_session3 import *  # noqa: F401,F403,E402
 from ._q12_round4_session4 import *  # noqa: F401,F403,E402
 from ._q13_round4_session5 import *  # noqa: F401,F403,E402
+from ._q14_round4_session5b import *  # noqa: F401,F403,E402
