@@ -1458,3 +1458,133 @@ def nested_order_lines_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "element_at(items, 1).cents AS first_line_cents",
     ).orderBy("o_orderkey")
 
+
+
+# =====================================================================
+# Unpivot (melt): the wide->long reshape via the dedicated Spark 4
+# DataFrame API.
+# =====================================================================
+
+_UNPIVOT_ORACLE = """
+    WITH wide AS (
+        SELECT o_orderpriority AS priority,
+               CAST(sum(CASE WHEN o_orderstatus = 'F'
+                             THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS f_cents,
+               CAST(sum(CASE WHEN o_orderstatus = 'O'
+                             THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS o_cents,
+               CAST(sum(CASE WHEN o_orderstatus = 'P'
+                             THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS p_cents
+        FROM orders GROUP BY 1
+    )
+    SELECT priority, status, revenue_cents
+    FROM wide
+    UNPIVOT (revenue_cents FOR status IN (f_cents, o_cents, p_cents))
+    ORDER BY priority, status
+"""
+
+
+@register(
+    "unpivot_melt_reshape",
+    _UNPIVOT_ORACLE,
+    "Wide-to-long reshape through the DEDICATED unpivot operator "
+    "(Spark 4 DataFrame.unpivot / melt; DuckDB UNPIVOT) rather than "
+    "the stack()/union workarounds older engines need - the inverse "
+    "of the certified pivot_multi_agg. A 5x3 revenue matrix melts "
+    "to 15 (priority, status, value) rows; the variable column "
+    "carries the source column NAMES, which both engines emit "
+    "identically. Map-side reshape of an already-aggregated "
+    "metadata-sized table - no extra shuffle.",
+    tags=("agg", "sql", "round4"),
+)
+def unpivot_melt_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    wide = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", cents).otherwise(0))
+        .cast("bigint")
+        .alias("f_cents"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", cents).otherwise(0))
+        .cast("bigint")
+        .alias("o_cents"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", cents).otherwise(0))
+        .cast("bigint")
+        .alias("p_cents"),
+    )
+    return wide.unpivot(
+        ["priority"],
+        ["f_cents", "o_cents", "p_cents"],
+        "status",
+        "revenue_cents",
+    ).orderBy("priority", "status")
+
+
+# =====================================================================
+# Governed view: row-level security + column masking as a reusable
+# view layer.
+# =====================================================================
+
+_GOVERNED_ORACLE = """
+    -- The analyst-facing governed view: rows restricted to an
+    -- allowlisted nation set (row-level security), phone masked to
+    -- its last four digits (column masking), balances bucketed to
+    -- $1000 bands (generalization). The audit aggregates run ON the
+    -- governed view only - raw values never appear in the output.
+    WITH governed AS (
+        SELECT c_nationkey,
+               '***-' || substring(c_name, length(c_name) - 3, 4)
+                   AS name_masked,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) * 1000 AS bal_band
+        FROM customer
+        WHERE c_nationkey IN (1, 3, 5, 7, 9, 11)
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nation,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT name_masked) AS BIGINT) AS distinct_masks,
+           CAST(min(bal_band) AS BIGINT) AS min_band,
+           CAST(max(bal_band) AS BIGINT) AS max_band
+    FROM governed GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "governed_view_masking",
+    _GOVERNED_ORACLE,
+    "Row- and column-level security as a governed VIEW layer - the "
+    "pattern warehouses implement policies with when native RLS "
+    "isn't available: the view restricts rows to an allowlisted "
+    "nation set, masks the customer name to its last four characters, "
+    "and generalizes balances to $1000 bands; downstream analytics "
+    "run ONLY against the view, so raw values cannot leak into "
+    "results (the audit output proves it: distinct mask counts and "
+    "band extrema only). The row filter pushes down to the scan "
+    "like any predicate - governance costs nothing at 100 TB. "
+    "Complements pii_redaction (content scrubbing) and the "
+    "k-anonymity/l-diversity/t-closeness audits (risk measurement) "
+    "with the ACCESS-layer control.",
+    tags=("governance", "privacy", "sql", "round4"),
+)
+def governed_view_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    governed = c.filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11)).select(
+        "c_nationkey",
+        F.concat(
+            F.lit("***-"),
+            F.substring(F.col("c_name"), -4, 4),
+        ).alias("name_masked"),
+        (F.floor(F.col("c_acctbal") / 1000).cast("bigint") * 1000).alias(
+            "bal_band"
+        ),
+    )
+    return (
+        governed.groupBy(F.col("c_nationkey").cast("bigint").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.count_distinct("name_masked").cast("bigint").alias("distinct_masks"),
+            F.min("bal_band").cast("bigint").alias("min_band"),
+            F.max("bal_band").cast("bigint").alias("max_band"),
+        )
+        .orderBy("nation")
+    )

@@ -864,3 +864,27 @@ def test_nested_hof_matches_python(spark, sf_dir):
         assert r["first_line_cents"] == cents[0]
         gaps = [abs(b - a) for a, b in zip(cents, cents[1:])]
         assert r["max_adjacent_gap_cents"] == (max(gaps) if gaps else 0)
+
+
+def test_unpivot_is_inverse_of_wide(spark, sf_dir):
+    rows = REGISTRY["unpivot_melt_reshape"].fn(spark, sf_dir).collect()
+    assert len(rows) == 15  # 5 priorities x 3 statuses
+    assert {r["status"] for r in rows} == {"f_cents", "o_cents", "p_cents"}
+    # melt preserves mass: per-priority sum equals the orders total
+    from loan_default_prediction_app_big_data_spark.plans._core import t
+
+    total = (
+        t(spark, sf_dir, "orders")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")))
+        .first()[0]
+    )
+    assert sum(r["revenue_cents"] for r in rows) == total
+
+
+def test_governed_view_leaks_nothing(spark, sf_dir):
+    rows = REGISTRY["governed_view_masking"].fn(spark, sf_dir).collect()
+    allowed = {1, 3, 5, 7, 9, 11}
+    assert {r["nation"] for r in rows} <= allowed
+    for r in rows:
+        assert r["min_band"] % 1000 == 0 and r["max_band"] % 1000 == 0
+        assert r["distinct_masks"] <= r["n_customers"]
