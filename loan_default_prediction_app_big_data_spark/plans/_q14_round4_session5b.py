@@ -1588,3 +1588,107 @@ def governed_view_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# =====================================================================
+# Compression-codec roundtrip: zstd and snappy sinks certified
+# lossless by one hash.
+# =====================================================================
+
+_CODEC_ORACLE = """
+    WITH agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents,
+               CAST(sum(o_orderkey * 2654435761 % 4294967296) AS BIGINT)
+                   AS key_checksum
+        FROM orders
+    )
+    SELECT codec, n_rows, revenue_cents, key_checksum
+    FROM agg, (SELECT unnest(['snappy', 'zstd']) AS codec)
+    ORDER BY codec
+"""
+
+
+@register(
+    "compression_codec_roundtrip",
+    _CODEC_ORACLE,
+    "Columnar-sink codec matrix: orders written as BOTH "
+    "snappy-parquet and zstd-parquet, read back, and reduced to "
+    "(count, exact revenue cents, an order-independent key "
+    "checksum) per codec - the oracle computes the same row pair "
+    "straight from the source table, so a hash match proves BOTH "
+    "codec paths are lossless. zstd is the 100 TB default (2-3x "
+    "better ratio than snappy at similar scan speed on modern "
+    "CPUs); the engine exposes both through one writer option. "
+    "The checksum is a sum of key congruences - associative, "
+    "layout-independent, no float.",
+    tags=("source", "round4"),
+)
+def compression_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    o = t(spark, sf_dir, "orders")
+    frames = []
+    for codec in ("snappy", "zstd"):
+        path = os.path.join(repo, ".tmp_io", f"orders_codec_{codec}")
+        o.write.mode("overwrite").option("compression", codec).parquet(path)
+        back = spark.read.parquet(path)
+        frames.append(
+            back.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("revenue_cents"),
+                F.sum(F.col("o_orderkey") * 2654435761 % 4294967296)
+                .cast("bigint")
+                .alias("key_checksum"),
+            ).select(F.lit(codec).alias("codec"), "*")
+        )
+    return frames[0].unionByName(frames[1]).orderBy("codec")
+
+
+# =====================================================================
+# Join-strategy hints: steering the planner per join.
+# =====================================================================
+
+_HINTS_ORACLE = """
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(floor(c.c_acctbal) AS BIGINT)) AS BIGINT)
+               AS sum_bal_dollars
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "join_strategy_hints",
+    _HINTS_ORACLE,
+    "Per-join strategy hints: the same customer-nation aggregate "
+    "with the nation side hinted SHUFFLE_HASH - overriding the "
+    "planner's default broadcast choice - and the plan test asserts "
+    "a ShuffledHashJoin node executes. Hints are the per-query "
+    "escape hatch when statistics mislead the optimizer at scale "
+    "(e.g., a 'small' dim that explodes after a filter, or a "
+    "broadcast that would OOM the driver); the answer is identical "
+    "by construction, which the oracle hash proves.",
+    tags=("joins", "sql", "optimizer", "round4"),
+)
+def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation").hint("SHUFFLE_HASH")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.floor("c_acctbal").cast("bigint"))
+            .cast("bigint")
+            .alias("sum_bal_dollars"),
+        )
+        .orderBy("nation")
+    )

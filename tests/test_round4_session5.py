@@ -888,3 +888,34 @@ def test_governed_view_leaks_nothing(spark, sf_dir):
     for r in rows:
         assert r["min_band"] % 1000 == 0 and r["max_band"] % 1000 == 0
         assert r["distinct_masks"] <= r["n_customers"]
+
+
+def test_join_hint_produces_shuffled_hash_join(spark, sf_dir):
+    df = REGISTRY["join_strategy_hints"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan[:1200]
+    assert len(df.collect()) == 25
+
+
+def test_codec_roundtrip_files_differ_but_data_equal(spark, sf_dir):
+    import glob
+    import os
+
+    rows = REGISTRY["compression_codec_roundtrip"].fn(spark, sf_dir).collect()
+    assert [r["codec"] for r in rows] == ["snappy", "zstd"]
+    a, b = rows
+    assert (a["n_rows"], a["revenue_cents"], a["key_checksum"]) == (
+        b["n_rows"],
+        b["revenue_cents"],
+        b["key_checksum"],
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sizes = {}
+    for codec in ("snappy", "zstd"):
+        files = glob.glob(
+            os.path.join(repo, ".tmp_io", f"orders_codec_{codec}", "*.parquet")
+        )
+        assert files
+        sizes[codec] = sum(os.path.getsize(f) for f in files)
+    # zstd compresses strictly better on this data
+    assert sizes["zstd"] < sizes["snappy"]
