@@ -188,7 +188,9 @@ _DRIVER_PRIORITY: list[str] = [
     # polygon_shoelace_area_centroid, loan_amortization_schedule
     # (pure-integer banking recursion, recursive-CTE oracle),
     # exchange_reuse_extremes (ReusedExchange plan-pinned),
-    # nested_order_lines_hof —
+    # nested_order_lines_hof, unpivot_melt_reshape,
+    # governed_view_masking, compression_codec_roundtrip,
+    # join_strategy_hints —
     # then the round-4 session-4 additions — kmeans_lloyd_exact (two exact Lloyd iterations),
     # simhash_portable_dedup (portable rolling hash, full oracle),
     # dtw_weekday_profile_pairs (unrolled 7x7 DP alias chain),
