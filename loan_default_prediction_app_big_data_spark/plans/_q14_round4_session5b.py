@@ -1692,3 +1692,203 @@ def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# =====================================================================
+# Mutual information between discretized features - the
+# feature-selection score completing the entropy/KL family.
+# =====================================================================
+
+_MI_ORACLE = """
+    -- MI(score band; market segment) from exact joint counts: each
+    -- cell's contribution (n_xy/N) * ln(n_xy*N / (n_x*n_y)) is
+    -- nano-rounded THEN summed as BIGINT (associative), the
+    -- lm_bigram discipline; marginals come from windows over the
+    -- <=50-cell table. Entropies H(X), H(Y) the same way, and the
+    -- normalized MI divides once at the end.
+    WITH j AS (
+        SELECT (((o_orderkey % 99991) * 31 + (o_custkey % 99991) * 17)
+                % 99991 % 70000
+                + CASE WHEN o_orderstatus = 'F' THEN 30000 ELSE 0 END)
+                // 10000 AS band,
+               c_mktsegment AS seg
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    cells AS MATERIALIZED (
+        SELECT band, seg, CAST(count(*) AS BIGINT) AS n_xy
+        FROM j GROUP BY 1, 2
+    ),
+    m AS MATERIALIZED (
+        SELECT band, seg, n_xy,
+               CAST(sum(n_xy) OVER (PARTITION BY band) AS BIGINT) AS n_x,
+               CAST(sum(n_xy) OVER (PARTITION BY seg) AS BIGINT)  AS n_y,
+               CAST(sum(n_xy) OVER () AS BIGINT)                  AS nn
+        FROM cells
+    ),
+    terms AS (
+        SELECT
+            CAST(sum(CAST(round((CAST(n_xy AS DOUBLE) / CAST(nn AS DOUBLE))
+                * ln(CAST(n_xy AS DOUBLE) * CAST(nn AS DOUBLE)
+                     / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))) * 1e9)
+                AS BIGINT)) AS BIGINT) AS mi_nano,
+            CAST(sum(CASE WHEN seg = (SELECT min(seg) FROM cells) THEN
+                CAST(round(-(CAST(n_x AS DOUBLE) / CAST(nn AS DOUBLE))
+                    * ln(CAST(n_x AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e9)
+                AS BIGINT) ELSE 0 END) AS BIGINT) AS hx_nano,
+            CAST(sum(CASE WHEN band = (SELECT min(band) FROM cells) THEN
+                CAST(round(-(CAST(n_y AS DOUBLE) / CAST(nn AS DOUBLE))
+                    * ln(CAST(n_y AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e9)
+                AS BIGINT) ELSE 0 END) AS BIGINT) AS hy_nano
+        FROM m
+    )
+    SELECT mi_nano, hx_nano, hy_nano,
+           round(CAST(mi_nano AS DOUBLE)
+                 / CAST(LEAST(hx_nano, hy_nano) AS DOUBLE), 6)
+               AS normalized_mi
+    FROM terms
+"""
+
+
+@register(
+    "mutual_information_features",
+    _MI_ORACLE,
+    "Mutual information between the credit-score band and the "
+    "market segment - THE filter-method feature-selection score, "
+    "completing the information-theoretic family next to "
+    "entropy_kl_event_mix: each joint cell contributes "
+    "(p_xy)ln(p_xy/(p_x p_y)) nano-rounded then BIGINT-summed "
+    "(associative, layout-independent); marginal entropies ride the "
+    "same 50-cell table using one-representative-per-marginal "
+    "guards so no count is double-counted; normalized MI = "
+    "MI/min(H_x, H_y) divides once. One fact pass (the 50-cell "
+    "joint groupBy); windows run on metadata scale.",
+    tags=("stats", "ml", "agg", "round4"),
+)
+def mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    band = (
+        (
+            (F.col("o_orderkey") % 99991) * 31
+            + (F.col("o_custkey") % 99991) * 17
+        )
+        % 99991
+        % 70000
+        + F.when(F.col("o_orderstatus") == "F", 30000).otherwise(0)
+    )
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.expr(
+            "(((o_orderkey % 99991) * 31 + (o_custkey % 99991) * 17) "
+            "% 99991 % 70000 "
+            "+ CASE WHEN o_orderstatus = 'F' THEN 30000 ELSE 0 END) div 10000"
+        ).alias("band"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    cells = j.groupBy("band", "seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_xy")
+    )
+    m = cells.select(
+        "band",
+        "seg",
+        "n_xy",
+        F.sum("n_xy").over(W.partitionBy("band")).cast("bigint").alias("n_x"),
+        F.sum("n_xy").over(W.partitionBy("seg")).cast("bigint").alias("n_y"),
+        F.sum("n_xy").over(W.partitionBy()).cast("bigint").alias("nn"),
+    )
+    min_seg = cells.agg(F.min("seg")).first()[0]
+    min_band = cells.agg(F.min("band")).first()[0]
+    terms = m.agg(
+        F.expr(
+            "CAST(sum(CAST(round((CAST(n_xy AS DOUBLE) / CAST(nn AS DOUBLE)) "
+            "* ln(CAST(n_xy AS DOUBLE) * CAST(nn AS DOUBLE) "
+            "/ (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))) * 1e9) "
+            "AS BIGINT)) AS BIGINT)"
+        ).alias("mi_nano"),
+        F.expr(
+            f"CAST(sum(CASE WHEN seg = '{min_seg}' THEN "
+            "CAST(round(-(CAST(n_x AS DOUBLE) / CAST(nn AS DOUBLE)) "
+            "* ln(CAST(n_x AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e9) "
+            "AS BIGINT) ELSE 0 END) AS BIGINT)"
+        ).alias("hx_nano"),
+        F.expr(
+            f"CAST(sum(CASE WHEN band = {min_band} THEN "
+            "CAST(round(-(CAST(n_y AS DOUBLE) / CAST(nn AS DOUBLE)) "
+            "* ln(CAST(n_y AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e9) "
+            "AS BIGINT) ELSE 0 END) AS BIGINT)"
+        ).alias("hy_nano"),
+    )
+    return terms.select(
+        "mi_nano",
+        "hx_nano",
+        "hy_nano",
+        F.round(
+            F.col("mi_nano").cast("double")
+            / F.least("hx_nano", "hy_nano").cast("double"),
+            6,
+        ).alias("normalized_mi"),
+    )
+
+
+# =====================================================================
+# Weighted sampling WITHOUT replacement (Efraimidis-Spirakis), fully
+# integer-keyed.
+# =====================================================================
+
+_AES_ORACLE = """
+    -- A-ES weighted reservoir order: item i gets uniform u_i from a
+    -- key congruence, and the k smallest values of -ln(u_i)/w_i are
+    -- the size-k weighted sample WITHOUT replacement (Efraimidis-
+    -- Spirakis 2006). The division runs as pico-scaled INTEGER
+    -- floor-div on the NON-NEGATIVE numerator (engines agree on
+    -- floor there), so the selection order is bit-exact.
+    WITH u AS (
+        SELECT doc_id, n_chars,
+               ((doc_id * 2654435761 + 12345) % 4294967296) + 1 AS h
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, n_chars,
+               CAST(round(-ln(CAST(h AS DOUBLE) / 4294967296.0) * 1e12)
+                    AS BIGINT) // n_chars AS key_q
+        FROM u WHERE n_chars > 0
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, key_q
+    FROM keyed
+    ORDER BY key_q, doc_id
+    LIMIT 25
+"""
+
+
+@register(
+    "weighted_sample_without_replacement",
+    _AES_ORACLE,
+    "Weighted sampling WITHOUT replacement via Efraimidis-Spirakis "
+    "(2006) exponential keys: each doc draws u from a key "
+    "congruence and the 25 SMALLEST -ln(u)/weight keys are the "
+    "sample - unlike the Bernoulli weighted_doc_sample, the output "
+    "size is exact and inclusion is weight-proportional without "
+    "replacement. Determinism: -ln(u) is pico-rounded to a "
+    "NON-NEGATIVE BIGINT before the integer floor-div by the "
+    "weight (Spark div truncates toward zero, DuckDB // floors - "
+    "they agree only on non-negative operands, the kmeans_lloyd "
+    "lesson applied), so selection order is bit-exact. Scale: "
+    "map-side keys + TakeOrderedAndProject - no shuffle of the "
+    "corpus, no RNG.",
+    tags=("sampling", "llm-pipeline", "round4"),
+)
+def weighted_sample_without_replacement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.expr(
+            "CAST(round(-ln(CAST(((doc_id * 2654435761 + 12345) "
+            "% 4294967296) + 1 AS DOUBLE) / 4294967296.0) * 1e12) "
+            "AS BIGINT) div n_chars"
+        ).alias("key_q"),
+    )
+    return keyed.orderBy("key_q", "doc_id").limit(25)

@@ -919,3 +919,61 @@ def test_codec_roundtrip_files_differ_but_data_equal(spark, sf_dir):
         sizes[codec] = sum(os.path.getsize(f) for f in files)
     # zstd compresses strictly better on this data
     assert sizes["zstd"] < sizes["snappy"]
+
+
+def test_mutual_information_matches_python(spark, sf_dir):
+    import math
+
+    from loan_default_prediction_app_big_data_spark.plans._q06_credit_stats import (
+        _scored_orders,
+    )
+    from loan_default_prediction_app_big_data_spark.plans._core import t as _t
+
+    # joint counts (band from the score congruence, segment via join)
+    cells: dict[tuple, int] = {}
+    cust = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in _t(spark, sf_dir, "customer").collect()
+    }
+    for r in _t(spark, sf_dir, "orders").collect():
+        score = (
+            ((r["o_orderkey"] % 99991) * 31 + (r["o_custkey"] % 99991) * 17)
+            % 99991
+            % 70000
+            + (30000 if r["o_orderstatus"] == "F" else 0)
+        )
+        key = (score // 10000, cust[r["o_custkey"]])
+        cells[key] = cells.get(key, 0) + 1
+    nn = sum(cells.values())
+    nx: dict[int, int] = {}
+    ny: dict[str, int] = {}
+    for (b, s), n in cells.items():
+        nx[b] = nx.get(b, 0) + n
+        ny[s] = ny.get(s, 0) + n
+    mi = sum(
+        round((n / nn) * math.log(n * nn / (nx[b] * ny[s])) * 1e9)
+        for (b, s), n in cells.items()
+    )
+    hx = sum(round(-(n / nn) * math.log(n / nn) * 1e9) for n in nx.values())
+    hy = sum(round(-(n / nn) * math.log(n / nn) * 1e9) for n in ny.values())
+    got = REGISTRY["mutual_information_features"].fn(spark, sf_dir).collect()[0]
+    assert got["mi_nano"] == mi
+    assert got["hx_nano"] == hx and got["hy_nano"] == hy
+    assert got["normalized_mi"] == round(mi / min(hx, hy), 6)
+    assert got["mi_nano"] >= 0
+
+
+def test_aes_sample_is_weight_biased(spark, sf_dir):
+    """The A-ES sample must over-represent heavy documents: the mean
+    weight of selected docs exceeds the corpus mean."""
+    from loan_default_prediction_app_big_data_spark.plans._core import t as _t
+
+    rows = REGISTRY["weighted_sample_without_replacement"].fn(spark, sf_dir).collect()
+    assert len(rows) == 25
+    assert len({r["doc_id"] for r in rows}) == 25  # without replacement
+    corpus = [
+        r["n_chars"]
+        for r in _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0).collect()
+    ]
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    assert sample_mean > sum(corpus) / len(corpus)
