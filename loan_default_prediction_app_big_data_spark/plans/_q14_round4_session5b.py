@@ -1892,3 +1892,110 @@ def weighted_sample_without_replacement(
         ).alias("key_q"),
     )
     return keyed.orderBy("key_q", "doc_id").limit(25)
+
+
+# =====================================================================
+# Rolling regression beta: windowed second moments, exact integer
+# partials inside the frame.
+# =====================================================================
+
+_ROLLBETA_ORACLE = """
+    -- 28-day rolling OLS beta of BUILDING-segment daily revenue
+    -- against total daily revenue: the five moment sums accumulate
+    -- EXACT integer cents inside the window frame, and the
+    -- closed-form slope divides once per day with identical
+    -- expression text - the regression_aggregates discipline lifted
+    -- into a moving frame. Emitted once the frame is full (28 days).
+    WITH daily AS MATERIALIZED (
+        SELECT epoch_us(o.o_orderdate) // 86400000000 AS day,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS tot_cents,
+               CAST(sum(CASE WHEN c.c_mktsegment = 'BUILDING'
+                             THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS seg_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    ),
+    w AS MATERIALIZED (
+        SELECT day,
+               CAST(count(*) OVER f AS BIGINT)                 AS n,
+               CAST(sum(tot_cents) OVER f AS HUGEINT)          AS sx,
+               CAST(sum(seg_cents) OVER f AS HUGEINT)          AS sy,
+               CAST(sum(tot_cents::HUGEINT * seg_cents) OVER f AS HUGEINT)
+                   AS sxy,
+               CAST(sum(tot_cents::HUGEINT * tot_cents) OVER f AS HUGEINT)
+                   AS sxx
+        FROM daily
+        WINDOW f AS (ORDER BY day ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+               AS beta_28d
+    FROM w WHERE n = 28
+    ORDER BY day
+"""
+
+
+@register(
+    "rolling_beta_28d",
+    _ROLLBETA_ORACLE,
+    "Rolling 28-day OLS beta of the BUILDING segment's daily revenue "
+    "on total daily revenue - moving-window regression, the "
+    "volatility/exposure diagnostic next to rolling_median_28d and "
+    "autocorrelation: all five moment sums accumulate EXACT integer "
+    "cents inside the ROWS frame (DECIMAL/HUGEINT - associative, so "
+    "frame evaluation order cannot matter), and the closed-form "
+    "slope divides once per emitted day with byte-identical formula "
+    "text. Rows emit only when the frame is full. One fact pass to "
+    "the ~2.4k-row day table; the windows run on metadata scale.",
+    tags=("window", "stats", "analytics", "round4"),
+)
+def rolling_beta_28d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            (
+                F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                / F.lit(86400000000)
+            )
+            .cast("bigint")
+            .alias("day")
+        )
+        .agg(
+            F.sum(cents).cast("bigint").alias("tot_cents"),
+            F.sum(
+                F.when(F.col("c_mktsegment") == "BUILDING", cents).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("seg_cents"),
+        )
+    )
+    f = W.orderBy("day").rowsBetween(-27, 0)
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    w = daily.select(
+        "day",
+        F.count(F.lit(1)).over(f).cast("bigint").alias("n"),
+        F.sum(dec("tot_cents")).over(f).alias("sx"),
+        F.sum(dec("seg_cents")).over(f).alias("sy"),
+        F.sum(dec("tot_cents") * dec("seg_cents")).over(f).alias("sxy"),
+        F.sum(dec("tot_cents") * dec("tot_cents")).over(f).alias("sxx"),
+    )
+    return (
+        w.filter(F.col("n") == 28)
+        .selectExpr(
+            "CAST(day AS BIGINT) AS day",
+            "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+            "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+            "/ (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+            "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS beta_28d",
+        )
+        .orderBy("day")
+    )

@@ -977,3 +977,38 @@ def test_aes_sample_is_weight_biased(spark, sf_dir):
     ]
     sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
     assert sample_mean > sum(corpus) / len(corpus)
+
+
+def test_rolling_beta_matches_python(spark, sf_dir):
+    from loan_default_prediction_app_big_data_spark.plans._core import t as _t
+
+    cust = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in _t(spark, sf_dir, "customer").collect()
+    }
+    daily: dict[int, list[int]] = {}
+    for r in _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("us"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    ).collect():
+        day = r["us"] // 86400000000
+        acc = daily.setdefault(day, [0, 0])
+        acc[0] += r["cents"]
+        if cust[r["o_custkey"]] == "BUILDING":
+            acc[1] += r["cents"]
+    days = sorted(daily)
+    got = {r["day"]: r["beta_28d"] for r in REGISTRY["rolling_beta_28d"].fn(spark, sf_dir).collect()}
+    assert len(got) == max(0, len(days) - 27)
+    import random
+
+    for idx in random.Random(7).sample(range(27, len(days)), min(20, len(days) - 27)):
+        frame = days[idx - 27 : idx + 1]
+        xs = [daily[d][0] for d in frame]
+        ys = [daily[d][1] for d in frame]
+        n = 28
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert got[days[idx]] == round(beta, 6), days[idx]
