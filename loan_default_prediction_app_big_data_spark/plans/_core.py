@@ -190,7 +190,9 @@ _DRIVER_PRIORITY: list[str] = [
     # exchange_reuse_extremes (ReusedExchange plan-pinned),
     # nested_order_lines_hof, unpivot_melt_reshape,
     # governed_view_masking, compression_codec_roundtrip,
-    # join_strategy_hints —
+    # join_strategy_hints, mutual_information_features,
+    # weighted_sample_without_replacement (A-ES integer keys),
+    # rolling_beta_28d —
     # then the round-4 session-4 additions — kmeans_lloyd_exact (two exact Lloyd iterations),
     # simhash_portable_dedup (portable rolling hash, full oracle),
     # dtw_weekday_profile_pairs (unrolled 7x7 DP alias chain),
