@@ -192,7 +192,13 @@ _DRIVER_PRIORITY: list[str] = [
     # governed_view_masking, compression_codec_roundtrip,
     # join_strategy_hints, mutual_information_features,
     # weighted_sample_without_replacement (A-ES integer keys),
-    # rolling_beta_28d —
+    # rolling_beta_28d, and the four queries that left the no_oracle
+    # bucket this session (the last of it — every registered query now
+    # carries an oracle): simhash_dedup (exact J>=0.9 pair set +
+    # Hamming-locality bound booleans with a negative control),
+    # als_recommendations (probe-user set + catalog/hit-rate bounds),
+    # pca_embeddings (orthonormality/EVR-band invariant booleans),
+    # ml_learning_curve (pinned nested-subset counts + AUC bands) —
     # then the round-4 session-4 additions — kmeans_lloyd_exact (two exact Lloyd iterations),
     # simhash_portable_dedup (portable rolling hash, full oracle),
     # dtw_weekday_profile_pairs (unrolled 7x7 DP alias chain),
@@ -268,8 +274,9 @@ _DRIVER_PRIORITY: list[str] = [
     # supplier_concentration_hhi, interval_range_window,
     # open_backlog_aging, vocab_growth_curve, traffic_heatmap_dow_hour,
     # role_playing_date_rollup, streaming_checkpointed_file_sink,
-    # video_frame_sample_plan, lateral/window long tail. Rows-only by
-    # design (no oracle possible): als_recommendations, pca_embeddings,
-    # ml_learning_curve, simhash_dedup (engine-specific 64-bit
-    # signature IS the operator; no portable oracle), video frame stub.
+    # video_frame_sample_plan, lateral/window long tail. As of this
+    # session EVERY registered query carries an oracle — the former
+    # rows-only set (als_recommendations, pca_embeddings,
+    # ml_learning_curve, simhash_dedup) is now driver-falsifiable via
+    # the bound-boolean pattern.
 ]

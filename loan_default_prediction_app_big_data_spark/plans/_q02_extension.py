@@ -283,18 +283,118 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simhash_dedup",
-    None,  # xxhash64 not available in DuckDB -> rows-only check
-    "SimHash near-dup grouping: 64-bit signature from per-token "
-    "xxhash64 bit votes, all native array expressions; groupBy the "
-    "8-byte signature. member_ids is serialized to a comma-joined "
-    "string so every output column is scalar (driver-hashable).",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(ws) - 2, 1)),
+                   i -> array_to_string(ws[i:i+2], ' '))) AS sh3
+        FROM toks WHERE len(ws) > 0
+    ), e AS (
+        SELECT doc_id, unnest(sh3) AS s FROM sh
+    ), sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS nc
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT CAST(i.id_a AS BIGINT) AS id_a, CAST(i.id_b AS BIGINT) AS id_b,
+           CAST((i.nc * 1000000) // (sa.n + sb.n - i.nc) AS BIGINT)
+               AS jaccard_millionths,
+           TRUE AS ham_le_9, TRUE AS ctrl_median_ham_ge_12
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE 10 * i.nc >= 9 * (sa.n + sb.n - i.nc)  -- jaccard >= 0.9, exact ints
+    ORDER BY id_a, id_b
+    """,
+    "SimHash near-dup signatures (64-bit per-token xxhash64 bit votes, "
+    "all native array expressions — operators/dedup.simhash64), "
+    "DRIVER-FALSIFIABLE (VERDICT r3 item 3, the bound-boolean "
+    "pattern): for the exact 3-shingle-Jaccard >= 0.9 pair set — "
+    "which the oracle computes O(n^2)-exactly with integer "
+    "arithmetic — the emitted booleans assert the SimHash locality "
+    "contract: near-dup pairs hash within Hamming distance 9 "
+    "(measured max 7 at sf0.001, 5 at sf0.01), while a negative "
+    "control of adjacent-id dissimilar pairs (doc_id < 64) keeps "
+    "median Hamming >= 12 (measured 17-18). A degenerate signature "
+    "(e.g. all bits voting one way, or seed collapse) flips either "
+    "boolean and breaks the driver hash. The shingle equi-join is "
+    "the same MapReduce set-similarity shape as "
+    "minhash_native_dedup; signatures shuffle as 8-byte longs.",
     tags=("dedup",),
 )
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = D.simhash_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
-    return out.withColumn(
-        "member_ids", F.array_join(F.col("member_ids").cast("array<string>"), ",")
+    docs = t(spark, sf_dir, "documents")
+    sig = docs.select(F.col("doc_id"), D.simhash64("text").alias("sh"))
+    # Exact J >= 0.9 pair set: explode distinct 3-shingles, equi-join
+    # on the shingle to count intersections (never materializing the
+    # pair x array cross product), integer threshold filter.
+    e = (
+        docs.select("doc_id", X.shingles("text", 3).alias("sh3"))
+        .filter(F.size("sh3") > 0)
+        .select("doc_id", F.size("sh3").alias("n"), F.explode("sh3").alias("s"))
     )
+    sizes = e.groupBy("doc_id").agg(F.first("n").alias("n"))
+    inter = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    pairs = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")),
+            "id_b",
+        )
+        .filter(10 * F.col("nc") >= 9 * (F.col("n_a") + F.col("n_b") - F.col("nc")))
+    )
+    ham = (
+        pairs.join(
+            sig.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            F.expr("(nc * 1000000) div (n_a + n_b - nc)")
+            .cast("bigint")
+            .alias("jaccard_millionths"),
+            (F.bit_count(F.expr("sh_a ^ sh_b")) <= 9).alias("ham_le_9"),
+        )
+    )
+    # Negative control: adjacent-id pairs in a bounded prefix are
+    # dissimilar; their median signature distance must stay large.
+    ctrl_sig = sig.filter(F.col("doc_id") < 64)
+    ctrl = (
+        ctrl_sig.alias("ca")
+        .join(
+            ctrl_sig.alias("cb"),
+            F.col("cb.doc_id") == F.col("ca.doc_id") + 1,
+        )
+        .select(F.bit_count(F.expr("ca.sh ^ cb.sh")).alias("h"))
+        .agg(
+            (F.expr("percentile(h, 0.5)") >= 12).alias("ctrl_median_ham_ge_12")
+        )
+    )
+    return ham.crossJoin(F.broadcast(ctrl)).orderBy("id_a", "id_b")
 
 
 @register(
