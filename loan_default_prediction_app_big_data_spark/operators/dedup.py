@@ -328,6 +328,7 @@ def prefix_filtered_jaccard_join(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.6,
+    with_counts: bool = False,
 ) -> DataFrame:
     """Threshold Jaccard self-join with PPJoin-style prefix filtering —
     the LOSSLESS candidate pruning that makes an all-corpus similarity
@@ -346,7 +347,10 @@ def prefix_filtered_jaccard_join(
       pairs only (candidates are ~linear in the true result size, not
       quadratic in the corpus).
 
-    Output: (id_a, id_b, jaccard) with jaccard >= threshold, 6dp.
+    Output: (id_a, id_b, jaccard) with jaccard >= threshold, 6dp —
+    or, with ``with_counts=True``, the exact integer pair
+    (id_a, id_b, n_inter, n_union) for callers that derive their own
+    engine-exact similarity representation.
     """
     from pyspark.sql import Window as W
 
@@ -392,12 +396,22 @@ def prefix_filtered_jaccard_join(
     if abs(threshold * den - round(threshold * den)) > 1e-12:
         raise ValueError("threshold must be a 1-decimal rational, e.g. 0.6")
     num = int(round(threshold * den))
-    return (
+    verified = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("__i", inter)
         .withColumn("__u", union)
         .filter(F.col("__i") * den >= num * F.col("__u"))
+    )
+    if with_counts:
+        return verified.select(
+            "id_a",
+            "id_b",
+            F.col("__i").cast("bigint").alias("n_inter"),
+            F.col("__u").cast("bigint").alias("n_union"),
+        )
+    return (
+        verified
         .select(
             "id_a",
             "id_b",

@@ -198,7 +198,10 @@ _DRIVER_PRIORITY: list[str] = [
     # Hamming-locality bound booleans with a negative control),
     # als_recommendations (probe-user set + catalog/hit-rate bounds),
     # pca_embeddings (orthonormality/EVR-band invariant booleans),
-    # ml_learning_curve (pinned nested-subset counts + AUC bands) —
+    # ml_learning_curve (pinned nested-subset counts + AUC bands),
+    # streaming_full_outer_join (completes the stream-stream join
+    # matrix; both NULL extensions watermark-proofed, asymmetric
+    # eviction horizons encoded relationally by the oracle) —
     # then the round-4 session-4 additions — kmeans_lloyd_exact (two exact Lloyd iterations),
     # simhash_portable_dedup (portable rolling hash, full oracle),
     # dtw_weekday_profile_pairs (unrolled 7x7 DP alias chain),

@@ -331,39 +331,23 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
+    # Exact J >= 0.9 pair set via the LOSSLESS PPJoin prefix filter
+    # (same kernel as prefix_jaccard_threshold_join, rarest-first
+    # shingle order): at t=0.9 only each doc's rarest ~10% of
+    # shingles generate candidates, so the candidate join scales with
+    # true near-dups, never the corpus. with_counts keeps similarity
+    # in exact-integer space.
+    cand = D.prefix_filtered_jaccard_join(
+        docs, "doc_id", "text", k=3, threshold=0.9, with_counts=True
+    )
+    # Full-corpus signatures: simhash64 is a map-side projection (no
+    # shuffle), so computing it for every doc costs one scan and joins
+    # to the candidate pairs by id. (Restricting it to pair members
+    # via a semi-join was measured SLOWER — building the broadcast
+    # id-list forces the candidate subtree to evaluate twice.)
     sig = docs.select(F.col("doc_id"), D.simhash64("text").alias("sh"))
-    # Exact J >= 0.9 pair set: explode distinct 3-shingles, equi-join
-    # on the shingle to count intersections (never materializing the
-    # pair x array cross product), integer threshold filter.
-    e = (
-        docs.select("doc_id", X.shingles("text", 3).alias("sh3"))
-        .filter(F.size("sh3") > 0)
-        .select("doc_id", F.size("sh3").alias("n"), F.explode("sh3").alias("s"))
-    )
-    sizes = e.groupBy("doc_id").agg(F.first("n").alias("n"))
-    inter = (
-        e.alias("a")
-        .join(
-            e.alias("b"),
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("nc"))
-    )
-    pairs = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")),
-            "id_b",
-        )
-        .filter(10 * F.col("nc") >= 9 * (F.col("n_a") + F.col("n_b") - F.col("nc")))
-    )
     ham = (
-        pairs.join(
+        cand.join(
             sig.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
             "id_a",
         )
@@ -374,7 +358,7 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("id_a").cast("bigint").alias("id_a"),
             F.col("id_b").cast("bigint").alias("id_b"),
-            F.expr("(nc * 1000000) div (n_a + n_b - nc)")
+            F.expr("(n_inter * 1000000) div n_union")
             .cast("bigint")
             .alias("jaccard_millionths"),
             (F.bit_count(F.expr("sh_a ^ sh_b")) <= 9).alias("ham_le_9"),
@@ -382,7 +366,9 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Negative control: adjacent-id pairs in a bounded prefix are
     # dissimilar; their median signature distance must stay large.
-    ctrl_sig = sig.filter(F.col("doc_id") < 64)
+    ctrl_sig = docs.filter(F.col("doc_id") < 64).select(
+        F.col("doc_id"), D.simhash64("text").alias("sh")
+    )
     ctrl = (
         ctrl_sig.alias("ca")
         .join(

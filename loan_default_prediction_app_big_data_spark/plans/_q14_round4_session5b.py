@@ -1999,3 +1999,103 @@ def rolling_beta_28d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# =====================================================================
+# Stream-stream FULL OUTER join — completes the streaming join matrix
+# =====================================================================
+
+
+@register(
+    "streaming_full_outer_join",
+    """
+    -- Both NULL extensions of a full-outer stream-stream join are
+    -- negative claims, each gated by its own watermark proof derived
+    -- from the interval condition: an unmatched purchase is final
+    -- once the ms-floored final watermark (min(max view_ts, max
+    -- purchase_ts) - 1 h) passes purchase_ts (its latest possible
+    -- matching view time); an unmatched view once it passes
+    -- view_ts + 24 h (its latest possible matching purchase time).
+    WITH ev AS MATERIALIZED (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    views AS MATERIALIZED (
+        SELECT user_id, ts_us FROM ev WHERE event_type = 'view'
+    ),
+    purch AS MATERIALIZED (
+        SELECT user_id, ts_us FROM ev WHERE event_type = 'purchase'
+    ),
+    wm AS (
+        SELECT least((SELECT max(ts_us) FROM views) // 1000,
+                     (SELECT max(ts_us) FROM purch) // 1000)
+               - 3600000 AS w_ms
+    ),
+    matched AS (
+        SELECT p.user_id, p.ts_us AS purchase_ts_us, v.ts_us AS view_ts_us
+        FROM purch p JOIN views v
+          ON p.user_id = v.user_id
+         AND v.ts_us BETWEEN p.ts_us - 86400000000 AND p.ts_us
+    ),
+    left_null AS (
+        SELECT p.user_id, p.ts_us AS purchase_ts_us,
+               CAST(-1 AS BIGINT) AS view_ts_us
+        FROM purch p, wm
+        WHERE NOT EXISTS (
+                SELECT 1 FROM views v
+                WHERE v.user_id = p.user_id
+                  AND v.ts_us BETWEEN p.ts_us - 86400000000 AND p.ts_us)
+          AND p.ts_us // 1000 < wm.w_ms
+    ),
+    right_null AS (
+        SELECT v.user_id, CAST(-1 AS BIGINT) AS purchase_ts_us,
+               v.ts_us AS view_ts_us
+        FROM views v, wm
+        WHERE NOT EXISTS (
+                SELECT 1 FROM purch p
+                WHERE p.user_id = v.user_id
+                  AND v.ts_us BETWEEN p.ts_us - 86400000000 AND p.ts_us)
+          AND (v.ts_us + 86400000000) // 1000 < wm.w_ms
+    )
+    SELECT CAST(user_id AS BIGINT)        AS user_id,
+           CAST(purchase_ts_us AS BIGINT) AS purchase_ts_us,
+           CAST(view_ts_us AS BIGINT)     AS view_ts_us,
+           CASE WHEN purchase_ts_us < 0 THEN 'right_only'
+                WHEN view_ts_us < 0     THEN 'left_only'
+                ELSE 'both' END           AS side
+    FROM (SELECT * FROM matched
+          UNION ALL SELECT * FROM left_null
+          UNION ALL SELECT * FROM right_null)
+    ORDER BY user_id, purchase_ts_us, view_ts_us
+    """,
+    "Stream-stream FULL OUTER interval join with watermarks "
+    "(streaming/windows.py run_stream_stream_full_outer_join) — "
+    "completes the streaming join matrix (inner: "
+    "streaming_stream_stream_join; left outer: "
+    "streaming_left_outer_join): matched purchase/view pairs PLUS "
+    "view-less purchases PLUS purchase-less views, each NULL "
+    "extension emitted only after ITS watermark proof (asymmetric "
+    "horizons: purchase_ts vs view_ts + 24 h — the interval "
+    "condition's two bounds). On the finite replay both evictions "
+    "are deterministic and the oracle encodes them relationally "
+    "(NULL ts surfaces as -1 for a hash-stable representation). "
+    "State at 100 TB/day = the inner join's two keyed buffers plus "
+    "both unmatched buffers; the view side dominates by the "
+    "interval width.",
+    tags=("streaming", "join"),
+)
+def streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import run_stream_stream_full_outer_join
+
+    out = run_stream_stream_full_outer_join(spark, sf_dir)
+    return (
+        out.select(
+            "user_id",
+            F.coalesce(F.col("purchase_ts_us"), F.lit(-1)).alias("purchase_ts_us"),
+            F.coalesce(F.col("view_ts_us"), F.lit(-1)).alias("view_ts_us"),
+            F.when(F.col("purchase_ts_us").isNull(), "right_only")
+            .when(F.col("view_ts_us").isNull(), "left_only")
+            .otherwise("both")
+            .alias("side"),
+        )
+        .orderBy("user_id", "purchase_ts_us", "view_ts_us")
+    )

@@ -1,6 +1,7 @@
 from .windows import (
     run_stateful_user_counts,
     run_stream_stream_join,
+    run_stream_stream_full_outer_join,
     run_stream_stream_left_outer_join,
     run_tumbling_stream,
     sliding_window_agg,
@@ -10,6 +11,7 @@ from .windows import (
 __all__ = [
     "run_stateful_user_counts",
     "run_stream_stream_join",
+    "run_stream_stream_full_outer_join",
     "run_stream_stream_left_outer_join",
     "run_tumbling_stream",
     "sliding_window_agg",

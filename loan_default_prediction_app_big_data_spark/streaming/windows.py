@@ -593,6 +593,76 @@ def run_stream_stream_left_outer_join(
     return out
 
 
+def run_stream_stream_full_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER interval join — completes
+    the stream-stream join matrix (inner: run_stream_stream_join;
+    left outer: run_stream_stream_left_outer_join): matched
+    purchase/view pairs, PLUS view-less purchases with a NULL view
+    side, PLUS purchase-less views with a NULL purchase side.
+
+    Both NULL extensions are negative claims, each gated by its own
+    watermark proof derived from the interval condition
+    ``view_ts BETWEEN purchase_ts - 24h AND purchase_ts``:
+    an unmatched purchase is provably final once the global watermark
+    passes ``purchase_ts`` (its latest possible matching view time);
+    an unmatched view once the watermark passes ``view_ts + 24h``
+    (its latest possible matching purchase time). On a finite replay
+    both evictions are deterministic — final watermark =
+    ``min(max view_ts, max purchase_ts) - 1 hour``, ms-floored like
+    EventTimeWatermark — and the oracle encodes the two eviction
+    rules relationally.
+
+    At 100 TB/day state is the inner join's (horizon x per-key rate
+    per side, keyed by user_id) plus BOTH unmatched buffers; the
+    asymmetric eviction horizons (0 vs 24 h past event time) mean the
+    view-side buffer dominates by the interval width.
+    """
+    name = f"ssfoj_{uuid.uuid4().hex[:8]}"
+    ev = streaming_events(spark, sf_dir)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            """
+            user_id = v_user AND
+            view_ts BETWEEN purchase_ts - INTERVAL 24 HOURS AND purchase_ts
+            """
+        ),
+        "fullOuter",
+    ).select(
+        F.coalesce(F.col("user_id"), F.col("v_user")).alias("user_id"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        F.unix_micros("view_ts").alias("view_ts_us"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = spark.table(name).cache()
+    out.count()
+    return out
+
+
 def run_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4's NEW arbitrary-state API (``transformWithStateInPandas``
     with a ``StatefulProcessor`` + typed ``ValueState``) — the

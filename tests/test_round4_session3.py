@@ -271,3 +271,49 @@ def test_sql_scripting_median_equals_sorted_median(spark, sf_smoke):
     )
     assert row.n_rows == len(cents)
     assert row.median_cents == cents[(len(cents) + 1) // 2 - 1]
+
+
+# ------------------------------------------- stream-stream full outer
+
+
+def test_streaming_full_outer_partitions_by_side(spark, sf_smoke):
+    """The full-outer result is exactly inner + left-null + right-null:
+    matched rows equal the batch inner interval join; each null side
+    respects its own watermark horizon (purchase_ts vs view_ts+24h)."""
+    from pyspark.sql import functions as FF
+
+    rows = _run(spark, "streaming_full_outer_join", sf_smoke).collect()
+    both = [r for r in rows if r.side == "both"]
+    lo = [r for r in rows if r.side == "left_only"]
+    ro = [r for r in rows if r.side == "right_only"]
+    assert len(both) + len(lo) + len(ro) == len(rows)
+    assert all(r.purchase_ts_us >= 0 and r.view_ts_us >= 0 for r in both)
+    assert all(r.view_ts_us == -1 and r.purchase_ts_us >= 0 for r in lo)
+    assert all(r.purchase_ts_us == -1 and r.view_ts_us >= 0 for r in ro)
+
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet").select(
+        "user_id",
+        "event_type",
+        FF.unix_micros(FF.col("ts").cast("timestamp")).alias("us"),
+    )
+    v = ev.filter(FF.col("event_type") == "view").select(
+        FF.col("user_id").alias("vu"), FF.col("us").alias("vus")
+    )
+    p = ev.filter(FF.col("event_type") == "purchase").select("user_id", "us")
+    inner = p.join(
+        v,
+        (FF.col("user_id") == FF.col("vu"))
+        & FF.col("vus").between(FF.col("us") - 86400000000, FF.col("us")),
+    ).count()
+    assert len(both) == inner
+
+    maxes = {
+        r.event_type: r.mx
+        for r in ev.groupBy("event_type").agg(FF.max("us").alias("mx")).collect()
+    }
+    w_ms = min(maxes["view"], maxes["purchase"]) // 1000 - 3600000
+    assert lo and ro, "replay should null-extend both sides"
+    for r in lo:
+        assert r.purchase_ts_us // 1000 < w_ms
+    for r in ro:
+        assert (r.view_ts_us + 86400000000) // 1000 < w_ms
