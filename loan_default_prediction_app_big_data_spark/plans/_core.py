@@ -144,7 +144,6 @@ _DRIVER_PRIORITY: list[str] = [
     # 32-37: product-analytics / sequence tier.
     "max_concurrent_sessions",
     "event_trigram_topk",
-    "seasonal_naive_backtest",
     "growth_accounting_weekly",
     "cohort_ltv",
     "market_basket_lift",
@@ -154,15 +153,22 @@ _DRIVER_PRIORITY: list[str] = [
     "histogram_equi_depth",
     "entropy_kl_event_mix",
     "rolling_median_28d",
-    # 43-50: highest-information remainder of the r3 queue.
+    # 42-46: the four queries that left the no_oracle bucket this
+    # session (VERDICT r3 item 3 asks for green CORRECTNESS_r04 rows)
+    # plus the new full-outer stream-stream join.
+    "simhash_dedup",
+    "als_recommendations",
+    "pca_embeddings",
+    "ml_learning_curve",
+    "streaming_full_outer_join",
+    # 47-50: highest-information remainder of the r3 queue
+    # (seasonal_naive_backtest, dedup_keep_latest,
+    # containment_detection, window_topk_with_ties,
+    # survival_kaplan_meier rotate to round 5).
     "lateral_topk_join",
     "inverted_index_postings",
-    "dedup_keep_latest",
-    "containment_detection",
     "cluster_canonical_keeper",
     "lm_bigram_surprisal",
-    "window_topk_with_ties",
-    "survival_kaplan_meier",
     # Round-5 rotation queue (strict-local-verified, still without a
     # driver row after this round). Lead with the round-4 session-5
     # additions — winnowing_fingerprint_overlap (MOSS fingerprints,
