@@ -772,3 +772,63 @@ def run_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def run_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` ON THE STREAMING ENGINE — completes the
+    window-type matrix (tumbling/sliding runners above are driver-
+    certified; this adds the third, state-store-merged kind).
+
+    Unlike fixed windows, streaming session windows have no
+    pre-computable assignment: the state store keeps one open session
+    per (user, gap-run) and MERGES adjacent sessions when a late event
+    bridges two of them — the ``session_window`` keyword switches the
+    aggregation to Spark's merging-session state format. Complete
+    output mode on the finite replay emits every merged session, which
+    must equal the batch lag+cumsum sessionization (the oracle) — the
+    same contract the batch twin ``session_window_native`` is certified
+    against. At scale the watermark evicts sessions whose
+    (end + gap) < horizon, bounding state exactly like the tumbling
+    case; session state is keyed by (user, window) so it shards across
+    executors with the shuffle.
+    """
+    name = f"sesswin_{uuid.uuid4().hex[:8]}"
+    events = streaming_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.col("user_id"),
+            F.session_window("ts", "30 minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            F.floor(F.unix_micros(F.col("first_ts")) / 1_000_000)
+            .cast("bigint")
+            .alias("session_start_s"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            (
+                (F.unix_micros(F.col("last_ts")) - F.unix_micros(F.col("first_ts")))
+                / F.lit(1_000_000)
+            )
+            .cast("bigint")
+            .alias("span_s"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name).cache()
+    out.count()
+    return out

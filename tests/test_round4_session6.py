@@ -1,0 +1,193 @@
+"""Streaming session windows, classical-test closures (ANOVA, McNemar,
+runs test), Hamilton apportionment, and FIFO interval matching
+(round-4 session 6).
+
+Every test recomputes the expected answer with an INDEPENDENT
+algorithm in plain Python (sequential walks where the engine uses
+closed forms) so a shared bug can't pass both sides.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from loan_default_prediction_app_big_data_spark.plans.registry import REGISTRY
+from loan_default_prediction_app_big_data_spark.plans._core import t as _t
+
+
+def test_streaming_session_window_matches_python_walk(spark, sf_dir):
+    """The state-store-merged streaming sessions must equal a plain
+    sequential gap-walk over the sorted event log."""
+    evs = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    by_user: dict[int, list[int]] = {}
+    for r in evs:
+        by_user.setdefault(r["user_id"], []).append(r["us"])
+    gap = 30 * 60 * 1_000_000
+    expected: dict[tuple[int, int], tuple[int, int]] = {}
+    for u, times in by_user.items():
+        times.sort()
+        start = prev = times[0]
+        n = 1
+        for ts in times[1:]:
+            if ts - prev > gap:
+                expected[(u, start // 1_000_000)] = (n, (prev - start) // 1_000_000)
+                start, n = ts, 0
+            n += 1
+            prev = ts
+        expected[(u, start // 1_000_000)] = (n, (prev - start) // 1_000_000)
+
+    got = REGISTRY["streaming_session_window"].fn(spark, sf_dir).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        n, span = expected[(r["user_id"], r["session_start_s"])]
+        assert r["n_events"] == n
+        assert r["span_s"] == span
+
+
+def test_anova_oneway_f_matches_python(spark, sf_dir):
+    rows = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderpriority", F.floor("o_totalprice").cast("bigint").alias("v"))
+        .collect()
+    )
+    groups: dict[str, list[int]] = {}
+    for r in rows:
+        groups.setdefault(r["o_orderpriority"], []).append(r["v"])
+    prio = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    assert set(groups) == set(prio)
+    n = [float(len(groups[p])) for p in prio]
+    sx = [float(sum(groups[p])) for p in prio]
+    sxx = [float(sum(v * v for v in groups[p])) for p in prio]
+    nt = n[0] + n[1] + n[2] + n[3] + n[4]
+    st = sx[0] + sx[1] + sx[2] + sx[3] + sx[4]
+    qt = sxx[0] + sxx[1] + sxx[2] + sxx[3] + sxx[4]
+    bsum = (
+        sx[0] * sx[0] / n[0] + sx[1] * sx[1] / n[1] + sx[2] * sx[2] / n[2]
+        + sx[3] * sx[3] / n[3] + sx[4] * sx[4] / n[4]
+    )
+    ssb = bsum - st * st / nt
+    ssw = qt - bsum
+    got = REGISTRY["anova_oneway_f"].fn(spark, sf_dir).collect()[0]
+    assert got["n_total"] == int(nt)
+    assert got["f_stat"] == round(ssb / 4.0 / (ssw / (nt - 5.0)), 6)
+    assert got["eta_squared"] == round(ssb / (ssb + ssw), 6)
+    assert got["f_stat"] >= 0.0 and 0.0 <= got["eta_squared"] <= 1.0
+
+
+def test_mcnemar_matches_python(spark, sf_dir):
+    rows = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .collect()
+    )
+    n11 = n10 = n01 = n00 = 0
+    for r in rows:
+        y = 1 if r["o_orderstatus"] == "F" else 0
+        a = 1 if r["o_totalprice"] > 150000 else 0
+        b = 1 if (r["o_orderkey"] * 31 + r["o_custkey"]) % 97 < 44 else 0
+        if a == y and b == y:
+            n11 += 1
+        elif a == y:
+            n10 += 1
+        elif b == y:
+            n01 += 1
+        else:
+            n00 += 1
+    got = REGISTRY["mcnemar_paired_test"].fn(spark, sf_dir).collect()[0]
+    assert (got["both_correct"], got["only_a_correct"], got["only_b_correct"],
+            got["both_wrong"]) == (n11, n10, n01, n00)
+    assert got["mcnemar_chi2"] == round(
+        (abs(float(n10) - float(n01)) - 1.0) ** 2 / (float(n10) + float(n01)), 6
+    )
+    # the four cells partition the table
+    assert n11 + n10 + n01 + n00 == len(rows)
+
+
+def test_runs_test_matches_python(spark, sf_dir):
+    rows = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderdate", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"))
+        .collect()
+    )
+    daily: dict = {}
+    for r in rows:
+        daily[r["o_orderdate"]] = daily.get(r["o_orderdate"], 0) + r["c"]
+    days = sorted(daily)
+    ups = [1 if daily[days[i]] > daily[days[i - 1]] else 0 for i in range(1, len(days))]
+    n1 = float(sum(ups))
+    n2 = float(len(ups) - sum(ups))
+    runs = 1 + sum(1 for i in range(1, len(ups)) if ups[i] != ups[i - 1])
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    var = (mu - 1.0) * (mu - 2.0) / (n1 + n2 - 1.0)
+    got = REGISTRY["runs_test_randomness"].fn(spark, sf_dir).collect()[0]
+    assert (got["n_up"], got["n_down"], got["n_runs"]) == (int(n1), int(n2), runs)
+    assert got["z_stat"] == round((runs - mu) / math.sqrt(var), 6)
+
+
+def test_apportionment_exact_and_fair(spark, sf_dir):
+    got = REGISTRY["largest_remainder_apportionment"].fn(spark, sf_dir).collect()
+    seats = {r["n_name"]: r["seats"] for r in got}
+    rev = {r["n_name"]: r["rev_cents"] for r in got}
+    assert sum(seats.values()) == 1000  # the budget is hit EXACTLY
+    total = sum(rev.values())
+    # every nation holds floor(quota) or floor(quota)+1 (Hamilton's
+    # quota-rule guarantee), reproduced with exact integer arithmetic
+    floors = {n: (1000 * r) // total for n, r in rev.items()}
+    rems = {n: (1000 * r) % total for n, r in rev.items()}
+    extra = 1000 - sum(floors.values())
+    order = sorted(rev, key=lambda n: (-rems[n], n))
+    awarded = set(order[:extra])
+    for n in rev:
+        assert seats[n] == floors[n] + (1 if n in awarded else 0), n
+
+
+def test_fifo_matching_equals_sequential_walk(spark, sf_dir):
+    """The closed-form interval join must equal a literal FIFO queue
+    simulation (receipts consumed in order by issues in order)."""
+    rows = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin("N", "R"))
+        .select(
+            "l_partkey", "l_returnflag", "l_shipdate", "l_orderkey",
+            "l_linenumber", F.col("l_quantity").cast("bigint").alias("q"),
+        )
+        .collect()
+    )
+    parts: dict[int, dict[str, list]] = {}
+    for r in rows:
+        parts.setdefault(r["l_partkey"], {"N": [], "R": []})[
+            r["l_returnflag"]
+        ].append((r["l_shipdate"], r["l_orderkey"], r["l_linenumber"], r["q"]))
+    expected: dict[int, tuple[int, int]] = {}
+    for pk, sides in parts.items():
+        receipts = [q for *_, q in sorted(sides["N"])]
+        issues = [q for *_, q in sorted(sides["R"])]
+        ri = ii = 0
+        r_left = receipts[0] if receipts else 0
+        i_left = issues[0] if issues else 0
+        n_matches = matched = 0
+        while ri < len(receipts) and ii < len(issues):
+            take = min(r_left, i_left)
+            n_matches += 1
+            matched += take
+            r_left -= take
+            i_left -= take
+            if r_left == 0:
+                ri += 1
+                r_left = receipts[ri] if ri < len(receipts) else 0
+            if i_left == 0:
+                ii += 1
+                i_left = issues[ii] if ii < len(issues) else 0
+        if n_matches:
+            expected[pk] = (n_matches, matched)
+    got = {
+        r["l_partkey"]: (r["n_matches"], r["matched_units"])
+        for r in REGISTRY["fifo_inventory_matching"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
