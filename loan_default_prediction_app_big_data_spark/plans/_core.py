@@ -198,7 +198,15 @@ _DRIVER_PRIORITY: list[str] = [
     # governed_view_masking, compression_codec_roundtrip,
     # join_strategy_hints, mutual_information_features,
     # weighted_sample_without_replacement (A-ES integer keys),
-    # rolling_beta_28d, and the four queries that left the no_oracle
+    # rolling_beta_28d — then the session-7 additions —
+    # streaming_session_window (state-store-MERGED sessions, the
+    # third and last streaming window kind), anova_oneway_f (k-group
+    # classical test from exact moments), mcnemar_paired_test
+    # (paired-classifier discordant cells), runs_test_randomness
+    # (Wald-Wolfowitz), largest_remainder_apportionment (Hamilton,
+    # zero-float integer quotas), fifo_inventory_matching
+    # (cumulative-interval-overlap closed form vs sequential-walk
+    # test), and the four queries that left the no_oracle
     # bucket this session (the last of it — every registered query now
     # carries an oracle): simhash_dedup (exact J>=0.9 pair set +
     # Hamming-locality bound booleans with a negative control),
