@@ -576,3 +576,463 @@ def fifo_inventory_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_matches"),
         F.sum("matched").cast("bigint").alias("matched_units"),
     )
+
+
+# =====================================================================
+# Per-customer NPV / IRR - iterative root-finding run ENTIRELY inside
+# the engines (40 unrolled bisection steps, zero driver round-trips),
+# bit-identical across Spark and DuckDB because every step is the
+# same IEEE expression DAG.
+# =====================================================================
+
+_IRR_ITERS = 28
+_IRR_INVEST_CENTS = 50_000_000.0  # $500k notional acquisition cost
+
+
+def _irr_npv_sql(mid: str) -> str:
+    """NPV at rate ``mid`` with explicit left-associated powers - the
+    exact expression shape the Spark side mirrors."""
+    terms = ["cf0"]
+    for k in range(1, 7):
+        denom = "*".join(["(1.0 + %s)" % mid] * k)
+        terms.append(f"cf{k} / ({denom})")
+    return " + ".join(terms)
+
+
+def _irr_oracle() -> str:
+    cf_cols = ", ".join(f"cf{k}" for k in range(7))
+    its = []
+    for i in range(_IRR_ITERS):
+        src = f"it{i}" if i else "base"
+        npv = _irr_npv_sql("mid")
+        its.append(
+            f"it{i + 1} AS (SELECT c, {cf_cols}, "
+            f"CASE WHEN {npv} > 0.0 THEN mid ELSE lo END AS lo, "
+            f"CASE WHEN {npv} > 0.0 THEN hi ELSE mid END AS hi, "
+            f"(CASE WHEN {npv} > 0.0 THEN mid ELSE lo END "
+            f" + CASE WHEN {npv} > 0.0 THEN hi ELSE mid END) * 0.5 AS mid "
+            f"FROM {src})"
+        )
+    chain = ",\n    ".join(its)
+    return f"""
+    WITH yearly AS (
+        SELECT o_custkey AS c,
+               CAST(year(o_orderdate) - 1992 AS BIGINT) AS yr,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ), cf AS (
+        SELECT c,
+               CAST(coalesce(sum(cents) FILTER (yr = 0), 0) AS DOUBLE)
+                   - {_IRR_INVEST_CENTS} AS cf0,
+               CAST(coalesce(sum(cents) FILTER (yr = 1), 0) AS DOUBLE) AS cf1,
+               CAST(coalesce(sum(cents) FILTER (yr = 2), 0) AS DOUBLE) AS cf2,
+               CAST(coalesce(sum(cents) FILTER (yr = 3), 0) AS DOUBLE) AS cf3,
+               CAST(coalesce(sum(cents) FILTER (yr = 4), 0) AS DOUBLE) AS cf4,
+               CAST(coalesce(sum(cents) FILTER (yr = 5), 0) AS DOUBLE) AS cf5,
+               CAST(coalesce(sum(cents) FILTER (yr = 6), 0) AS DOUBLE) AS cf6
+        FROM yearly GROUP BY 1
+    ), base AS (
+        SELECT c, {cf_cols},
+               CAST(0.0 AS DOUBLE) AS lo,
+               CAST(10.0 AS DOUBLE) AS hi,
+               CAST(5.0 AS DOUBLE) AS mid
+        FROM cf
+        WHERE cf0 < 0.0
+          AND cf0 + cf1 + cf2 + cf3 + cf4 + cf5 + cf6 > 0.0
+    ),
+    {chain}
+    SELECT c AS c_custkey,
+           CAST(cf0 + cf1 + cf2 + cf3 + cf4 + cf5 + cf6 AS BIGINT)
+               AS total_cf_cents,
+           CAST(floor({_irr_npv_sql("0.1")}) AS BIGINT) AS npv10_cents,
+           round((lo + hi) * 0.5, 6) AS irr
+    FROM it{_IRR_ITERS}
+    """
+
+
+@register(
+    "npv_irr_bisection",
+    _irr_oracle(),
+    "Per-customer NPV and IRR: yearly revenue cash flows (exact "
+    "integer cents per TPC-H year) against a $500k notional "
+    "acquisition outlay at t=0; customers with a genuine investment "
+    "shape (negative cf0, positive undiscounted total - exactly one "
+    "sign change, hence a unique positive root) get their IRR from "
+    "28 UNROLLED bisection steps running entirely inside the engine "
+    "- a 28-deep Project chain in Catalyst, zero driver round-trips "
+    "and no UDF, resolving the rate to 10/2^28 ~ 4e-8 (well below "
+    "the round(,6) output grid; each extra step buys only optimizer "
+    "time - measured superlinear in chain depth, ~150 ms/step at "
+    "depth 28, so the step count is sized to the output grid). The "
+    "wall cost is Catalyst rule passes over the 56-Project chain, "
+    "not data: per-row work is trivial at any scale. Every step "
+    "is pure IEEE +-*/ with explicit left-associated discount "
+    "powers, mirrored symbol-for-symbol in the oracle's generated "
+    "28-CTE chain, so the bisection path is bit-identical across "
+    "engines (mid is always dyadic => round(,6) can never sit on a "
+    "decimal tie). npv10_cents is floor()-ed, not round()-ed, to "
+    "stay off the float-rounding grid entirely. This is the "
+    "iterative-algorithm pattern (fixed iteration count, columnar "
+    "state) that also drives the kmeans/PAVA/Viterbi tiers. Scale: "
+    "one partial-combined aggregate to the (customer, year) grain, "
+    "one pivot, then embarrassingly parallel per-row arithmetic.",
+    tags=("analytics", "iterative", "round4"),
+)
+def npv_irr_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        F.col("o_custkey").alias("c"),
+        (F.year("o_orderdate") - F.lit(1992)).cast("bigint").alias("yr"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    cf_cols = [
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("yr") == k, F.col("cents"))), F.lit(0)
+            ).cast("double")
+            - (F.lit(_IRR_INVEST_CENTS) if k == 0 else F.lit(0.0))
+        ).alias(f"cf{k}")
+        for k in range(7)
+    ]
+    cf = yearly.groupBy("c").agg(*cf_cols)
+    total = (
+        F.col("cf0") + F.col("cf1") + F.col("cf2") + F.col("cf3")
+        + F.col("cf4") + F.col("cf5") + F.col("cf6")
+    )
+    df = cf.filter((F.col("cf0") < 0.0) & (total > 0.0)).select(
+        "c", *[f"cf{k}" for k in range(7)],
+        F.lit(0.0).alias("lo"), F.lit(10.0).alias("hi"),
+        F.lit(5.0).alias("mid"),
+    )
+
+    def npv_at(mid_col):
+        acc = F.col("cf0")
+        denom = None
+        for k in range(1, 7):
+            d = F.lit(1.0) + mid_col
+            denom = d if denom is None else denom * d
+            acc = acc + F.col(f"cf{k}") / denom
+        return acc
+
+    cfs = [f"cf{k}" for k in range(7)]
+    for _ in range(_IRR_ITERS):
+        # Two projections per step: `go` materializes the NPV sign
+        # once, so the lo/hi/mid updates reference a cheap boolean
+        # instead of inlining the 30-op NPV expression three times
+        # (Catalyst's CollapseProject keeps multiply-referenced
+        # non-cheap expressions un-inlined, bounding plan growth).
+        df = df.withColumn("go", npv_at(F.col("mid")) > 0.0)
+        new_lo = F.when(F.col("go"), F.col("mid")).otherwise(F.col("lo"))
+        new_hi = F.when(F.col("go"), F.col("hi")).otherwise(F.col("mid"))
+        df = df.select(
+            "c", *cfs,
+            new_lo.alias("lo"), new_hi.alias("hi"),
+            ((new_lo + new_hi) * F.lit(0.5)).alias("mid"),
+        )
+    return df.select(
+        F.col("c").alias("c_custkey"),
+        total.cast("bigint").alias("total_cf_cents"),
+        F.floor(npv_at(F.lit(0.1))).cast("bigint").alias("npv10_cents"),
+        F.round((F.col("lo") + F.col("hi")) * F.lit(0.5), 6).alias("irr"),
+    )
+
+
+# =====================================================================
+# Cochran-Armitage trend test - is the default rate MONOTONE in the
+# ordered priority levels? (chi_square_independence ignores order;
+# this is the ordered-category counterpart.)
+# =====================================================================
+
+_TREND_ORACLE = """
+    WITH x AS (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS score,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ), s AS (
+        SELECT score,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS r
+        FROM x GROUP BY 1
+    ), w AS (
+        SELECT max(CASE WHEN score = 1 THEN n END) AS n1,
+               max(CASE WHEN score = 1 THEN r END) AS r1,
+               max(CASE WHEN score = 2 THEN n END) AS n2,
+               max(CASE WHEN score = 2 THEN r END) AS r2,
+               max(CASE WHEN score = 3 THEN n END) AS n3,
+               max(CASE WHEN score = 3 THEN r END) AS r3,
+               max(CASE WHEN score = 4 THEN n END) AS n4,
+               max(CASE WHEN score = 4 THEN r END) AS r4,
+               max(CASE WHEN score = 5 THEN n END) AS n5,
+               max(CASE WHEN score = 5 THEN r END) AS r5
+        FROM s
+    ), d AS (
+        SELECT n1 + n2 + n3 + n4 + n5 AS nt,
+               r1 + r2 + r3 + r4 + r5 AS rt,
+               1.0 * r1 + 2.0 * r2 + 3.0 * r3 + 4.0 * r4 + 5.0 * r5 AS tr,
+               1.0 * n1 + 2.0 * n2 + 3.0 * n3 + 4.0 * n4 + 5.0 * n5 AS tn,
+               1.0 * n1 + 4.0 * n2 + 9.0 * n3 + 16.0 * n4 + 25.0 * n5 AS tn2
+        FROM w
+    )
+    SELECT CAST(nt AS BIGINT) AS n_total,
+           CAST(rt AS BIGINT) AS n_default,
+           round((tr - rt / nt * tn)
+                 / sqrt(rt / nt * (1.0 - rt / nt)
+                        * (tn2 - tn * tn / nt)), 6) AS trend_z
+    FROM d
+"""
+
+
+@register(
+    "cochran_armitage_trend",
+    _TREND_ORACLE,
+    "Cochran-Armitage trend test: is the default (status F) rate "
+    "monotone across the ORDERED priority levels 1-URGENT..5-LOW? "
+    "chi_square_independence treats the levels as unordered and "
+    "burns power; the trend test scores them 1..5 and tests the "
+    "linear component - the standard epidemiology/credit screen for "
+    "dose-response shapes. Exact integer (n, defaults) per level "
+    "pivot into one row; the z statistic is a fixed-order IEEE "
+    "expression of the ten exact counts, mirrored term-for-term in "
+    "the oracle. Scale: 5-row shuffle after map-side combine.",
+    tags=("agg", "stats", "credit", "round4"),
+)
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    x = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("score"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    s = x.groupBy("score").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y").cast("bigint").cast("double").alias("r"),
+    )
+    w = s.agg(
+        *[
+            F.max(F.when(F.col("score") == k, F.col(c))).alias(f"{c}{k}")
+            for k in range(1, 6)
+            for c in ("n", "r")
+        ]
+    )
+    nt = F.col("n1") + F.col("n2") + F.col("n3") + F.col("n4") + F.col("n5")
+    rt = F.col("r1") + F.col("r2") + F.col("r3") + F.col("r4") + F.col("r5")
+    tr = (
+        F.lit(1.0) * F.col("r1") + F.lit(2.0) * F.col("r2")
+        + F.lit(3.0) * F.col("r3") + F.lit(4.0) * F.col("r4")
+        + F.lit(5.0) * F.col("r5")
+    )
+    tn = (
+        F.lit(1.0) * F.col("n1") + F.lit(2.0) * F.col("n2")
+        + F.lit(3.0) * F.col("n3") + F.lit(4.0) * F.col("n4")
+        + F.lit(5.0) * F.col("n5")
+    )
+    tn2 = (
+        F.lit(1.0) * F.col("n1") + F.lit(4.0) * F.col("n2")
+        + F.lit(9.0) * F.col("n3") + F.lit(16.0) * F.col("n4")
+        + F.lit(25.0) * F.col("n5")
+    )
+    d = w.select(
+        nt.alias("nt"), rt.alias("rt"), tr.alias("tr"),
+        tn.alias("tn"), tn2.alias("tn2"),
+    )
+    p = F.col("rt") / F.col("nt")
+    return d.select(
+        F.col("nt").cast("bigint").alias("n_total"),
+        F.col("rt").cast("bigint").alias("n_default"),
+        F.round(
+            (F.col("tr") - p * F.col("tn"))
+            / F.sqrt(
+                p * (F.lit(1.0) - p)
+                * (F.col("tn2") - F.col("tn") * F.col("tn") / F.col("nt"))
+            ),
+            6,
+        ).alias("trend_z"),
+    )
+
+
+# =====================================================================
+# applyInArrow - the Arrow-native grouped-map API (Spark 4), the last
+# uncovered cell of the UDF-surface matrix (scalar pandas / grouped
+# pandas / applyInPandas / mapInPandas / stateful / UDTF are all
+# registered; this is the zero-pandas path).
+# =====================================================================
+
+_ARROW_AGG_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+    FROM lineitem GROUP BY 1, 2
+"""
+
+
+@register(
+    "arrow_grouped_agg",
+    _ARROW_AGG_ORACLE,
+    "groupBy().applyInArrow (Spark 4): grouped-map over RAW Arrow "
+    "record batches with pyarrow.compute kernels - no pandas "
+    "conversion at all, the cheapest Python-side grouped path "
+    "(pandas adds a columnar->Series materialization both ways; "
+    "Arrow tables pass through zero-copy). Completes the UDF-surface "
+    "matrix: scalar pandas / grouped-agg / applyInPandas / "
+    "mapInPandas / stateful / UDTF / SQL UDF are registered, this "
+    "is the Arrow-native cell. Counts and cent-sums are exact "
+    "integers computed by pyarrow.compute, hash-equal to the plain "
+    "SQL aggregate oracle. CONTRACT (same as every grouped-map op): "
+    "one group must fit one worker - group by bounded keys; for "
+    "unbounded groups use built-in aggs or mapInArrow per-batch.",
+    tags=("udf", "arrow", "round4"),
+)
+def arrow_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        "l_suppkey",
+    )
+
+    def agg(table: "pa.Table") -> "pa.Table":
+        return pa.table(
+            {
+                "l_returnflag": [table.column("l_returnflag")[0].as_py()],
+                "l_linestatus": [table.column("l_linestatus")[0].as_py()],
+                "n_items": pa.array([table.num_rows], pa.int64()),
+                "revenue_cents": pa.array(
+                    [pc.sum(table.column("cents")).as_py()], pa.int64()
+                ),
+                "n_suppliers": pa.array(
+                    [pc.count_distinct(table.column("l_suppkey")).as_py()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return li.groupBy("l_returnflag", "l_linestatus").applyInArrow(
+        agg,
+        schema=(
+            "l_returnflag string, l_linestatus string, n_items bigint, "
+            "revenue_cents bigint, n_suppliers bigint"
+        ),
+    )
+
+
+# =====================================================================
+# Chunk-grain dedup REWRITE - the transform counterpart of
+# duplicated_ngram_span_fraction's measurement: drop every chunk that
+# already appeared anywhere else in the corpus, keep first occurrence,
+# and re-emit the surviving text.
+# =====================================================================
+
+_CHUNK_K = 3
+
+_CHUNK_DEDUP_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id, i AS idx,
+               array_to_string(
+                   ws[(i * {_CHUNK_K} + 1):(i * {_CHUNK_K} + {_CHUNK_K})],
+                   ' ') AS chunk
+        FROM toks, unnest(generate_series(0, len(ws) // {_CHUNK_K} - 1))
+                 AS t(i)
+        WHERE len(ws) >= {_CHUNK_K}
+    ), ranked AS (
+        SELECT doc_id, idx, chunk,
+               row_number() OVER (
+                   PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+           coalesce(string_agg(chunk, ' ' ORDER BY idx)
+                        FILTER (rn = 1), '') AS text_kept
+    FROM ranked GROUP BY doc_id
+"""
+
+
+@register(
+    "chunk_dedup_rewrite",
+    _CHUNK_DEDUP_ORACLE,
+    "Chunk-grain dedup REWRITE: split every document into fixed "
+    "token chunks, keep only each chunk's globally FIRST occurrence "
+    "(ordered by doc_id, position - the deterministic keeper rule), "
+    "and re-emit the surviving text per document. This is the "
+    "TRANSFORM counterpart of duplicated_ngram_span_fraction (which "
+    "only measures): the Lee-et-al-style cross-document boilerplate "
+    "actually gets REMOVED, the way a training-data pipeline "
+    "rewrites its corpus. The chunk grain is {_CHUNK_K} tokens to "
+    "match the synthetic fixture's vocabulary density; real corpora "
+    "use paragraph/256-token grains with the identical plan. First "
+    "occurrence is one row_number over the chunk hash partition - "
+    "chunks shuffle, documents never pairwise compare; reassembly "
+    "is an order-preserving grouped string fold. Scale: the only "
+    "wide exchanges key on chunk text and doc_id.",
+    tags=("dedup", "text", "llm-pipeline", "round4"),
+)
+def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.text import tokens
+
+    k = _CHUNK_K
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("ws")).filter(
+        F.size("ws") >= k
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), (F.floor(F.size("ws") / k) - 1).cast("int")
+                ),
+                lambda i: F.array_join(
+                    F.slice(F.col("ws"), i * k + 1, k), " "
+                ),
+            )
+        ).alias("idx", "chunk"),
+    )
+    ranked = chunks.select(
+        "doc_id",
+        "idx",
+        "chunk",
+        F.row_number()
+        .over(W.partitionBy("chunk").orderBy("doc_id", "idx"))
+        .alias("rn"),
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1,
+                                F.struct(
+                                    F.col("idx").alias("i"),
+                                    F.col("chunk").alias("c"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["c"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("text_kept"),
+    )

@@ -191,3 +191,137 @@ def test_fifo_matching_equals_sequential_walk(spark, sf_dir):
         for r in REGISTRY["fifo_inventory_matching"].fn(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_npv_irr_bisection_roots_are_real(spark, sf_dir):
+    """Each reported IRR must actually zero the NPV polynomial: recompute
+    NPV(irr) in Python from exact yearly cents and require |NPV| to be
+    small relative to the cash-flow magnitude (bisection bound), and
+    NPV(irr - eps) > 0 > NPV(irr + eps) for interior roots."""
+    from loan_default_prediction_app_big_data_spark.plans._q15_round4_session6 import (
+        _IRR_INVEST_CENTS,
+        _IRR_ITERS,
+    )
+
+    yearly: dict[int, dict[int, int]] = {}
+    for r in (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            (F.year("o_orderdate") - 1992).alias("yr"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .collect()
+    ):
+        yearly.setdefault(r["o_custkey"], {}).setdefault(r["yr"], 0)
+        yearly[r["o_custkey"]][r["yr"]] += r["cents"]
+
+    def npv(cf, r):
+        acc = cf[0]
+        d = None
+        for k in range(1, 7):
+            d = (1.0 + r) if d is None else d * (1.0 + r)
+            acc += cf[k] / d
+        return acc
+
+    rows = REGISTRY["npv_irr_bisection"].fn(spark, sf_dir).collect()
+    assert rows, "filter must keep some customers"
+    seen = 0
+    for row in rows:
+        cf = [float(yearly[row["c_custkey"]].get(k, 0)) for k in range(7)]
+        cf[0] -= _IRR_INVEST_CENTS
+        assert cf[0] < 0 and sum(cf) > 0
+        assert row["total_cf_cents"] == int(sum(cf))
+        assert row["npv10_cents"] == math.floor(npv(cf, 0.1))
+        irr = row["irr"]
+        if irr < 9.99:  # interior root (not clamped at hi)
+            width = 10.0 / 2.0 ** _IRR_ITERS
+            assert npv(cf, max(irr - 1e-5, 0.0)) > 0 > npv(cf, irr + 1e-5), row
+            seen += 1
+    assert seen >= len(rows) * 0.9  # nearly all roots are interior
+
+
+def test_cochran_armitage_matches_python(spark, sf_dir):
+    rows = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderstatus")
+        .collect()
+    )
+    n = {k: 0.0 for k in range(1, 6)}
+    r = {k: 0.0 for k in range(1, 6)}
+    for row in rows:
+        s = int(row["o_orderpriority"][0])
+        n[s] += 1
+        if row["o_orderstatus"] == "F":
+            r[s] += 1
+    nt = n[1] + n[2] + n[3] + n[4] + n[5]
+    rt = r[1] + r[2] + r[3] + r[4] + r[5]
+    tr = 1.0 * r[1] + 2.0 * r[2] + 3.0 * r[3] + 4.0 * r[4] + 5.0 * r[5]
+    tn = 1.0 * n[1] + 2.0 * n[2] + 3.0 * n[3] + 4.0 * n[4] + 5.0 * n[5]
+    tn2 = 1.0 * n[1] + 4.0 * n[2] + 9.0 * n[3] + 16.0 * n[4] + 25.0 * n[5]
+    p = rt / nt
+    z = (tr - p * tn) / math.sqrt(p * (1.0 - p) * (tn2 - tn * tn / nt))
+    got = REGISTRY["cochran_armitage_trend"].fn(spark, sf_dir).collect()[0]
+    assert got["n_total"] == int(nt) and got["n_default"] == int(rt)
+    assert got["trend_z"] == round(z, 6)
+
+
+def test_arrow_grouped_agg_matches_builtin(spark, sf_dir):
+    """The pyarrow-compute grouped map must equal the JVM aggregate."""
+    expected = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "revenue_cents"
+            ),
+            F.count_distinct("l_suppkey").alias("n_suppliers"),
+        )
+        .collect()
+    }
+    got = REGISTRY["arrow_grouped_agg"].fn(spark, sf_dir).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        e = expected[(r["l_returnflag"], r["l_linestatus"])]
+        assert (r["n_items"], r["revenue_cents"], r["n_suppliers"]) == (
+            e["n_items"], e["revenue_cents"], e["n_suppliers"],
+        )
+
+
+def test_chunk_dedup_rewrite_first_occurrence_semantics(spark, sf_dir):
+    """Global first-occurrence keep: rebuild the keeper decision with a
+    sequential dict walk over (doc_id, idx) order and compare the
+    rewritten text exactly."""
+    from loan_default_prediction_app_big_data_spark.plans._q15_round4_session6 import (
+        _CHUNK_K,
+    )
+
+    docs = sorted(
+        (r["doc_id"], r["text"])
+        for r in _t(spark, sf_dir, "documents").collect()
+    )
+    seen: set[str] = set()
+    expected: dict[int, tuple[int, int, str]] = {}
+    for doc_id, text in docs:
+        ws = [w for w in text.split(" ") if w]
+        if len(ws) < _CHUNK_K:
+            continue
+        kept = []
+        n_chunks = len(ws) // _CHUNK_K
+        for i in range(n_chunks):
+            chunk = " ".join(ws[i * _CHUNK_K:(i + 1) * _CHUNK_K])
+            if chunk not in seen:
+                seen.add(chunk)
+                kept.append(chunk)
+        expected[doc_id] = (n_chunks, len(kept), " ".join(kept))
+
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["text_kept"])
+        for r in REGISTRY["chunk_dedup_rewrite"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # the fixture must actually exercise BOTH branches
+    assert any(k < n for n, k, _ in expected.values())
+    assert any(k == n for n, k, _ in expected.values())
