@@ -1036,3 +1036,199 @@ def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(""),
         ).alias("text_kept"),
     )
+
+
+# =====================================================================
+# Observation API - Spark's zero-extra-pass metrics channel: collect
+# data-quality counters ON the production action instead of running a
+# second aggregate job over the same scan.
+# =====================================================================
+
+_OBSERVE_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           CAST(count(*) FILTER (l_discount > 0.05) AS BIGINT)
+               AS n_discounted,
+           CAST(CAST(max(l_shipdate) AS DATE) AS VARCHAR) AS max_ship_date
+    FROM lineitem
+"""
+
+
+@register(
+    "observe_metrics_inline",
+    _OBSERVE_ORACLE,
+    "df.observe() + Observation (Spark's named-metrics API): "
+    "row-count, exact cent revenue, a quality counter and a "
+    "freshness max ride PIGGYBACK on a single pass over lineitem - "
+    "the pattern for production pipelines that must emit "
+    "data-quality metrics without paying a second scan (the "
+    "alternative, a separate aggregate job, doubles IO at 100 TB). "
+    "The observed values are exact integers/dates; the query "
+    "re-emits them as a 1-row frame that hash-matches the plain "
+    "aggregate oracle, proving the observation channel loses "
+    "nothing. The only driver materialization is the bounded "
+    "metrics row itself - the scan output goes to a noop sink.",
+    tags=("functions", "observability", "round4"),
+)
+def observe_metrics_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    li = t(spark, sf_dir, "lineitem")
+    obs = Observation("li_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1))
+        .cast("bigint")
+        .alias("n_discounted"),
+        F.max("l_shipdate").alias("max_ship_date"),
+    )
+    # The action the metrics ride on (production: the real sink).
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["revenue_cents"],
+                m["n_discounted"],
+                # the fixture ships timestamps; emit the DATE part
+                # (matches the oracle's CAST .. AS DATE AS VARCHAR)
+                str(m["max_ship_date"])[:10],
+            )
+        ],
+        "n_rows bigint, revenue_cents bigint, n_discounted bigint, "
+        "max_ship_date string",
+    )
+
+
+# =====================================================================
+# Table-argument UDTF (Spark 4 polymorphic TVF): the UDTF consumes a
+# whole TABLE(...) with PARTITION BY / ORDER BY pushed into the
+# engine - the API cell udtf_price_tranches (scalar-arg, LATERAL)
+# does not cover.
+# =====================================================================
+
+_UDTF_TABLE_ORACLE = """
+    SELECT c_mktsegment, rnk, c_custkey, c_acctbal
+    FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               CAST(row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rnk
+        FROM customer
+    )
+    WHERE rnk <= 3
+"""
+
+
+@register(
+    "udtf_table_argument",
+    _UDTF_TABLE_ORACLE,
+    "Polymorphic Python UDTF over a TABLE argument (Spark 4): "
+    "`top3(TABLE(customer) PARTITION BY c_mktsegment ORDER BY "
+    "c_acctbal DESC, c_custkey)` - the ENGINE shuffles and sorts "
+    "each partition before the UDTF sees it, so the Python side is "
+    "a trivial take-3 per partition with O(1) state, and "
+    "partitioning semantics (one terminate() per key) are the "
+    "engine's contract, not hand-rolled. This is the second UDTF "
+    "API cell next to udtf_price_tranches' scalar-arg LATERAL form "
+    "- what you reach for when per-GROUP custom logic needs "
+    "engine-managed grouping but can't be an aggregate. Same "
+    "policy note: row-at-a-time Python, API-completeness surface, "
+    "pre-bounded output (3 rows per segment). Oracle: the window "
+    "row_number equivalent.",
+    tags=("udf", "sql", "round4"),
+)
+def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    from ._q02_extension import _views
+
+    @udtf(returnType=(
+        "c_mktsegment string, rnk int, c_custkey bigint, c_acctbal double"
+    ))
+    class SegmentTop3:
+        def __init__(self):
+            self._taken = 0
+
+        def eval(self, row):
+            # Rows arrive already sorted by the TABLE clause's
+            # ORDER BY within each PARTITION BY group.
+            if self._taken < 3:
+                self._taken += 1
+                yield (
+                    row["c_mktsegment"],
+                    self._taken,
+                    row["c_custkey"],
+                    row["c_acctbal"],
+                )
+
+    spark.udtf.register("segment_top3", SegmentTop3)
+    _views(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT * FROM segment_top3(
+            TABLE(customer)
+            PARTITION BY c_mktsegment
+            ORDER BY (c_acctbal DESC, c_custkey)
+        )
+        """
+    )
+
+
+# =====================================================================
+# df.transpose (new in Spark 4.0) - the report-shaping primitive that
+# previously needed a manual unpivot+pivot round trip.
+# =====================================================================
+
+_TRANSPOSE_ORACLE = """
+    WITH m AS (
+        SELECT o_orderstatus AS s,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders GROUP BY 1
+    )
+    SELECT 'n_orders' AS metric,
+           (SELECT n_orders FROM m WHERE s = 'F') AS F,
+           (SELECT n_orders FROM m WHERE s = 'O') AS O,
+           (SELECT n_orders FROM m WHERE s = 'P') AS P
+    UNION ALL
+    SELECT 'revenue_cents',
+           (SELECT revenue_cents FROM m WHERE s = 'F'),
+           (SELECT revenue_cents FROM m WHERE s = 'O'),
+           (SELECT revenue_cents FROM m WHERE s = 'P')
+"""
+
+
+@register(
+    "transpose_metrics",
+    _TRANSPOSE_ORACLE,
+    "df.transpose (new DataFrame API in Spark 4.0): flip a per-status "
+    "metrics frame so statuses become columns and metric names become "
+    "rows - the report orientation, previously a manual "
+    "unpivot+pivot round trip (see unpivot_melt_reshape for that "
+    "form). The index column's values become column names sorted "
+    "lexicographically (F, O, P - pinned by the oracle's column "
+    "list). CONTRACT: transpose materializes the index column to "
+    "name the output schema, so the input must be a BOUNDED metrics "
+    "frame (here 3 rows x 3 cols), never a fact table - schema "
+    "width is not a data plane. Counts and cent-sums stay exact "
+    "BIGINTs through the flip.",
+    tags=("relational", "reshape", "round4"),
+)
+def transpose_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    m = o.groupBy(F.col("o_orderstatus").alias("metric")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
+    # transpose names the row-label column "key"; align with the oracle.
+    return m.transpose(F.col("metric")).withColumnRenamed("key", "metric")

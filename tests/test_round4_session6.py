@@ -325,3 +325,63 @@ def test_chunk_dedup_rewrite_first_occurrence_semantics(spark, sf_dir):
     # the fixture must actually exercise BOTH branches
     assert any(k < n for n, k, _ in expected.values())
     assert any(k == n for n, k, _ in expected.values())
+
+
+def test_observe_metrics_equal_separate_aggregate(spark, sf_dir):
+    """The piggybacked Observation metrics must equal a standalone
+    aggregate over the same scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("rev"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("nd"),
+        F.max("l_shipdate").cast("date").cast("string").alias("ms"),
+    ).collect()[0]
+    got = REGISTRY["observe_metrics_inline"].fn(spark, sf_dir).collect()[0]
+    assert (got["n_rows"], got["revenue_cents"], got["n_discounted"],
+            got["max_ship_date"]) == (e["n"], e["rev"], e["nd"], e["ms"])
+
+
+def test_udtf_table_argument_is_window_top3(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    expected = {
+        (r["c_mktsegment"], r["rnk"]): (r["c_custkey"], r["c_acctbal"])
+        for r in _t(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment", "c_custkey", "c_acctbal",
+            F.row_number()
+            .over(
+                W.partitionBy("c_mktsegment").orderBy(
+                    F.desc("c_acctbal"), "c_custkey"
+                )
+            )
+            .alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .collect()
+    }
+    got = REGISTRY["udtf_table_argument"].fn(spark, sf_dir).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        assert expected[(r["c_mktsegment"], r["rnk"])] == (
+            r["c_custkey"], r["c_acctbal"],
+        ), r
+
+
+def test_transpose_metrics_shape_and_values(spark, sf_dir):
+    src = {
+        r["o_orderstatus"]: (r["n"], r["rev"])
+        for r in _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev"),
+        )
+        .collect()
+    }
+    rows = {r["metric"]: r for r in REGISTRY["transpose_metrics"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"n_orders", "revenue_cents"}
+    for i, metric in [(0, "n_orders"), (1, "revenue_cents")]:
+        for status in ("F", "O", "P"):
+            assert rows[metric][status] == src[status][i]
