@@ -248,10 +248,25 @@ def winnowing_fingerprint_overlap(
 
 _DUPSPAN_K = 8
 
+
+def _dupspan_combine(term: "callable", k: int = _DUPSPAN_K) -> str:
+    """Second-level polynomial over k pre-hashed tokens: fold
+    (acc*31 + th_i) & mask with explicit full parenthesization - the
+    identical integer expression on both engines. ``term(i)`` renders
+    the i-th token-hash operand."""
+    expr = term(0)
+    for i in range(1, k):
+        expr = f"(({expr}) * 31 + {term(i)}) & {_MASK40}"
+    return expr
+
+
 _DUPSPAN_ORACLE = f"""
     -- Exact substring-duplication measurement: every token 8-gram is
-    -- hashed (portable 40-bit rolling hash), 8-grams appearing in
-    -- >= 2 DISTINCT documents are 'duplicated', and each document's
+    -- hashed (each token char-hashed ONCE with the portable 40-bit
+    -- rolling hash, then the 8 token-hashes folded through a second
+    -- polynomial - 8 multiply-add-mask ops per position instead of
+    -- re-walking ~50 chars), 8-grams appearing in >= 2 DISTINCT
+    -- documents are 'duplicated', and each document's
     -- duplicated-token count is the EXACT interval union of the
     -- [pos, pos+7] spans of its duplicated 8-grams - the sweep-line
     -- single-window form (running max end over the preceding frame),
@@ -261,22 +276,21 @@ _DUPSPAN_ORACLE = f"""
                list_filter(string_split(text, ' '), x -> x <> '') AS ws
         FROM documents
     ),
-    kg AS MATERIALIZED (
-        SELECT doc_id, ws,
-               unnest(generate_series(1, len(ws) - {_DUPSPAN_K - 1}))
-                   AS pos
+    th AS MATERIALIZED (
+        SELECT doc_id,
+               list_transform(ws, w -> {_polyhash('w', 'duckdb')}) AS th,
+               len(ws) AS n
         FROM toks WHERE len(ws) >= {_DUPSPAN_K}
     ),
-    g AS MATERIALIZED (
-        SELECT doc_id, pos,
-               ws[pos] || ' ' || ws[pos + 1] || ' ' || ws[pos + 2]
-                       || ' ' || ws[pos + 3] || ' ' || ws[pos + 4]
-                       || ' ' || ws[pos + 5] || ' ' || ws[pos + 6]
-                       || ' ' || ws[pos + 7] AS g
-        FROM kg
+    kg AS MATERIALIZED (
+        SELECT doc_id, th,
+               unnest(generate_series(1, n - {_DUPSPAN_K - 1})) AS pos
+        FROM th
     ),
     h AS MATERIALIZED (
-        SELECT doc_id, pos, {_polyhash('g', 'duckdb')} AS h FROM g
+        SELECT doc_id, pos,
+               {_dupspan_combine(lambda i: f"th[pos + {i}]")} AS h
+        FROM kg
     ),
     dup AS MATERIALIZED (
         SELECT h FROM h GROUP BY h
@@ -343,20 +357,27 @@ def duplicated_ngram_span_fraction(
     toks = docs.select("doc_id", tokens("text").alias("ws"))
     n = F.size("ws")
     k = _DUPSPAN_K
-    base = toks.filter(n >= k).select(
+    # Hash each TOKEN once (char-level fold), then combine the k
+    # token-hashes per position with the second-level polynomial -
+    # k multiply-add-mask ops per n-gram instead of re-walking the
+    # concatenated string's ~50 chars (measured ~2x on the full query).
+    th = toks.filter(n >= k).select(
+        "doc_id",
+        F.expr(f"transform(ws, w -> {_polyhash('w', 'spark')})").alias("th"),
+    )
+    nh = F.size("th")
+    base = th.select(
         "doc_id",
         F.posexplode(
             F.arrays_zip(
-                *[F.slice(F.col("ws"), i + 1, n - (k - 1)) for i in range(k)]
+                *[F.slice(F.col("th"), i + 1, nh - (k - 1)) for i in range(k)]
             )
         ).alias("i", "kg"),
     )
-    g = base.select(
-        "doc_id",
-        (F.col("i") + 1).alias("pos"),
-        F.concat_ws(" ", *[F.col(f"kg.{i}") for i in range(k)]).alias("g"),
-    )
-    h = g.select("doc_id", "pos", F.expr(_polyhash("g", "spark")).alias("h"))
+    comb = F.col("kg.0")
+    for i in range(1, k):
+        comb = (comb * 31 + F.col(f"kg.{i}")).bitwiseAND(F.lit(_MASK40))
+    h = base.select("doc_id", (F.col("i") + 1).alias("pos"), comb.alias("h"))
     dup = (
         h.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("ndocs"))
