@@ -206,7 +206,13 @@ _DRIVER_PRIORITY: list[str] = [
     # (Wald-Wolfowitz), largest_remainder_apportionment (Hamilton,
     # zero-float integer quotas), fifo_inventory_matching
     # (cumulative-interval-overlap closed form vs sequential-walk
-    # test), and the four queries that left the no_oracle
+    # test) — then the session-7b additions — npv_irr_bisection
+    # (28-step unrolled bisection, generated CTE-chain oracle),
+    # cochran_armitage_trend, arrow_grouped_agg (applyInArrow cell),
+    # observe_metrics_inline (Observation API), udtf_table_argument
+    # (polymorphic TABLE-argument UDTF), transpose_metrics
+    # (df.transpose), chunk_dedup_rewrite (first-occurrence chunk
+    # dedup rewrite), and the four queries that left the no_oracle
     # bucket this session (the last of it — every registered query now
     # carries an oracle): simhash_dedup (exact J>=0.9 pair set +
     # Hamming-locality bound booleans with a negative control),
