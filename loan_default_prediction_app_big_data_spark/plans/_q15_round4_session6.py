@@ -1232,3 +1232,180 @@ def transpose_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # transpose names the row-label column "key"; align with the oracle.
     return m.transpose(F.col("metric")).withColumnRenamed("key", "metric")
+
+
+# =====================================================================
+# Bitemporal as-of join - the two-time-axis reconstruction pattern
+# (scd2_asof_fact_join handles ONE time axis; bitemporal adds the
+# knowledge/transaction axis: "what did we BELIEVE on date K about
+# validity date V").
+# =====================================================================
+
+_BITEMPORAL_ORACLE = """
+    WITH quotes AS (
+        SELECT l_partkey AS pk,
+               CAST(l_shipdate AS DATE)   AS valid_from,
+               CAST(o_orderdate AS DATE)  AS known_from,
+               CAST(round(l_extendedprice * 100) AS BIGINT)
+                   // CAST(l_quantity AS BIGINT) AS unit_cents,
+               l_orderkey, l_linenumber
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_partkey % 50 = 0
+    ), probes AS (
+        SELECT CAST('1994-01-01' AS DATE) + INTERVAL (vy) YEAR AS v_date,
+               CAST('1995-01-01' AS DATE) + INTERVAL (ky) YEAR AS k_date
+        FROM unnest(generate_series(0, 2)) AS tv(vy),
+             unnest(generate_series(0, 2)) AS tk(ky)
+    ), ranked AS (
+        SELECT q.pk, p.v_date, p.k_date, q.unit_cents,
+               row_number() OVER (
+                   PARTITION BY q.pk, p.v_date, p.k_date
+                   ORDER BY q.valid_from DESC, q.known_from DESC,
+                            q.l_orderkey, q.l_linenumber) AS rn
+        FROM probes p JOIN quotes q
+          ON q.known_from <= p.k_date AND q.valid_from <= p.v_date
+    )
+    SELECT pk AS l_partkey,
+           CAST(strftime(v_date, '%Y-%m-%d') AS VARCHAR) AS valid_on,
+           CAST(strftime(k_date, '%Y-%m-%d') AS VARCHAR) AS known_on,
+           unit_cents AS believed_unit_cents
+    FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "bitemporal_asof_join",
+    _BITEMPORAL_ORACLE,
+    "Bitemporal as-of join: price quotes carry TWO time axes - "
+    "valid_from (when the price applies: shipdate) and known_from "
+    "(when we learned it: the order date) - and each (validity V, "
+    "knowledge K) probe reconstructs the quote we BELIEVED at K "
+    "about V: among versions known by K and valid by V, the latest "
+    "valid one, ties by latest known then a unique key. This is the "
+    "audit/backtest primitive scd2_asof_fact_join (one axis) cannot "
+    "express - 'rerun the 1996 report with only 1995 knowledge'. "
+    "One inequality join + one row_number per (entity, probe); the "
+    "probe grid is a 3x3 year lattice. Scale: the join keys on the "
+    "entity via the probe broadcast (9 rows), versions shuffle once "
+    "by entity, and the window partitions by (entity, probe) - no "
+    "cross-entity pair ever forms.",
+    tags=("join", "window", "data-eng", "round4"),
+)
+def bitemporal_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    quotes = (
+        li.filter(F.col("l_partkey") % 50 == 0)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_shipdate").cast("date").alias("valid_from"),
+        F.col("o_orderdate").cast("date").alias("known_from"),
+        # floor division, matching the oracle's integer `//`
+        F.floor(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            / F.col("l_quantity").cast("bigint")
+        )
+        .cast("bigint")
+        .alias("unit_cents"),
+        "l_orderkey",
+        "l_linenumber",
+        )
+    )
+    probes = spark.createDataFrame(
+        [
+            (f"{1994 + vy}-01-01", f"{1995 + ky}-01-01")
+            for vy in range(3)
+            for ky in range(3)
+        ],
+        "v_date string, k_date string",
+    ).select(
+        F.col("v_date").cast("date").alias("v_date"),
+        F.col("k_date").cast("date").alias("k_date"),
+    )
+    ranked = quotes.join(
+        F.broadcast(probes),
+        (F.col("known_from") <= F.col("k_date"))
+        & (F.col("valid_from") <= F.col("v_date")),
+    ).select(
+        "pk", "v_date", "k_date", "unit_cents",
+        F.row_number()
+        .over(
+            W.partitionBy("pk", "v_date", "k_date").orderBy(
+                F.desc("valid_from"), F.desc("known_from"),
+                "l_orderkey", "l_linenumber",
+            )
+        )
+        .alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        F.col("pk").alias("l_partkey"),
+        F.date_format("v_date", "yyyy-MM-dd").alias("valid_on"),
+        F.date_format("k_date", "yyyy-MM-dd").alias("known_on"),
+        F.col("unit_cents").alias("believed_unit_cents"),
+    )
+
+
+# =====================================================================
+# Poisson rate-ratio test (conditional binomial form) - completes the
+# count-data cell of the classical-test tier.
+# =====================================================================
+
+_POISSON_ORACLE = """
+    WITH c AS (
+        SELECT CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+                   AS n1,
+               CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
+                   AS n2
+        FROM events
+    )
+    SELECT n1 AS n_purchase, n2 AS n_view,
+           round(CAST(n1 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS rate_ratio,
+           round((CAST(n1 AS DOUBLE) - (CAST(n1 AS DOUBLE)
+                   + CAST(n2 AS DOUBLE)) * 0.2)
+                 / sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                        * 0.2 * 0.8), 6) AS z_vs_one_to_four
+    FROM c
+"""
+
+
+@register(
+    "poisson_rate_ratio_test",
+    _POISSON_ORACLE,
+    "Poisson rate-ratio test in its exact conditional form: given "
+    "two Poisson streams (purchase and view events over the same "
+    "exposure window), conditional on the total, the purchase count "
+    "is Binomial(n1+n2, p0) under the null rate ratio - tested here "
+    "against a 1:4 null (p0 = 0.2) with the normal approximation. "
+    "The classical-test tier's COUNT-DATA cell next to the "
+    "mean-shift (t/ANOVA), rank (Mann-Whitney), categorical "
+    "(chi-square/trend), paired (McNemar), sequence (runs), and "
+    "survival (log-rank) cells. Two exact BIGINT counters; z is a "
+    "closed-form IEEE expression mirrored term-for-term. Scale: one "
+    "conditional count-aggregate, nothing else moves.",
+    tags=("agg", "stats", "round4"),
+)
+def poisson_rate_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    c = ev.agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("n1"),
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    return c.select(
+        F.col("n1").alias("n_purchase"),
+        F.col("n2").alias("n_view"),
+        F.round(n1 / n2, 6).alias("rate_ratio"),
+        F.round(
+            (n1 - (n1 + n2) * F.lit(0.2))
+            / F.sqrt((n1 + n2) * F.lit(0.2) * F.lit(0.8)),
+            6,
+        ).alias("z_vs_one_to_four"),
+    )

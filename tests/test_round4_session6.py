@@ -385,3 +385,70 @@ def test_transpose_metrics_shape_and_values(spark, sf_dir):
     for i, metric in [(0, "n_orders"), (1, "revenue_cents")]:
         for status in ("F", "O", "P"):
             assert rows[metric][status] == src[status][i]
+
+
+def test_bitemporal_asof_reconstruction(spark, sf_dir):
+    """Independent sequential reconstruction: for each (part, V, K)
+    probe, pick the latest-valid then latest-known quote among those
+    known by K and valid by V."""
+    import datetime
+
+    quotes = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 50 == 0)
+        .join(
+            _t(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_partkey",
+            F.col("l_shipdate").cast("date").alias("vf"),
+            F.col("o_orderdate").cast("date").alias("kf"),
+            F.floor(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                / F.col("l_quantity").cast("bigint")
+            ).cast("bigint").alias("uc"),
+            "l_orderkey", "l_linenumber",
+        )
+        .collect()
+    )
+    by_part: dict[int, list] = {}
+    for r in quotes:
+        by_part.setdefault(r["l_partkey"], []).append(r)
+    expected = {}
+    for vy in range(3):
+        for ky in range(3):
+            v = datetime.date(1994 + vy, 1, 1)
+            k = datetime.date(1995 + ky, 1, 1)
+            for pk, qs in by_part.items():
+                elig = [q for q in qs if q["kf"] <= k and q["vf"] <= v]
+                if not elig:
+                    continue
+                best = min(
+                    elig,
+                    key=lambda q: (
+                        -q["vf"].toordinal(), -q["kf"].toordinal(),
+                        q["l_orderkey"], q["l_linenumber"],
+                    ),
+                )
+                expected[(pk, str(v), str(k))] = best["uc"]
+    got = {
+        (r["l_partkey"], r["valid_on"], r["known_on"]): r["believed_unit_cents"]
+        for r in REGISTRY["bitemporal_asof_join"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_poisson_rate_test_matches_python(spark, sf_dir):
+    counts = {
+        r["event_type"]: r["n"]
+        for r in _t(spark, sf_dir, "events")
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n1, n2 = float(counts["purchase"]), float(counts["view"])
+    got = REGISTRY["poisson_rate_ratio_test"].fn(spark, sf_dir).collect()[0]
+    assert (got["n_purchase"], got["n_view"]) == (int(n1), int(n2))
+    assert got["rate_ratio"] == round(n1 / n2, 6)
+    assert got["z_vs_one_to_four"] == round(
+        (n1 - (n1 + n2) * 0.2) / math.sqrt((n1 + n2) * 0.2 * 0.8), 6
+    )
