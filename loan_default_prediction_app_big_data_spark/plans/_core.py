@@ -212,7 +212,8 @@ _DRIVER_PRIORITY: list[str] = [
     # observe_metrics_inline (Observation API), udtf_table_argument
     # (polymorphic TABLE-argument UDTF), transpose_metrics
     # (df.transpose), chunk_dedup_rewrite (first-occurrence chunk
-    # dedup rewrite), and the four queries that left the no_oracle
+    # dedup rewrite), bitemporal_asof_join (two-time-axis as-of),
+    # poisson_rate_ratio_test, and the four queries that left the no_oracle
     # bucket this session (the last of it — every registered query now
     # carries an oracle): simhash_dedup (exact J>=0.9 pair set +
     # Hamming-locality bound booleans with a negative control),
