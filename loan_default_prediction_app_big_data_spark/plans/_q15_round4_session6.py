@@ -1058,7 +1058,7 @@ _OBSERVE_ORACLE = """
 @register(
     "observe_metrics_inline",
     _OBSERVE_ORACLE,
-    "df.observe() + Observation (Spark's named-metrics API): "
+    "df.observe (Spark's named-metrics API, string form): "
     "row-count, exact cent revenue, a quality counter and a "
     "freshness max ride PIGGYBACK on a single pass over lineitem - "
     "the pattern for production pipelines that must emit "
@@ -1072,12 +1072,17 @@ _OBSERVE_ORACLE = """
     tags=("functions", "observability", "round4"),
 )
 def observe_metrics_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Observation
-
     li = t(spark, sf_dir, "lineitem")
-    obs = Observation("li_metrics")
+    # STRING-named observe, NOT the Observation helper object: as of
+    # Spark 4 the Observation class lazily instantiates the session's
+    # ObservationManager, which is not java-serializable and rides in
+    # the SparkSession field of every later closure that captures the
+    # session (e.g. MLlib model training summaries) - one Observation
+    # anywhere poisons ml_learning_curve's evaluator with
+    # 'Task not serializable: ObservationManager' for the session's
+    # lifetime. The string form only plants a CollectMetrics node.
     observed = li.observe(
-        obs,
+        "li_metrics",
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
         .cast("bigint")
@@ -1087,18 +1092,21 @@ def observe_metrics_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_discounted"),
         F.max("l_shipdate").alias("max_ship_date"),
     )
-    # The action the metrics ride on (production: the real sink).
-    observed.write.format("noop").mode("overwrite").save()
-    m = obs.get
+    # The action the metrics ride on (production: the real sink). The
+    # 1-row reduction executes the SAME single pass over the scan; its
+    # query execution exposes the observed metrics afterward.
+    reduced = observed.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    reduced.collect()
+    jrow = reduced._jdf.queryExecution().observedMetrics().apply("li_metrics")
     return spark.createDataFrame(
         [
             (
-                m["n_rows"],
-                m["revenue_cents"],
-                m["n_discounted"],
+                jrow.getLong(0),
+                jrow.getLong(1),
+                jrow.getLong(2),
                 # the fixture ships timestamps; emit the DATE part
                 # (matches the oracle's CAST .. AS DATE AS VARCHAR)
-                str(m["max_ship_date"])[:10],
+                str(jrow.get(3))[:10],
             )
         ],
         "n_rows bigint, revenue_cents bigint, n_discounted bigint, "

@@ -74,6 +74,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             errors.append((name, str(e).splitlines()[0][:100]))
 
+    _UDTF_WHITELIST = {"udtf_price_tranches", "udtf_table_argument"}
     flags = []
     for r in rows:
         if r["cartesian"] and r["name"] != "als_recommendations":
@@ -82,9 +83,10 @@ def main() -> int:
             # the intended dense-GEMM shape (each side is a handful of
             # factor blocks, not the ratings table), not an accident.
             flags.append(f"{r['name']}: CartesianProduct x{r['cartesian']}")
-        if r["py_row"] and r["name"] != "udtf_price_tranches":
-            # udtf_price_tranches is the deliberate Python-UDTF API
-            # demo (SURVEY.md round-3 notes: non-hot-path policy).
+        if r["py_row"] and r["name"] not in _UDTF_WHITELIST:
+            # The two UDTF API demos are deliberate row-at-a-time
+            # Python (SURVEY.md round-3/4 notes: non-hot-path policy,
+            # pre-bounded inputs/outputs).
             flags.append(f"{r['name']}: BatchEvalPython x{r['py_row']} (row-at-a-time Python)")
 
     # Single-partition exchanges are expected ONLY over metadata-scale
@@ -114,9 +116,9 @@ def main() -> int:
         else:
             f.write("No unexpected flags. Whitelisted (deliberate, see "
                     "Totals): als_recommendations' CartesianProduct nodes "
-                    "(MLlib ALS blocked factor cross-product) and "
-                    "udtf_price_tranches' row-at-a-time Python (the UDTF "
-                    "API demo).\n")
+                    "(MLlib ALS blocked factor cross-product) and the "
+                    "udtf_price_tranches / udtf_table_argument "
+                    "row-at-a-time Python (the two UDTF API demos).\n")
         f.write("\n## Single-partition exchanges (all over post-aggregation "
                 "metadata-scale frames)\n\n")
         f.write("| query | single-partition exchanges | total exchanges |\n|---|---|---|\n")

@@ -452,3 +452,26 @@ def test_poisson_rate_test_matches_python(spark, sf_dir):
     assert got["z_vs_one_to_four"] == round(
         (n1 - (n1 + n2) * 0.2) / math.sqrt((n1 + n2) * 0.2 * 0.8), 6
     )
+
+
+def test_observe_does_not_poison_session_closures(spark, sf_dir):
+    """Regression: the Observation helper class lazily instantiates the
+    session's ObservationManager, which is not java-serializable and
+    rides inside every later closure that captures the SparkSession
+    (MLlib training summaries) - 'Task not serializable'. The query
+    must use the string-named observe form; after running it, an MLlib
+    fit whose model summary captures the session must still serialize."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    REGISTRY["observe_metrics_inline"].fn(spark, sf_dir).collect()
+    df = spark.createDataFrame(
+        [(0.0, float(i % 7), float(i % 3)) for i in range(64)]
+        + [(1.0, float(i % 5) + 3.0, float(i % 4) + 2.0) for i in range(64)],
+        "label double, x double, y double",
+    )
+    assembled = VectorAssembler(inputCols=["x", "y"], outputCol="features").transform(df)
+    model = LogisticRegression(maxIter=5).fit(assembled)
+    # touching the training summary serializes a closure capturing the
+    # SparkSession - the exact path Observation poisons
+    assert model.summary.areaUnderROC >= 0.0
