@@ -1417,3 +1417,123 @@ def poisson_rate_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_vs_one_to_four"),
     )
+
+
+# =====================================================================
+# URL functions - parse_url against an independent regex oracle.
+# =====================================================================
+
+_URL_ORACLE = """
+    WITH u AS (
+        SELECT c_custkey,
+               'https://shop.example:8443/' || lower(c_mktsegment)
+                   || '/item?q=' || lower(c_mktsegment) || '&page='
+                   || CAST(c_custkey % 7 AS VARCHAR) || '#frag'
+                   AS url
+        FROM customer
+    )
+    SELECT c_custkey,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '://([^:/]+)', 1) AS host,
+           regexp_extract(url, '://([^/]+)/', 1) AS authority,
+           regexp_extract(url, ':8443(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]q=([^&#]*)', 1) AS q_param,
+           regexp_extract(url, '#(.*)$', 1) AS fragment
+    FROM u
+"""
+
+
+@register(
+    "url_parse_functions",
+    _URL_ORACLE,
+    "URL parsing surface (parse_url with PROTOCOL / HOST / "
+    "AUTHORITY / PATH / QUERY <key> / REF selectors): the Spark "
+    "side uses the BUILT-IN java.net-backed parser while the oracle "
+    "re-derives every component with independent regexes, so the "
+    "two engines agree on URL anatomy, not on a shared "
+    "implementation. The log-analytics prerequisite (referrer/UTM "
+    "parsing, endpoint rollups) for the product-analytics tier. "
+    "Pure codegen expressions - one projection, no shuffle at all.",
+    tags=("functions", "string", "round4"),
+)
+def url_parse_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://shop.example:8443/"),
+        F.lower("c_mktsegment"),
+        F.lit("/item?q="),
+        F.lower("c_mktsegment"),
+        F.lit("&page="),
+        (F.col("c_custkey") % 7).cast("string"),
+        F.lit("#frag"),
+    )
+    u = c.select("c_custkey", url.alias("url"))
+    return u.select(
+        "c_custkey",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("AUTHORITY")).alias("authority"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("q")).alias("q_param"),
+        F.parse_url("url", F.lit("REF")).alias("fragment"),
+    )
+
+
+# =====================================================================
+# AES encryption functions - roundtrip + ciphertext-structure oracle
+# (DuckDB has no AES, so the oracle checks the PKCS7/ECB length
+# arithmetic and the roundtrip identity, both engine-independent).
+# =====================================================================
+
+_AES_ORACLE = """
+    SELECT name_len,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           TRUE AS roundtrip_ok,
+           CAST((name_len // 16 + 1) * 16 AS BIGINT) AS ecb_cipher_len
+    FROM (SELECT CAST(len(c_name) AS BIGINT) AS name_len FROM customer)
+    GROUP BY 1
+"""
+
+
+@register(
+    "aes_roundtrip_functions",
+    _AES_ORACLE,
+    "Column-level encryption surface (aes_encrypt / aes_decrypt, "
+    "AES-128-ECB for determinism): every customer name must survive "
+    "the encrypt->decrypt roundtrip byte-identically "
+    "(roundtrip_ok), and every ciphertext must have EXACTLY the "
+    "PKCS#7 padded length 16*(len//16 + 1) - a structural property "
+    "DuckDB can compute with pure arithmetic, making a crypto "
+    "primitive it does not implement still driver-falsifiable "
+    "(the approx_aggregates bound-boolean pattern). A wrong key, "
+    "wrong mode, or broken padding flips booleans/lengths and "
+    "breaks the hash. Grouped by plaintext length so the output is "
+    "metadata-scale. Production note: ECB is used HERE because the "
+    "oracle needs determinism; real column encryption should use "
+    "the default GCM mode with a random IV.",
+    tags=("functions", "security", "round4"),
+)
+def aes_roundtrip_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    enc = F.expr(
+        "aes_encrypt(cast(c_name as binary), '0123456789abcdef', 'ECB')"
+    )
+    dec = F.expr(
+        "cast(aes_decrypt(aes_encrypt(cast(c_name as binary), "
+        "'0123456789abcdef', 'ECB'), '0123456789abcdef', 'ECB') as string)"
+    )
+    x = c.select(
+        F.length("c_name").cast("bigint").alias("name_len"),
+        (dec == F.col("c_name")).alias("ok"),
+        F.length(enc).cast("bigint").alias("clen"),
+    )
+    return x.groupBy("name_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.min("ok").alias("roundtrip_ok"),
+        F.max("clen").alias("ecb_cipher_len"),
+    ).select(
+        "name_len",
+        "n_customers",
+        "roundtrip_ok",
+        "ecb_cipher_len",
+    )

