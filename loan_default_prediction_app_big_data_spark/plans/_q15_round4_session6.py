@@ -1537,3 +1537,85 @@ def aes_roundtrip_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "roundtrip_ok",
         "ecb_cipher_len",
     )
+
+
+# =====================================================================
+# Python DataSource BATCH writer - the last uncovered cell of the
+# custom-connector matrix (batch read with pushdown, CDC stream read,
+# transactional stream sink are all driver-exercised; this is
+# df.write through DataSourceWriter with driver-side commit).
+# =====================================================================
+
+_SQLITE_BATCH_SINK_ORACLE = """
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1
+"""
+
+
+@register(
+    "sqlite_batch_sink_roundtrip",
+    _SQLITE_BATCH_SINK_ORACLE,
+    "Python DataSource BATCH writer (Spark 4 DataSourceWriter, "
+    "sources/sqlite_py.py _SQLiteBatchWriter): df.write.format("
+    "'sqlite_py_sink').mode('overwrite') stages one .db.tmp per "
+    "task and the DRIVER-side commit() atomically clears prior "
+    "generations and renames the staged shards into place - the "
+    "same two-phase stage/rename protocol as the streaming sink, "
+    "now on the batch path, completing the custom-connector matrix "
+    "(batch read + WHERE pushdown / CDC stream read / stream sink / "
+    "batch sink). A per-nation revenue rollup is written through "
+    "the connector, read back with the pushdown batch reader, and "
+    "must hash-equal the direct aggregate oracle - any lost shard, "
+    "double-committed generation, or type-mapping break shows as a "
+    "row/value mismatch. Overwrite idempotence is the retry story: "
+    "a re-run replaces, never duplicates. Temp IO under .tmp_io.",
+    tags=("sink", "source", "round4"),
+)
+def sqlite_batch_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ._q11_round4_session3 import _repo_root
+    from ..sources.sqlite_py import register_sqlite_source
+
+    out_dir = os.path.join(_repo_root(), ".tmp_io", "batch_sink_sqlite")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    rollup = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
+    register_sqlite_source(spark)
+    (
+        rollup.write.format("sqlite_py_sink")
+        .option("path", out_dir)
+        .option("table", "nation_rev")
+        .mode("overwrite")
+        .save()
+    )
+    back = (
+        spark.read.format("sqlite_py")
+        .option("path", out_dir)
+        .option("table", "nation_rev")
+        .option("rows_per_partition", 100)
+        .load()
+    )
+    out = back.select("n_name", "n_orders", "revenue_cents").cache()
+    out.count()
+    return out

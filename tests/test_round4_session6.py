@@ -519,3 +519,26 @@ def test_aes_roundtrip_against_real_ciphertext(spark, sf_dir):
         "'0123456789abcdef', 'ECB')) AS c2"
     ).collect()[0]
     assert df["c1"] == df["c2"]
+
+
+def test_batch_sink_overwrite_is_idempotent(spark, sf_dir):
+    """Running the batch-sink roundtrip twice must yield identical
+    results (overwrite replaces, never duplicates) and leave no
+    .db.tmp staging litter behind."""
+    import os
+
+    from loan_default_prediction_app_big_data_spark.plans._q11_round4_session3 import (
+        _repo_root,
+    )
+
+    a = sorted(
+        map(tuple, REGISTRY["sqlite_batch_sink_roundtrip"].fn(spark, sf_dir).collect())
+    )
+    b = sorted(
+        map(tuple, REGISTRY["sqlite_batch_sink_roundtrip"].fn(spark, sf_dir).collect())
+    )
+    assert a == b and len(a) == 25
+    out_dir = os.path.join(_repo_root(), ".tmp_io", "batch_sink_sqlite")
+    files = os.listdir(out_dir)
+    assert not [f for f in files if f.endswith(".tmp")]
+    assert all(f.startswith("batch") and f.endswith(".db") for f in files)
