@@ -213,7 +213,10 @@ _DRIVER_PRIORITY: list[str] = [
     # (polymorphic TABLE-argument UDTF), transpose_metrics
     # (df.transpose), chunk_dedup_rewrite (first-occurrence chunk
     # dedup rewrite), bitemporal_asof_join (two-time-axis as-of),
-    # poisson_rate_ratio_test, and the four queries that left the no_oracle
+    # poisson_rate_ratio_test, url_parse_functions (urllib-
+    # cross-checked), aes_roundtrip_functions (structural crypto
+    # oracle), sqlite_batch_sink_roundtrip (DataSourceWriter batch
+    # commit), and the four queries that left the no_oracle
     # bucket this session (the last of it — every registered query now
     # carries an oracle): simhash_dedup (exact J>=0.9 pair set +
     # Hamming-locality bound booleans with a negative control),
