@@ -399,7 +399,7 @@ def bitmap_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- one orderable key per event; ties broken by event_id exactly
         -- as the Spark sequence construction sorts (ts, event_id)
         SELECT user_id, event_type,
-               CAST(epoch_us(ts) AS HUGEINT) * 10000000 + event_id AS k
+               CAST(epoch_us(ts) AS HUGEINT) * 1000000000000 + event_id AS k
         FROM events
     ), spans AS (
         SELECT user_id, event_type, min(k) AS first_k, max(k) AS last_k
@@ -1606,7 +1606,7 @@ def table_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (
         SELECT user_id, event_type,
-               CAST(epoch_us(ts) AS HUGEINT) * 10000000 + event_id AS k
+               CAST(epoch_us(ts) AS HUGEINT) * 1000000000000 + event_id AS k
         FROM events
     ), flagged AS (
         SELECT user_id, event_type, k,
@@ -1644,7 +1644,9 @@ def run_length_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         (
-            F.unix_micros(F.col("ts")).cast("decimal(38,0)") * 10000000
+            # 1e12 multiplier: primary (ts) ordering stays exact for
+            # any event_id < 1e12 (the ADVICE-r3 pack-bound fix)
+            F.unix_micros(F.col("ts")).cast("decimal(38,0)") * 10**12
             + F.col("event_id")
         ).alias("k"),
     )
