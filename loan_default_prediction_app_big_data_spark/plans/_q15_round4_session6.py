@@ -1619,3 +1619,321 @@ def sqlite_batch_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = back.select("n_name", "n_orders", "revenue_cents").cache()
     out.count()
     return out
+
+
+# =====================================================================
+# Cohen's kappa - chance-corrected agreement between the two paired
+# screens from mcnemar_paired_test (McNemar asks "do they disagree
+# asymmetrically?"; kappa asks "do they agree beyond chance?").
+# =====================================================================
+
+_KAPPA_ORACLE = """
+    WITH scored AS (
+        SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS a,
+               CASE WHEN (o_orderkey * 31 + o_custkey) % 97 < 44
+                    THEN 1 ELSE 0 END AS b
+        FROM orders
+    ), cells AS (
+        SELECT CAST(count(*) FILTER (a = 1 AND b = 1) AS DOUBLE) AS n11,
+               CAST(count(*) FILTER (a = 1 AND b = 0) AS DOUBLE) AS n10,
+               CAST(count(*) FILTER (a = 0 AND b = 1) AS DOUBLE) AS n01,
+               CAST(count(*) FILTER (a = 0 AND b = 0) AS DOUBLE) AS n00
+        FROM scored
+    )
+    SELECT CAST(n11 + n10 + n01 + n00 AS BIGINT) AS n_total,
+           round((n11 + n00) / (n11 + n10 + n01 + n00), 6) AS p_observed,
+           round(((n11 + n10) * (n11 + n01)
+                  + (n01 + n00) * (n10 + n00))
+                 / ((n11 + n10 + n01 + n00)
+                    * (n11 + n10 + n01 + n00)), 6) AS p_chance,
+           round(((n11 + n00) / (n11 + n10 + n01 + n00)
+                  - ((n11 + n10) * (n11 + n01)
+                     + (n01 + n00) * (n10 + n00))
+                    / ((n11 + n10 + n01 + n00)
+                       * (n11 + n10 + n01 + n00)))
+                 / (1.0 - ((n11 + n10) * (n11 + n01)
+                           + (n01 + n00) * (n10 + n00))
+                          / ((n11 + n10 + n01 + n00)
+                             * (n11 + n10 + n01 + n00))), 6) AS kappa
+    FROM cells
+"""
+
+
+@register(
+    "cohens_kappa_agreement",
+    _KAPPA_ORACLE,
+    "Cohen's kappa for the two paired default screens: agreement "
+    "CORRECTED FOR CHANCE - the complement of mcnemar_paired_test "
+    "(McNemar tests asymmetric disagreement; kappa scores beyond-"
+    "chance agreement; together they are the standard paired-rater "
+    "readout). Four exact BIGINT cells; p_o, p_e and kappa are "
+    "closed-form IEEE expressions mirrored term-for-term. Scale: "
+    "four counters after map-side combine.",
+    tags=("agg", "stats", "ml", "round4"),
+)
+def cohens_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    scored = o.select(
+        F.when(F.col("o_totalprice") > 150000, 1).otherwise(0).alias("a"),
+        F.when(
+            (F.col("o_orderkey") * 31 + F.col("o_custkey")) % 97 < 44, 1
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    cells = scored.agg(
+        F.count(F.when((F.col("a") == 1) & (F.col("b") == 1), 1))
+        .cast("double")
+        .alias("n11"),
+        F.count(F.when((F.col("a") == 1) & (F.col("b") == 0), 1))
+        .cast("double")
+        .alias("n10"),
+        F.count(F.when((F.col("a") == 0) & (F.col("b") == 1), 1))
+        .cast("double")
+        .alias("n01"),
+        F.count(F.when((F.col("a") == 0) & (F.col("b") == 0), 1))
+        .cast("double")
+        .alias("n00"),
+    )
+    n = F.col("n11") + F.col("n10") + F.col("n01") + F.col("n00")
+    po = (F.col("n11") + F.col("n00")) / n
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ) / (n * n)
+    return cells.select(
+        n.cast("bigint").alias("n_total"),
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_chance"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
+
+
+# =====================================================================
+# Brown-Forsythe / Levene variance-homogeneity test - the assumption
+# check behind anova_oneway_f, in EXACT integer arithmetic: the
+# centered absolute deviations |x - mean_g| become integers after
+# multiplying through by n_g.
+# =====================================================================
+
+def _levene_oracle() -> str:
+    """The w-pivot CTE is shared with anova_oneway_f's shape; build the
+    final F expression programmatically so the Spark side mirrors it
+    term-for-term."""
+    groups = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    pivot = ",\n               ".join(
+        f"max(CASE WHEN grp = '{g}' THEN {c} END) AS {c}{i + 1}"
+        for i, g in enumerate(groups)
+        for c in ("n", "sz", "szz")
+    )
+    nt = " + ".join(f"n{i}" for i in range(1, 6))
+    st = " + ".join(f"sz{i}" for i in range(1, 6))
+    qt = " + ".join(f"szz{i}" for i in range(1, 6))
+    bsum = " + ".join(f"sz{i} * sz{i} / n{i}" for i in range(1, 6))
+    return f"""
+    WITH x AS (
+        SELECT o_orderpriority AS grp,
+               CAST(floor(o_totalprice) AS BIGINT) AS v
+        FROM orders
+    ), m AS (
+        SELECT grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS s
+        FROM x GROUP BY 1
+    ), z AS (
+        SELECT x.grp, m.n, abs(x.v * m.n - m.s) AS znum
+        FROM x JOIN m ON m.grp = x.grp
+    ), zs AS (
+        SELECT grp,
+               CAST(max(n) AS DOUBLE) AS n,
+               CAST(CAST(sum(znum) AS HUGEINT) AS DOUBLE)
+                   / CAST(max(n) AS DOUBLE) AS sz,
+               CAST(CAST(sum(CAST(znum AS HUGEINT) * znum) AS HUGEINT)
+                    AS DOUBLE)
+                   / (CAST(max(n) AS DOUBLE) * CAST(max(n) AS DOUBLE))
+                   AS szz
+        FROM z GROUP BY 1
+    ), w AS (
+        SELECT {pivot}
+        FROM zs
+    ), d AS (
+        SELECT {nt} AS nt, {st} AS st, {qt} AS qt, {bsum} AS bsum
+        FROM w
+    )
+    SELECT CAST(nt AS BIGINT) AS n_total,
+           round((bsum - st * st / nt) / 4.0
+                 / ((qt - bsum) / (nt - 5.0)), 6) AS levene_w
+    FROM d
+    """
+
+
+@register(
+    "levene_brown_forsythe",
+    _levene_oracle(),
+    "Levene's variance-homogeneity test (mean-centered form) across "
+    "the five order priorities - the ASSUMPTION CHECK behind "
+    "anova_oneway_f (ANOVA assumes equal group variances; Levene is "
+    "the one-way ANOVA of the absolute deviations from each group's "
+    "center). Exactness trick: |v - mean_g| is irrational-free after "
+    "multiplying through by n_g - znum = |v*n_g - s_g| is an exact "
+    "BIGINT per row, its sums are exact HUGEINT/DECIMAL, and the "
+    "1/n_g, 1/n_g^2 factors divide AFTER the exact integer "
+    "aggregation, so no per-row float ever enters a layout-"
+    "dependent sum. The W statistic is then the same fixed-order "
+    "pivoted F expression as the ANOVA twin. Scale: one extra "
+    "broadcast join (5-row means) over the fact pass.",
+    tags=("agg", "stats", "round4"),
+)
+def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    x = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor("o_totalprice").cast("bigint").alias("v"),
+    )
+    m = x.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+    )
+    z = x.join(F.broadcast(m), "grp").select(
+        "grp",
+        "n",
+        F.abs(F.col("v") * F.col("n") - F.col("s")).alias("znum"),
+    )
+    zs = z.groupBy("grp").agg(
+        F.max("n").cast("double").alias("nn"),
+        (
+            F.sum(F.col("znum").cast("decimal(38,0)")).cast("double")
+            / F.max("n").cast("double")
+        ).alias("sz"),
+        (
+            F.sum(
+                (F.col("znum").cast("decimal(38,0)") * F.col("znum"))
+            ).cast("double")
+            / (F.max("n").cast("double") * F.max("n").cast("double"))
+        ).alias("szz"),
+    )
+    prio = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    cols = {"n": "nn", "sz": "sz", "szz": "szz"}
+    w = zs.agg(
+        *[
+            F.max(F.when(F.col("grp") == p, F.col(src))).alias(f"{dst}{i + 1}")
+            for i, p in enumerate(prio)
+            for dst, src in cols.items()
+        ]
+    )
+    nt = F.col("n1") + F.col("n2") + F.col("n3") + F.col("n4") + F.col("n5")
+    st = F.col("sz1") + F.col("sz2") + F.col("sz3") + F.col("sz4") + F.col("sz5")
+    qt = (
+        F.col("szz1") + F.col("szz2") + F.col("szz3") + F.col("szz4")
+        + F.col("szz5")
+    )
+    bsum = (
+        F.col("sz1") * F.col("sz1") / F.col("n1")
+        + F.col("sz2") * F.col("sz2") / F.col("n2")
+        + F.col("sz3") * F.col("sz3") / F.col("n3")
+        + F.col("sz4") * F.col("sz4") / F.col("n4")
+        + F.col("sz5") * F.col("sz5") / F.col("n5")
+    )
+    d = w.select(
+        nt.alias("nt"), st.alias("st"), qt.alias("qt"), bsum.alias("bsum")
+    )
+    ssb = F.col("bsum") - F.col("st") * F.col("st") / F.col("nt")
+    ssw = F.col("qt") - F.col("bsum")
+    return d.select(
+        F.col("nt").cast("bigint").alias("n_total"),
+        F.round(ssb / F.lit(4.0) / (ssw / (F.col("nt") - F.lit(5.0))), 6).alias(
+            "levene_w"
+        ),
+    )
+
+
+# =====================================================================
+# Jarque-Bera normality test - composed from the exact central moments
+# the moment_stats_skew_kurtosis tier already disciplines.
+# =====================================================================
+
+_JB_ORACLE = """
+    WITH x AS (
+        SELECT CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders
+    ), m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(CAST(sum(v) AS HUGEINT) AS DOUBLE) AS s1,
+               CAST(CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT)
+                    AS DOUBLE) AS s2,
+               CAST(CAST(sum(CAST(v AS HUGEINT) * v * v) AS HUGEINT)
+                    AS DOUBLE) AS s3,
+               CAST(CAST(sum(CAST(v AS HUGEINT) * v * v * v) AS HUGEINT)
+                    AS DOUBLE) AS s4
+        FROM x
+    ), c AS (
+        SELECT n,
+               s2 / n - (s1 / n) * (s1 / n) AS m2,
+               s3 / n - 3.0 * (s1 / n) * (s2 / n)
+                   + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+               s4 / n - 4.0 * (s1 / n) * (s3 / n)
+                   + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                   - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_total,
+           round(m3 / sqrt(m2 * m2 * m2), 6) AS skewness,
+           round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis,
+           round(n / 6.0 * ((m3 / sqrt(m2 * m2 * m2))
+                            * (m3 / sqrt(m2 * m2 * m2))
+                            + (m4 / (m2 * m2) - 3.0)
+                              * (m4 / (m2 * m2) - 3.0) / 4.0), 6)
+               AS jarque_bera
+    FROM c
+"""
+
+
+@register(
+    "jarque_bera_normality",
+    _JB_ORACLE,
+    "Jarque-Bera normality test on order values: JB = n/6 (S^2 + "
+    "K^2/4) from the exact raw moments (BIGINT/HUGEINT sums of v, "
+    "v^2, v^3, v^4 - the same overflow-proof moment discipline as "
+    "moment_stats_skew_kurtosis), converted to central moments and "
+    "the statistic in one fixed-order IEEE expression mirrored "
+    "term-for-term. The normality cell of the test tier - the "
+    "pre-check for every z/t-approximation the other tests lean on. "
+    "Scale: one partial-combined aggregate, four integer moments.",
+    tags=("agg", "stats", "round4"),
+)
+def jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    x = o.select(F.floor("o_totalprice").cast("bigint").alias("v"))
+    v = F.col("v").cast("decimal(38,0)")
+    m = x.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("v").cast("bigint").cast("double").alias("s1"),
+        F.sum(v * F.col("v")).cast("double").alias("s2"),
+        F.sum(v * F.col("v") * F.col("v")).cast("double").alias("s3"),
+        F.sum(v * F.col("v") * F.col("v") * F.col("v"))
+        .cast("double")
+        .alias("s4"),
+    )
+    mean = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mean * mean
+    m3 = (
+        F.col("s3") / F.col("n")
+        - F.lit(3.0) * mean * (F.col("s2") / F.col("n"))
+        + F.lit(2.0) * mean * mean * mean
+    )
+    m4 = (
+        F.col("s4") / F.col("n")
+        - F.lit(4.0) * mean * (F.col("s3") / F.col("n"))
+        + F.lit(6.0) * mean * mean * (F.col("s2") / F.col("n"))
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    skew = m3 / F.sqrt(m2 * m2 * m2)
+    kurt = m4 / (m2 * m2) - F.lit(3.0)
+    return m.select(
+        F.col("n").cast("bigint").alias("n_total"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+        F.round(
+            F.col("n") / F.lit(6.0) * (skew * skew + kurt * kurt / F.lit(4.0)),
+            6,
+        ).alias("jarque_bera"),
+    )

