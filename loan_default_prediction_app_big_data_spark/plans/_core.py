@@ -216,7 +216,9 @@ _DRIVER_PRIORITY: list[str] = [
     # poisson_rate_ratio_test, url_parse_functions (urllib-
     # cross-checked), aes_roundtrip_functions (structural crypto
     # oracle), sqlite_batch_sink_roundtrip (DataSourceWriter batch
-    # commit), and the four queries that left the no_oracle
+    # commit), cohens_kappa_agreement, levene_brown_forsythe (exact
+    # integer variance-homogeneity check), jarque_bera_normality,
+    # and the four queries that left the no_oracle
     # bucket this session (the last of it — every registered query now
     # carries an oracle): simhash_dedup (exact J>=0.9 pair set +
     # Hamming-locality bound booleans with a negative control),
