@@ -171,16 +171,26 @@ def run() -> None:
     print(_compact_line(payload))
 
 
+# A17 latency tiers must appear in EVERY driver snapshot (VERDICT r4
+# item 9): serve-p50 and the 1x fit are cheap, so the
+# drop-cheapest-first truncation silently omitted them in r4.
+_PINNED = ("ml_single_row_serve_p50", "ml_loan_pipeline_fit_eval",
+           "ml_loan_pipeline_fit_eval_100x")
+
+
 def _compact_line(payload: dict, budget: int = 1900) -> str:
     """Serialize under `budget` bytes: compact separators, 2-dp values,
-    then drop cheapest queries (tracked in omitted/omitted_sum_s so the
-    total still reconciles) until the line fits."""
+    then drop cheapest NON-PINNED queries (tracked in
+    omitted/omitted_sum_s so the total still reconciles) until the
+    line fits."""
     q = {k: round(v, 2) for k, v in payload["queries"].items()}
     payload = {**payload, "queries": q}
     s = json.dumps(payload, separators=(",", ":"))
     for name in sorted(q, key=q.get):
         if len(s) <= budget:
             break
+        if name in _PINNED:
+            continue
         payload["omitted"] = payload.get("omitted", 0) + 1
         payload["omitted_sum_s"] = round(payload.get("omitted_sum_s", 0.0) + q.pop(name), 2)
         s = json.dumps(payload, separators=(",", ":"))

@@ -257,68 +257,6 @@ def embedding_neardup_pairs(
     )
 
 
-def embedding_neardup_pairs_blas(
-    corpus: DataFrame,
-    threshold: float = 0.4,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """Embedding-cosine near-dup pairs via blocked matrix multiply.
-
-    Each Arrow batch of corpus rows is multiplied (numpy/BLAS, float64)
-    against the full normalized corpus matrix, which ships to executors
-    as a Spark broadcast — a blocked GEMM instead of 2·10⁶ interpreted
-    per-pair array expressions (~50× faster at sf0.1). At 100 TB the
-    same shape holds with the right side blocked too (broadcast one
-    block at a time) or pre-bucketed by LSH/IVF so each block pair is
-    small. Emits (id_a < id_b, cos_sim) above the threshold, identical
-    to :func:`embedding_neardup_pairs`.
-    """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    spark = corpus.sparkSession
-    pdf = corpus.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    b = spark.sparkContext.broadcast((ids, mat))
-
-    out_schema = T.StructType(
-        [
-            T.StructField("id_a", T.LongType(), False),
-            T.StructField("id_b", T.LongType(), False),
-            T.StructField("cos_sim", T.DoubleType(), False),
-        ]
-    )
-
-    def block_sim(batches):
-        all_ids, all_mat = b.value
-        for pdf_block in batches:
-            if len(pdf_block) == 0:
-                continue
-            bids = pdf_block[id_col].to_numpy()
-            bmat = np.stack(pdf_block[vec_col].to_numpy()).astype("float64")
-            bmat /= np.linalg.norm(bmat, axis=1, keepdims=True)
-            sims = bmat @ all_mat.T  # |block| x |corpus|
-            rounded = np.round(sims, 6)
-            # threshold the ROUNDED similarity — identical row set to
-            # the expression twin, which also rounds before filtering
-            rows_i, cols_j = np.nonzero(
-                (rounded >= threshold) & (bids[:, None] < all_ids[None, :])
-            )
-            yield pd.DataFrame(
-                {
-                    "id_a": bids[rows_i].astype("int64"),
-                    "id_b": all_ids[cols_j].astype("int64"),
-                    "cos_sim": rounded[rows_i, cols_j],
-                }
-            )
-
-    return corpus.select(id_col, vec_col).mapInPandas(block_sim, out_schema)
-
-
 def embedding_neardup_pairs_blocked(
     corpus: DataFrame,
     threshold: float = 0.4,
@@ -339,9 +277,12 @@ def embedding_neardup_pairs_blocked(
     ``n_blocks`` so a block fits in a task (or pre-bucket with LSH/IVF
     so only candidate block pairs are materialized at all).
 
-    Numeric recipe (normalize rows → matmul → round 6 → threshold) is
-    byte-identical to :func:`embedding_neardup_pairs_blas`, so the
-    output hash-matches the exact all-pairs oracle.
+    Numeric recipe (normalize rows → matmul → round 6 → threshold, the
+    rounded value is what's thresholded) hash-matches the exact
+    all-pairs oracle. A superseded broadcast-whole-corpus GEMM variant
+    (full-corpus ``toPandas`` to the driver) was deleted in round 5 —
+    this blocked form is the only registered path, and nothing in
+    non-test source materializes an unbounded corpus on the driver.
     """
     import numpy as np
     import pandas as pd

@@ -317,14 +317,28 @@ def fpgrowth_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.fpm import FPGrowth
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # PFP runs several iterative jobs over the baskets. `.cache()` keeps
+    # the groupBy lineage live, so under memory pressure Spark silently
+    # re-aggregates lineitem per FP pass — BENCH r3/r4 measured 3-7x
+    # wall variance from exactly that. `localCheckpoint` (eager)
+    # truncates the lineage and pins the partitions MEMORY_AND_DISK:
+    # eviction spills to disk instead of recomputing. Partition count
+    # is pinned relative to cluster parallelism (baskets are ~50x
+    # smaller than lineitem, so 1/4 of defaultParallelism keeps tasks
+    # chunky at sf0.1 and still scales on a 1000-executor cluster).
+    n_parts = max(spark.sparkContext.defaultParallelism // 4, 8)
     baskets = (
         li.groupBy("l_orderkey")
         .agg(F.collect_set("l_suppkey").alias("items"))
         .select("items")
-        .cache()  # PFP iterates the baskets; uncached it re-aggregates per pass
+        .coalesce(n_parts)
+        .localCheckpoint()
     )
     model = FPGrowth(
-        itemsCol="items", minSupport=0.0023, minConfidence=0.5
+        itemsCol="items",
+        minSupport=0.0023,
+        minConfidence=0.5,
+        numPartitions=n_parts,
     ).fit(baskets)
     return (
         model.freqItemsets.filter(F.size("items") <= 2)

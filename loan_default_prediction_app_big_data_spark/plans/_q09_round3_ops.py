@@ -50,34 +50,39 @@ def _bpe_apply_oracle(n_merges: int = 5) -> str:
 )
 def bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe_merge_training(spark, sf_dir).collect()
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    encoded = docs
+    # Encoded text is a pure per-row function of `text`, so the merge
+    # stages chain into ONE column expression over ONE scan — the old
+    # shape self-joined docs with a 5-stage-encoded twin on doc_id
+    # (second scan + join for nothing; BENCH r4 flagged the query at
+    # 6.4x committed). The every-25th-doc sample now precedes the
+    # string work, so only sampled rows are ever encoded. The merge
+    # table itself is 5 driver-side rows folded into literals — the
+    # "broadcast" is the query plan, which is the right 100 TB shape
+    # for tokenization: zero shuffles, zero joins, per-row work only.
+    enc = F.col("text")
     for m in sorted(merges, key=lambda r: r.merge_order):
         pat = f" {m.w1}  {m.w2} "
         rep = f" {m.w1}@@{m.w2} "
-        encoded = encoded.select(
-            "doc_id",
-            F.trim(
+        enc = F.trim(
+            F.replace(
                 F.replace(
-                    F.replace(
-                        F.concat(
-                            F.lit(" "),
-                            F.replace(F.col("text"), F.lit(" "), F.lit("  ")),
-                            F.lit(" "),
-                        ),
-                        F.lit(pat),
-                        F.lit(rep),
+                    F.concat(
+                        F.lit(" "),
+                        F.replace(enc, F.lit(" "), F.lit("  ")),
+                        F.lit(" "),
                     ),
-                    F.lit("  "),
-                    F.lit(" "),
-                )
-            ).alias("text"),
+                    F.lit(pat),
+                    F.lit(rep),
+                ),
+                F.lit("  "),
+                F.lit(" "),
+            )
         )
-    n_raw = F.size(F.split(F.col("a.text"), " ")).cast("bigint")
-    n_bpe = F.size(F.split(F.col("b.text"), " ")).cast("bigint")
+    n_raw = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    n_bpe = F.size(F.split(enc, " ")).cast("bigint")
     return (
-        docs.alias("a")
-        .join(encoded.alias("b"), "doc_id")
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
         .filter(F.col("doc_id") % 25 == 0)
         .select(
             "doc_id",

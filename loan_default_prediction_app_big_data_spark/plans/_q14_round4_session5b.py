@@ -42,18 +42,18 @@ _SQLUDF_ORACLE = """
 )
 def sql_udf_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(
-        "CREATE OR REPLACE TEMPORARY FUNCTION q13_price_tier(p DOUBLE) "
+        "CREATE OR REPLACE TEMPORARY FUNCTION q14_price_tier(p DOUBLE) "
         "RETURNS STRING RETURN CASE WHEN p > 250000 THEN 'high' "
         "WHEN p > 100000 THEN 'mid' ELSE 'low' END"
     )
-    t(spark, sf_dir, "orders").createOrReplaceTempView("q13_sqludf_orders")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("q14_sqludf_orders")
     return spark.sql(
         """
-        SELECT q13_price_tier(o_totalprice) AS tier,
+        SELECT q14_price_tier(o_totalprice) AS tier,
                CAST(count(*) AS BIGINT) AS n_orders,
                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                    AS revenue_cents
-        FROM q13_sqludf_orders GROUP BY 1 ORDER BY 1
+        FROM q14_sqludf_orders GROUP BY 1 ORDER BY 1
         """
     )
 
@@ -88,15 +88,15 @@ _PARAM_ORACLE = """
     tags=("sql", "functions", "round4"),
 )
 def parameterized_query_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t(spark, sf_dir, "orders").createOrReplaceTempView("q13_param_orders")
-    t(spark, sf_dir, "customer").createOrReplaceTempView("q13_param_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("q14_param_orders")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("q14_param_customer")
     return spark.sql(
         """
         SELECT c_mktsegment AS segment,
                CAST(count(*) AS BIGINT) AS n_orders,
                CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                    AS max_cents
-        FROM q13_param_orders JOIN q13_param_customer ON o_custkey = c_custkey
+        FROM q14_param_orders JOIN q14_param_customer ON o_custkey = c_custkey
         WHERE o_totalprice >= :min_price AND o_orderstatus = :status
         GROUP BY 1 ORDER BY 1
         """,
@@ -1420,8 +1420,10 @@ _NESTED_ORACLE = """
     "nested_order_lines_hof",
     _NESTED_ORACLE,
     "Nested data modeling: line items collect into an ORDERED "
-    "array<struct> per order (array_sort on a (linenumber, cents) struct; the fixture linenumber is NOT unique per order, so the struct itself is the "
-    "struct - deterministic without a window), and every metric is "
+    "array<struct> per order (array_sort on a (linenumber, cents) "
+    "struct; the fixture linenumber is NOT unique per order, so the "
+    "(linenumber, cents) struct sort key is what makes the array "
+    "order deterministic without a window), and every metric is "
     "computed by higher-order functions ON the array - aggregate() "
     "for the total, transform(sequence(...)) for adjacent-price "
     "gaps, element_at for the head - never re-exploding to rows. "
@@ -1769,15 +1771,6 @@ def mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
-    band = (
-        (
-            (F.col("o_orderkey") % 99991) * 31
-            + (F.col("o_custkey") % 99991) * 17
-        )
-        % 99991
-        % 70000
-        + F.when(F.col("o_orderstatus") == "F", 30000).otherwise(0)
-    )
     j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
         F.expr(
             "(((o_orderkey % 99991) * 31 + (o_custkey % 99991) * 17) "
@@ -1789,16 +1782,24 @@ def mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = j.groupBy("band", "seg").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_xy")
     )
+    # One-representative-per-marginal guards (min seg / min band) are
+    # computed RELATIONALLY as two more windows over the same empty
+    # partition the nn window already shuffles to — the oracle's
+    # scalar subqueries, expressed inside the plan. (ADVICE r4: the
+    # old shape collected both mins to the driver and spliced the seg
+    # string into F.expr text — two extra round-trips at plan build
+    # and an injection-shaped pattern.)
+    w_all = W.partitionBy()
     m = cells.select(
         "band",
         "seg",
         "n_xy",
         F.sum("n_xy").over(W.partitionBy("band")).cast("bigint").alias("n_x"),
         F.sum("n_xy").over(W.partitionBy("seg")).cast("bigint").alias("n_y"),
-        F.sum("n_xy").over(W.partitionBy()).cast("bigint").alias("nn"),
+        F.sum("n_xy").over(w_all).cast("bigint").alias("nn"),
+        F.min("seg").over(w_all).alias("min_seg"),
+        F.min("band").over(w_all).alias("min_band"),
     )
-    min_seg = cells.agg(F.min("seg")).first()[0]
-    min_band = cells.agg(F.min("band")).first()[0]
     terms = m.agg(
         F.expr(
             "CAST(sum(CAST(round((CAST(n_xy AS DOUBLE) / CAST(nn AS DOUBLE)) "
@@ -1807,13 +1808,13 @@ def mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS BIGINT)) AS BIGINT)"
         ).alias("mi_nano"),
         F.expr(
-            f"CAST(sum(CASE WHEN seg = '{min_seg}' THEN "
+            "CAST(sum(CASE WHEN seg = min_seg THEN "
             "CAST(round(-(CAST(n_x AS DOUBLE) / CAST(nn AS DOUBLE)) "
             "* ln(CAST(n_x AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e9) "
             "AS BIGINT) ELSE 0 END) AS BIGINT)"
         ).alias("hx_nano"),
         F.expr(
-            f"CAST(sum(CASE WHEN band = {min_band} THEN "
+            "CAST(sum(CASE WHEN band = min_band THEN "
             "CAST(round(-(CAST(n_y AS DOUBLE) / CAST(nn AS DOUBLE)) "
             "* ln(CAST(n_y AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e9) "
             "AS BIGINT) ELSE 0 END) AS BIGINT)"

@@ -19,6 +19,12 @@ from ._core import F, SparkSession, DataFrame, register, t
 
 _STREAM_SESSWIN_ORACLE = """
     WITH flagged AS (
+        -- Boundary rule: a new session starts only when the gap is
+        -- STRICTLY greater than 30 min. ADVICE r4 suspected Spark
+        -- splits at the exact-gap tie; empirically it MERGES (the
+        -- state-store merge condition is inclusive), so `>` is the
+        -- correct oracle. Pinned by
+        -- test_session_window_exact_gap_boundary_merges.
         SELECT user_id, epoch_us(ts) AS ts_us,
                CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
                         PARTITION BY user_id ORDER BY epoch_us(ts))
@@ -455,18 +461,21 @@ def largest_remainder_apportionment(
             "numer"
         ),
     )
+    # Integral `div`, NOT F.floor(numer/total): Spark decimal true
+    # division rounds HALF_UP at scale 6, so a quotient within 5e-7
+    # below an integer would floor one seat too high and disagree with
+    # both the exact `%` remainder and the oracle's HUGEINT `//`
+    # (ADVICE r4). `div` is exact integer division on the decimals,
+    # bit-for-bit the oracle's semantics.
+    floor_seats = F.expr("numer div total")
     f = q.select(
         "n_name",
         "rev_cents",
-        F.floor(F.col("numer") / F.col("total")).cast("bigint").alias(
-            "floor_seats"
-        ),
+        floor_seats.cast("bigint").alias("floor_seats"),
         (F.col("numer") % F.col("total")).cast("bigint").alias("remainder"),
         (
             F.lit(_APPORTION_SEATS).cast("bigint")
-            - F.sum(F.floor(F.col("numer") / F.col("total")))
-            .over(wall)
-            .cast("bigint")
+            - F.sum(floor_seats).over(wall).cast("bigint")
         ).alias("extra"),
     )
     rk = F.rank().over(W.orderBy(F.desc("remainder"), "n_name"))

@@ -50,6 +50,46 @@ def test_streaming_session_window_matches_python_walk(spark, sf_dir):
         assert r["span_s"] == span
 
 
+def test_session_window_exact_gap_boundary_merges(spark):
+    """Pin Spark's session_window boundary semantics at the exact-gap
+    tie (ADVICE r4 suspected an off-by-one; this test settles it).
+
+    Empirically (Spark 4.x): two events exactly `gap` apart MERGE into
+    one session — the state-store merge condition is inclusive
+    (new_start <= open_end), not strict overlap of [t, t+gap) ranges.
+    A new session therefore starts only when the gap is STRICTLY
+    greater than the gap duration, which is exactly the `> 1800000000`
+    rule every lag+cumsum oracle in this repo uses (q01
+    sessionization, q03 session_window_native, q07
+    max_concurrent_sessions, q15 streaming_session_window). If a Spark
+    upgrade ever flips this to a strict-overlap split, this test fails
+    first and the oracles move together.
+    """
+    import datetime
+
+    base = datetime.datetime(2025, 1, 1, 0, 0, 0)
+    gap = datetime.timedelta(minutes=30)
+    one_us = datetime.timedelta(microseconds=1)
+    rows = [
+        (1, base),
+        (1, base + gap),            # exactly gap apart -> MERGE
+        (2, base),
+        (2, base + gap + one_us),   # one microsecond past -> SPLIT
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n_sessions = {1: 0, 2: 0}
+    for r in out:
+        n_sessions[r["user_id"]] += 1
+        if r["user_id"] == 1:
+            assert r["n"] == 2  # merged: both events in one session
+    assert n_sessions == {1: 1, 2: 2}
+
+
 def test_anova_oneway_f_matches_python(spark, sf_dir):
     rows = (
         _t(spark, sf_dir, "orders")
