@@ -308,4 +308,10 @@ _DRIVER_PRIORITY: list[str] = [
     "cohens_kappa_agreement",
     "levene_brown_forsythe",
     "jarque_bera_normality",
+    # Round-5 additions (registered in _q16_round5; never certified,
+    # appended to the rotation queue behind the pre-existing debt).
+    "recursive_cte_supplier_chain",
+    "xml_source_roundtrip",
+    "text_source_line_stats",
+    "binaryfile_source_stats",
 ]

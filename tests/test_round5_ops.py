@@ -1,0 +1,97 @@
+"""Round-5 additions: recursive CTE and the xml/text/binaryFile
+connectors.
+
+Every test recomputes the expected answer with an INDEPENDENT
+algorithm in plain Python (a sequential ancestor walk where the
+engine recurses relationally; hashlib where the engine hashes
+JVM-side) so a shared bug can't pass both sides.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from loan_default_prediction_app_big_data_spark.plans.registry import REGISTRY
+from loan_default_prediction_app_big_data_spark.plans._core import t as _t
+
+
+def test_recursive_cte_matches_python_walk(spark, sf_dir):
+    bal = {
+        r["s_suppkey"]: int(round(r["s_acctbal"] * 100))
+        for r in _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_acctbal")
+        .collect()
+    }
+    expected: dict[int, tuple[int, int]] = {}  # depth -> (n, chain_cents)
+    for k in bal:
+        if k < 1:  # tree is rooted at 1; suppkey 0 is outside the domain
+            continue
+        cur, acc, depth = k, bal[k], 0
+        while cur > 1:
+            cur //= 2
+            acc += bal[cur]
+            depth += 1
+        n, c = expected.get(depth, (0, 0))
+        expected[depth] = (n + 1, c + acc)
+
+    got = REGISTRY["recursive_cte_supplier_chain"].fn(spark, sf_dir).collect()
+    assert {r["root_depth"]: (r["n_suppliers"], r["chain_cents"]) for r in got} == expected
+
+
+def test_xml_roundtrip_preserves_counts_and_nulls(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    n_total = orders.count()
+    n_null = orders.filter(F.col("o_orderkey") % 97 == 0).count()
+    got = REGISTRY["xml_source_roundtrip"].fn(spark, sf_dir).collect()
+    assert sum(r["n_orders"] for r in got) == n_total
+    assert sum(r["n_cents_null"] for r in got) == n_null
+    # cents totals must equal the exact integer recompute per status
+    exp = {
+        r["o_orderstatus"]: r["c"]
+        for r in orders.filter(F.col("o_orderkey") % 97 != 0)
+        .groupBy("o_orderstatus")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("c"))
+        .collect()
+    }
+    assert {r["o_orderstatus"]: r["total_cents"] for r in got} == exp
+
+
+def test_text_source_no_line_mangling(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    exp: dict[int, tuple[int, int, int]] = {}
+    for r in docs:
+        b = r["doc_id"] % 10
+        n, ch, tk = exp.get(b, (0, 0, 0))
+        exp[b] = (
+            n + 1,
+            ch + len(r["text"]),
+            tk + len([w for w in r["text"].split(" ") if w]),
+        )
+    got = REGISTRY["text_source_line_stats"].fn(spark, sf_dir).collect()
+    assert {
+        r["bucket"]: (r["n_docs"], r["sum_chars"], r["sum_tokens"]) for r in got
+    } == exp
+
+
+def test_binaryfile_source_hashes_match_hashlib(spark, sf_dir):
+    sample = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id", "text")
+        .collect()
+    )
+    exp = {
+        r["doc_id"]: (
+            len(r["text"].encode("utf-8")),
+            hashlib.sha256(r["text"].encode("utf-8")).hexdigest(),
+        )
+        for r in sample
+    }
+    got = REGISTRY["binaryfile_source_stats"].fn(spark, sf_dir).collect()
+    assert len(got) == len(exp)
+    for r in got:
+        n_bytes, digest = exp[r["doc_id"]]
+        assert r["n_bytes"] == n_bytes
+        assert r["content_sha256"] == digest
