@@ -44,3 +44,19 @@ def test_line_is_single_line_json():
     line = _compact_line(_payload(150))
     assert "\n" not in line
     json.loads(line)  # parseable
+
+
+def test_a17_latency_tiers_survive_truncation():
+    """VERDICT r4 item 9: the cheap serving-latency entries were
+    silently dropped by drop-cheapest-first truncation in the r4
+    driver snapshot. They must survive any budget squeeze."""
+    p = _payload(150)
+    p["queries"]["ml_single_row_serve_p50"] = 0.003
+    p["queries"]["ml_loan_pipeline_fit_eval"] = 0.9
+    p["queries"]["ml_loan_pipeline_fit_eval_100x"] = 5.7
+    line = _compact_line(p)
+    assert len(line) <= 1900
+    out = json.loads(line)["queries"]
+    assert "ml_single_row_serve_p50" in out
+    assert "ml_loan_pipeline_fit_eval" in out
+    assert "ml_loan_pipeline_fit_eval_100x" in out
