@@ -322,23 +322,25 @@ def fpgrowth_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-aggregates lineitem per FP pass — BENCH r3/r4 measured 3-7x
     # wall variance from exactly that. `localCheckpoint` (eager)
     # truncates the lineage and pins the partitions MEMORY_AND_DISK:
-    # eviction spills to disk instead of recomputing. Partition count
-    # is pinned relative to cluster parallelism (baskets are ~50x
-    # smaller than lineitem, so 1/4 of defaultParallelism keeps tasks
-    # chunky at sf0.1 and still scales on a 1000-executor cluster).
-    n_parts = max(spark.sparkContext.defaultParallelism // 4, 8)
+    # eviction spills to disk instead of recomputing. Partitioning is
+    # pinned WIDE on purpose: the conditional-FP-tree mining stage is
+    # the CPU-bound cost, so baskets repartition to defaultParallelism
+    # (AQE would coalesce the tiny shuffle to ~4 partitions and mine
+    # on 4 of 32 cores — measured 10.5 s vs 8.7 s for the mining leg)
+    # and FPGrowth's group-dependent shards get 2x that for skew slack.
+    dp = spark.sparkContext.defaultParallelism
     baskets = (
         li.groupBy("l_orderkey")
         .agg(F.collect_set("l_suppkey").alias("items"))
         .select("items")
-        .coalesce(n_parts)
+        .repartition(dp)
         .localCheckpoint()
     )
     model = FPGrowth(
         itemsCol="items",
         minSupport=0.0023,
         minConfidence=0.5,
-        numPartitions=n_parts,
+        numPartitions=2 * dp,
     ).fit(baskets)
     return (
         model.freqItemsets.filter(F.size("items") <= 2)
