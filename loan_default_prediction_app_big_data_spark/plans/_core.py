@@ -314,4 +314,6 @@ _DRIVER_PRIORITY: list[str] = [
     "xml_source_roundtrip",
     "text_source_line_stats",
     "binaryfile_source_stats",
+    "statestore_reader_audit",
+    "listagg_within_group",
 ]

@@ -284,3 +284,142 @@ def binaryfile_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# =====================================================================
+# State-store reader — Spark 4's statestore format reads a streaming
+# checkpoint's state as a DataFrame (the observability surface for
+# debugging stateful pipelines at scale).
+# =====================================================================
+
+_STATESTORE_ORACLE = """
+    -- the state store after a finite append-mode replay holds EXACTLY
+    -- the windows the watermark has NOT closed (the emitted set's
+    -- complement): window_end > max(ts) - 1h. The oracle recomputes
+    -- those open-tail aggregates analytically.
+    WITH wm AS (
+        SELECT max(epoch_us(ts)) - 3600000000 AS watermark_us FROM events
+    )
+    SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) * 1000000
+               AS window_start_us,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    HAVING window_start_us + 3600000000 > (SELECT watermark_us FROM wm)
+    ORDER BY 1, 2
+"""
+
+
+@register(
+    "statestore_reader_audit",
+    _STATESTORE_ORACLE,
+    "State-store READER (spark.read.format('statestore') on a "
+    "streaming checkpoint, Spark 4 surface): after the append-mode "
+    "tumbling-window replay finishes, the operator state is read "
+    "back as a DataFrame (key.window, key.event_type, value.count) "
+    "and must contain EXACTLY the open tail windows — the complement "
+    "of the emitted set, since append mode evicts state precisely "
+    "when the watermark closes a window. A hash match against the "
+    "analytically-recomputed open-window aggregates proves BOTH the "
+    "reader decodes state bytes faithfully AND the eviction policy "
+    "left the right rows behind. This is the production debugging "
+    "path for stateful streams at 100 TB: state inspection without "
+    "replaying the stream, sharded by partition_id exactly as the "
+    "shuffle laid it out.",
+    tags=("streaming", "source", "round5"),
+)
+def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.windows import streaming_events
+
+    events = streaming_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_statestore_")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        state = (
+            spark.read.format("statestore")
+            .load(ckpt)
+            .select(
+                F.unix_micros(F.col("key.window.start")).alias(
+                    "window_start_us"
+                ),
+                F.col("key.event_type").alias("event_type"),
+                F.col("value.count").cast("bigint").alias("n_events"),
+            )
+            .orderBy("window_start_us", "event_type")
+            .cache()
+        )
+        state.count()  # materialize before the checkpoint dir vanishes
+        return state
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# =====================================================================
+# listagg — Spark 4.0's ordered string aggregation (ANSI WITHIN
+# GROUP), the report-feed primitive.
+# =====================================================================
+
+_LISTAGG_ORACLE = """
+    SELECT o_orderstatus,
+           string_agg(CAST(o_orderkey AS VARCHAR), ','
+                      ORDER BY o_orderkey) AS key_csv,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders WHERE o_orderkey % 4999 = 0
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "listagg_within_group",
+    _LISTAGG_ORACLE,
+    "listagg(expr, sep) WITHIN GROUP (ORDER BY ...) — the ANSI "
+    "ordered string aggregation added in Spark 4.0 (DuckDB twin: "
+    "string_agg with ORDER BY). The WITHIN GROUP order is part of "
+    "the result value, so a hash match proves the engine sorts "
+    "INSIDE the aggregate buffer, not just the output rows — the "
+    "semantics CSV/report feeds depend on. Bounded by a key filter "
+    "so the concatenated strings stay metadata-sized; at 100 TB "
+    "ordered listagg over unbounded groups is the anti-pattern "
+    "(use collect_list + array_sort under an explicit size cap, or "
+    "keep rows relational).",
+    tags=("agg", "sql", "functions", "round5"),
+)
+def listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 4999 == 0
+    ).createOrReplaceTempView("q16_listagg_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               listagg(CAST(o_orderkey AS STRING), ',')
+                   WITHIN GROUP (ORDER BY o_orderkey) AS key_csv,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM q16_listagg_orders
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """
+    )

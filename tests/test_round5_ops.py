@@ -95,3 +95,43 @@ def test_binaryfile_source_hashes_match_hashlib(spark, sf_dir):
         n_bytes, digest = exp[r["doc_id"]]
         assert r["n_bytes"] == n_bytes
         assert r["content_sha256"] == digest
+
+
+def test_statestore_holds_exactly_open_windows(spark, sf_dir):
+    """The state read back from the checkpoint must equal the
+    open-tail windows: those the final watermark (max ts - 1h) has
+    not closed — recomputed here with a plain python walk."""
+    evs = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    hour = 3_600_000_000
+    wm = max(r["us"] for r in evs) - hour
+    exp: dict[tuple[int, str], int] = {}
+    for r in evs:
+        ws = (r["us"] // hour) * hour
+        if ws + hour > wm:
+            exp[(ws, r["event_type"])] = exp.get((ws, r["event_type"]), 0) + 1
+    got = REGISTRY["statestore_reader_audit"].fn(spark, sf_dir).collect()
+    assert {
+        (r["window_start_us"], r["event_type"]): r["n_events"] for r in got
+    } == exp
+
+
+def test_listagg_orders_inside_aggregate(spark, sf_dir):
+    rows = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 4999 == 0)
+        .select("o_orderstatus", "o_orderkey")
+        .collect()
+    )
+    exp: dict[str, list[int]] = {}
+    for r in rows:
+        exp.setdefault(r["o_orderstatus"], []).append(r["o_orderkey"])
+    got = REGISTRY["listagg_within_group"].fn(spark, sf_dir).collect()
+    assert len(got) == len(exp)
+    for r in got:
+        keys = sorted(exp[r["o_orderstatus"]])
+        assert r["key_csv"] == ",".join(str(k) for k in keys)
+        assert r["n_orders"] == len(keys)
