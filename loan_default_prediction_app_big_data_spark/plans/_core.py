@@ -316,4 +316,5 @@ _DRIVER_PRIORITY: list[str] = [
     "binaryfile_source_stats",
     "statestore_reader_audit",
     "listagg_within_group",
+    "dynamic_sql_identifier",
 ]

@@ -423,3 +423,48 @@ def listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus ORDER BY o_orderstatus
         """
     )
+
+
+# =====================================================================
+# Dynamic SQL — EXECUTE IMMEDIATE with IDENTIFIER() parameter binding
+# (Spark 4): table/column names as typed parameters, never string
+# splices.
+# =====================================================================
+
+_DYNAMIC_SQL_ORACLE = """
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM customer GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "dynamic_sql_identifier",
+    _DYNAMIC_SQL_ORACLE,
+    "Dynamic SQL the injection-safe way (Spark 4 surface): EXECUTE "
+    "IMMEDIATE runs a query template whose TABLE and COLUMN names "
+    "arrive as USING parameters through the IDENTIFIER() clause — "
+    "identifiers become typed parameters with identifier-validity "
+    "enforcement, completing the parameterized-query story next to "
+    "parameterized_query_markers (which binds VALUES). The bound "
+    "plan is indistinguishable from the static one: same pushdown, "
+    "same codegen, hash-equal to the oracle's static SQL. This is "
+    "the metadata-driven-pipeline primitive (same template fanned "
+    "across table names) without the string-splice injection risk.",
+    tags=("sql", "functions", "round5"),
+)
+def dynamic_sql_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "customer").createOrReplaceTempView("q16_dyn_customer")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+        'SELECT c_mktsegment AS segment,
+                CAST(count(*) AS BIGINT) AS n_customers,
+                CAST(sum(CAST(round(IDENTIFIER(:col) * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+         FROM IDENTIFIER(:tbl) GROUP BY 1 ORDER BY 1'
+        USING 'c_acctbal' AS col, 'q16_dyn_customer' AS tbl
+        """
+    )

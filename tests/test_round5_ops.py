@@ -135,3 +135,18 @@ def test_listagg_orders_inside_aggregate(spark, sf_dir):
         keys = sorted(exp[r["o_orderstatus"]])
         assert r["key_csv"] == ",".join(str(k) for k in keys)
         assert r["n_orders"] == len(keys)
+
+
+def test_dynamic_sql_identifier_matches_static(spark, sf_dir):
+    static = {
+        r["c_mktsegment"]: (r["n"], r["c"])
+        for r in _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias("c"),
+        )
+        .collect()
+    }
+    got = REGISTRY["dynamic_sql_identifier"].fn(spark, sf_dir).collect()
+    assert {r["segment"]: (r["n_customers"], r["total_cents"]) for r in got} == static
