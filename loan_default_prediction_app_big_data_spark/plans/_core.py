@@ -317,4 +317,5 @@ _DRIVER_PRIORITY: list[str] = [
     "statestore_reader_audit",
     "listagg_within_group",
     "dynamic_sql_identifier",
+    "approx_top_k_events",
 ]

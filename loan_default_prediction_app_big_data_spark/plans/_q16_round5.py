@@ -468,3 +468,47 @@ def dynamic_sql_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         USING 'c_acctbal' AS col, 'q16_dyn_customer' AS tbl
         """
     )
+
+
+# =====================================================================
+# approx_top_k — Spark 4.1's built-in heavy-hitter sketch function
+# (the API twin of the hand-built Misra-Gries in heavy_hitters_sketch).
+# =====================================================================
+
+_APPROX_TOP_K_ORACLE = """
+    SELECT event_type AS item, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    ORDER BY n DESC, item LIMIT 5
+"""
+
+
+@register(
+    "approx_top_k_events",
+    _APPROX_TOP_K_ORACLE,
+    "approx_top_k (built-in since Spark 4.1; internally an Apache "
+    "DataSketches frequent-items sketch) over the event-type column, "
+    "re-sorted deterministically (count DESC, item) after inline(). "
+    "The fixture's event-type cardinality is far below the default "
+    "maxItemsTracked=10000, and the frequent-items sketch is EXACT "
+    "whenever nothing is ever evicted — so the result must equal the "
+    "oracle's exact GROUP BY top-5, hash-for-hash. This pins the "
+    "exactness boundary the hand-built twin (heavy_hitters_sketch) "
+    "proves from the other side with its N/(k+1) error-bound "
+    "booleans: same algorithm family, built-in vs from-scratch, both "
+    "driver-falsifiable. At 100 TB the sketch is the point: partials "
+    "merge associatively map-side, state is O(k), no raw-key "
+    "shuffle.",
+    tags=("agg", "sketch", "approx", "round5"),
+)
+def approx_top_k_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "events").createOrReplaceTempView("q16_atk_events")
+    return spark.sql(
+        """
+        SELECT item, n FROM (
+            SELECT inline(approx_top_k(event_type, 5))
+                AS (item, n)
+            FROM q16_atk_events
+        )
+        ORDER BY n DESC, item
+        """
+    ).select("item", F.col("n").cast("bigint").alias("n"))

@@ -150,3 +150,12 @@ def test_dynamic_sql_identifier_matches_static(spark, sf_dir):
     }
     got = REGISTRY["dynamic_sql_identifier"].fn(spark, sf_dir).collect()
     assert {r["segment"]: (r["n_customers"], r["total_cents"]) for r in got} == static
+
+
+def test_approx_top_k_exact_at_low_cardinality(spark, sf_dir):
+    counts: dict[str, int] = {}
+    for r in _t(spark, sf_dir, "events").select("event_type").collect():
+        counts[r["event_type"]] = counts.get(r["event_type"], 0) + 1
+    exp = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = REGISTRY["approx_top_k_events"].fn(spark, sf_dir).collect()
+    assert [(r["item"], r["n"]) for r in got] == exp
