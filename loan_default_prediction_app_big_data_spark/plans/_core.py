@@ -315,7 +315,6 @@ _DRIVER_PRIORITY: list[str] = [
     "text_source_line_stats",
     "binaryfile_source_stats",
     "statestore_reader_audit",
-    "listagg_within_group",
     "dynamic_sql_identifier",
     "approx_top_k_events",
 ]

@@ -1,8 +1,10 @@
-"""Round-5 additions: recursive CTE (Spark 4 WITH RECURSIVE — the
-last big SQL-surface family the registry lacked), plus the three
-remaining file-source connectors (native XML, line-text, binaryFile),
-which complete the format matrix next to csv/json/orc/avro/parquet/
-delta/sqlite.
+"""Round-5 additions: a path-accumulating recursive CTE (Spark 4
+WITH RECURSIVE carrying per-row state, complementing _q05's
+recursive_cte_hierarchy level census), the three remaining
+file-source connectors (native XML, line-text, binaryFile — closing
+the format matrix next to csv/json/orc/avro/parquet/delta/sqlite),
+the statestore checkpoint reader, dynamic SQL via EXECUTE IMMEDIATE
++ IDENTIFIER, and the built-in approx_top_k sketch.
 
 Registration ORDER is part of the driver contract - segments are
 imported by the facade in fixed sequence; do not reorder.
@@ -26,8 +28,10 @@ def _tmp_io(sub: str) -> str:
 
 
 # =====================================================================
-# Recursive CTE — Spark 4's WITH RECURSIVE, run on a derived supplier
-# hierarchy (parent(k) = k div 2, a binary tree rooted at suppkey 1).
+# Recursive CTE with a carried accumulator — Spark 4's WITH RECURSIVE
+# on a derived supplier hierarchy (parent(k) = k div 2, binary tree
+# rooted at suppkey 1). The level-census twin lives in _q05
+# (recursive_cte_hierarchy); this one threads per-path state.
 # =====================================================================
 
 _RECURSIVE_CTE_ORACLE = """
@@ -58,19 +62,21 @@ _RECURSIVE_CTE_ORACLE = """
 @register(
     "recursive_cte_supplier_chain",
     _RECURSIVE_CTE_ORACLE,
-    "WITH RECURSIVE (Spark 4 recursive CTE — iterative UNION ALL "
-    "expansion to fixpoint): each supplier walks its ancestor chain "
-    "in the derived binary-tree hierarchy parent(k) = k div 2 down "
-    "to root 1, accumulating exact account-balance cents along the "
-    "path; the readout groups finished walks by root distance. The "
-    "oracle runs the textually-identical recursion in DuckDB (// for "
-    "div), so both engines must agree on every iteration's frontier "
-    "— seed rows, join-step semantics, termination — not just a "
-    "final aggregate. This is the relational form of transitive "
-    "closure (BOM explosion, org rollup, graph reachability); at "
-    "100 TB each iteration is one shuffle join of the frontier "
-    "against the (broadcastable) edge table and the frontier shrinks "
-    "geometrically with tree height (log2 n levels).",
+    "WITH RECURSIVE with a PATH ACCUMULATOR: each supplier walks its "
+    "ancestor chain in the derived binary-tree hierarchy parent(k) = "
+    "k div 2 down to root 1, summing exact account-balance cents "
+    "along the path, readout grouped by root distance. Complements "
+    "the pre-existing recursive_cte_hierarchy (a top-down LEVEL "
+    "CENSUS: per-depth node counts, no carried state) with the other "
+    "recursion shape — bottom-up walks that CARRY an aggregate "
+    "through every step (BOM cost rollup, path-cost reachability), "
+    "so each iteration's frontier rows, not just the final level "
+    "structure, must be exact. The oracle runs the textually "
+    "identical recursion in DuckDB (// for div). At 100 TB each "
+    "iteration is one shuffle join of the frontier against the "
+    "(broadcastable) edge table; the all-nodes seed makes total work "
+    "O(n log n) rows, vs the census's O(n) — price of per-path "
+    "state.",
     tags=("sql", "recursive", "join", "round5"),
 )
 def recursive_cte_supplier_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,52 +383,6 @@ def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return state
     finally:
         shutil.rmtree(base, ignore_errors=True)
-
-
-# =====================================================================
-# listagg — Spark 4.0's ordered string aggregation (ANSI WITHIN
-# GROUP), the report-feed primitive.
-# =====================================================================
-
-_LISTAGG_ORACLE = """
-    SELECT o_orderstatus,
-           string_agg(CAST(o_orderkey AS VARCHAR), ','
-                      ORDER BY o_orderkey) AS key_csv,
-           CAST(count(*) AS BIGINT) AS n_orders
-    FROM orders WHERE o_orderkey % 4999 = 0
-    GROUP BY 1 ORDER BY 1
-"""
-
-
-@register(
-    "listagg_within_group",
-    _LISTAGG_ORACLE,
-    "listagg(expr, sep) WITHIN GROUP (ORDER BY ...) — the ANSI "
-    "ordered string aggregation added in Spark 4.0 (DuckDB twin: "
-    "string_agg with ORDER BY). The WITHIN GROUP order is part of "
-    "the result value, so a hash match proves the engine sorts "
-    "INSIDE the aggregate buffer, not just the output rows — the "
-    "semantics CSV/report feeds depend on. Bounded by a key filter "
-    "so the concatenated strings stay metadata-sized; at 100 TB "
-    "ordered listagg over unbounded groups is the anti-pattern "
-    "(use collect_list + array_sort under an explicit size cap, or "
-    "keep rows relational).",
-    tags=("agg", "sql", "functions", "round5"),
-)
-def listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t(spark, sf_dir, "orders").filter(
-        F.col("o_orderkey") % 4999 == 0
-    ).createOrReplaceTempView("q16_listagg_orders")
-    return spark.sql(
-        """
-        SELECT o_orderstatus,
-               listagg(CAST(o_orderkey AS STRING), ',')
-                   WITHIN GROUP (ORDER BY o_orderkey) AS key_csv,
-               CAST(count(*) AS BIGINT) AS n_orders
-        FROM q16_listagg_orders
-        GROUP BY o_orderstatus ORDER BY o_orderstatus
-        """
-    )
 
 
 # =====================================================================

@@ -119,22 +119,27 @@ def test_statestore_holds_exactly_open_windows(spark, sf_dir):
     } == exp
 
 
-def test_listagg_orders_inside_aggregate(spark, sf_dir):
-    rows = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 4999 == 0)
-        .select("o_orderstatus", "o_orderkey")
-        .collect()
-    )
-    exp: dict[str, list[int]] = {}
-    for r in rows:
-        exp.setdefault(r["o_orderstatus"], []).append(r["o_orderkey"])
-    got = REGISTRY["listagg_within_group"].fn(spark, sf_dir).collect()
-    assert len(got) == len(exp)
-    for r in got:
-        keys = sorted(exp[r["o_orderstatus"]])
-        assert r["key_csv"] == ",".join(str(k) for k in keys)
-        assert r["n_orders"] == len(keys)
+def test_recursive_chain_distinct_from_level_census(spark, sf_dir):
+    """recursive_cte_supplier_chain (path accumulator) and the
+    pre-existing recursive_cte_hierarchy (level census) must agree on
+    the STRUCTURE they share — nodes per depth — while the chain
+    query additionally carries state the census doesn't have."""
+    chain = {
+        r["root_depth"]: r["n_suppliers"]
+        for r in REGISTRY["recursive_cte_supplier_chain"].fn(spark, sf_dir).collect()
+    }
+    census = {
+        r["depth"]: r["n_nodes"]
+        for r in REGISTRY["recursive_cte_hierarchy"].fn(spark, sf_dir).collect()
+    }
+    # the census roots its top-down walk at suppkey 0 (one level above
+    # the chain's root 1), so the same tree appears shifted by one
+    # level: chain depth d == census depth d+1, plus census's node-0
+    # row at depth 0
+    assert census[0] == 1
+    assert {d + 1: n for d, n in chain.items()} == {
+        d: n for d, n in census.items() if d >= 1
+    }
 
 
 def test_dynamic_sql_identifier_matches_static(spark, sf_dir):
