@@ -255,3 +255,25 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_driver_window_has_no_already_certified_names():
+    """Every name in the 50-slot driver window must lack a committed
+    CORRECTNESS row — re-submitting certified queries wastes the
+    round's certification capacity (VERDICT r4 item 1). Runs the same
+    computation as scripts/promote_slots.py --check."""
+    import glob
+    import json
+    import os
+
+    from loan_default_prediction_app_big_data_spark.plans import registry as R
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    certified: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        with open(path) as fh:
+            certified.update(json.load(fh).keys())
+    if not certified:  # fresh clone without driver artifacts
+        return
+    stale = [n for n in list(R.queries())[:50] if n in certified]
+    assert stale == [], f"driver slots already certified: {stale}"
