@@ -317,4 +317,5 @@ _DRIVER_PRIORITY: list[str] = [
     "statestore_reader_audit",
     "dynamic_sql_identifier",
     "approx_top_k_events",
+    "map_in_arrow_cents",
 ]

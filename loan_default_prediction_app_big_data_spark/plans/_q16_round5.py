@@ -472,3 +472,82 @@ def approx_top_k_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n DESC, item
         """
     ).select("item", F.col("n").cast("bigint").alias("n"))
+
+
+# =====================================================================
+# mapInArrow — the ungrouped RAW-Arrow batch map (Spark 4), closing
+# the Arrow UDF matrix next to applyInArrow (grouped), mapInPandas,
+# pandas scalar/grouped-agg, and applyInPandasWithState.
+# =====================================================================
+
+_MAP_IN_ARROW_ORACLE = """
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+           CAST(round(l_extendedprice * 100) AS BIGINT) // 100000
+               AS price_band
+    FROM lineitem WHERE l_orderkey % 499 = 0
+    ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register(
+    "map_in_arrow_cents",
+    _MAP_IN_ARROW_ORACLE,
+    "mapInArrow (Spark 4): per-batch computation directly on "
+    "pyarrow.RecordBatch — no pandas materialization, the zero-copy "
+    "fast path for columnar Python kernels. The kernel runs "
+    "pyarrow.compute round (round_mode=half_towards_infinity, which "
+    "equals SQL round's HALF_UP on the positive money grid) and an "
+    "integer divide, per row, so the result is partitioning-"
+    "independent and must hash-match the oracle's pure-SQL twin "
+    "exactly. Completes the Arrow/pandas UDF matrix: pandas scalar, "
+    "pandas grouped-agg, mapInPandas, applyInPandas(+WithState), "
+    "applyInArrow (grouped) were already certified; this is the "
+    "ungrouped Arrow map. At 100 TB the shape is map-only: no "
+    "shuffle, Arrow batches stream through the Python worker at "
+    "spark.sql.execution.arrow.maxRecordsPerBatch granularity.",
+    tags=("udf", "functions", "round5"),
+)
+def map_in_arrow_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.LongType()),
+            T.StructField("price_cents", T.LongType()),
+            T.StructField("price_band", T.LongType()),
+        ]
+    )
+
+    def cents_kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            cents = pc.cast(
+                pc.round(
+                    pc.multiply(batch.column("l_extendedprice"), pa.scalar(100.0)),
+                    ndigits=0,
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.cast(batch.column("l_orderkey"), pa.int64()),
+                    pc.cast(batch.column("l_linenumber"), pa.int64()),
+                    cents,
+                    pc.divide(cents, pa.scalar(100000, pa.int64())),
+                ],
+                names=["l_orderkey", "l_linenumber", "price_cents", "price_band"],
+            )
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 499 == 0)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+    return li.mapInArrow(cents_kernel, out_schema).orderBy(
+        "l_orderkey", "l_linenumber"
+    )

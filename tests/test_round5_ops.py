@@ -164,3 +164,31 @@ def test_approx_top_k_exact_at_low_cardinality(spark, sf_dir):
     exp = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     got = REGISTRY["approx_top_k_events"].fn(spark, sf_dir).collect()
     assert [(r["item"], r["n"]) for r in got] == exp
+
+
+def test_map_in_arrow_matches_python_round(spark, sf_dir):
+    rows = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 499 == 0)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .collect()
+    )
+    import collections
+    import decimal
+
+    # (l_orderkey, l_linenumber) is NOT unique in the fixture, so
+    # compare as a multiset of full rows
+    exp = collections.Counter()
+    for r in rows:
+        # SQL round HALF_UP on the cents grid, via exact decimal
+        cents = int(
+            decimal.Decimal(repr(r["l_extendedprice"] * 100)).quantize(
+                decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        exp[(r["l_orderkey"], r["l_linenumber"], cents, cents // 100000)] += 1
+    got = collections.Counter(
+        (r["l_orderkey"], r["l_linenumber"], r["price_cents"], r["price_band"])
+        for r in REGISTRY["map_in_arrow_cents"].fn(spark, sf_dir).collect()
+    )
+    assert got == exp
