@@ -318,4 +318,5 @@ _DRIVER_PRIORITY: list[str] = [
     "dynamic_sql_identifier",
     "approx_top_k_events",
     "map_in_arrow_cents",
+    "delta_compaction_roundtrip",
 ]

@@ -551,3 +551,84 @@ def map_in_arrow_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.mapInArrow(cents_kernel, out_schema).orderBy(
         "l_orderkey", "l_linenumber"
     )
+
+
+# =====================================================================
+# Delta OPTIMIZE — small-file compaction on the pure-Python Delta
+# protocol (sources/delta_py), the write-path maintenance primitive.
+# =====================================================================
+
+_DELTA_COMPACTION_ORACLE = """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           TRUE AS files_reduced,
+           TRUE AS pre_compaction_snapshot_intact
+    FROM orders WHERE o_orderkey % 3 = 0
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "delta_compaction_roundtrip",
+    _DELTA_COMPACTION_ORACLE,
+    "OPTIMIZE-style small-file compaction on the Delta transaction "
+    "log (sources/delta_py.commit_compaction): four small appends "
+    "build a fragmented table, one compaction commit swaps the "
+    "fragments for a consolidated file with dataChange:false (the "
+    "protocol's no-logical-change marker — streaming readers skip "
+    "it, time travel still replays the fragments). The readout "
+    "aggregates the POST-compaction snapshot (must hash-match the "
+    "oracle's direct aggregate — compaction may not lose or dup a "
+    "row) plus two proven booleans: live-file count strictly "
+    "dropped, and the PRE-compaction version still returns the "
+    "identical aggregate through versionAsOf (MVCC intact because "
+    "OPTIMIZE never deletes data files — that's VACUUM's job). At "
+    "100 TB this is the periodic maintenance pass that keeps scan "
+    "file sizes near maxPartitionBytes after high-frequency small "
+    "appends.",
+    tags=("sink", "source", "round5"),
+)
+def delta_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import delta_py as D
+
+    path = _tmp_io("delta_compaction")
+    base = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    # four fragmented appends (disjoint key slices cover % 3 == 0)
+    for rem in range(4):
+        D.commit_append(path, base.filter(F.col("o_orderkey") % 4 == rem))
+    n_files_before = len(D.snapshot_files(path))
+    pre_version = D.table_versions(path)[-1]
+
+    D.commit_compaction(spark, path, target_files=1)
+    n_files_after = len(D.snapshot_files(path))
+
+    agg = lambda df: df.groupBy("o_orderstatus").agg(  # noqa: E731
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+    post = agg(D.read_delta(spark, path))
+    pre = agg(D.read_delta(spark, path, version=pre_version)).select(
+        F.col("o_orderstatus").alias("s2"),
+        F.col("n_orders").alias("n2"),
+        F.col("total_cents").alias("c2"),
+    )
+    return (
+        post.join(pre, post.o_orderstatus == pre.s2, "full_outer")
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            "total_cents",
+            F.lit(n_files_after < n_files_before).alias("files_reduced"),
+            (
+                (F.col("n_orders") == F.col("n2"))
+                & (F.col("total_cents") == F.col("c2"))
+            ).alias("pre_compaction_snapshot_intact"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -162,6 +162,66 @@ def commit_overwrite(path: str, df) -> int:
     return _publish(path, df, "overwrite")
 
 
+def commit_compaction(spark, path: str, target_files: int = 1) -> int:
+    """OPTIMIZE-style small-file compaction: rewrite the current
+    snapshot into ``target_files`` consolidated parquet files and
+    commit a version that swaps them in with ``dataChange: false`` —
+    the protocol's signal that the table's LOGICAL content is
+    unchanged (streaming readers skip the commit; time travel to
+    pre-compaction versions still replays the old small files).
+
+    This is the 100 TB maintenance primitive: many small appends
+    degrade scan parallelism bookkeeping and open-file overhead; a
+    periodic bin-packing rewrite restores ~maxPartitionBytes-sized
+    files without blocking readers (the swap is one atomic log
+    publish, and concurrent snapshot reads keep referencing the old
+    files, which compaction never deletes — VACUUM, not OPTIMIZE,
+    reclaims them).
+    """
+    live = snapshot_files(path)
+    current = spark.read.parquet(*live)
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:12]}")
+    current.coalesce(target_files).write.mode("overwrite").parquet(staging)
+    data_files = []
+    for f in sorted(os.listdir(staging)):
+        if f.endswith(".parquet"):
+            name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            os.replace(os.path.join(staging, f), os.path.join(path, name))
+            data_files.append(name)
+    for leftover in os.listdir(staging):
+        os.remove(os.path.join(staging, leftover))
+    os.rmdir(staging)
+
+    version = table_versions(path)[-1] + 1
+    actions = []
+    for old in live:
+        actions.append(
+            {"remove": {"path": os.path.basename(old), "dataChange": False}}
+        )
+    for name in data_files:
+        actions.append(
+            {
+                "add": {
+                    "path": name,
+                    "size": os.path.getsize(os.path.join(path, name)),
+                    "partitionValues": {},
+                    "modificationTime": 0,
+                    "dataChange": False,
+                }
+            }
+        )
+    actions.append({"commitInfo": {"operation": "OPTIMIZE"}})
+    tmp = _version_file(path, version) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    target = _version_file(path, version)
+    if os.path.exists(target):  # lost the commit race
+        os.remove(tmp)
+        raise FileExistsError(f"{path}: concurrent commit at version {version}")
+    os.replace(tmp, target)  # atomic publish
+    return version
+
+
 def read_delta(spark, path: str, version: int | None = None):
     """Read a snapshot (latest, or ``versionAsOf``-style pinned): the
     live files go straight to the native parquet scan, so pushdown /

@@ -192,3 +192,51 @@ def test_map_in_arrow_matches_python_round(spark, sf_dir):
         for r in REGISTRY["map_in_arrow_cents"].fn(spark, sf_dir).collect()
     )
     assert got == exp
+
+
+def test_delta_compaction_preserves_rows_and_history(spark, sf_dir):
+    """Independent check of the compaction op itself (the registered
+    query asserts aggregates; this walks the log): after 4 appends +
+    OPTIMIZE, the live file count drops to 1, every version stays
+    readable, and the full row multiset is unchanged."""
+    import os
+
+    from loan_default_prediction_app_big_data_spark.sources import delta_py as D
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, ".tmp_io", "delta_compaction_test")
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    base = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    for rem in range(4):
+        D.commit_append(path, base.filter(F.col("o_orderkey") % 4 == rem))
+    pre_files = D.snapshot_files(path)
+    pre_rows = sorted(
+        (r["o_orderkey"], r["o_orderstatus"])
+        for r in D.read_delta(spark, path).collect()
+    )
+    v = D.commit_compaction(spark, path, target_files=1)
+    post_files = D.snapshot_files(path)
+    assert len(post_files) == 1 and len(pre_files) > 1
+    post_rows = sorted(
+        (r["o_orderkey"], r["o_orderstatus"])
+        for r in D.read_delta(spark, path).collect()
+    )
+    assert post_rows == pre_rows
+    # time travel to the pre-compaction version replays the fragments
+    old_rows = sorted(
+        (r["o_orderkey"], r["o_orderstatus"])
+        for r in D.read_delta(spark, path, version=v - 1).collect()
+    )
+    assert old_rows == pre_rows
+    # compaction commit is marked dataChange: false throughout
+    import json as _json
+
+    with open(os.path.join(path, "_delta_log", f"{v:020d}.json")) as fh:
+        for line in fh:
+            a = _json.loads(line)
+            for kind in ("add", "remove"):
+                if kind in a:
+                    assert a[kind]["dataChange"] is False
+    shutil.rmtree(path, ignore_errors=True)
