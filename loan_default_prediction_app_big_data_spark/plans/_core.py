@@ -319,4 +319,5 @@ _DRIVER_PRIORITY: list[str] = [
     "approx_top_k_events",
     "map_in_arrow_cents",
     "delta_compaction_roundtrip",
+    "csv_scalar_roundtrip",
 ]

@@ -632,3 +632,47 @@ def delta_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# =====================================================================
+# CSV scalar serialization — to_csv/from_csv complete the per-row
+# serialize matrix next to to_json/from_json and to_xml/from_xml.
+# =====================================================================
+
+_CSV_SCALAR_ORACLE = """
+    SELECT o_orderkey, o_orderstatus AS csv_status,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS csv_cents
+    FROM orders WHERE o_orderkey % 61 = 0
+    ORDER BY o_orderkey
+"""
+
+
+@register(
+    "csv_scalar_roundtrip",
+    _CSV_SCALAR_ORACLE,
+    "CSV SCALAR serialization round-trip: to_csv(struct) -> "
+    "from_csv(schema) must reproduce the input values exactly, "
+    "completing the per-row serialize matrix next to the certified "
+    "to_json/from_json (serialize_functions) and to_xml/from_xml "
+    "(xml_serialize_roundtrip) cells — the three interchange codecs "
+    "an export pipeline embeds in larger payloads, as expressions "
+    "rather than file formats. Integer cents transport keeps the "
+    "text round-trip bit-lossless; the oracle selects the ORIGINAL "
+    "columns, so a hash match proves the writer/parser pair loses "
+    "nothing. Map-only at any scale.",
+    tags=("scalar", "serialize", "round5"),
+)
+def csv_scalar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 61 == 0)
+    line = F.to_csv(
+        F.struct(
+            F.col("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    parsed = F.from_csv(line, "o_orderstatus STRING, cents BIGINT")
+    return o.select(
+        "o_orderkey",
+        parsed.getField("o_orderstatus").alias("csv_status"),
+        parsed.getField("cents").alias("csv_cents"),
+    ).orderBy("o_orderkey")

@@ -240,3 +240,20 @@ def test_delta_compaction_preserves_rows_and_history(spark, sf_dir):
                 if kind in a:
                     assert a[kind]["dataChange"] is False
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_csv_scalar_roundtrip_lossless(spark, sf_dir):
+    rows = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 61 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .collect()
+    )
+    exp = {
+        r["o_orderkey"]: (r["o_orderstatus"], int(round(r["o_totalprice"] * 100)))
+        for r in rows
+    }
+    got = REGISTRY["csv_scalar_roundtrip"].fn(spark, sf_dir).collect()
+    assert len(got) == len(exp)
+    for r in got:
+        assert exp[r["o_orderkey"]] == (r["csv_status"], r["csv_cents"])
