@@ -95,83 +95,44 @@ def oracle_sql() -> dict[str, str]:
 
 
 _DRIVER_PRIORITY: list[str] = [
-    # ================= Round-5 slots 1-50 (VERDICT r4 item 1) =======
-    # All 50 are queries with NO driver CORRECTNESS row across r1-r4
-    # (186 of 366 registered queries were never checked; the driver
-    # verifies the first 50 of ``queries()`` per round). Selection
-    # leads with the oracles the judge called "subtle" -- the sketch
-    # tier with bound-boolean oracles, the geo tier,
-    # kmeans_lloyd_exact, fifo_inventory_matching -- then the four
-    # ADVICE-r4 fixed queries and the two BENCH-flagged queries
-    # (fpgrowth, bpe apply) so this round's code changes get
-    # certified, then connector / streaming / multimodal / exact-
-    # algorithm families for category coverage. Zero repeats of the
-    # 180 already-certified names.
-    # sketch tier (KMV/Misra-Gries/CMS/Bloom/HLL/bitmap)
-    "aes_roundtrip_functions",
-    "theta_sketch_distinct_ops",
-    "heavy_hitters_sketch",
-    "count_min_point_queries",
-    "bloom_filter_join_prune",
-    "hll_sketch_rollup_cube",
-    "hll_rolling_wau",
-    "bitmap_distinct_count",
-    # geo tier
-    "geo_grid_knn_join",
-    "geohash_encode_topk",
-    "point_in_polygon_ray_cast",
-    "polygon_shoelace_area_centroid",
-    "spatial_blocked_join",
-    # judge-named exact algorithms
-    "kmeans_lloyd_exact",
-    "fifo_inventory_matching",
-    # ADVICE-r4 fixes certified this round
-    "largest_remainder_apportionment",
-    "streaming_session_window",
-    "mutual_information_features",
-    "nested_order_lines_hof",
-    # BENCH-r4 flagged queries, re-snapshot + certify
-    "fpgrowth_frequent_itemsets",
-    "bpe_tokenize_apply",
-    "bpe_merge_training",
-    # text / near-dup tier
-    "duplicated_ngram_span_fraction",
-    "winnowing_fingerprint_overlap",
-    "semdedup_cluster_prune",
-    "simhash_portable_dedup",
-    # multimodal decode tier (real BMP/PPM/WAV/Y4M codecs)
-    "image_ahash_dedup",
-    "image_decode_stats",
-    "audio_decode_stats",
-    "video_decode_stats",
-    "image_resize_stats",
-    "audio_spectral_peaks",
-    # connector matrix (Avro/Delta/SQLite batch+CDC+sink)
-    "avro_source_roundtrip",
-    "delta_time_travel_roundtrip",
-    "delta_merge_upsert",
-    "sqlite_source_roundtrip",
-    "sqlite_cdc_streaming_tail",
-    "sqlite_streaming_sink_roundtrip",
-    "sqlite_batch_sink_roundtrip",
-    # streaming tier
-    "streaming_left_outer_join",
-    "session_window_dynamic_gap",
-    "streaming_incremental_backfill",
-    "streaming_append_mode_windows",
-    "streaming_checkpointed_file_sink",
-    # exact iterative / DP algorithms
-    "isotonic_calibration_pava",
-    "viterbi_state_decode",
-    "holt_linear_forecast_daily",
-    "dtw_weekday_profile_pairs",
-    "loan_amortization_schedule",
-    "npv_irr_bisection",
-    # ============== Round-6+ rotation queue (never-certified) ======
-    # The remaining never-certified queries follow in registration
-    # order; each future round promotes its next 50 to the top. The
-    # 180 already-certified names trail after this list via
-    # ``_ordered_names`` and are never re-submitted to the driver.
+    # ================= Round-6 slots 1-50 (VERDICT r5 item 1) =======
+    # All 50 have NO driver CORRECTNESS row across r1-r5 (146 of 376
+    # registered queries remained uncertified after r5; the driver
+    # verifies the first 50 of ``queries()`` per round). Ordered
+    # user-impact first per VERDICT r5: the user-facing SQL surface
+    # (pivot/unpivot/window-topk/argmax/timezone, bucketed + DPP +
+    # bitemporal/nearest joins, SQL-UDF/UDTF/Arrow API demos), then
+    # the ten round-5 source/connector additions, then the charter
+    # LLM-tier stragglers (VERDICT r5 item 4), then the front of the
+    # registration-order queue. Zero repeats of the 230 certified.
+    "pivot_multi_agg",
+    "unpivot_melt_reshape",
+    "window_topk_with_ties",
+    "argmax_aggregates",
+    "timezone_local_day_agg",
+    "bucketed_join_no_shuffle",
+    "dynamic_partition_pruning_join",
+    "bitemporal_asof_join",
+    "nearest_event_join",
+    "sql_udf_price_tiers",
+    "udtf_table_argument",
+    "arrow_grouped_agg",
+    "map_in_arrow_cents",
+    "xml_source_roundtrip",
+    "delta_compaction_roundtrip",
+    "csv_scalar_roundtrip",
+    "statestore_reader_audit",
+    "dynamic_sql_identifier",
+    "approx_top_k_events",
+    "recursive_cte_supplier_chain",
+    "text_source_line_stats",
+    "binaryfile_source_stats",
+    "knn_classify_exact",
+    "doc_quality_filter",
+    "containment_detection",
+    "chunk_dedup_rewrite",
+    "temperature_sampling_mix",
+    "interval_range_window",
     "ewma_daily_value",
     "skipgram_cooccurrence",
     "rollup_cascade_daily",
@@ -181,7 +142,6 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_keep_latest",
     "contribution_analysis",
     "ordered_list_agg_structs",
-    "doc_quality_filter",
     "skew_diagnosis",
     "time_since_last_event",
     "ab_test_conversion",
@@ -195,6 +155,11 @@ _DRIVER_PRIORITY: list[str] = [
     "rfm_segmentation",
     "data_freshness_slo",
     "power_analysis_ab",
+    # ============== Round-7+ rotation queue (never-certified) ======
+    # Remaining never-certified queries in registration order; each
+    # future round promotes its next 50 to the top. The 230 already-
+    # certified names trail after this list via ``_ordered_names``
+    # and are never re-submitted to the driver.
     "anomaly_zscore_days",
     "basket_size_distribution",
     "score_migration_matrix",
@@ -215,14 +180,11 @@ _DRIVER_PRIORITY: list[str] = [
     "seasonal_decomposition_daily",
     "span_corruption_plan",
     "embedding_int8_quantization",
-    "window_topk_with_ties",
     "pandas_grouped_agg_trimmed_mean",
     "table_diff_summary",
     "run_length_encoding",
     "table_checksum",
     "embedding_dimension_stats",
-    "timezone_local_day_agg",
-    "pivot_multi_agg",
     "csv_corrupt_record_audit",
     "balanced_shard_plan",
     "negative_sampling_plan",
@@ -230,7 +192,6 @@ _DRIVER_PRIORITY: list[str] = [
     "parquet_schema_evolution",
     "dynamic_partition_overwrite",
     "functional_dependency_audit",
-    "argmax_aggregates",
     "incremental_aggregate_maintenance",
     "theil_sen_mann_kendall",
     "logrank_test_segments",
@@ -241,20 +202,17 @@ _DRIVER_PRIORITY: list[str] = [
     "fiscal_calendar_rollup",
     "business_days_lag",
     "graph_edge_churn",
-    "containment_detection",
     "forecast_reconciliation",
     "quantized_code_collisions",
     "class_reweighting_plan",
     "revenue_bridge_waterfall",
     "stratified_kfold_assignment",
     "supplier_concentration_hhi",
-    "interval_range_window",
     "open_backlog_aging",
     "vocab_growth_curve",
     "traffic_heatmap_dow_hour",
     "role_playing_date_rollup",
     "edit_distance_threshold_join",
-    "temperature_sampling_mix",
     "record_linkage_fellegi_sunter",
     "conformal_prediction_intervals",
     "shapley_channel_attribution",
@@ -264,7 +222,6 @@ _DRIVER_PRIORITY: list[str] = [
     "dp_randomized_response",
     "sql_scripting_median_bisection",
     "zorder_pruning_stats",
-    "bucketed_join_no_shuffle",
     "interval_union_coverage",
     "reciprocal_rank_fusion",
     "naive_bayes_lang_classify",
@@ -274,12 +231,8 @@ _DRIVER_PRIORITY: list[str] = [
     "moment_stats_skew_kurtosis",
     "bitwise_bool_aggregates",
     "phrase_query_positional_index",
-    "dynamic_partition_pruning_join",
     "zipf_slope_token_frequency",
-    "sql_udf_price_tiers",
     "parameterized_query_markers",
-    "nearest_event_join",
-    "knn_classify_exact",
     "multivariate_ols_normal_eq",
     "decision_stump_exact",
     "item_item_collaborative_topk",
@@ -287,7 +240,6 @@ _DRIVER_PRIORITY: list[str] = [
     "t_closeness_audit",
     "ranking_ndcg_eval",
     "exchange_reuse_extremes",
-    "unpivot_melt_reshape",
     "governed_view_masking",
     "compression_codec_roundtrip",
     "join_strategy_hints",
@@ -297,27 +249,11 @@ _DRIVER_PRIORITY: list[str] = [
     "mcnemar_paired_test",
     "runs_test_randomness",
     "cochran_armitage_trend",
-    "arrow_grouped_agg",
-    "chunk_dedup_rewrite",
     "observe_metrics_inline",
-    "udtf_table_argument",
     "transpose_metrics",
-    "bitemporal_asof_join",
     "poisson_rate_ratio_test",
     "url_parse_functions",
     "cohens_kappa_agreement",
     "levene_brown_forsythe",
     "jarque_bera_normality",
-    # Round-5 additions (registered in _q16_round5; never certified,
-    # appended to the rotation queue behind the pre-existing debt).
-    "recursive_cte_supplier_chain",
-    "xml_source_roundtrip",
-    "text_source_line_stats",
-    "binaryfile_source_stats",
-    "statestore_reader_audit",
-    "dynamic_sql_identifier",
-    "approx_top_k_events",
-    "map_in_arrow_cents",
-    "delta_compaction_roundtrip",
-    "csv_scalar_roundtrip",
 ]
