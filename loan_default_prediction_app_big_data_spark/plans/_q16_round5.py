@@ -377,10 +377,17 @@ def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("value.count").cast("bigint").alias("n_events"),
             )
             .orderBy("window_start_us", "event_type")
-            .cache()
         )
-        state.count()  # materialize before the checkpoint dir vanishes
-        return state
+        # Pin the tiny open-tail-window state as a local relation BEFORE
+        # the finally-rmtree deletes the checkpoint it reads from: a
+        # mere .cache() could be invalidated later (clearCache by
+        # another test, unpersist, session restart) and any downstream
+        # action would recompute from the deleted path — and the cache
+        # was never unpersisted, leaking across the 376-query bench run
+        # (ADVICE r5 item 1).
+        from ..streaming.windows import _pin_local
+
+        return _pin_local(spark, state)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

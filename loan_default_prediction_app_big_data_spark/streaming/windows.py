@@ -54,6 +54,38 @@ def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def _drain_memory_sink(spark: SparkSession, name: str) -> DataFrame:
+    """Materialize a memory-sink table as a driver-local DataFrame and
+    DROP the sink table.
+
+    The memory sink already holds every result row on the driver —
+    that is its contract, and these replay harnesses are fixture-scale
+    by design (production sinks are parquet/Kafka, see module
+    docstring), so the collect adds no new scale exposure. The
+    previous ``.cache()`` pattern kept a SECOND copy of the rows
+    pinned in JVM storage memory forever (never unpersisted) AND left
+    the sink table registered; across a 376-query bench session those
+    leaks compounded into GC pressure that surfaced as 7-10x driver
+    inflation on late-running streaming queries (BENCH_r05
+    ``regressions_vs_committed``; VERDICT r5 items 2/6).
+    ``createDataFrame`` rows live only as long as the returned
+    DataFrame — nothing stays pinned after the caller drops it.
+    """
+    out = _pin_local(spark, spark.table(name))
+    spark.catalog.dropTempView(name)
+    return out
+
+
+def _pin_local(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Collect a metadata-scale result and rebuild it as a local-
+    relation DataFrame, severing any dependency on soon-to-be-dropped
+    inputs (memory-sink tables, temp checkpoint/output dirs). Safer
+    than ``.cache()``: a cache can be invalidated (clearCache,
+    unpersist, session restart) after which any action recomputes from
+    the deleted source and fails — ADVICE r5 item 1's failure mode."""
+    return spark.createDataFrame(df.collect(), df.schema)
+
+
 def tumbling_window_agg_stream(events: DataFrame) -> DataFrame:
     """1-hour tumbling windows with a 1-hour watermark — identical
     semantics to the batch twin on a finite replay (complete mode)."""
@@ -108,9 +140,7 @@ def run_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     # Materialize before dropping the in-memory sink table.
-    out = spark.table(name).cache()
-    out.count()
-    return out
+    return _drain_memory_sink(spark, name)
 
 
 def run_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,13 +191,13 @@ def run_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # The memory sink accumulates one row per (user, micro-batch);
     # the max per user is the final running count.
-    out = (
+    out = _pin_local(
+        spark,
         spark.table(name)
         .groupBy("user_id")
-        .agg(F.max("n_events").alias("n_events"))
-        .cache()
+        .agg(F.max("n_events").alias("n_events")),
     )
-    out.count()
+    spark.catalog.dropTempView(name)
     return out
 
 
@@ -186,9 +216,7 @@ def run_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    out = spark.table(name).cache()
-    out.count()
-    return out
+    return _drain_memory_sink(spark, name)
 
 
 def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,9 +248,7 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    out = spark.table(name).cache()
-    out.count()
-    return out
+    return _drain_memory_sink(spark, name)
 
 
 def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,9 +310,7 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    out = spark.table(name).cache()
-    out.count()
-    return out
+    return _drain_memory_sink(spark, name)
 
 
 def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,9 +359,7 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    out = spark.table(name).cache()
-    out.count()
-    return out
+    return _drain_memory_sink(spark, name)
 
 
 def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -439,9 +461,9 @@ def run_checkpointed_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame
                 q.processAllAvailable()
             finally:
                 q.stop()
-        out = spark.read.parquet(out_dir).cache()
-        out.count()
-        return out
+        # Pin before the finally-rmtree: a cache could be invalidated
+        # later and recompute from the deleted path.
+        return _pin_local(spark, spark.read.parquet(out_dir))
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -489,9 +511,7 @@ def run_incremental_backfill(
         )
         q.awaitTermination()
         n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
-        out = spark.table(name).cache()
-        out.count()
-        return out, n_batches
+        return _drain_memory_sink(spark, name), n_batches
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -518,10 +538,7 @@ def run_append_mode_windows(spark: SparkSession, sf_dir: str):
         q.processAllAvailable()
     finally:
         q.stop()
-    out = spark.table(name).cache()
-    out.count()
-    spark.catalog.dropTempView(name)
-    return out
+    return _drain_memory_sink(spark, name)
 
 
 def run_stream_stream_left_outer_join(
@@ -588,9 +605,7 @@ def run_stream_stream_left_outer_join(
     finally:
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    out = spark.table(name).cache()
-    out.count()
-    return out
+    return _drain_memory_sink(spark, name)
 
 
 def run_stream_stream_full_outer_join(
@@ -658,9 +673,7 @@ def run_stream_stream_full_outer_join(
     finally:
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    out = spark.table(name).cache()
-    out.count()
-    return out
+    return _drain_memory_sink(spark, name)
 
 
 def run_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -752,17 +765,17 @@ def run_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
         # one row per (user, micro-batch); the final running totals are
         # the per-user maxima (counts and sums only grow).
-        out = (
+        out = _pin_local(
+            spark,
             spark.table(name)
             .groupBy("user_id")
             .agg(
                 F.max("n_events").cast("bigint").alias("n_events"),
                 F.max("total_cents").cast("bigint").alias("total_cents"),
             )
-            .orderBy("user_id")
-            .cache()
+            .orderBy("user_id"),
         )
-        out.count()
+        spark.catalog.dropTempView(name)
         return out
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -829,6 +842,4 @@ def run_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    out = spark.table(name).cache()
-    out.count()
-    return out
+    return _drain_memory_sink(spark, name)

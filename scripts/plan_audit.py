@@ -33,7 +33,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Queries that drive a streaming engine or write outside the plan —
 # explain() on the returned (already-materialized) frame is meaningless.
-MATERIALIZED = re.compile(r"^(streaming_|statestore_|.*_roundtrip$|merge_upsert$)")
+MATERIALIZED = re.compile(r"^(streaming_|statestore_)|_(roundtrip|merge_upsert)$")
 
 
 def plan_of(df) -> str:

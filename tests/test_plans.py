@@ -276,4 +276,11 @@ def test_driver_window_has_no_already_certified_names():
     if not certified:  # fresh clone without driver artifacts
         return
     stale = [n for n in list(R.queries())[:50] if n in certified]
-    assert stale == [], f"driver slots already certified: {stale}"
+    assert stale == [], (
+        f"driver slots already certified: {stale}\n"
+        "A new CORRECTNESS_r*.json landed without rotating the driver "
+        "window. Remediation: run `python scripts/promote_slots.py` and "
+        "paste its output over the stale _DRIVER_PRIORITY block in "
+        "plans/_core.py (commit the artifact and the queue update "
+        "together)."
+    )

@@ -249,8 +249,20 @@ def test_csv_scalar_roundtrip_lossless(spark, sf_dir):
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
         .collect()
     )
+    import decimal
+
+    # SQL HALF_UP on the cents grid, like the plan's F.round — Python
+    # round() is banker's and would false-fail on a .5-tie fixture
+    # (same recompute pattern as test_map_in_arrow_matches_python_round).
     exp = {
-        r["o_orderkey"]: (r["o_orderstatus"], int(round(r["o_totalprice"] * 100)))
+        r["o_orderkey"]: (
+            r["o_orderstatus"],
+            int(
+                decimal.Decimal(repr(r["o_totalprice"] * 100)).quantize(
+                    decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+                )
+            ),
+        )
         for r in rows
     }
     got = REGISTRY["csv_scalar_roundtrip"].fn(spark, sf_dir).collect()
