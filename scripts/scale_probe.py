@@ -54,20 +54,41 @@ ALL_TABLES = [
 
 
 def build_fixture(spark) -> None:
-    """10x the fact tables with disjoint orderkey ranges; symlink dims."""
+    """10x the fact tables with disjoint key ranges; symlink dims.
+
+    Round 6 extends the replication to ``events`` and ``documents``
+    (ids shifted, timestamps/text unchanged) so the round-5 source/
+    streaming additions probe against genuinely 10x inputs — they were
+    symlinked before, which made a probe on them a no-op. Event
+    density grows 10x at the same ts range, which is the right shape
+    for state-size claims: streaming state must stay bounded by the
+    (window x key-domain) cardinality, not by volume.
+    """
     from pyspark.sql import functions as F
 
     os.makedirs(PROBE_DIR, exist_ok=True)
     orders = spark.read.parquet(os.path.join(SF_BASE, "orders.parquet"))
     offset = orders.agg(F.max("o_orderkey")).first()[0] + 1
-    for name, key in [("orders", "o_orderkey"), ("lineitem", "l_orderkey")]:
+    replicated = [
+        ("orders", ["o_orderkey"], offset),
+        ("lineitem", ["l_orderkey"], offset),
+        ("events", ["event_id"], None),
+        ("documents", ["doc_id"], None),
+    ]
+    for name, keys, off in replicated:
         src = spark.read.parquet(os.path.join(SF_BASE, f"{name}.parquet"))
         out = os.path.join(PROBE_DIR, f"{name}.parquet")
+        if off is None:
+            off = src.agg(F.max(keys[0])).first()[0] + 1
         # one replica per union leg, keys shifted into disjoint ranges;
         # within-order structure (q21's self-join semantics) is preserved
         scaled = None
         for i in range(REPLICAS):
-            leg = src.withColumn(key, (F.col(key) + F.lit(i * offset)).cast("long"))
+            leg = src
+            for key in keys:
+                leg = leg.withColumn(
+                    key, (F.col(key) + F.lit(i * off)).cast("long")
+                )
             scaled = leg if scaled is None else scaled.unionByName(leg)
         scaled.write.mode("overwrite").parquet(out)
     for name in ALL_TABLES:
