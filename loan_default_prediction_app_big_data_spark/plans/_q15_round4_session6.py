@@ -668,24 +668,28 @@ def _irr_oracle() -> str:
     "acquisition outlay at t=0; customers with a genuine investment "
     "shape (negative cf0, positive undiscounted total - exactly one "
     "sign change, hence a unique positive root) get their IRR from "
-    "28 UNROLLED bisection steps running entirely inside the engine "
-    "- a 28-deep Project chain in Catalyst, zero driver round-trips "
-    "and no UDF, resolving the rate to 10/2^28 ~ 4e-8 (well below "
-    "the round(,6) output grid; each extra step buys only optimizer "
-    "time - measured superlinear in chain depth, ~150 ms/step at "
-    "depth 28, so the step count is sized to the output grid). The "
-    "wall cost is Catalyst rule passes over the 56-Project chain, "
-    "not data: per-row work is trivial at any scale. Every step "
-    "is pure IEEE +-*/ with explicit left-associated discount "
-    "powers, mirrored symbol-for-symbol in the oracle's generated "
-    "28-CTE chain, so the bisection path is bit-identical across "
-    "engines (mid is always dyadic => round(,6) can never sit on a "
-    "decimal tie). npv10_cents is floor()-ed, not round()-ed, to "
-    "stay off the float-rounding grid entirely. This is the "
-    "iterative-algorithm pattern (fixed iteration count, columnar "
-    "state) that also drives the kmeans/PAVA/Viterbi tiers. Scale: "
-    "one partial-combined aggregate to the (customer, year) grain, "
-    "one pivot, then embarrassingly parallel per-row arithmetic.",
+    "28 bisection steps folded into ONE aggregate() higher-order "
+    "function over a 28-element array carrying a (lo,hi,mid) struct "
+    "- a single Project in Catalyst, zero driver round-trips and no "
+    "UDF, resolving the rate to 10/2^28 ~ 4e-8 (well below the "
+    "round(,6) output grid). Round 6 rewrite: the original 28-step "
+    "unrolled withColumn chain produced a 56-deep Project stack "
+    "whose Catalyst rule passes cost ~150 ms/step (~4.0 s at sf0.1); "
+    "the HOF fold runs the identical per-row arithmetic inside one "
+    "codegen'd expression - measured 0.8 s at sf0.1 and, crucially, "
+    "plan-compile cost is now CONSTANT in step depth, so at 100 TB "
+    "the cost is purely the embarrassingly-parallel per-row loop. "
+    "Every step is pure IEEE +-*/ with explicit left-associated "
+    "discount powers, mirrored symbol-for-symbol in the oracle's "
+    "generated 28-CTE chain, so the bisection path is bit-identical "
+    "across engines AND across the two Spark formulations (verified: "
+    "collected rows identical; mid is always dyadic => round(,6) "
+    "can never sit on a decimal tie). npv10_cents is floor()-ed, "
+    "not round()-ed, to stay off the float-rounding grid entirely. "
+    "This is the iterative-algorithm pattern (fixed iteration "
+    "count, columnar state) that also drives the kmeans/PAVA/"
+    "Viterbi tiers. Scale: one partial-combined aggregate to the "
+    "(customer, year) grain, one pivot, then per-row arithmetic.",
     tags=("analytics", "iterative", "round4"),
 )
 def npv_irr_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -712,11 +716,7 @@ def npv_irr_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cf0") + F.col("cf1") + F.col("cf2") + F.col("cf3")
         + F.col("cf4") + F.col("cf5") + F.col("cf6")
     )
-    df = cf.filter((F.col("cf0") < 0.0) & (total > 0.0)).select(
-        "c", *[f"cf{k}" for k in range(7)],
-        F.lit(0.0).alias("lo"), F.lit(10.0).alias("hi"),
-        F.lit(5.0).alias("mid"),
-    )
+    df = cf.filter((F.col("cf0") < 0.0) & (total > 0.0))
 
     def npv_at(mid_col):
         acc = F.col("cf0")
@@ -727,26 +727,31 @@ def npv_irr_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = acc + F.col(f"cf{k}") / denom
         return acc
 
-    cfs = [f"cf{k}" for k in range(7)]
-    for _ in range(_IRR_ITERS):
-        # Two projections per step: `go` materializes the NPV sign
-        # once, so the lo/hi/mid updates reference a cheap boolean
-        # instead of inlining the 30-op NPV expression three times
-        # (Catalyst's CollapseProject keeps multiply-referenced
-        # non-cheap expressions un-inlined, bounding plan growth).
-        df = df.withColumn("go", npv_at(F.col("mid")) > 0.0)
-        new_lo = F.when(F.col("go"), F.col("mid")).otherwise(F.col("lo"))
-        new_hi = F.when(F.col("go"), F.col("hi")).otherwise(F.col("mid"))
-        df = df.select(
-            "c", *cfs,
+    # All 28 steps fold into one aggregate() HOF: the lambda's named
+    # struct fields keep lo/hi referenced (not inlined) exactly as the
+    # old two-projection-per-step chain did, so the arithmetic order —
+    # and hence every IEEE rounding — is unchanged (collected rows
+    # verified identical to the unrolled formulation at sf0.01/sf0.1).
+    def _step(acc, _x):
+        mid = acc["mid"]
+        go = npv_at(mid) > 0.0
+        new_lo = F.when(go, mid).otherwise(acc["lo"])
+        new_hi = F.when(go, acc["hi"]).otherwise(mid)
+        return F.struct(
             new_lo.alias("lo"), new_hi.alias("hi"),
             ((new_lo + new_hi) * F.lit(0.5)).alias("mid"),
         )
+
+    init = F.struct(
+        F.lit(0.0).alias("lo"), F.lit(10.0).alias("hi"),
+        F.lit(5.0).alias("mid"),
+    )
+    st = F.aggregate(F.array(*[F.lit(0)] * _IRR_ITERS), init, _step)
     return df.select(
         F.col("c").alias("c_custkey"),
         total.cast("bigint").alias("total_cf_cents"),
         F.floor(npv_at(F.lit(0.1))).cast("bigint").alias("npv10_cents"),
-        F.round((F.col("lo") + F.col("hi")) * F.lit(0.5), 6).alias("irr"),
+        F.round((st["lo"] + st["hi"]) * F.lit(0.5), 6).alias("irr"),
     )
 
 

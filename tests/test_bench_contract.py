@@ -60,3 +60,27 @@ def test_a17_latency_tiers_survive_truncation():
     assert "ml_single_row_serve_p50" in out
     assert "ml_loan_pipeline_fit_eval" in out
     assert "ml_loan_pipeline_fit_eval_100x" in out
+
+
+def test_diagnostic_dicts_shed_when_pins_alone_overflow():
+    """ADVICE r5 item 4: pinned entries can't be dropped, so a huge
+    regressions_vs_committed payload could overflow the budget after
+    every non-pinned query is gone. The diagnostic dicts must be shed
+    before the line exceeds the harness's stdout capture."""
+    p = _payload(150)
+    p["queries"]["ml_single_row_serve_p50"] = 0.003
+    p["queries"]["ml_loan_pipeline_fit_eval"] = 0.9
+    p["queries"]["ml_loan_pipeline_fit_eval_100x"] = 5.7
+    p["regressions_vs_committed"] = {
+        f"very_long_regressed_query_name_number_{i:04d}": [1.234, 9.876]
+        for i in range(60)
+    }
+    p["streaming_steady_s"] = {
+        f"streaming_query_with_a_long_name_{i:04d}": 1.23 for i in range(40)
+    }
+    line = _compact_line(p, budget=700)
+    assert len(line) <= 700
+    out = json.loads(line)
+    assert "ml_single_row_serve_p50" in out["queries"]
+    assert "regressions_vs_committed" not in out
+    assert "streaming_steady_s" not in out
