@@ -113,6 +113,9 @@ def calibrate(
     applied = _apply(model, eval_split).cache()
     raw = brier_score(applied, "raw_p")
     calibrated = brier_score(applied, "cal_p")
+    # Both Brier passes are done — release the cache so it doesn't
+    # stay pinned for the rest of the session.
+    applied.unpersist()
     return CalibrationResult(
         method=method, brier_raw=raw, brier_calibrated=calibrated, model=model
     )

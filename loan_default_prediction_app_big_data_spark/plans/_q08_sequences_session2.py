@@ -254,7 +254,7 @@ def als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = recs.join(bought, ["custkey", "partkey"], "left_semi").agg(
         (F.count_distinct("custkey") >= 2).alias("corpus_hits_ge_2")
     )
-    return (
+    out = (
         per.join(in_cat, "custkey", "left")
         .crossJoin(F.broadcast(hit))
         .select(
@@ -267,6 +267,22 @@ def als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+    # Pin the <=10-user verdict rows locally, then release both caches
+    # (ratings feeds fit + three downstream frames; recs feeds three)
+    # so nothing stays pinned for the rest of the session.
+    pinned = spark.createDataFrame(out.collect(), out.schema)
+    ratings.unpersist()
+    recs.unpersist()
+    # ALS training persists its factor RDDs internally (named
+    # userFactors/itemFactors in getRDDStorageInfo); DataFrame-level
+    # unpersist cannot reach them, so release them via the JVM's
+    # persistent-RDD registry — the query then leaves ZERO pinned
+    # storage behind instead of ~4 MB/call for the session lifetime.
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for jrdd in jmap.values():
+        if jrdd.name() in ("userFactors", "itemFactors"):
+            jrdd.unpersist()
+    return pinned
 
 
 @register(
@@ -2193,6 +2209,9 @@ def csv_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_perm = permissive.count()
     n_corrupt = permissive.filter(F.col("_corrupt_record").isNotNull()).count()
+    # Both counts are done with the parsed frame — release the cache
+    # (it would otherwise stay pinned for the whole session).
+    permissive.unpersist()
     # The classic DROPMALFORMED gotcha: a bare count() prunes every
     # column, the parser never converts the DOUBLE field, and NOTHING
     # drops (verified: count()=15300 here). Malformed detection fires

@@ -1632,6 +1632,9 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts[pct] = sub.count()
         model = LogisticRegression(maxIter=20, regParam=0.01).fit(sub)
         aucs[pct] = BinaryClassificationEvaluator().evaluate(model.transform(test))
+    # The three evaluates are done — release the held-out cache so it
+    # doesn't stay pinned for the rest of the session.
+    test.unpersist()
     spread = max(aucs.values()) - min(aucs.values())
     rows = [
         (pct, counts[pct], 0.95 <= aucs[pct] <= 1.0, spread < 0.02)

