@@ -1,0 +1,106 @@
+"""Round-6 additions: LIMIT/OFFSET pagination, WITHIN GROUP
+ordered-set aggregates, GROUP BY ALL / ORDER BY ALL."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from loan_default_prediction_app_big_data_spark.plans.registry import REGISTRY
+from loan_default_prediction_app_big_data_spark.plans._core import t
+
+
+def _run(spark, name, sf):
+    return REGISTRY[name].fn(spark, sf)
+
+
+# ---------------------------------------------------------------------
+# limit_offset_pagination
+# ---------------------------------------------------------------------
+
+
+def test_pagination_is_rows_41_to_60_of_the_total_order(spark, sf_dir):
+    page = _run(spark, "limit_offset_pagination", sf_dir).collect()
+    assert len(page) == 20
+    full = (
+        t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .limit(60)
+        .collect()
+    )
+    assert page == full[40:60]
+
+
+def test_pagination_plans_as_take_ordered_with_offset(spark, sf_dir):
+    """The docstring's scale claim: no global sort, a single
+    TakeOrderedAndProject with the offset folded in, and a
+    column-pruned scan."""
+    df = _run(spark, "limit_offset_pagination", sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject(limit=60, offset=40" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+# ---------------------------------------------------------------------
+# percentile_within_group
+# ---------------------------------------------------------------------
+
+
+def test_within_group_percentiles_match_order_statistics(spark, sf_dir):
+    rows = {
+        r["o_orderpriority"]: r
+        for r in _run(spark, "percentile_within_group", sf_dir).collect()
+    }
+    cents = (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+        .collect()
+    )
+    by_prio: dict[str, list[int]] = {}
+    for r in cents:
+        by_prio.setdefault(r["o_orderpriority"], []).append(r["c"])
+    assert set(by_prio) == set(rows)
+    for prio, vals in by_prio.items():
+        vals.sort()
+        n = len(vals)
+        r = rows[prio]
+        assert r["n_orders"] == n
+        # percentile_disc(0.5): smallest value with cume_dist >= 0.5
+        import math
+
+        assert r["median_disc_cents"] == vals[math.ceil(0.5 * n) - 1]
+        # percentile_cont(0.25): linear interpolation at rank 1+(n-1)/4,
+        # emitted as exact integer quarter-cents
+        pos = (n - 1) * 0.25
+        lo, hi = vals[int(pos)], vals[min(int(pos) + 1, n - 1)]
+        frac4 = int(round((pos - int(pos)) * 4))  # 0..3, exact
+        assert r["q1_cont_quarter_cents"] == 4 * lo + frac4 * (hi - lo)
+
+
+# ---------------------------------------------------------------------
+# group_by_all_shorthand
+# ---------------------------------------------------------------------
+
+
+def test_group_by_all_equals_explicit_grouping(spark, sf_dir):
+    got = _run(spark, "group_by_all_shorthand", sf_dir).collect()
+    explicit = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority", "n_orders", "revenue_cents")
+        .collect()
+    )
+    assert got == explicit
