@@ -426,3 +426,98 @@ def prefix_filtered_jaccard_join(
             .alias("jaccard"),
         )
     )
+
+
+def prefix_filtered_jaccard_join_asym(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric PPJoin: every (left, right) pair with shingle-Jaccard
+    >= threshold — the fuzzy train-vs-benchmark decontamination shape
+    (benchmark_decontamination is the EXACT-containment sibling; this
+    catches paraphrased/partially-edited leakage that exact n-gram
+    containment misses).
+
+    Same LOSSLESS prefix filter as the self-join variant: shingles are
+    ordered by ascending document frequency computed over the UNION of
+    both sides (both sides MUST share one total order for the prefix
+    bound to hold); a pair with J >= t shares at least one shingle in
+    each side's first ``n - ceil(t*n) + 1``, so only prefixes join.
+    The length filter and the exact integer verify are unchanged. At
+    100 TB the benchmark side is tiny and broadcast; candidates scale
+    with true matches, never |train| x |bench|.
+
+    Output: (id_a = left id, id_b = right id, n_inter, n_union) —
+    exact integers, so callers express any threshold as an integer
+    predicate (q*n_inter >= p*n_union for t = p/q).
+    """
+    from pyspark.sql import Window as W
+
+    from .text import shingles
+
+    den = 10
+    if abs(threshold * den - round(threshold * den)) > 1e-12:
+        raise ValueError("threshold must be a 1-decimal rational, e.g. 0.5")
+
+    def _sh(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")
+            )
+            .filter(F.size("sh") > 0)
+            .withColumn("side", F.lit(side))
+        )
+
+    sh = _sh(left, "a").unionByName(_sh(right, "b")).localCheckpoint(eager=True)
+    tok = sh.select(
+        "side", "id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
+    freq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = W.partitionBy("side", "id").orderBy("df", "s")
+    prefix = (
+        tok.join(freq, "s")
+        .withColumn("pos", F.row_number().over(w_doc))
+        .filter(
+            F.col("pos")
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        )
+        .select("side", "id", "n", "s")
+    )
+    a = prefix.filter(F.col("side") == "a").alias("a")
+    b = prefix.filter(F.col("side") == "b").alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("b.n") >= F.lit(threshold) * F.col("a.n"))
+            & (F.col("b.n") <= F.col("a.n") / F.lit(threshold)),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.filter(F.col("side") == "a").select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    sb = sh.filter(F.col("side") == "b").select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    num = int(round(threshold * den))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("__i", inter)
+        .withColumn("__u", union)
+        .filter(F.lit(den) * F.col("__i") >= F.lit(num) * F.col("__u"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("__i").cast("bigint").alias("n_inter"),
+            F.col("__u").cast("bigint").alias("n_union"),
+        )
+    )

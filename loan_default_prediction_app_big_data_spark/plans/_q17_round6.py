@@ -164,3 +164,82 @@ def group_by_all_shorthand(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+# =====================================================================
+# Fuzzy train-vs-benchmark decontamination (asymmetric PPJoin)
+# =====================================================================
+
+_FUZZY_DECON_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(ws) - 2, 1)),
+                   i -> array_to_string(ws[i:i+2], ' '))) AS sh3
+        FROM toks WHERE len(ws) > 0
+    ), e AS (
+        SELECT doc_id, unnest(sh3) AS s FROM sh
+    ), sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS nc
+        FROM e a JOIN e b ON a.s = b.s
+        WHERE a.doc_id % 11 <> 0 AND b.doc_id % 11 = 0
+        GROUP BY 1, 2
+    )
+    SELECT CAST(i.id_a AS BIGINT) AS id_a,
+           CAST(i.id_b AS BIGINT) AS id_b,
+           i.nc AS n_inter,
+           sa.n + sb.n - i.nc AS n_union
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE 10 * i.nc >= 5 * (sa.n + sb.n - i.nc)  -- jaccard >= 0.5, exact ints
+    ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "fuzzy_decontamination",
+    _FUZZY_DECON_ORACLE,
+    "Fuzzy benchmark decontamination: every (train doc, benchmark "
+    "doc) pair with 3-shingle Jaccard >= 0.5, via the ASYMMETRIC "
+    "PPJoin kernel (operators/dedup.py::prefix_filtered_jaccard_join_"
+    "asym) — benchmark_decontamination's exact-n-gram containment "
+    "catches verbatim leakage; THIS catches paraphrased or partially "
+    "edited eval items. The prefix filter is LOSSLESS (shared "
+    "union-corpus frequency order, so any J>=t pair must collide "
+    "inside both prefixes), hence the oracle can demand exact "
+    "equality with the O(|train| x |bench|) DuckDB join — a banded "
+    "MinHash here could drop a borderline J=0.52 pair and break the "
+    "hash. Output is pure integers (n_inter, n_union), the "
+    "engine-exact rational similarity. Scale: candidates come only "
+    "from rare-shingle prefix collisions + length bounds, and the "
+    "benchmark side is the small one — at 100 TB this is a broadcast "
+    "of the benchmark prefix table against the train corpus, cost "
+    "~linear in true leaks.",
+    tags=("dedup", "llm-pipeline", "round6"),
+)
+def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import prefix_filtered_jaccard_join_asym
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 11 == 0)
+    train = docs.filter(F.col("doc_id") % 11 != 0)
+    return (
+        prefix_filtered_jaccard_join_asym(
+            train, bench, id_col="doc_id", text_col="text",
+            k=3, threshold=0.5,
+        )
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            "n_inter",
+            "n_union",
+        )
+        .orderBy("id_a", "id_b")
+    )

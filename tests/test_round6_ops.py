@@ -104,3 +104,54 @@ def test_group_by_all_equals_explicit_grouping(spark, sf_dir):
         .collect()
     )
     assert got == explicit
+
+
+# ---------------------------------------------------------------------
+# fuzzy_decontamination
+# ---------------------------------------------------------------------
+
+
+def test_fuzzy_decontamination_equals_bruteforce(spark, sf_dir):
+    """The asymmetric PPJoin's prefix filter is lossless: its output
+    must EQUAL the brute-force cross-pair Jaccard join."""
+    from loan_default_prediction_app_big_data_spark.operators.text import shingles
+
+    got = sorted(
+        (r["id_a"], r["id_b"], r["n_inter"], r["n_union"])
+        for r in _run(spark, "fuzzy_decontamination", sf_dir).collect()
+    )
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", shingles("text", 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    bench = docs.filter(F.col("doc_id") % 11 == 0).collect()
+    train = docs.filter(F.col("doc_id") % 11 != 0).collect()
+    want = []
+    for a in train:
+        sa = set(a["sh"])
+        for b in bench:
+            sb = set(b["sh"])
+            ni = len(sa & sb)
+            nu = len(sa | sb)
+            if 10 * ni >= 5 * nu:
+                want.append((a["doc_id"], b["doc_id"], ni, nu))
+    assert got == sorted(want)
+
+
+def test_fuzzy_decontamination_catches_planted_paraphrase(spark):
+    """A benchmark doc with one word changed (exact containment would
+    miss it) must be flagged; an unrelated doc must not."""
+    from loan_default_prediction_app_big_data_spark.operators.dedup import (
+        prefix_filtered_jaccard_join_asym,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    edited = base.replace("lazy", "sleepy")  # paraphrased leak
+    train = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated text about spark plans only")],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame([(100, edited)], "doc_id bigint, text string")
+    rows = prefix_filtered_jaccard_join_asym(
+        train, bench, threshold=0.5
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 100)]
