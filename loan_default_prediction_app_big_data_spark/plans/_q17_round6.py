@@ -1,13 +1,18 @@
 """Round-6 additions: the last uncovered modern-SQL surface cells —
 LIMIT/OFFSET pagination, SQL:2003 ordered-set aggregates
-(percentile_disc / percentile_cont WITHIN GROUP), and the GROUP BY
-ALL / ORDER BY ALL shorthand.
+(percentile_disc / percentile_cont WITHIN GROUP), the GROUP BY
+ALL / ORDER BY ALL shorthand — plus two charter LLM-pipeline ops:
+fuzzy train-vs-benchmark decontamination (asymmetric lossless
+PPJoin) and WordPiece-style merge training (likelihood-ratio pair
+scoring, the second tokenizer-vocabulary algorithm next to BPE).
 
 Registration ORDER is part of the driver contract - segments are
 imported by the facade in fixed sequence; do not reorder.
 """
 
 from __future__ import annotations
+
+import math
 
 from ._core import DataFrame, F, SparkSession, register, t
 
@@ -243,3 +248,170 @@ def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# =====================================================================
+# WordPiece-style merge training: likelihood-ratio pair scoring
+# =====================================================================
+
+_WP_FLOOR = 5  # min pair support — rare pairs of rare tokens score
+#                1/(1*1) and would dominate an unfloored likelihood ratio
+
+
+def _wordpiece_oracle(n_merges: int = 4) -> str:
+    """Generated n-stage WordPiece oracle: per stage, unigram counts +
+    pair counts, argmax of cnt/(c1*c2) (count floor, lexicographic
+    tie-break), then the same double-space corpus rewrite the BPE
+    oracle uses (_q08_sequences_session2._bpe_oracle)."""
+    stages = ["WITH t0 AS MATERIALIZED (SELECT doc_id, text FROM documents)"]
+    selects = []
+    for i in range(n_merges):
+        stages.append(f"""
+    u{i} AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM t{i})
+        GROUP BY 1
+    ),
+    p{i} AS MATERIALIZED (
+        SELECT bg[1] AS w1, bg[2] AS w2, CAST(count(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS bg
+            FROM (SELECT string_split(text, ' ') AS ws FROM t{i})
+            WHERE len(ws) >= 2
+        ) GROUP BY 1, 2
+    ),
+    m{i} AS MATERIALIZED (
+        SELECT p.w1, p.w2, p.cnt, ua.c AS c1, ub.c AS c2
+        FROM p{i} p
+        JOIN u{i} ua ON ua.w = p.w1
+        JOIN u{i} ub ON ub.w = p.w2
+        WHERE p.cnt >= {_WP_FLOOR}
+        ORDER BY CAST(p.cnt AS DOUBLE) / (ua.c * ub.c) DESC, p.w1, p.w2
+        LIMIT 1
+    ),
+    t{i + 1} AS MATERIALIZED (
+        SELECT doc_id,
+               trim(replace(replace(
+                   ' ' || replace(text, ' ', '  ') || ' ',
+                   ' ' || (SELECT w1 FROM m{i}) || '  '
+                       || (SELECT w2 FROM m{i}) || ' ',
+                   ' ' || (SELECT w1 FROM m{i}) || '@@'
+                       || (SELECT w2 FROM m{i}) || ' '),
+                   '  ', ' ')) AS text
+        FROM t{i}
+    )""")
+        selects.append(
+            f"SELECT {i + 1} AS merge_order, w1, w2, cnt, c1, c2 FROM m{i}"
+        )
+    union = "\n    UNION ALL ".join(selects)
+    return (
+        ",".join(stages)
+        + f"""
+    SELECT CAST(merge_order AS INT) AS merge_order, w1, w2,
+           cnt AS pair_count, c1 AS left_count, c2 AS right_count,
+           CAST(floor(1e9 * CAST(cnt AS DOUBLE) / (c1 * c2)) AS BIGINT)
+               AS score_1e9
+    FROM ({union}) ORDER BY merge_order"""
+    )
+
+
+@register(
+    "wordpiece_merge_training",
+    _wordpiece_oracle(4),
+    "WordPiece-style merge-rule training — the SECOND of the major "
+    "tokenizer-vocabulary algorithms next to bpe_merge_training: "
+    "instead of BPE's raw pair count, each round merges the argmax "
+    "of the LIKELIHOOD RATIO cnt(w1,w2)/(cnt(w1)*cnt(w2)) (pairs "
+    "that co-occur exclusively beat merely-frequent pairs; support "
+    "floor %d keeps one-off pairs of singleton tokens from scoring "
+    "a perfect ratio). Cross-engine exactness: the score is ONE "
+    "IEEE double division of exact integers — correctly rounded, so "
+    "both engines compute the identical double and the identical "
+    "(score DESC, w1, w2) argmax; the emitted score is floor(1e9*s) "
+    "so even its representation is an integer. Corpus rewrite uses "
+    "the same double-space greedy-replace trick as BPE (pinned "
+    "cross-engine). Per round the driver receives exactly ONE row; "
+    "corpus text never leaves the executors. Scale: each round is "
+    "two partial-combined aggregations (unigrams, bigrams) + a "
+    "broadcast join of two metadata-scale count tables + one narrow "
+    "map over the corpus — embarrassingly parallel, same plan every "
+    "round." % _WP_FLOOR,
+    tags=("text", "llm-pipeline", "iterative", "round6"),
+)
+def wordpiece_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(8)
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for i in range(4):
+        toks = docs.select(F.split("text", " ").alias("ws"))
+        n = F.size("ws")
+        uni = (
+            toks.select(F.explode("ws").alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        pairs = (
+            toks.filter(n >= 2)
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(F.col("ws"), 1, n - 1),
+                        F.slice(F.col("ws"), 2, n - 1),
+                    )
+                ).alias("bg")
+            )
+            .groupBy(F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .filter(F.col("cnt") >= _WP_FLOOR)
+        )
+        scored = (
+            pairs.join(
+                F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))),
+                "w1",
+            )
+            .join(
+                F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))),
+                "w2",
+            )
+            .withColumn(
+                "score", F.col("cnt").cast("double") / (F.col("c1") * F.col("c2"))
+            )
+        )
+        top = scored.orderBy(F.desc("score"), "w1", "w2").limit(1).collect()[0]
+        # Mirror the oracle's float op ORDER exactly: divide first
+        # (one correctly-rounded IEEE division), then *1e9, then floor
+        # — a different association could land 1 ulp across the floor
+        # boundary on one engine only.
+        score_1e9 = math.floor(1e9 * (top.cnt / (top.c1 * top.c2)))
+        merges.append(
+            (i + 1, top.w1, top.w2, top.cnt, top.c1, top.c2, score_1e9)
+        )
+        pat = f" {top.w1}  {top.w2} "
+        rep = f" {top.w1}@@{top.w2} "
+        docs = docs.select(
+            "doc_id",
+            F.trim(
+                F.replace(
+                    F.replace(
+                        F.concat(
+                            F.lit(" "),
+                            F.replace(F.col("text"), F.lit(" "), F.lit("  ")),
+                            F.lit(" "),
+                        ),
+                        F.lit(pat),
+                        F.lit(rep),
+                    ),
+                    F.lit("  "),
+                    F.lit(" "),
+                )
+            ).alias("text"),
+        ).localCheckpoint(eager=True)  # truncate: round k+1 must not replay 1..k
+    return docs.sparkSession.createDataFrame(
+        merges,
+        "merge_order int, w1 string, w2 string, pair_count bigint,"
+        " left_count bigint, right_count bigint, score_1e9 bigint",
+    ).orderBy("merge_order")

@@ -155,3 +155,55 @@ def test_fuzzy_decontamination_catches_planted_paraphrase(spark):
         train, bench, threshold=0.5
     ).collect()
     assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 100)]
+
+
+# ---------------------------------------------------------------------
+# wordpiece_merge_training
+# ---------------------------------------------------------------------
+
+
+def test_wordpiece_first_merge_is_the_ratio_argmax(spark, sf_dir):
+    """Round 1's merge must maximize cnt/(c1*c2) over all pairs with
+    support >= the floor, recomputed independently here."""
+    from collections import Counter
+
+    rows = _run(spark, "wordpiece_merge_training", sf_dir).collect()
+    assert [r["merge_order"] for r in rows] == [1, 2, 3, 4]
+
+    texts = [
+        r["text"]
+        for r in t(spark, sf_dir, "documents").select("text").collect()
+    ]
+    uni: Counter = Counter()
+    pairs: Counter = Counter()
+    for txt in texts:
+        ws = txt.split(" ")
+        uni.update(ws)
+        pairs.update(zip(ws, ws[1:]))
+    best = max(
+        ((c / (uni[w1] * uni[w2]), w1, w2, c)
+         for (w1, w2), c in pairs.items() if c >= 5),
+        key=lambda x: (x[0], [-ord(ch) for ch in x[1]]),  # score only; ties next
+    )
+    # deterministic tie-break check: re-derive with full (score, w1, w2)
+    cands = sorted(
+        ((c / (uni[w1] * uni[w2]), w1, w2, c)
+         for (w1, w2), c in pairs.items() if c >= 5),
+        key=lambda x: (-x[0], x[1], x[2]),
+    )
+    score, w1, w2, c = cands[0]
+    r1 = rows[0]
+    assert (r1["w1"], r1["w2"], r1["pair_count"]) == (w1, w2, c)
+    assert r1["left_count"] == uni[w1] and r1["right_count"] == uni[w2]
+    assert r1["score_1e9"] == int(1e9 * (c / (uni[w1] * uni[w2])) // 1)
+    assert best[0] == score  # sanity: both derivations agree on the max score
+
+
+def test_wordpiece_merges_differ_from_bpe(spark, sf_dir):
+    """The likelihood ratio must actually change the selection vs raw
+    pair count (otherwise the query demonstrates nothing new)."""
+    wp = [(r["w1"], r["w2"])
+          for r in _run(spark, "wordpiece_merge_training", sf_dir).collect()]
+    bpe = [(r["w1"], r["w2"])
+           for r in _run(spark, "bpe_merge_training", sf_dir).collect()]
+    assert wp != bpe[: len(wp)]
