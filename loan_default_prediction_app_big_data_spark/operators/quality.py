@@ -116,36 +116,55 @@ def run_checks_df(df: DataFrame, checks: list[Check]) -> DataFrame:
 
 def observe_checks(df: DataFrame, checks: list[Check], name: str = "quality"):
     """Piggyback the quality counters on an EXISTING job via
-    ``df.observe``: the returned DataFrame computes the violation
-    counts as accumulator-style observed metrics during whatever
-    action the caller was already running — zero extra scans, zero
-    extra shuffles (``run_checks`` is a dedicated aggregation job;
-    this is the same counters for free inside another one).
+    STRING-named ``df.observe``: the returned DataFrame computes the
+    violation counts as accumulator-style observed metrics during
+    whatever action the caller was already running — zero extra scans,
+    zero extra shuffles (``run_checks`` is a dedicated aggregation
+    job; this is the same counters for free inside another one).
 
-    Returns ``(observed_df, fetch)`` where ``fetch(qe_observed)`` maps
-    an ``Observation``-style metrics row to the per-check violation
-    counts. For batch use, prefer the ``Observation`` helper:
+    Deliberately NOT the ``pyspark.sql.Observation`` helper: as of
+    Spark 4 that class lazily instantiates the session's
+    ``ObservationManager``, which is not java-serializable and rides
+    in the SparkSession field of every later closure that captures
+    the session — one ``Observation`` anywhere in the session poisons
+    later RDD-based jobs (e.g. MLlib evaluators) with
+    'Task not serializable: ObservationManager' for the session's
+    lifetime. The string form only plants a CollectMetrics node.
 
-        from pyspark.sql import Observation
-        obs = Observation(name)
-        out, _ = observe_checks(df, checks)  # or df.observe(obs, *aggs)
+    Returns ``(observed_df, metrics)``. The caller runs a
+    collect-family action ON ``observed_df`` (collect / toPandas /
+    toLocalIterator — these execute the frame's own QueryExecution).
+    ``count()`` builds a private aggregate plan and ``write`` wraps
+    the plan in a new write-command execution, so neither populates
+    the frame's observed metrics — ``metrics()`` raises if nothing
+    has executed. (For metrics riding a WRITE job, put the observe
+    node in the job and read the metrics from a registered
+    QueryExecutionListener instead; the streaming runners use the
+    progress-report channel for the same reason.)
 
     At 100 TB this is the difference between quality-gating an ingest
     at no cost and re-scanning 100 TB for a report.
     """
-    from pyspark.sql import Observation
-
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(checks):
         aggs.append(F.sum(F.when(c.predicate, 1).otherwise(0)).alias(f"__v{i}"))
-    obs = Observation(name)
-    observed = df.observe(obs, *aggs)
+    observed = df.observe(name, *aggs)
 
     def metrics() -> dict[str, int]:
-        got = obs.get  # blocks until the observed action completes
-        out = {"n_rows": got["__n"]}
+        jmap = observed._jdf.queryExecution().observedMetrics()
+        row = jmap.apply(name) if jmap.contains(name) else None
+        # An unexecuted QE reports a default all-null/zero row — nulls
+        # in the sum slots mean "never ran", since executed sums are
+        # never null (when/otherwise always yields 0 or 1).
+        if row is None or (len(checks) > 0 and row.isNullAt(1)):
+            raise RuntimeError(
+                "observed metrics not populated: run a collect-family "
+                "action on the observed DataFrame first (collect/"
+                "toPandas; count() and write execute different plans)"
+            )
+        out = {"n_rows": row.getLong(0)}
         for i, c in enumerate(checks):
-            out[c.name] = got[f"__v{i}"]
+            out[c.name] = row.getLong(1 + i)
         return out
 
     return observed, metrics

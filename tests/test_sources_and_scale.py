@@ -295,7 +295,14 @@ def test_observe_checks_free_quality_counters(spark, sf_dir):
     orders = read_parquet_table(spark, sf_dir, "orders")
     checks = [not_null("o_custkey"), in_range("o_totalprice", 0, 450000)]
     observed, metrics = observe_checks(orders, checks)
-    n = observed.count()  # the caller's pre-existing action
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="not populated"):
+        metrics()  # no action has executed the observed frame yet
+    # the caller's pre-existing action — must be a collect-family
+    # action on the observed frame itself (count()/write execute
+    # different plans; see observe_checks' docstring)
+    n = len(observed.collect())
     got = metrics()
     assert got["n_rows"] == n
     report = {r["check"]: r["n_violations"] for r in run_checks(orders, checks).collect()}
