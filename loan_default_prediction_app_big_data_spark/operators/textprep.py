@@ -82,6 +82,63 @@ def chunk_documents(
     )
 
 
+def cdc_boundaries(
+    text_col: Column | str,
+    window: int = 8,
+    base: int = 257,
+    modulus: int = 1_000_003,
+    divisor: int = 32,
+) -> Column:
+    """Content-defined chunk boundaries: positions ``i`` (1-based,
+    ``window <= i < len``) where the polynomial rolling hash of the
+    trailing ``window`` characters satisfies ``hash % divisor == 0``.
+    Returns an ``array<int>`` of boundary positions (chunk k ends at
+    boundary k; the final chunk ends at the document end).
+
+    This is the Rabin/gear-CDC chunking rule (minus min/max chunk
+    clamps, which need a sequential suppression pass): because a
+    boundary depends only on a ``window``-char local context, an edit
+    shifts boundaries only inside its own chunk — downstream
+    chunk-hash dedup (chunk_dedup_rewrite) stays stable under
+    insertions, unlike fixed-offset chunking where one inserted byte
+    re-keys every later chunk. Expected chunk length ~= ``divisor``
+    chars.
+
+    All native expressions: one char-code array per row (computed
+    ONCE — the per-position lambda references the materialized
+    column, not the split, so the cost is O(window * len) per row,
+    never O(len^2)), zero shuffles, zero UDFs. Arithmetic stays well
+    inside int64 (acc < modulus, acc*base + 255 < 2^38) and every
+    output is an exact integer — cross-engine hash-safe.
+    """
+    codes = F.transform(
+        F.split(text_col if isinstance(text_col, Column) else F.col(text_col), ""),
+        lambda c: F.ascii(c).cast("long"),
+    )
+
+    def boundaries_over(codes_col: Column) -> Column:
+        n = F.size(codes_col)
+        win_hash = lambda i: F.aggregate(  # noqa: E731
+            F.slice(codes_col, F.greatest(i - (window - 1), F.lit(1)), window),
+            F.lit(0).cast("long"),
+            lambda a, c: (a * base + c) % modulus,
+        )
+        return F.filter(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.when(
+                (i >= window) & (i < n), win_hash(i) % divisor == 0
+            ).otherwise(F.lit(False)),
+        )
+
+    # Bind the code array once via a higher-order let: wrapping it in a
+    # 1-element array + transform makes the lambda variable the single
+    # evaluation point, so the O(n) split/transform isn't re-run per
+    # position by a CSE-blind plan.
+    return F.element_at(
+        F.transform(F.array(codes), lambda cs: boundaries_over(cs)), 1
+    )
+
+
 def pack_documents(
     docs: DataFrame,
     budget: int = 256,

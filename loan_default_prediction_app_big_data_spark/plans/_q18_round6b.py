@@ -1,0 +1,368 @@
+"""Round-6 session-2 additions — two gap-closing cells found by a
+matrix audit of the existing surface:
+
+- ``wordpiece_maxmatch_tokenize``: greedy longest-match (MaxMatch)
+  segmentation against the trained WordPiece vocabulary — the ENCODE
+  side wordpiece_merge_training was missing (BPE already has its
+  train/apply pair: bpe_merge_training / bpe_tokenize_apply). This is
+  the algorithmically distinct inference rule real WordPiece uses:
+  leftmost-longest vocabulary match, NOT merge-rank replay.
+- ``delta_vacuum_roundtrip``: VACUUM on the pure-Python Delta
+  protocol — the storage-reclaim half of table maintenance next to
+  the certified OPTIMIZE (delta_compaction_roundtrip), with the
+  documented history-loss consequence proven in-band.
+
+Registration ORDER is part of the driver contract - segments are
+imported by the facade in fixed sequence; do not reorder.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from ._core import DataFrame, F, SparkSession, register, t
+from ._q17_round6 import _wordpiece_oracle, wordpiece_merge_training
+
+
+def _tmp_io(sub: str) -> str:
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    out = os.path.join(repo, ".tmp_io", sub)
+    shutil.rmtree(out, ignore_errors=True)
+    return out
+
+
+# =====================================================================
+# WordPiece MaxMatch tokenization (the encode side of
+# wordpiece_merge_training) — greedy leftmost-longest vocabulary match
+# =====================================================================
+
+
+def _maxmatch_oracle(n_merges: int = 4) -> str:
+    """Reuse the n training-stage CTEs of _wordpiece_oracle (so the
+    vocabulary is provably the trained one), then segment every
+    sampled document with MaxMatch: a plain CTE precomputes the
+    longest unit matching at every (doc, position) and a recursive
+    CTE walks pos -> pos + match_len until the document is consumed.
+    All integers and list equality — hash-exact by construction."""
+    base = _wordpiece_oracle(n_merges)
+    cut = base.rindex("\n    SELECT CAST(merge_order AS INT)")
+    stages = base[:cut].replace("WITH t0", "WITH RECURSIVE t0", 1)
+    unit_rows = "\n        UNION ALL ".join(
+        f"SELECT {i + 1} AS merge_order, w1, w2 FROM m{i}"
+        for i in range(n_merges)
+    )
+    return (
+        stages
+        + f""",
+    units AS MATERIALIZED (
+        SELECT string_split(replace(w1 || '@@' || w2, '@@', ' '), ' ') AS u
+        FROM ({unit_rows})
+    ),
+    docs AS MATERIALIZED (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+               len(string_split(text, ' ')) AS n
+        FROM t0 WHERE doc_id % 5 = 0
+    ),
+    matchlen AS MATERIALIZED (
+        SELECT doc_id, pos,
+               max(CASE WHEN ws[pos : pos + len(u) - 1] = u
+                        THEN len(u) ELSE 1 END) AS ml
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, n)) AS pos
+              FROM docs)
+        CROSS JOIN units
+        GROUP BY 1, 2
+    ),
+    walk AS (
+        SELECT doc_id, n, 1 AS pos, 0 AS n_pieces, 0 AS n_merged
+        FROM docs
+        UNION ALL
+        SELECT w.doc_id, w.n, w.pos + m.ml, w.n_pieces + 1,
+               w.n_merged + CASE WHEN m.ml > 1 THEN 1 ELSE 0 END
+        FROM walk w JOIN matchlen m
+          ON m.doc_id = w.doc_id AND m.pos = w.pos
+        WHERE w.pos <= w.n
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tok_raw,
+           CAST(n_pieces AS BIGINT) AS n_tok_maxmatch,
+           CAST(n_merged AS BIGINT) AS n_multiword_pieces
+    FROM walk
+    WHERE pos = n + 1
+    ORDER BY doc_id"""
+    )
+
+
+@register(
+    "wordpiece_maxmatch_tokenize",
+    _maxmatch_oracle(4),
+    "WordPiece MaxMatch tokenization — the ENCODE side of "
+    "wordpiece_merge_training, completing the tokenizer train/apply "
+    "matrix (BPE already has both cells). MaxMatch is the "
+    "algorithmically distinct inference rule real WordPiece uses: at "
+    "each position take the LONGEST vocabulary unit that matches, "
+    "else emit a single token and advance one — leftmost-longest, "
+    "not BPE's merge-rank replay (the two genuinely differ on "
+    "overlapping candidates). The trained units are 4 driver-side "
+    "rows folded into a when-chain of array-slice equality literals "
+    "ordered longest-first, and the per-document walk is ONE "
+    "aggregate() fold over sequence(1, n) carrying (pos, n_pieces, "
+    "n_merged) — each step either consumes a unit or one token, so n "
+    "iterations always suffice and the no-op guard makes overshoot "
+    "harmless. The oracle reuses the training oracle's stage CTEs "
+    "verbatim (the vocabulary is provably the trained one) and walks "
+    "the identical greedy rule with a recursive CTE over a "
+    "precomputed (doc, pos) -> longest-match table; every emitted "
+    "column is an exact integer. Scale: inference is a broadcast "
+    "vocab (here: plan literals) + per-row O(n x |V|) string work, "
+    "zero shuffles, zero joins — the right 100 TB tokenization shape "
+    "(the training loop owns the aggregations).",
+    tags=("text", "llm-pipeline", "functions", "round6"),
+)
+def wordpiece_maxmatch_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = wordpiece_merge_training(spark, sf_dir).collect()
+    units = [
+        (m.w1 + "@@" + m.w2).replace("@@", " ").split(" ")
+        for m in sorted(merges, key=lambda r: r.merge_order)
+    ]
+    # Longest-first so the when-chain's first hit IS the MaxMatch
+    # choice; equal-length units matching the same slice are
+    # necessarily the same word list, so intra-length order is moot.
+    units.sort(key=lambda u: (-len(u), u))
+
+    ws = F.col("ws")
+    n = F.size(ws)
+
+    def advance(st):
+        pos = st.getField("pos")
+        adv = None
+        for u in units:
+            cond = F.slice(ws, pos, len(u)) == F.array(
+                *[F.lit(x) for x in u]
+            )
+            adv = (
+                F.when(cond, F.lit(len(u)))
+                if adv is None
+                else adv.when(cond, F.lit(len(u)))
+            )
+        return adv.otherwise(F.lit(1)) if adv is not None else F.lit(1)
+
+    def step(st, _):
+        adv = advance(st)
+        return F.when(st.getField("pos") > n, st).otherwise(
+            F.struct(
+                (st.getField("pos") + adv).alias("pos"),
+                (st.getField("n_pieces") + F.lit(1)).alias("n_pieces"),
+                (
+                    st.getField("n_merged")
+                    + F.when(adv > 1, F.lit(1)).otherwise(F.lit(0))
+                ).alias("n_merged"),
+            )
+        )
+
+    state0 = F.struct(
+        F.lit(1).alias("pos"),
+        F.lit(0).alias("n_pieces"),
+        F.lit(0).alias("n_merged"),
+    )
+    seg = F.aggregate(F.sequence(F.lit(1), F.greatest(n, F.lit(1))), state0, step)
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            n.cast("bigint").alias("n_tok_raw"),
+            seg.getField("n_pieces").cast("bigint").alias("n_tok_maxmatch"),
+            seg.getField("n_merged").cast("bigint").alias("n_multiword_pieces"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# =====================================================================
+# Delta VACUUM — storage reclaim, the complement of OPTIMIZE
+# =====================================================================
+
+_DELTA_VACUUM_ORACLE = """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           TRUE AS orphans_reclaimed,
+           TRUE AS pre_version_files_gone
+    FROM orders WHERE o_orderkey % 3 = 1
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "delta_vacuum_roundtrip",
+    _DELTA_VACUUM_ORACLE,
+    "VACUUM on the Delta transaction log (sources/delta_py.vacuum) — "
+    "the storage-reclaim half of table maintenance next to the "
+    "certified OPTIMIZE (delta_compaction_roundtrip): four small "
+    "appends fragment the table, a compaction commit swaps in one "
+    "consolidated file (leaving the fragments on disk, referenced "
+    "only by history), then retention-zero VACUUM physically deletes "
+    "every file the current snapshot does not reference. The readout "
+    "aggregates the POST-vacuum snapshot (must hash-match the "
+    "oracle's direct aggregate — reclaim may not touch live data) "
+    "plus two proven booleans: the on-disk parquet count dropped to "
+    "exactly the live-file count with the deleted tally reconciling "
+    "the difference, and the pre-compaction version is no longer "
+    "fully materialized on disk — the documented VACUUM trade "
+    "(history for storage; OPTIMIZE alone never deletes, so time "
+    "travel kept working in the compaction query and must stop "
+    "working here). At 100 TB this is the scheduled reclaim pass "
+    "that bounds storage growth under compaction + overwrite churn.",
+    tags=("sink", "source", "round6"),
+)
+def delta_vacuum_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import delta_py as D
+
+    path = _tmp_io("delta_vacuum")
+    base = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    # four fragmented appends (disjoint key slices cover % 3 == 1)
+    for rem in range(4):
+        D.commit_append(path, base.filter(F.col("o_orderkey") % 4 == rem))
+    pre_version = D.table_versions(path)[-1]
+    pre_files = D.snapshot_files(path, pre_version)
+
+    D.commit_compaction(spark, path, target_files=1)
+
+    def on_disk() -> int:
+        return sum(
+            1
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and os.path.isfile(os.path.join(path, f))
+        )
+
+    disk_before = on_disk()
+    deleted = D.vacuum(path)
+    disk_after = on_disk()
+    live_after = len(D.snapshot_files(path))
+
+    orphans_reclaimed = (
+        disk_after == live_after
+        and deleted == disk_before - disk_after
+        and deleted > 0
+    )
+    pre_version_files_gone = not all(os.path.exists(p) for p in pre_files)
+
+    return (
+        D.read_delta(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            "total_cents",
+            F.lit(orphans_reclaimed).alias("orphans_reclaimed"),
+            F.lit(pre_version_files_gone).alias("pre_version_files_gone"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# =====================================================================
+# Content-defined chunking — Rabin-style rolling-hash boundaries
+# =====================================================================
+
+_CDC_ORACLE = """
+    WITH b AS (
+        SELECT doc_id,
+               len(string_split(text, '')) AS n,
+               list_filter(
+                   generate_series(8, len(string_split(text, '')) - 1),
+                   i -> list_reduce(
+                            list_transform(
+                                string_split(text, '')[i - 7 : i],
+                                c -> CAST(ascii(c) AS BIGINT)),
+                            (a, c) -> (a * 257 + c) % 1000003) % 32 = 0
+               ) AS bnd
+        FROM documents WHERE len(text) > 0
+    ), c AS (
+        SELECT doc_id, n, bnd,
+               list_prepend(0, list_append(bnd, n)) AS bl
+        FROM b
+    ), l AS (
+        SELECT doc_id, n, bnd,
+               list_transform(generate_series(1, len(bl) - 1),
+                              k -> bl[k + 1] - bl[k]) AS lens
+        FROM c
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT)                    AS n_chars_cdc,
+           CAST(len(bnd) + 1 AS BIGINT)         AS n_chunks,
+           CAST(coalesce(bnd[1], 0) AS BIGINT)  AS first_boundary,
+           CAST(list_min(lens) AS BIGINT)       AS min_chunk,
+           CAST(list_max(lens) AS BIGINT)       AS max_chunk,
+           CAST(100 * n // (len(bnd) + 1) AS BIGINT) AS mean_chunk_x100
+    FROM l ORDER BY doc_id
+"""
+
+
+@register(
+    "content_defined_chunking",
+    _CDC_ORACLE,
+    "Content-defined chunking (Rabin-style): boundary after char i "
+    "wherever the 8-char polynomial rolling hash (base 257, modulus "
+    "1000003) is divisible by 32 — expected chunk ~32 chars. The "
+    "property fixed-offset chunking lacks: a boundary depends only "
+    "on an 8-char local context, so an insertion re-chunks ONLY its "
+    "own chunk and every downstream chunk hash survives (locality "
+    "pinned by test; this is the boundary rule storage dedup and "
+    "long-document near-dup pipelines hang chunk-level dedup on — "
+    "the front-end shape for chunk_dedup_rewrite). Per-doc readout "
+    "is exact integers: chunk count, first boundary, min/max chunk "
+    "length and the 1e-2-grid mean via exact integer division. Both "
+    "engines run the IDENTICAL integer recurrence ((a*257+c) mod "
+    "1000003) over the same char codes — no floats anywhere. Scale: "
+    "one precomputed char-code array per row (a higher-order let "
+    "binds it once — O(8n) per row, never O(n^2)), zero shuffles, "
+    "zero UDFs, embarrassingly parallel at 100 TB.",
+    tags=("text", "llm-pipeline", "dedup", "round6"),
+)
+def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textprep import cdc_boundaries
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.length("text").alias("n"),
+            cdc_boundaries("text", window=8, base=257,
+                           modulus=1_000_003, divisor=32).alias("bnd"),
+        )
+    )
+    bl = F.concat(F.array(F.lit(0)), F.col("bnd"), F.array(F.col("n")))
+    d = d.select("doc_id", "n", "bnd", bl.alias("bl"))
+    m = F.size("bl")
+    lens = F.zip_with(
+        F.slice("bl", 1, m - 1), F.slice(F.col("bl"), 2, m - 1),
+        lambda a, b: b - a,
+    )
+    d = d.select("doc_id", "n", "bnd", lens.alias("lens"))
+    nc = F.size("bnd") + 1
+    return d.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_chars_cdc"),
+        nc.cast("bigint").alias("n_chunks"),
+        F.coalesce(F.try_element_at("bnd", F.lit(1)), F.lit(0))
+        .cast("bigint")
+        .alias("first_boundary"),
+        F.array_min("lens").cast("bigint").alias("min_chunk"),
+        F.array_max("lens").cast("bigint").alias("max_chunk"),
+        F.floor((100 * F.col("n")) / nc).cast("bigint").alias("mean_chunk_x100"),
+    ).orderBy("doc_id")

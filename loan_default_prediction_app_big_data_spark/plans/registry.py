@@ -54,3 +54,4 @@ from ._q14_round4_session5b import *  # noqa: F401,F403,E402
 from ._q15_round4_session6 import *  # noqa: F401,F403,E402
 from ._q16_round5 import *  # noqa: F401,F403,E402
 from ._q17_round6 import *  # noqa: F401,F403,E402
+from ._q18_round6b import *  # noqa: F401,F403,E402

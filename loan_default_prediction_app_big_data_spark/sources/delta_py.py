@@ -227,3 +227,33 @@ def read_delta(spark, path: str, version: int | None = None):
     live files go straight to the native parquet scan, so pushdown /
     pruning / codegen are identical to a plain parquet read."""
     return spark.read.parquet(*snapshot_files(path, version))
+
+
+def vacuum(path: str) -> int:
+    """VACUUM with zero retention: physically delete every data file
+    the CURRENT snapshot does not reference, and return how many were
+    deleted. This is the storage-reclaim half of table maintenance —
+    OPTIMIZE (``commit_compaction``) swaps file layouts but never
+    deletes, so compacted-away fragments and overwrite-removed files
+    accumulate until a VACUUM pass.
+
+    The real Delta VACUUM retains files whose ``remove`` action is
+    newer than a retention window (default 7 days) so in-flight
+    readers of recent snapshots don't lose files mid-query; this
+    sandbox analog is the deterministic retention-zero form (current
+    snapshot only). The documented consequence is identical to the
+    production one: time travel to versions whose files were
+    reclaimed now fails — VACUUM trades history for storage.
+
+    Only ``*.parquet`` files at the table root are candidates; the
+    ``_delta_log`` directory is never touched (history metadata stays
+    replayable even when the data files are gone).
+    """
+    live = {os.path.basename(p) for p in snapshot_files(path)}
+    deleted = 0
+    for f in sorted(os.listdir(path)):
+        full = os.path.join(path, f)
+        if f.endswith(".parquet") and f not in live and os.path.isfile(full):
+            os.remove(full)
+            deleted += 1
+    return deleted

@@ -207,3 +207,193 @@ def test_wordpiece_merges_differ_from_bpe(spark, sf_dir):
     bpe = [(r["w1"], r["w2"])
            for r in _run(spark, "bpe_merge_training", sf_dir).collect()]
     assert wp != bpe[: len(wp)]
+
+
+# ---------------------------------------------------------------------
+# wordpiece_maxmatch_tokenize
+# ---------------------------------------------------------------------
+
+
+def _python_maxmatch(words, units):
+    """Reference MaxMatch: leftmost-longest unit, else one word."""
+    units = sorted(units, key=lambda u: -len(u))
+    pos, n_pieces, n_merged = 0, 0, 0
+    while pos < len(words):
+        step = 1
+        for u in units:
+            if words[pos : pos + len(u)] == u:
+                step = len(u)
+                break
+        n_pieces += 1
+        n_merged += 1 if step > 1 else 0
+        pos += step
+    return n_pieces, n_merged
+
+
+def test_maxmatch_matches_python_reference_walk(spark, sf_dir):
+    """The aggregate()-fold segmentation must equal an independent
+    Python MaxMatch over the same trained units, doc by doc."""
+    rows = {
+        r["doc_id"]: r
+        for r in _run(spark, "wordpiece_maxmatch_tokenize", sf_dir).collect()
+    }
+    merges = _run(spark, "wordpiece_merge_training", sf_dir).collect()
+    units = [
+        (m.w1 + "@@" + m.w2).replace("@@", " ").split(" ") for m in merges
+    ]
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert len(rows) == len(docs) > 0
+    saw_merge = False
+    for d in docs:
+        ws = d["text"].split(" ")
+        n_pieces, n_merged = _python_maxmatch(ws, units)
+        r = rows[d["doc_id"]]
+        assert r["n_tok_raw"] == len(ws)
+        assert r["n_tok_maxmatch"] == n_pieces
+        assert r["n_multiword_pieces"] == n_merged
+        saw_merge = saw_merge or n_merged > 0
+    assert saw_merge  # the vocabulary must actually fire somewhere
+
+
+def test_maxmatch_piece_counts_reconcile(spark, sf_dir):
+    """Each multi-word piece of length L saves L-1 tokens, so
+    raw - maxmatch tokens is bounded by merged * (max_unit_len - 1)."""
+    merges = _run(spark, "wordpiece_merge_training", sf_dir).collect()
+    max_len = max(
+        len((m.w1 + "@@" + m.w2).replace("@@", " ").split(" "))
+        for m in merges
+    )
+    for r in _run(spark, "wordpiece_maxmatch_tokenize", sf_dir).collect():
+        saved = r["n_tok_raw"] - r["n_tok_maxmatch"]
+        assert 0 <= r["n_multiword_pieces"] <= r["n_tok_maxmatch"]
+        assert r["n_multiword_pieces"] <= saved <= r["n_multiword_pieces"] * (
+            max_len - 1
+        )
+
+
+# ---------------------------------------------------------------------
+# delta vacuum
+# ---------------------------------------------------------------------
+
+
+def test_vacuum_reclaims_exactly_the_orphans(spark, tmp_path):
+    import os
+
+    from loan_default_prediction_app_big_data_spark.sources import delta_py as D
+
+    path = str(tmp_path / "tbl")
+    D.commit_append(path, spark.range(5).selectExpr("id", "id * 2 AS v"))
+    D.commit_append(path, spark.range(5, 10).selectExpr("id", "id * 2 AS v"))
+    D.commit_compaction(spark, path, target_files=1)
+    pre_versions = D.table_versions(path)
+
+    on_disk = lambda: sorted(  # noqa: E731
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    before = on_disk()
+    live = {os.path.basename(p) for p in D.snapshot_files(path)}
+    deleted = D.vacuum(path)
+
+    assert deleted == len(before) - len(live) > 0
+    assert set(on_disk()) == live
+    # current snapshot unharmed, log history intact
+    got = sorted(r["id"] for r in D.read_delta(spark, path).collect())
+    assert got == list(range(10))
+    assert D.table_versions(path) == pre_versions
+    # second pass is a no-op
+    assert D.vacuum(path) == 0
+
+
+def test_vacuum_breaks_time_travel_to_reclaimed_versions(spark, tmp_path):
+    import os
+
+    from loan_default_prediction_app_big_data_spark.sources import delta_py as D
+
+    path = str(tmp_path / "tbl")
+    D.commit_append(path, spark.range(3).selectExpr("id", "id AS v"))
+    v0_files = D.snapshot_files(path, 0)
+    D.commit_overwrite(path, spark.range(3, 6).selectExpr("id", "id AS v"))
+    D.vacuum(path)
+    # the overwritten version's files are physically gone
+    assert not any(os.path.exists(p) for p in v0_files)
+    # snapshot RESOLUTION still replays (log intact) but the scan fails
+    assert D.snapshot_files(path, 0)
+    got = sorted(r["id"] for r in D.read_delta(spark, path).collect())
+    assert got == [3, 4, 5]
+
+
+# ---------------------------------------------------------------------
+# content_defined_chunking
+# ---------------------------------------------------------------------
+
+
+def _python_cdc(text, window=8, base=257, modulus=1_000_003, divisor=32):
+    """Reference boundary rule: 1-based positions window <= i < len."""
+    out = []
+    for i in range(window, len(text)):
+        acc = 0
+        for ch in text[i - window : i]:
+            acc = (acc * base + ord(ch)) % modulus
+        if acc % divisor == 0:
+            out.append(i)
+    return out
+
+
+def test_cdc_readout_matches_python_reference(spark, sf_dir):
+    rows = {
+        r["doc_id"]: r
+        for r in _run(spark, "content_defined_chunking", sf_dir).collect()
+    }
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert len(rows) == len(docs) > 0
+    multi = 0
+    for d in docs:
+        bnd = _python_cdc(d["text"])
+        n = len(d["text"])
+        bl = [0] + bnd + [n]
+        lens = [b - a for a, b in zip(bl, bl[1:])]
+        r = rows[d["doc_id"]]
+        assert r["n_chars_cdc"] == n
+        assert r["n_chunks"] == len(bnd) + 1
+        assert r["first_boundary"] == (bnd[0] if bnd else 0)
+        assert r["min_chunk"] == min(lens)
+        assert r["max_chunk"] == max(lens)
+        assert r["mean_chunk_x100"] == (100 * n) // (len(bnd) + 1)
+        multi += len(bnd) > 0
+    assert multi > len(docs) * 0.8  # the rule must actually chunk
+
+
+def test_cdc_boundaries_are_insertion_local(spark):
+    """The CDC contract: an edit shifts boundaries only within a
+    window of itself; every boundary >= window chars past the edit
+    survives at position + insertion length."""
+    from loan_default_prediction_app_big_data_spark.operators.textprep import (
+        cdc_boundaries,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the spark "
+        "engine shuffles partitions across the cluster and the planner "
+        "prunes every column it can before the scan even starts today"
+    )
+    ins = "INSERTED BYTES "
+    k = 40  # edit position
+    edited = base[:k] + ins + base[k:]
+    df = spark.createDataFrame([(0, base), (1, edited)], "id long, t string")
+    got = {
+        r["id"]: list(r["bnd"])
+        for r in df.select("id", cdc_boundaries("t").alias("bnd")).collect()
+    }
+    assert got[0] == _python_cdc(base)
+    assert got[1] == _python_cdc(edited)
+    # boundaries strictly before the edit are untouched
+    pre = [b for b in got[0] if b < k]
+    assert [b for b in got[1] if b < k] == pre
+    # boundaries at least `window` past the edit all survive, shifted
+    tail0 = [b for b in got[0] if b >= k + 8]
+    assert set(b + len(ins) for b in tail0) <= set(got[1])
