@@ -397,3 +397,54 @@ def test_cdc_boundaries_are_insertion_local(spark):
     # boundaries at least `window` past the edit all survive, shifted
     tail0 = [b for b in got[0] if b >= k + 8]
     assert set(b + len(ins) for b in tail0) <= set(got[1])
+
+
+# ---------------------------------------------------------------------
+# unigram_lm_viterbi_score
+# ---------------------------------------------------------------------
+
+
+def test_unigram_viterbi_matches_python_dp(spark, sf_dir):
+    """The distributed DP must equal an independent Python Viterbi
+    over the same substring-count vocabulary, word by word."""
+    from collections import Counter
+
+    texts = [
+        r["text"]
+        for r in t(spark, sf_dir, "documents").select("text").collect()
+    ]
+    wc: Counter = Counter()
+    for txt in texts:
+        wc.update(w for w in txt.split(" ") if w)
+    vocab: Counter = Counter()
+    for w, c in wc.items():
+        for L in (1, 2, 3):
+            for i in range(L, len(w) + 1):
+                vocab[w[i - L : i]] += c
+    total = sum(vocab.values())
+    p = {k: v / total for k, v in vocab.items()}
+
+    rows = {
+        r["word"]: r
+        for r in _run(spark, "unigram_lm_viterbi_score", sf_dir).collect()
+    }
+    assert set(rows) == set(wc)
+    for w, c in wc.items():
+        n = len(w)
+        best = [1.0] + [0.0] * n
+        for i in range(1, n + 1):
+            cands = [best[i - 1] * p.get(w[i - 1 : i], 0.0)]
+            if i >= 2:
+                cands.append(best[i - 2] * p.get(w[i - 2 : i], 0.0))
+            if i >= 3:
+                cands.append(best[i - 3] * p.get(w[i - 3 : i], 0.0))
+            best[i] = max(cands)
+        single = 1.0
+        for ch in w:
+            single *= p[ch]
+        r = rows[w]
+        assert r["corpus_count"] == c and r["n_chars"] == n
+        assert r["viterbi_score"] == best[n]  # bit-exact, not approx
+        assert r["singles_score"] == single
+        assert r["seg_gain"] == best[n] / single
+        assert r["seg_gain"] >= 1.0  # singles is one candidate path
