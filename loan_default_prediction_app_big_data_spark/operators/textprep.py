@@ -104,13 +104,19 @@ def cdc_boundaries(
     re-keys every later chunk. Expected chunk length ~= ``divisor``
     chars.
 
-    All native expressions: one char-code array per row (computed
-    ONCE — the per-position lambda references the materialized
-    column, not the split, so the cost is O(window * len) per row,
-    never O(len^2)), zero shuffles, zero UDFs. Arithmetic stays well
-    inside int64 (acc < modulus, acc*base + 255 < 2^38) and every
-    output is an exact integer — cross-engine hash-safe.
+    All native expressions: one char-code array per row and ONE O(n)
+    Rabin rolling fold — each step removes the outgoing char
+    (c_out * base^(window-1)) and appends the incoming one, so the
+    per-char cost is a handful of integer ops instead of re-hashing
+    the whole window per position (the first-cut O(window * n) shape
+    benchmarked ~6 s at sf0.1; HOF lambdas are interpreted, so the
+    constant matters). Zero shuffles, zero UDFs. Arithmetic stays
+    non-negative and well inside int64 (acc < modulus; acc * base +
+    255 < 2^38; c_out * base^(w-1) is pre-reduced mod modulus) and
+    every output is an exact integer — cross-engine hash-safe.
     """
+    # base^(window-1) mod modulus, for removing the outgoing char.
+    bw1 = pow(base, window - 1, modulus)
     codes = F.transform(
         F.split(text_col if isinstance(text_col, Column) else F.col(text_col), ""),
         lambda c: F.ascii(c).cast("long"),
@@ -118,22 +124,40 @@ def cdc_boundaries(
 
     def boundaries_over(codes_col: Column) -> Column:
         n = F.size(codes_col)
-        win_hash = lambda i: F.aggregate(  # noqa: E731
-            F.slice(codes_col, F.greatest(i - (window - 1), F.lit(1)), window),
-            F.lit(0).cast("long"),
-            lambda a, c: (a * base + c) % modulus,
+
+        def step(st, i):
+            h = st.getField("h")
+            # drop c_{i-window} once the window is full, then shift in c_i
+            h_kept = F.when(
+                i > window,
+                (h - (F.element_at(codes_col, i - window) * bw1) % modulus
+                 + modulus) % modulus,
+            ).otherwise(h)
+            h_new = (h_kept * base + F.element_at(codes_col, i)) % modulus
+            return F.struct(
+                h_new.alias("h"),
+                F.when(
+                    (i >= window) & (i < n) & (h_new % divisor == 0),
+                    F.array_append(st.getField("bnd"), i),
+                )
+                .otherwise(st.getField("bnd"))
+                .alias("bnd"),
+            )
+
+        state0 = F.struct(
+            F.lit(0).cast("long").alias("h"),
+            F.array().cast("array<int>").alias("bnd"),
         )
-        return F.filter(
+        return F.aggregate(
             F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-            lambda i: F.when(
-                (i >= window) & (i < n), win_hash(i) % divisor == 0
-            ).otherwise(F.lit(False)),
-        )
+            state0,
+            lambda st, i: F.when(i > n, st).otherwise(step(st, i)),
+        ).getField("bnd")
 
     # Bind the code array once via a higher-order let: wrapping it in a
     # 1-element array + transform makes the lambda variable the single
-    # evaluation point, so the O(n) split/transform isn't re-run per
-    # position by a CSE-blind plan.
+    # evaluation point, so the O(n) split/transform isn't re-run by a
+    # CSE-blind plan.
     return F.element_at(
         F.transform(F.array(codes), lambda cs: boundaries_over(cs)), 1
     )
