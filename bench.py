@@ -189,12 +189,27 @@ _PINNED = ("ml_single_row_serve_p50", "ml_loan_pipeline_fit_eval",
 
 def _compact_line(payload: dict, budget: int = 1900) -> str:
     """Serialize under `budget` bytes: compact separators, 2-dp values,
-    then drop cheapest NON-PINNED queries (tracked in
-    omitted/omitted_sum_s so the total still reconciles) until the
-    line fits."""
+    then shed in priority order (VERDICT r6 item 5):
+
+    1. A bloated ``regressions_vs_committed`` dict is collapsed to a
+       ``{"shed_flags": n}`` marker FIRST — the full dict always lands
+       in bench_full.json, and a high-flag-count run must not crowd
+       the per-query timings and ``streaming_steady_s`` samples (the
+       in-band evidence that exonerates host-degradation draws) out
+       of the stdout line.
+    2. Cheapest NON-PINNED queries drop next (tracked in
+       omitted/omitted_sum_s so the total still reconciles).
+    3. The diagnostic dicts are deleted outright as the last resort —
+       pinned entries can't be dropped, so step 2 alone can't always
+       fit the budget (ADVICE r5 item 4)."""
     q = {k: round(v, 2) for k, v in payload["queries"].items()}
     payload = {**payload, "queries": q}
     s = json.dumps(payload, separators=(",", ":"))
+    if len(s) > budget and payload.get("regressions_vs_committed"):
+        payload["regressions_vs_committed"] = {
+            "shed_flags": len(payload["regressions_vs_committed"])
+        }
+        s = json.dumps(payload, separators=(",", ":"))
     for name in sorted(q, key=q.get):
         if len(s) <= budget:
             break
@@ -203,9 +218,6 @@ def _compact_line(payload: dict, budget: int = 1900) -> str:
         payload["omitted"] = payload.get("omitted", 0) + 1
         payload["omitted_sum_s"] = round(payload.get("omitted_sum_s", 0.0) + q.pop(name), 2)
         s = json.dumps(payload, separators=(",", ":"))
-    # Pinned entries can't be dropped, so the loop alone can't always
-    # fit the budget: shed the diagnostic dicts before overflowing the
-    # harness's 2000-char stdout capture (ADVICE r5 item 4).
     for extra in ("regressions_vs_committed", "streaming_steady_s"):
         if len(s) > budget and extra in payload:
             del payload[extra]

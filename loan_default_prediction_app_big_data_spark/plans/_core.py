@@ -95,71 +95,40 @@ def oracle_sql() -> dict[str, str]:
 
 
 _DRIVER_PRIORITY: list[str] = [
-    # ================= Round-6 slots 1-50 (VERDICT r5 item 1) =======
-    # All 50 have NO driver CORRECTNESS row across r1-r5 (146 of 376
-    # registered queries remained uncertified after r5; the driver
-    # verifies the first 50 of ``queries()`` per round). Ordered
-    # user-impact first per VERDICT r5: the user-facing SQL surface
-    # (pivot/unpivot/window-topk/argmax/timezone, bucketed + DPP +
-    # bitemporal/nearest joins, SQL-UDF/UDTF/Arrow API demos), then
-    # the ten round-5 source/connector additions, then the charter
-    # LLM-tier stragglers (VERDICT r5 item 4), then the front of the
-    # registration-order queue. Zero repeats of the 230 certified.
-    "pivot_multi_agg",
-    "unpivot_melt_reshape",
-    "window_topk_with_ties",
-    "argmax_aggregates",
-    "timezone_local_day_agg",
-    "bucketed_join_no_shuffle",
-    "dynamic_partition_pruning_join",
-    "bitemporal_asof_join",
-    "nearest_event_join",
-    "sql_udf_price_tiers",
-    "udtf_table_argument",
-    "arrow_grouped_agg",
-    "map_in_arrow_cents",
-    "xml_source_roundtrip",
-    "delta_compaction_roundtrip",
-    "csv_scalar_roundtrip",
-    "statestore_reader_audit",
-    "dynamic_sql_identifier",
-    "approx_top_k_events",
-    "recursive_cte_supplier_chain",
-    "text_source_line_stats",
-    "binaryfile_source_stats",
-    "knn_classify_exact",
-    "doc_quality_filter",
-    "containment_detection",
-    "chunk_dedup_rewrite",
-    "temperature_sampling_mix",
-    "interval_range_window",
-    "ewma_daily_value",
-    "skipgram_cooccurrence",
-    "rollup_cascade_daily",
-    "triangle_count_trade_graph",
-    "event_transition_matrix",
-    "column_profile",
-    "dedup_keep_latest",
-    "contribution_analysis",
-    "ordered_list_agg_structs",
-    "skew_diagnosis",
-    "time_since_last_event",
-    "ab_test_conversion",
-    "pareto_customers",
-    "rolling_active_users",
-    "seasonal_naive_backtest",
-    "robust_center_aggregates",
-    "daily_revenue_var",
-    "rolling_trend_slope",
-    "join_cardinality_estimate",
-    "rfm_segmentation",
-    "data_freshness_slo",
-    "power_analysis_ab",
-    # ============== Round-7+ rotation queue (never-certified) ======
-    # Remaining never-certified queries in registration order; each
-    # future round promotes its next 50 to the top. The 230 already-
-    # certified names trail after this list via ``_ordered_names``
-    # and are never re-submitted to the driver.
+    # ================= Round-7 slots 1-50 (VERDICT r6 item 1) =======
+    # All 50 have NO driver CORRECTNESS row across r1-r6 (105 of 385
+    # registered queries remained uncertified after r6). Ordered
+    # charter-and-user-impact first per VERDICT r6: the nine round-6
+    # additions (decontamination, WordPiece train/encode, CDC chunking,
+    # unigram-LM Viterbi, delta vacuum, pagination, WITHIN GROUP
+    # percentiles, GROUP BY ALL), then the engine-surface items the
+    # judge named (URL/grouping-sets/parameterized markers/exchange
+    # reuse/join hints/schema evolution/dynamic overwrite/codecs/
+    # observe), then the stats-and-linkage tail, then registration
+    # order. Zero repeats of the 280 certified.
+    "fuzzy_decontamination",
+    "wordpiece_merge_training",
+    "wordpiece_maxmatch_tokenize",
+    "content_defined_chunking",
+    "unigram_lm_viterbi_score",
+    "delta_vacuum_roundtrip",
+    "limit_offset_pagination",
+    "percentile_within_group",
+    "group_by_all_shorthand",
+    "url_parse_functions",
+    "grouping_sets_report",
+    "parameterized_query_markers",
+    "exchange_reuse_extremes",
+    "join_strategy_hints",
+    "parquet_schema_evolution",
+    "dynamic_partition_overwrite",
+    "compression_codec_roundtrip",
+    "observe_metrics_inline",
+    "moment_stats_skew_kurtosis",
+    "theil_sen_mann_kendall",
+    "survival_kaplan_meier",
+    "record_linkage_fellegi_sunter",
+    "item_item_collaborative_topk",
     "anomaly_zscore_days",
     "basket_size_distribution",
     "score_migration_matrix",
@@ -167,7 +136,6 @@ _DRIVER_PRIORITY: list[str] = [
     "cdf_transform_vs_reference",
     "fulfillment_lag_distribution",
     "duplicate_transaction_detection",
-    "survival_kaplan_meier",
     "journey_pattern_match",
     "collated_aggregation",
     "shortest_path_trade_cost",
@@ -188,12 +156,14 @@ _DRIVER_PRIORITY: list[str] = [
     "csv_corrupt_record_audit",
     "balanced_shard_plan",
     "negative_sampling_plan",
+    # ============== Round-8+ rotation queue (never-certified) ======
+    # Remaining never-certified queries in registration order; each
+    # future round promotes its next 50 to the top. The 280 already-
+    # certified names trail after this list via ``_ordered_names``
+    # and are never re-submitted to the driver.
     "hard_negative_mining",
-    "parquet_schema_evolution",
-    "dynamic_partition_overwrite",
     "functional_dependency_audit",
     "incremental_aggregate_maintenance",
-    "theil_sen_mann_kendall",
     "logrank_test_segments",
     "cuped_variance_reduction",
     "three_way_reconciliation",
@@ -213,7 +183,6 @@ _DRIVER_PRIORITY: list[str] = [
     "traffic_heatmap_dow_hour",
     "role_playing_date_rollup",
     "edit_distance_threshold_join",
-    "record_linkage_fellegi_sunter",
     "conformal_prediction_intervals",
     "shapley_channel_attribution",
     "difference_in_differences",
@@ -227,32 +196,23 @@ _DRIVER_PRIORITY: list[str] = [
     "naive_bayes_lang_classify",
     "brier_decomposition_bands",
     "l_diversity_audit",
-    "grouping_sets_report",
-    "moment_stats_skew_kurtosis",
     "bitwise_bool_aggregates",
     "phrase_query_positional_index",
     "zipf_slope_token_frequency",
-    "parameterized_query_markers",
     "multivariate_ols_normal_eq",
     "decision_stump_exact",
-    "item_item_collaborative_topk",
     "sprt_sequential_test",
     "t_closeness_audit",
     "ranking_ndcg_eval",
-    "exchange_reuse_extremes",
     "governed_view_masking",
-    "compression_codec_roundtrip",
-    "join_strategy_hints",
     "weighted_sample_without_replacement",
     "rolling_beta_28d",
     "anova_oneway_f",
     "mcnemar_paired_test",
     "runs_test_randomness",
     "cochran_armitage_trend",
-    "observe_metrics_inline",
     "transpose_metrics",
     "poisson_rate_ratio_test",
-    "url_parse_functions",
     "cohens_kappa_agreement",
     "levene_brown_forsythe",
     "jarque_bera_normality",

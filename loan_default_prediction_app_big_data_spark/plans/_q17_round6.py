@@ -258,11 +258,14 @@ _WP_FLOOR = 5  # min pair support — rare pairs of rare tokens score
 #                1/(1*1) and would dominate an unfloored likelihood ratio
 
 
-def _wordpiece_oracle(n_merges: int = 4) -> str:
-    """Generated n-stage WordPiece oracle: per stage, unigram counts +
-    pair counts, argmax of cnt/(c1*c2) (count floor, lexicographic
-    tie-break), then the same double-space corpus rewrite the BPE
-    oracle uses (_q08_sequences_session2._bpe_oracle)."""
+def _wordpiece_oracle_parts(n_merges: int = 4) -> tuple[str, str]:
+    """(stage_ctes, merge_table_select): the n training-stage CTE
+    block (starting ``WITH t0 AS ...``) and the final merge-table
+    SELECT, as SEPARATE pieces so ``_q18_round6b._maxmatch_oracle``
+    can compose the identical trained-vocabulary stages with its own
+    recursive segmentation walk structurally, instead of slicing the
+    assembled SQL text by rindex (ADVICE r6 — the text surgery broke
+    at a distance on any cosmetic reformat here)."""
     stages = ["WITH t0 AS MATERIALIZED (SELECT doc_id, text FROM documents)"]
     selects = []
     for i in range(n_merges):
@@ -304,15 +307,20 @@ def _wordpiece_oracle(n_merges: int = 4) -> str:
             f"SELECT {i + 1} AS merge_order, w1, w2, cnt, c1, c2 FROM m{i}"
         )
     union = "\n    UNION ALL ".join(selects)
-    return (
-        ",".join(stages)
-        + f"""
+    final = f"""
     SELECT CAST(merge_order AS INT) AS merge_order, w1, w2,
            cnt AS pair_count, c1 AS left_count, c2 AS right_count,
            CAST(floor(1e9 * CAST(cnt AS DOUBLE) / (c1 * c2)) AS BIGINT)
                AS score_1e9
     FROM ({union}) ORDER BY merge_order"""
-    )
+    return ",".join(stages), final
+
+
+def _wordpiece_oracle(n_merges: int = 4) -> str:
+    """Full WordPiece training oracle: the stage CTEs plus the
+    merge-table readout (see _wordpiece_oracle_parts)."""
+    ctes, final = _wordpiece_oracle_parts(n_merges)
+    return ctes + final
 
 
 @register(

@@ -19,19 +19,10 @@ imported by the facade in fixed sequence; do not reorder.
 from __future__ import annotations
 
 import os
-import shutil
 
 from ._core import DataFrame, F, SparkSession, register, t
-from ._q17_round6 import _wordpiece_oracle, wordpiece_merge_training
-
-
-def _tmp_io(sub: str) -> str:
-    repo = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    out = os.path.join(repo, ".tmp_io", sub)
-    shutil.rmtree(out, ignore_errors=True)
-    return out
+from ._q16_round5 import _tmp_io
+from ._q17_round6 import _wordpiece_oracle_parts, wordpiece_merge_training
 
 
 # =====================================================================
@@ -41,15 +32,17 @@ def _tmp_io(sub: str) -> str:
 
 
 def _maxmatch_oracle(n_merges: int = 4) -> str:
-    """Reuse the n training-stage CTEs of _wordpiece_oracle (so the
-    vocabulary is provably the trained one), then segment every
+    """Reuse the n training-stage CTEs of the WordPiece oracle (so
+    the vocabulary is provably the trained one), then segment every
     sampled document with MaxMatch: a plain CTE precomputes the
     longest unit matching at every (doc, position) and a recursive
     CTE walks pos -> pos + match_len until the document is consumed.
-    All integers and list equality — hash-exact by construction."""
-    base = _wordpiece_oracle(n_merges)
-    cut = base.rindex("\n    SELECT CAST(merge_order AS INT)")
-    stages = base[:cut].replace("WITH t0", "WITH RECURSIVE t0", 1)
+    All integers and list equality — hash-exact by construction.
+    Composes the stage-CTE piece of ``_wordpiece_oracle_parts``
+    structurally (ADVICE r6: no more rindex surgery on generated
+    SQL text)."""
+    ctes, _merge_table_select = _wordpiece_oracle_parts(n_merges)
+    stages = ctes.replace("WITH t0", "WITH RECURSIVE t0", 1)
     unit_rows = "\n        UNION ALL ".join(
         f"SELECT {i + 1} AS merge_order, w1, w2 FROM m{i}"
         for i in range(n_merges)
@@ -168,15 +161,23 @@ def wordpiece_maxmatch_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("n_merged"),
     )
     seg = F.aggregate(F.sequence(F.lit(1), F.greatest(n, F.lit(1))), state0, step)
+    # Materialize the O(n x |V|) fold ONCE per row: project it as a
+    # struct column and expand fields in a separate select. Catalyst's
+    # CollapseProject refuses to inline a non-cheap alias referenced
+    # more than once, so the split is a real let-binding — a single
+    # projection referencing seg twice could run the fold twice per
+    # row under a CSE-blind plan (ADVICE r6; same recomputation trap
+    # cdc_boundaries avoids with its higher-order let).
     return (
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 5 == 0)
         .select("doc_id", F.split("text", " ").alias("ws"))
+        .select("doc_id", n.cast("bigint").alias("n_tok_raw"), seg.alias("seg"))
         .select(
             "doc_id",
-            n.cast("bigint").alias("n_tok_raw"),
-            seg.getField("n_pieces").cast("bigint").alias("n_tok_maxmatch"),
-            seg.getField("n_merged").cast("bigint").alias("n_multiword_pieces"),
+            "n_tok_raw",
+            F.col("seg.n_pieces").cast("bigint").alias("n_tok_maxmatch"),
+            F.col("seg.n_merged").cast("bigint").alias("n_multiword_pieces"),
         )
         .orderBy("doc_id")
     )
@@ -254,7 +255,10 @@ def delta_vacuum_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         and deleted == disk_before - disk_after
         and deleted > 0
     )
-    pre_version_files_gone = not all(os.path.exists(p) for p in pre_files)
+    # `not any`: EVERY pre-compaction file must be physically gone —
+    # the stronger claim the docstring/CHANGELOG make and the unit
+    # test asserts (ADVICE r6; `not all` only proved one was gone).
+    pre_version_files_gone = not any(os.path.exists(p) for p in pre_files)
 
     return (
         D.read_delta(spark, path)

@@ -248,12 +248,27 @@ def vacuum(path: str) -> int:
     Only ``*.parquet`` files at the table root are candidates; the
     ``_delta_log`` directory is never touched (history metadata stays
     replayable even when the data files are gone).
+
+    Concurrency guard (ADVICE r6): ``_publish``/``commit_compaction``
+    write data files to the table root BEFORE the log commit, so a
+    vacuum racing an in-flight commit would otherwise delete
+    just-written, not-yet-published files. Files modified at-or-after
+    the latest committed log entry are therefore skipped — the
+    minimal retention analog of production Delta's "newer than the
+    retention window" rule, which closes that race without a lock.
     """
+    latest = table_versions(path)[-1]
+    log_mtime = os.path.getmtime(_version_file(path, latest))
     live = {os.path.basename(p) for p in snapshot_files(path)}
     deleted = 0
     for f in sorted(os.listdir(path)):
         full = os.path.join(path, f)
-        if f.endswith(".parquet") and f not in live and os.path.isfile(full):
+        if (
+            f.endswith(".parquet")
+            and f not in live
+            and os.path.isfile(full)
+            and os.path.getmtime(full) < log_mtime
+        ):
             os.remove(full)
             deleted += 1
     return deleted

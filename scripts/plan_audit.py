@@ -33,6 +33,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Queries that drive a streaming engine or write outside the plan —
 # explain() on the returned (already-materialized) frame is meaningless.
+# Matched with .search(): the suffix alternation was dead under .match()
+# (ADVICE r6 — delta_merge_upsert and the *_roundtrip sinks were being
+# audited despite materializing outside the returned plan). Bare
+# merge_upsert (in-plan anti-join + union) stays IN the census.
 MATERIALIZED = re.compile(r"^(streaming_|statestore_)|_(roundtrip|merge_upsert)$")
 
 
@@ -67,7 +71,7 @@ def main() -> int:
     spark = get_spark(app_name="plan-audit")
     rows, errors = [], []
     for name, spec in REGISTRY.items():
-        if MATERIALIZED.match(name):
+        if MATERIALIZED.search(name):
             continue
         try:
             rows.append(audit(name, plan_of(spec.fn(spark, SF_DIR))))

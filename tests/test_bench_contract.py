@@ -84,3 +84,32 @@ def test_diagnostic_dicts_shed_when_pins_alone_overflow():
     assert "ml_single_row_serve_p50" in out["queries"]
     assert "regressions_vs_committed" not in out
     assert "streaming_steady_s" not in out
+
+
+def test_high_flag_count_sheds_regressions_before_queries():
+    """VERDICT r6 item 5: a run with many ≥2x flags must collapse
+    regressions_vs_committed to a shed marker BEFORE dropping query
+    timings or the streaming steady-state samples — those are the
+    in-band evidence that exonerates a host-degradation draw, and the
+    full flag dict is always in bench_full.json anyway."""
+    p = _payload(40)
+    p["regressions_vs_committed"] = {
+        f"flagged_query_with_a_long_name_{i:04d}": [1.234, 9.876]
+        for i in range(12)
+    }
+    p["streaming_steady_s"] = {
+        f"streaming_query_{i:02d}": 1.23 for i in range(6)
+    }
+    baseline = len(json.dumps({**p, "queries": {
+        k: round(v, 2) for k, v in p["queries"].items()
+    }}, separators=(",", ":")))
+    assert baseline > 1900  # the synthetic payload genuinely overflows
+    line = _compact_line(p)
+    assert len(line) <= 1900
+    out = json.loads(line)
+    # flags collapsed to a counted marker, not silently vanished
+    assert out["regressions_vs_committed"] == {"shed_flags": 12}
+    # the exonerating evidence survived intact
+    assert len(out["streaming_steady_s"]) == 6
+    assert len(out["queries"]) == 40
+    assert "omitted" not in out

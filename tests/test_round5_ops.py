@@ -18,8 +18,17 @@ from loan_default_prediction_app_big_data_spark.plans._core import t as _t
 
 
 def test_recursive_cte_matches_python_walk(spark, sf_dir):
+    import decimal
+
+    # SQL HALF_UP on the cents grid, like the plan's F.round — Python
+    # round() is banker's and would false-fail on a .5-tie fixture
+    # (same recompute pattern as test_map_in_arrow_matches_python_round).
     bal = {
-        r["s_suppkey"]: int(round(r["s_acctbal"] * 100))
+        r["s_suppkey"]: int(
+            (decimal.Decimal(repr(r["s_acctbal"])) * 100).quantize(
+                decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+            )
+        )
         for r in _t(spark, sf_dir, "supplier")
         .select("s_suppkey", "s_acctbal")
         .collect()
