@@ -163,6 +163,88 @@ def cdc_boundaries(
     )
 
 
+def cdc_chunk_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    base: int = 257,
+    modulus: int = 1_000_003,
+    divisor: int = 32,
+) -> DataFrame:
+    """Arrow-batched CDC chunk statistics — the vectorized kernel twin
+    of the ``cdc_boundaries`` HOF fold (VERDICT r6 item 4).
+
+    Same boundary rule, same exact-integer outputs (``n_chars_cdc``,
+    ``n_chunks``, ``first_boundary``, ``min_chunk``, ``max_chunk``,
+    ``mean_chunk_x100``), different execution: because the rolling
+    fold removes the outgoing character exactly, the hash at every
+    position IS the polynomial of just the trailing ``window`` chars —
+    a sliding-window dot product. That makes the whole scan ``window``
+    vectorized multiply-adds over the char-code array in numpy
+    (C speed, Arrow batch transfer) instead of ~6 interpreted Catalyst
+    ops per character in the HOF lambda. All integer math (terms
+    bounded by max-codepoint * modulus * window << 2^63), so the
+    outputs are bit-identical to the HOF twin and the DuckDB oracle on
+    ANY partition layout — ``tests/test_round6_ops.py`` pins kernel ==
+    HOF equality.
+
+    Scale: ``mapInPandas`` over (id, text) — zero shuffles, zero
+    driver traffic, embarrassingly parallel; the per-doc Python loop
+    touches only the boundary list (~n/divisor elements). Keep the HOF
+    twin as the oracle-checked reference; this kernel is the 100 TB
+    scan path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # base^(window-1-j) mod modulus for j = 0..window-1: the weight of
+    # the j-th char inside each trailing window.
+    pw = [pow(base, window - 1 - j, modulus) for j in range(window)]
+    cols = [
+        id_col, "n_chars_cdc", "n_chunks", "first_boundary",
+        "min_chunk", "max_chunk", "mean_chunk_x100",
+    ]
+
+    def compute(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                n = len(text)
+                if n == 0:
+                    continue
+                enc = text.encode("utf-8", "surrogatepass")
+                if len(enc) == n:  # pure ASCII: zero-copy char codes
+                    codes = np.frombuffer(enc, dtype=np.uint8).astype(np.int64)
+                else:  # codepoint semantics identical to F.ascii/ord
+                    codes = np.fromiter(map(ord, text), dtype=np.int64, count=n)
+                if n >= window:
+                    h = np.zeros(n - window + 1, dtype=np.int64)
+                    for j in range(window):
+                        h += codes[j : n - window + 1 + j] * pw[j]
+                    h %= modulus
+                    # windows end at 1-based i in [window, n]; the HOF
+                    # records a boundary only for i < n.
+                    ends = np.arange(window, n + 1, dtype=np.int64)
+                    bnd = ends[(h % divisor == 0) & (ends < n)]
+                else:
+                    bnd = np.empty(0, dtype=np.int64)
+                lens = np.diff(np.concatenate(([0], bnd, [n])))
+                nc = len(bnd) + 1
+                rows.append((
+                    doc_id, n, nc, int(bnd[0]) if len(bnd) else 0,
+                    int(lens.min()), int(lens.max()), (100 * n) // nc,
+                ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    out_schema = ", ".join(f"{c} long" for c in cols)
+    return (
+        docs.select(id_col, text_col)
+        .filter(F.length(text_col) > 0)
+        .mapInPandas(compute, out_schema)
+    )
+
+
 def pack_documents(
     docs: DataFrame,
     budget: int = 256,

@@ -332,12 +332,31 @@ _CDC_ORACLE = """
     "length and the 1e-2-grid mean via exact integer division. Both "
     "engines run the IDENTICAL integer recurrence ((a*257+c) mod "
     "1000003) over the same char codes — no floats anywhere. Scale: "
-    "one precomputed char-code array per row (a higher-order let "
-    "binds it once — O(8n) per row, never O(n^2)), zero shuffles, "
-    "zero UDFs, embarrassingly parallel at 100 TB.",
+    "the scan runs the Arrow-batched numpy kernel (cdc_chunk_stats — "
+    "the trailing-window hash is a sliding dot product, so the whole "
+    "per-doc scan is 8 vectorized multiply-adds at C speed instead "
+    "of ~6 interpreted HOF ops/char; VERDICT r6 item 4), zero "
+    "shuffles, zero driver traffic, embarrassingly parallel at "
+    "100 TB. The native-HOF twin (cdc_boundaries) stays the "
+    "oracle-checked reference; kernel == HOF equality is pinned by "
+    "test.",
     tags=("text", "llm-pipeline", "dedup", "round6"),
 )
 def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textprep import cdc_chunk_stats
+
+    return cdc_chunk_stats(
+        t(spark, sf_dir, "documents"),
+        text_col="text", id_col="doc_id",
+        window=8, base=257, modulus=1_000_003, divisor=32,
+    ).orderBy("doc_id")
+
+
+def content_defined_chunking_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native-HOF twin of ``content_defined_chunking`` — the original
+    zero-UDF Catalyst formulation, kept as the oracle-checked
+    reference for the Arrow kernel (tests pin kernel == HOF exact
+    equality; not separately registered)."""
     from ..operators.textprep import cdc_boundaries
 
     d = (

@@ -448,3 +448,51 @@ def test_unigram_viterbi_matches_python_dp(spark, sf_dir):
         assert r["singles_score"] == single
         assert r["seg_gain"] == best[n] / single
         assert r["seg_gain"] >= 1.0  # singles is one candidate path
+
+
+def test_cdc_arrow_kernel_equals_hof_twin(spark, sf_dir):
+    """The Arrow-batched kernel (cdc_chunk_stats — the registered
+    query's scan path since round 7) must be row-for-row identical to
+    the native-HOF Catalyst twin it replaced, which remains the
+    oracle-checked reference (VERDICT r6 item 4)."""
+    from loan_default_prediction_app_big_data_spark.plans._q18_round6b import (
+        content_defined_chunking_hof,
+    )
+
+    kernel = sorted(
+        tuple(r) for r in _run(spark, "content_defined_chunking", sf_dir).collect()
+    )
+    hof = sorted(tuple(r) for r in content_defined_chunking_hof(spark, sf_dir).collect())
+    assert len(kernel) > 0
+    assert kernel == hof
+
+
+def test_cdc_arrow_kernel_non_ascii_codepoints(spark):
+    """The kernel's zero-copy ASCII fast path must agree with its
+    codepoint fallback AND the HOF rule on non-ASCII text (F.ascii /
+    ord both yield the codepoint)."""
+    from loan_default_prediction_app_big_data_spark.operators.textprep import (
+        cdc_chunk_stats,
+    )
+
+    texts = [
+        (0, "plain ascii text that takes the frombuffer fast path ok"),
+        (1, "naïve café résumé — ünïcödé text exercises the ord path"),
+        (2, "短い非ASCIIドキュメント with mixed 码点 content here too"),
+        (3, "x" * 7),   # shorter than the window: zero boundaries
+        (4, ""),        # empty: filtered out entirely
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in cdc_chunk_stats(df).collect()}
+    assert set(got) == {0, 1, 2, 3}  # empty doc dropped
+    for doc_id, text in texts:
+        if not text:
+            continue
+        bnd = _python_cdc(text)
+        bl = [0] + bnd + [len(text)]
+        lens = [b - a for a, b in zip(bl, bl[1:])]
+        r = got[doc_id]
+        assert r["n_chars_cdc"] == len(text)
+        assert r["n_chunks"] == len(bnd) + 1
+        assert r["first_boundary"] == (bnd[0] if bnd else 0)
+        assert r["min_chunk"] == min(lens) and r["max_chunk"] == max(lens)
