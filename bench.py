@@ -168,16 +168,76 @@ def run() -> None:
         "regressions_vs_committed": top_regressions,
         "streaming_steady_s": streaming_steady,
     }
-    # Full per-query timings always land in bench_full.json (committed
-    # per round); stdout gets a line guaranteed to fit the harness's
-    # 2000-char stdout-tail capture — round 1's 96-entry line exceeded
-    # it and recorded as parsed:null.
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
-        "w",
-    ) as fh:
+    # Full per-query timings of EVERY run land in bench_full_last.json;
+    # bench_full.json is the COMMITTED comparison baseline and only
+    # refreshes from a clean draw (_snapshot_is_clean) — the round-6
+    # driver run clobbered the 386.6 s idle snapshot with a degraded
+    # 536.5 s draw (gc_ms 33.9 s), which would have masked real
+    # regressions in every later comparison. PERF.md documents the
+    # idle-machine-only snapshot discipline; this gate automates it
+    # with the run's own telemetry. stdout gets a line guaranteed to
+    # fit the harness's 2000-char stdout-tail capture — round 1's
+    # 96-entry line exceeded it and recorded as parsed:null.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_full_last.json"), "w") as fh:
         json.dump(payload, fh, indent=1)
+    snap = os.path.join(here, "bench_full.json")
+    if _should_refresh_snapshot(payload, snap):
+        with open(snap, "w") as fh:
+            json.dump(payload, fh, indent=1)
     print(_compact_line(payload))
+
+
+def _should_refresh_snapshot(payload: dict, snap_path: str) -> bool:
+    """Refresh the committed baseline only from a clean draw AT THE
+    SAME scale factor that is NOT regression-shaped vs the standing
+    baseline — both guards were added after live misses: a clean
+    sf0.001 smoke replaced the sf0.1 baseline, then a 555 s degraded
+    draw slipped the gc gate at gc 11.5 s. A run slower than
+    _CLEAN_TOTAL_RATIO x the baseline needs investigating (or
+    SPARK_GRAFT_SNAPSHOT=force after a deliberate slowdown) before it
+    may become the thing later runs are compared against."""
+    if os.environ.get("SPARK_GRAFT_SNAPSHOT") == "force":
+        return True
+    if not os.path.exists(snap_path):
+        return True
+    if not _snapshot_is_clean(payload):
+        return False
+    try:
+        with open(snap_path) as fh:
+            prev = json.load(fh)
+    except (OSError, ValueError):
+        return True
+    if payload.get("sf") != prev.get("sf"):
+        return False
+    prev_total = prev.get("value")
+    new_total = payload.get("value")
+    if prev_total and new_total and new_total > _CLEAN_TOTAL_RATIO * prev_total:
+        return False
+    return True
+
+
+#: Every committed idle-machine snapshot measured gc_ms 3.6-4.9 s;
+#: documented host-degraded draws measured 11.5-76.2 s (PERF.md
+#: round-6/7 evidence — a 555 s degraded draw with gc 11.5 s slipped
+#: a first-cut 15 s threshold live). 8 s splits the populations.
+_CLEAN_GC_MS = 8_000
+
+#: A run slower than this multiple of the standing baseline total is
+#: regression-shaped: investigate it (or force with
+#: SPARK_GRAFT_SNAPSHOT=force) before it may BECOME the baseline.
+_CLEAN_TOTAL_RATIO = 1.15
+
+
+def _snapshot_is_clean(payload: dict) -> bool:
+    """True when a run's own telemetry says the host was healthy
+    enough for the run to serve as the regression baseline. gc_ms is
+    the separator (hypervisor vCPU pauses are attributed to whatever
+    was running — usually GC — so degraded draws show 2.5-20x the
+    idle-draw GC wall); a missing reading defaults to clean so
+    non-JVM-introspectable environments still refresh."""
+    gc_ms = payload.get("gc_ms")
+    return gc_ms is None or gc_ms < _CLEAN_GC_MS
 
 
 # A17 latency tiers must appear in EVERY driver snapshot (VERDICT r4

@@ -6,7 +6,7 @@ large-scale pretraining pipeline runs, over the fixture corpus:
 
     ingest -> exact dedup -> near-dup dedup (MinHash bands)
            -> quality gates (Gopher/C4-style + LM surprisal)
-           -> span-corruption planning -> context packing
+           -> span-corruption planning -> content-defined chunking
            -> balanced output shards + content checksum
 
 Every stage is one of the engine's tested operators; this script is the
@@ -82,7 +82,25 @@ def main(sf_dir: str) -> None:
     )
     n_spans = spans.count()
 
-    # 6. integrity fingerprint of the released corpus (order-insensitive
+    # 6. content-defined chunk statistics of the released corpus — the
+    # chunk-level-dedup front-end (chunk_dedup_rewrite keys on these
+    # boundaries). Runs the Arrow-batched Rabin kernel (cdc_chunk_stats;
+    # zero shuffles — see PERF.md round 7 for the measured win over the
+    # interpreted-HOF twin).
+    from loan_default_prediction_app_big_data_spark.operators.textprep import (
+        cdc_chunk_stats,
+    )
+
+    chunk_stats = cdc_chunk_stats(
+        final.select("doc_id", "text")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chunks").alias("n_chunks"),
+        F.min("min_chunk").alias("min_chunk"),
+        F.max("max_chunk").alias("max_chunk"),
+    ).collect()[0]
+
+    # 7. integrity fingerprint of the released corpus (order-insensitive
     # xor-fold; the anti-entropy primitive from table_checksum)
     h = F.conv(
         F.substring(F.md5(F.concat_ws("|", F.col("doc_id").cast("string"),
@@ -99,9 +117,17 @@ def main(sf_dir: str) -> None:
     print(f"after quality gates: {n3}")
     print(f"after surprisal cut: {n4}")
     print(f"corruption spans:    {n_spans}")
+    print(
+        f"cdc chunks:          {chunk_stats['n_chunks']} over "
+        f"{chunk_stats['n_docs']} docs "
+        f"(chunk len {chunk_stats['min_chunk']}-{chunk_stats['max_chunk']})"
+    )
     print(f"release checksum:    {checksum} over {n_final} docs")
     assert n0 >= n1 >= n2 >= n3 >= n4 > 0
     assert n_final == n4
+    # every released non-empty doc is chunked, and chunking only splits
+    assert chunk_stats["n_docs"] > 0
+    assert chunk_stats["n_chunks"] >= chunk_stats["n_docs"]
 
 
 if __name__ == "__main__":

@@ -113,3 +113,62 @@ def test_high_flag_count_sheds_regressions_before_queries():
     assert len(out["streaming_steady_s"]) == 6
     assert len(out["queries"]) == 40
     assert "omitted" not in out
+
+
+def test_snapshot_clean_gate_separates_weather_from_idle():
+    """bench_full.json (the committed regression baseline) must only
+    refresh from a clean draw: every committed idle snapshot measured
+    gc_ms 3.6-4.9 s while documented host-degraded draws measured
+    25.3-76.2 s — the round-6 driver run clobbered the baseline with
+    a 33.9 s-gc draw, which would mask real regressions afterward."""
+    from bench import _snapshot_is_clean
+
+    assert _snapshot_is_clean({"gc_ms": 4227})       # committed idle draws
+    assert _snapshot_is_clean({"gc_ms": 4871})
+    assert _snapshot_is_clean({"gc_ms": None})       # no JVM introspection
+    assert _snapshot_is_clean({})
+    assert not _snapshot_is_clean({"gc_ms": 11497})  # 555s draw, gc 11.5s —
+    # slipped the first-cut 15s threshold live (PERF.md round 7)
+    assert not _snapshot_is_clean({"gc_ms": 25345})  # this round's 546s draw
+    assert not _snapshot_is_clean({"gc_ms": 33964})  # the r6 driver draw
+    assert not _snapshot_is_clean({"gc_ms": 76200})  # the r6 worst draw
+
+
+def test_snapshot_refresh_requires_matching_scale_factor(tmp_path):
+    """A clean low-SF smoke run must not replace the sf0.1 baseline
+    (observed: an sf0.001 write-path smoke overwrote the restored
+    snapshot before this guard existed)."""
+    import json as _json
+
+    from bench import _should_refresh_snapshot
+
+    snap = tmp_path / "bench_full.json"
+    snap.write_text(
+        _json.dumps({"sf": 0.1, "value": 386.6, "queries": {}, "gc_ms": 4000})
+    )
+    clean = {"gc_ms": 4000, "value": 390.0}
+    assert _should_refresh_snapshot({**clean, "sf": 0.1}, str(snap))
+    assert not _should_refresh_snapshot({**clean, "sf": 0.001}, str(snap))
+    assert not _should_refresh_snapshot(
+        {"gc_ms": 30000, "value": 390.0, "sf": 0.1}, str(snap)
+    )
+    # regression-shaped totals can't silently become the baseline ...
+    assert not _should_refresh_snapshot(
+        {"gc_ms": 4000, "value": 555.3, "sf": 0.1}, str(snap)
+    )
+    # ... unless deliberately forced after investigation
+    import os as _os
+
+    _os.environ["SPARK_GRAFT_SNAPSHOT"] = "force"
+    try:
+        assert _should_refresh_snapshot(
+            {"gc_ms": 4000, "value": 555.3, "sf": 0.1}, str(snap)
+        )
+    finally:
+        del _os.environ["SPARK_GRAFT_SNAPSHOT"]
+    # a FASTER clean draw always refreshes
+    assert _should_refresh_snapshot(
+        {"gc_ms": 4000, "value": 350.0, "sf": 0.1}, str(snap)
+    )
+    # no snapshot yet: any draw seeds it
+    assert _should_refresh_snapshot({**clean, "sf": 0.001}, str(tmp_path / "x.json"))
