@@ -95,72 +95,12 @@ def oracle_sql() -> dict[str, str]:
 
 
 _DRIVER_PRIORITY: list[str] = [
-    # ================= Round-7 slots 1-50 (VERDICT r6 item 1) =======
-    # All 50 have NO driver CORRECTNESS row across r1-r6 (105 of 385
-    # registered queries remained uncertified after r6). Ordered
-    # charter-and-user-impact first per VERDICT r6: the nine round-6
-    # additions (decontamination, WordPiece train/encode, CDC chunking,
-    # unigram-LM Viterbi, delta vacuum, pagination, WITHIN GROUP
-    # percentiles, GROUP BY ALL), then the engine-surface items the
-    # judge named (URL/grouping-sets/parameterized markers/exchange
-    # reuse/join hints/schema evolution/dynamic overwrite/codecs/
-    # observe), then the stats-and-linkage tail, then registration
-    # order. Zero repeats of the 280 certified.
-    "fuzzy_decontamination",
-    "wordpiece_merge_training",
-    "wordpiece_maxmatch_tokenize",
-    "content_defined_chunking",
-    "unigram_lm_viterbi_score",
-    "delta_vacuum_roundtrip",
-    "limit_offset_pagination",
-    "percentile_within_group",
-    "group_by_all_shorthand",
-    "url_parse_functions",
-    "grouping_sets_report",
-    "parameterized_query_markers",
-    "exchange_reuse_extremes",
-    "join_strategy_hints",
-    "parquet_schema_evolution",
-    "dynamic_partition_overwrite",
-    "compression_codec_roundtrip",
-    "observe_metrics_inline",
-    "moment_stats_skew_kurtosis",
-    "theil_sen_mann_kendall",
-    "survival_kaplan_meier",
-    "record_linkage_fellegi_sunter",
-    "item_item_collaborative_topk",
-    "anomaly_zscore_days",
-    "basket_size_distribution",
-    "score_migration_matrix",
-    "skyline_price_size",
-    "cdf_transform_vs_reference",
-    "fulfillment_lag_distribution",
-    "duplicate_transaction_detection",
-    "journey_pattern_match",
-    "collated_aggregation",
-    "shortest_path_trade_cost",
-    "video_frame_sample_plan",
-    "prefixspan_sequential_patterns",
-    "funnel_within_window",
-    "permutation_test_segment",
-    "k_anonymity_audit",
-    "decayed_leaderboard",
-    "seasonal_decomposition_daily",
-    "span_corruption_plan",
-    "embedding_int8_quantization",
-    "pandas_grouped_agg_trimmed_mean",
-    "table_diff_summary",
-    "run_length_encoding",
-    "table_checksum",
-    "embedding_dimension_stats",
-    "csv_corrupt_record_audit",
-    "balanced_shard_plan",
-    "negative_sampling_plan",
-    # ============== Round-8+ rotation queue (never-certified) ======
-    # Remaining never-certified queries in registration order; each
-    # future round promotes its next 50 to the top. The 280 already-
-    # certified names trail after this list via ``_ordered_names``
-    # and are never re-submitted to the driver.
+    # ================= Round-8 slots 1-50 (VERDICT r7 item 1) =======
+    # The full never-certified remainder after r7 (55 names; driver
+    # certified 330/385 cumulative, all green). The driver window is
+    # the FIRST 50 -- the last 5 below spill to round 9 and head that
+    # round's queue. Order preserved from the r7 rotation queue
+    # (registration order); zero repeats of the 330 certified.
     "hard_negative_mining",
     "functional_dependency_audit",
     "incremental_aggregate_maintenance",
@@ -211,6 +151,7 @@ _DRIVER_PRIORITY: list[str] = [
     "mcnemar_paired_test",
     "runs_test_randomness",
     "cochran_armitage_trend",
+    # ============== Round-9 spill (never-certified tail) ===========
     "transpose_metrics",
     "poisson_rate_ratio_test",
     "cohens_kappa_agreement",
