@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..pinning import pin_local  # noqa: F401  (re-export for plan modules)
 from ..sources.readers import read_parquet_table
 from ..operators import relational as R
 

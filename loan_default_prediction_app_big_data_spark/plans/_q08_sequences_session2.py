@@ -270,7 +270,9 @@ def als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pin the <=10-user verdict rows locally, then release both caches
     # (ratings feeds fit + three downstream frames; recs feeds three)
     # so nothing stays pinned for the rest of the session.
-    pinned = spark.createDataFrame(out.collect(), out.schema)
+    from ..pinning import pin_local
+
+    pinned = pin_local(spark, out)
     ratings.unpersist()
     recs.unpersist()
     # ALS training persists its factor RDDs internally (named

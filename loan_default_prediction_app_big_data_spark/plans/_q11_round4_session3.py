@@ -858,7 +858,7 @@ def sqlite_cdc_streaming_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     # result locally, and DROP the memory-sink table — the previous
     # .cache()-and-never-unpersist pattern leaked the full replay into
     # JVM storage memory across the bench session (VERDICT r5 item 2).
-    from ..streaming.windows import _pin_local
+    from ..pinning import pin_local as _pin_local
 
     agg = (
         spark.table(name)
@@ -995,7 +995,9 @@ def sqlite_streaming_sink_roundtrip(
     # a cache could be invalidated later and recompute from the
     # deleted path, and it would stay pinned for the whole session
     # (same class as the round-6 streaming memory-sink leak fix).
-    result = spark.createDataFrame(result.collect(), result.schema)
+    from ..pinning import pin_local
+
+    result = pin_local(spark, result)
     shutil.rmtree(ckpt, ignore_errors=True)
     return result
 
@@ -1194,8 +1196,9 @@ def sql_scripting_median_bisection(
         # enabled-config scope, then release the cents cache — nothing
         # stays pinned after the call (same discipline as the
         # streaming runners' _pin_local).
-        rows = out.collect()
-        out = spark.createDataFrame(rows, out.schema)
+        from ..pinning import pin_local
+
+        out = pin_local(spark, out)
     finally:
         spark.conf.set("spark.sql.scripting.enabled", prev)
         cents.unpersist()

@@ -1634,8 +1634,10 @@ def sqlite_batch_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a cache is never unpersisted by callers (session-lifetime pin)
     # and can be invalidated into a recompute against a dir a rerun
     # has already overwritten.
+    from ..pinning import pin_local
+
     out = back.select("n_name", "n_orders", "revenue_cents")
-    return spark.createDataFrame(out.collect(), out.schema)
+    return pin_local(spark, out)
 
 
 # =====================================================================

@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..pinning import pin_local
+
 
 def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a bounded stream (schema pinned from the static
@@ -71,19 +73,18 @@ def _drain_memory_sink(spark: SparkSession, name: str) -> DataFrame:
     ``createDataFrame`` rows live only as long as the returned
     DataFrame — nothing stays pinned after the caller drops it.
     """
-    out = _pin_local(spark, spark.table(name))
+    # Explicit wider bound: the sink's rows are ALREADY driver-resident
+    # (memory-sink contract), so pinning adds no new scale exposure —
+    # append-mode event-level sinks (e.g. the full-outer stream-stream
+    # join) legitimately exceed pin_local's strict plan-side default.
+    out = _pin_local(spark, spark.table(name), max_rows=1_000_000)
     spark.catalog.dropTempView(name)
     return out
 
 
-def _pin_local(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Collect a metadata-scale result and rebuild it as a local-
-    relation DataFrame, severing any dependency on soon-to-be-dropped
-    inputs (memory-sink tables, temp checkpoint/output dirs). Safer
-    than ``.cache()``: a cache can be invalidated (clearCache,
-    unpersist, session restart) after which any action recomputes from
-    the deleted source and fails — ADVICE r5 item 1's failure mode."""
-    return spark.createDataFrame(df.collect(), df.schema)
+# Canonical implementation (with max-rows guard) lives in
+# ..pinning — hoisted in round 8 after the pattern's third call site.
+_pin_local = pin_local
 
 
 def tumbling_window_agg_stream(events: DataFrame) -> DataFrame:
@@ -411,7 +412,7 @@ def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Pin the handful of result rows before removing the temp target
     # (groups are event_type cardinality — metadata scale).
-    out = spark.createDataFrame(agg.collect(), agg.schema)
+    out = pin_local(spark, agg)
     shutil.rmtree(tgt.rsplit("/", 1)[0], ignore_errors=True)
     return out
 

@@ -47,6 +47,115 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+# =====================================================================
+# BNLJ build-side bounding (VERDICT r7 item 3)
+#
+# A BroadcastNestedLoopJoin is the idiomatic scalar-attach pattern
+# (`crossJoin(broadcast(<global aggregate>))`) and scale-safe ONLY when
+# the broadcast side is row-bounded before the exchange. The census
+# used to count BNLJ nodes without checking the build side — a
+# data-scale frame slipping into one would be a 100x-scale killer that
+# nothing caught. These helpers parse the formatted-explain tree and
+# flag any BNLJ whose build side reaches a file scan (or a large
+# Range) with no global aggregate / limit between them.
+# =====================================================================
+
+_TREE_NODE = re.compile(r"^(?P<prefix>[\s:+-]*)(?:\* )?(?P<name>\S[^(]*?)\s*\((?P<id>\d+)\)\s*$")
+# Operators that bound output rows regardless of input size. Global
+# (Keys: []) aggregates are detected separately from the detail blocks.
+_BOUNDING = ("GlobalLimit", "CollectLimit", "TakeOrderedAndProject")
+_AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+_RANGE_MAX_ROWS = 100_000  # literal ranges above this are data-scale
+
+
+def _parse_tree(plan: str) -> list[dict]:
+    """Formatted-explain tree -> [{id, name, depth, children}] nodes."""
+    lines = plan.splitlines()
+    try:
+        start = next(i for i, ln in enumerate(lines) if ln.startswith("== Physical Plan =="))
+    except StopIteration:
+        return []
+    nodes: list[dict] = []
+    stack: list[dict] = []  # one entry per depth level
+    for ln in lines[start + 1:]:
+        if not ln.strip():
+            break
+        m = _TREE_NODE.match(ln)
+        if not m:
+            continue
+        marker = re.search(r"[:+]- ", m.group("prefix"))
+        depth = (marker.start() // 3 + 1) if marker else 0
+        node = {
+            "id": int(m.group("id")),
+            "name": m.group("name").strip(),
+            "depth": depth,
+            "children": [],
+        }
+        del stack[depth:]
+        if stack:
+            stack[-1]["children"].append(node)
+        stack.append(node)
+        nodes.append(node)
+    return nodes
+
+
+def _details_of(plan: str) -> dict[int, str]:
+    """node id -> its detail block text (the `(N) NodeName` sections)."""
+    out: dict[int, str] = {}
+    for m in re.finditer(r"^\((\d+)\) .*?(?=^\(\d+\) |\Z)", plan, re.M | re.S):
+        out[int(m.group(1))] = m.group(0)
+    return out
+
+
+def _is_bounding(node: dict, details: dict[int, str]) -> bool:
+    name = node["name"].split()[0]
+    if name in _BOUNDING:
+        return True
+    if name in _AGG_NODES:
+        # Global aggregate = empty grouping keys -> ≤1 row per input
+        # partition (partial) or exactly 1 row (final); both bounded.
+        return bool(re.search(r"Keys(?: \[\d*\])?: \[\]", details.get(node["id"], "")))
+    return False
+
+
+def _subtree_unbounded(node: dict, details: dict[int, str]) -> bool:
+    """True if a data-scale leaf is reachable with no bounding ancestor."""
+    if _is_bounding(node, details):
+        return False
+    name = node["name"].split()[0]
+    if name == "Scan":
+        return True
+    if name == "Range":
+        m = re.search(r"Arguments: Range \((-?\d+), (-?\d+)", details.get(node["id"], ""))
+        if m and int(m.group(2)) - int(m.group(1)) > _RANGE_MAX_ROWS:
+            return True
+        return False
+    if name == "ReusedExchange":
+        # Subtree not visible here; the original exchange is audited
+        # where it appears. Broadcast reuse of an unbounded frame would
+        # already have flagged the original BNLJ/BHJ site.
+        return False
+    return any(_subtree_unbounded(c, details) for c in node["children"])
+
+
+def bnlj_unbounded(plan: str) -> list[str]:
+    """Names/ids of BNLJ nodes whose broadcast side is NOT row-bounded."""
+    nodes = _parse_tree(plan)
+    details = _details_of(plan)
+    bad: list[str] = []
+    for n in nodes:
+        if not n["name"].startswith("BroadcastNestedLoopJoin"):
+            continue
+        build_right = "BuildLeft" not in n["name"]
+        if len(n["children"]) != 2:
+            bad.append(f"BNLJ ({n['id']}): malformed tree ({len(n['children'])} children)")
+            continue
+        side = n["children"][1 if build_right else 0]
+        if _subtree_unbounded(side, details):
+            bad.append(f"BNLJ ({n['id']}) build side unbounded (root {side['name']})")
+    return bad
+
+
 def audit(name: str, plan: str) -> dict:
     return {
         "name": name,
@@ -61,6 +170,7 @@ def audit(name: str, plan: str) -> dict:
         "py_arrow": len(re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)),
         "cartesian": len(re.findall(r"CartesianProduct", plan)),
         "pushed": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
+        "bnlj_bad": bnlj_unbounded(plan),
     }
 
 
@@ -87,6 +197,8 @@ def main() -> int:
             # the intended dense-GEMM shape (each side is a handful of
             # factor blocks, not the ratings table), not an accident.
             flags.append(f"{r['name']}: CartesianProduct x{r['cartesian']}")
+        for msg in r["bnlj_bad"]:
+            flags.append(f"{r['name']}: {msg}")
         if r["py_row"] and r["name"] not in _UDTF_WHITELIST:
             # The two UDTF API demos are deliberate row-at-a-time
             # Python (SURVEY.md round-3/4 notes: non-hot-path policy,
@@ -109,6 +221,12 @@ def main() -> int:
         f.write(f"- exchanges: {tot('exchanges')} (single-partition: {tot('single_part')})\n")
         f.write(f"- joins: {tot('bhj')} broadcast-hash, {tot('smj')} sort-merge, "
                 f"{tot('shj')} shuffled-hash, {tot('bnlj')} broadcast-NL\n")
+        n_bad_bnlj = sum(len(r["bnlj_bad"]) for r in rows)
+        f.write(f"- BNLJ build sides: "
+                + ("**all bounded** (every broadcast side derives from a "
+                   "global aggregate, limit, or literal frame)\n"
+                   if n_bad_bnlj == 0 else
+                   f"**{n_bad_bnlj} UNBOUNDED** (see red flags)\n"))
         f.write(f"- WholeStageCodegen spans: {tot('codegen')}\n")
         f.write(f"- Arrow-vectorized Python ops: {tot('py_arrow')}; "
                 f"row-at-a-time Python: **{tot('py_row')}**\n")

@@ -84,10 +84,46 @@ def test_multimodal_uses_arrow_not_row_python(spark, sf_dir):
     ],
 )
 def test_no_cartesian_products_anywhere(spark, sf_dir, name):
-    """No registry query may plan an unbounded cartesian product.
-    (Broadcast nested-loop against 1-row/literal sides is fine.)"""
+    """No registry query may plan an unbounded cartesian product, and
+    every BroadcastNestedLoopJoin's build side must be row-bounded
+    (global aggregate / limit / literal) — VERDICT r7 item 3: a
+    data-scale frame slipping into a BNLJ broadcast is a 100x-scale
+    killer that a bare node count never catches."""
     plan = formatted_plan(spark, name, sf_dir)
     assert "CartesianProduct" not in plan, name
+    assert _bnlj_unbounded(plan) == [], name
+
+
+def _bnlj_unbounded(plan: str) -> list[str]:
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "repo", "scripts"))
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from plan_audit import bnlj_unbounded
+
+    return bnlj_unbounded(plan)
+
+
+def test_bnlj_checker_flags_fact_sized_broadcast(spark, sf_dir):
+    """Feed the auditor a deliberate fact-sized crossJoin and a
+    bounded scalar-attach; it must flag exactly the former."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    def fmt(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+
+    bad = orders.crossJoin(F.broadcast(cust.select("c_custkey")))
+    good = orders.crossJoin(
+        F.broadcast(orders.agg(F.avg("o_totalprice").alias("avg_tp")))
+    )
+    assert _bnlj_unbounded(fmt(bad)), "fact-sized broadcast side must flag"
+    assert _bnlj_unbounded(fmt(good)) == []
 
 
 def test_driver_priority_slots_valid():
