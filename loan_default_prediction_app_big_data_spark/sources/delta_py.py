@@ -249,26 +249,45 @@ def vacuum(path: str) -> int:
     ``_delta_log`` directory is never touched (history metadata stays
     replayable even when the data files are gone).
 
-    Concurrency guard (ADVICE r6): ``_publish``/``commit_compaction``
-    write data files to the table root BEFORE the log commit, so a
-    vacuum racing an in-flight commit would otherwise delete
-    just-written, not-yet-published files. Files modified at-or-after
-    the latest committed log entry are therefore skipped — the
-    minimal retention analog of production Delta's "newer than the
-    retention window" rule, which closes that race without a lock.
+    Concurrency guard (ADVICE r6, tightened in r8 per ADVICE r7):
+    ``_publish``/``commit_compaction`` write data files to the table
+    root BEFORE the log commit, so a vacuum racing an in-flight commit
+    must not delete just-written, not-yet-published files. The guard
+    is membership-first: a non-live file the log has EVER referenced
+    (add'ed then remove'd) is provably dead and reclaimed regardless
+    of its mtime — membership, unlike mtime, is immune to coarse
+    filesystem timestamp granularity, which previously let same-tick
+    pre-compaction files survive non-deterministically. Only files
+    the log has NEVER seen are in-flight candidates; those are kept
+    unless strictly older than the latest commit minus one full
+    granularity unit (1 s) — the minimal retention analog of
+    production Delta's "newer than the retention window" rule.
     """
-    latest = table_versions(path)[-1]
-    log_mtime = os.path.getmtime(_version_file(path, latest))
+    versions = table_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"{path}: no _delta_log — not a Delta table")
+    log_mtime = os.path.getmtime(_version_file(path, versions[-1]))
     live = {os.path.basename(p) for p in snapshot_files(path)}
+    ever_referenced: set[str] = set()
+    for v in versions:
+        with open(_version_file(path, v)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                for key in ("add", "remove"):
+                    if key in action:
+                        ever_referenced.add(
+                            os.path.basename(action[key]["path"])
+                        )
     deleted = 0
     for f in sorted(os.listdir(path)):
         full = os.path.join(path, f)
-        if (
-            f.endswith(".parquet")
-            and f not in live
-            and os.path.isfile(full)
-            and os.path.getmtime(full) < log_mtime
+        if not (
+            f.endswith(".parquet") and f not in live and os.path.isfile(full)
         ):
+            continue
+        if f in ever_referenced or os.path.getmtime(full) < log_mtime - 1.0:
             os.remove(full)
             deleted += 1
     return deleted

@@ -124,7 +124,11 @@ def _subtree_unbounded(node: dict, details: dict[int, str]) -> bool:
         return False
     name = node["name"].split()[0]
     if name == "Scan":
-        return True
+        # File-format scans are data-scale; "Scan ExistingRDD" is a
+        # driver-created local relation (createDataFrame — bounded to
+        # 10k rows by pinning.pin_local's guard) and "Scan
+        # OneRowRelation" is a literal.
+        return node["name"].split()[1] not in ("ExistingRDD", "OneRowRelation")
     if name == "Range":
         m = re.search(r"Arguments: Range \((-?\d+), (-?\d+)", details.get(node["id"], ""))
         if m and int(m.group(2)) - int(m.group(1)) > _RANGE_MAX_ROWS:

@@ -170,5 +170,14 @@ def test_snapshot_refresh_requires_matching_scale_factor(tmp_path):
     assert _should_refresh_snapshot(
         {"gc_ms": 4000, "value": 350.0, "sf": 0.1}, str(snap)
     )
-    # no snapshot yet: any draw seeds it
+    # no snapshot yet: only a CLEAN draw may seed it (ADVICE r7 — a
+    # degraded first draw would become the baseline and only self-heal
+    # if a later clean draw were faster)
     assert _should_refresh_snapshot({**clean, "sf": 0.001}, str(tmp_path / "x.json"))
+    assert not _should_refresh_snapshot(
+        {"gc_ms": 30000, "value": 390.0, "sf": 0.1}, str(tmp_path / "x.json")
+    )
+    # missing telemetry still seeds (non-JVM-introspectable host)
+    assert _should_refresh_snapshot(
+        {"value": 390.0, "sf": 0.1}, str(tmp_path / "x.json")
+    )

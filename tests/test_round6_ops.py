@@ -309,6 +309,49 @@ def test_vacuum_reclaims_exactly_the_orphans(spark, tmp_path):
     assert D.vacuum(path) == 0
 
 
+def test_vacuum_guard_is_membership_first(spark, tmp_path):
+    """ADVICE r7: dead files written in the same mtime tick as the
+    latest commit must still be reclaimed (the log itself proves them
+    dead), while never-referenced recent files (in-flight commit
+    candidates) must survive and never-referenced OLD files are
+    garbage."""
+    import os
+
+    from loan_default_prediction_app_big_data_spark.sources import delta_py as D
+
+    path = str(tmp_path / "tbl")
+    D.commit_append(path, spark.range(3).selectExpr("id", "id AS v"))
+    D.commit_overwrite(path, spark.range(3, 6).selectExpr("id", "id AS v"))
+    dead = [os.path.basename(p) for p in D.snapshot_files(path, 0)]
+    # Force the coarse-granularity worst case: dead files share the
+    # exact mtime of the latest log entry.
+    latest_log = D._version_file(path, D.table_versions(path)[-1])
+    t = os.path.getmtime(latest_log)
+    for f in dead:
+        os.utime(os.path.join(path, f), (t, t))
+    inflight = os.path.join(path, "part-inflight.parquet")
+    open(inflight, "wb").write(b"x")
+    os.utime(inflight, (t, t))  # same tick -> must be protected
+    garbage = os.path.join(path, "part-old-garbage.parquet")
+    open(garbage, "wb").write(b"x")
+    os.utime(garbage, (t - 60, t - 60))  # old + unreferenced -> reclaim
+
+    deleted = D.vacuum(path)
+    assert deleted == len(dead) + 1
+    assert not any(os.path.exists(os.path.join(path, f)) for f in dead)
+    assert os.path.exists(inflight)
+    assert not os.path.exists(garbage)
+
+
+def test_vacuum_raises_clearly_on_non_delta_path(tmp_path):
+    import pytest
+
+    from loan_default_prediction_app_big_data_spark.sources import delta_py as D
+
+    with pytest.raises(FileNotFoundError, match="not a Delta table"):
+        D.vacuum(str(tmp_path / "nope"))
+
+
 def test_vacuum_breaks_time_travel_to_reclaimed_versions(spark, tmp_path):
     import os
 
