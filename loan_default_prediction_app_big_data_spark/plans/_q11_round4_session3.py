@@ -828,12 +828,16 @@ def sqlite_cdc_streaming_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_sqlite_source(spark)
     name = f"cdc_{uuid.uuid4().hex[:8]}"
-    # Rate-limit scaled to the input so the replay is ~6 micro-batches
+    # Rate-limit scaled to the input so the replay is ~4 micro-batches
     # at ANY sf. A fixed 1000/shard was wrong at both ends: 38 batches
     # at sf0.1 (each paying Python DataSource planning overhead) and a
     # SINGLE batch at sf0.001 (375 rows/shard < 1000), which broke the
     # multi_batch_replay=TRUE oracle contract at the smallest sf.
-    rate = max(1, n_src // (4 * 6))
+    # 4 batches (was 6): each Python-DataSource micro-batch costs a
+    # steady ~0.7 s of driver-side stream-reader planning regardless
+    # of rows (r8 profile), and 4 still exercises three exactly-once
+    # batch boundaries plus the >=2 non-empty-batch contract.
+    rate = max(1, n_src // (4 * 4))
     stream = (
         spark.readStream.format("sqlite_py_cdc")
         .option("path", out_dir)
@@ -949,10 +953,11 @@ def sqlite_streaming_sink_roundtrip(
     write_sqlite_shards(src, src_dir, "orders").collect()
 
     register_sqlite_source(spark)
-    # Size-scaled rate limit (see sqlite_cdc_streaming_tail): ~6
+    # Size-scaled rate limit (see sqlite_cdc_streaming_tail): ~4
     # micro-batches per shard at any sf instead of 25+ at sf0.1 or a
-    # replay-defeating single batch at sf0.001.
-    rate = max(1, n_src // (4 * 6))
+    # replay-defeating single batch at sf0.001; each Python-DataSource
+    # micro-batch costs ~0.7 s of planning regardless of rows.
+    rate = max(1, n_src // (4 * 4))
     q = (
         spark.readStream.format("sqlite_py_cdc")
         .option("path", src_dir)
