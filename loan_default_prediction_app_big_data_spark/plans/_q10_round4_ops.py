@@ -1299,6 +1299,11 @@ def bootstrap_ci_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("j", F.row_number().over(W.orderBy("day")) - 1)
         .select("j", "cents")
+        # day is a calendar domain (metadata-scale at any corpus
+        # size); the limit restates that structurally so the BNLJ
+        # plan audit can prove the cross-joined/broadcast daily frame
+        # is bounded at every sf (at sf0.001 Catalyst broadcasts it).
+        .limit(100_000)
     )
     n = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
     draws = (
