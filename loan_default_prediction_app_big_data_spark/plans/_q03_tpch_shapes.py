@@ -513,7 +513,10 @@ def set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     """,
     "Distribution window functions (percent_rank / cume_dist) over a "
-    "unique total order.",
+    "unique total order — a global single-partition window by "
+    "construction; at 100 TB restrict to pre-aggregated or "
+    "dimension-sized inputs (customer here) or swap for "
+    "approx_percentile rank lookup, same as window_ntile_rank.",
     tags=("window",),
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -63,7 +63,10 @@ def plan_of(df) -> str:
 _TREE_NODE = re.compile(r"^(?P<prefix>[\s:+-]*)(?:\* )?(?P<name>\S[^(]*?)\s*\((?P<id>\d+)\)\s*$")
 # Operators that bound output rows regardless of input size. Global
 # (Keys: []) aggregates are detected separately from the detail blocks.
-_BOUNDING = ("GlobalLimit", "CollectLimit", "TakeOrderedAndProject")
+# LocalLimit bounds to n rows PER PARTITION (<= n x #partitions, always
+# metadata-scale for the limits used here) — it is what feeds the
+# single-partition exchange under every GlobalLimit.
+_BOUNDING = ("GlobalLimit", "CollectLimit", "TakeOrderedAndProject", "LocalLimit")
 _AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
 _RANGE_MAX_ROWS = 100_000  # literal ranges above this are data-scale
 
@@ -142,6 +145,66 @@ def _subtree_unbounded(node: dict, details: dict[int, str]) -> bool:
     return any(_subtree_unbounded(c, details) for c in node["children"])
 
 
+# Queries whose CONTRACT is an exact global order statistic (ntile /
+# percent_rank / equi-depth histogram / pooled quantile ranking /
+# conformal rank pick / dominance skyline). Their one fact-scale
+# single-partition exchange is the exactness cost, is named in each
+# description along with the 100 TB swap (approx_percentile sketches /
+# partitioned windows / grid-partitioned skyline merge), and the
+# DuckDB oracles pin the exact tie-broken semantics that the sketch
+# variants cannot reproduce. Reported in PLAN_AUDIT.md, not flagged.
+_GLOBAL_ORDER_STAT = {
+    "window_ntile_rank",
+    "window_distribution",
+    "histogram_equi_depth",
+    "skyline_price_size",
+    "conformal_prediction_intervals",
+    "quantile_normalization",
+}
+
+
+def _subtree_fact_scale(node: dict, details: dict[int, str]) -> bool:
+    """True if a file scan is reachable with NO aggregate (grouped or
+    global) and no limit above it — i.e. raw fact rows flow through.
+
+    Softer than :func:`_subtree_unbounded` (used for BNLJ broadcast
+    sides, where only PROVABLE bounds count): a grouped aggregate
+    collapses data to its key domain, which is the census's
+    'post-aggregate metadata-scale frame' claim. The hard failure this
+    catches is a single-partition exchange fed raw fact rows — a
+    guaranteed 100x serialization point."""
+    name = node["name"].split()
+    if _is_bounding(node, details) or name[0] in _AGG_NODES:
+        return False
+    if name[0] == "Scan":
+        return name[1] not in ("ExistingRDD", "OneRowRelation")
+    if name[0] in ("Range", "ReusedExchange"):
+        return False
+    return any(_subtree_fact_scale(c, details) for c in node["children"])
+
+
+def singlepart_unbounded(plan: str) -> list[str]:
+    """Single-partition Exchanges fed RAW FACT ROWS (no aggregate or
+    limit between the exchange and a file scan). The census long
+    claimed 1-part exchanges sit only over post-aggregate
+    metadata-scale frames; this makes the claim machine-checked."""
+    nodes = _parse_tree(plan)
+    details = _details_of(plan)
+    bad: list[str] = []
+    for n in nodes:
+        if n["name"].split()[0] != "Exchange":
+            continue
+        if "SinglePartition" not in details.get(n["id"], ""):
+            continue
+        for child in n["children"]:
+            if _subtree_fact_scale(child, details):
+                bad.append(
+                    f"1-part Exchange ({n['id']}) input is fact-scale "
+                    f"(root {child['name']})"
+                )
+    return bad
+
+
 def bnlj_unbounded(plan: str) -> list[str]:
     """Names/ids of BNLJ nodes whose broadcast side is NOT row-bounded."""
     nodes = _parse_tree(plan)
@@ -175,6 +238,7 @@ def audit(name: str, plan: str) -> dict:
         "cartesian": len(re.findall(r"CartesianProduct", plan)),
         "pushed": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
         "bnlj_bad": bnlj_unbounded(plan),
+        "sp_bad": singlepart_unbounded(plan),
     }
 
 
@@ -203,6 +267,9 @@ def main() -> int:
             flags.append(f"{r['name']}: CartesianProduct x{r['cartesian']}")
         for msg in r["bnlj_bad"]:
             flags.append(f"{r['name']}: {msg}")
+        if r["name"] not in _GLOBAL_ORDER_STAT:
+            for msg in r["sp_bad"]:
+                flags.append(f"{r['name']}: {msg}")
         if r["py_row"] and r["name"] not in _UDTF_WHITELIST:
             # The two UDTF API demos are deliberate row-at-a-time
             # Python (SURVEY.md round-3/4 notes: non-hot-path policy,
@@ -231,6 +298,21 @@ def main() -> int:
                    "global aggregate, limit, or literal frame)\n"
                    if n_bad_bnlj == 0 else
                    f"**{n_bad_bnlj} UNBOUNDED** (see red flags)\n"))
+        global_order = sorted(
+            r["name"] for r in rows
+            if r["sp_bad"] and r["name"] in _GLOBAL_ORDER_STAT
+        )
+        n_bad_sp = sum(
+            len(r["sp_bad"]) for r in rows
+            if r["name"] not in _GLOBAL_ORDER_STAT
+        )
+        f.write("- 1-part exchange inputs: "
+                + (f"**all bounded** outside the {len(global_order)} "
+                   "whitelisted exact global-order-statistic queries "
+                   f"({', '.join(global_order)} — each names its "
+                   "approx/partitioned 100 TB swap)\n"
+                   if n_bad_sp == 0 else
+                   f"**{n_bad_sp} UNBOUNDED** (see red flags)\n"))
         f.write(f"- WholeStageCodegen spans: {tot('codegen')}\n")
         f.write(f"- Arrow-vectorized Python ops: {tot('py_arrow')}; "
                 f"row-at-a-time Python: **{tot('py_row')}**\n")

@@ -126,6 +126,60 @@ def test_bnlj_checker_flags_fact_sized_broadcast(spark, sf_dir):
     assert _bnlj_unbounded(fmt(good)) == []
 
 
+def test_singlepart_checker_flags_fact_scale_global_window(spark, sf_dir):
+    """The 1-part exchange auditor must flag a global window over raw
+    fact rows and accept one over a grouped (domain-bounded)
+    aggregate."""
+    import os
+    import sys
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from plan_audit import singlepart_unbounded
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def fmt(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+
+    bad = orders.withColumn(
+        "rn", F.row_number().over(W.orderBy("o_orderkey"))
+    )
+    good = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(W.orderBy("day")))
+    )
+    assert singlepart_unbounded(fmt(bad)), "fact-scale 1-part must flag"
+    assert singlepart_unbounded(fmt(good)) == []
+
+
+def test_registry_has_no_fact_scale_single_partition_exchanges(spark, sf_dir):
+    """Whole-registry sweep of the 1-part exchange auditor at the test
+    fixture's sf: outside the six whitelisted exact global-order-
+    statistic queries, no query may funnel raw fact rows through a
+    single-partition exchange."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from plan_audit import _GLOBAL_ORDER_STAT, MATERIALIZED, singlepart_unbounded
+
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        if MATERIALIZED.search(name) or name in _GLOBAL_ORDER_STAT:
+            continue
+        plan = formatted_plan(spark, name, sf_dir)
+        bad = singlepart_unbounded(plan)
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}
+
+
 def test_driver_priority_slots_valid():
     """The driver checks the first 50 queries() entries; the priority
     list must stay exactly 50 valid, distinct registry names and every
