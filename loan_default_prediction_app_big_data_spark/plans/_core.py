@@ -96,63 +96,12 @@ def oracle_sql() -> dict[str, str]:
 
 
 _DRIVER_PRIORITY: list[str] = [
-    # ================= Round-8 slots 1-50 (VERDICT r7 item 1) =======
-    # The full never-certified remainder after r7 (55 names; driver
-    # certified 330/385 cumulative, all green). The driver window is
-    # the FIRST 50 -- the last 5 below spill to round 9 and head that
-    # round's queue. Order preserved from the r7 rotation queue
-    # (registration order); zero repeats of the 330 certified.
-    "hard_negative_mining",
-    "functional_dependency_audit",
-    "incremental_aggregate_maintenance",
-    "logrank_test_segments",
-    "cuped_variance_reduction",
-    "three_way_reconciliation",
-    "graph_assortativity",
-    "distinctive_terms_by_source",
-    "fiscal_calendar_rollup",
-    "business_days_lag",
-    "graph_edge_churn",
-    "forecast_reconciliation",
-    "quantized_code_collisions",
-    "class_reweighting_plan",
-    "revenue_bridge_waterfall",
-    "stratified_kfold_assignment",
-    "supplier_concentration_hhi",
-    "open_backlog_aging",
-    "vocab_growth_curve",
-    "traffic_heatmap_dow_hour",
-    "role_playing_date_rollup",
-    "edit_distance_threshold_join",
-    "conformal_prediction_intervals",
-    "shapley_channel_attribution",
-    "difference_in_differences",
-    "quantile_normalization",
-    "bootstrap_ci_daily_revenue",
-    "dp_randomized_response",
-    "sql_scripting_median_bisection",
-    "zorder_pruning_stats",
-    "interval_union_coverage",
-    "reciprocal_rank_fusion",
-    "naive_bayes_lang_classify",
-    "brier_decomposition_bands",
-    "l_diversity_audit",
-    "bitwise_bool_aggregates",
-    "phrase_query_positional_index",
-    "zipf_slope_token_frequency",
-    "multivariate_ols_normal_eq",
-    "decision_stump_exact",
-    "sprt_sequential_test",
-    "t_closeness_audit",
-    "ranking_ndcg_eval",
-    "governed_view_masking",
-    "weighted_sample_without_replacement",
-    "rolling_beta_28d",
-    "anova_oneway_f",
-    "mcnemar_paired_test",
-    "runs_test_randomness",
-    "cochran_armitage_trend",
-    # ============== Round-9 spill (never-certified tail) ===========
+    # ============= Round-9 slots (VERDICT r8 item 1) ================
+    # The never-certified remainder after r8: the 5-name spill of the
+    # r7 rotation queue (driver certified 380/385 cumulative, all
+    # green). These head the round-9 window; the other 45 window
+    # slots fill from registration order (already-certified names
+    # re-verify — harmless). Certifying these 5 completes 385/385.
     "transpose_metrics",
     "poisson_rate_ratio_test",
     "cohens_kappa_agreement",

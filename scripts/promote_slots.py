@@ -50,11 +50,25 @@ def main() -> int:
 
     if "--check" in sys.argv[1:]:
         first50 = list(R.queries())[:50]
-        already = [n for n in first50 if n in cert]
-        if already:
-            print(f"STALE driver slots (already certified): {already}")
+        uncert = [n for n in R.REGISTRY if n not in cert]
+        if len(uncert) >= 50:
+            already = [n for n in first50 if n in cert]
+            if already:
+                print(f"STALE driver slots (already certified): {already}")
+                return 1
+            print("driver window is all-fresh (50/50 never certified)")
+            return 0
+        # Queue smaller than the window: certified names re-verify in
+        # the leftover slots; require only that every uncertified name
+        # leads the window.
+        missing = [n for n in uncert if n not in set(first50)]
+        if missing:
+            print(f"uncertified queries outside the window: {missing}")
             return 1
-        print("driver window is all-fresh (50/50 never certified)")
+        print(
+            f"driver window is fresh-first ({len(uncert)} uncertified "
+            "names all inside the 50-slot window)"
+        )
         return 0
 
     print(f"# certified so far: {len(cert)}; still queued: {len(queue)}; "

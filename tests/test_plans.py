@@ -365,12 +365,25 @@ def test_driver_window_has_no_already_certified_names():
             certified.update(json.load(fh).keys())
     if not certified:  # fresh clone without driver artifacts
         return
-    stale = [n for n in list(R.queries())[:50] if n in certified]
-    assert stale == [], (
-        f"driver slots already certified: {stale}\n"
-        "A new CORRECTNESS_r*.json landed without rotating the driver "
-        "window. Remediation: run `python scripts/promote_slots.py` and "
-        "paste its output over the stale _DRIVER_PRIORITY block in "
-        "plans/_core.py (commit the artifact and the queue update "
-        "together)."
-    )
+    window = list(R.queries())[:50]
+    uncertified = [n for n in R.REGISTRY if n not in certified]
+    if len(uncertified) >= 50:
+        # Plenty of fresh names: the window must not waste slots.
+        stale = [n for n in window if n in certified]
+        assert stale == [], (
+            f"driver slots already certified: {stale}\n"
+            "A new CORRECTNESS_r*.json landed without rotating the driver "
+            "window. Remediation: run `python scripts/promote_slots.py` and "
+            "paste its output over the stale _DRIVER_PRIORITY block in "
+            "plans/_core.py (commit the artifact and the queue update "
+            "together)."
+        )
+    else:
+        # Queue nearly (or fully) exhausted: the invariant is that every
+        # remaining uncertified name leads the window; certified names
+        # filling the leftover slots merely re-verify, which is fine.
+        missing = [n for n in uncertified if n not in set(window)]
+        assert missing == [], (
+            f"uncertified queries outside the driver window: {missing}\n"
+            "Remediation: add them to _DRIVER_PRIORITY in plans/_core.py."
+        )
