@@ -354,6 +354,15 @@ def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="spark_graft_statestore_")
     out_dir = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
+    # The window-agg operator keeps one state store per shuffle
+    # partition, and the checkpoint pins that count for the query's
+    # lifetime: 32 partitions = 32 store open/commit cycles per
+    # micro-batch PLUS 32 state files for the reader below to decode,
+    # for a state that fits in one. Narrow the exchange for the replay
+    # (run_stream_stream_join pattern); at real scale size it to
+    # cores x executors.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = (
             agg.writeStream.outputMode("append")
@@ -389,6 +398,7 @@ def statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return _pin_local(spark, state)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(base, ignore_errors=True)
 
 
