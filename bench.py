@@ -97,10 +97,12 @@ def run() -> None:
     # the standard steady-state estimator for a long-lived cluster
     # session, and the third sample keeps one bad draw from inflating
     # it without tripling total bench wall-clock.
+    import gc
+
     timings: dict[str, float] = {}
     streaming_steady: dict[str, float] = {}
     unstable = 0
-    for name, spec in REGISTRY.items():
+    for qi, (name, spec) in enumerate(REGISTRY.items()):
         runs = []
         for _ in range(2):
             start = time.perf_counter()
@@ -120,6 +122,14 @@ def run() -> None:
         # inflations on streaming queries that steady reruns refuted).
         if "streaming" in getattr(spec, "tags", ()):
             streaming_steady[name] = round(min(runs[1:]), 3)
+        # localCheckpoint()ed RDDs stay pinned until their Python
+        # DataFrame is garbage-collected AND the ContextCleaner
+        # processes the release; across ~770 query executions the lag
+        # compounds into JVM storage/GC pressure (VERDICT r8 item 4b).
+        # A periodic collect() drains the py4j references promptly so
+        # the cleaner can unpersist between queries, off the clock.
+        if qi % 25 == 24:
+            gc.collect()
 
     # ML parity pipeline + single-row serving latency (BASELINE.md
     # self-defined targets), on the loan golden fixture.
@@ -205,6 +215,17 @@ def run() -> None:
         "n_third_runs": unstable,
         "regressions_vs_committed": top_regressions,
         "streaming_steady_s": streaming_steady,
+        # One streaming query, two numbers (VERDICT r8 item 6): the
+        # entry in "queries" is the best of ALL runs including the
+        # first (the contract cost, checkpoint/state setup billed);
+        # "streaming_steady_s" is the best EXCLUDING the first run —
+        # the warm-replay estimate that separates one-time setup and
+        # host stalls from real plan regressions. steady > queries is
+        # normal when a stall hit the later replays.
+        "field_docs": {
+            "queries": "min of all runs incl first",
+            "streaming_steady_s": "min of runs after first (warm replay)",
+        },
     }
     # Full per-query timings of EVERY run land in bench_full_last.json;
     # bench_full.json is the COMMITTED comparison baseline and only
@@ -320,7 +341,7 @@ def _compact_line(payload: dict, budget: int = 1900) -> str:
         payload["omitted"] = payload.get("omitted", 0) + 1
         payload["omitted_sum_s"] = round(payload.get("omitted_sum_s", 0.0) + q.pop(name), 2)
         s = json.dumps(payload, separators=(",", ":"))
-    for extra in ("regressions_vs_committed", "streaming_steady_s"):
+    for extra in ("field_docs", "regressions_vs_committed", "streaming_steady_s"):
         if len(s) > budget and extra in payload:
             del payload[extra]
             s = json.dumps(payload, separators=(",", ":"))

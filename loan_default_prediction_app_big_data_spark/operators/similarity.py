@@ -57,9 +57,18 @@ def cosine_scores(
     nested-loop over a map-side projection — no shuffle at any scale.
     The one-row contract is enforced structurally (``limit(1)``) so
     the plan audit can PROVE the broadcast side is bounded instead of
-    trusting the caller's filter (VERDICT r7 item 3).
+    trusting the caller's filter (VERDICT r7 item 3). A ``query`` with
+    MORE than one row is a contract violation and fails loudly here
+    (the limit alone would silently pick an arbitrary row).
     """
-    q = F.broadcast(query.select(F.col(vec_col).alias("__qvec")).limit(1))
+    qdf = query.select(F.col(vec_col).alias("__qvec")).limit(2)
+    if qdf.count() > 1:
+        raise ValueError(
+            "cosine_scores expects a single-row query DataFrame; got "
+            "more than one row. Score multiple queries with "
+            "exact_topk_multi or the blocked-GEMM path."
+        )
+    q = F.broadcast(qdf)
     return corpus.crossJoin(q).select(
         id_col,
         F.round(
@@ -128,10 +137,20 @@ def exact_topk_multi(
     # Structural bound on the broadcast side: probe sets are
     # contractually small (docstring above); the limit makes that
     # provable in the physical plan (GlobalLimit above the scan) so
-    # the BNLJ audit can verify it. Identity for any compliant caller.
+    # the BNLJ audit can verify it. The +1 head-count check makes an
+    # over-contract caller fail LOUDLY — a bare limit(MAX) would
+    # silently drop an arbitrary subset of their queries and return
+    # wrong results. Identity for any compliant caller.
     qdf = queries.select(F.col(query_id_col), F.col(vec_col).alias("__q")).limit(
-        MAX_PROBE_QUERIES
+        MAX_PROBE_QUERIES + 1
     )
+    if qdf.count() > MAX_PROBE_QUERIES:
+        raise ValueError(
+            f"exact_topk_multi probe set exceeds MAX_PROBE_QUERIES="
+            f"{MAX_PROBE_QUERIES}; use the blocked-GEMM path "
+            "(embedding_neardup_pairs_blocked) for query-table-sized "
+            "workloads."
+        )
     scored = corpus.crossJoin(F.broadcast(qdf)).select(
         query_id_col, id_col, score.alias("score")
     )

@@ -110,9 +110,16 @@ def viterbi_two_state(
         pdf = pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values(key_cols + order_cols, kind="mergesort")
         n = len(pdf)
-        # Consecutive-key group ids (rows are key-sorted).
+        # Consecutive-key group ids (rows are key-sorted). Null-safe:
+        # a bare != treats NaN as unequal to itself, splitting each
+        # null-keyed row into a singleton group where groupBy would
+        # pool them; sort_values keeps nulls contiguous, so comparing
+        # "both null" as equal restores groupBy semantics.
+        cur, prev = pdf[key_cols], pdf[key_cols].shift()
         change = (
-            (pdf[key_cols] != pdf[key_cols].shift()).any(axis=1).to_numpy()
+            (cur.ne(prev) & ~(cur.isna() & prev.isna()))
+            .any(axis=1)
+            .to_numpy()
         )
         change[0] = True
         gid = np.cumsum(change) - 1

@@ -344,8 +344,13 @@ def fpgrowth_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinned WIDE on purpose: the conditional-FP-tree mining stage is
     # the CPU-bound cost, so baskets repartition to defaultParallelism
     # (AQE would coalesce the tiny shuffle to ~4 partitions and mine
-    # on 4 of 32 cores — measured 10.5 s vs 8.7 s for the mining leg)
-    # and FPGrowth's group-dependent shards get 2x that for skew slack.
+    # on 4 of 32 cores — measured 10.5 s vs 8.7 s for the mining leg).
+    # Mining shards = one per core: the r8 shape's 2x-dp "skew slack"
+    # doubled the per-shard conditional-transaction regrouping and
+    # measured 45% SLOWER (8.9 s vs 6.1 s mining leg, alternating
+    # same-session A/B, r9) while also doubling the task count a host
+    # stall can strand — fewer, core-aligned shards shrink both the
+    # base cost and the variance exposure (VERDICT r8 item 3).
     dp = spark.sparkContext.defaultParallelism
     baskets = (
         li.groupBy("l_orderkey")
@@ -358,7 +363,7 @@ def fpgrowth_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         itemsCol="items",
         minSupport=0.0023,
         minConfidence=0.5,
-        numPartitions=2 * dp,
+        numPartitions=dp,
     ).fit(baskets)
     return (
         model.freqItemsets.filter(F.size("items") <= 2)

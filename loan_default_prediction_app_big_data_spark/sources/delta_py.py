@@ -35,7 +35,15 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
+
+#: In-flight protection window for :func:`vacuum`: never-referenced
+#: data files younger than this (relative to the vacuum's own start
+#: time) are presumed to belong to a publish that has not committed
+#: yet and are kept. The sandbox analog of production Delta's
+#: retention window (default 7 days there).
+_VACUUM_GRACE_S = 5.0
 
 
 def _log_dir(path: str) -> str:
@@ -259,14 +267,18 @@ def vacuum(path: str) -> int:
     filesystem timestamp granularity, which previously let same-tick
     pre-compaction files survive non-deterministically. Only files
     the log has NEVER seen are in-flight candidates; those are kept
-    unless strictly older than the latest commit minus one full
-    granularity unit (1 s) — the minimal retention analog of
-    production Delta's "newer than the retention window" rule.
+    unless older than the VACUUM'S OWN start time minus a grace
+    window — the minimal retention analog of production Delta's
+    "newer than the retention window" rule. The grace clock is keyed
+    to vacuum start, not the latest log entry's mtime: an unrelated
+    concurrent commit advances the log clock and could otherwise
+    shrink a slow in-flight publish's protection window out from
+    under it (ADVICE r8).
     """
     versions = table_versions(path)
     if not versions:
         raise FileNotFoundError(f"{path}: no _delta_log — not a Delta table")
-    log_mtime = os.path.getmtime(_version_file(path, versions[-1]))
+    in_flight_cutoff = time.time() - _VACUUM_GRACE_S
     live = {os.path.basename(p) for p in snapshot_files(path)}
     ever_referenced: set[str] = set()
     for v in versions:
@@ -287,7 +299,7 @@ def vacuum(path: str) -> int:
             f.endswith(".parquet") and f not in live and os.path.isfile(full)
         ):
             continue
-        if f in ever_referenced or os.path.getmtime(full) < log_mtime - 1.0:
+        if f in ever_referenced or os.path.getmtime(full) < in_flight_cutoff:
             os.remove(full)
             deleted += 1
     return deleted

@@ -83,6 +83,17 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     # rejected by withWatermark/unix_micros, and a cast above the scan
     # would block predicate pushdown on date filters.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Metastore-style plan cache: spark.read.parquet re-lists the path
+    # and re-reads footers for schema on EVERY call, all driver-side.
+    # Fixture tables are immutable within a session, and a bench pass
+    # makes ~770 query executions x 2-4 table reads each — memoizing
+    # the (immutable) DataFrame plan removes thousands of redundant
+    # listings (VERDICT r8 item 4b, per-query fixed overhead). Keyed
+    # by applicationId so a DataFrame never outlives its session.
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
@@ -92,7 +103,37 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
             # took effect (schema already cached): UTC session makes the
             # cast value-preserving.
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    if len(_TABLE_PLAN_CACHE) > 256:  # stale-session entries
+        _TABLE_PLAN_CACHE.clear()
+    _TABLE_PLAN_CACHE[key] = df
     return df
+
+
+#: (applicationId, sf_dir, table) -> DataFrame plan. See
+#: read_parquet_table; cleared wholesale past 256 entries so plans
+#: from stopped sessions cannot accumulate.
+_TABLE_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def fixture_static_schema(
+    spark: SparkSession, sf_dir: str, name: str
+) -> T.StructType:
+    """The RAW parquet schema of a fixture table (pre ts-conversion),
+    memoized like the table plans — streaming readers need it to pin
+    ``readStream.schema(...)`` and were paying a footer read per call."""
+    key = (spark.sparkContext.applicationId, sf_dir, f"{name}#static")
+    cached = _STATIC_SCHEMA_CACHE.get(key)
+    if cached is None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        cached = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")).schema
+        if len(_STATIC_SCHEMA_CACHE) > 256:
+            _STATIC_SCHEMA_CACHE.clear()
+        _STATIC_SCHEMA_CACHE[key] = cached
+    return cached
+
+
+_STATIC_SCHEMA_CACHE: dict[tuple[str, str, str], T.StructType] = {}
 
 
 def load_tables(

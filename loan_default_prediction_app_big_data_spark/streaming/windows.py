@@ -41,8 +41,9 @@ def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Event-time operators (withWatermark) require TIMESTAMP, not NTZ —
     # scan naive parquet timestamps as session-tz TIMESTAMP.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    path = os.path.join(sf_dir, "events.parquet")
-    static_schema = spark.read.parquet(path).schema
+    from ..sources.readers import fixture_static_schema
+
+    static_schema = fixture_static_schema(spark, sf_dir, "events")
     # FileStreamSource needs a directory or glob, not a bare file path.
     stream = spark.readStream.schema(static_schema).parquet(
         os.path.join(sf_dir, "events*.parquet")

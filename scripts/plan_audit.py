@@ -127,10 +127,13 @@ def _subtree_unbounded(node: dict, details: dict[int, str]) -> bool:
         return False
     name = node["name"].split()[0]
     if name == "Scan":
-        # File-format scans are data-scale; "Scan ExistingRDD" is a
-        # driver-created local relation (createDataFrame — bounded to
-        # 10k rows by pinning.pin_local's guard) and "Scan
-        # OneRowRelation" is a literal.
+        # File-format scans are data-scale. Treating "Scan ExistingRDD"
+        # as bounded is a HEURISTIC, not a proof: the registry's local
+        # relations come from pinning.pin_local (10k-row guard) or
+        # _drain_memory_sink (1M-row explicit bound), but a raw
+        # spark.createDataFrame call site is not forced through either,
+        # so an audit pass is only as strong as that convention.
+        # "Scan OneRowRelation" is a literal.
         return node["name"].split()[1] not in ("ExistingRDD", "OneRowRelation")
     if name == "Range":
         m = re.search(r"Arguments: Range \((-?\d+), (-?\d+)", details.get(node["id"], ""))

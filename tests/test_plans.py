@@ -98,7 +98,6 @@ def _bnlj_unbounded(plan: str) -> list[str]:
     import os
     import sys
 
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "repo", "scripts"))
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
     from plan_audit import bnlj_unbounded
 
@@ -190,9 +189,11 @@ def test_driver_priority_slots_valid():
     pri = R._DRIVER_PRIORITY
     # Since round 5 the priority list is the FULL rotation queue (the
     # 50 driver slots plus the never-certified backlog in promotion
-    # order); it must stay >= 50, duplicate-free, all-registered, and
-    # the driver's 50-slot window must be its valid prefix.
-    assert len(pri) >= 50
+    # order); it must stay duplicate-free, all-registered, and the
+    # driver window's prefix. Once the queue is nearly exhausted
+    # (fewer than 50 never-certified names remain, round 9+) it is
+    # legitimately shorter than the window — registration order fills
+    # the leftover slots with re-verified names.
     assert len(set(pri)) == len(pri)
     valid = [n for n in pri if n in R.REGISTRY]
     assert valid == pri  # every queued name is registered
