@@ -365,15 +365,25 @@ def fpgrowth_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         minConfidence=0.5,
         numPartitions=dp,
     ).fit(baskets)
-    return (
+    # Mine ONCE: freqItemsets is an uncached RDD-backed DataFrame
+    # (Scan ExistingRDD), and the orderBy's range exchange executes
+    # that subtree THREE times per action (range-bound sampling job +
+    # AQE shuffle materialization + final job — measured via
+    # statusTracker: three 32-task mining-stage pairs per noop save).
+    # Checkpointing the ~|frequent itemsets| result rows first makes
+    # the repeated jobs rescan pinned rows instead of re-mining the
+    # corpus — 3x fewer mining passes AND 3x less exposure to the
+    # host-stall variance this query is flagged for (VERDICT r8 item 3).
+    mined = (
         model.freqItemsets.filter(F.size("items") <= 2)
         .select(
             F.array_join(F.array_sort("items"), ",").alias("itemset"),
             F.size("items").cast("int").alias("set_size"),
             F.col("freq").cast("bigint").alias("support"),
         )
-        .orderBy("set_size", "itemset")
+        .localCheckpoint()
     )
+    return mined.orderBy("set_size", "itemset")
 
 
 @register(
@@ -499,16 +509,17 @@ def prefixspan_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFram
         minSupport=0.3, maxPatternLength=2, maxLocalProjDBSize=32000000
     )
     freq = ps.findFrequentSequentialPatterns(seqs)
-    return (
-        freq.select(
-            F.array_join(
-                F.transform(F.col("sequence"), lambda it: F.array_join(it, ",")),
-                "->",
-            ).alias("pattern"),
-            F.col("freq").cast("bigint").alias("support"),
-        )
-        .orderBy("pattern")
-    )
+    # Same mine-once shape as fpgrowth_frequent_itemsets: the RDD-backed
+    # pattern table re-mines under the orderBy's sampling/shuffle jobs
+    # unless the (tiny) result is pinned first.
+    mined = freq.select(
+        F.array_join(
+            F.transform(F.col("sequence"), lambda it: F.array_join(it, ",")),
+            "->",
+        ).alias("pattern"),
+        F.col("freq").cast("bigint").alias("support"),
+    ).localCheckpoint()
+    return mined.orderBy("pattern")
 
 
 @register(
