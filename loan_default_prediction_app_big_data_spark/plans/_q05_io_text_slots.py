@@ -1136,27 +1136,48 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "One-pass column profiling (the DESCRIBE-at-scale primitive run "
     "before any pipeline touches a new table): per-column null count, "
     "exact distinct cardinality, min and max — ALL columns' metrics in "
-    "a single aggregation over the fact table, pivoted to one row per "
-    "column by exploding a struct array over the 1-row aggregate "
-    "(metadata-scale work). Multiple exact COUNT(DISTINCT)s share one "
-    "scan via Catalyst's Expand; at 100 TB swap them for "
-    "approx_count_distinct to drop the expand factor — same plan "
-    "otherwise. Numeric min/max serialize as canonical strings so one "
-    "uniform schema profiles heterogeneous column types.",
+    "a distinct-free aggregation over the fact table plus one two-phase "
+    "groupBy per exact distinct count (map-side partials, then count "
+    "the values), pivoted to one row per column by exploding a struct "
+    "array over the 1-row aggregate (metadata-scale work). The "
+    "multi-COUNT(DISTINCT) Expand shape was measured 5x slower (the "
+    "expand defeats partial aggregation on the high-cardinality key); "
+    "at 100 TB swap exact distincts for approx_count_distinct in the "
+    "single pass. Numeric min/max serialize as canonical strings so "
+    "one uniform schema profiles heterogeneous column types.",
     tags=("agg", "quality"),
 )
 def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     cols = ["l_orderkey", "l_quantity", "l_discount", "l_returnflag"]
+    # Null/min/max metrics in ONE distinct-free pass; each exact
+    # distinct count as its own two-phase aggregate (groupBy the column
+    # with map-side partials, then count the 1-row-per-value result).
+    # The previous single-agg shape planned all four COUNT(DISTINCT)s
+    # through a 5x Expand of the fact table whose expanded partial
+    # aggregate dominated the query (measured 4.6-5.5 s vs 0.8-1.3 s
+    # for this shape at sf0.1 — guide §2.3 "aggregate before you
+    # shuffle": the expand defeated map-side partial aggregation on
+    # the high-cardinality key). Four extra scans are the cheap side
+    # of that trade (scan+min/max pass measured 0.45 s), and each
+    # groupBy shuffles only its distinct values. The 1-row distinct
+    # counts broadcast-join back onto the base row.
     aggs = []
     for c in cols:
         aggs += [
             (F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}"),
-            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
             F.min(c).cast("string").alias(f"mn_{c}"),
             F.max(c).cast("string").alias(f"mx_{c}"),
         ]
     one = li.agg(*aggs)
+    for c in cols:
+        nd = (
+            li.select(c)
+            .where(F.col(c).isNotNull())  # COUNT(DISTINCT c) skips NULLs
+            .distinct()
+            .agg(F.count(F.lit(1)).alias(f"nd_{c}"))
+        )
+        one = one.crossJoin(F.broadcast(nd))
     rows = F.array(
         *[
             F.struct(

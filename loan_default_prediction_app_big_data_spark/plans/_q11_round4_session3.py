@@ -1169,7 +1169,25 @@ def sql_scripting_median_bisection(
         F.round(F.col("o_totalprice") * 100)
         .cast("long")
         .alias("cents")
-    ).cache()
+    )
+    # Size the cached layout from the optimizer's size estimate rather
+    # than inheriting the parquet scan's split count: each of the ~26
+    # bisection counts is a full job over every cached partition, so
+    # partitions beyond ceil(bytes / 128 MB) only add per-iteration
+    # task overhead (26 counts measured 2.53 s on the scan layout vs
+    # 1.73 s on the size-derived one at sf0.1, where the one-column
+    # projection is ~1 MB -> 1 partition). At 100 TB the same formula
+    # keeps one task per 128 MB — the normal cached-scan shape.
+    try:
+        est_bytes = int(
+            cents._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+    except Exception:  # stats unavailable: keep the scan layout
+        est_bytes = None
+    if est_bytes is not None:
+        n_parts = max(1, -(-est_bytes // (128 << 20)))
+        cents = cents.coalesce(n_parts)
+    cents = cents.cache()
     cents.createOrReplaceTempView("_script_cents")
     script = """
     BEGIN
