@@ -760,26 +760,46 @@ _SEMDEDUP_ORACLE = """
 )
 def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
-    from ..operators.similarity import cosine
+    from ..operators.similarity import dot, l2_norm
 
+    # cosine() re-derives BOTH operands' norms per comparison, and the
+    # aggregate/zip_with folds it is built from evaluate interpreted
+    # (higher-order functions have no codegen) — in the within-cluster
+    # quadratic join that is 3 interpreted 64-element traversals per
+    # PAIR where one (the dot) suffices. Norms are per-VECTOR: hoist
+    # them below the join (the join boundary stops CollapseProject from
+    # re-inlining), so each pair costs one fold plus a multiply. The
+    # hoisted l2_norm is the identical expression over the identical
+    # array, so every cosine double is bit-unchanged (oracle-exact).
     emb = t(spark, sf_dir, "embeddings")
     # limit(8) restates the key-range bound structurally so the BNLJ
     # plan audit can prove the centroid broadcast is row-bounded.
     cents = F.broadcast(
         emb.filter(F.col("vec_id") < 8)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cvec"),
+            l2_norm(F.col("embedding").cast("array<double>")).alias("cnrm"),
+        )
         .limit(8)
     )
     scored = (
         emb.filter(F.col("vec_id") >= 8)
+        .select(
+            "vec_id", "embedding",
+            l2_norm(F.col("embedding").cast("array<double>")).alias("nrm"),
+        )
         .crossJoin(cents)
         .select(
-            "vec_id", "embedding", "cid",
+            "vec_id", "embedding", "nrm", "cid",
             F.round(
-                cosine(
-                    F.col("embedding").cast("array<double>"),
-                    F.col("cvec").cast("array<double>"),
-                ),
+                (
+                    dot(
+                        F.col("embedding").cast("array<double>"),
+                        F.col("cvec").cast("array<double>"),
+                    )
+                    / (F.col("nrm") * F.col("cnrm"))
+                ).cast("double"),
                 6,
             ).alias("cos6"),
         )
@@ -788,25 +808,28 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "embedding")
+        .select("vec_id", "cid", "embedding", "nrm")
     )
     x = assigned.select(
         F.col("cid"), F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("ea"),
+        F.col("embedding").alias("ea"), F.col("nrm").alias("nrm_a"),
     )
     b = assigned.select(
         F.col("cid"), F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("eb"),
+        F.col("embedding").alias("eb"), F.col("nrm").alias("nrm_b"),
     )
     pruned = (
         x.join(b, "cid")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             F.round(
-                cosine(
-                    F.col("ea").cast("array<double>"),
-                    F.col("eb").cast("array<double>"),
-                ),
+                (
+                    dot(
+                        F.col("ea").cast("array<double>"),
+                        F.col("eb").cast("array<double>"),
+                    )
+                    / (F.col("nrm_a") * F.col("nrm_b"))
+                ).cast("double"),
                 6,
             )
             >= 0.4
