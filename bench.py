@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from loan_default_prediction_app_big_data_spark.plans.registry import REGISTRY  # noqa: E402
 from loan_default_prediction_app_big_data_spark.session import get_spark  # noqa: E402
+from loan_default_prediction_app_big_data_spark.pinning import release_local_checkpoints  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Streaming query included: it runs the same windowed agg via the
@@ -109,11 +110,22 @@ def run() -> None:
             df = spec.fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - start)
+            # Release the returned plan's localCheckpoint pins NOW,
+            # off the clock — .rdd.unpersist() is a no-op for
+            # checkpoints and the GC->ContextCleaner path lags whole
+            # query-batches behind (r9: measured 16 accumulated pins
+            # degrading fpgrowth 2-4x in-session), so the bench frees
+            # each query's pins deterministically before the next run.
+            release_local_checkpoints(df)
+            del df
         if max(runs) > 1.5 * min(runs) and max(runs) - min(runs) > 0.5:
             unstable += 1
             start = time.perf_counter()
-            spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            df = spec.fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - start)
+            release_local_checkpoints(df)
+            del df
         timings[name] = round(min(runs), 3)
         # Streaming replays pay checkpoint/state-store setup EVERY run,
         # so their wall-time is noise-prone; record the second-replay

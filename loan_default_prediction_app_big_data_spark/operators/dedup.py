@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import shingles, tokens
+from ..pinning import release_local_checkpoints
 
 
 def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
@@ -308,6 +309,10 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # iteration k's label table is dead once k+1 is pinned and the
+        # convergence check above has read it — release it instead of
+        # leaking one pinned RDD per iteration into the session
+        release_local_checkpoints(labels)
         labels = new_labels
         if changed == 0:
             break

@@ -39,3 +39,31 @@ def pin_local(
             "distributed sink instead"
         )
     return spark.createDataFrame(rows, df.schema)
+
+
+def release_local_checkpoints(*dfs: DataFrame) -> None:
+    """Unpersist the pinned RDDs behind ``df.localCheckpoint()`` frames.
+
+    ``df.rdd.unpersist()`` is a silent NO-OP for a checkpointed
+    DataFrame: ``.rdd`` builds a fresh pipeline RDD over the pinned
+    one, so the unpersist lands on the wrapper (verified r9: pinned
+    count unchanged). The pin lives in the plan's ``LogicalRDD`` leaf;
+    this walks the analyzed plan and unpersists those leaves' RDDs —
+    the only reliable in-query release, used by iterative plans
+    (BPE/WordPiece rounds, label propagation, Bellman-Ford frontiers,
+    FP-mining baskets) to drop dead intermediates instead of leaking
+    one pinned RDD per iteration into the session (measured r9: 8
+    un-released fpgrowth runs accumulate 16 pins and degrade to
+    26-29 s/run; released, the session holds steady).
+
+    Blocking=False: release is asynchronous, never on the timed path.
+    """
+    for df in dfs:
+        try:
+            leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+            for i in range(leaves.size()):
+                leaf = leaves.apply(i)
+                if leaf.getClass().getSimpleName() == "LogicalRDD":
+                    leaf.rdd().unpersist(False)
+        except Exception:
+            pass  # release is best-effort hygiene, never correctness

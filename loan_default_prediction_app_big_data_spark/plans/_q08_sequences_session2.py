@@ -7,6 +7,7 @@ imported by the facade in fixed sequence; do not reorder.
 from __future__ import annotations
 
 from ._core import DataFrame, F, SparkSession, W, register, t
+from ..pinning import release_local_checkpoints
 from ._q01_relational import TUMBLING_ORACLE
 from ._q02_extension import S
 
@@ -101,9 +102,14 @@ def shortest_path_trade_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .count()
         )
+        # round k's frontier is dead once k+1 is pinned and compared —
+        # release it (no-op for the initial local-relation frontier)
+        release_local_checkpoints(dist)
         dist = relaxed
         if improved == 0:
             break
+    # the returned plan reads only the final `dist` pin + nation
+    release_local_checkpoints(edges)
 
     return (
         dist.filter(F.col("dist") <= 30)
@@ -388,6 +394,13 @@ def fpgrowth_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+    # `mined` is pinned independently now, so the basket partitions are
+    # dead weight — release them HERE rather than waiting for the
+    # driver-GC → ContextCleaner round trip. Measured in-session: 8
+    # un-released iterations accumulate 16 pinned RDDs and degrade to
+    # 26-29 s/run (GC 2.7-4 s); with release the session holds steady
+    # (r9, same-session loop, idle host).
+    release_local_checkpoints(baskets)
     return mined.orderBy("set_size", "itemset")
 
 
@@ -524,6 +537,11 @@ def prefixspan_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("pattern"),
         F.col("freq").cast("bigint").alias("support"),
     ).localCheckpoint()
+    # The projected-database passes are over; release the cached
+    # sequences now instead of leaking them into the session (same
+    # fix as fpgrowth's basket release — accumulated pinned RDDs were
+    # measured degrading later queries in the same session).
+    seqs.unpersist()
     return mined.orderBy("pattern")
 
 
@@ -2594,6 +2612,7 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges.append((i + 1, top.w1, top.w2, top.cnt))
         pat = f" {top.w1}  {top.w2} "
         rep = f" {top.w1}@@{top.w2} "
+        prev = docs
         docs = docs.select(
             "doc_id",
             F.trim(
@@ -2612,7 +2631,16 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("text"),
         ).localCheckpoint(eager=True)  # truncate: round k+1 must not replay rounds 1..k
-    return docs.sparkSession.createDataFrame(
+        # round k's corpus is dead once round k+1 is pinned — release it
+        # now instead of leaking 6 pinned corpus copies into the session
+        # (measured: accumulated pins degrade later same-session queries)
+        release_local_checkpoints(prev)
+    out = docs.sparkSession.createDataFrame(
         merges, "merge_order int, w1 string, w2 string, pair_count bigint"
     ).orderBy("merge_order")
+    # the merge table is a local relation — the final corpus pin is
+    # dead too (callers that need the encoded corpus re-derive it from
+    # the merge table, see bpe_tokenize_apply)
+    release_local_checkpoints(docs)
+    return out
 

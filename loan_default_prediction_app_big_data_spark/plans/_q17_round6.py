@@ -15,6 +15,7 @@ from __future__ import annotations
 import math
 
 from ._core import DataFrame, F, SparkSession, register, t
+from ..pinning import release_local_checkpoints
 
 
 # =====================================================================
@@ -400,6 +401,7 @@ def wordpiece_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pat = f" {top.w1}  {top.w2} "
         rep = f" {top.w1}@@{top.w2} "
+        prev = docs
         docs = docs.select(
             "doc_id",
             F.trim(
@@ -418,8 +420,13 @@ def wordpiece_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("text"),
         ).localCheckpoint(eager=True)  # truncate: round k+1 must not replay 1..k
-    return docs.sparkSession.createDataFrame(
+        # round k's corpus is dead once k+1 is pinned — release it (the
+        # bpe_merge_training fix: leaked pins degrade later queries)
+        release_local_checkpoints(prev)
+    out = docs.sparkSession.createDataFrame(
         merges,
         "merge_order int, w1 string, w2 string, pair_count bigint,"
         " left_count bigint, right_count bigint, score_1e9 bigint",
     ).orderBy("merge_order")
+    release_local_checkpoints(docs)  # merge table is a local relation
+    return out

@@ -26,6 +26,7 @@ sys.path.insert(0, REPO)
 
 from loan_default_prediction_app_big_data_spark.plans.registry import REGISTRY  # noqa: E402
 from loan_default_prediction_app_big_data_spark.session import get_spark  # noqa: E402
+from loan_default_prediction_app_big_data_spark.pinning import release_local_checkpoints  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -59,9 +60,14 @@ def main() -> int:
         runs: list[float] = []
         for i in range(iters):
             start = time.perf_counter()
-            spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            df = spec.fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - start, 2))
             print(f"{name} iter{i} {runs[-1]}s", flush=True)
+            # same hygiene as bench.py: free the returned plan's
+            # checkpoint pins off the clock between iterations
+            release_local_checkpoints(df)
+            del df
         out[name] = {
             "runs": runs,
             "cold": runs[0],
