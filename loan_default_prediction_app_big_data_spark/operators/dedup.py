@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import shingles, tokens
+from .text import shingles, tokens, widen_to_parallelism
 from ..pinning import release_local_checkpoints
 
 
@@ -69,9 +69,14 @@ def minhash_lsh_candidates(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    docs = df.select(
-        F.col(id_col).alias("id"), shingles(text_col, k_shingle).alias("sh")
-    ).filter(F.size("sh") > 0)
+    # Widen BEFORE the shingle projection: the fixture corpus is one
+    # parquet split, and the tokenize/shingle/TF pass is the kernel's
+    # CPU-heavy map side (guide §2.5 — see widen_to_parallelism).
+    docs = (
+        widen_to_parallelism(df.select(F.col(id_col).alias("id"), text_col))
+        .select("id", shingles(text_col, k_shingle).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
     tf = HashingTF(
         inputCol="sh", outputCol="features", numFeatures=num_features, binary=True
     )
@@ -189,10 +194,12 @@ def minhash_native_candidates(
     # computation AND both sides of the verification join (at scale:
     # a persisted shingle/signature table, the standard near-dup
     # pipeline layout).
+    # Widen BEFORE the shingle pass: one parquet split would otherwise
+    # run the shingle AND the 16-hash signature projections (both read
+    # the checkpointed layout) on a single core (guide §2.5).
     sh = (
-        df.select(
-            F.col(id_col).alias("id"), shingles(text_col, k_shingle).alias("sh")
-        )
+        widen_to_parallelism(df.select(F.col(id_col).alias("id"), text_col))
+        .select("id", shingles(text_col, k_shingle).alias("sh"))
         .filter(F.size("sh") > 0)
         .localCheckpoint(eager=True)
     )
@@ -369,7 +376,8 @@ def prefix_filtered_jaccard_join(
     from .text import shingles
 
     sh = (
-        docs.select(F.col(id_col).alias("id"), shingles(text_col, k).alias("sh"))
+        widen_to_parallelism(docs.select(F.col(id_col).alias("id"), text_col))
+        .select("id", shingles(text_col, k).alias("sh"))
         .filter(F.size("sh") > 0)
         .localCheckpoint(eager=True)  # signature table: defeat re-inlining
     )
@@ -477,9 +485,8 @@ def prefix_filtered_jaccard_join_asym(
 
     def _sh(df: DataFrame, side: str) -> DataFrame:
         return (
-            df.select(
-                F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")
-            )
+            widen_to_parallelism(df.select(F.col(id_col).alias("id"), text_col))
+            .select("id", shingles(text_col, k).alias("sh"))
             .filter(F.size("sh") > 0)
             .withColumn("side", F.lit(side))
         )

@@ -21,6 +21,32 @@ from pyspark.sql import functions as F
 EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "that", "for", "it"]
 
 
+def widen_to_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a narrow scan up to the session's core
+    count before a CPU-heavy map-side pass (shingling, signatures,
+    per-token hashing).
+
+    A fixture-scale corpus arrives as ONE parquet split (< 128 MB
+    ``maxPartitionBytes``), so every downstream tokenize/shingle/hash
+    projection would run on a single core — measured r9: the sf0.1
+    shingle pass is ~1.1 s single-threaded, ~0.25 s widened (guide
+    §2.5: input skew from a too-few-splits read — repartition
+    immediately after the read). Scale-adaptive, not a local-mode
+    constant: when the scan already has >= defaultParallelism
+    partitions (any real table at scale), this is the identity and no
+    shuffle is introduced; at the driver's reduced-core bench run it
+    scales down with the core count. Results are partition-layout
+    independent for every caller (per-row projections feeding
+    exact-integer joins/groupBys), verified via the three-layout
+    verify_exact protocol.
+    """
+    sc = df.sparkSession.sparkContext
+    dp = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= dp:
+        return df
+    return df.repartition(dp)
+
+
 def tokens(col: Column | str, delimiter: str = " ") -> Column:
     """Whitespace tokens with empties removed (split keeps trailing
     empties on both Spark and DuckDB — filter them symmetrically)."""

@@ -411,16 +411,19 @@ def benchmark_decontamination(
     and the ratio uses grid-stable rounding, so the result is
     bit-identical across engines.
     """
-    from .text import shingles
+    from .text import shingles, widen_to_parallelism
 
     bench_sh = (
         benchmark.select(F.explode(shingles(text_col, k)).alias("s"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    cand_sh = candidates.select(
-        F.col("doc_id"), F.explode(shingles(text_col, k)).alias("s")
-    )
+    # Widen the candidate side before its shingle pass: the fixture
+    # corpus is one parquet split and the explode would otherwise run
+    # single-core (guide §2.5); identity at scale.
+    cand_sh = widen_to_parallelism(
+        candidates.select("doc_id", text_col)
+    ).select(F.col("doc_id"), F.explode(shingles(text_col, k)).alias("s"))
     joined = cand_sh.join(F.broadcast(bench_sh), "s", "left")
     agg = joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles"),

@@ -141,7 +141,10 @@ def regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    return docs.select(
+    # Widen the one-split scan: both fingerprints are CPU-heavy
+    # per-row projections (sha256 + 5-shingle min-hash) that would
+    # otherwise run single-core (guide §2.5; identity at scale).
+    return X.widen_to_parallelism(docs.select("doc_id", "text")).select(
         "doc_id",
         X.content_fingerprint("text").alias("content_fp"),
         X.min_shingle_fingerprint("text", 5).alias("min_shingle_fp"),
@@ -183,7 +186,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survives 100× scale. Zero-overlap pairs are restored by a
     # right-padded join against the cheap (id_a, id_b) pair frame.
     docs = t(spark, sf_dir, "documents")
-    sh = docs.select(
+    # Widen the one-split fixture scan before the shingle pass — the
+    # self-join below evaluates this subtree twice, and each copy
+    # would otherwise shingle the whole corpus on a single core
+    # (guide §2.5; see operators.text.widen_to_parallelism).
+    sh = X.widen_to_parallelism(
+        docs.select("doc_id", "source", "text")
+    ).select(
         "doc_id", "source", X.shingles("text", 3).alias("sh3")
     ).select(
         "doc_id", "source", F.size("sh3").alias("n_sh"), F.explode("sh3").alias("s")
@@ -344,8 +353,16 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle), so computing it for every doc costs one scan and joins
     # to the candidate pairs by id. (Restricting it to pair members
     # via a semi-join was measured SLOWER — building the broadcast
-    # id-list forces the candidate subtree to evaluate twice.)
-    sig = docs.select(F.col("doc_id"), D.simhash64("text").alias("sh"))
+    # id-list forces the candidate subtree to evaluate twice. A
+    # localCheckpoint of the signature table was ALSO measured slower
+    # — r9 same-session A/B: 4.2-4.6 s without vs 4.9-5.4 s with; the
+    # eager materialization serializes a leg the scheduler otherwise
+    # overlaps with the candidate subtree.) Widened: the one-split
+    # scan would run the ~1.7 s interpreted vote fold single-core,
+    # twice (both join branches) — guide §2.5.
+    sig = X.widen_to_parallelism(docs.select("doc_id", "text")).select(
+        F.col("doc_id"), D.simhash64("text").alias("sh")
+    )
     ham = (
         cand.join(
             sig.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),

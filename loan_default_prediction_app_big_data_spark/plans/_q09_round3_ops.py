@@ -1739,20 +1739,38 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cluster_canonical_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
+    from ..operators.text import widen_to_parallelism
 
     docs = t(spark, sf_dir, "documents")
     ws = F.split("text", " ")
+    # zip_with chain instead of transform-over-indexes: the old
+    # ``transform(sequence(1, size(ws)-2), i -> concat_ws(ws[i-1]…))``
+    # re-ran the split once per shingle index after CollapseProject
+    # inlined ``ws`` into the lambda — O(n²) interpreted work per row
+    # (the same trap the shared shingles() fixed in r9; this site
+    # keeps its own chain because the oracle tokenizes WITHOUT the
+    # empty-token filter). ``ws`` appears only as a direct HOF
+    # argument here, so the split evaluates a constant number of
+    # times per row. concat(x,' ',y) == concat_ws over non-null
+    # strings; null-padded tails (incomplete windows) drop in the
+    # filter, leaving exactly the n-2 shingles sequence(1, n-2) built.
+    n_ws = F.size(ws)
+    acc = F.zip_with(
+        ws,
+        F.slice(ws, 2, F.greatest(n_ws - 1, F.lit(1))),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    acc = F.zip_with(
+        acc,
+        F.slice(ws, 3, F.greatest(n_ws - 2, F.lit(1))),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
     sh = (
-        docs.select("doc_id", ws.alias("ws"))
-        .filter(F.size("ws") >= 3)
+        widen_to_parallelism(docs.select("doc_id", "text"))
+        .filter(n_ws >= 3)
         .select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(ws) - 2),"
-                    " i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"
-                )
-            ).alias("shingle"),
+            F.explode(F.filter(acc, lambda x: x.isNotNull())).alias("shingle"),
         )
         .distinct()
     )

@@ -151,10 +151,14 @@ _WINNOWING_ORACLE = f"""
 def winnowing_fingerprint_overlap(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..operators.text import tokens
+    from ..operators.text import tokens, widen_to_parallelism
 
     docs = t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens("text").alias("ws"))
+    # Widen the one-split scan before the tokenize/k-gram/polyhash
+    # map pass (guide §2.5; identity at scale).
+    toks = widen_to_parallelism(docs.select("doc_id", "text")).select(
+        "doc_id", tokens("text").alias("ws")
+    )
     n = F.size("ws")
     k = _WINNOW_K
     base = toks.filter(n >= k).select(
@@ -351,10 +355,14 @@ def duplicated_ngram_span_fraction(
 ) -> DataFrame:
     from pyspark.sql import Window as W
 
-    from ..operators.text import tokens
+    from ..operators.text import tokens, widen_to_parallelism
 
     docs = t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens("text").alias("ws"))
+    # Widen the one-split scan before the token-hash map pass
+    # (guide §2.5; identity at scale).
+    toks = widen_to_parallelism(docs.select("doc_id", "text")).select(
+        "doc_id", tokens("text").alias("ws")
+    )
     n = F.size("ws")
     k = _DUPSPAN_K
     # Hash each TOKEN once (char-level fold), then combine the k
