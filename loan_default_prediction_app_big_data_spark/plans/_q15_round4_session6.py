@@ -668,17 +668,20 @@ def _irr_oracle() -> str:
     "acquisition outlay at t=0; customers with a genuine investment "
     "shape (negative cf0, positive undiscounted total - exactly one "
     "sign change, hence a unique positive root) get their IRR from "
-    "28 bisection steps folded into ONE aggregate() higher-order "
-    "function over a 28-element array carrying a (lo,hi,mid) struct "
-    "- a single Project in Catalyst, zero driver round-trips and no "
-    "UDF, resolving the rate to 10/2^28 ~ 4e-8 (well below the "
-    "round(,6) output grid). Round 6 rewrite: the original 28-step "
-    "unrolled withColumn chain produced a 56-deep Project stack "
-    "whose Catalyst rule passes cost ~150 ms/step (~4.0 s at sf0.1); "
-    "the HOF fold runs the identical per-row arithmetic inside one "
-    "codegen'd expression - measured 0.8 s at sf0.1 and, crucially, "
-    "plan-compile cost is now CONSTANT in step depth, so at 100 TB "
-    "the cost is purely the embarrassingly-parallel per-row loop. "
+    "28 bisection steps run as ONE Arrow-vectorized numpy kernel "
+    "(zero driver round-trips), resolving the rate to 10/2^28 ~ 4e-8 "
+    "(well below the round(,6) output grid). Round 6 rewrite: the "
+    "original 28-step unrolled withColumn chain produced a 56-deep "
+    "Project stack whose Catalyst rule passes cost ~150 ms/step "
+    "(~4.0 s at sf0.1); an aggregate() HOF fold made plan-compile "
+    "cost constant in step depth. Round 9 rewrite: HOFs evaluate "
+    "interpreted (CodegenFallback) and the fold's un-CSE'd when() "
+    "branches re-evaluated the npv polynomial several times per "
+    "step (~1.9 s of per-row interpreter time at sf0.1); the numpy "
+    "kernel replays the IDENTICAL left-associated IEEE op sequence "
+    "per element (verified bit-equal vs both prior formulations and "
+    "the oracle), measured 1.0 s at sf0.1. At 100 TB the cost is "
+    "purely the embarrassingly-parallel per-Arrow-batch loop. "
     "Every step is pure IEEE +-*/ with explicit left-associated "
     "discount powers, mirrored symbol-for-symbol in the oracle's "
     "generated 28-CTE chain, so the bisection path is bit-identical "
@@ -727,31 +730,61 @@ def npv_irr_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = acc + F.col(f"cf{k}") / denom
         return acc
 
-    # All 28 steps fold into one aggregate() HOF: the lambda's named
-    # struct fields keep lo/hi referenced (not inlined) exactly as the
-    # old two-projection-per-step chain did, so the arithmetic order —
-    # and hence every IEEE rounding — is unchanged (collected rows
-    # verified identical to the unrolled formulation at sf0.01/sf0.1).
-    def _step(acc, _x):
-        mid = acc["mid"]
-        go = npv_at(mid) > 0.0
-        new_lo = F.when(go, mid).otherwise(acc["lo"])
-        new_hi = F.when(go, acc["hi"]).otherwise(mid)
-        return F.struct(
-            new_lo.alias("lo"), new_hi.alias("hi"),
-            ((new_lo + new_hi) * F.lit(0.5)).alias("mid"),
-        )
+    # The 28-step fold runs as ONE Arrow-vectorized kernel (r9 rewrite,
+    # guide §4.1/§4.2): higher-order functions evaluate interpreted
+    # (CodegenFallback), and the previous aggregate() formulation
+    # re-evaluated the npv polynomial for each reference of the
+    # un-CSE'd when() branches — measured ~1.9 s of pure per-row
+    # interpreter time at sf0.1 (14 107 rows). The numpy loop below
+    # replays the IDENTICAL per-element IEEE op sequence — d = 1+mid,
+    # left-associated denom *= d, acc += cf_k/denom, branchless
+    # where() selects, mid = (lo+hi)*0.5 — so every double, and hence
+    # every round(,6) readout, is bit-unchanged (verified: collected
+    # rows identical at sf0.01/sf0.1 vs the HOF formulation, and the
+    # oracle's 28-CTE chain still matches exactly). At 100 TB the
+    # kernel stays embarrassingly parallel per Arrow batch; the final
+    # rounding and npv10 floor remain native Spark expressions.
+    import numpy as np
+    import pandas as pd
 
-    init = F.struct(
-        F.lit(0.0).alias("lo"), F.lit(10.0).alias("hi"),
-        F.lit(5.0).alias("mid"),
+    # no signature annotations: PEP-563 lazy annotations (module-wide
+    # `from __future__ import annotations`) stringify them, which the
+    # pandas_udf signature validator rejects (same note as
+    # nfc_normalization); unannotated defaults to SCALAR, which with a
+    # struct returnType takes Series args and returns a pd.DataFrame.
+    @F.pandas_udf("lo double, hi double")
+    def _irr_fold(cf0, cf1, cf2, cf3, cf4, cf5, cf6):
+        c = [
+            s.to_numpy(dtype="float64")
+            for s in (cf0, cf1, cf2, cf3, cf4, cf5, cf6)
+        ]
+        n = c[0].shape[0]
+        lo = np.zeros(n)
+        hi = np.full(n, 10.0)
+        mid = np.full(n, 5.0)
+        for _ in range(_IRR_ITERS):
+            d = 1.0 + mid
+            denom = d
+            acc = c[0] + c[1] / denom
+            for k in range(2, 7):
+                denom = denom * d
+                acc = acc + c[k] / denom
+            go = acc > 0.0
+            lo = np.where(go, mid, lo)
+            hi = np.where(go, hi, mid)
+            mid = (lo + hi) * 0.5
+        return pd.DataFrame({"lo": lo, "hi": hi})
+
+    st = df.withColumn(
+        "__st", _irr_fold(*[F.col(f"cf{k}") for k in range(7)])
     )
-    st = F.aggregate(F.array(*[F.lit(0)] * _IRR_ITERS), init, _step)
-    return df.select(
+    return st.select(
         F.col("c").alias("c_custkey"),
         total.cast("bigint").alias("total_cf_cents"),
         F.floor(npv_at(F.lit(0.1))).cast("bigint").alias("npv10_cents"),
-        F.round((st["lo"] + st["hi"]) * F.lit(0.5), 6).alias("irr"),
+        F.round(
+            (F.col("__st.lo") + F.col("__st.hi")) * F.lit(0.5), 6
+        ).alias("irr"),
     )
 
 
