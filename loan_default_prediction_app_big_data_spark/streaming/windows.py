@@ -130,6 +130,12 @@ def run_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     would hold back windows newer than the watermark).
     """
     name = f"tumbling_{uuid.uuid4().hex[:8]}"
+    # Narrow the keyed-state stage: state-store instances scale with
+    # shuffle partitions and per-partition open/commit dominates at
+    # fixture key counts (r9: same 8-partition narrowing as the
+    # stateful/dedup/join runners, VERDICT r8 item 2 direction).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     q = (
         tumbling_window_agg_stream(streaming_events(spark, sf_dir))
         .writeStream.outputMode("complete")
@@ -141,6 +147,7 @@ def run_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # Materialize before dropping the in-memory sink table.
     return _drain_memory_sink(spark, name)
 
@@ -207,6 +214,9 @@ def run_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the sliding-window stream (1h windows, 30-min slide) to
     completion and return the materialized per-window counts."""
     name = f"sliding_{uuid.uuid4().hex[:8]}"
+    # 8-partition state stage — same rationale as run_tumbling_stream.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     q = (
         sliding_window_agg(streaming_events(spark, sf_dir))
         .writeStream.outputMode("complete")
@@ -218,6 +228,7 @@ def run_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return _drain_memory_sink(spark, name)
 
 
@@ -460,6 +471,10 @@ def run_checkpointed_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame
     base = tempfile.mkdtemp(prefix="spark_graft_sink_")
     out_dir = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
+    # 8-partition state stage — same rationale as run_tumbling_stream;
+    # also 8 output files instead of 32 near-empty ones (guide §6).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         for _ in range(2):  # second run: restart from checkpoint, no dupes
             q = (
@@ -477,6 +492,7 @@ def run_checkpointed_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame
         # later and recompute from the deleted path.
         return _pin_local(spark, spark.read.parquet(out_dir))
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(base, ignore_errors=True)
 
 
@@ -513,15 +529,23 @@ def run_incremental_backfill(
             .parquet(src_dir)
         )
         name = f"backfill_{uuid.uuid4().hex[:8]}"
-        q = (
-            tumbling_window_agg_stream(stream)
-            .writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # 8-partition state stage — same rationale as
+        # run_tumbling_stream; here the cost multiplies by the
+        # n_files/per_trigger micro-batches of the backfill replay.
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                tumbling_window_agg_stream(stream)
+                .writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
         return _drain_memory_sink(spark, name), n_batches
     finally:
@@ -539,6 +563,9 @@ def run_append_mode_windows(spark: SparkSession, sf_dir: str):
     same cutoff.
     """
     name = f"append_{uuid.uuid4().hex[:8]}"
+    # 8-partition state stage — same rationale as run_tumbling_stream.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     q = (
         tumbling_window_agg_stream(streaming_events(spark, sf_dir))
         .writeStream.outputMode("append")
@@ -550,6 +577,7 @@ def run_append_mode_windows(spark: SparkSession, sf_dir: str):
         q.processAllAvailable()
     finally:
         q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return _drain_memory_sink(spark, name)
 
 
@@ -844,6 +872,10 @@ def run_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("span_s"),
         )
     )
+    # 8-partition state stage — same rationale as run_tumbling_stream
+    # (merging-session state shards with the shuffle partitions too).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
@@ -854,4 +886,5 @@ def run_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return _drain_memory_sink(spark, name)
