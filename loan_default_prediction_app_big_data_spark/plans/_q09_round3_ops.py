@@ -1012,6 +1012,14 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
         )
         .agg(F.count(F.lit(1)).alias("n_trades"))
+        # The nation-pair aggregate (<= n_nations^2 rows, ~600 at any
+        # sf) feeds FOUR downstream subtrees (agg, e, deg via two
+        # unions, joined) — without materialization the heavy
+        # lineitem x orders join above it re-executes per consumer
+        # (guide §3.3 "materialise shared subtrees"). Checkpointing
+        # the tiny aggregate caps the fact join at ONE execution;
+        # same-session A/B: 2.0-2.2 s -> 1.1-1.6 s, identical output.
+        .localCheckpoint(eager=True)
     )
     agg = d.agg(
         F.count(F.lit(1)).cast("bigint").alias("np"),
@@ -1648,13 +1656,28 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frac_bucket", F.abs(F.xxhash64(F.concat(F.lit("f"), F.col("ID").cast("string")))) % 100
     )
     test = assembled.filter(bucket >= 80).cache()
-    aucs = {}
-    counts = {}
-    for pct in (25, 50, 100):
+
+    # The three (count, fit, evaluate) chains are mutually independent
+    # — they differ only in the hash-threshold subset — so submit them
+    # from a small driver thread pool and let the scheduler overlap
+    # their jobs (optimization guide §2.6: actions are only sequential
+    # because driver code calls them sequentially). Each fit/evaluate
+    # is deterministic given its subset, so the per-fraction results
+    # are bit-identical to the sequential loop; same-session A/B
+    # measured 4.8 s sequential vs 1.9 s overlapped (r9).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one(pct: int) -> tuple[int, int, float]:
         sub = train.filter(F.col("frac_bucket") < pct)
-        counts[pct] = sub.count()
+        n = sub.count()
         model = LogisticRegression(maxIter=20, regParam=0.01).fit(sub)
-        aucs[pct] = BinaryClassificationEvaluator().evaluate(model.transform(test))
+        auc = BinaryClassificationEvaluator().evaluate(model.transform(test))
+        return pct, n, auc
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        results = list(pool.map(_one, (25, 50, 100)))
+    counts = {pct: n for pct, n, _ in results}
+    aucs = {pct: auc for pct, _, auc in results}
     # The three evaluates are done — release the held-out cache so it
     # doesn't stay pinned for the rest of the session.
     test.unpersist()
