@@ -128,15 +128,32 @@ def fit_loan_model(
     (reference spark.py:55) while the sklearn path fits on the train
     split only (reference app.py:77) — both exposed, documented.
     """
-    df = cast_features_double(df)
+    # The chain below re-executes its input 5-6x without
+    # materialization: Imputer fit, StandardScaler fit, the transform
+    # feeding the split, and each of the two evaluators replays the
+    # whole upstream plan (CSV parse, any replication crossJoin,
+    # casts). Pin the casted input once and the preprocessed frame
+    # once (guide §5 caching: reused AND expensive to recompute);
+    # localCheckpoint preserves partition count and contents, so the
+    # seeded randomSplit, L-BFGS aggregation order, metrics and
+    # objectiveHistory are bit-identical (r9 A/B verified). Both pins
+    # are released before returning — nothing stays pinned in the
+    # session. Same-session A/B on the 100x replica: 4.8-5.8 s
+    # unpinned vs 3.7-4.5 s pinned; 1x: 1.3-1.7 -> 1.1.
+    from ..pinning import release_local_checkpoints
+
+    df = cast_features_double(df).localCheckpoint(eager=True)
     pre = build_preprocessing_pipeline(with_mean=with_mean)
     if fit_scope_train_only:
         train_raw, test_raw = seeded_split(df, seed=seed)
         pre_model = pre.fit(train_raw)
         train, test = pre_model.transform(train_raw), pre_model.transform(test_raw)
+        pinned = (df,)
     else:
         pre_model = pre.fit(df)
-        train, test = seeded_split(pre_model.transform(df), seed=seed)
+        full = pre_model.transform(df).localCheckpoint(eager=True)
+        train, test = seeded_split(full, seed=seed)
+        pinned = (df, full)
 
     lr = LogisticRegression(
         featuresCol="scaled_features", labelCol=label_col, maxIter=max_iter
@@ -144,6 +161,7 @@ def fit_loan_model(
     lr_model = lr.fit(train)
     predictions = lr_model.transform(test)
     metrics = evaluate(predictions, label_col)
+    release_local_checkpoints(*pinned)
 
     return LoanModel(
         pipeline_model=pre_model,

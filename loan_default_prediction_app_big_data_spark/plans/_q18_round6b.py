@@ -168,10 +168,18 @@ def wordpiece_maxmatch_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projection referencing seg twice could run the fold twice per
     # row under a CSE-blind plan (ADVICE r6; same recomputation trap
     # cdc_boundaries avoids with its higher-order let).
+    from ..operators.text import widen_to_parallelism
+
     return (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 5 == 0)
-        .select("doc_id", F.split("text", " ").alias("ws"))
+        # The documents scan is ONE split at fixture scale and the
+        # MaxMatch fold is interpreted O(n x |V|) per-row CPU — widen
+        # before the fold so it runs on every core (guide §2.5; same
+        # fix as the shingle tier; identity on any multi-split scan).
+        widen_to_parallelism(
+            t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 5 == 0)
+            .select("doc_id", F.split("text", " ").alias("ws"))
+        )
         .select("doc_id", n.cast("bigint").alias("n_tok_raw"), seg.alias("seg"))
         .select(
             "doc_id",
