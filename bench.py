@@ -20,7 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from loan_default_prediction_app_big_data_spark.plans.registry import REGISTRY  # noqa: E402
 from loan_default_prediction_app_big_data_spark.session import get_spark  # noqa: E402
-from loan_default_prediction_app_big_data_spark.pinning import release_local_checkpoints  # noqa: E402
+from loan_default_prediction_app_big_data_spark.pinning import (  # noqa: E402
+    RELEASE_STATS,
+    release_local_checkpoints,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Streaming query included: it runs the same windowed agg via the
@@ -238,6 +241,11 @@ def run() -> None:
             "queries": "min of all runs incl first",
             "streaming_steady_s": "min of runs after first (warm replay)",
         },
+        # release_local_checkpoints walks private JVM internals and
+        # swallows failures; calls >> released here is the signal that
+        # a Spark bump silently no-op'd it and pins are accumulating
+        # again (ADVICE r9 item 1).
+        "pin_release": dict(RELEASE_STATS),
     }
     # Full per-query timings of EVERY run land in bench_full_last.json;
     # bench_full.json is the COMMITTED comparison baseline and only
@@ -353,7 +361,8 @@ def _compact_line(payload: dict, budget: int = 1900) -> str:
         payload["omitted"] = payload.get("omitted", 0) + 1
         payload["omitted_sum_s"] = round(payload.get("omitted_sum_s", 0.0) + q.pop(name), 2)
         s = json.dumps(payload, separators=(",", ":"))
-    for extra in ("field_docs", "regressions_vs_committed", "streaming_steady_s"):
+    for extra in ("pin_release", "field_docs", "regressions_vs_committed",
+                  "streaming_steady_s"):
         if len(s) > budget and extra in payload:
             del payload[extra]
             s = json.dumps(payload, separators=(",", ":"))

@@ -41,7 +41,7 @@ def pin_local(
     return spark.createDataFrame(rows, df.schema)
 
 
-def release_local_checkpoints(*dfs: DataFrame) -> None:
+def release_local_checkpoints(*dfs: DataFrame) -> int:
     """Unpersist the pinned RDDs behind ``df.localCheckpoint()`` frames.
 
     ``df.rdd.unpersist()`` is a silent NO-OP for a checkpointed
@@ -57,13 +57,32 @@ def release_local_checkpoints(*dfs: DataFrame) -> None:
     26-29 s/run; released, the session holds steady).
 
     Blocking=False: release is asynchronous, never on the timed path.
+
+    Returns the number of LogicalRDD leaves unpersisted and tallies
+    into ``RELEASE_STATS`` — the walk depends on private JVM internals
+    (``_jdf``, ``analyzed().collectLeaves()``, the LogicalRDD simple
+    class name) and swallows failures, so a Spark upgrade could turn
+    it into a silent no-op and reintroduce the measured
+    pin-accumulation degradation; a caller (or bench telemetry) that
+    sees ``calls`` grow while ``released`` stays 0 has its signal
+    (ADVICE r9 item 1).
     """
+    released = 0
     for df in dfs:
+        RELEASE_STATS["calls"] += 1
         try:
             leaves = df._jdf.queryExecution().analyzed().collectLeaves()
             for i in range(leaves.size()):
                 leaf = leaves.apply(i)
                 if leaf.getClass().getSimpleName() == "LogicalRDD":
                     leaf.rdd().unpersist(False)
+                    released += 1
         except Exception:
-            pass  # release is best-effort hygiene, never correctness
+            RELEASE_STATS["errors"] += 1  # best-effort hygiene, never correctness
+    RELEASE_STATS["released"] += released
+    return released
+
+
+#: Lifetime tallies for release_local_checkpoints — a no-op regression
+#: (e.g. a Spark bump renaming LogicalRDD) shows as calls >> released.
+RELEASE_STATS = {"calls": 0, "released": 0, "errors": 0}

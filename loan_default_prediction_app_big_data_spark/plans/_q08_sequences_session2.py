@@ -2592,8 +2592,22 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     merges = []
+    # Round k's corpus is a PURE per-row string function of the pinned
+    # base text (the same greedy double-space replace chain the encode
+    # side bpe_tokenize_apply folds into one projection), so instead of
+    # eagerly checkpointing the re-encoded corpus every round (the r9
+    # shape: one materialization job + one release per round — 11
+    # blocking driver jobs per training run), chain the replace stages
+    # into ONE growing expression and let round k's single pair-count
+    # job replay the k-stage chain over the pinned base. The replay is
+    # two codegen'd string replaces per stage per row — far cheaper
+    # than the per-round checkpoint job it replaces — and it nearly
+    # halves the blocking driver round trips that amplify host stalls
+    # (the r9 driver draw billed bpe_tokenize_apply 27.3 s vs ~2 s
+    # committed: every one of the 11 blocking jobs inherits the stall).
+    enc = F.col("text")
     for i in range(5):
-        toks = docs.select(F.split("text", " ").alias("ws"))
+        toks = docs.select(F.split(enc, " ").alias("ws"))
         n = F.size("ws")
         pairs = (
             toks.filter(n >= 2)
@@ -2612,34 +2626,26 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges.append((i + 1, top.w1, top.w2, top.cnt))
         pat = f" {top.w1}  {top.w2} "
         rep = f" {top.w1}@@{top.w2} "
-        prev = docs
-        docs = docs.select(
-            "doc_id",
-            F.trim(
+        enc = F.trim(
+            F.replace(
                 F.replace(
-                    F.replace(
-                        F.concat(
-                            F.lit(" "),
-                            F.replace(F.col("text"), F.lit(" "), F.lit("  ")),
-                            F.lit(" "),
-                        ),
-                        F.lit(pat),
-                        F.lit(rep),
+                    F.concat(
+                        F.lit(" "),
+                        F.replace(enc, F.lit(" "), F.lit("  ")),
+                        F.lit(" "),
                     ),
-                    F.lit("  "),
-                    F.lit(" "),
-                )
-            ).alias("text"),
-        ).localCheckpoint(eager=True)  # truncate: round k+1 must not replay rounds 1..k
-        # round k's corpus is dead once round k+1 is pinned — release it
-        # now instead of leaking 6 pinned corpus copies into the session
-        # (measured: accumulated pins degrade later same-session queries)
-        release_local_checkpoints(prev)
+                    F.lit(pat),
+                    F.lit(rep),
+                ),
+                F.lit("  "),
+                F.lit(" "),
+            )
+        )
     out = docs.sparkSession.createDataFrame(
         merges, "merge_order int, w1 string, w2 string, pair_count bigint"
     ).orderBy("merge_order")
-    # the merge table is a local relation — the final corpus pin is
-    # dead too (callers that need the encoded corpus re-derive it from
+    # the merge table is a local relation — the base-corpus pin is
+    # dead (callers that need the encoded corpus re-derive it from
     # the merge table, see bpe_tokenize_apply)
     release_local_checkpoints(docs)
     return out

@@ -823,8 +823,13 @@ def sqlite_cdc_streaming_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(4)
     )
-    n_src = src.count()
-    write_sqlite_shards(src, out_dir, "orders").collect()
+    # The shard writer already returns per-shard (file, n_rows)
+    # metadata — summing it replaces the separate count() job's second
+    # full scan of orders (r10, guide §1.2: don't compute things
+    # twice). Identical n_src, identical rate, identical batch counts.
+    n_src = sum(
+        r.n_rows for r in write_sqlite_shards(src, out_dir, "orders").collect()
+    )
 
     register_sqlite_source(spark)
     name = f"cdc_{uuid.uuid4().hex[:8]}"
@@ -949,8 +954,11 @@ def sqlite_streaming_sink_roundtrip(
         )
         .repartition(4)
     )
-    n_src = src.count()
-    write_sqlite_shards(src, src_dir, "orders").collect()
+    # n_src from the writer's own (file, n_rows) metadata — drops the
+    # separate count() job's second full scan (see the cdc-tail twin).
+    n_src = sum(
+        r.n_rows for r in write_sqlite_shards(src, src_dir, "orders").collect()
+    )
 
     register_sqlite_source(spark)
     # Size-scaled rate limit (see sqlite_cdc_streaming_tail): ~4

@@ -355,8 +355,15 @@ def wordpiece_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     merges = []
+    # Same restructure as bpe_merge_training (r10): round k's corpus is
+    # a pure per-row string function of the pinned base, so the replace
+    # stages chain into one growing expression instead of one eager
+    # checkpoint job + release per round — 9 blocking driver jobs per
+    # training run drop to 5, shrinking both the steady time and the
+    # host-stall exposure every blocking round trip inherits.
+    enc = F.col("text")
     for i in range(4):
-        toks = docs.select(F.split("text", " ").alias("ws"))
+        toks = docs.select(F.split(enc, " ").alias("ws"))
         n = F.size("ws")
         uni = (
             toks.select(F.explode("ws").alias("w"))
@@ -401,28 +408,21 @@ def wordpiece_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pat = f" {top.w1}  {top.w2} "
         rep = f" {top.w1}@@{top.w2} "
-        prev = docs
-        docs = docs.select(
-            "doc_id",
-            F.trim(
+        enc = F.trim(
+            F.replace(
                 F.replace(
-                    F.replace(
-                        F.concat(
-                            F.lit(" "),
-                            F.replace(F.col("text"), F.lit(" "), F.lit("  ")),
-                            F.lit(" "),
-                        ),
-                        F.lit(pat),
-                        F.lit(rep),
+                    F.concat(
+                        F.lit(" "),
+                        F.replace(enc, F.lit(" "), F.lit("  ")),
+                        F.lit(" "),
                     ),
-                    F.lit("  "),
-                    F.lit(" "),
-                )
-            ).alias("text"),
-        ).localCheckpoint(eager=True)  # truncate: round k+1 must not replay 1..k
-        # round k's corpus is dead once k+1 is pinned — release it (the
-        # bpe_merge_training fix: leaked pins degrade later queries)
-        release_local_checkpoints(prev)
+                    F.lit(pat),
+                    F.lit(rep),
+                ),
+                F.lit("  "),
+                F.lit(" "),
+            )
+        )
     out = docs.sparkSession.createDataFrame(
         merges,
         "merge_order int, w1 string, w2 string, pair_count bigint,"

@@ -88,6 +88,29 @@ def _drain_memory_sink(spark: SparkSession, name: str) -> DataFrame:
 _pin_local = pin_local
 
 
+def state_partitions(spark: SparkSession) -> str:
+    """Shuffle-partition count for the keyed-state stage of the bounded
+    replay runners — the ONE knob behind what were eight per-runner
+    ``"8"`` literals (VERDICT r9 item 6).
+
+    Rationale: structured streaming opens one state-store instance per
+    shuffle partition and pays its open/commit cycle EVERY micro-batch,
+    so for the fixtures' 10²–10⁴-key state a narrow stage is strictly
+    faster (r9 measured: backfill 4.33→2.88 s, append 2.21→1.51 s,
+    session 2.83→2.09 s at 32→8 partitions; an 8→4 A/B read as noise).
+    ``min(defaultParallelism, 8)`` scales DOWN with the driver's
+    reduced-core bench run instead of pinning a local[32] constant; at
+    real scale the state stage should be sized like any exchange
+    (~cores × executors, far above 8), so production overrides via
+    ``SPARK_GRAFT_STATE_PARTITIONS`` — the default is a fixture-scale
+    key-count decision, not a cluster constant.
+    """
+    env = os.environ.get("SPARK_GRAFT_STATE_PARTITIONS")
+    if env:
+        return str(int(env))
+    return str(min(spark.sparkContext.defaultParallelism, 8))
+
+
 def tumbling_window_agg_stream(events: DataFrame) -> DataFrame:
     """1-hour tumbling windows with a 1-hour watermark — identical
     semantics to the batch twin on a finite replay (complete mode)."""
@@ -135,7 +158,7 @@ def run_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture key counts (r9: same 8-partition narrowing as the
     # stateful/dedup/join runners, VERDICT r8 item 2 direction).
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", state_partitions(spark))
     q = (
         tumbling_window_agg_stream(streaming_events(spark, sf_dir))
         .writeStream.outputMode("complete")
@@ -178,7 +201,7 @@ def run_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (per-partition store open/commit dominates). At real scale size
     # this like any exchange: ~#cores × executors.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", state_partitions(spark))
     q = (
         events.groupBy("user_id")
         .applyInPandasWithState(
@@ -216,7 +239,7 @@ def run_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"sliding_{uuid.uuid4().hex[:8]}"
     # 8-partition state stage — same rationale as run_tumbling_stream.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", state_partitions(spark))
     q = (
         sliding_window_agg(streaming_events(spark, sf_dir))
         .writeStream.outputMode("complete")
@@ -257,7 +280,7 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # narrow like run_stream_stream_join; at real scale size it to
     # cores x executors as for any shuffle.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", state_partitions(spark))
     try:
         q = (
             deduped.writeStream.outputMode("append")
@@ -298,7 +321,7 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exchange narrow here, like run_stateful_user_counts; at real
     # scale size it to cores × executors as for any shuffle.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", state_partitions(spark))
     views = (
         ev.filter(F.col("event_type") == "view")
         .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
@@ -352,7 +375,7 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"ssenrich_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", state_partitions(spark))
     ev = streaming_events(spark, sf_dir)
     cust = read_parquet_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
@@ -403,7 +426,7 @@ def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", state_partitions(spark))
     tgt = tempfile.mkdtemp(prefix="fbu_") + "/target"
     ev = streaming_events(spark, sf_dir)
     doubled = ev.union(ev)
@@ -474,7 +497,7 @@ def run_checkpointed_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame
     # 8-partition state stage — same rationale as run_tumbling_stream;
     # also 8 output files instead of 32 near-empty ones (guide §6).
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", state_partitions(spark))
     try:
         for _ in range(2):  # second run: restart from checkpoint, no dupes
             q = (
@@ -533,7 +556,7 @@ def run_incremental_backfill(
         # run_tumbling_stream; here the cost multiplies by the
         # n_files/per_trigger micro-batches of the backfill replay.
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", state_partitions(spark))
         try:
             q = (
                 tumbling_window_agg_stream(stream)
@@ -565,7 +588,7 @@ def run_append_mode_windows(spark: SparkSession, sf_dir: str):
     name = f"append_{uuid.uuid4().hex[:8]}"
     # 8-partition state stage — same rationale as run_tumbling_stream.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", state_partitions(spark))
     q = (
         tumbling_window_agg_stream(streaming_events(spark, sf_dir))
         .writeStream.outputMode("append")
@@ -609,7 +632,7 @@ def run_stream_stream_left_outer_join(
     name = f"ssloj_{uuid.uuid4().hex[:8]}"
     ev = streaming_events(spark, sf_dir)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", state_partitions(spark))
     views = (
         ev.filter(F.col("event_type") == "view")
         .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
@@ -677,7 +700,7 @@ def run_stream_stream_full_outer_join(
     name = f"ssfoj_{uuid.uuid4().hex[:8]}"
     ev = streaming_events(spark, sf_dir)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", state_partitions(spark))
     views = (
         ev.filter(F.col("event_type") == "view")
         .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
@@ -776,7 +799,7 @@ def run_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_provider = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", None
     )
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", state_partitions(spark))
     # transformWithState requires the RocksDB provider (bundled).
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
@@ -875,7 +898,7 @@ def run_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 8-partition state stage — same rationale as run_tumbling_stream
     # (merging-session state shards with the shuffle partitions too).
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", state_partitions(spark))
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
